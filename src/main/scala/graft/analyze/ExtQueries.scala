@@ -1,0 +1,339 @@
+package graft.analyze
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.functions.Hashing
+import graft.functions.Hashing.{MersennePrime => P}
+
+/** Training-data-pipeline operators (dedup / similarity / multimodal /
+  * text analysis) plus the streaming-window workload in its batch form,
+  * each paired with a DuckDB oracle.
+  *
+  * The oracles for minhash/simhash are generated from the same constants
+  * the Spark operators use ([[Hashing.perms]]), so signature values are
+  * compared number-for-number, not just "produces some pairs".
+  */
+object ExtQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  // ---- generated SQL fragments -----------------------------------------
+
+  private val shinglesSql = TextOps.wordShinglesSql("text", Dedup.ShingleSize)
+  private val h32s = Hashing.h32Sql("s")
+
+  private val minhashOracle: String = {
+    val sigCols = Hashing.perms.zipWithIndex
+      .map { case ((a, b), j) => s"MIN(($a * h + $b) % $P) AS m$j" }
+      .mkString(", ")
+    val bandSelects = (0 until Dedup.Bands).map { bi =>
+      val ms = (0 until Dedup.Rows).map(ri => s"m${bi * Dedup.Rows + ri}").mkString(", ")
+      s"SELECT doc_id, $bi AS band_idx, concat_ws(',', $ms) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+    h AS (SELECT doc_id, $h32s AS h FROM sh),
+    sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    com AS (SELECT doc_a, doc_b, COUNT(*) AS n_common
+            FROM cand JOIN sh sa ON sa.doc_id = doc_a
+                      JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+            GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b"""
+  }
+
+  private val simhashExpr: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val value = (0 until 32)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS wd FROM documents),
+    h AS (SELECT doc_id, ${Hashing.h32Sql("wd")} AS h FROM w),
+    sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM sums)"""
+  }
+
+  private val simhashOracle: String =
+    s"$simhashExpr SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+  private val simhashDupOracle: String = {
+    val bands = (0 until 4)
+      .map(k => s"SELECT doc_id, simhash, $k AS band_idx, (simhash >> ${8 * k}) & 255 AS band_val FROM sh")
+      .mkString(" UNION ALL ")
+    s"""$simhashExpr,
+    banded AS ($bands),
+    pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     x.simhash AS sha, y.simhash AS shb
+              FROM banded x JOIN banded y
+              ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sha, shb)) <= 6
+    ORDER BY doc_a, doc_b"""
+  }
+
+  private val ngramsSql = TextOps.charNgramsSql("text", 4)
+
+  private val ngramJaccardOracle: String = s"""
+    WITH g AS (SELECT doc_id, unnest($ngramsSql) AS gr FROM documents),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM documents a JOIN documents b
+             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10 AND a.doc_id < b.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+    com AS (SELECT doc_a, doc_b, COUNT(*) AS n_common
+            FROM cand JOIN g ga ON ga.doc_id = doc_a
+                      JOIN g gb ON gb.doc_id = doc_b AND gb.gr = ga.gr
+            GROUP BY doc_a, doc_b)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+    FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  private def dotS(a: String, b: String) = Similarity.dotSql(a, b)
+  private def normS(a: String) = Similarity.normSql(a)
+
+  private val cosineDupOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+    ORDER BY vec_a, vec_b"""
+
+  private val annTopkOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    sc AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                  ${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cosine
+           FROM e q JOIN e t ON q.vec_id < 10 AND t.vec_id >= 10)
+    SELECT qid AS query_id, tid AS neighbor_id, cosine, rn
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, tid) AS INT) AS rn FROM sc) z
+    WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  private val annLshOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    b AS (SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                          THEN (CAST(1 AS BIGINT) << p.vec_id) ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings v JOIN embeddings p ON p.vec_id < 8 GROUP BY v.vec_id),
+    q AS (SELECT e.vec_id AS q_id, embedding AS q_emb, nrm AS q_norm, bucket
+          FROM e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id < 10),
+    tt AS (SELECT e.vec_id AS t_id, embedding AS t_emb, nrm AS t_norm, bucket AS t_bucket
+           FROM e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id >= 10),
+    sc AS (SELECT q_id, t_id, bucket,
+                  ${dotS("q_emb", "t_emb")} / (q_norm * t_norm) AS cosine
+           FROM q JOIN tt ON bucket = t_bucket)
+    SELECT q_id AS query_id, t_id AS neighbor_id, bucket, cosine, rn
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS INT) AS rn FROM sc) z
+    WHERE rn <= 3 ORDER BY query_id, rn"""
+
+  private val langidOracle: String = {
+    val scoreCols = TextAnalysis.stopwords.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(${TextOps.wordsSql("text")}, w -> w IN ($inList))) AS INT) AS n_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(m => s"n_$l >= n_$m").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""
+    WITH s AS (SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents)
+    SELECT *, CASE $cases ELSE '${langs.last}' END AS predicted_lang
+    FROM s ORDER BY doc_id"""
+  }
+
+  private val qualityOracle: String = {
+    val allStop = TextAnalysis.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    val ws = TextOps.wordsSql("text")
+    s"""
+    WITH c AS (SELECT doc_id, n_chars,
+        CAST(len($ws) AS INT) AS n_words,
+        CAST(len(list_distinct($ws)) AS INT) AS n_distinct,
+        CAST(len(list_filter($ws, w -> w IN ($allStop))) AS INT) AS n_stop,
+        CAST(length(text) AS INT) AS len FROM documents),
+    r AS (SELECT doc_id, n_chars, n_words, n_distinct, n_stop,
+        CAST(len - n_words + 1 AS DOUBLE) / n_words AS avg_word_len,
+        CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+        CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio FROM c)
+    SELECT *,
+        0.4 * distinct_ratio + 0.4 * (1.0 - stopword_ratio)
+          + 0.2 * LEAST(avg_word_len / 10.0, 1.0) AS quality
+    FROM r ORDER BY doc_id"""
+  }
+
+  private val tokensOracle: String = s"""
+    SELECT doc_id,
+      CAST(len(${TextOps.wordsSql("text")}) AS INT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+      CAST(length(text) AS INT) AS n_chars_calc,
+      CAST(length(text) AS DOUBLE) / len(${TextOps.wordsSql("text")}) AS chars_per_token
+    FROM documents ORDER BY doc_id"""
+
+  private val fingerprintOracle: String = s"""
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(${TextOps.wordsSql("text")}, wd -> ${Hashing.h32Sql("wd")})),
+        (acc, x) -> (acc * 31 + x) % $P) AS fingerprint,
+      md5(text) AS exact_md5
+    FROM documents ORDER BY doc_id"""
+
+  private val multimodalOracle: String = s"""
+    SELECT doc_id,
+      CAST(strlen(text) AS INT) AS n_bytes,
+      'fake/utf8' AS mime,
+      md5(text) AS checksum,
+      CAST(${Hashing.h32Sql("md5(text)")} % 1920 AS INT) AS decoded_width,
+      CAST(${Hashing.h32Sql("reverse(md5(text))")} % 1080 AS INT) AS decoded_height,
+      CAST(ceil(CAST(strlen(text) AS DOUBLE) / ${Multimodal.FrameBytes}) AS BIGINT) AS n_frames,
+      upper(hex(substr(text, 1, ${Multimodal.FrameBytes}))) AS frame0_hex,
+      upper(hex(substr(text, (strlen(text) // 2) + 1, ${Multimodal.FrameBytes}))) AS mid_frame_hex
+    FROM documents ORDER BY doc_id"""
+
+  // ---- query definitions -----------------------------------------------
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    ("d01_dedup_exact_groups", (s: SparkSession, d: String) =>
+      Dedup.exactDupGroups(t(s, d, "documents")),
+      Some("""
+      SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY text_md5""")),
+
+    ("d02_dedup_exact_stats", (s: SparkSession, d: String) =>
+      Dedup.exactDupStats(t(s, d, "documents")),
+      Some("""
+      SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+             COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+      FROM documents""")),
+
+    ("d03_simhash", (s: SparkSession, d: String) =>
+      Dedup.simhash(t(s, d, "documents")),
+      Some(simhashOracle)),
+
+    ("d04_simhash_dup", (s: SparkSession, d: String) =>
+      Dedup.simhashDup(t(s, d, "documents"), maxHamming = 6),
+      Some(simhashDupOracle)),
+
+    ("d05_minhash_lsh_dup", (s: SparkSession, d: String) =>
+      Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5),
+      Some(minhashOracle)),
+
+    ("d06_ngram_jaccard_dup", (s: SparkSession, d: String) =>
+      Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),
+      Some(ngramJaccardOracle)),
+
+    ("d07_cosine_dup", (s: SparkSession, d: String) =>
+      Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),
+      Some(cosineDupOracle)),
+
+    ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
+      Some(annTopkOracle)),
+
+    ("s02_ann_lsh_topk", (s: SparkSession, d: String) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), nPlanes = 8, nQueries = 10, k = 3),
+      Some(annLshOracle)),
+
+    ("t01_langid", (s: SparkSession, d: String) =>
+      TextAnalysis.langId(t(s, d, "documents")),
+      Some(langidOracle)),
+
+    ("t02_quality_score", (s: SparkSession, d: String) =>
+      TextAnalysis.qualityScore(t(s, d, "documents")),
+      Some(qualityOracle)),
+
+    ("t03_token_counts", (s: SparkSession, d: String) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents")),
+      Some(tokensOracle)),
+
+    ("t04_fingerprint", (s: SparkSession, d: String) =>
+      TextAnalysis.fingerprint(t(s, d, "documents")),
+      Some(fingerprintOracle)),
+
+    ("m01_multimodal_meta", (s: SparkSession, d: String) =>
+      Multimodal.mediaPipeline(t(s, d, "documents")),
+      Some(multimodalOracle)),
+
+    // ---- streaming window workload, batch form -------------------------
+    // (the true readStream variants live in graft.streaming and are
+    // exercised by ScalaTest; semantics here are identical)
+
+    ("w01_tumbling_window", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"),
+                col("window.end").as("window_end"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
+
+    ("w02_sliding_window", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"),
+                col("window.end").as("window_end"),
+                col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }, Some("""
+      WITH b AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS wb, event_type FROM events),
+      u AS (SELECT wb AS window_start, event_type FROM b
+            UNION ALL
+            SELECT wb - INTERVAL '30 minutes' AS window_start, event_type FROM b)
+      SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+             event_type, COUNT(*) AS n
+      FROM u GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
+
+    ("w03_session_window", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+                col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"),
+                col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }, Some("""
+      WITH o AS (SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events),
+      s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o)
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '10 minutes' AS session_end,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+  )
+
+  def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
+  def oracles: Map[String, String] =
+    defs.collect { case (n, _, Some(o)) => n -> o.stripMargin.trim }.toMap
+}

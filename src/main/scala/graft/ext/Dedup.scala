@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.functions.Hashing.{h32, MersennePrime => P}
+
+/** Deduplication operators for large text corpora.
+  *
+  * Four families, in increasing fuzziness:
+  *  - exact:     md5-of-text group-by (one shuffle on a 16-byte key);
+  *  - MinHash:   word-shingle minhash signatures -> LSH band buckets ->
+  *               candidate pairs -> exact Jaccard verification. Only
+  *               candidate pairs are verified, so the quadratic step is
+  *               confined to hash buckets — the standard 100 TB dedup
+  *               shape (shuffles are all key-partitioned; no global
+  *               cross join anywhere);
+  *  - SimHash:   32-bit sign-of-weighted-sum fingerprint; near-dup
+  *               candidates share one of four 8-bit bands, verified by
+  *               Hamming distance;
+  *  - n-gram:    character-n-gram Jaccard over metadata-restricted
+  *               candidate pairs (same lang, similar length).
+  *
+  * Everything is built from codegen'd column expressions (no UDFs) and
+  * is verified value-for-value against a DuckDB oracle (ExtQueries).
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val Bands = 4
+  val Rows = 4 // Bands * Rows == Hashing.perms.size
+
+  /** Exact-duplicate groups: docs whose full text hashes identically.
+    * At scale this is one hash-partitioned aggregation on md5(text).
+    */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("text_md5"))
+
+  /** Corpus-level dedup stats: total vs distinct docs. */
+  def exactDupStats(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col("text"))).as("n_unique"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
+
+  /** (doc_id, shingle) exploded table of distinct word shingles. */
+  def shingleTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), ShingleSize)).as("s"))
+
+  /** MinHash signatures: one row per doc, columns m0..m15. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingleTable(docs).withColumn("h", h32(col("s")))
+    val mins = Hashing.perms.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")
+    }
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band_idx, band_key) — LSH buckets from the signature. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { bi =>
+      concat_ws(",", (0 until Rows).map(ri => col(s"m${bi * Rows + ri}")): _*)
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Near-duplicate pairs with exact Jaccard >= threshold.
+    * Pipeline: signatures -> band buckets -> distinct candidate pairs ->
+    * shingle-join verification. Output: (doc_a, doc_b, n_common, jaccard).
+    */
+  def minhashDup(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs).cache()
+    val bands = minhashBands(minhashSignatures(docs))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(sh.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per doc from word-occurrence weights: bit j is set
+    * when sum over word occurrences of (+1 if bit j of h32(word) else -1)
+    * is positive. One explode + one hash-partitioned aggregation.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordTable = docs.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+      .withColumn("h", h32(col("w")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val sums = wordTable.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col("doc_id"), sh.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of four 8-bit bands,
+    * verified by Hamming distance <= maxHamming.
+    */
+  def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_val") === col("y.band_val") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Character-n-gram Jaccard dedup over metadata-restricted candidates
+    * (same lang, |n_chars| within maxLenDiff). The metadata filter is
+    * what keeps this sub-quadratic: pairs are generated per (lang)
+    * partition and length-banded, not corpus-wide.
+    */
+  def ngramJaccardDup(docs: DataFrame, n: Int, maxLenDiff: Int,
+                      threshold: Double): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val cand = meta.as("a").join(meta.as("b"),
+        col("a.lang") === col("b.lang") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val grams = docs.select(col("doc_id"),
+      explode(TextOps.charNgrams(col("text"), n)).as("g")).cache()
+    val cnt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * All vector math folds left-to-right in DOUBLE via higher-order
+  * functions, which makes results bit-identical to the DuckDB oracle's
+  * `list_reduce` fold — so cosine scores (and therefore top-k order)
+  * verify exactly, not approximately.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * against the full corpus — one narrow scan, no shuffle of the corpus.
+  * The LSH path buckets vectors by hyperplane sign patterns so the
+  * candidate join is hash-partitioned on bucket id; at 100 TB the
+  * bucket table is what you'd persist (bucketed by `bucket`) and probe.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** DuckDB twin of [[dotCol]] (same fold order => same bits). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def side(embs: DataFrame, prefix: String): DataFrame =
+    embs.select(col("vec_id").as(s"${prefix}_id"),
+      col("embedding").as(s"${prefix}_emb"),
+      normCol(col("embedding")).as(s"${prefix}_norm"))
+
+  /** All pairs (a < b) with cosine >= threshold — embedding near-dup
+    * detection. Quadratic by nature: meant for corpora already
+    * bucketed/blocked; [[lshTopK]] is the scale path.
+    */
+  def cosineDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val a = side(embs, "a"); val b = side(embs, "b")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Brute-force cosine top-k: queries (vec_id < nQueries) broadcast
+    * against targets (vec_id >= nQueries); exact baseline for ANN.
+    */
+  def bruteForceTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+    val t = side(embs.filter(col("vec_id") >= nQueries), "t")
+    val scored = t.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Sign-pattern LSH bucket per vector: bucket = sum_j [dot(v, plane_j) > 0] << j.
+    * The "planes" are the first nPlanes corpus vectors — deterministic
+    * and oracle-sharable (a production build would use seeded Gaussian
+    * planes). One broadcast join + one hash aggregation; no shuffle of
+    * the embedding corpus beyond the groupBy on vec_id.
+    */
+  def lshBuckets(embs: DataFrame, nPlanes: Int): DataFrame = {
+    val planes = embs.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+    embs.crossJoin(broadcast(planes))
+      .withColumn("d", dotCol(col("embedding"), col("p_emb")))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("d") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** LSH-bucketed ANN top-k: queries probe only their own bucket —
+    * approximate, but the candidate join is equi on bucket id (shuffle
+    * partitioned, skew-safe for balanced buckets).
+    */
+  def lshTopK(embs: DataFrame, nPlanes: Int, nQueries: Int, k: Int): DataFrame = {
+    val buckets = lshBuckets(embs, nPlanes)
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+      .join(buckets.select(col("vec_id").as("q_id"), col("bucket")), "q_id")
+    val t = side(embs.filter(col("vec_id") >= nQueries), "t")
+      .join(buckets.select(col("vec_id").as("t_id"), col("bucket").as("t_bucket")), "t_id")
+    val scored = q.join(t, col("bucket") === col("t_bucket"))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("bucket"), col("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+}

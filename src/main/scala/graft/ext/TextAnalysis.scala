@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.{h32, MersennePrime => P}
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure column expressions over one documents scan — each operator
+  * is a narrow projection (no shuffle at all), so at 100 TB these run
+  * at parquet-scan speed and pipeline into downstream filters.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram-free heuristic
+    * language ID. Order matters: ties resolve in this sequence.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "les", "des", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "wo3"))
+
+  private def stopCount(ws: Column, lang: String): Column = {
+    val set = stopwords.toMap.apply(lang)
+    size(filter(ws, w => w.isin(set: _*)))
+  }
+
+  /** Predicted language by max stopword hits (ties -> stopwords order),
+    * plus the per-language scores.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: col("lang").as("labeled_lang") +:
+        stopwords.map { case (l, _) => stopCount(ws, l).as(s"n_$l") }): _*)
+    val langs = stopwords.map(_._1)
+    // nested max-with-priority: lang i wins if >= all later langs
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val beatsRest = langs.drop(i + 1)
+          .map(m => col(s"n_$l") >= col(s"n_$m")).reduce(_ && _)
+        when(beatsRest, l).otherwise(elseCol)
+    }
+    scored.withColumn("predicted_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** Heuristic quality score from exact integer counts and single
+    * IEEE divisions (deterministic across engines):
+    * 0.4*distinct_ratio + 0.4*(1-stopword_ratio) + 0.2*min(avg_word_len/10, 1).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val allStop = stopwords.flatMap(_._2)
+    docs.select(col("doc_id"), col("n_chars"),
+        size(ws).as("n_words"),
+        size(array_distinct(ws)).as("n_distinct"),
+        size(filter(ws, w => w.isin(allStop: _*))).as("n_stop"),
+        length(col("text")).as("len"))
+      .withColumn("avg_word_len",
+        (col("len") - col("n_words") + 1).cast("double") / col("n_words"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("quality",
+        lit(0.4) * col("distinct_ratio") +
+        lit(0.4) * (lit(1.0) - col("stopword_ratio")) +
+        lit(0.2) * least(col("avg_word_len") / 10.0, lit(1.0)))
+      .drop("len")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_calc"))
+      .withColumn("chars_per_token",
+        col("n_chars_calc").cast("double") / col("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * the word-hash sequence, mod 2^31-1. Content AND order sensitive
+    * (unlike minhash), exact in 64-bit integer arithmetic.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        aggregate(
+          transform(TextOps.words(col("text")), w => h32(w)),
+          lit(0L),
+          (acc, x) => pmod(acc * 31 + x, lit(P))).as("fingerprint"),
+        md5(col("text")).as("exact_md5"))
+      .orderBy(col("doc_id"))
+}
