@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.Sessions
+import graft.extract.Extractors
+import graft.ingest.IngestJob
+import graft.model.Cricsheet
+import graft.publish.PublishJob
+
+/** End-to-end pipeline CLI: the whole reference dataflow (E1->E3) as
+  * one Spark job graph instead of six Lambdas and a 5-minute SQS delay.
+  *
+  * Usage: runMain graft.Pipeline <landingDir> <workDir> [maxFiles]
+  *
+  * landing JSONs -> incremental ingest (ledger anti-join, capped) ->
+  * staged scan -> matchwise + deliverywise extraction (one shared scan)
+  * -> ordered, renumbered CSV artifacts + version note.
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Pipeline <landingDir> <workDir> [maxFiles]")
+      sys.exit(2)
+    }
+    val landing = args(0); val work = args(1)
+    val maxFiles = if (args.length > 2) args(2).toInt else IngestJob.DefaultLimit
+    val spark = Sessions.local()
+
+    val staged = IngestJob.run(spark, landing, s"$work/staging",
+      s"$work/ledger", maxFiles)
+    println(s"[pipeline] ingested ${staged.size} new file(s): ${staged.mkString(", ")}")
+
+    val raw = Cricsheet.read(spark, s"$work/staging").persist()
+    val matchwise = PublishJob.buildMatchwise(Extractors.matchwise(raw))
+    val deliverywise = PublishJob.buildDeliverywise(
+      Extractors.deliverywise(raw), matchwise)
+
+    PublishJob.writeCsv(matchwise, s"$work/output/matchwise_data.csv")
+    PublishJob.writeCsv(deliverywise, s"$work/output/deliverywise_data.csv")
+    println(s"[pipeline] matchwise rows: ${matchwise.count()}")
+    println(s"[pipeline] deliverywise rows: ${deliverywise.count()}")
+    println(s"[pipeline] version note: ${PublishJob.versionNote(matchwise)}")
+    raw.unpersist()
+    spark.stop()
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extractors
+import graft.ingest.IngestJob
+import graft.model.Cricsheet
+import graft.streaming.StreamIngest
+
+class IngestStreamSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def copyFixtures(dst: String, names: Seq[String]): Unit =
+    names.foreach { n =>
+      Files.copy(Paths.get(fixturesDir, n), Paths.get(dst, n),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  test("ingest: anti-join picks only un-ledgered files, capped and ordered") {
+    val landing = tmp("landing"); val staging = tmp("staging")
+    val ledger = s"${tmp("ledger_root")}/ledger"
+    copyFixtures(landing, Seq("1001.json", "1002.json", "1003.json", "1004.json"))
+
+    val first = IngestJob.run(spark, landing, staging, ledger, limit = 3)
+    assert(first == Seq("1001.json", "1002.json", "1003.json"))
+
+    val second = IngestJob.run(spark, landing, staging, ledger, limit = 3)
+    assert(second == Seq("1004.json"))
+
+    // idempotent: nothing new -> no-op
+    val third = IngestJob.run(spark, landing, staging, ledger, limit = 3)
+    assert(third.isEmpty)
+
+    val staged = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq
+    assert(staged.size == 4)
+  }
+
+  test("streaming: AvailableNow extract equals the batch extract") {
+    val landing = tmp("s_landing"); val staging = tmp("s_staging")
+    val checkpoint = tmp("s_ckpt")
+    copyFixtures(landing,
+      Seq("1001.json", "1002.json", "1003.json", "1004.json", "1005.json", "1006.json"))
+
+    val q = StreamIngest.run(spark, landing, staging, checkpoint, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+
+    val mw = spark.read.parquet(s"$staging/matchwise")
+    val dw = spark.read.parquet(s"$staging/deliverywise")
+    assert(mw.count() == 6)
+    assert(dw.count() == 24)
+
+    val batch = Extractors.matchwise(Cricsheet.read(spark, fixturesDir))
+    assert(mw.orderBy("match_id").collect().toSeq ==
+      batch.orderBy("match_id").collect().toSeq)
+  }
+
+  test("streaming: restart with same checkpoint reprocesses nothing") {
+    val landing = tmp("r_landing"); val staging = tmp("r_staging")
+    val checkpoint = tmp("r_ckpt")
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+
+    StreamIngest.run(spark, landing, staging, checkpoint).awaitTermination()
+    val n1 = spark.read.parquet(s"$staging/matchwise").count()
+
+    // re-run over the same landing dir: checkpoint is the ledger
+    StreamIngest.run(spark, landing, staging, checkpoint).awaitTermination()
+    val n2 = spark.read.parquet(s"$staging/matchwise").count()
+    assert(n1 == 2 && n2 == 2)
+
+    // new arrival -> only the new file is processed
+    copyFixtures(landing, Seq("1003.json"))
+    StreamIngest.run(spark, landing, staging, checkpoint).awaitTermination()
+    assert(spark.read.parquet(s"$staging/matchwise").count() == 3)
+  }
+}

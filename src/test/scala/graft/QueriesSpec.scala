@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analyze.CricketQueries
+import graft.extract.Extractors
+import graft.model.Cricsheet
+
+/** Smoke + spot checks for the oracle-gated query surface (the full
+  * value-level verification runs through Verify + the driver's DuckDB
+  * compare) and value checks for the cricket A-workload.
+  */
+class QueriesSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs and returns rows at sf0.001") {
+    val allowedEmpty = Set("q09_anti_join", "q13_except", "d01_dedup_exact_groups")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, name)
+      if (!allowedEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("minhash dedup finds the planted near-duplicates at sf0.001") {
+    val dups = graft.ext.Dedup.minhashDup(
+      graft.core.Tables.load(spark, sf, "documents"), threshold = 0.5)
+    val n = dups.count()
+    assert(n > 0, "expected planted near-dup pairs")
+    assert(dups.filter(col("jaccard") > 0.9).count() > 0)
+  }
+
+  test("brute-force ANN yields k neighbors per query in score order") {
+    val topk = graft.ext.Similarity.bruteForceTopK(
+      graft.core.Tables.load(spark, sf, "embeddings"), nQueries = 4, k = 3)
+    val rows = topk.collect()
+    assert(rows.length == 12)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      val scores = g.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cosine"))
+      assert(scores.toSeq == scores.sorted.reverse.toSeq)
+    }
+  }
+
+  lazy val mw = graft.publish.PublishJob.buildMatchwise(
+    Extractors.matchwise(Cricsheet.read(spark, fixturesDir))).cache()
+
+  test("cricket A-workload over fixtures") {
+    assert(CricketQueries.allTeams(mw).collect().map(_.getString(0)).toSeq ==
+      Seq("Alpha", "Beta", "Cold", "Delta", "Eps", "Gamma",
+        "Hot", "Iota", "Kappa", "Mu", "Nu", "Zeta"))
+
+    val noRes = CricketQueries.noResultSplit(mw).collect().head
+    assert(noRes.getAs[Long]("no_result") == 2)
+    assert(noRes.getAs[Long]("completed") == 4)
+
+    // completed non-tie matches: 1001 (toss winner won), 1002 (won),
+    // 1004 (won) -> all true
+    val tw = CricketQueries.tossWinnerWon(mw).collect()
+    assert(tw.map(r => (r.getBoolean(0), r.getLong(1))).toSeq == Seq((true, 3L)))
+
+    val margins = CricketQueries.marginSplit(mw).collect().head
+    assert(margins.getAs[Long]("won_by_runs") == 1)
+    assert(margins.getAs[Long]("won_by_wickets") == 2)
+
+    assert(CricketQueries.matchesPerYear(mw).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((2020, 6L)))
+
+    val toss = CricketQueries.tossDecisionCounts(mw).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(toss == Map("bat" -> 3L, "field" -> 3L))
+  }
+
+  test("SeqNumber equals single-task row_number on the star schema") {
+    val orders = graft.core.Tables.load(spark, sf, "orders")
+    val viaSeq = graft.operators.SeqNumber
+      .withSeq(orders, Seq(col("o_orderdate"), col("o_orderkey")), "seq")
+      .select(col("o_orderkey"), col("seq"))
+    val viaWindow = orders.withColumn("seq",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
+      .select(col("o_orderkey"), col("seq"))
+    assert(viaSeq.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaSeq).count() == 0)
+  }
+}
