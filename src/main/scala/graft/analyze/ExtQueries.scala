@@ -44,15 +44,15 @@ object ExtQueries {
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              FROM bands x JOIN bands y
              ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    com AS (SELECT doc_a, doc_b, COUNT(*) AS n_common
-            FROM cand JOIN sh sa ON sa.doc_id = doc_a
-                      JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
-            GROUP BY doc_a, doc_b)
+    arr AS (SELECT doc_id, $shinglesSql AS sa FROM documents),
+    com AS (SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
+                   CAST(len(a.sa) AS INT) AS na, CAST(len(b.sa) AS INT) AS nb
+            FROM cand JOIN arr a ON a.doc_id = doc_a JOIN arr b ON b.doc_id = doc_b)
     SELECT doc_a, doc_b, n_common,
-           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
-    FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM com
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
     ORDER BY doc_a, doc_b"""
   }
 
@@ -91,19 +91,16 @@ object ExtQueries {
   private val ngramsSql = TextOps.charNgramsSql("text", 4)
 
   private val ngramJaccardOracle: String = s"""
-    WITH g AS (SELECT doc_id, unnest($ngramsSql) AS gr FROM documents),
-    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM documents a JOIN documents b
-             ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10 AND a.doc_id < b.doc_id),
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
-    com AS (SELECT doc_a, doc_b, COUNT(*) AS n_common
-            FROM cand JOIN g ga ON ga.doc_id = doc_a
-                      JOIN g gb ON gb.doc_id = doc_b AND gb.gr = ga.gr
-            GROUP BY doc_a, doc_b)
+    WITH g AS (SELECT doc_id, lang, n_chars, $ngramsSql AS grams FROM documents),
+    com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS n_common,
+                   CAST(len(a.grams) AS INT) AS na, CAST(len(b.grams) AS INT) AS nb
+            FROM g a JOIN g b
+            ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10 AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, n_common,
-           CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
-    FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.5
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM com
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
     ORDER BY doc_a, doc_b"""
 
   private def dotS(a: String, b: String) = Similarity.dotSql(a, b)

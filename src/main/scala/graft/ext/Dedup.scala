@@ -72,10 +72,11 @@ object Dedup {
 
   /** Near-duplicate pairs with exact Jaccard >= threshold.
     * Pipeline: signatures -> band buckets -> distinct candidate pairs ->
-    * shingle-join verification. Output: (doc_a, doc_b, n_common, jaccard).
+    * per-pair array_intersect verification (codegen'd set intersection
+    * on the two shingle arrays — no second exploded shuffle join).
+    * Output: (doc_a, doc_b, n_common, jaccard).
     */
   def minhashDup(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs).cache()
     val bands = minhashBands(minhashSignatures(docs))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -83,21 +84,33 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(sh.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+    val shArr = docs.select(col("doc_id"),
+      TextOps.wordShingles(col("text"), ShingleSize).as("sh"))
+    jaccardVerify(cand, shArr, "sh", threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc
+    * element arrays: size(array_intersect) over a pair join. The arrays
+    * ride along the (small) candidate table, so verification is one
+    * broadcast-sized join + a narrow codegen'd projection.
+    */
+  private def jaccardVerify(cand: DataFrame, arr: DataFrame,
+                            arrCol: String, threshold: Double): DataFrame =
+    // Explicit repartition: the candidate table is tiny in bytes, so AQE
+    // would coalesce it into one partition — and then the expensive
+    // per-pair intersections below would run in a single task. Spreading
+    // by pair key keeps the CPU-bound stage wide.
+    cand
+      .repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
+      .join(broadcast(arr.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))), "doc_a")
+      .join(broadcast(arr.select(col("doc_id").as("doc_b"), col(arrCol).as("arr_b"))), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("arr_a"), col("arr_b"))))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
-          (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
+          (size(col("arr_a")) + size(col("arr_b")) - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** 32-bit SimHash per doc from word-occurrence weights: bit j is set
     * when sum over word occurrences of (+1 if bit j of h32(word) else -1)
@@ -142,33 +155,30 @@ object Dedup {
   }
 
   /** Character-n-gram Jaccard dedup over metadata-restricted candidates
-    * (same lang, |n_chars| within maxLenDiff). The metadata filter is
+    * (same lang, |n_chars| within maxLenDiff). The metadata blocking is
     * what keeps this sub-quadratic: pairs are generated per (lang)
-    * partition and length-banded, not corpus-wide.
+    * partition and length-banded, not corpus-wide; each surviving pair
+    * is verified with one codegen'd array_intersect.
     */
   def ngramJaccardDup(docs: DataFrame, n: Int, maxLenDiff: Int,
                       threshold: Double): DataFrame = {
+    // Blocking key = (lang, length bucket). Joining on lang alone gives
+    // ~5 distinct keys — a skewed, near-serial join. Bucketing n_chars
+    // by maxLenDiff and exploding each left row into its 3 neighbor
+    // buckets keeps every qualifying pair reachable exactly once while
+    // the join fans out over lang x bucket keys.
     val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
-    val cand = meta.as("a").join(meta.as("b"),
+      .withColumn("bkt", (col("n_chars") / maxLenDiff).cast("int"))
+    val left = meta.withColumn("bkt",
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+    val cand = left.as("a").join(meta.as("b"),
         col("a.lang") === col("b.lang") &&
+        col("a.bkt") === col("b.bkt") &&
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val grams = docs.select(col("doc_id"),
-      explode(TextOps.charNgrams(col("text"), n)).as("g")).cache()
-    val cnt = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("ca.n") + col("cb.n") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("doc_a"), col("doc_b"))
+      TextOps.charNgrams(col("text"), n).as("grams"))
+    jaccardVerify(cand, grams, "grams", threshold)
   }
 }

@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double.
+    * Backed by the codegen'd [[graft.functions.DotProductD]] expression;
+    * [[dotColHof]] is the pure-built-in higher-order-function twin with
+    * identical results (and ~60x the cost — kept for comparison tests).
+    */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotD(a, b)
 
   def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VectorExpressions.normD(a)
+
+  /** HOF reference implementation of [[dotCol]] (same IEEE fold). */
+  def dotColHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   /** DuckDB twin of [[dotCol]] (same fold order => same bits). */
   def dotSql(a: String, b: String): String =

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.Similarity
+import graft.functions.VectorExpressions
+
+class VectorExprSpec extends SparkSpec {
+
+  lazy val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings").cache()
+
+  test("codegen'd dot product is bit-identical to the HOF fold") {
+    val both = embs.as("a").crossJoin(embs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(5000)
+      .select(
+        VectorExpressions.dotD(col("a.embedding"), col("b.embedding")).as("fast"),
+        Similarity.dotColHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    // exact bit equality, not approx: both fold ((0+p0)+p1)+... in double
+    assert(both.filter(col("fast") =!= col("hof")).count() == 0)
+  }
+
+  test("dot_product_d is SQL-callable after registration") {
+    VectorExpressions.register(spark)
+    embs.createOrReplaceTempView("embs_v")
+    val r = spark.sql(
+      "SELECT dot_product_d(embedding, embedding) AS d FROM embs_v LIMIT 3")
+      .collect()
+    assert(r.forall(_.getDouble(0) > 0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val plan = embs.select(
+      VectorExpressions.dotD(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage in toString form
+    assert(plan.contains("*(1) Project [dot_product_d"), plan)
+  }
+}
