@@ -1,0 +1,143 @@
+package graft.analyze
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Advanced SQL surface: rank-based percentiles, exact-sum statistics,
+  * correlated/IN subqueries, and list aggregation — all via spark.sql
+  * over registered views, each with a DuckDB oracle.
+  *
+  * Percentiles deliberately avoid quantile interpolation built-ins
+  * (Spark's percentile() and DuckDB's quantile_cont() interpolate with
+  * formulas that can differ in the last ulp); rank-based selection picks
+  * actual row values and combines them with single IEEE ops, so both
+  * engines produce identical bits. Variance/stddev/correlation are
+  * computed from exact DECIMAL sums expanded through the textbook
+  * formulas, written identically on both sides.
+  */
+object AdvQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def sql(q: String): QFn = (s: SparkSession, d: String) => {
+    Tables.registerAll(s, d)
+    s.sql(q)
+  }
+
+  /** (name, spark SQL, duckdb SQL) — dialect differences only. */
+  private val pairs: Seq[(String, String, String)] = Seq(
+
+    ("q36_percentiles", {
+      // Spark dialect: integer division is `div`
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  (MAX(CASE WHEN rn = (n+1) div 2 THEN o_totalprice END)
+        |   + MAX(CASE WHEN rn = (n+2) div 2 THEN o_totalprice END)) / 2 AS median_price,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90_price,
+        |  COUNT(*) / MAX(n) AS n_rows_check
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    }, {
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  (MAX(CASE WHEN rn = (n+1) // 2 THEN o_totalprice END)
+        |   + MAX(CASE WHEN rn = (n+2) // 2 THEN o_totalprice END)) / 2 AS median_price,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90_price,
+        |  CAST(COUNT(*) / MAX(n) AS DOUBLE) AS n_rows_check
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    }),
+
+    ("q37_stats_exact", {
+      // variance/stddev/corr from exact decimal sums; identical formula
+      // text on both sides -> identical doubles. Spark needs the DOUBLE
+      // cast on count to match DuckDB's float division of COUNT(*).
+      """WITH s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM s""".stripMargin
+    }, {
+      """WITH s AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem)
+        |SELECT
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM s""".stripMargin
+    }),
+
+    ("q38_correlated_subquery", {
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin
+    }, {
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin
+    }),
+
+    ("q39_collect_list", {
+      """SELECT c_nationkey,
+        |  array_join(sort_array(collect_list(c_name)), '|') AS names,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    }, {
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(c_name)), '|') AS names,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+    }),
+
+    ("q40_in_subqueries", {
+      """SELECT p_partkey, p_name
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE year(l_shipdate) = 2001)
+        |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                        WHERE year(l_shipdate) = 1995)
+        |ORDER BY p_partkey""".stripMargin
+    }, {
+      """SELECT p_partkey, p_name
+        |FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+        |                    WHERE year(l_shipdate) = 2001)
+        |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
+        |                        WHERE year(l_shipdate) = 1995)
+        |ORDER BY p_partkey""".stripMargin
+    }))
+
+  val defs: Seq[(String, QFn, Option[String])] =
+    pairs.map { case (n, sparkSql, duckSql) => (n, sql(sparkSql), Some(duckSql)) }
+
+  def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
+  def oracles: Map[String, String] =
+    defs.collect { case (n, _, Some(o)) => n -> o.trim }.toMap
+}

@@ -248,6 +248,12 @@ object ExtQueries {
       Similarity.lshTopK(t(s, d, "embeddings"), nPlanes = 8, nQueries = 10, k = 3),
       Some(annLshOracle)),
 
+    // same rows as s01, different physical strategy: typed TopKAggregator
+    // with map-side partial top-k instead of a window over all candidates
+    ("s03_ann_topk_agg", (s: SparkSession, d: String) =>
+      Similarity.bruteForceTopKAgg(t(s, d, "embeddings"), nQueries = 10, k = 5),
+      Some(annTopkOracle)),
+
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),
       Some(langidOracle)),

@@ -79,6 +79,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Brute-force top-k via the typed TopKAggregator instead of a
+    * window: partial aggregation keeps only k candidates per query on
+    * the map side, so the shuffle carries O(queries x k) rows — the
+    * formulation that survives a 100x corpus scale-up. Output is
+    * row-identical to [[bruteForceTopK]].
+    */
+  def bruteForceTopKAgg(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+    val t = side(embs.filter(col("vec_id") >= nQueries), "t")
+    val topk = graft.functions.TopKAggregator.topK(k)
+    t.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("t_id"), col("cosine")).as("nbrs"))
+      .select(col("q_id").as("query_id"),
+        posexplode(col("nbrs")).as(Seq("idx", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"), (col("idx") + 1).cast("int").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Sign-pattern LSH bucket per vector: bucket = sum_j [dot(v, plane_j) > 0] << j.
     * The "planes" are the first nPlanes corpus vectors — deterministic
     * and oracle-sharable (a production build would use seeded Gaussian

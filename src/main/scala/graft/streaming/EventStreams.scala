@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming workload over the events table: watermarked
+  * tumbling/sliding windows and a custom stateful sessionizer.
+  *
+  * The transforms are stream/batch agnostic (pure Dataset functions) —
+  * the same code runs under readStream with a checkpoint or as a batch
+  * job, which is how the batch twins in ExtQueries (w01..w03) stay
+  * verifiable against the DuckDB oracle while this module carries the
+  * streaming semantics (watermarks, state, output modes).
+  */
+object EventStreams {
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n: Long, sum_value: Double)
+  private case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Streaming read of the events table (sfDir/events.parquet),
+    * normalizing the TIMESTAMP(NANOS) column exactly like
+    * graft.core.Tables.load.
+    */
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file source wants a directory; glob-filter to the events table
+    spark.readStream.schema(schema).format("parquet")
+      .option("pathGlobFilter", "events.parquet").load(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts (w01's streaming form). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Custom sessionization via flatMapGroupsWithState: the operator
+    * session_window can't express (per-event custom state, emit on gap).
+    * Works identically in batch mode (state discarded at the end, all
+    * sessions emitted), which is how the spec cross-checks it against
+    * the session_window batch query.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // java.sql.Timestamp.getTime is millisecond-truncated; the events
+    // table is microsecond-precision, so convert through Instant.
+    def toUs(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def fromUs(us: Long): Timestamp =
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+    def finishSession(userId: Long, s: SessionState): Session =
+      Session(userId, fromUs(s.startUs), fromUs(s.lastUs + gapUs), s.n, s.sum)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // Sort the group's events by time; fold into gap-separated
+          // sessions. In batch mode each group sees all its events once.
+          val sorted = evs.toSeq.sortBy(e => (toUs(e.ts), e.value))
+          var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val us = toUs(e.ts)
+            open match {
+              case Some(s) if us - s.lastUs < gapUs =>
+                open = Some(SessionState(s.startUs, us, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out += finishSession(userId, s)
+                open = Some(SessionState(us, us, 1, e.value))
+              case None =>
+                open = Some(SessionState(us, us, 1, e.value))
+            }
+          }
+          // batch mode: emit the trailing open session too
+          open.foreach(s => out += finishSession(userId, s))
+          state.update(Nil)
+          out.result().iterator
+      }
+  }
+}

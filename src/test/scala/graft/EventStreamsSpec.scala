@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+
+class EventStreamsSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling-window counts equal the batch result") {
+    import spark.implicits._
+    val stream = EventStreams.readStream(spark, sf)
+      .filter(col("event_id").isNotNull) // touch schema early
+    val agg = EventStreams.tumblingCounts(stream)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select(col("window_start"), col("event_type"), col("n"))
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.count() > 0)
+  }
+
+  test("flatMapGroupsWithState sessionizer matches session_window (batch)") {
+    import spark.implicits._
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    val custom = EventStreams.sessionize(events, gapMinutes = 10)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n"))
+    val builtin = Tables.load(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+    assert(custom.exceptAll(builtin).count() == 0,
+      custom.exceptAll(builtin).limit(5).collect().mkString("; "))
+    assert(builtin.exceptAll(custom).count() == 0)
+    assert(custom.count() > 0)
+  }
+}
