@@ -1,0 +1,26 @@
+package graft
+
+import graft.core.Sessions
+
+/** Plan introspection CLI: prints the formatted physical plan for the
+  * named queries (default: a representative set) so pushdown, broadcast
+  * choices, and codegen spans can be audited quickly.
+  *
+  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q03_shipping_priority",
+        "q05_local_supplier_volume", "q06_forecast_revenue",
+        "d05_minhash_lsh_dup", "s01_ann_brute_topk")
+    val spark = Sessions.local()
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  // bucketed tables need a writable warehouse; build a dedicated session
+  lazy val wspark: SparkSession = {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-bucketing")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val li = Tables.load(wspark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.load(wspark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Layout.writeBucketed(li, "li_b", "l_orderkey", 8)
+    Layout.writeBucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "o_b", "l_orderkey", 8)
+
+    // disable broadcast: on driver-sized fixtures Spark would broadcast
+    // instead; the point here is the shuffle-free sort-merge path that
+    // bucketing buys on fact-to-fact joins at scale
+    wspark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = wspark.table("li_b").join(wspark.table("o_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no shuffle, got:\n$plan")
+      assert(joined.count() == li.count()) // every lineitem has its order
+
+      val unbucketed = Tables.load(wspark, sf, "lineitem")
+        .select(col("l_orderkey"))
+        .join(Tables.load(wspark, sf, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+          "l_orderkey")
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+    } finally wspark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals the plain join result under a hot key") {
+    val events = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val users = events.select(col("user_id")).distinct()
+      .withColumn("user_tag", concat(lit("u"), col("user_id")))
+    val plain = events.join(users, "user_id")
+      .select(col("event_id"), col("user_tag"))
+    val salted = Layout.saltedJoin(events, users, "user_id",
+        salts = 8, entropyCol = "event_id")
+      .select(col("event_id"), col("user_tag"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+}
