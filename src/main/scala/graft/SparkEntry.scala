@@ -11,11 +11,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analyze.RelQueries.queries ++ analyze.ExtQueries.queries ++
-      analyze.AdvQueries.queries
+      analyze.AdvQueries.queries ++ analyze.OpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analyze.RelQueries.oracles ++ analyze.ExtQueries.oracles ++
-      analyze.AdvQueries.oracles
+      analyze.AdvQueries.oracles ++ analyze.OpQueries.oracles
 }

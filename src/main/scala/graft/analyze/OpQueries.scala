@@ -1,0 +1,111 @@
+package graft.analyze
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.AsOfJoin
+
+/** Operator-inventory extensions beyond the reference surface: as-of
+  * join (union + running-window formulation), interval/range self-join
+  * (bucket-blocked), and TF-IDF-style term scoring (with a
+  * multiplication-only idf so both engines produce identical doubles).
+  */
+object OpQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  val defs: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ---- as-of join: purchases pick up their latest prior click ------
+    ("a01_asof_join", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.lastBefore(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("clicked_at"), col("asof_click_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT p.event_id, p.user_id, p.ts,
+              (SELECT max(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS clicked_at
+            FROM p)
+      SELECT m.event_id, m.user_id, m.ts, m.clicked_at, c.click_id,
+             epoch_us(m.ts) - epoch_us(m.clicked_at) AS gap_us
+      FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.clicked_at
+      ORDER BY m.event_id""")),
+
+    // ---- interval/range self-join, bucket-blocked on the Spark side --
+    ("w04_range_join", (s: SparkSession, d: String) => {
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val window = 60000000L // 60s in micros
+      val a = e.select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"))
+        .withColumn("bkt", explode(array(
+          (col("a_us") / window).cast("long"),
+          (col("a_us") / window).cast("long") + 1)))
+      val b = e.select(col("user_id"), col("event_id").as("b_id"), col("us").as("b_us"))
+        .withColumn("bkt", (col("b_us") / window).cast("long"))
+      a.join(b, Seq("user_id", "bkt"))
+        .filter((col("b_us") > col("a_us") ||
+                 (col("b_us") === col("a_us") && col("b_id") > col("a_id"))) &&
+                col("b_us") - col("a_us") <= window)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT a.user_id, COUNT(*) AS n_pairs
+      FROM events a JOIN events b ON a.user_id = b.user_id
+        AND (epoch_us(b.ts) > epoch_us(a.ts)
+             OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+        AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
+      GROUP BY a.user_id ORDER BY a.user_id""")),
+
+    // ---- TF-IDF-ish top terms (multiplicative idf: tf * N/df) --------
+    ("t05_tfidf_top_terms", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfreq = words.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf") * (col("n_docs").cast("double") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("w").as("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    }, Some("""
+      WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+      dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (SELECT doc_id, w, tf, df,
+                        tf * (CAST(n_docs AS DOUBLE) / df) AS score
+                 FROM tf JOIN dfreq USING (w) CROSS JOIN n)
+      SELECT doc_id, rn, w AS term, tf, df, score
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS INT) AS rn
+            FROM scored) z
+      WHERE rn <= 3 ORDER BY doc_id, rn""")))
+
+  def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
+  def oracles: Map[String, String] =
+    defs.collect { case (n, _, Some(o)) => n -> o.stripMargin.trim }.toMap
+}

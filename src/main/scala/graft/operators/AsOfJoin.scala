@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the most recent right row
+  * with the same key and right.ts <= left.ts.
+  *
+  * Spark has no native ASOF JOIN (DuckDB/kdb do). The naive encodings —
+  * a correlated max-subquery per left row, or a non-equi range join —
+  * rebuild the right side per row or explode into a theta join. This
+  * operator instead uses the union + running-last-value formulation:
+  * tag both sides, union them, and carry the latest right payload
+  * forward with one window pass per key. Cost: ONE shuffle on the key,
+  * linear scan within partitions — the formulation that holds at
+  * 100 TB (and the standard way to express as-of semantics with
+  * built-in operators; SURVEY §2.6 preference order (a)).
+  *
+  * Ties: a right row at exactly left.ts counts (at-or-before); callers
+  * should pre-dedupe the right side to one row per (key, ts) for fully
+  * deterministic payloads.
+  */
+object AsOfJoin {
+
+  /** @param left       left rows; all its columns are preserved
+    * @param right      right rows: key, ts, and payload columns
+    * @param key        equi-join key column name (present both sides)
+    * @param ts         event-time column name (present both sides)
+    * @param payload    right-side payload column names to attach
+    * @param asOfPrefix prefix for the attached columns (asof_ts, asof_<payload>)
+    */
+  def lastBefore(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal ts => right rows at exactly
+    // left.ts are visible to that left row
+    val taggedRight = right.select(
+      (col(key) +: col(ts).as("__ts") +: lit(0).as("__side") +:
+        col(ts).as(s"${asOfPrefix}$ts") +:
+        payload.map(p => col(p).as(s"${asOfPrefix}$p")) ++:
+        leftCols.filterNot(c => c == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val taggedLeft = left.select(
+      (col(key) +: col(ts).as("__ts") +: lit(1).as("__side") +:
+        lit(null).cast(right.schema(ts).dataType).as(s"${asOfPrefix}$ts") +:
+        payload.map(p => lit(null).cast(right.schema(p).dataType)
+          .as(s"${asOfPrefix}$p")) ++:
+        leftCols.filterNot(c => c == key).map(col)): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (s"${asOfPrefix}$ts" +: payload.map(p => s"${asOfPrefix}$p"))
+      .foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) :+ col(s"${asOfPrefix}$ts")) ++
+        payload.map(p => col(s"${asOfPrefix}$p")): _*)
+  }
+}
