@@ -26,6 +26,10 @@ object Pipeline {
     val landing = args(0); val work = args(1)
     val maxFiles = if (args.length > 2) args(2).toInt else IngestJob.DefaultLimit
     val spark = Sessions.local()
+    // status notification hook (the reference's per-Lambda Telegram
+    // message becomes a job-outcome listener; transport pluggable)
+    graft.core.RunListener.attach(spark,
+      m => if (m.contains("finished")) println(s"[pipeline:notify] $m"))
 
     val staged = IngestJob.run(spark, landing, s"$work/staging",
       s"$work/ledger", maxFiles)

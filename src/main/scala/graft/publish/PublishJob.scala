@@ -61,6 +61,17 @@ object PublishJob {
       .csv(path)
   }
 
+  /** Kaggle dataset-metadata.json content (K6 contract,
+    * upload_dataset_to_kaggle_lambda.py:45-60): the engine produces the
+    * artifact + metadata; the API upload itself is out-of-engine.
+    */
+  def kaggleMetadata(datasetId: String, title: String): String =
+    s"""{
+       |  "id": "$datasetId",
+       |  "title": "$title",
+       |  "licenses": [{"name": "CC0-1.0"}]
+       |}""".stripMargin
+
   /** "Updated till the match between {team_1} and {team_2} on
     * {dd/MM/yyyy}" from the latest match (P8/P9).
     */
