@@ -29,4 +29,14 @@ object Tables {
   /** Register every table as a temp view so spark.sql(...) queries work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a narrow scan across the session's shuffle-partition count.
+    * The driver fixtures are single-row-group parquet, so a scan is ONE
+    * input split for any engine — fine for IO, serial for CPU. Call
+    * this before expression-heavy projections (hashing, shingling,
+    * vector math) so they run at full width; on a production layout
+    * with real splits it degenerates to a cheap no-op-ish exchange.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }

@@ -47,9 +47,12 @@ object Dedup {
       countDistinct(md5(col("text"))).as("n_unique"),
       (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dupes"))
 
-  /** (doc_id, shingle) exploded table of distinct word shingles. */
+  /** (doc_id, shingle) exploded table of distinct word shingles.
+    * The scan is spread first: shingling + hashing is CPU-bound and the
+    * explode otherwise inherits the input's split count.
+    */
   def shingleTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    graft.core.Tables.spread(docs).select(col("doc_id"),
       explode(TextOps.wordShingles(col("text"), ShingleSize)).as("s"))
 
   /** MinHash signatures: one row per doc, columns m0..m15. */
@@ -90,12 +93,16 @@ object Dedup {
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc
-    * element arrays: size(array_intersect) over a pair join. The arrays
-    * ride along the (small) candidate table, so verification is one
-    * broadcast-sized join + a narrow codegen'd projection.
+    * element arrays: a codegen'd sorted-merge intersect count over a
+    * pair join (the arrays are sorted once per doc; per-pair cost is
+    * then an allocation-free O(n+m) scan instead of array_intersect's
+    * per-row hash set). The arrays ride along the (small) candidate
+    * table via broadcast joins.
     */
   private def jaccardVerify(cand: DataFrame, arr: DataFrame,
-                            arrCol: String, threshold: Double): DataFrame =
+                            arrCol: String, threshold: Double): DataFrame = {
+    val sorted = graft.core.Tables.spread(arr)
+      .select(col("doc_id"), array_sort(col(arrCol)).as(arrCol))
     // Explicit repartition: the candidate table is tiny in bytes, so AQE
     // would coalesce it into one partition — and then the expensive
     // per-pair intersections below would run in a single task. Spreading
@@ -103,21 +110,23 @@ object Dedup {
     cand
       .repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
         col("doc_a"), col("doc_b"))
-      .join(broadcast(arr.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))), "doc_a")
-      .join(broadcast(arr.select(col("doc_id").as("doc_b"), col(arrCol).as("arr_b"))), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("arr_a"), col("arr_b"))))
+      .join(broadcast(sorted.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))), "doc_a")
+      .join(broadcast(sorted.select(col("doc_id").as("doc_b"), col(arrCol).as("arr_b"))), "doc_b")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount(col("arr_a"), col("arr_b")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           (size(col("arr_a")) + size(col("arr_b")) - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** 32-bit SimHash per doc from word-occurrence weights: bit j is set
     * when sum over word occurrences of (+1 if bit j of h32(word) else -1)
     * is positive. One explode + one hash-partitioned aggregation.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val wordTable = docs.select(col("doc_id"),
+    val wordTable = graft.core.Tables.spread(docs).select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
       .withColumn("h", h32(col("w")))
     val bitSums = (0 until 32).map { j =>

@@ -26,7 +26,7 @@ object Multimodal {
     * for an image/audio blob) plus its typed metadata struct.
     */
   def withPayload(docs: DataFrame): DataFrame =
-    docs
+    graft.core.Tables.spread(docs)
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("media_meta", struct(
         length(col("payload")).as("n_bytes"),

@@ -44,7 +44,9 @@ object Similarity {
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
   private def side(embs: DataFrame, prefix: String): DataFrame =
-    embs.select(col("vec_id").as(s"${prefix}_id"),
+    // spread: norms + downstream pair math are CPU-bound and the
+    // fixture scan is a single input split
+    graft.core.Tables.spread(embs).select(col("vec_id").as(s"${prefix}_id"),
       col("embedding").as(s"${prefix}_emb"),
       normCol(col("embedding")).as(s"${prefix}_norm"))
 

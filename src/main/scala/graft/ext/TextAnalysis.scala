@@ -34,7 +34,7 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
-    val scored = docs.select(
+    val scored = graft.core.Tables.spread(docs).select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
         stopwords.map { case (l, _) => stopCount(ws, l).as(s"n_$l") }): _*)
     val langs = stopwords.map(_._1)
@@ -55,7 +55,7 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
     val allStop = stopwords.flatMap(_._2)
-    docs.select(col("doc_id"), col("n_chars"),
+    graft.core.Tables.spread(docs).select(col("doc_id"), col("n_chars"),
         size(ws).as("n_words"),
         size(array_distinct(ws)).as("n_distinct"),
         size(filter(ws, w => w.isin(allStop: _*))).as("n_stop"),
@@ -76,7 +76,7 @@ object TextAnalysis {
     * (letter runs / digit runs / single other chars).
     */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    graft.core.Tables.spread(docs).select(col("doc_id"),
         size(TextOps.words(col("text"))).as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
           .as("n_bpe_tokens"),
@@ -90,7 +90,7 @@ object TextAnalysis {
     * (unlike minhash), exact in 64-bit integer arithmetic.
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    graft.core.Tables.spread(docs).select(col("doc_id"),
         aggregate(
           transform(TextOps.words(col("text")), w => h32(w)),
           lit(0L),

@@ -23,7 +23,10 @@ object PublishJob {
     * one-task bottleneck; the publication-order guarantee then comes
     * from the final write's sort.
     */
-  def buildMatchwise(extracted: DataFrame, scalable: Boolean = false): DataFrame = {
+  def buildMatchwise(extracted0: DataFrame, scalable: Boolean = false): DataFrame = {
+    // primary-key semantics of the Mongo _id (K2): last-write-wins dedup
+    // on match_id instead of the reference's crash-on-duplicate insert
+    val extracted = extracted0.dropDuplicates("match_id")
     val numbered =
       if (scalable)
         SeqNumber.withSeq(extracted, Seq(col("date"), col("match_id")), "match_number")
@@ -42,6 +45,8 @@ object PublishJob {
   def buildDeliverywise(deliveries: DataFrame, matchwise: DataFrame): DataFrame = {
     val keys = matchwise.select(col("match_number"), col("match_id"))
     deliveries
+      // composite-key semantics of the Mongo _id (K3)
+      .dropDuplicates("match_id", "innings_number", "over_number", "ball_number")
       .join(broadcast(keys), Seq("match_id"), "left")
       .select(Cricsheet.deliverywiseColumns.map(col): _*)
       .orderBy(col("match_number"), col("innings_number"),
