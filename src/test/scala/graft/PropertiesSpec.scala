@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.extract.Extractors
+import graft.model.Cricsheet
+
+/** Property-based invariants (SURVEY §5.4) over randomly generated
+  * Cricsheet matches: the matchwise totals always tie out with the
+  * deliverywise sums, numbering is dense, and extraction is
+  * deterministic. Matches are generated as JSON text and pushed through
+  * the real reader so the whole path (schema, nullability, explode) is
+  * under test, not just the column expressions.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** Raw-ScalaCheck sampling (the scalatest bridge isn't on the
+    * classpath): draw n generated values, skipping failed samples.
+    */
+  private def forSamples[T](g: Gen[T], n: Int)(body: T => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  private val team = Gen.oneOf("Red", "Blue")
+
+  private case class Ball(batter: Int, extras: Int)
+  private def ballJson(b: Ball): String =
+    s"""{"batter":"P${b.batter}","bowler":"Q","non_striker":"R",
+       |"runs":{"batter":${b.batter},"extras":${b.extras},
+       |"total":${b.batter + b.extras}}}""".stripMargin.replaceAll("\n", "")
+
+  private val ballGen = for {
+    r <- Gen.choose(0, 6); e <- Gen.choose(0, 2)
+  } yield Ball(r, e)
+
+  private val overGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, ballGen))
+
+  private def inningsJson(t: String, overs: List[List[Ball]]): String = {
+    val os = overs.zipWithIndex.map { case (balls, i) =>
+      s"""{"over":$i,"deliveries":[${balls.map(ballJson).mkString(",")}]}"""
+    }
+    s"""{"team":"$t","overs":[${os.mkString(",")}]}"""
+  }
+
+  private val matchGen = for {
+    t1 <- team
+    t2 = if (t1 == "Red") "Blue" else "Red"
+    i1 <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, overGen))
+    i2 <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, overGen))
+  } yield {
+    val inns = inningsJson(t1, i1) +: (if (i2.nonEmpty) Seq(inningsJson(t2, i2)) else Nil)
+    s"""{"info":{"dates":["2021-01-01"],"venue":"G","teams":["$t1","$t2"],
+       |"toss":{"winner":"$t1","decision":"bat"},
+       |"outcome":{"winner":"$t1","by":{"runs":1}}},
+       |"innings":[${inns.mkString(",")}]}""".stripMargin.replaceAll("\n", "")
+  }
+
+  private def extract(matches: Seq[String]) = {
+    val dir = java.nio.file.Files.createTempDirectory("prop").toString
+    matches.zipWithIndex.foreach { case (m, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"${2000 + i}.json"), m)
+    }
+    val raw = Cricsheet.read(spark, dir)
+    (Extractors.matchwise(raw), Extractors.deliverywise(raw))
+  }
+
+  test("team totals always tie out with per-ball sums") {
+    forSamples(Gen.listOfN(3, matchGen), 5) { ms =>
+      val (mw, dw) = extract(ms)
+      val fromBalls = dw.groupBy(col("match_id"), col("batting_team"))
+        .agg(sum(col("total_runs")).as("total"))
+      val fromMatch = mw.select(col("match_id"),
+          col("team_1").as("batting_team"),
+          col("team_1_total_runs").cast("long").as("expected"))
+        .union(mw.select(col("match_id"), col("team_2"),
+          col("team_2_total_runs").cast("long")))
+      val joined = fromMatch.join(fromBalls,
+          Seq("match_id", "batting_team"), "left")
+        .withColumn("total", coalesce(col("total"), lit(0L)))
+      assert(joined.filter(col("total") =!= col("expected")).count() == 0)
+    }
+  }
+
+  test("ball numbering is dense 1..n within every over") {
+    forSamples(Gen.listOfN(2, matchGen), 5) { ms =>
+      val (_, dw) = extract(ms)
+      val byOver = dw.groupBy(col("match_id"), col("innings_number"), col("over_number"))
+        .agg(count(lit(1)).as("n"), min(col("ball_number")).as("lo"),
+          max(col("ball_number")).as("hi"),
+          countDistinct(col("ball_number")).as("d"))
+      assert(byOver.filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+        col("d") =!= col("n")).count() == 0)
+    }
+  }
+
+  test("extraction is deterministic (same input, same rows)") {
+    forSamples(Gen.listOfN(2, matchGen), 3) { ms =>
+      val (mw1, _) = extract(ms)
+      val (mw2, _) = extract(ms)
+      assert(mw1.exceptAll(mw2).count() == 0 && mw2.exceptAll(mw1).count() == 0)
+    }
+  }
+}
