@@ -21,6 +21,89 @@ object OpQueries {
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
+    // ---- UNION ALL with provenance tags ------------------------------
+    ("q41_union_all_tagged", (s: SparkSession, d: String) => {
+      val c = t(s, d, "customer").select(col("c_name").as("name"),
+        lit("customer").as("kind"))
+      val su = t(s, d, "supplier").select(col("s_name").as("name"),
+        lit("supplier").as("kind"))
+      c.unionAll(su).groupBy(col("kind")).agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"))
+    }, Some("""
+      SELECT kind, COUNT(*) AS n FROM (
+        SELECT c_name AS name, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_name AS name, 'supplier' AS kind FROM supplier) u
+      GROUP BY kind ORDER BY kind""")),
+
+    // ---- LIMIT/OFFSET pagination -------------------------------------
+    ("q42_limit_offset", (s: SparkSession, d: String) => {
+      Tables.registerAll(s, d)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""")
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20""")),
+
+    // ---- LIKE / regexp predicates ------------------------------------
+    ("q46_like_patterns", (s: SparkSession, d: String) => {
+      t(s, d, "part").agg(
+        count(when(col("p_name").like("%bolt%"), 1)).as("n_bolt"),
+        count(when(col("p_name").like("blue%"), 1)).as("n_blue_prefix"),
+        count(when(col("p_name").rlike("^(red|green) "), 1)).as("n_red_green"),
+        count(when(col("p_type").like("%ECO%"), 1)).as("n_eco"))
+    }, Some("""
+      SELECT COUNT(CASE WHEN p_name LIKE '%bolt%' THEN 1 END) AS n_bolt,
+             COUNT(CASE WHEN p_name LIKE 'blue%' THEN 1 END) AS n_blue_prefix,
+             COUNT(CASE WHEN regexp_matches(p_name, '^(red|green) ') THEN 1 END) AS n_red_green,
+             COUNT(CASE WHEN p_type LIKE '%ECO%' THEN 1 END) AS n_eco
+      FROM part""")),
+
+    // ---- windowed distinct aggregation -------------------------------
+    ("w05_hourly_distinct_users", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"),
+          col("n_users"), col("n_events"))
+        .orderBy(col("window_start"))
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY window_start""")),
+
+    // ---- embedding stats per label (exact: min/max of exact norms) ---
+    ("s04_embedding_stats", (s: SparkSession, d: String) => {
+      import graft.functions.VectorExpressions
+      Tables.spread(t(s, d, "embeddings"))
+        .select(col("label"),
+          VectorExpressions.normD(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+        .orderBy(col("label"))
+    }, Some(s"""
+      SELECT label, COUNT(*) AS n,
+             MIN(${graft.ext.Similarity.normSql("embedding")}) AS min_norm,
+             MAX(${graft.ext.Similarity.normSql("embedding")}) AS max_norm
+      FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ---- dedup resolution: canonical keep + drop list ----------------
+    ("d08_dedup_resolution", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("group_size"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .filter(col("group_size") > 1)
+        .orderBy(col("lang"), col("n_chars"))
+    }, Some("""
+      SELECT lang, n_chars, MIN(doc_id) AS keep_id, COUNT(*) AS group_size,
+             COUNT(*) - 1 AS n_dropped
+      FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
+      ORDER BY lang, n_chars""")),
+
     // ---- as-of join: purchases pick up their latest prior click ------
     ("a01_asof_join", (s: SparkSession, d: String) => {
       val ev = t(s, d, "events")
