@@ -31,11 +31,18 @@ object Pipeline {
     graft.core.RunListener.attach(spark,
       m => if (m.contains("finished")) println(s"[pipeline:notify] $m"))
 
-    val staged = IngestJob.run(spark, landing, s"$work/staging",
-      s"$work/ledger", maxFiles)
-    println(s"[pipeline] ingested ${staged.size} new file(s): ${staged.mkString(", ")}")
-
-    val raw = Cricsheet.read(spark, s"$work/staging").persist()
+    // a .zip landing path starts from the archive itself (the
+    // reference's actual input); a directory goes through the
+    // incremental ledger ingest
+    val raw = (if (landing.endsWith(".zip")) {
+      println(s"[pipeline] reading matches from archive $landing")
+      graft.sources.ZipSource.readMatches(spark, landing)
+    } else {
+      val staged = IngestJob.run(spark, landing, s"$work/staging",
+        s"$work/ledger", maxFiles)
+      println(s"[pipeline] ingested ${staged.size} new file(s): ${staged.mkString(", ")}")
+      Cricsheet.read(spark, s"$work/staging")
+    }).persist()
     val matchwise = PublishJob.buildMatchwise(Extractors.matchwise(raw))
     val deliverywise = PublishJob.buildDeliverywise(
       Extractors.deliverywise(raw), matchwise)

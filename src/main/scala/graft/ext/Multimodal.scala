@@ -58,6 +58,29 @@ object Multimodal {
       .withColumn("n_frames",
         ceil(col("media_meta.n_bytes").cast("double") / FrameBytes).cast("long"))
 
+  /** Batched per-partition decode plumbing — the shape a REAL codec
+    * integration uses (javax.imageio / ffmpeg bindings process byte
+    * payloads partition-by-partition, amortizing codec init across a
+    * batch; the Scala analog of a pandas mapInPandas decoder). The
+    * codec itself is injected so tests use a deterministic stub.
+    */
+  def decodeBatched(withBin: DataFrame)
+                   (codec: Array[Byte] => (Int, Int)): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    val out = withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init site for a real codec goes here
+        it.map { case (id, bytes) =>
+          val (w, h) = codec(bytes)
+          (id, w, h)
+        }
+      }
+      .toDF("doc_id", "width", "height")
+    withBin.join(out, "doc_id")
+  }
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))

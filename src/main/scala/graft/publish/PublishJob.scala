@@ -80,13 +80,13 @@ object PublishJob {
   /** "Updated till the match between {team_1} and {team_2} on
     * {dd/MM/yyyy}" from the latest match (P8/P9).
     */
-  def versionNote(matchwise: DataFrame): String = {
-    val last = matchwise
+  def versionNote(matchwise: DataFrame): String =
+    matchwise
       .orderBy(col("date").desc, col("match_id").desc).limit(1)
       .select(col("team_1"), col("team_2"),
         date_format(to_date(col("date")), "dd/MM/yyyy").as("d"))
-      .collect()(0)
-    s"Updated till the match between ${last.getString(0)} and " +
-      s"${last.getString(1)} on ${last.getString(2)}"
-  }
+      .collect().headOption
+      .map(last => s"Updated till the match between ${last.getString(0)} and " +
+        s"${last.getString(1)} on ${last.getString(2)}")
+      .getOrElse("No matches published")
 }

@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Cricsheet
+
+/** Distributed zip expansion (SURVEY S1/S2): the reference downloads
+  * the Cricsheet archive and extracts it on Lambda local disk; here
+  * each zip is one `binaryFile` row and its entries are expanded
+  * per-partition in executor memory — no local-disk staging, and many
+  * archives expand in parallel. A whole archive must fit in executor
+  * memory (the Cricsheet zip is tens of MB; for multi-GB archives
+  * split upstream or stream per-entry).
+  */
+object ZipSource {
+
+  /** (zip_path, entry, text) for every file entry matching `suffix`. */
+  def readEntries(spark: SparkSession, path: String,
+                  suffix: String = ".json"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (zipPath, bytes) =>
+        val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+        var e = zis.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory && e.getName.endsWith(suffix)) {
+            out += ((zipPath, e.getName,
+              new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          e = zis.getNextEntry
+        }
+        out
+      }
+      .toDF("zip_path", "entry", "text")
+  }
+
+  /** Cricsheet matches parsed straight out of the archive: same shape
+    * as [[Cricsheet.read]] over an exploded directory (match_id from
+    * the entry name), so the extractors run unchanged.
+    */
+  def readMatches(spark: SparkSession, zipPath: String): DataFrame =
+    readEntries(spark, zipPath)
+      .withColumn("parsed", from_json(col("text"), Cricsheet.schema))
+      .select(
+        col("parsed.meta").as("meta"),
+        col("parsed.info").as("info"),
+        col("parsed.innings").as("innings"),
+        regexp_extract(col("entry"), "(\\d+)\\.json", 1).cast("int").as("match_id"))
+}
