@@ -104,6 +104,60 @@ object OpQueries {
       FROM documents GROUP BY lang, n_chars HAVING COUNT(*) > 1
       ORDER BY lang, n_chars""")),
 
+    // ---- array set operations (scalar outputs: sizes/membership) -----
+    ("q43_array_ops", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val ws = split(col("text"), " ")
+      val first5 = slice(ws, 1, 5)
+      val last5 = slice(ws, -5, 5)
+      docs.select(col("doc_id"),
+        size(array_union(first5, last5)).as("n_union"),
+        size(array_except(first5, last5)).as("n_except"),
+        size(array_intersect(array_distinct(first5), array_distinct(last5))).as("n_intersect"),
+        array_contains(ws, "spark").as("has_spark"),
+        array_join(array_sort(array_distinct(first5)), ",").as("first5_sorted"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH x AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50),
+      y AS (SELECT doc_id, ws[1:5] AS f5, ws[-5:] AS l5 FROM x)
+      SELECT y.doc_id,
+        CAST(len(list_distinct(list_cat(f5, l5))) AS INT) AS n_union,
+        CAST(len(list_filter(list_distinct(f5), w -> NOT list_contains(l5, w))) AS INT) AS n_except,
+        CAST(len(list_intersect(list_distinct(f5), list_distinct(l5))) AS INT) AS n_intersect,
+        list_contains(x.ws, 'spark') AS has_spark,
+        array_to_string(list_sort(list_distinct(f5)), ',') AS first5_sorted
+      FROM y JOIN x ON x.doc_id = y.doc_id ORDER BY y.doc_id""")),
+
+    // ---- date arithmetic ---------------------------------------------
+    ("q47_date_arith", (s: SparkSession, d: String) => {
+      t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+        .select(col("o_orderkey"), col("od"),
+          date_add(col("od"), 30).as("plus_30d"),
+          date_sub(col("od"), 7).as("minus_7d"),
+          add_months(col("od"), 2).as("plus_2m"),
+          last_day(col("od")).as("month_end"),
+          date_trunc("quarter", col("od")).cast("date").as("quarter_start"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+        CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus_7d,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start
+      FROM orders ORDER BY o_orderkey""")),
+
+    // ---- manual histogram bucketing (no width_bucket in the oracle) --
+    ("q48_histogram", (s: SparkSession, d: String) => {
+      t(s, d, "orders")
+        .select(least(floor(col("o_totalprice") / 50000).cast("int"), lit(9)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      SELECT LEAST(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket, COUNT(*) AS n
+      FROM orders GROUP BY 1 ORDER BY bucket""")),
+
     // ---- as-of join: purchases pick up their latest prior click ------
     ("a01_asof_join", (s: SparkSession, d: String) => {
       val ev = t(s, d, "events")

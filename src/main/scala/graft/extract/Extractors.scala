@@ -43,8 +43,11 @@ object Extractors {
       when(size(teams) > 1, element_at(teams, 2)).as("team_2"),
       col("info.toss.winner").as("toss_winner"),
       col("info.toss.decision").as("toss_decision"),
-      teamTotal(element_at(teams, 1)).cast("int").as("team_1_total_runs"),
-      when(size(teams) > 1, teamTotal(element_at(teams, 2)))
+      // coalesce: a match with no innings key at all still reports 0,
+      // like the reference's json_data.get('innings', []) default
+      coalesce(teamTotal(element_at(teams, 1)), lit(0L))
+        .cast("int").as("team_1_total_runs"),
+      when(size(teams) > 1, coalesce(teamTotal(element_at(teams, 2)), lit(0L)))
         .cast("int").as("team_2_total_runs"),
       coalesce(col("info.outcome.winner"), col("info.outcome.result")).as("winner"),
       col("info.outcome.by.runs").cast("double").as("margin_runs"),

@@ -87,8 +87,11 @@ object Cricsheet {
     * One input file = one Spark partition split, so per-file parallelism
     * matches the reference's per-file Lambda fan-out for free.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    // ANSI mode: cast('') throws, so a non-numeric filename must map to
+    // null match_id explicitly rather than through a failed cast
+    val idStr = regexp_extract(input_file_name(), "(\\d+)\\.json", 1)
     spark.read.schema(schema).option("multiLine", "true").json(path)
-      .withColumn("match_id",
-        regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("int"))
+      .withColumn("match_id", when(idStr =!= "", idStr.cast("int")))
+  }
 }

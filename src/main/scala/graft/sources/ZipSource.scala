@@ -45,12 +45,14 @@ object ZipSource {
     * as [[Cricsheet.read]] over an exploded directory (match_id from
     * the entry name), so the extractors run unchanged.
     */
-  def readMatches(spark: SparkSession, zipPath: String): DataFrame =
+  def readMatches(spark: SparkSession, zipPath: String): DataFrame = {
+    val idStr = regexp_extract(col("entry"), "(\\d+)\\.json", 1)
     readEntries(spark, zipPath)
       .withColumn("parsed", from_json(col("text"), Cricsheet.schema))
       .select(
         col("parsed.meta").as("meta"),
         col("parsed.info").as("info"),
         col("parsed.innings").as("innings"),
-        regexp_extract(col("entry"), "(\\d+)\\.json", 1).cast("int").as("match_id"))
+        when(idStr =!= "", idStr.cast("int")).as("match_id"))
+  }
 }

@@ -13,9 +13,13 @@ class LayoutSpec extends SparkSpec {
   val sf = "/root/testdata/sf0.001"
 
   // bucketed tables need a writable warehouse; build a dedicated session
+  // (clear the shared one first — getOrCreate would silently reuse it
+  // and ignore the warehouse config)
   lazy val wspark: SparkSession = {
     val wh = Files.createTempDirectory("graft_wh").toString
-    SparkSession.builder()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-bucketing")
       .config("spark.sql.shuffle.partitions", "8")
@@ -23,6 +27,9 @@ class LayoutSpec extends SparkSpec {
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    s.sql("DROP TABLE IF EXISTS li_b")
+    s.sql("DROP TABLE IF EXISTS o_b")
+    s
   }
 
   test("bucketed co-located join plans without a shuffle exchange") {

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.extract.Extractors
+import graft.model.Cricsheet
+
+/** Malformed/degenerate input behavior: the reference's .get() chains
+  * tolerate absent fields but crash on absent top-level keys
+  * (deliverywise raises KeyError); the engine's contract is null rows,
+  * never job failure.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private def withFiles(files: (String, String)*): String = {
+    val dir = Files.createTempDirectory("graft_rb").toString
+    files.foreach { case (name, content) =>
+      Files.writeString(Paths.get(dir, name), content)
+    }
+    // plus one good fixture for contrast
+    Files.copy(Paths.get(fixturesDir, "1001.json"), Paths.get(dir, "1001.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("syntactically broken JSON yields a null row, not a crash") {
+    val dir = withFiles("9001.json" -> "{ this is not json")
+    val raw = Cricsheet.read(spark, dir)
+    assert(raw.count() == 2)
+    val mw = Extractors.matchwise(raw)
+    // the broken file still carries its match_id (from the name); all
+    // extracted fields are null
+    val broken = mw.filter(col("match_id") === 9001).collect().head
+    assert(broken.isNullAt(broken.fieldIndex("date")))
+    assert(broken.isNullAt(broken.fieldIndex("team_1")))
+    // the good file is unaffected
+    assert(mw.filter(col("match_id") === 1001).count() == 1)
+  }
+
+  test("valid JSON missing top-level innings extracts matchwise with 0 totals") {
+    val dir = withFiles("9002.json" ->
+      """{"info":{"dates":["2022-02-02"],"venue":"V","teams":["A","B"],
+        |"toss":{"winner":"A","decision":"bat"},
+        |"outcome":{"result":"no result"}}}""".stripMargin)
+    val mw = Extractors.matchwise(Cricsheet.read(spark, dir))
+    val r = mw.filter(col("match_id") === 9002).collect().head
+    assert(r.getAs[String]("team_1") == "A")
+    // NOTE: getAs[Int] would unbox null to 0 — check nullability first
+    assert(!r.isNullAt(r.fieldIndex("team_1_total_runs")))
+    assert(r.getAs[Int]("team_1_total_runs") == 0)
+    assert(!r.isNullAt(r.fieldIndex("team_2_total_runs")))
+    assert(r.getAs[Int]("team_2_total_runs") == 0)
+    // deliverywise simply has no rows for it (reference raises KeyError)
+    val dw = Extractors.deliverywise(Cricsheet.read(spark, dir))
+    assert(dw.filter(col("match_id") === 9002).count() == 0)
+    assert(dw.filter(col("match_id") === 1001).count() == 8)
+  }
+
+  test("file without numeric name gets null match_id, still processed") {
+    val dir = withFiles("notes.json" ->
+      """{"info":{"dates":["2022-03-03"],"venue":"V","teams":["A","B"],
+        |"toss":{"winner":"A","decision":"bat"},
+        |"outcome":{"result":"tie"}}}""".stripMargin)
+    val raw = Cricsheet.read(spark, dir)
+    assert(raw.filter(col("match_id").isNull).count() == 1)
+  }
+}
