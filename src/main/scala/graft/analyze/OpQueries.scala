@@ -210,6 +210,40 @@ object OpQueries {
         AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000
       GROUP BY a.user_id ORDER BY a.user_id""")),
 
+    // ---- k-NN label prediction over the ANN top-k ---------------------
+    // majority label among the 5 nearest labeled vectors (ties -> the
+    // smaller label): exact integers over exact cosine ordering
+    ("s05_knn_classify", (s: SparkSession, d: String) => {
+      val topk = graft.ext.Similarity
+        .bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5)
+      val labels = t(s, d, "embeddings").select(
+        col("vec_id").as("neighbor_id"), col("label"))
+      val votes = topk.join(labels, "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("n_votes").desc, col("label"))
+      votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("predicted_label"),
+          col("n_votes"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, label,
+                        ${graft.ext.Similarity.normSql("embedding")} AS nrm FROM embeddings),
+      sc AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id, t.label,
+                    ${graft.ext.Similarity.dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cosine
+             FROM e q JOIN e t ON q.vec_id < 10 AND t.vec_id >= 10),
+      topk AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn FROM sc) z
+               WHERE rn <= 5),
+      votes AS (SELECT query_id, label, COUNT(*) AS n_votes
+                FROM topk GROUP BY query_id, label)
+      SELECT query_id, label AS predicted_label, n_votes
+      FROM (SELECT *, ROW_NUMBER() OVER
+              (PARTITION BY query_id ORDER BY n_votes DESC, label) AS rk FROM votes) v
+      WHERE rk = 1 ORDER BY query_id""")),
+
     // ---- TF-IDF-ish top terms (multiplicative idf: tf * N/df) --------
     ("t05_tfidf_top_terms", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
