@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   * The LSH path buckets vectors by hyperplane sign patterns so the
   * candidate join is hash-partitioned on bucket id; at 100 TB the
   * bucket table is what you'd persist (bucketed by `bucket`) and probe.
+  * Distributed top-k-with-pruning designs (PAPERS.md: REPOSE ICDE'21,
+  * incremental top-k EDBT'20) are the published background for the
+  * partial-topk-before-shuffle shape used by [[bruteForceTopKAgg]].
   */
 object Similarity {
 
