@@ -70,7 +70,7 @@ object AdvQueries {
         |SELECT
         |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price
         |FROM s""".stripMargin
     }, {
       """WITH s AS (
@@ -84,7 +84,7 @@ object AdvQueries {
         |SELECT
         |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12) AS corr_qty_price
         |FROM s""".stripMargin
     }),
 
