@@ -43,6 +43,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup (the K2/K3 primary-key semantics at stream
+    * level): watermarked dropDuplicatesWithinWatermark on the key, so
+    * re-delivered events inside the lateness window are discarded with
+    * bounded state — the scalable replacement for a database unique
+    * constraint at ingest time.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Custom sessionization via flatMapGroupsWithState: the operator
     * session_window can't express (per-event custom state, emit on gap).
     * Works identically in batch mode (state discarded at the end, all

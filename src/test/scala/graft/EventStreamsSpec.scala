@@ -29,6 +29,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("streaming dedup discards re-delivered events within the watermark") {
+    // duplicate the stream source: every event delivered twice
+    val once = EventStreams.readStream(spark, sf)
+    val dup = once.union(once)
+    val deduped = EventStreams.dedupStream(dup, Seq("event_id"))
+      .groupBy().count()
+    val q = deduped.writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_out").collect().head.getLong(0)
+    val expected = Tables.load(spark, sf, "events").count()
+    assert(n == expected, s"expected $expected unique events, got $n")
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window (batch)") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
