@@ -28,6 +28,15 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("no query-name collisions across modules (map merge would drop one)") {
+    val names =
+      analyze.RelQueries.defs.map(_._1) ++ analyze.ExtQueries.defs.map(_._1) ++
+        analyze.AdvQueries.defs.map(_._1) ++ analyze.OpQueries.defs.map(_._1)
+    val dupes = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
