@@ -184,6 +184,35 @@ object OpQueries {
       FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.clicked_at
       ORDER BY m.event_id""")),
 
+    // ---- the same as-of join through the custom physical operator ----
+    // (AsOfJoinPlan/AsOfJoinExec via an injected SparkStrategy: one
+    // co-partitioned merge, no union/window) — same oracle as a01
+    ("a02_asof_native", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.plans.AsOfJoinNative
+        .lastBefore(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("clicked_at"), col("asof_click_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+      p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT p.event_id, p.user_id, p.ts,
+              (SELECT max(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS clicked_at
+            FROM p)
+      SELECT m.event_id, m.user_id, m.ts, m.clicked_at, c.click_id,
+             epoch_us(m.ts) - epoch_us(m.clicked_at) AS gap_us
+      FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.clicked_at
+      ORDER BY m.event_id""")),
+
     // ---- interval/range self-join, bucket-blocked on the Spark side --
     ("w04_range_join", (s: SparkSession, d: String) => {
       val e = t(s, d, "events")
