@@ -28,7 +28,9 @@ object ExtQueries {
   private val shinglesSql = TextOps.wordShinglesSql("text", Dedup.ShingleSize)
   private val h32s = Hashing.h32Sql("s")
 
-  private val minhashOracle: String = {
+  /** Shared CTE chain producing minhash candidate pairs with counts
+    * (reused by the dup-pairs oracle and the clustering oracle). */
+  private val minhashCtes: String = {
     val sigCols = Hashing.perms.zipWithIndex
       .map { case ((a, b), j) => s"MIN(($a * h + $b) % $P) AS m$j" }
       .mkString(", ")
@@ -36,8 +38,7 @@ object ExtQueries {
       val ms = (0 until Dedup.Rows).map(ri => s"m${bi * Dedup.Rows + ri}").mkString(", ")
       s"SELECT doc_id, $bi AS band_idx, concat_ws(',', $ms) AS band_key FROM sig"
     }.mkString(" UNION ALL ")
-    s"""
-    WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+    s"""sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
     h AS (SELECT doc_id, $h32s AS h FROM sh),
     sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
     bands AS ($bandSelects),
@@ -48,13 +49,34 @@ object ExtQueries {
     com AS (SELECT doc_a, doc_b,
                    CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
                    CAST(len(a.sa) AS INT) AS na, CAST(len(b.sa) AS INT) AS nb
-            FROM cand JOIN arr a ON a.doc_id = doc_a JOIN arr b ON b.doc_id = doc_b)
+            FROM cand JOIN arr a ON a.doc_id = doc_a JOIN arr b ON b.doc_id = doc_b)"""
+  }
+
+  private val minhashOracle: String = s"""
+    WITH $minhashCtes
     SELECT doc_a, doc_b, n_common,
            CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
     FROM com
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
     ORDER BY doc_a, doc_b"""
-  }
+
+  /** Transitive closure over the dup pairs via recursive CTE; min
+    * reachable id = cluster representative (matches the Spark side's
+    * iterative min-label propagation exactly — both are fixpoints of
+    * the same monotone function).
+    */
+  private val clustersOracle: String = s"""
+    WITH RECURSIVE $minhashCtes,
+    dup AS (SELECT doc_a, doc_b FROM com
+            WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+              UNION SELECT doc_b, doc_a FROM dup),
+    reach(src, dst) AS (
+      (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, MIN(dst) AS rep_id
+    FROM reach GROUP BY src ORDER BY doc_id"""
 
   private val simhashExpr: String = {
     val bitSums = (0 until 32)
@@ -231,6 +253,11 @@ object ExtQueries {
     ("d05_minhash_lsh_dup", (s: SparkSession, d: String) =>
       Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5),
       Some(minhashOracle)),
+
+    ("d09_dedup_clusters", (s: SparkSession, d: String) =>
+      Dedup.dupClusters(Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))),
+      Some(clustersOracle)),
 
     ("d06_ngram_jaccard_dup", (s: SparkSession, d: String) =>
       Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),

@@ -121,6 +121,54 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over near-duplicate pairs: every doc in a dup
+    * cluster gets the cluster's minimum doc_id as representative — the
+    * step that turns pair detection into actual dedup groups (keep the
+    * rep, drop the rest).
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the minimum; stops at fixpoint. Near-dup graphs
+    * are bounded-diameter (clusters are small), so rounds stay in the
+    * single digits at any corpus size; each round is one shuffle join —
+    * the standard large-scale CC shape (cf. GraphX/connected components)
+    * without a graph library dependency.
+    *
+    * Output: (doc_id, rep_id) for every doc appearing in a pair, with
+    * rep_id < doc_id rows marking the drops.
+    */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges + self-loops
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst")))
+      .distinct()
+      .withColumn("rep_id", col("doc_id"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"),
+          col("dst") === col("dst_id"))
+        .select(col("src").as("doc_id"), col("rep_id"))
+      val next = labels.select(col("doc_id"), col("rep_id"))
+        .union(viaEdges)
+        .groupBy(col("doc_id"))
+        .agg(min(col("rep_id")).as("rep_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("rep_id", "old_rep"), "doc_id")
+        .filter(col("rep_id") =!= col("old_rep")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
   /** 32-bit SimHash per doc from word-occurrence weights: bit j is set
     * when sum over word occurrences of (+1 if bit j of h32(word) else -1)
     * is positive. One explode + one hash-partitioned aggregation.
