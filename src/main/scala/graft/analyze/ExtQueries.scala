@@ -338,6 +338,22 @@ object ExtQueries {
              event_type, COUNT(*) AS n
       FROM u GROUP BY 1, 2, 3 ORDER BY window_start, event_type""")),
 
+    // batch twin of the watermarked stream-stream interval join
+    // (EventStreams.attributionJoin; the streaming form is spec-checked
+    // row-identical to this)
+    ("w06_attribution_join", (s: SparkSession, d: String) => {
+      graft.streaming.EventStreams
+        .attributionJoin(t(s, d, "events"), windowMinutes = 30)
+        .orderBy(col("purchase_id"), col("click_id"))
+    }, Some("""
+      SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+             c.event_id AS click_id, c.ts AS click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      ORDER BY purchase_id, click_id""")),
+
     ("w03_session_window", (s: SparkSession, d: String) => {
       t(s, d, "events")
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))

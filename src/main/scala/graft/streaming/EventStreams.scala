@@ -54,6 +54,29 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: purchases matched to clicks of the
+    * same user within the preceding attribution window. Both sides are
+    * watermarked so the join state is bounded — Spark drops click state
+    * older than the watermark + interval. The same transform runs in
+    * batch for oracle-style verification.
+    */
+  def attributionJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "0 seconds")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Custom sessionization via flatMapGroupsWithState: the operator
     * session_window can't express (per-event custom state, emit on gap).
     * Works identically in batch mode (state discarded at the end, all

@@ -43,6 +43,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == expected, s"expected $expected unique events, got $n")
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val streaming = EventStreams.attributionJoin(
+      EventStreams.readStream(spark, sf), windowMinutes = 30)
+    val q = streaming.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attr_out")
+
+    val batch = EventStreams.attributionJoin(
+      Tables.load(spark, sf, "events"), windowMinutes = 30)
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(got).count() == 0)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window (batch)") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
