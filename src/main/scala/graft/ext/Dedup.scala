@@ -147,9 +147,15 @@ object Dedup {
       .distinct()
       .withColumn("rep_id", col("doc_id"))
       .cache()
-    var changed = 1L
+    // labels only ever decrease, so the label sum is a monotone
+    // fixpoint witness: unchanged sum <=> converged (cheaper than a
+    // per-round diff join)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("rep_id"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed && rounds < 50) {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "dst_id"),
           col("dst") === col("dst_id"))
@@ -159,8 +165,9 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(min(col("rep_id")).as("rep_id"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("rep_id", "old_rep"), "doc_id")
-        .filter(col("rep_id") =!= col("old_rep")).count()
+      val curSum = labelSum(next)
+      changed = curSum != prevSum
+      prevSum = curSum
       labels.unpersist()
       labels = next
       rounds += 1
