@@ -301,6 +301,24 @@ object ExtQueries {
       Multimodal.mediaPipeline(t(s, d, "documents")),
       Some(multimodalOracle)),
 
+    // ---- multimodal frame explosion: one row per fixed-size frame ----
+    ("m02_multimodal_frames", (s: SparkSession, d: String) => {
+      val fb = Multimodal.FrameBytes
+      Multimodal.withPayload(t(s, d, "documents").filter(col("doc_id") < 30))
+        .withColumn("n_frames",
+          ceil(col("media_meta.n_bytes").cast("double") / fb).cast("int"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+            i => upper(hex(col("payload").substr(i * fb + 1, lit(fb))))))
+            .as(Seq("frame_idx", "frame_hex")))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }, Some(s"""
+      SELECT doc_id,
+        CAST(unnest(range(CAST(ceil(CAST(strlen(text) AS DOUBLE) / ${Multimodal.FrameBytes}) AS BIGINT))) AS INT) AS frame_idx,
+        unnest(list_transform(range(CAST(ceil(CAST(strlen(text) AS DOUBLE) / ${Multimodal.FrameBytes}) AS BIGINT)),
+          i -> upper(hex(substr(text, CAST(i AS INT) * ${Multimodal.FrameBytes} + 1, ${Multimodal.FrameBytes}))))) AS frame_hex
+      FROM documents WHERE doc_id < 30 ORDER BY doc_id, frame_idx""")),
+
     // ---- streaming window workload, batch form -------------------------
     // (the true readStream variants live in graft.streaming and are
     // exercised by ScalaTest; semantics here are identical)
