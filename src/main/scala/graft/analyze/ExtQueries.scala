@@ -254,6 +254,20 @@ object ExtQueries {
       Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5),
       Some(minhashOracle)),
 
+    // per-doc signature export: verifies every minhash value directly,
+    // not just through the pairs they produce
+    ("d10_minhash_signatures", (s: SparkSession, d: String) =>
+      Dedup.minhashSignatures(t(s, d, "documents")).orderBy(col("doc_id")),
+      Some {
+        val sigCols = Hashing.perms.zipWithIndex
+          .map { case ((a, b), j) => s"MIN(($a * h + $b) % $P) AS m$j" }
+          .mkString(", ")
+        s"""
+        WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+        h AS (SELECT doc_id, $h32s AS h FROM sh)
+        SELECT doc_id, $sigCols FROM h GROUP BY doc_id ORDER BY doc_id"""
+      }),
+
     ("d09_dedup_clusters", (s: SparkSession, d: String) =>
       Dedup.dupClusters(Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))),
@@ -296,6 +310,18 @@ object ExtQueries {
     ("t04_fingerprint", (s: SparkSession, d: String) =>
       TextAnalysis.fingerprint(t(s, d, "documents")),
       Some(fingerprintOracle)),
+
+    // corpus bigram extraction (word 2-grams with counts)
+    ("t06_bigrams", (s: SparkSession, d: String) => {
+      t(s, d, "documents")
+        .select(explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram")).limit(100)
+    }, Some(s"""
+      SELECT bigram, COUNT(*) AS n_docs
+      FROM (SELECT doc_id, unnest(${TextOps.wordShinglesSql("text", 2)}) AS bigram
+            FROM documents) x
+      GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
 
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),

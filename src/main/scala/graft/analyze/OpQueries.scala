@@ -148,6 +148,25 @@ object OpQueries {
         CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start
       FROM orders ORDER BY o_orderkey""")),
 
+    // ---- relational division: customers active in EVERY order year ---
+    ("q55_relational_division", (s: SparkSession, d: String) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      val nYears = o.select(col("yr")).distinct()
+        .agg(count(lit(1)).as("n_years"))
+      o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("yr")).as("n_active_years"))
+        .crossJoin(broadcast(nYears))
+        .filter(col("n_active_years") === col("n_years"))
+        .select(col("o_custkey"), col("n_active_years"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey, COUNT(DISTINCT year(o_orderdate)) AS n_active_years
+      FROM orders GROUP BY o_custkey
+      HAVING COUNT(DISTINCT year(o_orderdate)) =
+             (SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders)
+      ORDER BY o_custkey""")),
+
     // ---- manual histogram bucketing (no width_bucket in the oracle) --
     ("q48_histogram", (s: SparkSession, d: String) => {
       t(s, d, "orders")
