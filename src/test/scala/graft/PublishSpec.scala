@@ -64,6 +64,28 @@ class PublishSpec extends SparkSpec {
     assert(f03 == "3,1003,2020-03-03,,Ground C,,Eps,Zeta,Eps,bat,1,0,no result,,,,")
   }
 
+  test("deliverywise CSV golden rows (byte-level pandas conventions)") {
+    val dir = Files.createTempDirectory("graft_dw_csv").toString
+    val dw = PublishJob.buildDeliverywise(
+      Extractors.deliverywise(raw), mw)
+    PublishJob.writeCsv(dw, s"$dir/dw")
+    val part = Files.list(Paths.get(s"$dir/dw")).iterator().asScala
+      .find(_.toString.endsWith(".csv")).get
+    val lines = Files.readAllLines(part).asScala
+    assert(lines.head == Cricsheet.deliverywiseColumns.mkString(","))
+    // f01 first ball: plain ints, empty wicket fields, match_number joined
+    assert(lines(1) == "1001,1,Alpha,Beta,0,1,A One,B One,A Two," +
+      "0,0,0,0,0,1,0,1,,,,1")
+    // f02 wide ball: extras split into the wide_runs column
+    val wide = lines.find(l => l.startsWith("1002,1,Gamma,Delta,0,1,")).get
+    assert(wide == "1002,1,Gamma,Delta,0,1,G One,D One,G Two," +
+      "1,0,0,0,0,0,1,1,,,,2")
+    // f02 double-wicket ball: first wicket + first fielder only
+    val wicket = lines.find(l => l.startsWith("1002,1,Gamma,Delta,0,6,")).get
+    assert(wicket == "1002,1,Gamma,Delta,0,6,G One,D One,G Two," +
+      "0,0,0,0,0,1,0,1,G One,run out,D Five,2")
+  }
+
   test("version note formats the latest match (P8/P9)") {
     assert(PublishJob.versionNote(mw) ==
       "Updated till the match between Mu and Nu on 06/06/2020")
