@@ -27,7 +27,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the 61-query bench in one JVM is GC-noisy at 8g and
+  // 16g default: the full query bench in one JVM is GC-noisy at 8g and
   // the harness machine has >100g available
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -25,29 +25,45 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // -1.0 marks a FAILED query (never a partial elapsed time, which
+    // would read as a fast pass in the harness)
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup (untimed)
     // best-of-2: the environment shows bursty external CPU contention
     // (identical plans vary 4x run-to-run); min-of-passes reports the
-    // uncontended cost
+    // uncontended cost. Any failed pass poisons the query to -1.
     val pass1 = names.map(n => n -> runOnce(n)).toMap
     val pass2 = names.map(n => n -> runOnce(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    val results = names.map { n =>
+      val (a, b) = (pass1(n), pass2(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    val failed = results.collect { case (n, v) if v < 0 => n }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout-tail capture has truncated this line before;
+    // a file copy makes the result durable
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

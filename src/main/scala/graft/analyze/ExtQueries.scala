@@ -136,6 +136,19 @@ object ExtQueries {
     WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
     ORDER BY vec_a, vec_b"""
 
+  private val lshCosineDupOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    b AS (SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                          THEN (CAST(1 AS BIGINT) << p.vec_id) ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings v JOIN embeddings p ON p.vec_id < 8 GROUP BY v.vec_id),
+    eb AS (SELECT e.vec_id, embedding, nrm, bucket FROM e JOIN b ON e.vec_id = b.vec_id)
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+           ${dotS("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+    FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE ${dotS("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
+    ORDER BY vec_a, vec_b"""
+
   private val annTopkOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
     sc AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
@@ -281,6 +294,12 @@ object ExtQueries {
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),
       Some(cosineDupOracle)),
 
+    // bucketed variant of d07: LSH-collision candidates + exact verify —
+    // the embedding near-dup shape that scales (no nested-loop join)
+    ("d11_cosine_lsh_dup", (s: SparkSession, d: String) =>
+      Similarity.lshCosineDupPairs(t(s, d, "embeddings"), nPlanes = 8, threshold = 0.4),
+      Some(lshCosineDupOracle)),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),
@@ -313,7 +332,9 @@ object ExtQueries {
 
     // corpus bigram extraction (word 2-grams with counts)
     ("t06_bigrams", (s: SparkSession, d: String) => {
-      t(s, d, "documents")
+      // spread first: shingling is CPU-bound and the fixture scan is a
+      // single input split (same reasoning as Dedup.shingleTable)
+      Tables.spread(t(s, d, "documents"))
         .select(explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("bigram")).limit(100)

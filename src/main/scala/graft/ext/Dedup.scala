@@ -96,22 +96,33 @@ object Dedup {
     * element arrays: a codegen'd sorted-merge intersect count over a
     * pair join (the arrays are sorted once per doc; per-pair cost is
     * then an allocation-free O(n+m) scan instead of array_intersect's
-    * per-row hash set). The arrays ride along the (small) candidate
-    * table via broadcast joins.
+    * per-row hash set).
+    *
+    * Scale shape: the corpus-sized array table is first semi-joined
+    * down to docs that appear in some candidate pair — Catalyst pushes
+    * the semi-join below the shingle/ngram projection, so the arrays
+    * are only ever computed for candidate docs — then attached to the
+    * pairs with two key-partitioned shuffle-hash joins. Nothing
+    * corpus-sized is broadcast or sorted anywhere in the stage.
     */
   private def jaccardVerify(cand: DataFrame, arr: DataFrame,
                             arrCol: String, threshold: Double): DataFrame = {
-    val sorted = graft.core.Tables.spread(arr)
+    val parts = cand.sparkSession.sessionState.conf.numShufflePartitions
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b")))
+      .distinct()
+    val needed = arr.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_sort(col(arrCol)).as(arrCol))
-    // Explicit repartition: the candidate table is tiny in bytes, so AQE
-    // would coalesce it into one partition — and then the expensive
-    // per-pair intersections below would run in a single task. Spreading
-    // by pair key keeps the CPU-bound stage wide.
     cand
-      .repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_a"), col("doc_b"))
-      .join(broadcast(sorted.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))), "doc_a")
-      .join(broadcast(sorted.select(col("doc_id").as("doc_b"), col(arrCol).as("arr_b"))), "doc_b")
+      .join(needed.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(needed.select(col("doc_id").as("doc_b"), col(arrCol).as("arr_b"))
+        .hint("shuffle_hash"), "doc_b")
+      // Explicit repartition: the surviving pair table is tiny in bytes,
+      // so AQE would coalesce it into one partition — and then the
+      // expensive per-pair intersections below would run in a single
+      // task. Spreading by pair key keeps the CPU-bound stage wide.
+      .repartition(parts, col("doc_a"), col("doc_b"))
       .withColumn("n_common",
         graft.functions.SortedIntersectCount(col("arr_a"), col("arr_b")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
@@ -137,22 +148,31 @@ object Dedup {
     * rep_id < doc_id rows marking the drops.
     */
   def dupClusters(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    // undirected edges + self-loops
+    import org.apache.spark.sql.Observation
+    // undirected edges + self-loops; localCheckpoint (not cache) so the
+    // upstream candidate-generation pipeline is never replayed — and so
+    // each round's plan starts from a materialized RDD instead of
+    // nesting one join deeper per round (unbounded lineage would make
+    // recovery from an executor loss replay the whole chain)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id"))
-      .union(edges.select(col("dst")))
-      .distinct()
-      .withColumn("rep_id", col("doc_id"))
-      .cache()
+      .distinct().localCheckpoint()
     // labels only ever decrease, so the label sum is a monotone
     // fixpoint witness: unchanged sum <=> converged (cheaper than a
-    // per-round diff join)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("rep_id"))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
+    // per-round diff join). The sum rides on the checkpoint job via
+    // observe(), so each round is exactly ONE job.
+    def materialize(df: DataFrame, obsName: String): (DataFrame, Long) = {
+      val obs = Observation(obsName)
+      val chk = df.observe(obs, sum(col("rep_id")).as("label_sum"))
+        .localCheckpoint()
+      (chk, obs.get("label_sum").asInstanceOf[Long])
+    }
+    var (labels, prevSum) = materialize(
+      edges.select(col("src").as("doc_id"))
+        .union(edges.select(col("dst")))
+        .distinct()
+        .withColumn("rep_id", col("doc_id")),
+      "cc_init")
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
@@ -160,19 +180,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst_id"),
           col("dst") === col("dst_id"))
         .select(col("src").as("doc_id"), col("rep_id"))
-      val next = labels.select(col("doc_id"), col("rep_id"))
-        .union(viaEdges)
-        .groupBy(col("doc_id"))
-        .agg(min(col("rep_id")).as("rep_id"))
-        .cache()
-      val curSum = labelSum(next)
+      val (next, curSum) = materialize(
+        labels.select(col("doc_id"), col("rep_id"))
+          .union(viaEdges)
+          .groupBy(col("doc_id"))
+          .agg(min(col("rep_id")).as("rep_id")),
+        s"cc_round_$rounds")
       changed = curSum != prevSum
       prevSum = curSum
-      labels.unpersist()
       labels = next
       rounds += 1
     }
-    edges.unpersist()
     labels.orderBy(col("doc_id"))
   }
 

@@ -67,6 +67,30 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Embedding near-dup pairs restricted to LSH bucket collisions:
+    * candidates come from an equi-join on [[lshBuckets]] bucket id
+    * (hash-partitioned shuffle join — no nested-loop anywhere), each
+    * verified with the exact codegen'd cosine. This is the pair-
+    * detection shape that survives 100 TB; [[cosineDupPairs]] remains
+    * the exact all-pairs baseline for pre-blocked corpora. Recall is
+    * governed by nPlanes exactly as in [[lshTopK]].
+    */
+  def lshCosineDupPairs(embs: DataFrame, nPlanes: Int,
+                        threshold: Double): DataFrame = {
+    val buckets = lshBuckets(embs, nPlanes)
+    val a = side(embs, "a")
+      .join(buckets.select(col("vec_id").as("a_id"), col("bucket")), "a_id")
+    val b = side(embs, "b")
+      .join(buckets.select(col("vec_id").as("b_id"), col("bucket").as("b_bucket")), "b_id")
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        col("bucket"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < nQueries) broadcast
     * against targets (vec_id >= nQueries); exact baseline for ANN.
     */

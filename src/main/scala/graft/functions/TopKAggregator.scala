@@ -19,13 +19,36 @@ case class Scored(id: Long, score: Double)
   */
 class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
-  private def trim(s: Seq[Scored]): Seq[Scored] =
-    s.sortBy(x => (-x.score, x.id)).take(k)
+  // Ordering matching Spark's `ORDER BY score DESC, id ASC` exactly,
+  // including NaN: java.lang.Double.compare treats NaN as largest, so a
+  // NaN score ranks FIRST under desc — same as row_number over a desc
+  // window (a zero-norm embedding must land in the same slot either way).
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(x: Scored, y: Scored): Int = {
+      val c = java.lang.Double.compare(y.score, x.score)
+      if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+    }
+  }
 
-  override def zero: Seq[Scored] = Seq.empty
-  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = trim(b :+ a)
-  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
-  override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)
+  // The buffer stays UNSORTED and never exceeds k elements: each input
+  // row is an O(k) scan-and-replace-worst, not an O(k log k) sort — at
+  // billions of candidate rows the per-row sort is pure overhead. Order
+  // is imposed once, in finish.
+  override def zero: Seq[Scored] = Vector.empty
+  override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+    if (b.size < k) b :+ a
+    else {
+      var worst = 0
+      var i = 1
+      while (i < b.size) {
+        if (ord.compare(b(i), b(worst)) > 0) worst = i
+        i += 1
+      }
+      if (ord.compare(a, b(worst)) < 0) b.updated(worst, a) else b
+    }
+  override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
+    y.foldLeft(x)(reduce)
+  override def finish(b: Seq[Scored]): Seq[Scored] = b.sorted(ord)
   override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }

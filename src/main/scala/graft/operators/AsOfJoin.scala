@@ -32,31 +32,37 @@ object AsOfJoin {
     */
   def lastBefore(left: DataFrame, right: DataFrame, key: String, ts: String,
                  payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // The whole right payload travels as ONE struct with ONE
+    // last(ignoreNulls=true): per-column carries would back-fill a null
+    // field of the genuinely-latest right row from an OLDER right row,
+    // silently mixing fields of different right rows. The struct itself
+    // is null exactly on left-tagged rows, so ignoreNulls skips those
+    // and nothing else.
+    val asofType = StructType(
+      StructField("__t", right.schema(ts).dataType) +:
+        payload.map(p => StructField(p, right.schema(p).dataType)))
     // side 0 sorts before side 1 at equal ts => right rows at exactly
     // left.ts are visible to that left row
     val taggedRight = right.select(
       (col(key) +: col(ts).as("__ts") +: lit(0).as("__side") +:
-        col(ts).as(s"${asOfPrefix}$ts") +:
-        payload.map(p => col(p).as(s"${asOfPrefix}$p")) ++:
+        struct((col(ts).as("__t") +: payload.map(col)): _*).as("__asof") +:
         leftCols.filterNot(c => c == key)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val taggedLeft = left.select(
       (col(key) +: col(ts).as("__ts") +: lit(1).as("__side") +:
-        lit(null).cast(right.schema(ts).dataType).as(s"${asOfPrefix}$ts") +:
-        payload.map(p => lit(null).cast(right.schema(p).dataType)
-          .as(s"${asOfPrefix}$p")) ++:
+        lit(null).cast(asofType).as("__asof") +:
         leftCols.filterNot(c => c == key).map(col)): _*)
 
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (s"${asOfPrefix}$ts" +: payload.map(p => s"${asOfPrefix}$p"))
-      .foldLeft(taggedRight.unionByName(taggedLeft)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
-    carried.filter(col("__side") === 1)
-      .select((leftCols.map(col) :+ col(s"${asOfPrefix}$ts")) ++
-        payload.map(p => col(s"${asOfPrefix}$p")): _*)
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) :+
+        col("__asof.__t").as(s"${asOfPrefix}$ts")) ++
+        payload.map(p => col(s"__asof.$p").as(s"${asOfPrefix}$p")): _*)
   }
 }

@@ -79,11 +79,21 @@ object EventStreams {
 
   /** Custom sessionization via flatMapGroupsWithState: the operator
     * session_window can't express (per-event custom state, emit on gap).
-    * Works identically in batch mode (state discarded at the end, all
-    * sessions emitted), which is how the spec cross-checks it against
-    * the session_window batch query.
+    *
+    * Batch input: every group sees all its events once; all sessions
+    * (including the trailing one) are emitted directly.
+    *
+    * Streaming input: the trailing OPEN session stays in state and is
+    * emitted only when its gap expires — an event-time timeout set to
+    * last-event-time + gap. Emitting it eagerly per micro-batch would
+    * produce premature/split duplicate sessions in Append mode when a
+    * user's session spans micro-batches.
+    *
+    * @param watermarkDelay lateness bound for the streaming path (also
+    *        controls when gap timeouts fire); ignored in batch.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
@@ -100,31 +110,63 @@ object EventStreams {
     def finishSession(userId: Long, s: SessionState): Session =
       Session(userId, fromUs(s.startUs), fromUs(s.lastUs + gapUs), s.n, s.sum)
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // Sort the group's events by time; fold into gap-separated
-          // sessions. In batch mode each group sees all its events once.
-          val sorted = evs.toSeq.sortBy(e => (toUs(e.ts), e.value))
-          var open: Option[SessionState] = state.getOption.flatMap(_.headOption)
-          val out = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val us = toUs(e.ts)
-            open match {
-              case Some(s) if us - s.lastUs < gapUs =>
-                open = Some(SessionState(s.startUs, us, s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                out += finishSession(userId, s)
-                open = Some(SessionState(us, us, 1, e.value))
-              case None =>
-                open = Some(SessionState(us, us, 1, e.value))
-            }
-          }
-          // batch mode: emit the trailing open session too
-          open.foreach(s => out += finishSession(userId, s))
-          state.update(Nil)
-          out.result().iterator
+    // Fold time-sorted events into gap-separated sessions, starting
+    // from a possibly-open carried session. Returns (closed, open).
+    def fold(userId: Long, open0: Option[SessionState], evs: Iterator[Event])
+        : (Seq[Session], Option[SessionState]) = {
+      val sorted = evs.toSeq.sortBy(e => (toUs(e.ts), e.value))
+      var open = open0
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val us = toUs(e.ts)
+        open match {
+          case Some(s) if us - s.lastUs < gapUs =>
+            open = Some(SessionState(s.startUs, us, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out += finishSession(userId, s)
+            open = Some(SessionState(us, us, 1, e.value))
+          case None =>
+            open = Some(SessionState(us, us, 1, e.value))
+        }
       }
+      (out.result(), open)
+    }
+
+    if (!events.isStreaming) {
+      events.groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[SessionState], Session](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
+            val (closed, open) = fold(userId, None, evs)
+            (closed ++ open.map(finishSession(userId, _))).iterator
+        }
+    } else {
+      events.withWatermark("ts", watermarkDelay)
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[List[SessionState], Session](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
+            if (state.hasTimedOut) {
+              // gap expired with no new events: the open session is final
+              val out = state.getOption.toList.flatten.map(finishSession(userId, _))
+              state.remove()
+              out.iterator
+            } else {
+              val (closed, open) = fold(userId, state.getOption.flatMap(_.headOption), evs)
+              open match {
+                case Some(s) =>
+                  state.update(List(s))
+                  // fire when the gap elapses in event time (clamped
+                  // above the current watermark, as the API requires)
+                  state.setTimeoutTimestamp(math.max(
+                    Math.floorDiv(s.lastUs + gapUs, 1000L),
+                    state.getCurrentWatermarkMs() + 1))
+                case None =>
+                  state.remove()
+              }
+              closed.iterator
+            }
+        }
+    }
   }
 }

@@ -39,7 +39,10 @@ class AsOfPropertySpec extends SparkSpec {
       r <- Gen.listOfN(40, rowGen)
     } yield (l, r), 6) { case (l, r) =>
       val left = df(l, "lv")
-      val right = df(r, "rv")
+      // ~25% null payload values: the matched-but-null-field case must
+      // stay null (not be back-filled from an older right row)
+      val right = df(r, "rv").withColumn("rv",
+        when(col("rv") % 4 === 0, lit(null)).otherwise(col("rv")))
       val a = AsOfJoin.lastBefore(left, right, "user_id", "ts", Seq("rv"))
       val b = AsOfJoinNative.lastBefore(left, right, "user_id", "ts", Seq("rv"))
       assert(a.exceptAll(b).count() == 0,
@@ -47,6 +50,21 @@ class AsOfPropertySpec extends SparkSpec {
       assert(b.exceptAll(a).count() == 0)
       assert(a.count() == left.count())
     }
+  }
+
+  test("null payload on the latest right row is NOT back-filled from older rows") {
+    val left = df(Seq((1L, 20L, 0L)), "lv")
+    val right = df(Seq((1L, 5L, 7L), (1L, 10L, 0L)), "rv")
+      // latest matching right row (ts=10) carries a null payload; the
+      // older row (ts=5, rv=7) must not leak into it
+      .withColumn("rv", when(col("rv") === 0L, lit(null)).otherwise(col("rv")))
+    Seq(AsOfJoin.lastBefore(left, right, "user_id", "ts", Seq("rv")),
+        AsOfJoinNative.lastBefore(left, right, "user_id", "ts", Seq("rv")))
+      .foreach { out =>
+        val row = out.collect()(0)
+        assert(row.getAs[Timestamp]("asof_ts").getTime == 10000L)
+        assert(row.isNullAt(row.fieldIndex("asof_rv")))
+      }
   }
 
   test("empty right side yields all-null payloads on both paths") {

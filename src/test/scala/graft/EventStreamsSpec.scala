@@ -58,6 +58,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.exceptAll(got).count() == 0)
   }
 
+  test("streaming sessionizer emits on gap expiry, never splits across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMinutes = 10,
+      watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream_out").start()
+    def ev(u: Long, min: Long) = EventStreams.Event(u, new Timestamp(min * 60000L), 1.0)
+    try {
+      input.addData(ev(1, 0), ev(1, 5))
+      q.processAllAvailable()
+      // the session is still open — nothing may be emitted yet (the old
+      // behavior emitted a premature [0,15) session here)
+      assert(spark.table("sess_stream_out").count() == 0)
+      input.addData(ev(1, 8), ev(1, 60)) // 8 extends the open session; 60 closes it
+      q.processAllAvailable()
+      input.addData(ev(1, 120)) // closes the 60-session
+      q.processAllAvailable()
+      input.addData(ev(2, 500)) // watermark -> 500min; 120-session times out
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_stream_out")
+      .orderBy("session_start").collect()
+    // user 2's session at 500 is still open -> not emitted
+    assert(rows.length == 3, rows.mkString("; "))
+    // one UNSPLIT session covering both micro-batches: [0, 8+gap), n=3
+    assert(rows(0).getAs[Long]("n") == 3)
+    assert(rows(0).getAs[Timestamp]("session_start").getTime == 0L)
+    assert(rows(0).getAs[Timestamp]("session_end").getTime == 18 * 60000L)
+    assert(rows(1).getAs[Long]("n") == 1)
+    assert(rows(2).getAs[Long]("n") == 1)
+  }
+
   test("flatMapGroupsWithState sessionizer matches session_window (batch)") {
     import spark.implicits._
     val events = Tables.load(spark, sf, "events")
