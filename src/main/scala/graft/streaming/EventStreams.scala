@@ -15,12 +15,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * verifiable against the DuckDB oracle while this module carries the
   * streaming semantics (watermarks, state, output modes).
   */
+/** GroupState buffer for [[EventStreams.sessionize]]: one not-yet-final
+  * session interval with its running aggregates. Top-level (not nested
+  * private) because Spark's state-encoder codegen emits Java that calls
+  * the accessors directly — Janino can't compile references to a
+  * private nested class.
+  */
+case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
 object EventStreams {
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n: Long, sum_value: Double)
-  private case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 
   /** Streaming read of the events table (sfDir/events.parquet),
     * normalizing the TIMESTAMP(NANOS) column exactly like
@@ -81,13 +88,19 @@ object EventStreams {
     * session_window can't express (per-event custom state, emit on gap).
     *
     * Batch input: every group sees all its events once; all sessions
-    * (including the trailing one) are emitted directly.
+    * are merged and emitted directly.
     *
-    * Streaming input: the trailing OPEN session stays in state and is
-    * emitted only when its gap expires — an event-time timeout set to
-    * last-event-time + gap. Emitting it eagerly per micro-batch would
-    * produce premature/split duplicate sessions in Append mode when a
-    * user's session spans micro-batches.
+    * Streaming input: the state is the LIST of sessions whose gap
+    * expiry the watermark has not yet passed. Each micro-batch merges
+    * the new events into that list as intervals — a late event that
+    * falls within the gap of an existing session extends it (possibly
+    * backwards, start = min), a late event more than a gap before a
+    * session's start opens a separate earlier session, and a bridging
+    * event fuses two sessions. A session is emitted only once the
+    * watermark passes its end + gap (so no admissible event can still
+    * extend or fuse it); groups receiving no events finalize through an
+    * event-time timeout. Emitting eagerly per micro-batch would produce
+    * premature/split duplicate sessions in Append mode.
     *
     * @param watermarkDelay lateness bound for the streaming path (also
     *        controls when gap timeouts fire); ignored in batch.
@@ -110,26 +123,21 @@ object EventStreams {
     def finishSession(userId: Long, s: SessionState): Session =
       Session(userId, fromUs(s.startUs), fromUs(s.lastUs + gapUs), s.n, s.sum)
 
-    // Fold time-sorted events into gap-separated sessions, starting
-    // from a possibly-open carried session. Returns (closed, open).
-    def fold(userId: Long, open0: Option[SessionState], evs: Iterator[Event])
-        : (Seq[Session], Option[SessionState]) = {
-      val sorted = evs.toSeq.sortBy(e => (toUs(e.ts), e.value))
-      var open = open0
-      val out = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        val us = toUs(e.ts)
-        open match {
-          case Some(s) if us - s.lastUs < gapUs =>
-            open = Some(SessionState(s.startUs, us, s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            out += finishSession(userId, s)
-            open = Some(SessionState(us, us, 1, e.value))
-          case None =>
-            open = Some(SessionState(us, us, 1, e.value))
-        }
-      }
-      (out.result(), open)
+    // Interval-merge new events into the carried session list. Sorting
+    // by start and sweeping reproduces the batch gap rule (new session
+    // iff ts - prev >= gap) and handles out-of-order arrivals: an event
+    // merges into a session iff it lies within gap of the session's
+    // interval, else it seeds its own session.
+    def mergeSessions(carried: List[SessionState], evs: Iterator[Event])
+        : List[SessionState] = {
+      val singles = evs.map(e => SessionState(toUs(e.ts), toUs(e.ts), 1L, e.value))
+      (carried ++ singles).sortBy(s => (s.startUs, s.lastUs))
+        .foldLeft(List.empty[SessionState]) {
+          case (cur :: done, s) if s.startUs - cur.lastUs < gapUs =>
+            SessionState(cur.startUs, math.max(cur.lastUs, s.lastUs),
+              cur.n + s.n, cur.sum + s.sum) :: done
+          case (acc, s) => s :: acc
+        }.reverse
     }
 
     if (!events.isStreaming) {
@@ -137,8 +145,7 @@ object EventStreams {
         .flatMapGroupsWithState[List[SessionState], Session](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
-            val (closed, open) = fold(userId, None, evs)
-            (closed ++ open.map(finishSession(userId, _))).iterator
+            mergeSessions(Nil, evs).map(finishSession(userId, _)).iterator
         }
     } else {
       events.withWatermark("ts", watermarkDelay)
@@ -146,26 +153,26 @@ object EventStreams {
         .flatMapGroupsWithState[List[SessionState], Session](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
           (userId: Long, evs: Iterator[Event], state: GroupState[List[SessionState]]) =>
-            if (state.hasTimedOut) {
-              // gap expired with no new events: the open session is final
-              val out = state.getOption.toList.flatten.map(finishSession(userId, _))
-              state.remove()
-              out.iterator
-            } else {
-              val (closed, open) = fold(userId, state.getOption.flatMap(_.headOption), evs)
-              open match {
-                case Some(s) =>
-                  state.update(List(s))
-                  // fire when the gap elapses in event time (clamped
-                  // above the current watermark, as the API requires)
-                  state.setTimeoutTimestamp(math.max(
-                    Math.floorDiv(s.lastUs + gapUs, 1000L),
-                    state.getCurrentWatermarkMs() + 1))
-                case None =>
-                  state.remove()
-              }
-              closed.iterator
+            val carried = state.getOption.getOrElse(Nil)
+            val merged =
+              if (state.hasTimedOut) carried else mergeSessions(carried, evs)
+            // A session is final once the watermark passes its gap
+            // expiry: any event that could still extend/fuse it would
+            // be older than the watermark and thus dropped.
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = merged.partition(s => s.lastUs + gapUs <= wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              // fire when the earliest remaining gap elapses in event
+              // time (ceil to ms so the session is final at fire time;
+              // clamped above the current watermark, as the API requires)
+              val nextFireMs = Math.floorDiv(
+                open.map(s => s.lastUs + gapUs).min + 999L, 1000L)
+              state.setTimeoutTimestamp(
+                math.max(nextFireMs, state.getCurrentWatermarkMs() + 1))
             }
+            closed.map(finishSession(userId, _)).iterator
         }
     }
   }

@@ -69,29 +69,64 @@ class EventStreamsSpec extends SparkSpec {
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_stream_out").start()
     def ev(u: Long, min: Long) = EventStreams.Event(u, new Timestamp(min * 60000L), 1.0)
+    // minute 0 would equal the initial watermark and be dropped by
+    // Spark's (boundary-inclusive) late-input filter — start at 1
     try {
-      input.addData(ev(1, 0), ev(1, 5))
+      input.addData(ev(1, 1), ev(1, 6))
       q.processAllAvailable()
       // the session is still open — nothing may be emitted yet (the old
-      // behavior emitted a premature [0,15) session here)
+      // behavior emitted a premature [1,16) session here)
       assert(spark.table("sess_stream_out").count() == 0)
-      input.addData(ev(1, 8), ev(1, 60)) // 8 extends the open session; 60 closes it
+      input.addData(ev(1, 9), ev(1, 61)) // 9 extends the open session; 61 closes it
       q.processAllAvailable()
-      input.addData(ev(1, 120)) // closes the 60-session
+      input.addData(ev(1, 121)) // closes the 61-session
       q.processAllAvailable()
-      input.addData(ev(2, 500)) // watermark -> 500min; 120-session times out
+      input.addData(ev(2, 501)) // watermark -> 501min; 121-session times out
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("sess_stream_out")
       .orderBy("session_start").collect()
-    // user 2's session at 500 is still open -> not emitted
+    // user 2's session at 501 is still open -> not emitted
     assert(rows.length == 3, rows.mkString("; "))
-    // one UNSPLIT session covering both micro-batches: [0, 8+gap), n=3
+    // one UNSPLIT session covering both micro-batches: [1, 9+gap), n=3
     assert(rows(0).getAs[Long]("n") == 3)
-    assert(rows(0).getAs[Timestamp]("session_start").getTime == 0L)
-    assert(rows(0).getAs[Timestamp]("session_end").getTime == 18 * 60000L)
+    assert(rows(0).getAs[Timestamp]("session_start").getTime == 1 * 60000L)
+    assert(rows(0).getAs[Timestamp]("session_end").getTime == 19 * 60000L)
     assert(rows(1).getAs[Long]("n") == 1)
     assert(rows(2).getAs[Long]("n") == 1)
+  }
+
+  test("streaming sessionizer handles watermark-admitted out-of-order events") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMinutes = 10,
+      watermarkDelay = "2 hours")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    def ev(u: Long, min: Long) = EventStreams.Event(u, new Timestamp(min * 60000L), 1.0)
+    try {
+      input.addData(ev(1, 100), ev(1, 105))
+      q.processAllAvailable()
+      // late arrivals admitted by the 2h watermark: 98 is within the gap
+      // of the [100,105] session and must extend it BACKWARDS; 50 is
+      // more than a gap earlier and must open a separate earlier session
+      // (the old fold merged it and dragged session_end back to 50+gap)
+      input.addData(ev(1, 50), ev(1, 98))
+      q.processAllAvailable()
+      input.addData(ev(1, 300)) // watermark -> 180min: both old sessions final
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_ooo_out").orderBy("session_start").collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows(0).getAs[Timestamp]("session_start").getTime == 50 * 60000L)
+    assert(rows(0).getAs[Timestamp]("session_end").getTime == 60 * 60000L)
+    assert(rows(0).getAs[Long]("n") == 1)
+    assert(rows(1).getAs[Timestamp]("session_start").getTime == 98 * 60000L)
+    assert(rows(1).getAs[Timestamp]("session_end").getTime == 115 * 60000L)
+    assert(rows(1).getAs[Long]("n") == 3)
   }
 
   test("flatMapGroupsWithState sessionizer matches session_window (batch)") {
