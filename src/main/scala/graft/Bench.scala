@@ -52,12 +52,19 @@ object Bench {
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the line a few hundred bytes — the driver's
+    // stdout-tail capture has truncated the full-precision form before
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val passedTotal = r3(results.map(_._2).filter(_ >= 0).sum)
+    // a run with failures reports value:-1, not the sum of the queries
+    // that happened to pass — a consumer comparing totals across rounds
+    // must not read a failure as a speedup (passed_total carries the sum)
+    val total = if (failed.nonEmpty) -1.0 else passedTotal
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout-tail capture has truncated this line before;
     // a file copy makes the result durable

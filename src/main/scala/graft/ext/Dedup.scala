@@ -105,9 +105,15 @@ object Dedup {
     * pairs with two key-partitioned shuffle-hash joins. Nothing
     * corpus-sized is broadcast or sorted anywhere in the stage.
     */
-  private def jaccardVerify(cand: DataFrame, arr: DataFrame,
+  private def jaccardVerify(cand0: DataFrame, arr: DataFrame,
                             arrCol: String, threshold: Double): DataFrame = {
-    val parts = cand.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = cand0.sparkSession.sessionState.conf.numShufflePartitions
+    // The plan below references the candidate-pair subtree three times
+    // (join left + the semi-join inside each `needed` branch); the
+    // minhash/band candidate generation is too expensive to risk
+    // re-execution if ReuseExchange fails to dedupe the subtrees (AQE
+    // can specialize them apart) — materialize once, as dupClusters does.
+    val cand = cand0.localCheckpoint()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
       .distinct()

@@ -36,7 +36,8 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]
   // is imposed once, in finish.
   override def zero: Seq[Scored] = Vector.empty
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-    if (b.size < k) b :+ a
+    if (k <= 0) b // top-0 is empty, not an IndexOutOfBounds on b(worst)
+    else if (b.size < k) b :+ a
     else {
       var worst = 0
       var i = 1

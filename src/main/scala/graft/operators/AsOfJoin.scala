@@ -34,6 +34,14 @@ object AsOfJoin {
                  payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // The tagged-union plan owns these names; a payload column literally
+    // named "__t" would duplicate the struct field and make
+    // col("__asof.__t") ambiguous (likewise the top-level tags).
+    val reserved = Set("__t", "__ts", "__side", "__asof")
+    val clashes = (payload ++ leftCols).filter(reserved.contains).distinct
+    require(clashes.isEmpty,
+      s"AsOfJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename: ${clashes.mkString(", ")}")
     // The whole right payload travels as ONE struct with ONE
     // last(ignoreNulls=true): per-column carries would back-fill a null
     // field of the genuinely-latest right row from an OLDER right row,

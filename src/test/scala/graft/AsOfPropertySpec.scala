@@ -67,6 +67,19 @@ class AsOfPropertySpec extends SparkSpec {
       }
   }
 
+  test("payload or left columns colliding with internal names are rejected") {
+    val left = df(Seq((1L, 5L, 10L)), "lv")
+    val right = df(Seq((1L, 3L, 7L)), "rv").withColumn("__t", col("rv"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.lastBefore(left, right, "user_id", "ts", Seq("rv", "__t"))
+    }
+    assert(e.getMessage.contains("__t"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.lastBefore(left.withColumn("__side", col("lv")), right,
+        "user_id", "ts", Seq("rv"))
+    }
+  }
+
   test("empty right side yields all-null payloads on both paths") {
     import spark.implicits._
     val left = df(Seq((1L, 5L, 10L), (2L, 6L, 20L)), "lv")

@@ -29,6 +29,13 @@ class VectorExprSpec extends SparkSpec {
     assert(r.forall(_.getDouble(0) > 0))
   }
 
+  test("top-k aggregator with k <= 0 returns empty, never throws") {
+    val agg = new graft.functions.TopKAggregator(0)
+    val fed = Seq(graft.functions.Scored(1L, 0.5), graft.functions.Scored(2L, 0.9))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(fed).isEmpty)
+  }
+
   test("expression participates in whole-stage codegen") {
     val plan = embs.select(
       VectorExpressions.dotD(col("embedding"), col("embedding")).as("d"))
