@@ -149,6 +149,24 @@ object ExtQueries {
     WHERE ${dotS("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
     ORDER BY vec_a, vec_b"""
 
+  // banded LSH: planes 0..7 split into 2 bands of 4; candidates collide
+  // in at least one band (DISTINCT pairs), then exact-cosine verified
+  private val bandedCosineDupOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    bb AS (SELECT v.vec_id, CAST(p.vec_id // 4 AS INT) AS band,
+                  CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(p.vec_id % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings v JOIN embeddings p ON p.vec_id < 8
+           GROUP BY v.vec_id, CAST(p.vec_id // 4 AS INT)),
+    cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+             FROM bb x JOIN bb y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    SELECT c.a_id AS vec_a, c.b_id AS vec_b,
+           ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+    FROM cand c JOIN e a ON c.a_id = a.vec_id JOIN e b ON c.b_id = b.vec_id
+    WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4
+    ORDER BY vec_a, vec_b"""
+
   private val annTopkOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
     sc AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
@@ -299,6 +317,13 @@ object ExtQueries {
     ("d11_cosine_lsh_dup", (s: SparkSession, d: String) =>
       Similarity.lshCosineDupPairs(t(s, d, "embeddings"), nPlanes = 8, threshold = 0.4),
       Some(lshCosineDupOracle)),
+
+    // banded (Bands x Rows) variant of d11 at the same 8 total planes:
+    // any-band collision => candidate superset of the single-table join
+    ("d12_cosine_banded_lsh_dup", (s: SparkSession, d: String) =>
+      Similarity.bandedCosineDupPairs(t(s, d, "embeddings"),
+        nBands = 2, rowsPerBand = 4, threshold = 0.4),
+      Some(bandedCosineDupOracle)),
 
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),

@@ -91,6 +91,56 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Banded multi-table cosine LSH near-dup pairs — the full 100 TB
+    * shape. [[lshCosineDupPairs]] uses ONE hash table over all planes:
+    * recall falls geometrically as nPlanes grows and parallelism is
+    * capped at 2^nPlanes buckets. Here the hyperplane signs are split
+    * into nBands independent tables of rowsPerBand planes each (the
+    * minhash Bands x Rows structure, [[Dedup.minhashDup]]): a pair is a
+    * candidate if it collides in ANY band, so at equal total planes the
+    * candidate set is a strict superset of the single-table one (one
+    * band matching is implied by all planes matching) — recall can only
+    * go up, while each band join stays a plain equi-join on
+    * (band, bucket). Candidates are then verified with the exact
+    * codegen'd cosine via key-partitioned shuffle-hash joins; nothing
+    * corpus-sized is broadcast and there is no nested loop.
+    */
+  def bandedCosineDupPairs(embs: DataFrame, nBands: Int, rowsPerBand: Int,
+                           threshold: Double): DataFrame = {
+    val nPlanes = nBands * rowsPerBand
+    val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
+    val planes = embs.filter(col("vec_id") < nPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
+    // per-(vector, band) bucket id from that band's plane signs
+    val bandBuckets = graft.core.Tables.spread(embs)
+      .crossJoin(broadcast(planes))
+      .withColumn("d", dotCol(col("embedding"), col("p_emb")))
+      .groupBy(col("vec_id"), expr(s"CAST(plane_id div $rowsPerBand AS INT)").as("band"))
+      .agg(sum(when(col("d") > 0,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $rowsPerBand AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
+    // distinct candidate pairs: same bucket in at least one band
+    val cand = bandBuckets.select(col("vec_id").as("a_id"), col("band"), col("bucket"))
+      .join(bandBuckets.select(col("vec_id").as("b_id"),
+          col("band").as("b_band"), col("bucket").as("b_bucket")),
+        col("band") === col("b_band") && col("bucket") === col("b_bucket") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val a = side(embs, "a"); val b = side(embs, "b")
+    cand
+      .join(a.hint("shuffle_hash"), "a_id")
+      .join(b.hint("shuffle_hash"), "b_id")
+      // pair table is tiny in bytes but CPU-heavy per row: keep the
+      // exact-cosine stage wide (same AQE-coalesce reasoning as
+      // Dedup.jaccardVerify)
+      .repartition(parts, col("a_id"), col("b_id"))
+      .withColumn("cosine",
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Brute-force cosine top-k: queries (vec_id < nQueries) broadcast
     * against targets (vec_id >= nQueries); exact baseline for ANN.
     */

@@ -60,6 +60,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("banded cosine LSH recall >= single-table at equal total planes") {
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(graft.ext.Similarity
+      .lshCosineDupPairs(embs, nPlanes = 8, threshold = 0.4))
+    val banded = pairs(graft.ext.Similarity
+      .bandedCosineDupPairs(embs, nBands = 2, rowsPerBand = 4, threshold = 0.4))
+    val exact = pairs(graft.ext.Similarity
+      .cosineDupPairs(embs, threshold = 0.4))
+    // any-band collision is implied by all-planes collision: superset
+    assert(single.subsetOf(banded), s"missing: ${single -- banded}")
+    // every banded pair is exact-verified: no false positives
+    assert(banded.subsetOf(exact), s"spurious: ${banded -- exact}")
+  }
+
   lazy val mw = graft.publish.PublishJob.buildMatchwise(
     Extractors.matchwise(Cricsheet.read(spark, fixturesDir))).cache()
 
