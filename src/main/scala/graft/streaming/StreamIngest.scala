@@ -38,11 +38,13 @@ object StreamIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
+        // staging backend is config-pluggable (parquet by default,
+        // s3a:// paths or a document-store connector via session conf)
         try {
-          Extractors.matchwise(b).write.mode("append")
-            .parquet(s"$stagingDir/matchwise")
-          Extractors.deliverywise(b).write.mode("append")
-            .parquet(s"$stagingDir/deliverywise")
+          graft.core.Connectors.writeStaging(
+            Extractors.matchwise(b), s"$stagingDir/matchwise")
+          graft.core.Connectors.writeStaging(
+            Extractors.deliverywise(b), s"$stagingDir/deliverywise")
         } finally { b.unpersist(); () }
       }
       .start()

@@ -60,6 +60,37 @@ class IngestStreamSpec extends SparkSpec {
       batch.orderBy("match_id").collect().toSeq)
   }
 
+  test("staging backend is config-pluggable (json stand-in for a connector)") {
+    // the same StreamIngest code path writes through whatever DataSource
+    // the session config names — json here stands in for s3a:// parquet
+    // or the mongodb connector (whose jars aren't in this container)
+    val landing = tmp("c_landing"); val staging = tmp("c_staging")
+    val checkpoint = tmp("c_ckpt")
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+    spark.conf.set(graft.core.Connectors.FormatKey, "json")
+    spark.conf.set(s"${graft.core.Connectors.OptionPrefix}compression", "none")
+    try {
+      StreamIngest.run(spark, landing, staging, checkpoint).awaitTermination()
+      val parts = Files.list(Paths.get(staging, "matchwise")).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(parts.exists(_.endsWith(".json")), parts.mkString(", "))
+      val back = graft.core.Connectors.readStaging(spark, s"$staging/matchwise")
+      assert(back.count() == 2)
+      assert(back.select("match_id").collect().map(_.getLong(0)).toSet == Set(1001L, 1002L))
+    } finally {
+      spark.conf.unset(graft.core.Connectors.FormatKey)
+      spark.conf.unset(s"${graft.core.Connectors.OptionPrefix}compression")
+    }
+  }
+
+  test("tables load through scheme-qualified URIs (file:// as the s3a:// stand-in)") {
+    val orders = graft.core.Tables.load(spark, "file:///root/testdata/sf0.001", "orders")
+    assert(orders.count() > 0)
+    val events = graft.core.Tables.load(spark, "file:///root/testdata/sf0.001", "events")
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // nanos normalization holds via URI too
+  }
+
   test("streaming: restart with same checkpoint reprocesses nothing") {
     val landing = tmp("r_landing"); val staging = tmp("r_staging")
     val checkpoint = tmp("r_ckpt")
