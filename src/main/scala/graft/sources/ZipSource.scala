@@ -20,9 +20,18 @@ object ZipSource {
 
   /** (zip_path, entry, text) for every file entry matching `suffix`. */
   def readEntries(spark: SparkSession, path: String,
-                  suffix: String = ".json"): DataFrame = {
+                  suffix: String = ".json"): DataFrame =
+    expandEntries(spark.read.format("binaryFile").load(path), suffix)
+
+  /** Expand a (path, content) DataFrame of zip payloads — works on a
+    * batch binaryFile scan and equally on a streaming micro-batch
+    * (StreamIngest.runZip), which is what keeps the zip→publish chain
+    * a single code path in both modes.
+    */
+  def expandEntries(files: DataFrame, suffix: String = ".json"): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (zipPath, bytes) =>
@@ -45,9 +54,13 @@ object ZipSource {
     * as [[Cricsheet.read]] over an exploded directory (match_id from
     * the entry name), so the extractors run unchanged.
     */
-  def readMatches(spark: SparkSession, zipPath: String): DataFrame = {
+  def readMatches(spark: SparkSession, zipPath: String): DataFrame =
+    matchesFrom(readEntries(spark, zipPath))
+
+  /** Parse expanded entries into the [[Cricsheet.read]] shape. */
+  def matchesFrom(entries: DataFrame): DataFrame = {
     val idStr = regexp_extract(col("entry"), "(\\d+)\\.json", 1)
-    readEntries(spark, zipPath)
+    entries
       .withColumn("parsed", from_json(col("text"), Cricsheet.schema))
       .select(
         col("parsed.meta").as("meta"),

@@ -91,6 +91,46 @@ class IngestStreamSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType) // nanos normalization holds via URI too
   }
 
+  test("e2e slice: zip landing -> stream extract -> publish, idempotent re-run") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val landing = tmp("z_landing"); val work = tmp("z_work")
+    val zip = new File(landing, "t20s.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    Files.list(Paths.get(fixturesDir)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).foreach { p =>
+        zos.putNextEntry(new ZipEntry(s"t20s_male/${p.getFileName}"))
+        zos.write(Files.readAllBytes(p)); zos.closeEntry()
+      }
+    zos.close()
+
+    def readArtifact(name: String): String =
+      Files.list(Paths.get(work, "output", name)).iterator().asScala
+        .filter(_.toString.endsWith(".csv")).map(p => new String(Files.readAllBytes(p)))
+        .mkString
+
+    val (mw1, dw1, note1) = StreamIngest.runPipeline(spark, landing, work)
+    assert(mw1 == 6 && dw1 == 24)
+    assert(note1.startsWith("Updated till the match between"))
+    val csv1 = readArtifact("matchwise_data.csv")
+    val stagedRaw1 = spark.read.parquet(s"$work/staging/matchwise").count()
+
+    // re-run against the unchanged landing dir: the checkpoint is the
+    // ledger — zero new staged rows, identical artifacts
+    val (mw2, dw2, note2) = StreamIngest.runPipeline(spark, landing, work)
+    val stagedRaw2 = spark.read.parquet(s"$work/staging/matchwise").count()
+    assert(stagedRaw2 == stagedRaw1, "second run must stage zero new rows")
+    assert((mw2, dw2, note2) == (mw1, dw1, note1))
+    assert(readArtifact("matchwise_data.csv") == csv1)
+
+    // the published artifact equals the batch pipeline's over the same data
+    val batch = graft.publish.PublishJob.buildMatchwise(
+      Extractors.matchwise(Cricsheet.read(spark, fixturesDir)))
+    val streamed = spark.read.option("header", "true")
+      .csv(s"$work/output/matchwise_data.csv")
+    assert(streamed.count() == batch.count())
+  }
+
   test("streaming: restart with same checkpoint reprocesses nothing") {
     val landing = tmp("r_landing"); val staging = tmp("r_staging")
     val checkpoint = tmp("r_ckpt")
