@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ext.{Dedup, TextOps}
+
+/** Property test for the LSH-candidate verification path
+  * (Dedup.jaccardVerify via minhashDup): on random corpora with planted
+  * near-duplicates, the emitted pair set — values included — must be
+  * IDENTICAL to a driver-side brute-force exact Jaccard >= threshold
+  * reference restricted to the same LSH candidate pairs. Guards the
+  * semi-join + shuffle-hash verify rewrite against regressions the
+  * fixed fixture can't catch (e.g. a join dropping pairs, a stale
+  * array attach, intersect miscounts).
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  private val threshold = 0.5
+
+  private def forSamples[T](g: Gen[T], n: Int)(body: T => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  private val vocab = Vector(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+
+  private val docGen: Gen[Seq[String]] = for {
+    len <- Gen.choose(4, 18) // includes docs too short to shingle at n=3
+    ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+  } yield ws
+
+  // base docs plus, per base, optionally an exact or one-word-mutated
+  // copy — dense near-dup structure so candidates and survivors both
+  // occur at every sample size
+  private val corpusGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(6, 12)
+    bases <- Gen.listOfN(n, docGen)
+    flags <- Gen.listOfN(n, Gen.choose(0, 2))
+    idxs <- Gen.listOfN(n, Gen.choose(0, 1000))
+    words <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield {
+    val dups = bases.lazyZip(flags).lazyZip(idxs).lazyZip(words).flatMap {
+      case (b, 1, _, _) => Some(b)
+      case (b, 2, i, w) => Some(b.updated(i % b.size, w))
+      case _ => None
+    }
+    (bases ++ dups).map(_.mkString(" "))
+  }
+
+  test("minhashDup equals brute-force Jaccard restricted to LSH candidates") {
+    import spark.implicits._
+    forSamples(corpusGen, 8) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .cache()
+
+      // the system under test
+      val got = Dedup.minhashDup(docs, threshold).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
+        .toMap
+
+      // same candidate generation as minhashDup (public pieces) ...
+      val bands = Dedup.minhashBands(Dedup.minhashSignatures(docs))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // ... then brute-force exact verification on the driver
+      val shingles = docs.select(col("doc_id"),
+          TextOps.wordShingles(col("text"), Dedup.ShingleSize).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      val expected = cand.flatMap { case (a, b) =>
+        val (sa, sb) = (shingles(a), shingles(b))
+        val n = sa.intersect(sb).size
+        val denom = sa.size + sb.size - n
+        val j = n.toDouble / denom // same IEEE division as the Spark plan
+        if (denom > 0 && j >= threshold) Some((a, b) -> ((n, j))) else None
+      }.toMap
+
+      assert(got == expected,
+        s"corpus=${texts.size} docs; got ${got.keySet} expected ${expected.keySet}")
+      docs.unpersist()
+      ()
+    }
+  }
+}
