@@ -31,14 +31,21 @@ object Pipeline {
     graft.core.RunListener.attach(spark,
       m => if (m.contains("finished")) println(s"[pipeline:notify] $m"))
 
-    // a .zip landing path starts from the archive itself (the
-    // reference's actual input); a directory goes through the
-    // incremental ledger ingest
-    val raw = (if (landing.endsWith(".zip")) {
-      println(s"[pipeline] reading matches from archive $landing")
-      graft.sources.ZipSource.readMatches(spark, landing)
+    // a URL is fetched to the work dir first (the reference's download
+    // lambda), making `Pipeline <url.zip>` self-contained; a .zip
+    // landing path starts from the archive itself (the reference's
+    // actual input); a directory goes through the incremental ledger
+    // ingest
+    val landed =
+      if (landing.endsWith(".zip") && graft.sources.Fetch.isFetchUrl(landing)) {
+        println(s"[pipeline] fetching $landing")
+        graft.sources.Fetch.toLanding(spark, landing, s"$work/landing")
+      } else landing
+    val raw = (if (landed.endsWith(".zip")) {
+      println(s"[pipeline] reading matches from archive $landed")
+      graft.sources.ZipSource.readMatches(spark, landed)
     } else {
-      val staged = IngestJob.run(spark, landing, s"$work/staging",
+      val staged = IngestJob.run(spark, landed, s"$work/staging",
         s"$work/ledger", maxFiles)
       println(s"[pipeline] ingested ${staged.size} new file(s): ${staged.mkString(", ")}")
       Cricsheet.read(spark, s"$work/staging")

@@ -46,6 +46,19 @@ class ZipSourceSpec extends SparkSpec {
     assert(fromZip.count() == 6)
   }
 
+  test("archive fetch lands a file:// URL and the zip reads end-to-end") {
+    val landing = Files.createTempDirectory("graft_fetch").toString
+    val url = new File(zipPath).toURI.toString // file:///.../t20s.zip
+    assert(graft.sources.Fetch.isFetchUrl(url))
+    assert(!graft.sources.Fetch.isFetchUrl("/data/landing/t20s.zip"))
+    val landed = graft.sources.Fetch.toLanding(spark, url, landing)
+    assert(landed.endsWith("t20s.zip"))
+    assert(ZipSource.readMatches(spark, landed).count() == 6)
+    // re-fetch overwrites, not duplicates or fails
+    val again = graft.sources.Fetch.toLanding(spark, url, landing)
+    assert(again == landed)
+  }
+
   test("batched decode plumbing runs the injected codec per payload") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val withBin = Multimodal.withPayload(docs.limit(50))
