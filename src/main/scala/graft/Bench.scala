@@ -65,12 +65,14 @@ object Bench {
     val total = if (failed.nonEmpty) -1.0 else passedTotal
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
     // the driver's stdout-tail capture has truncated this line before;
     // a file copy makes the result durable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // print LAST, after session teardown, so nothing else can land
+    // between the JSON line and the end of the captured output
     spark.stop()
+    println(line)
   }
 }
