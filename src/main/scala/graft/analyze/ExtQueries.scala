@@ -193,6 +193,34 @@ object ExtQueries {
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS INT) AS rn FROM sc) z
     WHERE rn <= 3 ORDER BY query_id, rn"""
 
+  // IVF: centroids = target vectors 10..25; targets assigned to their
+  // single nearest centroid, queries probe their 2 nearest cells.
+  // DuckDB expresses the assignment as ROW_NUMBER()=1, which equals the
+  // Spark side's max_by under the same unique (cosine DESC, c_id) order.
+  private val annIvfOracle: String = s"""
+    WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_norm
+          FROM e WHERE vec_id >= 10 AND vec_id < 26),
+    t AS (SELECT vec_id AS t_id, embedding AS t_emb, nrm AS t_norm FROM e WHERE vec_id >= 10),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_norm FROM e WHERE vec_id < 10),
+    ta AS (SELECT t_id, t_emb, t_norm, c_id AS cell FROM (
+             SELECT t_id, t_emb, t_norm, c_id,
+                    ROW_NUMBER() OVER (PARTITION BY t_id
+                      ORDER BY ${dotS("t_emb", "c_emb")} / (t_norm * c_norm) DESC, c_id) AS crn
+             FROM t CROSS JOIN c) z WHERE crn = 1),
+    qp AS (SELECT q_id, q_emb, q_norm, c_id AS cell FROM (
+             SELECT q_id, q_emb, q_norm, c_id,
+                    ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY ${dotS("q_emb", "c_emb")} / (q_norm * c_norm) DESC, c_id) AS crn
+             FROM q CROSS JOIN c) z WHERE crn <= 2),
+    sc AS (SELECT q_id, t_id, cell,
+                  ${dotS("q_emb", "t_emb")} / (q_norm * t_norm) AS cosine
+           FROM qp JOIN ta USING (cell))
+    SELECT q_id AS query_id, t_id AS neighbor_id, cell, cosine, rn
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, t_id) AS INT) AS rn FROM sc) z
+    WHERE rn <= 5 ORDER BY query_id, rn"""
+
   private val langidOracle: String = {
     val scoreCols = TextAnalysis.stopwords.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -338,6 +366,12 @@ object ExtQueries {
     ("s03_ann_topk_agg", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopKAgg(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),
+
+    // coarse-quantizer ANN: the IVF cell structure next to s02's LSH
+    ("s06_ann_ivf_topk", (s: SparkSession, d: String) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"),
+        nCentroids = 16, nProbe = 2, nQueries = 10, k = 5),
+      Some(annIvfOracle)),
 
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),

@@ -111,7 +111,10 @@ object Similarity {
     val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
     val planes = embs.filter(col("vec_id") < nPlanes)
       .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
-    // per-(vector, band) bucket id from that band's plane signs
+    // per-(vector, band) bucket id from that band's plane signs;
+    // materialized once — the candidate self-join references it on both
+    // sides, and the corpus-wide plane-dot aggregation is too expensive
+    // to risk running twice if ReuseExchange fails to dedupe
     val bandBuckets = graft.core.Tables.spread(embs)
       .crossJoin(broadcast(planes))
       .withColumn("d", dotCol(col("embedding"), col("p_emb")))
@@ -119,6 +122,7 @@ object Similarity {
       .agg(sum(when(col("d") > 0,
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $rowsPerBand AS INT))"))
         .otherwise(lit(0L))).as("bucket"))
+      .localCheckpoint()
     // distinct candidate pairs: same bucket in at least one band
     val cand = bandBuckets.select(col("vec_id").as("a_id"), col("band"), col("bucket"))
       .join(bandBuckets.select(col("vec_id").as("b_id"),
@@ -195,6 +199,56 @@ object Similarity {
       .agg(sum(when(col("d") > 0,
           expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INT))"))
         .otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
+    * alongside [[lshTopK]]. Cell structure: nCentroids deterministic
+    * centroids (the first nCentroids target vectors, same
+    * oracle-sharable determinism as [[lshBuckets]]; production would
+    * run a few Lloyd iterations on a sample). Build: every target joins
+    * its nearest centroid — a broadcast of the (small) centroid set and
+    * a map-side max_by per target, so the exchange carries one row per
+    * target, never the N x C score table. Probe: each query searches
+    * only its nProbe nearest cells via an equi-join on cell id —
+    * hash-partitioned, skew-bounded by cell balance. Recall/cost is
+    * tuned by (nCentroids, nProbe) exactly as in published IVF-flat
+    * designs (Faiss-style); candidates are scored with the exact
+    * codegen'd cosine.
+    */
+  def ivfTopK(embs: DataFrame, nCentroids: Int, nProbe: Int,
+              nQueries: Int, k: Int): DataFrame = {
+    val cents = embs
+      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normCol(col("embedding")).as("c_norm"))
+    val t = side(embs.filter(col("vec_id") >= nQueries), "t")
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+    def cScore(emb: String, nrm: String) =
+      dotCol(col(emb), col("c_emb")) / (col(nrm) * col("c_norm"))
+    // build: argmax-by-(cosine, then lowest c_id) per target, as a
+    // partial-aggregating max_by — not a window over the score table
+    val cells = t.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cScore("t_emb", "t_norm"))
+      .groupBy(col("t_id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), negate(col("c_id")))).as("cell"))
+    val assigned = t.join(cells, "t_id")
+    // probe: nProbe nearest cells per query (query set is small)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cScore("q_emb", "q_norm"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id").as("cell"))
+    val scored = probes.join(assigned, "cell")
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("cell"), col("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** LSH-bucketed ANN top-k: queries probe only their own bucket —

@@ -77,6 +77,23 @@ class QueriesSpec extends SparkSpec {
     assert(banded.subsetOf(exact), s"spurious: ${banded -- exact}")
   }
 
+  test("IVF ANN scores agree with brute force on shared candidates") {
+    val embs = graft.core.Tables.load(spark, sf, "embeddings")
+    val ivf = graft.ext.Similarity
+      .ivfTopK(embs, nCentroids = 8, nProbe = 2, nQueries = 4, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(ivf.nonEmpty)
+    // brute force ranks ALL targets; wherever IVF surfaced a pair, the
+    // exact cosine must be identical (the approximation is in WHICH
+    // candidates are scored, never in the scores)
+    val brute = graft.ext.Similarity
+      .bruteForceTopK(embs, nQueries = 4, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (pair, cos) =>
+      assert(brute(pair) == cos, s"cosine mismatch for $pair")
+    }
+  }
+
   lazy val mw = graft.publish.PublishJob.buildMatchwise(
     Extractors.matchwise(Cricsheet.read(spark, fixturesDir))).cache()
 
