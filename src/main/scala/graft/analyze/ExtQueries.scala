@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
 import graft.functions.Hashing
 import graft.functions.Hashing.{MersennePrime => P}
 
@@ -402,6 +402,31 @@ object ExtQueries {
       FROM (SELECT doc_id, unnest(${TextOps.wordShinglesSql("text", 2)}) AS bigram
             FROM documents) x
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
+
+    // deterministic stratified sample: first-20-per-lang in
+    // (md5(text), doc_id) order — seedless, engine-reproducible
+    ("t07_stratified_sample", (s: SparkSession, d: String) =>
+      Curation.stratifiedSample(t(s, d, "documents"), "lang", perStratum = 20),
+      Some("""
+      SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS INT) AS rk
+        FROM documents) z
+      WHERE rk <= 20 ORDER BY lang, rk""")),
+
+    // contiguous greedy packing into fixed-capacity bins (sequence
+    // packing for training batches); all-integer running sums
+    ("t08_doc_packing", (s: SparkSession, d: String) =>
+      Curation.packDocs(t(s, d, "documents"), "lang", "n_chars", capacity = 4096),
+      Some("""
+      SELECT doc_id, lang, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER w, 0) AS BIGINT) AS offset_in_stratum,
+             CAST(COALESCE(SUM(n_chars) OVER w, 0) // 4096 AS BIGINT) AS bin_id
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ORDER BY lang, doc_id""")),
 
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),
