@@ -404,21 +404,24 @@ object ExtQueries {
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
 
     // deterministic stratified sample: first-20-per-lang in
-    // (md5(text), doc_id) order — seedless, engine-reproducible
+    // (hash32(text), doc_id) order — seedless, engine-reproducible;
+    // runs the map-side TopKAggregator path (the 100 TB shape)
     ("t07_stratified_sample", (s: SparkSession, d: String) =>
       Curation.stratifiedSample(t(s, d, "documents"), "lang", perStratum = 20),
       Some("""
       SELECT doc_id, lang, rk FROM (
         SELECT doc_id, lang,
                CAST(ROW_NUMBER() OVER (PARTITION BY lang
-                 ORDER BY md5(text), doc_id) AS INT) AS rk
+                 ORDER BY ('0x'||substr(md5(text),1,8))::BIGINT, doc_id) AS INT) AS rk
         FROM documents) z
       WHERE rk <= 20 ORDER BY lang, rk""")),
 
     // contiguous greedy packing into fixed-capacity bins (sequence
-    // packing for training batches); all-integer running sums
+    // packing for training batches); all-integer running sums, computed
+    // through the range-partitioned PrefixSum operator (the 100 TB shape)
     ("t08_doc_packing", (s: SparkSession, d: String) =>
-      Curation.packDocs(t(s, d, "documents"), "lang", "n_chars", capacity = 4096),
+      Curation.packDocs(t(s, d, "documents"), "lang", "n_chars",
+        capacity = 4096, scalable = true),
       Some("""
       SELECT doc_id, lang, n_chars,
              CAST(COALESCE(SUM(n_chars) OVER w, 0) AS BIGINT) AS offset_in_stratum,

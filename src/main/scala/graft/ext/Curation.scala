@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.PrefixSum
+
 /** Training-data curation operators: the selection/layout steps between
   * dedup/quality scoring and an actual training corpus.
   *
@@ -14,22 +16,46 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Deterministic stratified sample: the `perStratum` docs per stratum
-    * that rank first in (md5(text), doc_id) order — a uniform-ish,
-    * seedless shuffle that every engine reproduces bit-for-bit.
-    * One hash-partitioned window per stratum; no global sort, no
-    * collect. At 100 TB the per-stratum windows parallelize over the
-    * stratum key (salt a dominant stratum if needed).
+  /** Portable 32-bit document hash (first 8 hex chars of md5) — numeric,
+    * identical in Spark and DuckDB, used as the seedless shuffle key.
     */
-  def stratifiedSample(docs: DataFrame, stratum: String,
-                       perStratum: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(md5(col("text")), col("doc_id"))
-    graft.core.Tables.spread(docs)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= perStratum)
-      .select(col("doc_id"), col(stratum), col("rk"))
-      .orderBy(col(stratum), col("rk"))
+  private def hash32 = expr(
+    "CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)")
+
+  /** Deterministic stratified sample: the `perStratum` docs per stratum
+    * that rank first in (hash32(text), doc_id) order — a uniform-ish,
+    * seedless shuffle every engine reproduces bit-for-bit.
+    *
+    * Default path is the 100 TB shape: the typed TopKAggregator keeps
+    * only perStratum candidates per stratum on the MAP side, so the
+    * exchange carries O(strata x N) rows no matter how skewed the
+    * strata are (a 5-language corpus would otherwise funnel through 5
+    * window tasks). `scalable = false` is the window twin used to
+    * cross-check the aggregator path in the spec.
+    */
+  def stratifiedSample(docs: DataFrame, stratum: String, perStratum: Int,
+                       scalable: Boolean = true): DataFrame = {
+    val spread = graft.core.Tables.spread(docs)
+    if (scalable) {
+      val topk = graft.functions.TopKAggregator.topK(perStratum)
+      spread
+        // score = -hash: the aggregator keeps highest-score (ties by
+        // lowest id), which is exactly (hash ASC, doc_id ASC)
+        .withColumn("__score", negate(hash32.cast("double")))
+        .groupBy(col(stratum))
+        .agg(topk(col("doc_id"), col("__score")).as("sel"))
+        .select(col(stratum), posexplode(col("sel")).as(Seq("idx", "s")))
+        .select(col("s.id").as("doc_id"), col(stratum),
+          (col("idx") + 1).cast("int").as("rk"))
+        .orderBy(col(stratum), col("rk"))
+    } else {
+      val w = Window.partitionBy(col(stratum)).orderBy(hash32, col("doc_id"))
+      spread
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= perStratum)
+        .select(col("doc_id"), col(stratum), col("rk"))
+        .orderBy(col(stratum), col("rk"))
+    }
   }
 
   /** Contiguous greedy packing: docs are laid out per stratum in
@@ -37,18 +63,36 @@ object Curation {
     * length BEFORE each doc — the deterministic sequence-packing
     * shape used to batch variable-length documents for training
     * (capacity = context window in the length unit, here chars).
-    * All-integer arithmetic: bin_id = floor(running/capacity) with a
-    * rows-frame running sum, exact in both engines. Per-stratum windows
-    * keep it parallel; a global layout would instead range-partition on
-    * (stratum, doc_id) like operators.SeqNumber.
+    * All-integer arithmetic, exact in both engines.
+    *
+    * `scalable = true` computes the running sum with the
+    * [[graft.operators.PrefixSum]] range-partitioned operator (global
+    * order (stratum, doc_id), per-stratum offsets recovered by
+    * subtracting each stratum's starting prefix) — balanced parallelism
+    * even with 5 strata. The default window path partitions by stratum:
+    * identical rows, simpler plan, fine when strata are many.
     */
   def packDocs(docs: DataFrame, stratum: String, lengthCol: String,
-               capacity: Int): DataFrame = {
-    val w = Window.partitionBy(col(stratum)).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    graft.core.Tables.spread(docs)
-      .withColumn("offset_in_stratum",
-        coalesce(sum(col(lengthCol)).over(w), lit(0L)).cast("long"))
+               capacity: Int, scalable: Boolean = false): DataFrame = {
+    val spread = graft.core.Tables.spread(docs)
+    val withOffset =
+      if (scalable) {
+        val globalSum = PrefixSum.withRunningSum(spread,
+          Seq(col(stratum), col("doc_id")), lengthCol, "__gsum")
+        // a stratum's block is contiguous in the global order, so its
+        // starting prefix is the min __gsum within the stratum
+        val starts = globalSum.groupBy(col(stratum))
+          .agg(min(col("__gsum")).as("__start"))
+        globalSum.join(broadcast(starts), stratum)
+          .withColumn("offset_in_stratum",
+            (col("__gsum") - col("__start")).cast("long"))
+      } else {
+        val w = Window.partitionBy(col(stratum)).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        spread.withColumn("offset_in_stratum",
+          coalesce(sum(col(lengthCol)).over(w), lit(0L)).cast("long"))
+      }
+    withOffset
       // integer div, not `/`: Spark's / is double division and double
       // truncation vs DuckDB rounding diverges at the margins
       .withColumn("bin_id", expr(s"offset_in_stratum div $capacity"))

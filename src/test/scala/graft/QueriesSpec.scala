@@ -94,6 +94,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("curation scalable paths equal their window twins") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val aggSample = graft.ext.Curation
+      .stratifiedSample(docs, "lang", 7, scalable = true)
+    val winSample = graft.ext.Curation
+      .stratifiedSample(docs, "lang", 7, scalable = false)
+    assert(aggSample.exceptAll(winSample).count() == 0)
+    assert(winSample.exceptAll(aggSample).count() == 0)
+
+    val prefixPack = graft.ext.Curation
+      .packDocs(docs, "lang", "n_chars", 2048, scalable = true)
+    val winPack = graft.ext.Curation
+      .packDocs(docs, "lang", "n_chars", 2048, scalable = false)
+    assert(prefixPack.exceptAll(winPack).count() == 0)
+    assert(winPack.exceptAll(prefixPack).count() == 0)
+  }
+
   lazy val mw = graft.publish.PublishJob.buildMatchwise(
     Extractors.matchwise(Cricsheet.read(spark, fixturesDir))).cache()
 
