@@ -431,6 +431,44 @@ object ExtQueries {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       ORDER BY lang, doc_id""")),
 
+    // the whole curation DAG composed: exact dedup -> quality gate ->
+    // stratified sample -> sequence packing, one oracle-verified query
+    ("c01_corpus_build", (s: SparkSession, d: String) =>
+      Curation.corpusBuild(t(s, d, "documents"),
+        perStratum = 30, qualityMin = 0.6, capacity = 4096),
+      Some {
+        val allStop = TextAnalysis.stopwords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        val ws = TextOps.wordsSql("text")
+        s"""
+        WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        k AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        cc AS (SELECT doc_id,
+                 CAST(len($ws) AS INT) AS n_words,
+                 CAST(len(list_distinct($ws)) AS INT) AS n_distinct,
+                 CAST(len(list_filter($ws, w -> w IN ($allStop))) AS INT) AS n_stop,
+                 CAST(length(text) AS INT) AS len FROM k),
+        q AS (SELECT doc_id,
+                0.4 * (CAST(n_distinct AS DOUBLE) / n_words)
+                  + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_words)
+                  + 0.2 * LEAST((CAST(len - n_words + 1 AS DOUBLE) / n_words) / 10.0, 1.0) AS quality
+              FROM cc),
+        good AS (SELECT k.doc_id, k.lang, k.n_chars, k.text, q.quality
+                 FROM k JOIN q USING (doc_id) WHERE quality >= 0.6),
+        samp AS (SELECT doc_id, lang, n_chars, quality, rk FROM (
+                   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY ('0x'||substr(md5(text),1,8))::BIGINT, doc_id) AS INT) AS rk
+                   FROM good) z
+                 WHERE rk <= 30)
+        SELECT doc_id, lang, n_chars, quality, rk,
+               CAST(COALESCE(SUM(n_chars) OVER w, 0) AS BIGINT) AS offset_in_stratum,
+               CAST(COALESCE(SUM(n_chars) OVER w, 0) // 4096 AS BIGINT) AS bin_id
+        FROM samp
+        WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ORDER BY lang, doc_id"""
+      }),
+
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),
       Some(multimodalOracle)),

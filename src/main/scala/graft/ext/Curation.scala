@@ -58,6 +58,33 @@ object Curation {
     }
   }
 
+  /** The whole curation DAG as one query — what a corpus release run
+    * actually executes: exact dedup (keep the min doc_id per identical
+    * text) → quality gate → deterministic stratified sample → sequence
+    * packing. Every stage is the skew-immune shape (hash-partitioned
+    * dedup agg, map-side top-k sample, range-partitioned prefix sums),
+    * so the composition is too. Output: one row per selected doc with
+    * its sample rank and bin layout.
+    */
+  def corpusBuild(docs: DataFrame, perStratum: Int, qualityMin: Double,
+                  capacity: Int): DataFrame = {
+    val keep = docs.groupBy(md5(col("text")).as("__k"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kept = docs.join(keep, Seq("doc_id"), "left_semi")
+    val quality = TextAnalysis.qualityScore(kept)
+      .select(col("doc_id"), col("quality"))
+    val good = kept.join(quality, "doc_id")
+      .filter(col("quality") >= qualityMin)
+    val sampled = good.join(
+      stratifiedSample(good, "lang", perStratum).select(col("doc_id"), col("rk")),
+      "doc_id")
+    packDocs(sampled, "lang", "n_chars", capacity, scalable = true)
+      .join(sampled.select(col("doc_id"), col("quality"), col("rk")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"),
+        col("rk"), col("offset_in_stratum"), col("bin_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Contiguous greedy packing: docs are laid out per stratum in
     * doc_id order and cut into fixed-capacity bins by the running
     * length BEFORE each doc — the deterministic sequence-packing
