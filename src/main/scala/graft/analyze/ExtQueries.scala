@@ -469,6 +469,21 @@ object ExtQueries {
         ORDER BY lang, doc_id"""
       }),
 
+    // weighted mixture: per-lang quotas in the deterministic hash order
+    ("c02_mixture_sample", (s: SparkSession, d: String) =>
+      Curation.mixtureSample(t(s, d, "documents"), "lang",
+        Map("en" -> 40, "de" -> 15, "fr" -> 10, "es" -> 10, "zh" -> 5)),
+      Some("""
+      SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY ('0x'||substr(md5(text),1,8))::BIGINT, doc_id) AS INT) AS rk
+        FROM documents) z
+      WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15
+                            WHEN 'fr' THEN 10 WHEN 'es' THEN 10
+                            WHEN 'zh' THEN 5 ELSE 0 END
+      ORDER BY lang, rk""")),
+
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),
       Some(multimodalOracle)),

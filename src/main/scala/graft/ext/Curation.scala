@@ -58,6 +58,29 @@ object Curation {
     }
   }
 
+  /** Weighted mixture sampling: per-stratum quotas (the dataset-mixing
+    * step — "40% en, 20% de, ..." — of a training-corpus recipe), each
+    * stratum's quota taken in the same deterministic hash order as
+    * [[stratifiedSample]]. One map-side top-(max quota) aggregation
+    * bounds the exchange; the exact per-stratum cut is a broadcast-join
+    * filter, so uneven quotas cost nothing extra. Strata without a
+    * quota are dropped.
+    */
+  def mixtureSample(docs: DataFrame, stratum: String,
+                    quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 0),
+      "quotas must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxQ = quotas.values.max
+    val quotaDf = quotas.toSeq.toDF(stratum, "__quota")
+    stratifiedSample(docs, stratum, maxQ, scalable = true)
+      .join(broadcast(quotaDf), stratum)
+      .filter(col("rk") <= col("__quota"))
+      .select(col("doc_id"), col(stratum), col("rk"))
+      .orderBy(col(stratum), col("rk"))
+  }
+
   /** The whole curation DAG as one query — what a corpus release run
     * actually executes: exact dedup (keep the min doc_id per identical
     * text) → quality gate → deterministic stratified sample → sequence
