@@ -96,11 +96,17 @@ object Curation {
     val kept = docs.join(keep, Seq("doc_id"), "left_semi")
     val quality = TextAnalysis.qualityScore(kept)
       .select(col("doc_id"), col("quality"))
+    // materialize the survivors once: the quality-scored subtree (word
+    // HOFs over the whole corpus) is referenced by the sample, the
+    // packing input, and the final attach — recomputing it three times
+    // is the dominant cost of the composition
     val good = kept.join(quality, "doc_id")
       .filter(col("quality") >= qualityMin)
+      .localCheckpoint()
     val sampled = good.join(
       stratifiedSample(good, "lang", perStratum).select(col("doc_id"), col("rk")),
       "doc_id")
+      .localCheckpoint() // tiny: strata x perStratum rows
     packDocs(sampled, "lang", "n_chars", capacity, scalable = true)
       .join(sampled.select(col("doc_id"), col("quality"), col("rk")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"),
