@@ -58,6 +58,43 @@ class RobustnessSpec extends SparkSpec {
     assert(dw.filter(col("match_id") === 1001).count() == 8)
   }
 
+  test("empty zip archive yields zero matches, not a crash") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.ZipOutputStream
+    val dir = Files.createTempDirectory("graft_rb_zip")
+    val zip = new File(dir.toFile, "empty.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    zos.close() // no entries at all
+    assert(graft.sources.ZipSource.readMatches(spark, zip.getAbsolutePath).count() == 0)
+  }
+
+  test("zip with only non-json entries yields zero matches") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_rb_zip2")
+    val zip = new File(dir.toFile, "noise.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    zos.putNextEntry(new ZipEntry("README.txt")); zos.write("hi".getBytes); zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("sub/")); zos.closeEntry() // bare directory
+    zos.close()
+    assert(graft.sources.ZipSource.readMatches(spark, zip.getAbsolutePath).count() == 0)
+  }
+
+  test("zip entry with broken JSON parses to a null-fields row, not a crash") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_rb_zip3")
+    val zip = new File(dir.toFile, "bad.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    zos.putNextEntry(new ZipEntry("t/9001.json"))
+    zos.write("{ not json".getBytes); zos.closeEntry()
+    zos.close()
+    val m = graft.sources.ZipSource.readMatches(spark, zip.getAbsolutePath)
+    assert(m.count() == 1)
+    assert(m.filter(col("info").isNull).count() == 1) // parsed struct is null
+    assert(m.collect()(0).getAs[Int]("match_id") == 9001) // id still from entry name
+  }
+
   test("file without numeric name gets null match_id, still processed") {
     val dir = withFiles("notes.json" ->
       """{"info":{"dates":["2022-03-03"],"venue":"V","teams":["A","B"],
