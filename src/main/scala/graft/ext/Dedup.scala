@@ -117,8 +117,11 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
       .distinct()
+    // materialized for the same reason as cand: `needed` (the
+    // shingle/ngram arrays of candidate docs) feeds BOTH pair joins
     val needed = arr.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_sort(col(arrCol)).as(arrCol))
+      .localCheckpoint()
     cand
       .join(needed.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))
         .hint("shuffle_hash"), "doc_a")
