@@ -156,7 +156,8 @@ object Dedup {
     * Output: (doc_id, rep_id) for every doc appearing in a pair, with
     * rep_id < doc_id rows marking the drops.
     */
-  def dupClusters(pairs: DataFrame): DataFrame = {
+  def dupClusters(pairs: DataFrame,
+                  driverThreshold: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.Observation
     // undirected edges + self-loops; localCheckpoint (not cache) so the
     // upstream candidate-generation pipeline is never replayed — and so
@@ -166,6 +167,35 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .distinct().localCheckpoint()
+    // A dup-pair graph at or below broadcast scale (1M edges = 16 MB of
+    // longs) doesn't need iterative shuffle rounds: each distributed
+    // round costs whole jobs of fixed overhead regardless of size. Same
+    // min-label answer from a driver union-find; the loop below remains
+    // the shape for graphs that genuinely don't fit.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = parent.getOrElseUpdate(x, x)
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.map { v =>
+        val root = find(v)
+        (v, root)
+      }
+      // root chosen by min-union, so root IS the component minimum
+      return labels.toDF("doc_id", "rep_id").orderBy(col("doc_id"))
+    }
     // labels only ever decrease, so the label sum is a monotone
     // fixpoint witness: unchanged sum <=> converged (cheaper than a
     // per-round diff join). The sum rides on the checkpoint job via

@@ -48,6 +48,23 @@ class DedupPropertySpec extends SparkSpec {
     (bases ++ dups).map(_.mkString(" "))
   }
 
+  test("driver union-find clusters equal the distributed label-propagation loop") {
+    import spark.implicits._
+    forSamples(corpusGen, 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.minhashDup(docs, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val viaDriver = Dedup.dupClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaLoop = Dedup.dupClusters(pairs, driverThreshold = 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaDriver == viaLoop,
+        s"driver ${viaDriver -- viaLoop} loop ${viaLoop -- viaDriver}")
+      ()
+    }
+  }
+
   test("minhashDup equals brute-force Jaccard restricted to LSH candidates") {
     import spark.implicits._
     forSamples(corpusGen, 8) { texts =>
