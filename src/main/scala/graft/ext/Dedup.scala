@@ -87,9 +87,8 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val shArr = docs.select(col("doc_id"),
-      TextOps.wordShingles(col("text"), ShingleSize).as("sh"))
-    jaccardVerify(cand, shArr, "sh", threshold)
+    jaccardVerify(cand, docs,
+      TextOps.wordShingles(col("text"), ShingleSize), threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc
@@ -98,15 +97,18 @@ object Dedup {
     * then an allocation-free O(n+m) scan instead of array_intersect's
     * per-row hash set).
     *
-    * Scale shape: the corpus-sized array table is first semi-joined
-    * down to docs that appear in some candidate pair — Catalyst pushes
-    * the semi-join below the shingle/ngram projection, so the arrays
-    * are only ever computed for candidate docs — then attached to the
-    * pairs with two key-partitioned shuffle-hash joins. Nothing
-    * corpus-sized is broadcast or sorted anywhere in the stage.
+    * Scale shape: the corpus is semi-joined down to docs that appear in
+    * some candidate pair BEFORE the array expression is applied — the
+    * join-then-project order is explicit here because Catalyst does NOT
+    * push a left-semi join below a projection, so projecting first
+    * would shingle the whole corpus to verify a handful of pairs (at
+    * sf0.1: 3.7 s of wasted corpus-wide shingling, measured). The
+    * candidate arrays then attach to the pairs with two key-partitioned
+    * shuffle-hash joins. Nothing corpus-sized is broadcast or sorted
+    * anywhere in the stage.
     */
-  private def jaccardVerify(cand0: DataFrame, arr: DataFrame,
-                            arrCol: String, threshold: Double): DataFrame = {
+  private def jaccardVerify(cand0: DataFrame, docs: DataFrame,
+                            arrExpr: Column, threshold: Double): DataFrame = {
     val parts = cand0.sparkSession.sessionState.conf.numShufflePartitions
     // The plan below references the candidate-pair subtree three times
     // (join left + the semi-join inside each `needed` branch); the
@@ -119,13 +121,13 @@ object Dedup {
       .distinct()
     // materialized for the same reason as cand: `needed` (the
     // shingle/ngram arrays of candidate docs) feeds BOTH pair joins
-    val needed = arr.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_sort(col(arrCol)).as(arrCol))
+    val needed = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_sort(arrExpr).as("arr"))
       .localCheckpoint()
     cand
-      .join(needed.select(col("doc_id").as("doc_a"), col(arrCol).as("arr_a"))
+      .join(needed.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
         .hint("shuffle_hash"), "doc_a")
-      .join(needed.select(col("doc_id").as("doc_b"), col(arrCol).as("arr_b"))
+      .join(needed.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
         .hint("shuffle_hash"), "doc_b")
       // Explicit repartition: the surviving pair table is tiny in bytes,
       // so AQE would coalesce it into one partition — and then the
@@ -298,8 +300,6 @@ object Dedup {
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val grams = docs.select(col("doc_id"),
-      TextOps.charNgrams(col("text"), n).as("grams"))
-    jaccardVerify(cand, grams, "grams", threshold)
+    jaccardVerify(cand, docs, TextOps.charNgrams(col("text"), n), threshold)
   }
 }
