@@ -108,7 +108,10 @@ object Dedup {
     * anywhere in the stage.
     */
   private def jaccardVerify(cand0: DataFrame, docs: DataFrame,
-                            arrExpr: Column, threshold: Double): DataFrame = {
+                            arrExpr: Column, threshold: Double,
+                            intersect: (Column, Column) => Column =
+                              graft.functions.SortedIntersectCount(_, _))
+      : DataFrame = {
     val parts = cand0.sparkSession.sessionState.conf.numShufflePartitions
     // The plan below references the candidate-pair subtree three times
     // (join left + the semi-join inside each `needed` branch); the
@@ -134,8 +137,7 @@ object Dedup {
       // expensive per-pair intersections below would run in a single
       // task. Spreading by pair key keeps the CPU-bound stage wide.
       .repartition(parts, col("doc_a"), col("doc_b"))
-      .withColumn("n_common",
-        graft.functions.SortedIntersectCount(col("arr_a"), col("arr_b")))
+      .withColumn("n_common", intersect(col("arr_a"), col("arr_b")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           (size(col("arr_a")) + size(col("arr_b")) - col("n_common"))).as("jaccard"))
@@ -300,6 +302,11 @@ object Dedup {
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    jaccardVerify(cand, docs, TextOps.charNgrams(col("text"), n), threshold)
+    // n-grams travel as 16-bit-packed longs (injective for BMP text, so
+    // counts and Jaccard are exactly the string form's) — the 100k+
+    // surviving pairs then merge-scan longs instead of UTF8 strings
+    jaccardVerify(cand, docs,
+      graft.functions.PackedCharNgrams(col("text"), n), threshold,
+      graft.functions.SortedLongIntersectCount(_, _))
   }
 }

@@ -29,6 +29,20 @@ class VectorExprSpec extends SparkSpec {
     assert(r.forall(_.getDouble(0) > 0))
   }
 
+  test("packed ngram intersect counts equal the string-array form") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    val a = docs.select(col("doc_id").as("a_id"),
+      array_sort(graft.ext.TextOps.charNgrams(col("text"), 4)).as("sa"),
+      array_sort(graft.functions.PackedCharNgrams(col("text"), 4)).as("pa"))
+    val b = a.select(col("a_id").as("b_id"), col("sa").as("sb"), col("pa").as("pb"))
+    val both = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(
+        graft.functions.SortedIntersectCount(col("sa"), col("sb")).as("s"),
+        graft.functions.SortedLongIntersectCount(col("pa"), col("pb")).as("p"),
+        (size(col("sa")) - size(col("pa"))).as("dsz"))
+    assert(both.filter(col("s") =!= col("p") || col("dsz") =!= 0).count() == 0)
+  }
+
   test("top-k aggregator with k <= 0 returns empty, never throws") {
     val agg = new graft.functions.TopKAggregator(0)
     val fed = Seq(graft.functions.Scored(1L, 0.5), graft.functions.Scored(2L, 0.9))
