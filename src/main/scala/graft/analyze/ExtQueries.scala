@@ -336,6 +336,20 @@ object ExtQueries {
       Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),
       Some(ngramJaccardOracle)),
 
+    // deterministic sketch: the KMV estimate verifies value-for-value
+    // (same portable hash both engines), not just "close enough"
+    ("d13_kmv_distinct", (s: SparkSession, d: String) =>
+      Dedup.kmvDistinct(t(s, d, "documents"), k = 256),
+      Some("""
+      WITH h AS (SELECT DISTINCT ('0x'||substr(md5(text),1,8))::BIGINT AS hv FROM documents),
+      kmv AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                     CAST(MAX(hv) AS BIGINT) AS kth_hash,
+                     (CAST(COUNT(*) - 1 AS DOUBLE) * 4294967296.0) / MAX(hv) AS estimate
+              FROM (SELECT hv FROM h ORDER BY hv LIMIT 256) z)
+      SELECT CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT) AS n_exact,
+             k_used, kth_hash, estimate
+      FROM kmv""")),
+
     ("d07_cosine_dup", (s: SparkSession, d: String) =>
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),
       Some(cosineDupOracle)),
