@@ -94,6 +94,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("PrefixSum equals the single-task window on random values") {
+    import spark.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0L, 500L)
+      v <- Gen.choose(-1000L, 1000L) // negatives too: offsets must still add up
+    } yield (key, v)
+    forSamples(Gen.choose(0, 400).flatMap(n => Gen.listOfN(n, rowGen)), 5) { rows =>
+      // unique order key: (v, idx) dedup via index column
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val viaOp = graft.operators.PrefixSum
+        .withRunningSum(df, Seq(col("k"), col("id")), "v", "rs")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val viaWindow = df.withColumn("rs",
+        coalesce(sum(col("v")).over(w), lit(0L)).cast("long"))
+      assert(viaOp.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(viaOp).count() == 0)
+      ()
+    }
+  }
+
+  test("PrefixSum on empty input yields empty output, not a crash") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(graft.operators.PrefixSum
+      .withRunningSum(df, Seq(col("id")), "v", "rs").count() == 0)
+  }
+
   test("extraction is deterministic (same input, same rows)") {
     forSamples(Gen.listOfN(2, matchGen), 3) { ms =>
       val (mw1, _) = extract(ms)
