@@ -263,9 +263,19 @@ object Dedup {
 
   /** 32-bit SimHash per doc from word-occurrence weights: bit j is set
     * when sum over word occurrences of (+1 if bit j of h32(word) else -1)
-    * is positive. One explode + one hash-partitioned aggregation.
+    * is positive. Computed per document in one pass by the
+    * [[graft.functions.SimhashOf]] expression — no explode, no 32-column
+    * aggregation, no shuffle; [[simhashViaAgg]] is the composed column
+    * twin kept for the equivalence spec.
     */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        graft.functions.SimhashOf(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Explode + aggregate formulation of [[simhash]] (identical values). */
+  def simhashViaAgg(docs: DataFrame): DataFrame = {
     val wordTable = graft.core.Tables.spread(docs).select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
       .withColumn("h", h32(col("w")))

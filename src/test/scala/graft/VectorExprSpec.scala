@@ -43,6 +43,15 @@ class VectorExprSpec extends SparkSpec {
     assert(both.filter(col("s") =!= col("p") || col("dsz") =!= 0).count() == 0)
   }
 
+  test("one-pass SimhashOf equals the explode+aggregate formulation") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaExpr = graft.ext.Dedup.simhash(docs)
+    val viaAgg = graft.ext.Dedup.simhashViaAgg(docs)
+    assert(viaExpr.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.count() == docs.count())
+  }
+
   test("top-k aggregator with k <= 0 returns empty, never throws") {
     val agg = new graft.functions.TopKAggregator(0)
     val fed = Seq(graft.functions.Scored(1L, 0.5), graft.functions.Scored(2L, 0.9))
