@@ -55,8 +55,22 @@ object Dedup {
     graft.core.Tables.spread(docs).select(col("doc_id"),
       explode(TextOps.wordShingles(col("text"), ShingleSize)).as("s"))
 
-  /** MinHash signatures: one row per doc, columns m0..m15. */
+  /** MinHash signatures: one row per doc, columns m0..m15. One pass per
+    * document via [[graft.functions.MinhashSigOf]] — no shingle explode,
+    * no 16-min aggregate, no shuffle; [[minhashSignaturesViaAgg]] is the
+    * composed twin kept for the equivalence spec.
+    */
   def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sig = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        graft.functions.MinhashSigOf(col("text"), ShingleSize).as("sig"))
+      .filter(col("sig").isNotNull) // < ShingleSize words: no signature
+    sig.select(col("doc_id") +:
+      Hashing.perms.indices.map(j => col("sig")(j).as(s"m$j")): _*)
+  }
+
+  /** Explode + aggregate formulation of [[minhashSignatures]]. */
+  def minhashSignaturesViaAgg(docs: DataFrame): DataFrame = {
     val hashed = shingleTable(docs).withColumn("h", h32(col("s")))
     val mins = Hashing.perms.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")

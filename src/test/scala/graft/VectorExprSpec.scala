@@ -43,6 +43,15 @@ class VectorExprSpec extends SparkSpec {
     assert(both.filter(col("s") =!= col("p") || col("dsz") =!= 0).count() == 0)
   }
 
+  test("one-pass MinhashSigOf equals the explode+aggregate formulation") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaExpr = graft.ext.Dedup.minhashSignatures(docs)
+    val viaAgg = graft.ext.Dedup.minhashSignaturesViaAgg(docs)
+    assert(viaExpr.exceptAll(viaAgg).count() == 0)
+    assert(viaAgg.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.count() > 0)
+  }
+
   test("one-pass SimhashOf equals the explode+aggregate formulation") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val viaExpr = graft.ext.Dedup.simhash(docs)
