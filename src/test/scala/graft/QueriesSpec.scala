@@ -111,6 +111,21 @@ class QueriesSpec extends SparkSpec {
     assert(winPack.exceptAll(prefixPack).count() == 0)
   }
 
+  test("curation edge cases: zero quotas, oversized quotas, empty input") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    // per-stratum 0 -> empty, exercising the top-k k<=0 guard in-plan
+    assert(graft.ext.Curation.stratifiedSample(docs, "lang", 0).count() == 0)
+    // quota above stratum size -> whole stratum, no padding or crash
+    val all = graft.ext.Curation
+      .mixtureSample(docs, "lang", Map("en" -> 1000000))
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(all.count() == enTotal) // other langs dropped (no quota)
+    // empty frame flows through packing
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_chars")
+    assert(graft.ext.Curation.packDocs(empty, "lang", "n_chars", 64).count() == 0)
+  }
+
   lazy val mw = graft.publish.PublishJob.buildMatchwise(
     Extractors.matchwise(Cricsheet.read(spark, fixturesDir))).cache()
 
