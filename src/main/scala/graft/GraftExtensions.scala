@@ -5,7 +5,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProductD, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{DotProductD, MinhashSigOf, PackedCharNgrams,
+  SimhashOf, SortedIntersectCount, SortedLongIntersectCount}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions for sessions built with
@@ -31,5 +35,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - common-element count of sorted arrays"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_long_intersect_count"),
+      info("sorted_long_intersect_count",
+        "sorted_long_intersect_count(a, b) - common-element count of sorted bigint arrays"),
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_of"),
+      info("simhash_of", "simhash_of(text) - one-pass 32-bit simhash"),
+      (exprs: Seq[Expression]) => SimhashOf(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig_of"),
+      info("minhash_sig_of",
+        "minhash_sig_of(text, n) - 16 minhash permutation minima over word n-gram shingles"),
+      (exprs: Seq[Expression]) => MinhashSigOf(exprs(0), intArg(exprs(1), "minhash_sig_of"))))
+    ext.injectFunction((
+      FunctionIdentifier("packed_char_ngrams"),
+      info("packed_char_ngrams",
+        "packed_char_ngrams(text, n) - sorted distinct char n-grams packed into bigints (n <= 4)"),
+      (exprs: Seq[Expression]) => PackedCharNgrams(exprs(0), intArg(exprs(1), "packed_char_ngrams"))))
+  }
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: n must be an integer literal, got $other")
   }
 }

@@ -27,6 +27,15 @@ class ExtensionsSpec extends SparkSpec {
           |""".stripMargin).collect().head
       assert(r.getDouble(0) == 4.0)
       assert(r.getInt(1) == 2)
+      val r2 = s2.sql(
+        """SELECT simhash_of('a b a') AS sh,
+          |       size(minhash_sig_of('w1 w2 w3 w4', 3)) AS nsig,
+          |       sorted_long_intersect_count(packed_char_ngrams('abcde', 4),
+          |                                   packed_char_ngrams('bcdef', 4)) AS np
+          |""".stripMargin).collect().head
+      assert(r2.getLong(0) != 0L)
+      assert(r2.getInt(1) == 16)
+      assert(r2.getInt(2) == 1) // shared 4-gram: "bcde"
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
