@@ -498,6 +498,22 @@ object ExtQueries {
                             WHEN 'zh' THEN 5 ELSE 0 END
       ORDER BY lang, rk""")),
 
+    // decontamination: train docs (id >= 20) sharing any 3-word shingle
+    // with the stand-in eval set (id < 20), with shared-shingle counts
+    ("c03_decontaminate", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        shingleSize = Dedup.ShingleSize)
+    }, Some(s"""
+      WITH ev AS (SELECT DISTINCT unnest($shinglesSql) AS s
+                  FROM documents WHERE doc_id < 20),
+      tr AS (SELECT doc_id, unnest($shinglesSql) AS s
+             FROM documents WHERE doc_id >= 20)
+      SELECT doc_id, COUNT(*) AS n_shared_shingles
+      FROM tr JOIN ev USING (s)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),
       Some(multimodalOracle)),

@@ -81,6 +81,29 @@ object Curation {
       .orderBy(col(stratum), col("rk"))
   }
 
+  /** Eval-set decontamination: training docs sharing at least one word
+    * n-gram shingle with any eval doc, with the shared-shingle count —
+    * the overlap check run before a corpus ships so benchmark text
+    * can't leak into training data. Shape: both sides reduce to
+    * distinct (doc, shingle) pairs; the train side inner-joins the
+    * (small, broadcastable) eval shingle set and aggregates per doc —
+    * one hash join + one hash aggregation, no pairwise doc comparison
+    * anywhere, so eval-set size bounds the broadcast and corpus size
+    * only the scan.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    shingleSize: Int): DataFrame = {
+    def shingles(df: DataFrame) = graft.core.Tables.spread(df)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), shingleSize)).as("s"))
+    val evalShingles = shingles(eval).select(col("s")).distinct()
+    shingles(train)
+      .join(broadcast(evalShingles), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The whole curation DAG as one query — what a corpus release run
     * actually executes: exact dedup (keep the min doc_id per identical
     * text) → quality gate → deterministic stratified sample → sequence
