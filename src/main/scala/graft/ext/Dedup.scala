@@ -309,10 +309,13 @@ object Dedup {
     */
   def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhash(docs)
+    // checkpointed: the candidate self-join references the banded table
+    // on both sides (same multi-reference rule as jaccardVerify)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_val")))
+      .localCheckpoint()
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&
