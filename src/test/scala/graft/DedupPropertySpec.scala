@@ -48,6 +48,43 @@ class DedupPropertySpec extends SparkSpec {
     (bases ++ dups).map(_.mkString(" "))
   }
 
+  // texts with hostile tokenization: runs of spaces, leading/trailing
+  // spaces, empty strings, unicode — where a divergence between the
+  // one-pass expressions' String.split and Spark's split would hide
+  private val hostileTextGen: Gen[String] = {
+    val token = Gen.oneOf(
+      Gen.oneOf(vocab), Gen.const(""), Gen.const("  "),
+      Gen.oneOf("héllo", "日本語", "straße", "naïve", "a-b", "x,y"))
+    for {
+      n <- Gen.choose(0, 12)
+      ts <- Gen.listOfN(n, token)
+      sep <- Gen.oneOf(" ", "  ", " ")
+    } yield ts.mkString(sep)
+  }
+
+  test("one-pass expressions equal their composed twins on hostile texts") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(60, hostileTextGen), 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val simA = Dedup.simhash(docs)
+      val simB = Dedup.simhashViaAgg(docs)
+      assert(simA.exceptAll(simB).count() == 0 &&
+        simB.exceptAll(simA).count() == 0, "simhash diverged")
+      val sigA = Dedup.minhashSignatures(docs)
+      val sigB = Dedup.minhashSignaturesViaAgg(docs)
+      assert(sigA.exceptAll(sigB).count() == 0 &&
+        sigB.exceptAll(sigA).count() == 0, "minhash signatures diverged")
+      val ngA = docs.select(org.apache.spark.sql.functions.size(
+        graft.functions.PackedCharNgrams(col("text"), 4)).as("n"))
+      val ngB = docs.select(org.apache.spark.sql.functions.size(
+        graft.ext.TextOps.charNgrams(col("text"), 4)).as("n"))
+      assert(ngA.exceptAll(ngB).count() == 0 &&
+        ngB.exceptAll(ngA).count() == 0, "packed ngram sizes diverged")
+      ()
+    }
+  }
+
   test("driver union-find clusters equal the distributed label-propagation loop") {
     import spark.implicits._
     forSamples(corpusGen, 4) { texts =>
