@@ -37,13 +37,24 @@ object ZipSource {
       .flatMap { case (zipPath, bytes) =>
         val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-        var e = zis.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && e.getName.endsWith(suffix)) {
-            out += ((zipPath, e.getName,
-              new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+        // A corrupt archive must not kill the whole ingest job: salvage
+        // the entries decoded before the corruption and move on (the
+        // engine's malformed-input contract — null/absent rows, never
+        // job failure).
+        try {
+          var e = zis.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory && e.getName.endsWith(suffix)) {
+              out += ((zipPath, e.getName,
+                new String(zis.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
+            }
+            e = zis.getNextEntry
           }
-          e = zis.getNextEntry
+        } catch {
+          case ex: java.io.IOException =>
+            System.err.println(
+              s"[zip-source] corrupt archive $zipPath: ${ex.getMessage}; " +
+                s"salvaged ${out.size} entr${if (out.size == 1) "y" else "ies"}")
         }
         out
       }

@@ -95,6 +95,34 @@ class RobustnessSpec extends SparkSpec {
     assert(m.collect()(0).getAs[Int]("match_id") == 9001) // id still from entry name
   }
 
+  test("corrupt zip bytes salvage decoded entries instead of failing the job") {
+    import java.io.{ByteArrayOutputStream, File}
+    import java.nio.file.{Files => JFiles}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_rb_zip4")
+    // one good entry, then truncate the stream mid-archive
+    val buf = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(buf)
+    zos.putNextEntry(new ZipEntry("t/1001.json"))
+    zos.write(Files.readAllBytes(Paths.get(fixturesDir, "1001.json")))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("t/1002.json"))
+    zos.write(Files.readAllBytes(Paths.get(fixturesDir, "1002.json")))
+    zos.closeEntry(); zos.close()
+    val whole = buf.toByteArray
+    val truncated = java.util.Arrays.copyOf(whole, whole.length - whole.length / 3)
+    val zip = new File(dir.toFile, "trunc.zip")
+    JFiles.write(zip.toPath, truncated)
+    // garbage that is not a zip at all
+    val junk = new File(dir.toFile, "junk.zip")
+    JFiles.write(junk.toPath, Array.fill[Byte](512)(0x41))
+
+    val m = graft.sources.ZipSource.readMatches(spark, dir.toString + "/*.zip")
+    val n = m.count() // must not throw; first archive salvages >= 1 entry
+    assert(n >= 1, s"expected salvaged entries, got $n")
+    assert(m.filter(col("match_id") === 1001).count() == 1)
+  }
+
   test("file without numeric name gets null match_id, still processed") {
     val dir = withFiles("notes.json" ->
       """{"info":{"dates":["2022-03-03"],"venue":"V","teams":["A","B"],
