@@ -221,6 +221,33 @@ object ExtQueries {
             ORDER BY cosine DESC, t_id) AS INT) AS rn FROM sc) z
     WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  // Count-Min sketch: 4 hash rows from the first 4 minhash perms over
+  // h32, width 512; estimates for the exact top-10 words. Deterministic
+  // hashing -> the estimates compare value-for-value.
+  private val countMinOracle: String = {
+    val W = 512
+    val ws = TextOps.wordsSql("text")
+    val h = Hashing.h32Sql("w")
+    def bucketRows(src: String): String = Hashing.perms.take(4).zipWithIndex
+      .map { case ((a, b), j) =>
+        s"SELECT $src.*, $j AS row_idx, (($a * h + $b) % $P) % $W AS bucket FROM $src"
+      }.mkString(" UNION ALL ")
+    s"""
+    WITH wt AS (SELECT unnest($ws) AS w FROM documents),
+    ht AS (SELECT w, $h AS h FROM wt),
+    bk AS (${bucketRows("ht")}),
+    sk AS (SELECT row_idx, bucket, CAST(COUNT(*) AS BIGINT) AS bucket_n
+           FROM bk GROUP BY row_idx, bucket),
+    top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM wt GROUP BY w ORDER BY n_exact DESC, w LIMIT 10),
+    th AS (SELECT w, n_exact, $h AS h FROM top),
+    tb AS (${bucketRows("th")})
+    SELECT w, n_exact, CAST(MIN(bucket_n) AS BIGINT) AS n_est
+    FROM tb JOIN sk USING (row_idx, bucket)
+    GROUP BY w, n_exact
+    ORDER BY n_exact DESC, w"""
+  }
+
   private val langidOracle: String = {
     val scoreCols = TextAnalysis.stopwords.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -513,6 +540,11 @@ object ExtQueries {
       SELECT doc_id, COUNT(*) AS n_shared_shingles
       FROM tr JOIN ev USING (s)
       GROUP BY doc_id ORDER BY doc_id""")),
+
+    // frequency-estimation sketch, estimates oracle-exact (like d13)
+    ("t09_countmin", (s: SparkSession, d: String) =>
+      TextAnalysis.countMinWords(t(s, d, "documents"), width = 512, topK = 10),
+      Some(countMinOracle)),
 
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),

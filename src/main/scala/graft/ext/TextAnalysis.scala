@@ -72,6 +72,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-Min frequency sketch over corpus words, evaluated on the
+    * exact top-k words. Four hash rows (the first four minhash
+    * permutations over the portable h32, reduced mod `width`); a
+    * word's estimate is the MIN of its four bucket counts — always an
+    * over-estimate, never under (the CMS guarantee, asserted in the
+    * oracle comparison by construction since both engines compute the
+    * same buckets). Deterministic hashing makes the ESTIMATES
+    * oracle-exact, like [[graft.ext.Dedup.kmvDistinct]]. At scale the
+    * sketch is a (4 x width) table built by one map-side-combined
+    * aggregation — mergeable across partitions/streams by addition.
+    */
+  def countMinWords(docs: org.apache.spark.sql.DataFrame, width: Int,
+                    topK: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Hashing
+    val rows = Hashing.perms.take(4)
+    val words = graft.core.Tables.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .withColumn("h", Hashing.h32(col("w")))
+    def bucketOf(j: Int): Column = {
+      val (a, b) = rows(j)
+      pmod(pmod(lit(a) * col("h") + lit(b), lit(Hashing.MersennePrime)),
+        lit(width.toLong))
+    }
+    val sketch = words
+      .select(posexplode(array((0 until 4).map(bucketOf): _*))
+        .as(Seq("row_idx", "bucket")))
+      .groupBy(col("row_idx"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+    val top = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w")).limit(topK)
+      .withColumn("h", Hashing.h32(col("w")))
+    top
+      .select(col("w"), col("n_exact"),
+        posexplode(array((0 until 4).map(bucketOf): _*))
+          .as(Seq("row_idx", "bucket")))
+      .join(sketch, Seq("row_idx", "bucket"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("bucket_n")).as("n_est"))
+      .orderBy(col("n_exact").desc, col("w"))
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars).
     */

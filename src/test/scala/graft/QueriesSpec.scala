@@ -126,6 +126,13 @@ class QueriesSpec extends SparkSpec {
     assert(graft.ext.Curation.packDocs(empty, "lang", "n_chars", 64).count() == 0)
   }
 
+  test("count-min estimates never under-count (CMS guarantee)") {
+    val docs = graft.core.Tables.load(spark, sf, "documents")
+    val cms = graft.ext.TextAnalysis.countMinWords(docs, width = 128, topK = 20)
+    assert(cms.count() == 20)
+    assert(cms.filter(col("n_est") < col("n_exact")).count() == 0)
+  }
+
   lazy val mw = graft.publish.PublishJob.buildMatchwise(
     Extractors.matchwise(Cricsheet.read(spark, fixturesDir))).cache()
 
