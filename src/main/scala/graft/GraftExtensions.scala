@@ -42,7 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("simhash_of"),
-      info("simhash_of", "simhash_of(text) - one-pass 32-bit simhash"),
+      info("simhash_of", "simhash_of(text) - one-pass 64-bit simhash"),
       (exprs: Seq[Expression]) => SimhashOf(exprs(0))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig_of"),

@@ -79,15 +79,20 @@ object ExtQueries {
     FROM reach GROUP BY src ORDER BY doc_id"""
 
   private val simhashExpr: String = {
-    val bitSums = (0 until 32)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-      .mkString(", ")
-    val value = (0 until 32)
+    // 64-bit fingerprint: bits 0-31 tally h32(word) bits, 32-63 tally
+    // h32b(word) bits — mirrors Dedup.simhashViaAgg term for term. The
+    // j=63 term is the sign bit (literal parses via HUGEINT, cast back);
+    // added last so the partial BIGINT sums (<= 2^63-1) never overflow.
+    val bitSums = (0 until Dedup.SimhashBits).map { j =>
+      val (h, b) = if (j < 32) ("hlo", j) else ("hhi", j - 32)
+      s"SUM(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val value = (0 until Dedup.SimhashBits)
       .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""
     WITH w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS wd FROM documents),
-    h AS (SELECT doc_id, ${Hashing.h32Sql("wd")} AS h FROM w),
+    h AS (SELECT doc_id, ${Hashing.h32Sql("wd")} AS hlo, ${Hashing.h32bSql("wd")} AS hhi FROM w),
     sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
     sh AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM sums)"""
   }
@@ -96,8 +101,9 @@ object ExtQueries {
     s"$simhashExpr SELECT doc_id, simhash FROM sh ORDER BY doc_id"
 
   private val simhashDupOracle: String = {
-    val bands = (0 until 4)
-      .map(k => s"SELECT doc_id, simhash, $k AS band_idx, (simhash >> ${8 * k}) & 255 AS band_val FROM sh")
+    val bands = (0 until Dedup.SimhashBands)
+      .map(k => s"SELECT doc_id, simhash, $k AS band_idx, " +
+        s"(simhash >> ${Dedup.SimhashBandBits * k}) & ${Dedup.SimhashBandMask} AS band_val FROM sh")
       .mkString(" UNION ALL ")
     s"""$simhashExpr,
     banded AS ($bands),

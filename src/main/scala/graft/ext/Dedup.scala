@@ -16,9 +16,9 @@ import graft.functions.Hashing.{h32, MersennePrime => P}
   *               confined to hash buckets — the standard 100 TB dedup
   *               shape (shuffles are all key-partitioned; no global
   *               cross join anywhere);
-  *  - SimHash:   32-bit sign-of-weighted-sum fingerprint; near-dup
-  *               candidates share one of four 8-bit bands, verified by
-  *               Hamming distance;
+  *  - SimHash:   64-bit sign-of-weighted-sum fingerprint (Manku et al.);
+  *               near-dup candidates share one of four 16-bit bands,
+  *               verified by Hamming distance;
   *  - n-gram:    character-n-gram Jaccard over metadata-restricted
   *               candidate pairs (same lang, similar length).
   *
@@ -30,6 +30,19 @@ object Dedup {
   val ShingleSize = 3
   val Bands = 4
   val Rows = 4 // Bands * Rows == Hashing.perms.size
+
+  /** SimHash shape (Manku et al., WWW'07): 64 fingerprint bits cut into
+    * 4 bands of 16 bits. Band-key cardinality is Bands * 2^BandBits =
+    * 262,144 — the candidate join fans out over that keyspace instead of
+    * the 1,024 keys a 32-bit/8-bit-band shape caps out at, so expected
+    * random collisions per bucket shrink by 256x and parallelism scales
+    * with the corpus. Pairs within Hamming distance SimhashBands-1 are
+    * guaranteed to share a band (pigeonhole).
+    */
+  val SimhashBits = 64
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands // 16
+  val SimhashBandMask: Long = (1L << SimhashBandBits) - 1 // 65535
 
   /** Exact-duplicate groups: docs whose full text hashes identically.
     * At scale this is one hash-partitioned aggregation on md5(text).
@@ -275,45 +288,57 @@ object Dedup {
       .select(col("n_exact"), col("k_used"), col("kth_hash"), col("estimate"))
   }
 
-  /** 32-bit SimHash per doc from word-occurrence weights: bit j is set
-    * when sum over word occurrences of (+1 if bit j of h32(word) else -1)
-    * is positive. Computed per document in one pass by the
-    * [[graft.functions.SimhashOf]] expression — no explode, no 32-column
-    * aggregation, no shuffle; [[simhashViaAgg]] is the composed column
-    * twin kept for the equivalence spec.
+  /** 64-bit SimHash per doc from word-occurrence weights: bit j is set
+    * when sum over word occurrences of (+1 if word-hash bit j else -1)
+    * is positive; word-hash bits 0-31 come from h32, 32-63 from h32b
+    * (both BIGINT-safe in the oracle engine). Computed per document in
+    * one pass by the [[graft.functions.SimhashOf]] expression — no
+    * explode, no 64-column aggregation, no shuffle; [[simhashViaAgg]] is
+    * the composed column twin kept for the equivalence spec. Null texts
+    * are dropped (the composed form loses them at the explode; the
+    * one-pass form must filter to agree — and a NULL fingerprint must
+    * never reach banding).
     */
   def simhash(docs: DataFrame): DataFrame =
     graft.core.Tables.spread(docs)
       .select(col("doc_id"),
         graft.functions.SimhashOf(col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
       .orderBy(col("doc_id"))
 
   /** Explode + aggregate formulation of [[simhash]] (identical values). */
   def simhashViaAgg(docs: DataFrame): DataFrame = {
     val wordTable = graft.core.Tables.spread(docs).select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
-      .withColumn("h", h32(col("w")))
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+      .withColumn("hlo", h32(col("w")))
+      .withColumn("hhi", Hashing.h32b(col("w")))
+    val bitSums = (0 until SimhashBits).map { j =>
+      val (h, b) = if (j < 32) (col("hlo"), j) else (col("hhi"), j - 32)
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"s$j")
     }
     val sums = wordTable.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 32).map { j =>
+    // j=63: 1L << 63 == Long.MinValue — the sign bit, added last so the
+    // running sum of the lower 63 terms (<= 2^63-1) never overflows
+    val sh = (0 until SimhashBits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     sums.select(col("doc_id"), sh.as("simhash")).orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of four 8-bit bands,
-    * verified by Hamming distance <= maxHamming.
+  /** SimHash near-dup pairs: candidates share one of [[SimhashBands]]
+    * [[SimhashBandBits]]-bit bands, verified by Hamming distance <=
+    * maxHamming. Arithmetic-vs-logical shift is irrelevant: the mask
+    * keeps only bits below the shifted-in sign bits.
     */
   def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sh = simhash(docs)
     // checkpointed: the candidate self-join references the banded table
     // on both sides (same multi-reference rule as jaccardVerify)
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(k =>
-        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))): _*))
+      posexplode(array((0 until SimhashBands).map(k =>
+        shiftright(col("simhash"), SimhashBandBits * k)
+          .bitwiseAND(lit(SimhashBandMask))): _*))
         .as(Seq("band_idx", "band_val")))
       .localCheckpoint()
     val pairs = banded.as("x").join(banded.as("y"),

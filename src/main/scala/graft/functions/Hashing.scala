@@ -24,6 +24,18 @@ object Hashing {
   def h32Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
+  /** Second independent portable 32-bit hash: md5 hex chars 9-16.
+    * Together with [[h32]] this yields 64 portable hash bits per string
+    * without ever materializing a value outside BIGINT range in either
+    * engine (a single 16-hex-char cast would overflow signed 64-bit).
+    */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[h32b]] over SQL expression `e`. */
+  def h32bSql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 9, 8)) AS BIGINT)"
+
   /** Fixed (a, b) pairs for 16 minhash permutations h' = (a*h + b) mod P.
     * Hardcoded so Spark and the SQL oracle share them verbatim.
     */
