@@ -63,16 +63,20 @@ object Bench {
     // that happened to pass — a consumer comparing totals across rounds
     // must not read a failure as a speedup (passed_total carries the sum)
     val total = if (failed.nonEmpty) -1.0 else passedTotal
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // the driver's stdout-tail capture has truncated this line before;
-    // a file copy makes the result durable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // full form (with the per-query map) goes to the file; the stdout
+    // line is the compact form only — a 90+-query map is ~3.4 KB and
+    // the driver's stdout-tail capture keeps ~2 KB, which truncated the
+    // head of the JSON (and failed its parse) three rounds running
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val compactLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","detail":"$out"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // print LAST, after session teardown, so nothing else can land
     // between the JSON line and the end of the captured output
     spark.stop()
-    println(line)
+    println(compactLine)
   }
 }
