@@ -377,7 +377,9 @@ object ExtQueries {
       WITH h AS (SELECT DISTINCT ('0x'||substr(md5(text),1,8))::BIGINT AS hv FROM documents),
       kmv AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
                      CAST(MAX(hv) AS BIGINT) AS kth_hash,
-                     (CAST(COUNT(*) - 1 AS DOUBLE) * 4294967296.0) / MAX(hv) AS estimate
+                     CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE (CAST(COUNT(*) - 1 AS DOUBLE) * 4294967296.0) / MAX(hv)
+                     END AS estimate
               FROM (SELECT hv FROM h ORDER BY hv LIMIT 256) z)
       SELECT CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT) AS n_exact,
              k_used, kth_hash, estimate

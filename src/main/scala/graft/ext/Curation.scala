@@ -64,7 +64,10 @@ object Curation {
     * [[stratifiedSample]]. One map-side top-(max quota) aggregation
     * bounds the exchange; the exact per-stratum cut is a broadcast-join
     * filter, so uneven quotas cost nothing extra. Strata without a
-    * quota are dropped.
+    * quota are dropped BEFORE the aggregation — the quota keys are a
+    * small literal set, so the cut is an `isin` predicate that pushes
+    * down to the scan instead of top-k-aggregating strata whose rows
+    * would all be discarded at the join.
     */
   def mixtureSample(docs: DataFrame, stratum: String,
                     quotas: Map[String, Int]): DataFrame = {
@@ -74,7 +77,8 @@ object Curation {
     import spark.implicits._
     val maxQ = quotas.values.max
     val quotaDf = quotas.toSeq.toDF(stratum, "__quota")
-    stratifiedSample(docs, stratum, maxQ, scalable = true)
+    val inQuota = docs.filter(col(stratum).isin(quotas.keys.toSeq: _*))
+    stratifiedSample(inQuota, stratum, maxQ, scalable = true)
       .join(broadcast(quotaDf), stratum)
       .filter(col("rk") <= col("__quota"))
       .select(col("doc_id"), col(stratum), col("rk"))

@@ -268,11 +268,15 @@ object Dedup {
     * The estimator is (k-1) * 2^32 / h_k where h_k is the k-th smallest
     * distinct 32-bit hash — deterministic given the hash, so unlike
     * HLL-style sketches the ESTIMATE itself verifies value-for-value
-    * against the oracle (both engines share the md5-derived h32). At
-    * scale: one distinct on the hash (map-side combined) and a
-    * TakeOrdered of k rows; the sketch state is k longs however large
-    * the corpus — the mergeable-summary shape (cf. Bar-Yossef et al.'s
-    * KMV / Beyer et al.'s unbiased DV estimators).
+    * against the oracle (both engines share the md5-derived h32). When
+    * the sketch is NOT full (fewer than k distinct hashes) it holds the
+    * whole distinct set, and the standard KMV answer is exactly k_used —
+    * the ratio formula would under-report there, and a lone zero hash
+    * would even divide by zero. At scale: one distinct on the hash
+    * (map-side combined) and a TakeOrdered of k rows; the sketch state
+    * is k longs however large the corpus — the mergeable-summary shape
+    * (cf. Bar-Yossef et al.'s KMV / Beyer et al.'s unbiased DV
+    * estimators).
     */
   def kmvDistinct(docs: DataFrame, k: Int): DataFrame = {
     val h32doc = expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)")
@@ -281,8 +285,9 @@ object Dedup {
     val kmv = hashes.orderBy(col("hv")).limit(k)
       .agg(count(lit(1)).as("k_used"), max(col("hv")).as("kth_hash"))
       .select(col("k_used"), col("kth_hash"),
-        ((col("k_used") - 1).cast("double") * lit(4294967296.0) /
-          col("kth_hash")).as("estimate"))
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise((col("k_used") - 1).cast("double") * lit(4294967296.0) /
+            col("kth_hash")).as("estimate"))
     val exact = docs.agg(countDistinct(md5(col("text"))).as("n_exact"))
     kmv.crossJoin(exact)
       .select(col("n_exact"), col("k_used"), col("kth_hash"), col("estimate"))

@@ -32,14 +32,21 @@ object PrefixSum {
                      numPartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Integral contract: the offsets are exact longs; float/decimal
+    // columns would need a different accumulation discipline (and a
+    // getLong here would throw ClassCastException mid-job).
+    val vType = df.schema(valueCol).dataType
+    require(Seq("integer", "long", "short", "byte").contains(vType.typeName),
+      s"withRunningSum requires an integral value column; $valueCol is $vType")
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    // sum(cast long) of an all-null or empty partition is null → 0
     val partTotals = sorted.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("t"))
+      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)
       .scanLeft(0L)((acc, p) => acc + partTotals.getOrElse(p, 0L))
