@@ -115,14 +115,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     jaccardVerify(cand, docs,
-      TextOps.wordShingles(col("text"), ShingleSize), threshold)
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc
     * element arrays: a codegen'd sorted-merge intersect count over a
     * pair join (the arrays are sorted once per doc; per-pair cost is
     * then an allocation-free O(n+m) scan instead of array_intersect's
-    * per-row hash set).
+    * per-row hash set). `arrExpr` must produce the final (sorted)
+    * per-doc value; `sizeOf` maps it to its element count (overridden
+    * when the value is a struct of alternative representations).
     *
     * Scale shape: the corpus is semi-joined down to docs that appear in
     * some candidate pair BEFORE the array expression is applied — the
@@ -137,7 +139,8 @@ object Dedup {
   private def jaccardVerify(cand0: DataFrame, docs: DataFrame,
                             arrExpr: Column, threshold: Double,
                             intersect: (Column, Column) => Column =
-                              graft.functions.SortedIntersectCount(_, _))
+                              graft.functions.SortedIntersectCount(_, _),
+                            sizeOf: Column => Column = size)
       : DataFrame = {
     val parts = cand0.sparkSession.sessionState.conf.numShufflePartitions
     // The plan below references the candidate-pair subtree three times
@@ -152,7 +155,7 @@ object Dedup {
     // materialized for the same reason as cand: `needed` (the
     // shingle/ngram arrays of candidate docs) feeds BOTH pair joins
     val needed = docs.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_sort(arrExpr).as("arr"))
+      .select(col("doc_id"), arrExpr.as("arr"))
       .localCheckpoint()
     cand
       .join(needed.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
@@ -167,7 +170,7 @@ object Dedup {
       .withColumn("n_common", intersect(col("arr_a"), col("arr_b")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
-          (size(col("arr_a")) + size(col("arr_b")) - col("n_common"))).as("jaccard"))
+          (sizeOf(col("arr_a")) + sizeOf(col("arr_b")) - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -383,11 +386,26 @@ object Dedup {
         abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // n-grams travel as 16-bit-packed longs (injective for BMP text, so
-    // counts and Jaccard are exactly the string form's) — the 100k+
-    // surviving pairs then merge-scan longs instead of UTF8 strings
-    jaccardVerify(cand, docs,
-      graft.functions.PackedCharNgrams(col("text"), n), threshold,
-      graft.functions.SortedLongIntersectCount(_, _))
+    // n-grams travel as packed longs (code-point windows, injective on
+    // the packing's domain, so counts and Jaccard are exactly the
+    // string form's) — the 100k+ surviving pairs then merge-scan longs
+    // instead of UTF8 strings. For n == 4 the 16-bit packing can't
+    // carry astral code points: those (rare) docs fall back to the
+    // string-array form, and a pair touches strings only when at least
+    // one side is such a doc (the packed side unpacks on the fly —
+    // order-preserving, so the merge scan stays valid).
+    val packed = array_sort(graft.functions.PackedCharNgrams(col("text"), n))
+    val hybrid = struct(
+      packed.as("p"),
+      when(packed.isNull,
+        array_sort(TextOps.charNgrams(col("text"), n))).as("s"))
+    def strsOf(c: Column): Column =
+      coalesce(c("s"), graft.functions.UnpackCharNgrams(c("p"), n))
+    jaccardVerify(cand, docs, hybrid, threshold,
+      intersect = (a, b) =>
+        when(a("p").isNotNull && b("p").isNotNull,
+          graft.functions.SortedLongIntersectCount(a("p"), b("p")))
+          .otherwise(graft.functions.SortedIntersectCount(strsOf(a), strsOf(b))),
+      sizeOf = c => coalesce(size(c("p")), size(c("s"))))
   }
 }

@@ -49,17 +49,28 @@ class DedupPropertySpec extends SparkSpec {
   }
 
   // texts with hostile tokenization: runs of spaces, leading/trailing
-  // spaces, empty strings, unicode — where a divergence between the
-  // one-pass expressions' String.split and Spark's split would hide
+  // spaces, empty strings, unicode incl. astral (non-BMP) code points —
+  // where a divergence between the one-pass expressions' String.split /
+  // code-unit loops and Spark's split / code-point substr would hide
   private val hostileTextGen: Gen[String] = {
     val token = Gen.oneOf(
       Gen.oneOf(vocab), Gen.const(""), Gen.const("  "),
-      Gen.oneOf("héllo", "日本語", "straße", "naïve", "a-b", "x,y"))
+      Gen.oneOf("héllo", "日本語", "straße", "naïve", "a-b", "x,y",
+        "😀🚀", "x𝒜y")) // 😀🚀, x𝒜y
     for {
       n <- Gen.choose(0, 12)
       ts <- Gen.listOfN(n, token)
       sep <- Gen.oneOf(" ", "  ", " ")
     } yield ts.mkString(sep)
+  }
+
+  private def hasAstral(s: String): Boolean =
+    s.codePoints().anyMatch(_ > 0xffff)
+
+  private def cpNgrams(s: String, n: Int): Set[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) Set.empty
+    else (0 to cps.length - n).map(i => new String(cps, i, n)).toSet
   }
 
   test("one-pass expressions equal their composed twins on hostile texts") {
@@ -75,12 +86,69 @@ class DedupPropertySpec extends SparkSpec {
       val sigB = Dedup.minhashSignaturesViaAgg(docs)
       assert(sigA.exceptAll(sigB).count() == 0 &&
         sigB.exceptAll(sigA).count() == 0, "minhash signatures diverged")
-      val ngA = docs.select(org.apache.spark.sql.functions.size(
-        graft.functions.PackedCharNgrams(col("text"), 4)).as("n"))
-      val ngB = docs.select(org.apache.spark.sql.functions.size(
-        graft.ext.TextOps.charNgrams(col("text"), 4)).as("n"))
-      assert(ngA.exceptAll(ngB).count() == 0 &&
-        ngB.exceptAll(ngA).count() == 0, "packed ngram sizes diverged")
+      // n=4: 16-bit packing — BMP docs match the string form exactly,
+      // astral docs signal NULL (the caller's fallback trigger).
+      // n=3: 21-bit packing — total, matches even on astral docs.
+      val ng = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.PackedCharNgrams(col("text"), 4)).as("n4p"),
+        org.apache.spark.sql.functions.size(
+          graft.ext.TextOps.charNgrams(col("text"), 4)).as("n4s"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.PackedCharNgrams(col("text"), 3)).as("n3p"),
+        org.apache.spark.sql.functions.size(
+          graft.ext.TextOps.charNgrams(col("text"), 3)).as("n3s"))
+        .collect().map(r => r.getLong(0) ->
+          (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (n4p, n4s, n3p, n3s) = ng(i.toLong)
+        if (hasAstral(t)) assert(n4p == null, s"expected null for astral: '$t'")
+        else assert(n4p == n4s, s"n=4 packed size diverged on '$t'")
+        assert(n3p == n3s, s"n=3 packed size diverged on '$t'")
+      }
+      ()
+    }
+  }
+
+  test("ngramJaccardDup equals brute force on corpora with astral text") {
+    import spark.implicits._
+    val astralDocGen: Gen[String] = for {
+      len <- Gen.choose(6, 20)
+      cs <- Gen.listOfN(len, Gen.oneOf(
+        Gen.alphaChar.map(_.toString), Gen.oneOf("é", "日", "😀", "𝒜", "🚀")))
+    } yield cs.mkString
+    val astralCorpusGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(8, 14)
+      bases <- Gen.listOfN(n, astralDocGen)
+      flags <- Gen.listOfN(n, Gen.choose(0, 2))
+      ext <- Gen.listOfN(n, Gen.oneOf("a", "😀", "zz"))
+    } yield bases ++ bases.lazyZip(flags).lazyZip(ext).flatMap {
+      case (b, 1, _) => Some(b) // exact copy
+      case (b, 2, e) => Some(b + e) // near copy
+      case _ => None
+    }
+    val (n, maxLenDiff, thr) = (4, 10, 0.3)
+    forSamples(astralCorpusGen, 4) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, t, "xx", t.codePointCount(0, t.length)) }
+        .toDF("doc_id", "text", "lang", "n_chars")
+      val got = Dedup.ngramJaccardDup(docs, n, maxLenDiff, thr).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3)))
+        .toMap
+      val byId = texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap
+      val expected = (for {
+        a <- byId.keys; b <- byId.keys
+        if a < b
+        if math.abs(byId(a).codePointCount(0, byId(a).length) -
+          byId(b).codePointCount(0, byId(b).length)) <= maxLenDiff
+        ga = cpNgrams(byId(a), n); gb = cpNgrams(byId(b), n)
+        common = ga.intersect(gb).size
+        denom = ga.size + gb.size - common
+        if denom > 0 && common.toDouble / denom >= thr
+      } yield (a, b) -> (common, common.toDouble / denom)).toMap
+      assert(got == expected,
+        s"got ${got.keySet} expected ${expected.keySet} corpus=$texts")
       ()
     }
   }
