@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -17,6 +19,15 @@ object Fetch {
   /** Stream `url` (http(s)://, file://) to `<landingDir>/<basename>`;
     * returns the landed path. Overwrites an existing landing of the
     * same name (the weekly re-fetch semantics of the reference cron).
+    *
+    * The landing is ATOMIC: bytes stream to a `._tmp.`-prefixed name
+    * and rename into place only once fully written. A streaming reader
+    * polling the landing dir (StreamIngest.runZip globs `*.zip`) must
+    * never observe a half-copied archive — its checkpoint would mark
+    * the truncated file processed forever. The temp prefix is the
+    * documented contract for the landing dir: anything else writing
+    * into it must also write-then-rename (or use a non-matching
+    * suffix while in flight).
     */
   def toLanding(spark: SparkSession, url: String, landingDir: String): String = {
     val name = url.split('/').last
@@ -26,10 +37,18 @@ object Fetch {
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     val dst = new Path(dir, name)
+    val tmp = new Path(dir, s"._tmp.${java.util.UUID.randomUUID()}.$name")
     val in = new java.net.URI(url).toURL.openStream()
     try {
-      val out = fs.create(dst, true)
+      val out = fs.create(tmp, true)
       try in.transferTo(out) finally out.close()
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    } catch {
+      case NonFatal(ex) => // never leave a half-written temp behind
+        try fs.delete(tmp, false) catch { case NonFatal(_) => }
+        throw ex
     } finally in.close()
     dst.toString
   }

@@ -58,6 +58,15 @@ object StreamIngest {
     * in-executor (ZipSource), extracts both datasets once from the
     * shared parse, and appends staging. The checkpoint is the ledger:
     * an archive is expanded exactly once across restarts.
+    *
+    * Corruption policy: because the checkpoint marks an archive
+    * processed FOREVER, a corrupt archive must leave a durable trace —
+    * its path and decoder error are appended to
+    * `<stagingDir>/quarantine` (entries salvaged before the corruption
+    * still stage; re-land the repaired archive under a new name to
+    * re-ingest the rest). Landing writers must place archives
+    * atomically (write-then-rename, see [[graft.sources.Fetch]]) so a
+    * half-copied file can never be picked up and quarantined.
     */
   def runZip(spark: SparkSession, zipLandingDir: String, stagingDir: String,
              checkpointDir: String, maxFilesPerTrigger: Int = 10): StreamingQuery = {
@@ -83,13 +92,22 @@ object StreamIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val matches = ZipSource.matchesFrom(ZipSource.expandEntries(batch)).persist()
+        val expanded = ZipSource.expandEntriesWithErrors(batch).persist()
         try {
-          Connectors.writeStaging(
-            Extractors.matchwise(matches), s"$stagingDir/matchwise")
-          Connectors.writeStaging(
-            Extractors.deliverywise(matches), s"$stagingDir/deliverywise")
-        } finally { matches.unpersist(); () }
+          val corrupt = expanded.filter(col("zip_error").isNotNull)
+            .select(col("zip_path"), col("zip_error"),
+              current_timestamp().as("quarantined_at"))
+          if (!corrupt.isEmpty)
+            Connectors.writeStaging(corrupt, s"$stagingDir/quarantine")
+          val matches = ZipSource.matchesFrom(
+            expanded.filter(col("zip_error").isNull)).persist()
+          try {
+            Connectors.writeStaging(
+              Extractors.matchwise(matches), s"$stagingDir/matchwise")
+            Connectors.writeStaging(
+              Extractors.deliverywise(matches), s"$stagingDir/deliverywise")
+          } finally { matches.unpersist(); () }
+        } finally { expanded.unpersist(); () }
       }
       .start()
   }

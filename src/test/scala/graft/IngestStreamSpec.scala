@@ -131,6 +131,34 @@ class IngestStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("streaming: corrupt archive quarantines durably, good archive stages") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val landing = tmp("q_landing"); val staging = tmp("q_staging")
+    val checkpoint = tmp("q_ckpt")
+    val good = new File(landing, "good.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(good))
+    zos.putNextEntry(new ZipEntry("t/1001.json"))
+    zos.write(Files.readAllBytes(Paths.get(fixturesDir, "1001.json")))
+    zos.closeEntry(); zos.close()
+    // garbage bytes under a .zip name — the decoder fails immediately
+    Files.write(Paths.get(landing, "junk.zip"), Array.fill[Byte](256)(0x41))
+
+    StreamIngest.runZip(spark, landing, staging, checkpoint).awaitTermination()
+    assert(spark.read.parquet(s"$staging/matchwise")
+      .filter(col("match_id") === 1001).count() == 1)
+    val q = spark.read.parquet(s"$staging/quarantine").collect()
+    assert(q.length == 1, s"expected one quarantine row, got ${q.toSeq}")
+    assert(q.head.getAs[String]("zip_path").endsWith("junk.zip"))
+    assert(q.head.getAs[String]("zip_error").nonEmpty)
+
+    // the checkpoint marks junk.zip processed: a re-run must not
+    // re-quarantine (no duplicate rows) nor re-stage
+    StreamIngest.runZip(spark, landing, staging, checkpoint).awaitTermination()
+    assert(spark.read.parquet(s"$staging/quarantine").count() == 1)
+    assert(spark.read.parquet(s"$staging/matchwise").count() == 1)
+  }
+
   test("streaming: restart with same checkpoint reprocesses nothing") {
     val landing = tmp("r_landing"); val staging = tmp("r_staging")
     val checkpoint = tmp("r_ckpt")

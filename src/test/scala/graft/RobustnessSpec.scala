@@ -123,6 +123,47 @@ class RobustnessSpec extends SparkSpec {
     assert(m.filter(col("match_id") === 1001).count() == 1)
   }
 
+  test("hostile archive raising a runtime exception still salvages") {
+    import java.io.{ByteArrayOutputStream, File}
+    import java.nio.file.{Files => JFiles}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // valid zip, then corrupt the SECOND entry's name into invalid
+    // UTF-8 — ZipInputStream.getNextEntry throws IllegalArgumentException
+    // (MALFORMED), not IOException, from the name decoder
+    val buf = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(buf)
+    zos.putNextEntry(new ZipEntry("t/1001.json"))
+    zos.write(Files.readAllBytes(Paths.get(fixturesDir, "1001.json")))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("NAMEZZZZ.json"))
+    zos.write("{}".getBytes); zos.closeEntry()
+    zos.close()
+    val bytes = buf.toByteArray
+    val marker = "NAMEZZZZ".getBytes("UTF-8")
+    val bad = Array[Byte](0xC3.toByte, 0x28, 0xC3.toByte, 0x28,
+      0xC3.toByte, 0x28, 0xC3.toByte, 0x28) // invalid UTF-8 sequences
+    var i = 0
+    while (i <= bytes.length - marker.length) {
+      if (bytes.slice(i, i + marker.length).sameElements(marker))
+        System.arraycopy(bad, 0, bytes, i, bad.length)
+      i += 1
+    }
+    val dir = Files.createTempDirectory("graft_rb_zip5")
+    val zip = new File(dir.toFile, "hostile.zip")
+    JFiles.write(zip.toPath, bytes)
+
+    val df = graft.sources.ZipSource.expandEntriesWithErrors(
+      spark.read.format("binaryFile").load(zip.getAbsolutePath))
+    val rows = df.collect()
+    // first entry salvaged; one error marker row for the hostile name
+    assert(rows.count(_.getAs[String]("zip_error") == null) == 1)
+    val err = rows.filter(_.getAs[String]("zip_error") != null)
+    assert(err.length == 1, s"expected an error marker, got ${rows.toSeq}")
+    // the lenient batch path drops the marker and keeps the salvage
+    val m = graft.sources.ZipSource.readMatches(spark, zip.getAbsolutePath)
+    assert(m.filter(col("match_id") === 1001).count() == 1)
+  }
+
   test("file without numeric name gets null match_id, still processed") {
     val dir = withFiles("notes.json" ->
       """{"info":{"dates":["2022-03-03"],"venue":"V","teams":["A","B"],

@@ -59,6 +59,43 @@ class ZipSourceSpec extends SparkSpec {
     assert(again == landed)
   }
 
+  test("streamed reader equals the in-memory reader, salvage included") {
+    val a = ZipSource.readEntries(spark, zipPath)
+    val b = ZipSource.readEntriesStreamed(spark, zipPath)
+      .filter(col("zip_error").isNull).drop("zip_error")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(b.count() == 6)
+
+    // truncated archive: salvages the leading entries + one error row
+    val dir = Files.createTempDirectory("graft_zs_stream")
+    val whole = Files.readAllBytes(Paths.get(zipPath))
+    Files.write(Paths.get(dir.toString, "trunc.zip"),
+      java.util.Arrays.copyOf(whole, whole.length - whole.length / 4))
+    val s = ZipSource.readEntriesStreamed(spark, dir.toString + "/trunc.zip")
+    val errs = s.filter(col("zip_error").isNotNull).count()
+    val oks = s.filter(col("zip_error").isNull).count()
+    assert(errs == 1, s"expected one error marker, got $errs")
+    assert(oks >= 1 && oks < 6, s"expected partial salvage, got $oks")
+  }
+
+  test("fetch leaves no temp files behind") {
+    val landing = Files.createTempDirectory("graft_fetch_tmp").toString
+    val url = new File(zipPath).toURI.toString
+    graft.sources.Fetch.toLanding(spark, url, landing)
+    // dot-prefixed names (Hadoop LocalFS .crc sidecars) are invisible
+    // to Spark's file sources; what must NOT remain is any ._tmp. file
+    def visible = new File(landing).list().toSeq.filterNot(_.startsWith("."))
+    def tmps = new File(landing).list().toSeq.filter(_.contains("._tmp."))
+    assert(visible == Seq("t20s.zip"), s"unexpected landing contents: $visible")
+    assert(tmps.isEmpty, s"temp remnants: $tmps")
+    // a failed fetch cleans its temp up too
+    intercept[Exception] {
+      graft.sources.Fetch.toLanding(spark,
+        new File(zipPath + ".does-not-exist").toURI.toString, landing)
+    }
+    assert(visible == Seq("t20s.zip") && tmps.isEmpty)
+  }
+
   test("batched decode plumbing runs the injected codec per payload") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val withBin = Multimodal.withPayload(docs.limit(50))
