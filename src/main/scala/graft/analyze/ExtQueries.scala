@@ -576,6 +576,21 @@ object ExtQueries {
           i -> upper(hex(substr(text, CAST(i AS INT) * ${Multimodal.FrameBytes} + 1, ${Multimodal.FrameBytes}))))) AS frame_hex
       FROM documents WHERE doc_id < 30 ORDER BY doc_id, frame_idx""")),
 
+    // ---- REAL image decode: javax.imageio round-trip on synthetic PNGs
+    // whose dims/pixels are pure functions of doc_id, so the oracle
+    // verifies the actual codec output analytically ------------------
+    ("m03_image_decode", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      Multimodal.decodeImages(Multimodal.syntheticImages(docs))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(4 + doc_id % 13 AS INT) AS width,
+        CAST(3 + doc_id % 7 AS INT) AS height,
+        CAST(list_sum(list_transform(range((4 + doc_id % 13) * (3 + doc_id % 7)),
+          i -> (doc_id*31 + i) % 256)) AS BIGINT) AS pixel_sum
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
     // ---- streaming window workload, batch form -------------------------
     // (the true readStream variants live in graft.streaming and are
     // exercised by ScalaTest; semantics here are identical)

@@ -7,12 +7,13 @@ import graft.functions.Hashing
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata.
   *
-  * The real decode step (image/audio codecs) is STUBBED — the container
-  * has no media libraries — but every piece of Spark-side plumbing is
-  * real and tested: binary column construction, metadata struct schema,
-  * deterministic "decode" output shape, frame sampling, and batch-wise
-  * partitioning. Swapping the stub for a real codec is a one-function
-  * change in [[decodeStub]].
+  * IMAGE decode is REAL: [[decodeImages]] runs the JDK-bundled
+  * `javax.imageio` PNG/BMP codec per partition (no external library),
+  * verified by the m03 oracle against analytically-known synthetic
+  * images. Audio/video codecs are not in the JDK, so [[decodeStub]]
+  * remains the stand-in for those payload kinds — with the same schema
+  * and batching shape, so swapping in an ffmpeg-style binding is a
+  * one-function change.
   *
   * At scale: payloads stay as parquet binary chunks co-partitioned with
   * their metadata; decode/feature-extract runs as a per-partition map
@@ -79,6 +80,86 @@ object Multimodal {
       }
       .toDF("doc_id", "width", "height")
     withBin.join(out, "doc_id")
+  }
+
+  /** Deterministic synthetic images, REALLY encoded as PNG: per doc, an
+    * 8-bit grayscale image whose dimensions and pixel values are pure
+    * functions of doc_id (w = 4 + id%13, h = 3 + id%7, pixel i in
+    * row-major order = (id*31 + i) % 256). Because the content is
+    * analytically known, the DuckDB oracle can verify the REAL codec
+    * round-trip (encode here, decode in [[decodeImages]]) value-for-
+    * value without itself decoding any image. Encoding runs per
+    * partition like any real payload producer.
+    */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + y * w + x) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode: `javax.imageio` (JDK-bundled — PNG, BMP, GIF,
+    * JPEG) per partition, returning dimensions and the pixel sum of
+    * band 0 — a content fingerprint the m03 oracle recomputes
+    * analytically. Undecodable payloads yield null columns (the
+    * malformed-input contract), never a task failure.
+    */
+  def decodeImages(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    val decoded = withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // ImageIO plugin discovery is amortized across the partition
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, None: Option[Int], None: Option[Int],
+              None: Option[Long])
+            else {
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += raster.getSample(x, y, 0)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, Some(img.getWidth), Some(img.getHeight), Some(sum))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, None: Option[Int], None: Option[Int], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "pixel_sum")
+    decoded
   }
 
   /** Full metadata/decode/sample projection used by the verify query. */

@@ -96,6 +96,28 @@ class ZipSourceSpec extends SparkSpec {
     assert(visible == Seq("t20s.zip") && tmps.isEmpty)
   }
 
+  test("real imageio decode round-trips synthetic PNGs exactly") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 40)
+    val decoded = Multimodal.decodeImages(Multimodal.syntheticImages(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(decoded.size == 40)
+    decoded.foreach { case (id, (w, h, sum)) =>
+      val (ew, eh) = (4 + (id % 13).toInt, 3 + (id % 7).toInt)
+      val esum = (0 until ew * eh).map(i => (id * 31 + i) % 256).sum
+      assert((w, h, sum) == ((ew, eh, esum)), s"doc $id decode mismatch")
+    }
+  }
+
+  test("undecodable payload yields null decode columns, not a crash") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val notImages = Multimodal.withPayload(docs.limit(5)) // utf8 text bytes
+    val out = Multimodal.decodeImages(notImages).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("batched decode plumbing runs the injected codec per payload") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val withBin = Multimodal.withPayload(docs.limit(50))
