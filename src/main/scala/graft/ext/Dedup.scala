@@ -44,6 +44,14 @@ object Dedup {
   val SimhashBandBits: Int = SimhashBits / SimhashBands // 16
   val SimhashBandMask: Long = (1L << SimhashBandBits) - 1 // 65535
 
+  /** Default hot-bucket cap for candidate self-joins ([[HotBuckets]]):
+    * one bucket then yields at most ~5e7 pairs — a bounded task, not a
+    * runaway. Far above any bucket the verification corpora produce
+    * (the oracles assume the cap is not hit at test scale); tune per
+    * corpus at production scale.
+    */
+  val DefaultMaxBucket = 10000
+
   /** Exact-duplicate groups: docs whose full text hashes identically.
     * At scale this is one hash-partitioned aggregation on md5(text).
     */
@@ -101,13 +109,19 @@ object Dedup {
   }
 
   /** Near-duplicate pairs with exact Jaccard >= threshold.
-    * Pipeline: signatures -> band buckets -> distinct candidate pairs ->
-    * per-pair array_intersect verification (codegen'd set intersection
-    * on the two shingle arrays — no second exploded shuffle join).
+    * Pipeline: signatures -> band buckets (hot buckets capped, see
+    * [[HotBuckets]]) -> distinct candidate pairs -> per-pair
+    * array_intersect verification (codegen'd set intersection on the
+    * two shingle arrays — no second exploded shuffle join).
     * Output: (doc_a, doc_b, n_common, jaccard).
     */
-  def minhashDup(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs))
+  def minhashDup(docs: DataFrame, threshold: Double,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // checkpointed: referenced by the bucket-count agg and both sides
+    // of the candidate self-join (the multi-reference rule)
+    val bands = HotBuckets.prune(
+      minhashBands(minhashSignatures(docs)).localCheckpoint(),
+      Seq("band_idx", "band_key"), maxBucket)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
@@ -335,20 +349,24 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: candidates share one of [[SimhashBands]]
-    * [[SimhashBandBits]]-bit bands, verified by Hamming distance <=
-    * maxHamming. Arithmetic-vs-logical shift is irrelevant: the mask
-    * keeps only bits below the shifted-in sign bits.
+    * [[SimhashBandBits]]-bit bands (hot buckets capped, see
+    * [[HotBuckets]]), verified by Hamming distance <= maxHamming.
+    * Arithmetic-vs-logical shift is irrelevant: the mask keeps only
+    * bits below the shifted-in sign bits.
     */
-  def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashDup(docs: DataFrame, maxHamming: Int,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = simhash(docs)
     // checkpointed: the candidate self-join references the banded table
     // on both sides (same multi-reference rule as jaccardVerify)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map(k =>
-        shiftright(col("simhash"), SimhashBandBits * k)
-          .bitwiseAND(lit(SimhashBandMask))): _*))
-        .as(Seq("band_idx", "band_val")))
-      .localCheckpoint()
+    val banded = HotBuckets.prune(
+      sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map(k =>
+          shiftright(col("simhash"), SimhashBandBits * k)
+            .bitwiseAND(lit(SimhashBandMask))): _*))
+          .as(Seq("band_idx", "band_val")))
+        .localCheckpoint(),
+      Seq("band_idx", "band_val"), maxBucket)
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_val") === col("y.band_val") &&

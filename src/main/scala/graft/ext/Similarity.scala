@@ -75,9 +75,14 @@ object Similarity {
     * the exact all-pairs baseline for pre-blocked corpora. Recall is
     * governed by nPlanes exactly as in [[lshTopK]].
     */
-  def lshCosineDupPairs(embs: DataFrame, nPlanes: Int,
-                        threshold: Double): DataFrame = {
-    val buckets = lshBuckets(embs, nPlanes)
+  def lshCosineDupPairs(embs: DataFrame, nPlanes: Int, threshold: Double,
+                        maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // near-constant embedding clusters collapse into one bucket — cap
+    // it before the self-join (HotBuckets); checkpoint because the
+    // count agg and both join sides reference the bucket table
+    val buckets = HotBuckets.prune(
+      lshBuckets(embs, nPlanes).localCheckpoint(),
+      Seq("bucket"), maxBucket)
     val a = side(embs, "a")
       .join(buckets.select(col("vec_id").as("a_id"), col("bucket")), "a_id")
     val b = side(embs, "b")
@@ -106,7 +111,8 @@ object Similarity {
     * corpus-sized is broadcast and there is no nested loop.
     */
   def bandedCosineDupPairs(embs: DataFrame, nBands: Int, rowsPerBand: Int,
-                           threshold: Double): DataFrame = {
+                           threshold: Double,
+                           maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nPlanes = nBands * rowsPerBand
     val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
     val planes = embs.filter(col("vec_id") < nPlanes)
@@ -114,15 +120,18 @@ object Similarity {
     // per-(vector, band) bucket id from that band's plane signs;
     // materialized once — the candidate self-join references it on both
     // sides, and the corpus-wide plane-dot aggregation is too expensive
-    // to risk running twice if ReuseExchange fails to dedupe
-    val bandBuckets = graft.core.Tables.spread(embs)
-      .crossJoin(broadcast(planes))
-      .withColumn("d", dotCol(col("embedding"), col("p_emb")))
-      .groupBy(col("vec_id"), expr(s"CAST(plane_id div $rowsPerBand AS INT)").as("band"))
-      .agg(sum(when(col("d") > 0,
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $rowsPerBand AS INT))"))
-        .otherwise(lit(0L))).as("bucket"))
-      .localCheckpoint()
+    // to risk running twice if ReuseExchange fails to dedupe. Hot
+    // (band, bucket) cells capped before the self-join (HotBuckets).
+    val bandBuckets = HotBuckets.prune(
+      graft.core.Tables.spread(embs)
+        .crossJoin(broadcast(planes))
+        .withColumn("d", dotCol(col("embedding"), col("p_emb")))
+        .groupBy(col("vec_id"), expr(s"CAST(plane_id div $rowsPerBand AS INT)").as("band"))
+        .agg(sum(when(col("d") > 0,
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $rowsPerBand AS INT))"))
+          .otherwise(lit(0L))).as("bucket"))
+        .localCheckpoint(),
+      Seq("band", "bucket"), maxBucket)
     // distinct candidate pairs: same bucket in at least one band
     val cand = bandBuckets.select(col("vec_id").as("a_id"), col("band"), col("bucket"))
       .join(bandBuckets.select(col("vec_id").as("b_id"),
