@@ -83,6 +83,33 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("store-addressed connector branch: collstore collection round-trip") {
+    // a REAL store-addressed DataSource (collection option, no path):
+    // the Connectors non-path branch runs through actual V2 connector
+    // machinery, not a file format wearing a costume
+    val landing = tmp("s_landing"); val checkpoint = tmp("s_ckpt")
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+    graft.sources.CollectionStore.drop("matchwise")
+    graft.sources.CollectionStore.drop("deliverywise")
+    spark.conf.set(graft.core.Connectors.FormatKey, "collstore")
+    try {
+      StreamIngest.run(spark, landing, "store://staging", checkpoint)
+        .awaitTermination()
+      // written by collection name (the target's last segment), never a path
+      assert(graft.sources.CollectionStore.schemaOf("matchwise").isDefined)
+      val back = graft.core.Connectors.readStaging(spark, "store://staging/matchwise")
+      assert(back.count() == 2)
+      assert(back.select("match_id").collect().map(_.getInt(0)).toSet ==
+        Set(1001, 1002))
+      val dw = graft.core.Connectors.readStaging(spark, "store://staging/deliverywise")
+      assert(dw.count() > 0)
+    } finally {
+      spark.conf.unset(graft.core.Connectors.FormatKey)
+      graft.sources.CollectionStore.drop("matchwise")
+      graft.sources.CollectionStore.drop("deliverywise")
+    }
+  }
+
   test("tables load through scheme-qualified URIs (file:// as the s3a:// stand-in)") {
     val orders = graft.core.Tables.load(spark, "file:///root/testdata/sf0.001", "orders")
     assert(orders.count() > 0)
