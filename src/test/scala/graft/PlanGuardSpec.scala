@@ -1,0 +1,47 @@
+package graft
+
+/** Plan-level regression guard over EVERY registered query: no
+  * CartesianProduct anywhere, and BroadcastNestedLoopJoin only where a
+  * query deliberately broadcasts a bounded side (or IS the cross-join
+  * test) — with exact node counts, so a new accidental nested loop (or
+  * a second one sneaking into an allowed query) fails the build. This
+  * is the guard that keeps every future operator honest at the plan
+  * level: a Catalyst change, a lost equi-condition, or a dropped
+  * broadcast hint shows up here before it shows up as a 100x slowdown
+  * at scale.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries allowed BroadcastNestedLoopJoin nodes, with WHY and how
+    * many. Every broadcast side here is bounded by construction
+    * (query set, hyperplanes, centroids, or a 1-row aggregate) — never
+    * the corpus.
+    */
+  private val allowedBnlj = Map(
+    "q10_cross_join" -> 1, // IS the cross-join coverage test
+    "d07_cosine_dup" -> 1, // declared all-pairs exact baseline (pre-blocked corpora)
+    "d13_kmv_distinct" -> 1, // 1-row sketch x 1-row exact-count join
+    "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
+    "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
+    "s05_knn_classify" -> 1, // broadcast labeled query set
+    "s02_ann_lsh_topk" -> 2, // broadcast hyperplanes (bucket build runs per side)
+    "s06_ann_ivf_topk" -> 2, // broadcast centroids (cell build + query probe)
+    "t05_tfidf_top_terms" -> 1) // broadcast 1-row corpus-size aggregate
+
+  test("no unplanned cartesian or nested-loop join in any registered query") {
+    val sfDir = "/root/testdata/sf0.001"
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = "CartesianProduct".r.findAllIn(plan).size
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        val allowed = allowedBnlj.getOrElse(name, 0)
+        (if (cart > 0) Seq(s"$name: $cart CartesianProduct node(s)") else Nil) ++
+          (if (bnlj != allowed)
+            Seq(s"$name: $bnlj BroadcastNestedLoopJoin node(s), allowed $allowed")
+          else Nil)
+    }
+    assert(failures.isEmpty,
+      s"plan regressions:\n${failures.mkString("\n")}")
+  }
+}
