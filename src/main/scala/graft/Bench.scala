@@ -39,7 +39,11 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional args subset the run — the micro-bench loop for tuning
+    // one operator without paying for the whole registry
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup (untimed)
     // best-of-2: the environment shows bursty external CPU contention
     // (identical plans vary 4x run-to-run); min-of-passes reports the

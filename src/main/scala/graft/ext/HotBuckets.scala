@@ -23,11 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object HotBuckets {
 
-  /** Members of over-`maxBucket` buckets removed. No-op (and no extra
-    * jobs beyond the count agg) when nothing exceeds the cap.
+  /** Members of over-`maxBucket` buckets removed.
+    *
+    * Short-circuit: when the WHOLE banded table holds at most
+    * `maxBucket` rows, no bucket can exceed the cap — one O(partitions)
+    * count on the (caller-checkpointed) input replaces the count
+    * aggregation and anti-join jobs entirely. The fixed per-job
+    * overhead of the full path is noise at production scale but
+    * measurable at test scale; the short-circuit keeps the guard free
+    * exactly where it cannot trigger.
     */
   def prune(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     if (maxBucket == Int.MaxValue) return banded
+    if (banded.count() <= maxBucket) return banded
     val hot = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
