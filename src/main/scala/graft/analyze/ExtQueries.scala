@@ -28,20 +28,22 @@ object ExtQueries {
   private val shinglesSql = TextOps.wordShinglesSql("text", Dedup.ShingleSize)
   private val h32s = Hashing.h32Sql("s")
 
+  private val sigColsSql = Hashing.perms.zipWithIndex
+    .map { case ((a, b), j) => s"MIN(($a * h + $b) % $P) AS m$j" }
+    .mkString(", ")
+
+  private def bandSelectsSql(sig: String) = (0 until Dedup.Bands).map { bi =>
+    val ms = (0 until Dedup.Rows).map(ri => s"m${bi * Dedup.Rows + ri}").mkString(", ")
+    s"SELECT doc_id, $bi AS band_idx, concat_ws(',', $ms) AS band_key FROM $sig"
+  }.mkString(" UNION ALL ")
+
   /** Shared CTE chain producing minhash candidate pairs with counts
     * (reused by the dup-pairs oracle and the clustering oracle). */
   private val minhashCtes: String = {
-    val sigCols = Hashing.perms.zipWithIndex
-      .map { case ((a, b), j) => s"MIN(($a * h + $b) % $P) AS m$j" }
-      .mkString(", ")
-    val bandSelects = (0 until Dedup.Bands).map { bi =>
-      val ms = (0 until Dedup.Rows).map(ri => s"m${bi * Dedup.Rows + ri}").mkString(", ")
-      s"SELECT doc_id, $bi AS band_idx, concat_ws(',', $ms) AS band_key FROM sig"
-    }.mkString(" UNION ALL ")
     s"""sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
     h AS (SELECT doc_id, $h32s AS h FROM sh),
-    sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
-    bands AS ($bandSelects),
+    sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id),
+    bands AS (${bandSelectsSql("sig")}),
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              FROM bands x JOIN bands y
              ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
@@ -115,6 +117,65 @@ object ExtQueries {
     FROM pairs WHERE bit_count(xor(sha, shb)) <= 6
     ORDER BY doc_a, doc_b"""
   }
+
+  /** Incremental dedup oracle: new (odd doc_id) vs corpus (even doc_id)
+    * band join — no self-pairs on either side by construction. */
+  private val incrementalDupOracle: String = s"""
+    WITH csh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents WHERE doc_id % 2 = 0),
+    nsh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents WHERE doc_id % 2 = 1),
+    ch AS (SELECT doc_id, $h32s AS h FROM csh),
+    nh AS (SELECT doc_id, $h32s AS h FROM nsh),
+    csig AS (SELECT doc_id, $sigColsSql FROM ch GROUP BY doc_id),
+    nsig AS (SELECT doc_id, $sigColsSql FROM nh GROUP BY doc_id),
+    cbands AS (${bandSelectsSql("csig")}),
+    nbands AS (${bandSelectsSql("nsig")}),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             FROM nbands x JOIN cbands y
+             ON x.band_idx = y.band_idx AND x.band_key = y.band_key),
+    arr AS (SELECT doc_id, $shinglesSql AS sa FROM documents),
+    com AS (SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
+                   CAST(len(a.sa) AS INT) AS na, CAST(len(b.sa) AS INT) AS nb
+            FROM cand JOIN arr a ON a.doc_id = doc_a JOIN arr b ON b.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM com
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  private val repetitionOracle: String = """
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                  CAST(MAX(c) AS BIGINT) AS top_word_n
+           FROM wc GROUP BY doc_id),
+    sh AS (SELECT doc_id,
+                  CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS INT) AS n_3g,
+                  CAST(len(__SHINGLES3__) AS INT) AS n_distinct_3g
+           FROM documents)
+    SELECT ws.doc_id, n_words, n_distinct_words, top_word_n, n_3g, n_distinct_3g,
+           1.0 - CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+           CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+           CASE WHEN n_3g > 0
+                THEN 1.0 - CAST(n_distinct_3g AS DOUBLE) / CAST(n_3g AS DOUBLE)
+                ELSE 0.0 END AS dup_3gram_frac,
+           (1.0 - CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.6
+             AND (CAST(top_word_n AS DOUBLE) / CAST(n_words AS DOUBLE)) <= 0.3
+             AND (CASE WHEN n_3g > 0
+                  THEN 1.0 - CAST(n_distinct_3g AS DOUBLE) / CAST(n_3g AS DOUBLE)
+                  ELSE 0.0 END) <= 0.6 AS keep
+    FROM ws JOIN sh ON ws.doc_id = sh.doc_id
+    ORDER BY ws.doc_id"""
+    .replace("__SHINGLES3__", TextOps.wordShinglesSql("text", 3))
+
+  private val hashSplitOracle: String = s"""
+    SELECT doc_id,
+           ${Hashing.h32Sql("text")} % 100 AS bucket,
+           CASE WHEN ${Hashing.h32Sql("text")} % 100 < 80 THEN 'train'
+                WHEN ${Hashing.h32Sql("text")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id"""
 
   private val ngramsSql = TextOps.charNgramsSql("text", 4)
 
@@ -553,6 +614,25 @@ object ExtQueries {
     ("t09_countmin", (s: SparkSession, d: String) =>
       TextAnalysis.countMinWords(t(s, d, "documents"), width = 512, topK = 10),
       Some(countMinOracle)),
+
+    // Gopher-style repetition filters (templated/spam text detection)
+    ("t10_repetition_metrics", (s: SparkSession, d: String) =>
+      TextAnalysis.repetitionMetrics(t(s, d, "documents")),
+      Some(repetitionOracle)),
+
+    // deterministic content-hash train/val/test assignment
+    ("t12_hash_split", (s: SparkSession, d: String) =>
+      Curation.hashSplit(t(s, d, "documents"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+      Some(hashSplitOracle)),
+
+    // incremental near-dedup: fresh batch (odd ids) vs corpus (even ids)
+    ("c04_incremental_dedup", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashDupAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), threshold = 0.5)
+    }, Some(incrementalDupOracle)),
 
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),

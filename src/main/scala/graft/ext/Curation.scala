@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,6 +83,28 @@ object Curation {
       .filter(col("rk") <= col("__quota"))
       .select(col("doc_id"), col(stratum), col("rk"))
       .orderBy(col(stratum), col("rk"))
+  }
+
+  /** Deterministic train/val/test assignment: bucket = portable
+    * hash32(text) mod 100, splits carved by cumulative percent weights
+    * in the given order. Hash-of-content (not of id) keeps exact
+    * duplicates in the SAME split — the leakage-safe convention for
+    * training corpora — and re-runs reproduce the assignment
+    * bit-for-bit on any engine. Pure projection: no shuffle, scan
+    * speed at any corpus size.
+    */
+  def hashSplit(docs: DataFrame, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
+      weights.map(_._2).sum == 100, "weights must be positive percents summing to 100")
+    val bucket = pmod(hash32, lit(100L))
+    val cuts = weights.scanLeft(0)(_ + _._2).tail.init // cumulative, last cut implied
+      .zip(weights.init.map(_._1))
+    val split = cuts.foldRight(lit(weights.last._1): Column) {
+      case ((cut, name), els) => when(bucket < cut, name).otherwise(els)
+    }
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"), bucket.as("bucket"), split.as("split"))
+      .orderBy(col("doc_id"))
   }
 
   /** Eval-set decontamination: training docs sharing at least one word

@@ -132,6 +132,32 @@ object Dedup {
       array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
   }
 
+  /** Incremental near-dedup: MinHash+LSH candidates between NEW docs
+    * and an EXISTING corpus only — the production ingestion shape
+    * (dedup a fresh crawl batch against the indexed corpus without
+    * re-pairing the corpus with itself). Candidates come from a
+    * new-bands x corpus-bands equi-join (no self-pairs by
+    * construction), then exact Jaccard verification over both sides.
+    * At scale the corpus band table is what you'd persist (bucketed by
+    * band key) and probe per batch. doc_ids must be disjoint across
+    * the two inputs. Output: (doc_a = new id, doc_b = corpus id,
+    * n_common, jaccard).
+    */
+  def minhashDupAgainst(corpus: DataFrame, newDocs: DataFrame,
+                        threshold: Double,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    def bands(d: DataFrame) = HotBuckets.prune(
+      minhashBands(minhashSignatures(d)).localCheckpoint(),
+      Seq("band_idx", "band_key"), maxBucket)
+    val cand = bands(newDocs).as("x").join(bands(corpus).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, corpus.unionByName(newDocs),
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
+  }
+
   /** Exact-Jaccard verification of candidate pairs against per-doc
     * element arrays: a codegen'd sorted-merge intersect count over a
     * pair join (the arrays are sorted once per doc; per-pair cost is

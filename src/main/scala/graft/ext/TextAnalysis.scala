@@ -114,6 +114,48 @@ object TextAnalysis {
       .orderBy(col("n_exact").desc, col("w"))
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1): the
+    * quality dimension [[qualityScore]] doesn't cover — templated/spam
+    * text repeats itself. Per doc, from exact integer counts and single
+    * IEEE divisions (deterministic across engines):
+    *   - dup_word_frac:  1 - distinct words / words;
+    *   - top_word_frac:  occurrences of the most frequent word / words;
+    *   - dup_3gram_frac: 1 - distinct word-3-grams / word-3-grams;
+    *   - keep: all three under their thresholds.
+    * Shape at scale: one explode + two hash aggregations on doc_id —
+    * skew-free (doc_id keys), map-side combined.
+    */
+  def repetitionMetrics(docs: DataFrame,
+                        maxDupWord: Double = 0.6,
+                        maxTopWord: Double = 0.3,
+                        maxDup3gram: Double = 0.6): DataFrame = {
+    val spread = graft.core.Tables.spread(docs)
+    val wordStats = spread
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_n"))
+    val shingleStats = spread.select(col("doc_id"),
+        greatest(size(TextOps.words(col("text"))) - 2, lit(0)).as("n_3g"),
+        size(TextOps.wordShingles(col("text"), 3)).as("n_distinct_3g"))
+    wordStats.join(shingleStats, "doc_id")
+      .withColumn("dup_word_frac",
+        lit(1.0) - col("n_distinct_words").cast("double") / col("n_words").cast("double"))
+      .withColumn("top_word_frac",
+        col("top_word_n").cast("double") / col("n_words").cast("double"))
+      .withColumn("dup_3gram_frac",
+        when(col("n_3g") > 0,
+          lit(1.0) - col("n_distinct_3g").cast("double") / col("n_3g").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("dup_word_frac") <= maxDupWord &&
+        col("top_word_frac") <= maxTopWord &&
+        col("dup_3gram_frac") <= maxDup3gram)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars).
     */

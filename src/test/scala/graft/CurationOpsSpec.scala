@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, TextAnalysis}
+
+class CurationOpsSpec extends SparkSpec {
+
+  test("incremental dedup pairs only cross the batch boundary") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot"),
+      (2L, "one two three four five six seven"),
+      (4L, "unrelated words entirely different content here")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot"), // dup of corpus 0
+      (3L, "totally novel text with no match at all"),
+      (5L, "one two three four five six seven")) // dup of corpus 2
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashDupAgainst(corpus, fresh, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // new->corpus only: the two planted duplicates, no corpus-corpus or
+    // new-new pair can appear by construction
+    assert(got == Set((1L, 0L), (5L, 2L)), s"got $got")
+  }
+
+  test("hash split partitions the corpus, duplicates land in one split") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val split = Curation.hashSplit(docs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10)).cache()
+    assert(split.count() == docs.count()) // total partition, no drops
+    assert(split.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // content-hash assignment: exact duplicate texts share a split
+    val dupDocs = Seq((900L, "same text"), (901L, "same text"),
+      (902L, "other text")).toDF("doc_id", "text")
+    val assigned = Curation.hashSplit(dupDocs, Seq("a" -> 50, "b" -> 50))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(assigned(900L) == assigned(901L))
+    split.unpersist()
+    ()
+  }
+
+  test("repetition metrics flag templated text, pass diverse text") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(40)("spam").mkString(" ")), // one word repeated
+      (1L, "a rich varied sentence containing many distinct interesting words overall"),
+      (2L, ("buy now " * 20).trim)) // repeated bigram template
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(!m(0L), "all-same-word doc must be dropped")
+    assert(m(1L), "diverse doc must be kept")
+    assert(!m(2L), "templated doc must be dropped")
+  }
+}
