@@ -143,6 +143,34 @@ object ExtQueries {
     WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
     ORDER BY doc_a, doc_b"""
 
+  /** Bloom membership oracle: same positions (shared perms mod P mod
+    * m), 63-bit words, bit_or build, left-join probe. */
+  private val bloomOracle: String = {
+    val m = 65536L
+    val k = 4
+    val hs = Hashing.h32Sql("text")
+    def posSelects(src: String, cols: String) =
+      Hashing.perms.take(k).map { case (a, b) =>
+        s"SELECT $cols, (($a * h + $b) % $P) % $m AS p FROM $src"
+      }.mkString(" UNION ALL ")
+    s"""
+    WITH ch AS (SELECT DISTINCT $hs AS h FROM documents WHERE doc_id < 400),
+    cpos AS (${posSelects("ch", "h")}),
+    filt AS (SELECT p // 63 AS word_idx,
+                    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS word
+             FROM cpos GROUP BY p // 63),
+    ph AS (SELECT doc_id, $hs AS h FROM documents),
+    ppos AS (${posSelects("ph", "doc_id, h")}),
+    hits AS (SELECT doc_id, h,
+                    (f.word IS NOT NULL AND (f.word >> CAST(p % 63 AS INT)) & 1 = 1) AS hit
+             FROM ppos LEFT JOIN filt f ON f.word_idx = p // 63),
+    verdict AS (SELECT doc_id, h, bool_and(hit) AS maybe_in_corpus
+                FROM hits GROUP BY doc_id, h)
+    SELECT doc_id, maybe_in_corpus,
+           (h IN (SELECT h FROM ch)) AS actually_in_corpus
+    FROM verdict ORDER BY doc_id"""
+  }
+
   private val repetitionOracle: String = """
     WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
     wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
@@ -625,6 +653,14 @@ object ExtQueries {
       Curation.hashSplit(t(s, d, "documents"),
         Seq("train" -> 80, "val" -> 10, "test" -> 10)),
       Some(hashSplitOracle)),
+
+    // Bloom membership sketch: filter words, probe verdicts, and even
+    // the false positives verify value-for-value (like d13/t09)
+    ("d14_bloom_membership", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Dedup.bloomMembership(docs.filter(col("doc_id") < 400), docs,
+        mBits = 65536, kHashes = 4)
+    }, Some(bloomOracle)),
 
     // incremental near-dedup: fresh batch (odd ids) vs corpus (even ids)
     ("c04_incremental_dedup", (s: SparkSession, d: String) => {

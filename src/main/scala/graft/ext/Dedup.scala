@@ -336,6 +336,58 @@ object Dedup {
       .select(col("n_exact"), col("k_used"), col("kth_hash"), col("estimate"))
   }
 
+  /** Bloom-filter membership sketch: build an m-bit filter over the
+    * corpus's distinct text hashes, probe another table against it —
+    * the third mergeable summary alongside [[kmvDistinct]] (distinct
+    * count) and TextAnalysis.countMinWords (frequency). Deterministic
+    * bit positions from the shared portable hash + minhash permutation
+    * constants, so the filter words, every probe verdict, and even the
+    * false positives verify value-for-value against the oracle. The
+    * filter state is m/64 longs regardless of corpus size, mergeable by
+    * OR; the build is one distinct + one map-side-combined bit_or
+    * aggregation, the probe a broadcast join of the (tiny) word table —
+    * no corpus-sized shuffle anywhere. No false negatives by
+    * construction (asserted in the spec); FPR is tuned by (mBits,
+    * kHashes) as usual. Words pack 63 bits each, leaving the sign bit
+    * clear — the oracle engine's checked left shift cannot produce a
+    * 1<<63, and the packing must be identical on both sides.
+    *
+    * Output per probe doc: (doc_id, maybe_in_corpus, actually_in_corpus).
+    */
+  def bloomMembership(corpus: DataFrame, probes: DataFrame,
+                      mBits: Int, kHashes: Int): DataFrame = {
+    require(mBits >= 64, "mBits must be at least 64")
+    require(kHashes >= 1 && kHashes <= Hashing.perms.size,
+      s"kHashes must be 1..${Hashing.perms.size}")
+    val h = h32(col("text"))
+    def positions: Column = array(Hashing.perms.take(kHashes).map {
+      case (a, b) => pmod(pmod(lit(a) * col("h") + lit(b), lit(P)), lit(mBits.toLong))
+    }: _*)
+    val corpusHashes = graft.core.Tables.spread(corpus)
+      .select(h.as("h")).distinct().localCheckpoint() // filter build + exact check
+    val filterWords = corpusHashes
+      .select(explode(positions).as("p"))
+      .select(expr("p div 63").as("word_idx"), pmod(col("p"), lit(63L)).as("bit"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("word"))
+    val probePos = graft.core.Tables.spread(probes)
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"), col("h"), posexplode(positions).as(Seq("j", "p")))
+      .select(col("doc_id"), col("h"), expr("p div 63").as("word_idx"),
+        pmod(col("p"), lit(63L)).as("bit"))
+    val verdicts = probePos
+      .join(broadcast(filterWords), Seq("word_idx"), "left")
+      .withColumn("hit", col("word").isNotNull &&
+        expr("shiftright(word, CAST(bit AS INT)) & 1") === 1L)
+      .groupBy(col("doc_id"), col("h"))
+      .agg(expr("bool_and(hit)").as("maybe_in_corpus"))
+    verdicts
+      .join(corpusHashes.withColumn("__in", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("maybe_in_corpus"),
+        coalesce(col("__in"), lit(false)).as("actually_in_corpus"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash per doc from word-occurrence weights: bit j is set
     * when sum over word occurrences of (+1 if word-hash bit j else -1)
     * is positive; word-hash bits 0-31 come from h32, 32-63 from h32b

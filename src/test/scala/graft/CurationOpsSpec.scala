@@ -43,6 +43,23 @@ class CurationOpsSpec extends SparkSpec {
     ()
   }
 
+  test("bloom filter has no false negatives; saturation only inflates positives") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") < 60)
+    val out = Dedup.bloomMembership(corpus, docs, mBits = 65536, kHashes = 4)
+      .collect()
+    assert(out.length == docs.count())
+    // every true member must probe positive (the Bloom guarantee)
+    assert(out.forall(r => !r.getBoolean(2) || r.getBoolean(1)))
+    // a deliberately saturated filter (64 bits, hundreds of keys) still
+    // never produces a false negative — it just answers "maybe" a lot
+    val sat = Dedup.bloomMembership(corpus, docs, mBits = 64, kHashes = 2)
+      .collect()
+    assert(sat.forall(r => !r.getBoolean(2) || r.getBoolean(1)))
+    val falsePos = sat.count(r => r.getBoolean(1) && !r.getBoolean(2))
+    assert(falsePos > 0, "64-bit filter over 60 docs must produce false positives")
+  }
+
   test("repetition metrics flag templated text, pass diverse text") {
     import spark.implicits._
     val docs = Seq(
