@@ -648,6 +648,42 @@ object ExtQueries {
       TextAnalysis.repetitionMetrics(t(s, d, "documents")),
       Some(repetitionOracle)),
 
+    // PII scrubbing over deterministically planted emails/phones/IPs —
+    // counts AND the redacted-text fingerprint verify cross-engine
+    ("t11_pii_redact", (s: SparkSession, d: String) => {
+      val planted = t(s, d, "documents").withColumn("text", concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" 10.0.0."), pmod(col("doc_id"), lit(250))))
+          .otherwise(lit(""))))
+      TextAnalysis.piiRedact(planted)
+    }, Some(s"""
+      WITH planted AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 3 = 0
+                     THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' 555-867-5309' ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+             ELSE '' END AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}')) AS INT) AS n_phones,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}')) AS INT) AS n_ips,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+          '${TextAnalysis.PhonePattern}', '<PHONE>', 'g'),
+          '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g')) AS redacted_md5,
+        (len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}'))
+          + len(regexp_extract_all(text, '${TextAnalysis.PhonePattern}'))
+          + len(regexp_extract_all(text, '${TextAnalysis.Ipv4Pattern}'))) > 0 AS has_pii
+      FROM planted ORDER BY doc_id""")),
+
     // deterministic content-hash train/val/test assignment
     ("t12_hash_split", (s: SparkSession, d: String) =>
       Curation.hashSplit(t(s, d, "documents"),

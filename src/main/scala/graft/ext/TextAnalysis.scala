@@ -169,6 +169,39 @@ object TextAnalysis {
         col("n_chars_calc").cast("double") / col("n_ws_tokens"))
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing: count and redact emails, phone numbers, and IPv4
+    * addresses — the privacy pass a training corpus runs before
+    * release. Conservative character-class patterns chosen to behave
+    * identically under Java regex (Spark) and RE2 (oracle); redaction
+    * applies email → phone → IP in that fixed order so both engines
+    * transform identically. Counts are over the ORIGINAL text; the
+    * redacted text is fingerprinted (md5) rather than emitted. Pure
+    * projection — scan speed, no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+    // typed function, not expr(): SQL string literals would eat the
+    // pattern's backslashes
+    def nMatches(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    graft.core.Tables.spread(docs).select(col("doc_id"),
+        nMatches(EmailPattern).as("n_emails"),
+        nMatches(PhonePattern).as("n_phones"),
+        nMatches(Ipv4Pattern).as("n_ips"),
+        md5(redacted).as("redacted_md5"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * the word-hash sequence, mod 2^31-1. Content AND order sensitive
     * (unlike minhash), exact in 64-bit integer arithmetic.
