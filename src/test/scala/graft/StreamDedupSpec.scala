@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamDedup
+
+class StreamDedupSpec extends SparkSpec {
+
+  private def writeDocs(dir: String, name: String,
+                        docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, t) =>
+      s"""{"doc_id": $id, "text": "$t"}"""
+    }.mkString("\n")
+    Files.writeString(Paths.get(dir, name), lines)
+    ()
+  }
+
+  test("streaming dedup: cross-batch and within-batch pairs accumulate") {
+    val landing = Files.createTempDirectory("sd_landing").toString
+    val state = Files.createTempDirectory("sd_state").toString
+    val out = Files.createTempDirectory("sd_out").toString + "/dups"
+    val ckpt = Files.createTempDirectory("sd_ckpt").toString
+
+    // batch 1: three distinct docs, no pairs
+    writeDocs(landing, "b1.json", Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot",
+      1L -> "one two three four five six seven eight",
+      2L -> "completely different content in this doc"))
+    StreamDedup.run(spark, landing, state, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == 0)
+    assert(spark.read.parquet(s"$state/docs").count() == 3)
+
+    // batch 2: one dup of batch-1 doc 0, plus an internal exact pair
+    writeDocs(landing, "b2.json", Seq(
+      10L -> "alpha bravo charlie delta echo foxtrot", // dup of corpus 0
+      11L -> "november oscar papa quebec romeo sierra",
+      12L -> "november oscar papa quebec romeo sierra")) // dup of 11
+    StreamDedup.run(spark, landing, state, out, ckpt).awaitTermination()
+    val pairs = spark.read.parquet(out)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 0L), (11L, 12L)), s"got $pairs")
+    assert(spark.read.parquet(s"$state/docs").count() == 6)
+
+    // re-run over the same landing dir: checkpoint is the ledger —
+    // nothing re-deduplicated, state unchanged
+    StreamDedup.run(spark, landing, state, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == 2)
+    assert(spark.read.parquet(s"$state/docs").count() == 6)
+  }
+}
