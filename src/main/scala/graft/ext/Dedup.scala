@@ -117,11 +117,17 @@ object Dedup {
     */
   def minhashDup(docs: DataFrame, threshold: Double,
                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    // checkpointed: referenced by the bucket-count agg and both sides
-    // of the candidate self-join (the multi-reference rule)
-    val bands = HotBuckets.prune(
-      minhashBands(minhashSignatures(docs)).localCheckpoint(),
-      Seq("band_idx", "band_key"), maxBucket)
+    // The cap cannot trigger when the whole corpus fits in one bucket's
+    // budget — one cheap row count (narrow parquet scan) decides, and
+    // the uncapped shape keeps the plan free of the checkpoint + prune
+    // jobs. When active: checkpointed, because the banded table is
+    // referenced by the bucket-count agg and both self-join sides (the
+    // multi-reference rule).
+    val rawBands = minhashBands(minhashSignatures(docs))
+    val bands =
+      if (maxBucket == Int.MaxValue || docs.count() <= maxBucket) rawBands
+      else HotBuckets.prune(rawBands.localCheckpoint(),
+        Seq("band_idx", "band_key"), maxBucket)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&

@@ -78,11 +78,14 @@ object Similarity {
   def lshCosineDupPairs(embs: DataFrame, nPlanes: Int, threshold: Double,
                         maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     // near-constant embedding clusters collapse into one bucket — cap
-    // it before the self-join (HotBuckets); checkpoint because the
-    // count agg and both join sides reference the bucket table
-    val buckets = HotBuckets.prune(
-      lshBuckets(embs, nPlanes).localCheckpoint(),
-      Seq("bucket"), maxBucket)
+    // it before the self-join (HotBuckets). The cap can't trigger when
+    // the whole corpus fits one bucket's budget (cheap count decides);
+    // when active, checkpoint because the count agg and both join
+    // sides reference the bucket table
+    val rawBuckets = lshBuckets(embs, nPlanes)
+    val buckets =
+      if (maxBucket == Int.MaxValue || embs.count() <= maxBucket) rawBuckets
+      else HotBuckets.prune(rawBuckets.localCheckpoint(), Seq("bucket"), maxBucket)
     val a = side(embs, "a")
       .join(buckets.select(col("vec_id").as("a_id"), col("bucket")), "a_id")
     val b = side(embs, "b")
