@@ -690,6 +690,50 @@ object ExtQueries {
         Seq("train" -> 80, "val" -> 10, "test" -> 10)),
       Some(hashSplitOracle)),
 
+    // context-window chunking: docs -> overlapping training sequences
+    ("t13_chunking", (s: SparkSession, d: String) =>
+      Curation.chunkDocs(t(s, d, "documents"), chunkWords = 64, stride = 48),
+      Some(s"""
+      WITH w AS (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents),
+      n AS (SELECT doc_id, ws,
+                   CAST(1 + (GREATEST(len(ws) - 64, 0) + 47) // 48 AS INT) AS nc
+            FROM w)
+      SELECT doc_id,
+             CAST(unnest(range(nc)) AS INT) AS chunk_idx,
+             unnest(list_transform(range(nc),
+               i -> array_to_string(list_slice(ws, CAST(i AS INT) * 48 + 1,
+                 CAST(i AS INT) * 48 + 64), ' '))) AS chunk_text,
+             CAST(unnest(list_transform(range(nc),
+               i -> len(list_slice(ws, CAST(i AS INT) * 48 + 1,
+                 CAST(i AS INT) * 48 + 64)))) AS INT) AS n_chunk_words
+      FROM n ORDER BY doc_id, chunk_idx""")),
+
+    // repeated-passage detection over planted boilerplate (10% of docs
+    // share an appended 80-char banner; every 60-char window inside it
+    // repeats corpus-wide)
+    ("d15_repeated_passages", (s: SparkSession, d: String) => {
+      val planted = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"),
+          lit(" SUBSCRIBE TO OUR NEWSLETTER TODAY FOR ALL THE LATEST UPDATES AND BREAKING NEWS")))
+          .otherwise(col("text")))
+      Dedup.repeatedPassages(planted, windowChars = 60, minDocs = 5)
+    }, Some("""
+      WITH planted AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 10 = 0
+                     THEN ' SUBSCRIBE TO OUR NEWSLETTER TODAY FOR ALL THE LATEST UPDATES AND BREAKING NEWS'
+                     ELSE '' END AS text
+        FROM documents),
+      win AS (SELECT doc_id,
+                     unnest(list_transform(range(1, length(text) - 58),
+                       i -> substr(text, CAST(i AS INT), 60))) AS w
+              FROM planted WHERE length(text) >= 60),
+      grp AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                     CAST(MIN(doc_id) AS BIGINT) AS first_doc
+              FROM win GROUP BY w)
+      SELECT md5(w) AS passage_md5, n_docs, n_occurrences, first_doc
+      FROM grp WHERE n_docs >= 5 ORDER BY passage_md5""")),
+
     // Bloom membership sketch: filter words, probe verdicts, and even
     // the false positives verify value-for-value (like d13/t09)
     ("d14_bloom_membership", (s: SparkSession, d: String) => {

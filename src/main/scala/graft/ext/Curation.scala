@@ -130,6 +130,33 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-size overlapping chunks — the context-window segmentation
+    * step that turns variable-length documents into training sequences
+    * (word-unit windows of `chunkWords`, advancing by `stride`; the
+    * last chunk may be short, and every doc emits at least one chunk).
+    * All-integer window arithmetic, exact in both engines; one narrow
+    * projection + explode, no shuffle — scan speed at any corpus size.
+    * Output: (doc_id, chunk_idx, chunk_text, n_chunk_words).
+    */
+  def chunkDocs(docs: DataFrame, chunkWords: Int, stride: Int): DataFrame = {
+    require(chunkWords > 0 && stride > 0, "chunkWords and stride must be positive")
+    val ws = TextOps.words(col("text"))
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"), ws.as("ws"))
+      // 1 + ceil(max(n - chunkWords, 0) / stride), integer div (`div`):
+      // Column `/` is double division and rounds differently per engine
+      .withColumn("nc", expr(
+        s"CAST(1 + (greatest(size(ws) - $chunkWords, 0) + ${stride - 1}) div $stride AS INT)"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("ws"), i * stride + 1, lit(chunkWords))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        size(col("chunk")).as("n_chunk_words"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** The whole curation DAG as one query — what a corpus release run
     * actually executes: exact dedup (keep the min doc_id per identical
     * text) → quality gate → deterministic stratified sample → sequence

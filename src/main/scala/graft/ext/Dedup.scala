@@ -342,6 +342,38 @@ object Dedup {
       .select(col("n_exact"), col("k_used"), col("kth_hash"), col("estimate"))
   }
 
+  /** Repeated-passage detection (the exact-substring-dedup family, cf.
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better"): every `windowChars`-char rolling window (stride 1) of
+    * every doc, grouped corpus-wide; windows appearing in at least
+    * `minDocs` DISTINCT docs are boilerplate/repeated passages. Shape
+    * at scale: explode to (doc, window) then one hash aggregation on
+    * the window text — key-partitioned, no pairwise docs anywhere; the
+    * window table is the corpus x windowChars blowup a production run
+    * would stride>1 or hash-sample, both just parameters here.
+    * Output: (passage_md5, n_docs, n_occurrences, first_doc).
+    */
+  def repeatedPassages(docs: DataFrame, windowChars: Int,
+                       minDocs: Int): DataFrame = {
+    require(windowChars > 0 && minDocs >= 2, "windowChars > 0, minDocs >= 2")
+    val windows = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= windowChars)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), length(col("text")) - (windowChars - 1)),
+          i => col("text").substr(i, lit(windowChars)))).as("w"))
+    windows
+      .groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(md5(col("w")).as("passage_md5"), col("n_docs"),
+        col("n_occurrences"), col("first_doc"))
+      .orderBy(col("passage_md5"))
+  }
+
   /** Bloom-filter membership sketch: build an m-bit filter over the
     * corpus's distinct text hashes, probe another table against it —
     * the third mergeable summary alongside [[kmvDistinct]] (distinct
