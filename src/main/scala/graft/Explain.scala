@@ -16,7 +16,8 @@ object Explain {
       else Seq("q01_pricing_summary", "q03_shipping_priority",
         "q05_local_supplier_volume", "q06_forecast_revenue",
         "d05_minhash_lsh_dup", "d12_cosine_banded_lsh_dup",
-        "s01_ann_brute_topk", "s06_ann_ivf_topk", "c01_corpus_build")
+        "s01_ann_brute_topk", "s06_ann_ivf_topk", "c01_corpus_build",
+        "c04_incremental_dedup", "d14_bloom_membership", "d15_repeated_passages")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

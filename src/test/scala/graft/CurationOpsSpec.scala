@@ -60,6 +60,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(falsePos > 0, "64-bit filter over 60 docs must produce false positives")
   }
 
+  test("chunking covers every word at the declared stride, last chunk short") {
+    import spark.implicits._
+    val texts = Seq(
+      "",                       // one empty word -> one chunk
+      "a b c",                  // shorter than one chunk
+      (1 to 64).map("w" + _).mkString(" "),   // exactly one chunk
+      (1 to 65).map("w" + _).mkString(" "),   // one word over -> two chunks
+      (1 to 200).map("w" + _).mkString(" "))  // several chunks
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocs(docs, chunkWords = 64, stride = 48)
+      .collect().groupBy(_.getLong(0))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.split(" ", -1)
+      val expChunks = 1 + (math.max(words.length - 64, 0) + 47) / 48
+      val chunks = out(i.toLong).sortBy(_.getInt(1))
+      assert(chunks.length == expChunks, s"doc $i chunk count")
+      chunks.foreach { r =>
+        val idx = r.getInt(1)
+        val exp = words.slice(idx * 48, idx * 48 + 64)
+        assert(r.getString(2) == exp.mkString(" "), s"doc $i chunk $idx")
+        assert(r.getInt(3) == exp.length)
+      }
+    }
+  }
+
   test("repetition metrics flag templated text, pass diverse text") {
     import spark.implicits._
     val docs = Seq(
