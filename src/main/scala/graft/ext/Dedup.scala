@@ -151,16 +151,36 @@ object Dedup {
     */
   def minhashDupAgainst(corpus: DataFrame, newDocs: DataFrame,
                         threshold: Double,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    def bands(d: DataFrame) = HotBuckets.prune(
-      minhashBands(minhashSignatures(d)).localCheckpoint(),
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashDupAgainstBands(
+      // checkpointed: the prune's count and the candidate join both
+      // read it; a persisted band table (the other overload's caller)
+      // is already materialized
+      minhashBands(minhashSignatures(corpus)).localCheckpoint(),
+      corpus, newDocs, threshold, maxBucket)
+
+  /** [[minhashDupAgainst]] with the corpus BAND TABLE precomputed — the
+    * truly incremental form: the caller persists (doc_id, band_idx,
+    * band_key) once (bucketed by band key at scale) and each new batch
+    * only bands ITSELF, probes the table, and appends its own bands.
+    * Banding the accumulated corpus per batch goes from O(corpus) to
+    * O(batch); [[graft.streaming.StreamDedup]] keeps its state this
+    * way. `corpusDocs` supplies texts for exact verification of the
+    * candidate docs only (semi-joined down inside jaccardVerify).
+    */
+  def minhashDupAgainstBands(corpusBands: DataFrame, corpusDocs: DataFrame,
+                             newDocs: DataFrame, threshold: Double,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cb = HotBuckets.prune(corpusBands, Seq("band_idx", "band_key"), maxBucket)
+    val nb = HotBuckets.prune(
+      minhashBands(minhashSignatures(newDocs)).localCheckpoint(),
       Seq("band_idx", "band_key"), maxBucket)
-    val cand = bands(newDocs).as("x").join(bands(corpus).as("y"),
+    val cand = nb.as("x").join(cb.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, corpus.unionByName(newDocs),
+    jaccardVerify(cand, corpusDocs.unionByName(newDocs),
       array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
   }
 

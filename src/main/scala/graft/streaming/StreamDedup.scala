@@ -17,13 +17,13 @@ import graft.ext.Dedup
   * in `outDir`; the checkpoint is the ledger (a batch of files is
   * deduplicated exactly once across restarts).
   *
-  * State here is the raw docs table (re-banded per batch — correct and
-  * simple); the at-scale refinement is persisting the BAND table
-  * bucketed by (band_idx, band_key) so each batch probes it with a
-  * co-partitioned join and appends its own bands, which
-  * [[Dedup.minhashDupAgainst]]'s shape already supports (the corpus
-  * side is one band-equi-join probe away). Doc texts must still be
-  * retrievable for exact-Jaccard verification either way.
+  * State is TWO append-only tables: the raw docs (texts, needed only
+  * for exact verification of candidate docs) and the minhash BAND
+  * table. Each batch bands ITSELF, probes the persisted band table,
+  * and appends its own bands — per-batch work is O(batch), not
+  * O(corpus) ([[Dedup.minhashDupAgainstBands]]). At cluster scale the
+  * band table is what you'd bucket by (band_idx, band_key) so the
+  * probe is co-partitioned.
   */
 object StreamDedup {
 
@@ -42,18 +42,22 @@ object StreamDedup {
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val batch = batch0.filter(col("doc_id").isNotNull).persist()
         try {
-          val statePath = s"$stateDir/docs"
-          val corpus = Try(spark.read.parquet(statePath)).toOption
-          val crossDups = corpus match {
-            case Some(c) => Dedup.minhashDupAgainst(c, batch, threshold)
-            case None => None.orNull
+          val docsPath = s"$stateDir/docs"
+          val bandsPath = s"$stateDir/bands"
+          val state = for {
+            corpusDocs <- Try(spark.read.parquet(docsPath)).toOption
+            corpusBands <- Try(spark.read.parquet(bandsPath)).toOption
+          } yield (corpusDocs, corpusBands)
+          val crossDups = state.map { case (corpusDocs, corpusBands) =>
+            Dedup.minhashDupAgainstBands(corpusBands, corpusDocs, batch, threshold)
           }
           val intraDups = Dedup.minhashDup(batch, threshold)
-          val all = Option(crossDups)
-            .map(_.unionByName(intraDups)).getOrElse(intraDups)
+          val all = crossDups.map(_.unionByName(intraDups)).getOrElse(intraDups)
           all.write.mode("append").parquet(outDir)
+          Dedup.minhashBands(Dedup.minhashSignatures(batch))
+            .write.mode("append").parquet(bandsPath)
           batch.select(col("doc_id"), col("text"))
-            .write.mode("append").parquet(statePath)
+            .write.mode("append").parquet(docsPath)
         } finally { batch.unpersist(); () }
       }
       .start()

@@ -43,6 +43,8 @@ class StreamDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 0L), (11L, 12L)), s"got $pairs")
     assert(spark.read.parquet(s"$state/docs").count() == 6)
+    // band-table state accumulates too (one row per doc per band)
+    assert(spark.read.parquet(s"$state/bands").count() == 6L * graft.ext.Dedup.Bands)
 
     // re-run over the same landing dir: checkpoint is the ledger —
     // nothing re-deduplicated, state unchanged
