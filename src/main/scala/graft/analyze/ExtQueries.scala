@@ -343,21 +343,33 @@ object ExtQueries {
     ORDER BY n_exact DESC, w"""
   }
 
-  private val langidOracle: String = {
-    val scoreCols = TextAnalysis.stopwords.map { case (l, ws) =>
-      val inList = ws.map(w => s"'$w'").mkString(", ")
-      s"CAST(len(list_filter(${TextOps.wordsSql("text")}, w -> w IN ($inList))) AS INT) AS n_$l"
-    }.mkString(", ")
+  private val langidScoreCols = TextAnalysis.stopwords.map { case (l, ws) =>
+    val inList = ws.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(${TextOps.wordsSql("text")}, w -> w IN ($inList))) AS INT) AS n_$l"
+  }.mkString(", ")
+
+  private val langidCase: String = {
     val langs = TextAnalysis.stopwords.map(_._1)
     val cases = langs.init.zipWithIndex.map { case (l, i) =>
       val conds = langs.drop(i + 1).map(m => s"n_$l >= n_$m").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
-    s"""
-    WITH s AS (SELECT doc_id, lang AS labeled_lang, $scoreCols FROM documents)
-    SELECT *, CASE $cases ELSE '${langs.last}' END AS predicted_lang
-    FROM s ORDER BY doc_id"""
+    s"CASE $cases ELSE '${langs.last}' END"
   }
+
+  private val langidOracle: String = s"""
+    WITH s AS (SELECT doc_id, lang AS labeled_lang, $langidScoreCols FROM documents)
+    SELECT *, $langidCase AS predicted_lang
+    FROM s ORDER BY doc_id"""
+
+  /** Confusion matrix of the heuristic language ID against labels —
+    * the evaluation companion of t01. */
+  private val langidConfusionOracle: String = s"""
+    WITH s AS (SELECT doc_id, lang AS labeled_lang, $langidScoreCols FROM documents),
+    p AS (SELECT labeled_lang, $langidCase AS predicted_lang FROM s)
+    SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang"""
 
   private val qualityOracle: String = {
     val allStop = TextAnalysis.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
@@ -514,6 +526,14 @@ object ExtQueries {
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),
       Some(langidOracle)),
+
+    // evaluation companion of t01: predicted-vs-labeled confusion matrix
+    ("t14_langid_confusion", (s: SparkSession, d: String) =>
+      TextAnalysis.langId(t(s, d, "documents"))
+        .groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled_lang"), col("predicted_lang")),
+      Some(langidConfusionOracle)),
 
     ("t02_quality_score", (s: SparkSession, d: String) =>
       TextAnalysis.qualityScore(t(s, d, "documents")),

@@ -78,6 +78,25 @@ class ZipSourceSpec extends SparkSpec {
     assert(oks >= 1 && oks < 6, s"expected partial salvage, got $oks")
   }
 
+  test("streamed reader handles a many-entry archive entry-by-entry") {
+    val dir = Files.createTempDirectory("graft_zs_many")
+    val zip = new File(dir.toFile, "many.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    (0 until 500).foreach { i =>
+      zos.putNextEntry(new ZipEntry(s"d/$i.json"))
+      zos.write(s"""{"n": $i, "pad": "${"x" * 2000}"}""".getBytes)
+      zos.closeEntry()
+    }
+    zos.close()
+    val s = ZipSource.readEntriesStreamed(spark, zip.getAbsolutePath)
+    assert(s.filter(col("zip_error").isNull).count() == 500)
+    assert(s.filter(col("zip_error").isNotNull).count() == 0)
+    // equal to the in-memory expansion, entry for entry
+    val m = ZipSource.readEntries(spark, zip.getAbsolutePath)
+    assert(s.drop("zip_error").exceptAll(m).count() == 0)
+    assert(m.exceptAll(s.drop("zip_error")).count() == 0)
+  }
+
   test("fetch leaves no temp files behind") {
     val landing = Files.createTempDirectory("graft_fetch_tmp").toString
     val url = new File(zipPath).toURI.toString
