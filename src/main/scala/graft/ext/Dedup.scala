@@ -376,13 +376,14 @@ object Dedup {
   def repeatedPassages(docs: DataFrame, windowChars: Int,
                        minDocs: Int): DataFrame = {
     require(windowChars > 0 && minDocs >= 2, "windowChars > 0, minDocs >= 2")
+    // one-pass CharWindows expression, not transform+substr: the HOF
+    // lambda is interpreted per element — ~n_chars virtual calls per
+    // doc vs one tight loop (spec-equal, astral text included)
     val windows = graft.core.Tables.spread(docs)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= windowChars)
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), length(col("text")) - (windowChars - 1)),
-          i => col("text").substr(i, lit(windowChars)))).as("w"))
+        explode(graft.functions.CharWindows(col("text"), windowChars)).as("w"))
     windows
       .groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),

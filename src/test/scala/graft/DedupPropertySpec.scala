@@ -106,6 +106,17 @@ class DedupPropertySpec extends SparkSpec {
         else assert(n4p == n4s, s"n=4 packed size diverged on '$t'")
         assert(n3p == n3s, s"n=3 packed size diverged on '$t'")
       }
+      // one-pass CharWindows vs the composed transform+substr form
+      // (code-point windows, so astral texts must agree too); length
+      // guard mirrors repeatedPassages — sequence(1, len-4) descends
+      // for shorter texts
+      import org.apache.spark.sql.functions.{length => slen, lit => slit, not, sequence => sseq, transform => stransform}
+      val cw = docs.filter(slen(col("text")) >= 5).select(
+        graft.functions.CharWindows(col("text"), 5).as("a"),
+        stransform(sseq(slit(1), slen(col("text")) - 4),
+          i => col("text").substr(i, slit(5))).as("b"))
+      assert(cw.filter(not(col("a") <=> col("b"))).count() == 0,
+        "char windows diverged from transform+substr")
       ()
     }
   }
