@@ -23,8 +23,18 @@ object Layout {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key form: bucket by ALL the join's keys — Spark requires the
+    * partitioning to carry every cluster key for co-partitioned joins
+    * (`spark.sql.requireAllClusterKeysForCoPartition`, default true),
+    * so bucketing a subset would be planned with an exchange anyway.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit =
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
   /** Salted equi-join of a skewed left side with a smaller right side

@@ -62,6 +62,39 @@ class LayoutSpec extends SparkSpec {
     } finally wspark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed band table makes the incremental-dedup probe corpus-shuffle-free") {
+    import wspark.implicits._
+    wspark.sql("DROP TABLE IF EXISTS corpus_bands")
+    val corpus = (0L until 200L).map(i =>
+      (i, s"corpus doc number $i with some shared words and body $i"))
+      .toDF("doc_id", "text")
+    val batch = (1000L until 1020L).map(i =>
+      (i, s"fresh doc number $i with some shared words and body $i"))
+      .toDF("doc_id", "text")
+    // the StreamDedup state shape at cluster scale: corpus bands are
+    // written bucketed by BOTH join keys once; each batch's probe then
+    // shuffles ONLY the batch side
+    graft.operators.Layout.writeBucketed(
+      graft.ext.Dedup.minhashBands(graft.ext.Dedup.minhashSignatures(corpus)),
+      "corpus_bands", Seq("band_idx", "band_key"), 8)
+    wspark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val nb = graft.ext.Dedup.minhashBands(
+        graft.ext.Dedup.minhashSignatures(batch))
+      val cand = wspark.table("corpus_bands").as("c")
+        .join(nb.as("x"),
+          col("c.band_idx") === col("x.band_idx") &&
+          col("c.band_key") === col("x.band_key"))
+      val plan = cand.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the batch-side shuffle:\n$plan")
+    } finally {
+      wspark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      wspark.sql("DROP TABLE IF EXISTS corpus_bands")
+      ()
+    }
+  }
+
   test("salted join equals the plain join result under a hot key") {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("value"))
