@@ -51,15 +51,36 @@ object TextAnalysis {
   /** Heuristic quality score from exact integer counts and single
     * IEEE divisions (deterministic across engines):
     * 0.4*distinct_ratio + 0.4*(1-stopword_ratio) + 0.2*min(avg_word_len/10, 1).
+    * Counts come from the one-pass [[graft.functions.QualityCountsOf]]
+    * expression (no per-doc HOF interpretation, no word arrays);
+    * [[qualityScoreViaHof]] is the composed twin kept for the
+    * equivalence spec.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityFrom(graft.core.Tables.spread(docs)
+      .withColumn("__q",
+        graft.functions.QualityCountsOf(col("text"), stopwords.flatMap(_._2)))
+      .select(col("doc_id"), col("n_chars"),
+        col("__q.n_words").as("n_words"),
+        col("__q.n_distinct").as("n_distinct"),
+        col("__q.n_stop").as("n_stop"),
+        col("__q.len").as("len")))
+
+  /** Composed higher-order-function formulation of [[qualityScore]]
+    * (identical values). */
+  def qualityScoreViaHof(docs: DataFrame): DataFrame = {
     val ws = TextOps.words(col("text"))
     val allStop = stopwords.flatMap(_._2)
-    graft.core.Tables.spread(docs).select(col("doc_id"), col("n_chars"),
+    qualityFrom(graft.core.Tables.spread(docs)
+      .select(col("doc_id"), col("n_chars"),
         size(ws).as("n_words"),
         size(array_distinct(ws)).as("n_distinct"),
         size(filter(ws, w => w.isin(allStop: _*))).as("n_stop"),
-        length(col("text")).as("len"))
+        length(col("text")).as("len")))
+  }
+
+  private def qualityFrom(counts: DataFrame): DataFrame =
+    counts
       .withColumn("avg_word_len",
         (col("len") - col("n_words") + 1).cast("double") / col("n_words"))
       .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_words"))
@@ -70,7 +91,6 @@ object TextAnalysis {
         lit(0.2) * least(col("avg_word_len") / 10.0, lit(1.0)))
       .drop("len")
       .orderBy(col("doc_id"))
-  }
 
   /** Count-Min frequency sketch over corpus words, evaluated on the
     * exact top-k words. Four hash rows (the first four minhash

@@ -52,6 +52,15 @@ class VectorExprSpec extends SparkSpec {
     assert(viaExpr.count() > 0)
   }
 
+  test("one-pass QualityCountsOf equals the HOF formulation") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaExpr = graft.ext.TextAnalysis.qualityScore(docs)
+    val viaHof = graft.ext.TextAnalysis.qualityScoreViaHof(docs)
+    assert(viaExpr.exceptAll(viaHof).count() == 0)
+    assert(viaHof.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.count() == docs.count())
+  }
+
   test("one-pass SimhashOf equals the explode+aggregate formulation") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val viaExpr = graft.ext.Dedup.simhash(docs)
