@@ -54,6 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("packed_char_ngrams",
         "packed_char_ngrams(text, n) - sorted distinct char n-grams packed into bigints (n <= 4)"),
       (exprs: Seq[Expression]) => PackedCharNgrams(exprs(0), intArg(exprs(1), "packed_char_ngrams"))))
+    ext.injectFunction((
+      FunctionIdentifier("char_windows"),
+      info("char_windows",
+        "char_windows(text, n) - all rolling n-code-point windows"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CharWindows(exprs(0), intArg(exprs(1), "char_windows"))))
+    ext.injectFunction((
+      FunctionIdentifier("quality_counts_of"),
+      info("quality_counts_of",
+        "quality_counts_of(text) - struct(n_words, n_distinct, n_stop, len) in one pass"),
+      (exprs: Seq[Expression]) => graft.functions.QualityCountsOf(exprs(0),
+        graft.ext.TextAnalysis.stopwords.flatMap(_._2))))
   }
 
   private def intArg(e: Expression, fn: String): Int = e match {

@@ -36,6 +36,12 @@ class ExtensionsSpec extends SparkSpec {
       assert(r2.getLong(0) != 0L)
       assert(r2.getInt(1) == 16)
       assert(r2.getInt(2) == 1) // shared 4-gram: "bcde"
+      val r3 = s2.sql(
+        """SELECT size(char_windows('abcdef', 3)) AS nw,
+          |       quality_counts_of('the the fox').n_distinct AS nd
+          |""".stripMargin).collect().head
+      assert(r3.getInt(0) == 4)
+      assert(r3.getInt(1) == 2)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
