@@ -523,6 +523,33 @@ object ExtQueries {
         nCentroids = 16, nProbe = 2, nQueries = 10, k = 5),
       Some(annIvfOracle)),
 
+    // recall@5 of the LSH index against the exact baseline — the ANN
+    // quality measurement, in-engine (both sides are exact-cosine
+    // rankings, so even the recall fractions verify value-for-value)
+    ("s07_ann_lsh_recall", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val brute = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(embs, nPlanes = 8, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_brute"),
+          count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_brute").cast("double"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH b AS ($annTopkOracle),
+      l AS (${annLshOracle.replace("rn <= 3", "rn <= 5")})
+      SELECT b.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_brute,
+             CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM b LEFT JOIN l
+        ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id""")),
+
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),
       Some(langidOracle)),
