@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's stdout/stderr instead of
+// through the logger: no "[info] " prefix on Bench's final JSON line,
+// so a consumer tailing stdout can parse the line as-is.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no trailing "[success] Total time" line after it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 scalacOptions ++= Seq("-encoding", "UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

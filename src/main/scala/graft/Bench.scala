@@ -40,7 +40,17 @@ object Bench {
     }
 
     // optional args subset the run — the micro-bench loop for tuning
-    // one operator without paying for the whole registry
+    // one operator without paying for the whole registry. Unknown names
+    // fail up front with the full list, not NoSuchElementException
+    // mid-warmup.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown queries: ${unknown.sorted.mkString(", ")}\n" +
+          s"[bench] known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted

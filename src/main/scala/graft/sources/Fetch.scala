@@ -42,9 +42,14 @@ object Fetch {
     try {
       val out = fs.create(tmp, true)
       try in.transferTo(out) finally out.close()
-      if (fs.exists(dst)) fs.delete(dst, false)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      // rename WITH overwrite semantics: a delete-then-rename pair
+      // would lose the previous good landing if the rename failed
+      // between the two steps — the old archive must survive until the
+      // new one is in place
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case NonFatal(ex) => // never leave a half-written temp behind
         try fs.delete(tmp, false) catch { case NonFatal(_) => }

@@ -119,16 +119,30 @@ object ZipSource {
       .flatMap { zipPath =>
         val zp = new org.apache.hadoop.fs.Path(zipPath)
         val in = zp.getFileSystem(sconf.value).open(zp)
-        // same no-PK-signature detection as the in-memory path (seekable
-        // FS stream: peek the magic, rewind)
+        // same no-PK-signature detection as the in-memory path. The
+        // positional readFully never short-reads (a plain read() may
+        // legally return 1 byte and misclassify a valid archive) and
+        // never moves the stream offset; a <2-byte file is EOF = not a
+        // zip.
         val magic = new Array[Byte](2)
-        val magicRead = try in.read(magic, 0, 2) finally in.seek(0)
-        if (magicRead < 2 || magic(0) != 'P'.toByte || magic(1) != 'K'.toByte) {
+        val magicOk =
+          try { in.readFully(0L, magic); true }
+          catch { case _: java.io.EOFException => false }
+        if (!magicOk || magic(0) != 'P'.toByte || magic(1) != 'K'.toByte) {
           try in.close() catch { case NonFatal(_) => }
           Iterator.single((zipPath, null: String, null: String,
             "not a zip archive (no PK signature)"))
         } else {
           val zis = new ZipInputStream(in)
+          // a downstream operator may stop consuming mid-archive
+          // (limit, short-circuited join): close-on-exhaustion never
+          // fires then, so the task-completion hook reclaims the FS
+          // handle (ZipInputStream.close is idempotent — the double
+          // close on the normal path is harmless)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              try zis.close() catch { case NonFatal(_) => }
+            })
           // lazy iterator: one entry decompressed at a time; the stream
           // closes on exhaustion (including the salvage cut-off)
           new Iterator[(String, String, String, String)] {

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import scala.util.Try
+import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,6 +25,15 @@ import graft.ext.Dedup
   * O(corpus) ([[Dedup.minhashDupAgainstBands]]). At cluster scale the
   * band table is what you'd bucket by (band_idx, band_key) so the
   * probe is co-partitioned.
+  *
+  * foreachBatch is AT-LEAST-ONCE: a crash after any write but before
+  * the checkpoint commit replays the whole batch. Every write is
+  * therefore keyed by batch id — `<table>/batch=<id>`, written with
+  * overwrite — so a replay rewrites the same partition with the same
+  * (deterministic, hash-derived) content instead of appending a second
+  * copy; and the corpus state a batch probes is restricted to STRICTLY
+  * EARLIER batches, so a replay never sees its own partial writes as
+  * "corpus" (which would report every batch doc as its own duplicate).
   */
 object StreamDedup {
 
@@ -39,27 +49,49 @@ object StreamDedup {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val batch = batch0.filter(col("doc_id").isNotNull).persist()
-        try {
-          val docsPath = s"$stateDir/docs"
-          val bandsPath = s"$stateDir/bands"
-          val state = for {
-            corpusDocs <- Try(spark.read.parquet(docsPath)).toOption
-            corpusBands <- Try(spark.read.parquet(bandsPath)).toOption
-          } yield (corpusDocs, corpusBands)
-          val crossDups = state.map { case (corpusDocs, corpusBands) =>
-            Dedup.minhashDupAgainstBands(corpusBands, corpusDocs, batch, threshold)
-          }
-          val intraDups = Dedup.minhashDup(batch, threshold)
-          val all = crossDups.map(_.unionByName(intraDups)).getOrElse(intraDups)
-          all.write.mode("append").parquet(outDir)
-          Dedup.minhashBands(Dedup.minhashSignatures(batch))
-            .write.mode("append").parquet(bandsPath)
-          batch.select(col("doc_id"), col("text"))
-            .write.mode("append").parquet(docsPath)
-        } finally { batch.unpersist(); () }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        processBatch(spark, batch0, batchId, stateDir, outDir, threshold)
       }
       .start()
+  }
+
+  /** One idempotent micro-batch step (public so a replay — the
+    * at-least-once delivery of foreachBatch — can be exercised
+    * directly in tests): dedup `batch0` against all state from batches
+    * `< batchId`, then within itself, and overwrite this batch's
+    * `batch=<batchId>` partition of the dup report, band table, and
+    * doc table. Re-running with the same (batch, batchId) leaves all
+    * three tables byte-identical.
+    */
+  def processBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
+                   stateDir: String, outDir: String,
+                   threshold: Double): Unit = {
+    val batch = batch0.filter(col("doc_id").isNotNull).persist()
+    try {
+      val docsPath = s"$stateDir/docs"
+      val bandsPath = s"$stateDir/bands"
+      // state = strictly earlier batches only; a replayed batch must not
+      // probe the partial writes of its own failed attempt
+      def priorState(path: String): Option[DataFrame] =
+        Try(spark.read.parquet(path)).toOption
+          .map(_.filter(col("batch") < batchId).drop("batch"))
+      val state = for {
+        corpusDocs <- priorState(docsPath)
+        corpusBands <- priorState(bandsPath)
+      } yield (corpusDocs, corpusBands)
+      val crossDups = state.map { case (corpusDocs, corpusBands) =>
+        Dedup.minhashDupAgainstBands(corpusBands, corpusDocs, batch, threshold)
+      }
+      val intraDups = Dedup.minhashDup(batch, threshold)
+      val all = crossDups.map(_.unionByName(intraDups)).getOrElse(intraDups)
+      all.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      Dedup.minhashBands(Dedup.minhashSignatures(batch))
+        .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
+      batch.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$docsPath/batch=$batchId")
+    } finally {
+      try batch.unpersist() catch { case NonFatal(_) => }
+      ()
+    }
   }
 }

@@ -52,4 +52,36 @@ class StreamDedupSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2)
     assert(spark.read.parquet(s"$state/docs").count() == 6)
   }
+
+  test("micro-batch replay is idempotent (at-least-once foreachBatch)") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sd_state2").toString
+    val out = Files.createTempDirectory("sd_out2").toString + "/dups"
+
+    val b0 = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot",
+      1L -> "one two three four five six seven eight").toDF("doc_id", "text")
+    StreamDedup.processBatch(spark, b0, 0L, state, out, 0.5)
+    val b1 = Seq(
+      10L -> "alpha bravo charlie delta echo foxtrot", // dup of corpus 0
+      11L -> "november oscar papa quebec romeo sierra",
+      12L -> "november oscar papa quebec romeo sierra").toDF("doc_id", "text")
+    StreamDedup.processBatch(spark, b1, 1L, state, out, 0.5)
+
+    def snapshot() = (
+      spark.read.parquet(out).select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      spark.read.parquet(s"$state/docs").count(),
+      spark.read.parquet(s"$state/bands").count())
+    val once = snapshot()
+    assert(once._1 == Set((10L, 0L), (11L, 12L)), s"got ${once._1}")
+    assert(once._2 == 5)
+
+    // simulate a crash after the writes but before the checkpoint
+    // commit: the engine re-delivers the SAME batch with the SAME id —
+    // no duplicated pairs, docs, or bands, and the batch must not see
+    // its own first attempt as corpus (which would pair 10<->10)
+    StreamDedup.processBatch(spark, b1, 1L, state, out, 0.5)
+    assert(snapshot() == once, "replay changed state or output")
+  }
 }
