@@ -486,6 +486,48 @@ object ExtQueries {
              k_used, kth_hash, estimate
       FROM kmv""")),
 
+    // HyperLogLog distinct sketch: 2^8 rank-max registers from the
+    // portable hash; rank via integer bit-smear + bit_count and a
+    // dyadic-rational denominator, so the ESTIMATE itself verifies
+    // bit-for-bit cross-engine (see Dedup.hllDistinct)
+    ("d16_hll_distinct", (s: SparkSession, d: String) =>
+      Dedup.hllDistinct(t(s, d, "documents"), p = 8),
+      Some(s"""
+      WITH hh AS (SELECT ${Hashing.h32Sql("text")} AS hv FROM documents),
+      b AS (SELECT hv >> 24 AS bucket, hv & 16777215 AS w FROM hh),
+      s1 AS (SELECT bucket, w | (w >> 1) AS v FROM b),
+      s2 AS (SELECT bucket, v | (v >> 2) AS v FROM s1),
+      s4 AS (SELECT bucket, v | (v >> 4) AS v FROM s2),
+      s8 AS (SELECT bucket, v | (v >> 8) AS v FROM s4),
+      s16 AS (SELECT bucket, v | (v >> 16) AS v FROM s8),
+      r AS (SELECT bucket, 25 - bit_count(v) AS rho FROM s16),
+      regs AS (SELECT bucket, MAX(rho) AS m_rho FROM r GROUP BY bucket),
+      summ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+                      SUM(CAST(1 AS DOUBLE) /
+                          CAST(CAST(1 AS BIGINT) << m_rho AS DOUBLE)) AS sum_used
+               FROM regs)
+      SELECT CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT) AS n_exact,
+             n_buckets_used,
+             sum_used + (CAST(256 AS DOUBLE) - CAST(n_buckets_used AS DOUBLE)) AS denom,
+             (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+               * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+               / (sum_used + (CAST(256 AS DOUBLE) - CAST(n_buckets_used AS DOUBLE))) AS estimate
+      FROM summ""")),
+
+    // Jaccard-CONTAINMENT dedup: |A^B| / min(|A|,|B|) over the same
+    // minhash-band candidates as d05 — catches near-superset pairs
+    // (boilerplate wrappers, quoted replies) that plain Jaccard
+    // under-scores when doc sizes differ
+    ("d17_containment_dup", (s: SparkSession, d: String) =>
+      Dedup.containmentDup(t(s, d, "documents"), threshold = 0.7),
+      Some(s"""
+      WITH $minhashCtes
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / LEAST(na, nb) AS containment
+      FROM com
+      WHERE CAST(n_common AS DOUBLE) / LEAST(na, nb) >= 0.7
+      ORDER BY doc_a, doc_b""")),
+
     ("d07_cosine_dup", (s: SparkSession, d: String) =>
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),
       Some(cosineDupOracle)),

@@ -89,6 +89,33 @@ object OpQueries {
              MAX(${graft.ext.Similarity.normSql("embedding")}) AS max_norm
       FROM embeddings GROUP BY label ORDER BY label""")),
 
+    // ---- int8 embedding quantization: the 4x storage shrink before any
+    // ANN index build; codes and exact reconstruction error verify
+    // bit-for-bit (floor(+0.5) rounding + left-fold double error sum) --
+    ("s08_embedding_quantize", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.quantizeInt8(t(s, d, "embeddings")),
+      Some("""
+      WITH v AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+            / CAST(127 AS DOUBLE) AS scale
+        FROM embeddings),
+      q AS (SELECT vec_id, scale, v,
+          CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(v, x -> GREATEST(CAST(-127 AS BIGINT),
+                  LEAST(CAST(127 AS BIGINT),
+                    CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS BIGINT))))
+          END AS q FROM v)
+      SELECT vec_id, scale,
+        md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+        CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+             ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(len(v)), i ->
+                 (v[i+1] - q[i+1]*scale) * (v[i+1] - q[i+1]*scale))),
+               (acc, e) -> acc + e)
+        END AS sq_err
+      FROM q ORDER BY vec_id""")),
+
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {
       t(s, d, "documents")

@@ -116,7 +116,34 @@ object Dedup {
     * Output: (doc_a, doc_b, n_common, jaccard).
     */
   def minhashDup(docs: DataFrame, threshold: Double,
-                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                 maxBucket: Int = DefaultMaxBucket): DataFrame =
+    jaccardVerify(minhashSelfCandidates(docs, maxBucket), docs,
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
+
+  /** Near-SUPERSET pairs: exact Jaccard CONTAINMENT
+    * |A∩B| / min(|A|,|B|) >= threshold over the same minhash-band
+    * candidates as [[minhashDup]] — the boilerplate-wrapper /
+    * quoted-reply shape where one doc's shingles nearly embed in
+    * another's, which plain Jaccard under-scores when sizes differ.
+    * Scoped honestly: symmetric minhash banding recalls pairs of
+    * comparable size; a small doc swallowed by a 100x larger one needs
+    * asymmetric banding (band only the smaller side's shingle subsets)
+    * to collide — same verification, different candidate generator.
+    * Output: (doc_a, doc_b, n_common, containment).
+    */
+  def containmentDup(docs: DataFrame, threshold: Double,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame =
+    jaccardVerify(minhashSelfCandidates(docs, maxBucket), docs,
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold,
+      scoreName = "containment",
+      score = (n, sa, sb) => n.cast("double") / least(sa, sb))
+
+  /** Distinct candidate pairs (doc_a < doc_b) from a minhash-band
+    * self-join, hot buckets capped — the shared front half of
+    * [[minhashDup]] and [[containmentDup]].
+    */
+  private def minhashSelfCandidates(docs: DataFrame, maxBucket: Int)
+      : DataFrame = {
     // The cap cannot trigger when the whole corpus fits in one bucket's
     // budget — one cheap row count (narrow parquet scan) decides, and
     // the uncapped shape keeps the plan free of the checkpoint + prune
@@ -128,14 +155,12 @@ object Dedup {
       if (maxBucket == Int.MaxValue || docs.count() <= maxBucket) rawBands
       else HotBuckets.prune(rawBands.localCheckpoint(),
         Seq("band_idx", "band_key"), maxBucket)
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_key") === col("y.band_key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, docs,
-      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
   }
 
   /** Incremental near-dedup: MinHash+LSH candidates between NEW docs
@@ -206,7 +231,10 @@ object Dedup {
                             arrExpr: Column, threshold: Double,
                             intersect: (Column, Column) => Column =
                               graft.functions.SortedIntersectCount(_, _),
-                            sizeOf: Column => Column = size)
+                            sizeOf: Column => Column = size,
+                            scoreName: String = "jaccard",
+                            score: (Column, Column, Column) => Column =
+                              (n, sa, sb) => n.cast("double") / (sa + sb - n))
       : DataFrame = {
     val parts = cand0.sparkSession.sessionState.conf.numShufflePartitions
     // The plan below references the candidate-pair subtree three times
@@ -235,9 +263,9 @@ object Dedup {
       .repartition(parts, col("doc_a"), col("doc_b"))
       .withColumn("n_common", intersect(col("arr_a"), col("arr_b")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (sizeOf(col("arr_a")) + sizeOf(col("arr_b")) - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        score(col("n_common"),
+          sizeOf(col("arr_a")), sizeOf(col("arr_b"))).as(scoreName))
+      .filter(col(scoreName) >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -362,6 +390,65 @@ object Dedup {
       .select(col("n_exact"), col("k_used"), col("kth_hash"), col("estimate"))
   }
 
+  /** HyperLogLog distinct sketch (Flajolet et al. 2007), the fourth
+    * mergeable summary next to [[kmvDistinct]] (KMV), bloom membership,
+    * and Count-Min: bucket = top `p` bits of the portable 32-bit text
+    * hash, register = max leading-zero rank of the remaining bits —
+    * fixed 2^p-register state, mergeable by per-bucket MAX, one
+    * map-side-combined aggregation over the corpus (never a distinct,
+    * unlike KMV: rank-max is insensitive to repeats by construction).
+    *
+    * Everything is integer or exactly-rounded IEEE arithmetic so the
+    * estimate verifies VALUE-for-value cross-engine: the rank comes
+    * from bit-smear + bit_count (floating log2 is not correctly rounded
+    * in libm and differs across engines at power-of-two boundaries),
+    * 2^-M terms are dyadic rationals summed without rounding (every
+    * partial sum fits a 53-bit mantissa for p=8, ranks <= 25), and the
+    * alpha_m bias constant is spelled as the same literal expression on
+    * both sides. The small/large-range corrections are intentionally
+    * omitted — they need ln(), which is engine-dependent; the raw
+    * estimator is the mergeable, portable core (n_exact rides along for
+    * accuracy audit, as in [[kmvDistinct]]).
+    *
+    * Output: one row (n_exact, n_buckets_used, denom, estimate).
+    */
+  def hllDistinct(docs: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1L << p
+    val wBits = 32 - p
+    val rows = graft.core.Tables.spread(docs)
+      .select(h32(col("text")).as("hv"))
+    // rank of the low wBits: wBits+1 - bit_length, where bit_length is
+    // bit_count of the bit-smeared value (propagate the MSB into every
+    // lower position; a zero suffix smears to 0 and ranks wBits+1)
+    val w = col("hv").bitwiseAND(lit((1L << wBits) - 1))
+    val s1 = w.bitwiseOR(shiftright(w, 1))
+    val s2 = s1.bitwiseOR(shiftright(s1, 2))
+    val s4 = s2.bitwiseOR(shiftright(s2, 4))
+    val s8 = s4.bitwiseOR(shiftright(s4, 8))
+    val s16 = s8.bitwiseOR(shiftright(s8, 16))
+    val rho = (lit(wBits + 1) - bit_count(s16)).cast("int")
+    val regs = rows
+      .select(shiftright(col("hv"), wBits).as("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_rho"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val summary = regs
+      .agg(count(lit(1)).as("n_buckets_used"),
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), m_rho)")
+          .cast("double")).as("sum_used"))
+      // empty registers contribute 2^-0 = 1 each to the denominator
+      .select(col("n_buckets_used"),
+        (col("sum_used") +
+          (lit(m.toDouble) - col("n_buckets_used").cast("double"))).as("denom"))
+      .select(col("n_buckets_used"), col("denom"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) / col("denom"))
+          .as("estimate"))
+    val exact = docs.agg(countDistinct(md5(col("text"))).as("n_exact"))
+    summary.crossJoin(exact)
+      .select(col("n_exact"), col("n_buckets_used"), col("denom"),
+        col("estimate"))
+  }
+
   /** Repeated-passage detection (the exact-substring-dedup family, cf.
     * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     * Better"): every `windowChars`-char rolling window (stride 1) of
@@ -384,10 +471,18 @@ object Dedup {
       .filter(length(col("text")) >= windowChars)
       .select(col("doc_id"),
         explode(graft.functions.CharWindows(col("text"), windowChars)).as("w"))
+    // countDistinct(doc_id) would plan an Expand that DOUBLES the
+    // shuffled window rows (the dominant stage: ~text_len windows per
+    // doc); the per-(window, doc) pre-agg below gets the same counts
+    // from two lean hash aggregations, the first map-side-combining
+    // repeats of a window within a doc. md5 stays post-filter, computed
+    // only for the handful of surviving passages.
     windows
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"),
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occurrences"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
       .select(md5(col("w")).as("passage_md5"), col("n_docs"),

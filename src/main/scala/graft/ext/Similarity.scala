@@ -283,4 +283,42 @@ object Similarity {
         col("bucket"), col("cosine"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Symmetric int8 vector quantization — the embedding STORAGE path at
+    * corpus scale (4 bytes/dim float32 -> 1 byte/dim + one scale per
+    * vector, the standard 4x shrink before any ANN index build).
+    * Per-vector scale = max|x|/127; code q_i = clamp(floor(x_i/scale +
+    * 0.5), ±127) — the floor(+0.5) spelling rounds identically in both
+    * engines regardless of their round()'s half-rule, and the clamp is
+    * provably a no-op (|x/scale| <= 127 up to one ulp) but spelled out
+    * so adversarial inputs stay in range. Pure projection: no shuffle,
+    * scan throughput at any corpus size.
+    *
+    * Output: (vec_id, scale, q_md5 of the comma-joined codes, sq_err =
+    * the exact reconstruction error sum((x - q*scale)^2), folded
+    * left-to-right in double so it verifies bit-for-bit).
+    */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val base = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) /
+          lit(127.0)).as("scale"))
+    def qOf(x: Column): Column =
+      greatest(lit(-127L), least(lit(127L),
+        floor(x / col("scale") + lit(0.5)).cast("long")))
+    val zeroScale = col("scale") === lit(0.0)
+    base
+      .select(col("vec_id"), col("scale"), col("v"),
+        when(zeroScale, transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"), x => qOf(x))).as("q"))
+      .select(col("vec_id"), col("scale"),
+        md5(array_join(transform(col("q"), _.cast("string")), ",")).as("q_md5"),
+        when(zeroScale, lit(0.0)).otherwise(
+          aggregate(zip_with(col("v"), col("q"), (x, qi) =>
+              (x - qi.cast("double") * col("scale")) *
+                (x - qi.cast("double") * col("scale"))),
+            lit(0.0), (acc, e) => acc + e)).as("sq_err"))
+      .orderBy(col("vec_id"))
+  }
 }

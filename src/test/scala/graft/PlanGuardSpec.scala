@@ -21,6 +21,7 @@ class PlanGuardSpec extends SparkSpec {
     "q10_cross_join" -> 1, // IS the cross-join coverage test
     "d07_cosine_dup" -> 1, // declared all-pairs exact baseline (pre-blocked corpora)
     "d13_kmv_distinct" -> 1, // 1-row sketch x 1-row exact-count join
+    "d16_hll_distinct" -> 1, // 1-row summary x 1-row exact-count join
     "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
     "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
     "s05_knn_classify" -> 1, // broadcast labeled query set

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** Round-5 sketch/quantization operators: HyperLogLog distinct,
+  * Jaccard-containment dedup, int8 embedding quantization. The DuckDB
+  * oracles (d16/d17/s08) pin cross-engine value equality; these specs
+  * pin the SEMANTIC claims the oracles can't express — error bounds,
+  * repeat-insensitivity, planted-structure detection.
+  */
+class SketchOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("HLL estimate lands within the m=256 error envelope") {
+    // 600 distinct texts; standard error ~1.04/sqrt(256) = 6.5%, so a
+    // 25% corridor is ~4 sigma — deterministic here anyway (fixed hash)
+    val docs = docsDf((0 until 600).map(i => s"document number $i payload"))
+    val row = Dedup.hllDistinct(docs, p = 8).collect().head
+    val (nExact, est) = (row.getAs[Long]("n_exact"), row.getAs[Double]("estimate"))
+    assert(nExact == 600L)
+    assert(math.abs(est - 600.0) / 600.0 < 0.25, s"estimate $est vs 600")
+  }
+
+  test("HLL is repeat-insensitive: duplicating the corpus changes nothing") {
+    val texts = (0 until 300).map(i => s"doc $i body words here")
+    val once = Dedup.hllDistinct(docsDf(texts), p = 8)
+      .select("n_buckets_used", "denom", "estimate").collect().head
+    val thrice = Dedup.hllDistinct(docsDf(texts ++ texts ++ texts), p = 8)
+      .select("n_buckets_used", "denom", "estimate").collect().head
+    assert(once == thrice, "register state must depend on the SET of texts")
+  }
+
+  test("containment flags a planted near-superset pair at 1.0") {
+    val words = (1 to 30).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val prefix = words.dropRight(3).mkString(" ") // shingles(prefix) subset of shingles(base)
+    val filler = Seq(
+      "completely unrelated content one two three four five",
+      "another separate document with different words entirely")
+    val docs = docsDf(Seq(base, prefix) ++ filler)
+    val pairs = Dedup.containmentDup(docs, threshold = 0.7).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(pairs.contains((0L, 1L)), s"planted pair missing: $pairs")
+    assert(pairs((0L, 1L)) == 1.0, "prefix shingles all contained => 1.0")
+    // same pair under plain Jaccard scores strictly lower (sizes differ)
+    val jac = Dedup.minhashDup(docs, threshold = 0.1).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(jac((0L, 1L)) < 1.0 && jac((0L, 1L)) >= 0.8)
+  }
+
+  test("int8 quantization: exact codes, error bound, zero-vector guard") {
+    val embs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.quantizeInt8(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("scale"), r.getAs[String]("q_md5"),
+          r.getAs[Double]("sq_err")))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val (scale0, md50, err0) = rows(0L)
+    // x/scale: 1.0->127, -0.5->-63.5 (floor(+0.5) -> -63), 0.25->31.75
+    // (-> 32), 0 -> 0
+    assert(scale0 == 1.0 / 127.0)
+    assert(md50 == md5hex("127,-63,32,0"))
+    // reconstruction error per dim is at most (scale/2 + ulp)^2
+    assert(err0 <= 4 * math.pow(scale0 / 2 * 1.0000001, 2), s"err $err0")
+    assert(err0 > 0.0) // -63.5 rounds away from exact: strictly lossy
+    val (scale1, md51, err1) = rows(1L)
+    assert(scale1 == 0.0 && err1 == 0.0 && md51 == md5hex("0,0,0,0"))
+  }
+}
