@@ -19,6 +19,47 @@ object OpQueries {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.load(s, d, name)
 
+  /** Unrolled-Lloyd DuckDB twin of [[graft.ext.Similarity.kmeansFit]]:
+    * per iteration, a distance cross-join to the current centroid rows,
+    * a row_number()-over-(dist2, c_id) assignment, and a fixed-point
+    * (floor(x*2^40) BIGINT sum) centroid mean — the same arithmetic,
+    * in the same order, as the Spark side.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val Q = "CAST(1099511627776 AS DOUBLE)" // 2^40
+    def dist2(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(len($v)), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))), " +
+        "(acc, e) -> acc + e)"
+    def assignCte(i: Int, cents: String) = s"""
+      d$i AS (SELECT vec_id, v, c_id, ${dist2("v", "c")} AS dist2
+              FROM vecs CROSS JOIN $cents),
+      a$i AS (SELECT vec_id, v, c_id AS cluster, dist2
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY dist2, c_id) AS rn FROM d$i)
+              WHERE rn = 1)"""
+    def updateCte(i: Int) = s"""
+      e$i AS (SELECT cluster, UNNEST(range(len(v))) AS d, UNNEST(v) AS x
+              FROM a$i),
+      s$i AS (SELECT cluster, d,
+                CAST(SUM(CAST(floor(x * $Q) AS BIGINT)) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) / $Q AS m
+              FROM e$i GROUP BY cluster, d),
+      c$i AS (SELECT cluster AS c_id, list(m ORDER BY d) AS c
+              FROM s$i GROUP BY cluster)"""
+    val rounds = (1 to iters)
+      .map(i => assignCte(i, s"c${i - 1}") + "," + updateCte(i))
+      .mkString(",")
+    s"""
+    WITH vecs AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+    c0 AS (SELECT vec_id AS c_id, v AS c FROM vecs WHERE vec_id < $k),
+    $rounds,
+    ${assignCte(iters + 1, s"c$iters")}
+    SELECT vec_id, cluster, dist2 FROM a${iters + 1} ORDER BY vec_id"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- UNION ALL with provenance tags ------------------------------
@@ -115,6 +156,14 @@ object OpQueries {
                (acc, e) -> acc + e)
         END AS sq_err
       FROM q ORDER BY vec_id""")),
+
+    // ---- distributed k-means (Lloyd, 2 unrolled iterations): init =
+    // k lowest vec_ids; fixed-point 2^-40 centroid means make the
+    // floating sums order-independent, so assignments AND distances
+    // verify bit-for-bit (see Similarity.kmeansFit) --------------------
+    ("s09_kmeans", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.kmeansFit(t(s, d, "embeddings"), k = 8, iters = 2),
+      Some(kmeansOracle(k = 8, iters = 2))),
 
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {

@@ -284,6 +284,80 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Distributed k-means (Lloyd) over the embedding corpus — the
+    * centroid TRAINER [[ivfTopK]]'s doc defers to ("production would
+    * run a few Lloyd iterations"): init from the k lowest vec_ids
+    * (deterministic, oracle-sharable), then `iters` rounds of
+    * assign-to-nearest + recompute-means, then a final assignment.
+    *
+    * Scale shape per iteration: centroids ride into the assignment as
+    * LITERAL arrays (k x dims doubles — broadcast-free constants in the
+    * codegen'd plan, never a join), so assignment is one narrow
+    * map-side pass; the update aggregates (cluster, dim) keyed partial
+    * sums — the exchange carries at most k x dims rows per map
+    * partition, independent of corpus size. The driver holds only the
+    * k x dims centroid matrix between rounds (the same bounded-collect
+    * contract as IVF's centroid set).
+    *
+    * Cross-engine determinism: distances fold left-to-right in double
+    * (bit-identical to the oracle's list_reduce); ties break to the
+    * lowest centroid id via struct-min; and the centroid MEAN — a
+    * floating sum over an engine-chosen row order everywhere else —
+    * is made order-independent by summing floor(x * 2^40) as exact
+    * integers (quantum 2^-40, far below float32's input resolution;
+    * |sum| < 2^63 for any corpus whose |x| * n stays under 2^22 *
+    * 2^40... i.e. bounded corpora; production would shard the sum).
+    * Empty clusters drop out of the centroid set, exactly as the
+    * oracle's group-by drops them.
+    *
+    * Output: (vec_id, cluster, dist2) under the final centroids.
+    */
+  def kmeansFit(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    val Q = 1099511627776.0 // 2^40
+    // scanned iters+2 times (init + per-round + final): materialize once
+    val vecs = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+
+    def dist2To(c: Array[Double]): Column =
+      aggregate(zip_with(col("v"), array(c.map(lit): _*),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, e) => acc + e)
+
+    def assign(cents: Seq[(Long, Array[Double])]): DataFrame = {
+      val scored = array(cents.map { case (cid, c) =>
+        struct(dist2To(c).as("dist2"), lit(cid).as("cluster")) }: _*)
+      // array_min on (dist2, cluster) structs: nearest centroid, ties
+      // to the lowest id — the oracle's ORDER BY dist2, c_id
+      vecs.withColumn("best", array_min(scored))
+        .select(col("vec_id"), col("v"),
+          col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+    }
+
+    var cents: Seq[(Long, Array[Double])] = vecs
+      .filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    for (_ <- 1 to iters) {
+      val sums = assign(cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(floor(col("x") * lit(Q))).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("d"),
+          (col("s").cast("double") / col("n").cast("double") / lit(Q)).as("m"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cid, arr)
+      }.sortBy(_._1)
+    }
+    assign(cents)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric int8 vector quantization — the embedding STORAGE path at
     * corpus scale (4 bytes/dim float32 -> 1 byte/dim + one scale per
     * vector, the standard 4x shrink before any ANN index build).

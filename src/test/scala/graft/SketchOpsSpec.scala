@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.core.Tables
 import graft.ext.{Dedup, Similarity}
 
 /** Round-5 sketch/quantization operators: HyperLogLog distinct,
@@ -55,6 +56,27 @@ class SketchOpsSpec extends SparkSpec {
       .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
         r.getAs[Double]("jaccard"))).toMap
     assert(jac((0L, 1L)) < 1.0 && jac((0L, 1L)) >= 0.8)
+  }
+
+  test("k-means: inertia never increases across Lloyd iterations") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def inertia(iters: Int): Double =
+      Similarity.kmeansFit(embs, k = 8, iters = iters)
+        .agg(sum(col("dist2"))).collect().head.getDouble(0)
+    val i0 = inertia(0) // assignment under the raw init centroids
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    assert(i1 <= i0 && i2 <= i1, s"inertia must be monotone: $i0, $i1, $i2")
+    assert(i2 < i0, "two Lloyd rounds must actually improve the init")
+  }
+
+  test("k-means assigns every vector to an existing cluster, exhaustively") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Similarity.kmeansFit(embs, k = 8, iters = 2)
+    assert(out.count() == embs.count())
+    val clusters = out.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet) && clusters.nonEmpty)
+    assert(out.filter(col("dist2") < 0).isEmpty)
   }
 
   test("int8 quantization: exact codes, error bound, zero-vector guard") {
