@@ -514,6 +514,40 @@ object ExtQueries {
                / (sum_used + (CAST(256 AS DOUBLE) - CAST(n_buckets_used AS DOUBLE))) AS estimate
       FROM summ""")),
 
+    // HLL register MERGE across hourly slices of the event stream:
+    // max-of-maxes == global max, so merged and direct estimates must be
+    // EQUAL doubles (the property that makes per-executor/per-window
+    // register state combinable) — asserted as a value, merge_exact
+    ("d18_hll_slice_merge", (s: SparkSession, d: String) =>
+      Dedup.hllSliceMerge(t(s, d, "events"), p = 8),
+      Some {
+        val est = (regs: String) =>
+          s"""(SELECT (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+                 * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+                 / (SUM(CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << m_rho AS DOUBLE))
+                    + (CAST(256 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)))
+              FROM $regs)"""
+        s"""
+      WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS slice,
+                        ${Hashing.h32Sql("CAST(user_id AS VARCHAR)")} AS hv
+                 FROM events),
+      b AS (SELECT slice, hv >> 24 AS bucket, hv & 16777215 AS w FROM h),
+      s1 AS (SELECT slice, bucket, w | (w >> 1) AS v FROM b),
+      s2 AS (SELECT slice, bucket, v | (v >> 2) AS v FROM s1),
+      s4 AS (SELECT slice, bucket, v | (v >> 4) AS v FROM s2),
+      s8 AS (SELECT slice, bucket, v | (v >> 8) AS v FROM s4),
+      s16 AS (SELECT slice, bucket, v | (v >> 16) AS v FROM s8),
+      r AS (SELECT slice, bucket, 25 - bit_count(v) AS rho FROM s16),
+      sliced AS (SELECT slice, bucket, MAX(rho) AS m_rho FROM r GROUP BY slice, bucket),
+      merged AS (SELECT bucket, MAX(m_rho) AS m_rho FROM sliced GROUP BY bucket),
+      direct AS (SELECT bucket, MAX(rho) AS m_rho FROM r GROUP BY bucket)
+      SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(DISTINCT time_bucket(INTERVAL '1 hour', ts)) FROM events) AS BIGINT) AS n_slices,
+             ${est("merged")} AS merged_estimate,
+             ${est("direct")} AS direct_estimate,
+             ${est("merged")} = ${est("direct")} AS merge_exact"""
+      }),
+
     // Jaccard-CONTAINMENT dedup: |A^B| / min(|A|,|B|) over the same
     // minhash-band candidates as d05 — catches near-superset pairs
     // (boilerplate wrappers, quoted replies) that plain Jaccard

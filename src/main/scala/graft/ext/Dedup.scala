@@ -414,25 +414,45 @@ object Dedup {
     */
   def hllDistinct(docs: DataFrame, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]")
-    val m = 1L << p
-    val wBits = 32 - p
     val rows = graft.core.Tables.spread(docs)
       .select(h32(col("text")).as("hv"))
-    // rank of the low wBits: wBits+1 - bit_length, where bit_length is
-    // bit_count of the bit-smeared value (propagate the MSB into every
-    // lower position; a zero suffix smears to 0 and ranks wBits+1)
-    val w = col("hv").bitwiseAND(lit((1L << wBits) - 1))
+    val regs = rows
+      .select(hllBucket(col("hv"), p).as("bucket"), hllRho(col("hv"), p).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_rho"))
+    val exact = docs.agg(countDistinct(md5(col("text"))).as("n_exact"))
+    hllSummary(regs, p).crossJoin(exact)
+      .select(col("n_exact"), col("n_buckets_used"), col("denom"),
+        col("estimate"))
+  }
+
+  /** Top `p` bits of the portable 32-bit hash: the register index. */
+  private def hllBucket(hv: Column, p: Int): Column = shiftright(hv, 32 - p)
+
+  /** Rank of the low 32-p bits: wBits+1 - bit_length, where bit_length
+    * is bit_count of the bit-smeared value (propagate the MSB into
+    * every lower position; a zero suffix smears to 0 and ranks
+    * wBits+1). Integer-only on purpose — floating log2 is not
+    * correctly rounded in libm and differs across engines.
+    */
+  private def hllRho(hv: Column, p: Int): Column = {
+    val wBits = 32 - p
+    val w = hv.bitwiseAND(lit((1L << wBits) - 1))
     val s1 = w.bitwiseOR(shiftright(w, 1))
     val s2 = s1.bitwiseOR(shiftright(s1, 2))
     val s4 = s2.bitwiseOR(shiftright(s2, 4))
     val s8 = s4.bitwiseOR(shiftright(s4, 8))
     val s16 = s8.bitwiseOR(shiftright(s8, 16))
-    val rho = (lit(wBits + 1) - bit_count(s16)).cast("int")
-    val regs = rows
-      .select(shiftright(col("hv"), wBits).as("bucket"), rho.as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("m_rho"))
+    (lit(wBits + 1) - bit_count(s16)).cast("int")
+  }
+
+  /** One-row (n_buckets_used, denom, estimate) from a register table
+    * (bucket, m_rho). All dyadic/exactly-rounded arithmetic — see
+    * [[hllDistinct]].
+    */
+  private def hllSummary(regs: DataFrame, p: Int): DataFrame = {
+    val m = 1L << p
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val summary = regs
+    regs
       .agg(count(lit(1)).as("n_buckets_used"),
         sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), m_rho)")
           .cast("double")).as("sum_used"))
@@ -443,10 +463,45 @@ object Dedup {
       .select(col("n_buckets_used"), col("denom"),
         (alpha * lit(m.toDouble) * lit(m.toDouble) / col("denom"))
           .as("estimate"))
-    val exact = docs.agg(countDistinct(md5(col("text"))).as("n_exact"))
-    summary.crossJoin(exact)
-      .select(col("n_exact"), col("n_buckets_used"), col("denom"),
-        col("estimate"))
+  }
+
+  /** The MERGE property of [[hllDistinct]]'s registers, demonstrated
+    * in-engine on sliced data: per-hour register tables over the event
+    * stream's user ids (the shape a streaming job persists per window),
+    * merged across slices by per-bucket MAX, must estimate EXACTLY what
+    * a direct pass over all events estimates — max-of-maxes is the
+    * global max, so the merged register table is identical, bucket for
+    * bucket, rank for rank. That identity is what lets 1000 executors
+    * (or 30 days of hourly state) each keep 2^p longs and combine them
+    * associatively, and here it's oracle-checked as a value equality,
+    * not hand-waved.
+    *
+    * Output: one row (n_exact, n_slices, merged_estimate,
+    * direct_estimate, merge_exact).
+    */
+  def hllSliceMerge(events: DataFrame, p: Int = 8): DataFrame = {
+    val rows = graft.core.Tables.spread(events)
+      .select(date_trunc("hour", col("ts")).as("slice"),
+        h32(col("user_id").cast("string")).as("hv"))
+      .select(col("slice"), hllBucket(col("hv"), p).as("bucket"),
+        hllRho(col("hv"), p).as("rho"))
+    val sliced = rows.groupBy(col("slice"), col("bucket"))
+      .agg(max(col("rho")).as("m_rho"))
+    val merged = sliced.groupBy(col("bucket"))
+      .agg(max(col("m_rho")).as("m_rho"))
+    val direct = rows.groupBy(col("bucket"))
+      .agg(max(col("rho")).as("m_rho"))
+    val counts = events.agg(
+      countDistinct(col("user_id")).as("n_exact"),
+      countDistinct(date_trunc("hour", col("ts"))).as("n_slices"))
+    counts
+      .crossJoin(hllSummary(merged, p)
+        .select(col("estimate").as("merged_estimate")))
+      .crossJoin(hllSummary(direct, p)
+        .select(col("estimate").as("direct_estimate")))
+      .select(col("n_exact"), col("n_slices"), col("merged_estimate"),
+        col("direct_estimate"),
+        (col("merged_estimate") === col("direct_estimate")).as("merge_exact"))
   }
 
   /** Repeated-passage detection (the exact-substring-dedup family, cf.

@@ -22,6 +22,7 @@ class PlanGuardSpec extends SparkSpec {
     "d07_cosine_dup" -> 1, // declared all-pairs exact baseline (pre-blocked corpora)
     "d13_kmv_distinct" -> 1, // 1-row sketch x 1-row exact-count join
     "d16_hll_distinct" -> 1, // 1-row summary x 1-row exact-count join
+    "d18_hll_slice_merge" -> 2, // counts x merged-est x direct-est, all 1-row
     "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
     "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
     "s05_knn_classify" -> 1, // broadcast labeled query set

@@ -38,6 +38,19 @@ class SketchOpsSpec extends SparkSpec {
     assert(once == thrice, "register state must depend on the SET of texts")
   }
 
+  test("HLL sliced registers merge to exactly the direct estimate") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val row = Dedup.hllSliceMerge(events, p = 8).collect().head
+    assert(row.getAs[Boolean]("merge_exact"),
+      "per-slice MAX-merged registers must equal the one-pass registers")
+    assert(row.getAs[Long]("n_slices") > 1, "fixture must actually slice")
+    // no accuracy corridor here: the fixture's handful of distinct users
+    // sits in the raw estimator's known small-range bias zone (the
+    // regime the omitted-for-portability linear-counting correction
+    // serves); d16's 600-distinct spec covers accuracy
+    assert(row.getAs[Double]("merged_estimate") > 0.0)
+  }
+
   test("containment flags a planted near-superset pair at 1.0") {
     val words = (1 to 30).map(i => s"w$i")
     val base = words.mkString(" ")
