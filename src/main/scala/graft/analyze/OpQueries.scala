@@ -25,39 +25,65 @@ object OpQueries {
     * (floor(x*2^40) BIGINT sum) centroid mean — the same arithmetic,
     * in the same order, as the Spark side.
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansCtes(pfx: String, vecExpr: String,
+                         k: Int, iters: Int): String = {
     val Q = "CAST(1099511627776 AS DOUBLE)" // 2^40
     def dist2(v: String, c: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(len($v)), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))), " +
         "(acc, e) -> acc + e)"
     def assignCte(i: Int, cents: String) = s"""
-      d$i AS (SELECT vec_id, v, c_id, ${dist2("v", "c")} AS dist2
-              FROM vecs CROSS JOIN $cents),
-      a$i AS (SELECT vec_id, v, c_id AS cluster, dist2
+      ${pfx}d$i AS (SELECT vec_id, v, c_id, ${dist2("v", "c")} AS dist2
+              FROM ${pfx}vecs CROSS JOIN $cents),
+      ${pfx}a$i AS (SELECT vec_id, v, c_id AS cluster, dist2
               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                      ORDER BY dist2, c_id) AS rn FROM d$i)
+                      ORDER BY dist2, c_id) AS rn FROM ${pfx}d$i)
               WHERE rn = 1)"""
     def updateCte(i: Int) = s"""
-      e$i AS (SELECT cluster, UNNEST(range(len(v))) AS d, UNNEST(v) AS x
-              FROM a$i),
-      s$i AS (SELECT cluster, d,
+      ${pfx}e$i AS (SELECT cluster, UNNEST(range(len(v))) AS d, UNNEST(v) AS x
+              FROM ${pfx}a$i),
+      ${pfx}s$i AS (SELECT cluster, d,
                 CAST(SUM(CAST(floor(x * $Q) AS BIGINT)) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE) / $Q AS m
-              FROM e$i GROUP BY cluster, d),
-      c$i AS (SELECT cluster AS c_id, list(m ORDER BY d) AS c
-              FROM s$i GROUP BY cluster)"""
+              FROM ${pfx}e$i GROUP BY cluster, d),
+      ${pfx}c$i AS (SELECT cluster AS c_id, list(m ORDER BY d) AS c
+              FROM ${pfx}s$i GROUP BY cluster)"""
     val rounds = (1 to iters)
-      .map(i => assignCte(i, s"c${i - 1}") + "," + updateCte(i))
+      .map(i => assignCte(i, s"${pfx}c${i - 1}") + "," + updateCte(i))
       .mkString(",")
-    s"""
-    WITH vecs AS (SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""${pfx}vecs AS (SELECT vec_id,
+           list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
-    c0 AS (SELECT vec_id AS c_id, v AS c FROM vecs WHERE vec_id < $k),
+    ${pfx}c0 AS (SELECT vec_id AS c_id, v AS c FROM ${pfx}vecs WHERE vec_id < $k),
     $rounds,
-    ${assignCte(iters + 1, s"c$iters")}
+    ${assignCte(iters + 1, s"${pfx}c$iters")}"""
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String = s"""
+    WITH ${kmeansCtes("", "embedding", k, iters)}
     SELECT vec_id, cluster, dist2 FROM a${iters + 1} ORDER BY vec_id"""
+
+  /** PQ oracle: one [[kmeansCtes]] chain per subspace over
+    * list_slice'd vectors, joined on vec_id; code is the comma-joined
+    * cluster ids, recon_err the left-assoc sum of subspace residuals —
+    * mirrors Similarity.pqEncode exactly.
+    */
+  private def pqOracle(nSub: Int, dims: Int, k: Int, iters: Int): String = {
+    val sub = dims / nSub
+    val chains = (0 until nSub).map { s =>
+      kmeansCtes(s"p${s}_", s"list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub})",
+        k, iters)
+    }.mkString(",\n")
+    val outs = (0 until nSub).map(s => s"p${s}_a${iters + 1}")
+    val joins = outs.zipWithIndex.map { case (o, s) => s"$o p$s" }
+      .reduceLeft((a, b) => s"$a JOIN $b USING (vec_id)")
+    val code = (0 until nSub).map(s => s"CAST(p$s.cluster AS VARCHAR)")
+      .reduceLeft((a, b) => s"$a || ',' || $b")
+    val err = (0 until nSub).map(s => s"p$s.dist2").reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    WITH $chains
+    SELECT vec_id, $code AS code, $err AS recon_err
+    FROM $joins ORDER BY vec_id"""
   }
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -164,6 +190,14 @@ object OpQueries {
     ("s09_kmeans", (s: SparkSession, d: String) =>
       graft.ext.Similarity.kmeansFit(t(s, d, "embeddings"), k = 8, iters = 2),
       Some(kmeansOracle(k = 8, iters = 2))),
+
+    // ---- product quantization: 4 subspace codebooks (k=16, 1 Lloyd
+    // round each) -> 4 nibble codes per 64-dim vector; codes and
+    // residual sums bit-exact ------------------------------------------
+    ("s10_pq_encode", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.pqEncode(t(s, d, "embeddings"),
+        nSub = 4, k = 16, iters = 1),
+      Some(pqOracle(nSub = 4, dims = 64, k = 16, iters = 1))),
 
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {

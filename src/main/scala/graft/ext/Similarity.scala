@@ -358,6 +358,37 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Product quantization (Jégou et al. 2011, the Faiss IVF-PQ
+    * building block): the vector splits into `nSub` contiguous
+    * subspaces, each with its own [[kmeansFit]] codebook; a vector's
+    * code is its per-subspace nearest-centroid ids — nSub small ints
+    * instead of dims floats (here 4 x log2(16) bits = 2 bytes per
+    * 64-dim vector, 128x), with reconstruction error the sum of
+    * per-subspace residuals. Everything reuses the k-means trainer's
+    * determinism, so codes AND errors verify bit-for-bit; at corpus
+    * scale each subspace fit is the same bounded-collect Lloyd loop,
+    * and encoding is nSub map-side literal-centroid passes joined on
+    * vec_id.
+    *
+    * Output: (vec_id, code "c0,c1,..,c{nSub-1}", recon_err).
+    */
+  def pqEncode(embs: DataFrame, nSub: Int, k: Int, iters: Int): DataFrame = {
+    val dims = embs.select(size(col("embedding"))).head.getInt(0)
+    require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
+    val sub = dims / nSub
+    val parts = (0 until nSub).map { s =>
+      val sliced = embs.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      kmeansFit(sliced, k, iters)
+        .select(col("vec_id"), col("cluster").as(s"c$s"), col("dist2").as(s"e$s"))
+    }
+    parts.reduce((a, b) => a.join(b, "vec_id"))
+      .select(col("vec_id"),
+        concat_ws(",", (0 until nSub).map(s => col(s"c$s")): _*).as("code"),
+        (0 until nSub).map(s => col(s"e$s")).reduce(_ + _).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Symmetric int8 vector quantization — the embedding STORAGE path at
     * corpus scale (4 bytes/dim float32 -> 1 byte/dim + one scale per
     * vector, the standard 4x shrink before any ANN index build).

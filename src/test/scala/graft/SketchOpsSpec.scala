@@ -92,6 +92,29 @@ class SketchOpsSpec extends SparkSpec {
     assert(out.filter(col("dist2") < 0).isEmpty)
   }
 
+  test("PQ with one subspace degenerates to plain k-means") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pq = Similarity.pqEncode(embs, nSub = 1, k = 8, iters = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[String]("code"), r.getAs[Double]("recon_err"))).toSeq
+    val km = Similarity.kmeansFit(embs, k = 8, iters = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster").toString, r.getAs[Double]("dist2"))).toSeq
+    assert(pq == km)
+  }
+
+  test("PQ subspace codebooks beat one full-space codebook of equal k") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def total(df: org.apache.spark.sql.DataFrame, c: String): Double =
+      df.agg(sum(col(c))).collect().head.getDouble(0)
+    // 4 x 16-centroid subspaces quantize 16^4 effective codewords; the
+    // fixture pins the expected large win over a single 16-centroid
+    // codebook (not a theorem — an empirical regression guard)
+    val pqErr = total(Similarity.pqEncode(embs, nSub = 4, k = 16, iters = 1), "recon_err")
+    val kmErr = total(Similarity.kmeansFit(embs, k = 16, iters = 1), "dist2")
+    assert(pqErr < kmErr, s"pq $pqErr vs kmeans $kmErr")
+  }
+
   test("int8 quantization: exact codes, error bound, zero-vector guard") {
     val embs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
