@@ -86,6 +86,48 @@ object OpQueries {
     FROM $joins ORDER BY vec_id"""
   }
 
+  /** ADC oracle: per subspace, a query-side distance table (cross join
+    * of sliced queries with the trained centroid rows) attached to
+    * target codes by centroid id; subspace partials join on (query,
+    * target) and sum left-assoc — mirrors Similarity.pqAdcTopK.
+    */
+  private def pqAdcOracle(nSub: Int, dims: Int, k: Int, iters: Int,
+                          nQ: Int, topK: Int): String = {
+    val sub = dims / nSub
+    def dist2(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(len($v)), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))), " +
+        "(acc, e) -> acc + e)"
+    val chains = (0 until nSub).map { s =>
+      kmeansCtes(s"p${s}_",
+        s"list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub})", k, iters)
+    }.mkString(",\n")
+    val partCtes = (0 until nSub).map { s =>
+      s"""part$s AS (
+        SELECT l.q_id, a.vec_id AS t_id, l.d$s
+        FROM (SELECT q.vec_id AS q_id, c.c_id AS cid,
+                     ${dist2("q.v", "c.c")} AS d$s
+              FROM p${s}_vecs q CROSS JOIN p${s}_c$iters c
+              WHERE q.vec_id < $nQ) l
+        JOIN p${s}_a${iters + 1} a
+          ON a.cluster = l.cid AND a.vec_id >= $nQ)"""
+    }.mkString(",\n")
+    val joins = (0 until nSub).map(s => s"part$s")
+      .reduceLeft((a, b) => s"$a JOIN $b USING (q_id, t_id)")
+    val adc = (0 until nSub).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    WITH $chains,
+    $partCtes,
+    scored AS (SELECT q_id, t_id, $adc AS adc_dist FROM $joins),
+    ranked AS (SELECT q_id, t_id, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_dist, t_id) AS rn
+               FROM scored)
+    SELECT q_id AS query_id, t_id AS neighbor_id,
+           adc_dist, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= $topK ORDER BY query_id, rn"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- UNION ALL with provenance tags ------------------------------
@@ -198,6 +240,14 @@ object OpQueries {
       graft.ext.Similarity.pqEncode(t(s, d, "embeddings"),
         nSub = 4, k = 16, iters = 1),
       Some(pqOracle(nSub = 4, dims = 64, k = 16, iters = 1))),
+
+    // ---- PQ ADC search: per-query distance tables over the codebooks,
+    // targets scanned as codes; approximate top-k bit-exact ------------
+    ("s11_pq_adc_topk", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.pqAdcTopK(t(s, d, "embeddings"),
+        nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5),
+      Some(pqAdcOracle(nSub = 4, dims = 64, k = 16, iters = 1,
+        nQ = 10, topK = 5))),
 
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {

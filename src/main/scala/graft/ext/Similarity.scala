@@ -313,6 +313,39 @@ object Similarity {
     * Output: (vec_id, cluster, dist2) under the final centroids.
     */
   def kmeansFit(embs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (vecs, cents) = kmeansCore(embs, k, iters)
+    assignToCentroids(vecs, cents)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact left-fold squared L2 from the `v` column to a literal
+    * centroid — the portable distance every k-means/PQ path shares.
+    */
+  private def dist2To(c: Array[Double]): Column =
+    aggregate(zip_with(col("v"), array(c.map(lit): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Nearest-centroid assignment of a (vec_id, v) frame: array_min on
+    * (dist2, cluster) structs — ties to the lowest id, the oracle's
+    * ORDER BY dist2, c_id.
+    */
+  private def assignToCentroids(vecs: DataFrame,
+                                cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val scored = array(cents.map { case (cid, c) =>
+      struct(dist2To(c).as("dist2"), lit(cid).as("cluster")) }: _*)
+    vecs.withColumn("best", array_min(scored))
+      .select(col("vec_id"), col("v"),
+        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+  }
+
+  /** The Lloyd loop shared by [[kmeansFit]] and [[pqAdcTopK]]: returns
+    * the materialized (vec_id, v) frame and the trained centroid
+    * matrix (driver-held, k x dims — the bounded-collect contract).
+    */
+  private def kmeansCore(embs: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Seq[(Long, Array[Double])]) = {
     require(k > 0 && iters >= 0, "k > 0, iters >= 0")
     val Q = 1099511627776.0 // 2^40
     // scanned iters+2 times (init + per-round + final): materialize once
@@ -320,27 +353,11 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .localCheckpoint()
-
-    def dist2To(c: Array[Double]): Column =
-      aggregate(zip_with(col("v"), array(c.map(lit): _*),
-          (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, e) => acc + e)
-
-    def assign(cents: Seq[(Long, Array[Double])]): DataFrame = {
-      val scored = array(cents.map { case (cid, c) =>
-        struct(dist2To(c).as("dist2"), lit(cid).as("cluster")) }: _*)
-      // array_min on (dist2, cluster) structs: nearest centroid, ties
-      // to the lowest id — the oracle's ORDER BY dist2, c_id
-      vecs.withColumn("best", array_min(scored))
-        .select(col("vec_id"), col("v"),
-          col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
-    }
-
     var cents: Seq[(Long, Array[Double])] = vecs
       .filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     for (_ <- 1 to iters) {
-      val sums = assign(cents)
+      val sums = assignToCentroids(vecs, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cluster"), col("d"))
         .agg(sum(floor(col("x") * lit(Q))).as("s"), count(lit(1)).as("n"))
@@ -353,9 +370,7 @@ object Similarity {
         (cid, arr)
       }.sortBy(_._1)
     }
-    assign(cents)
-      .select(col("vec_id"), col("cluster"), col("dist2"))
-      .orderBy(col("vec_id"))
+    (vecs, cents)
   }
 
   /** Product quantization (Jégou et al. 2011, the Faiss IVF-PQ
@@ -387,6 +402,57 @@ object Similarity {
         concat_ws(",", (0 until nSub).map(s => col(s"c$s")): _*).as("code"),
         (0 until nSub).map(s => col(s"e$s")).reduce(_ + _).as("recon_err"))
       .orderBy(col("vec_id"))
+  }
+
+  /** PQ search by Asymmetric Distance Computation — why PQ codes exist:
+    * each query precomputes a k-entry distance table per subspace (its
+    * exact squared L2 to every codebook centroid), and a target's
+    * approximate distance is just nSub table lookups summed — the
+    * full-precision query side never touches target floats, so the
+    * corpus scan reads 2-byte codes instead of 256-byte vectors.
+    *
+    * Engine shape: the per-(query, subspace) tables come from a
+    * map-side explode over LITERAL centroids (k rows per query per
+    * subspace, no join); target codes attach by an equi-join on
+    * centroid id; subspace partials meet in an equi-join on (query,
+    * target) and sum left-assoc. The q x t blowup is the ADC linear
+    * scan itself (IVF cells bound it in production — [[ivfTopK]] is
+    * that stage here); every join is key-partitioned, nothing
+    * corpus-sized broadcasts.
+    *
+    * Output: (query_id, neighbor_id, adc_dist, rn), top `topK`
+    * neighbors per query by approximate distance.
+    */
+  def pqAdcTopK(embs: DataFrame, nSub: Int, k: Int, iters: Int,
+                nQueries: Int, topK: Int): DataFrame = {
+    val dims = embs.select(size(col("embedding"))).head.getInt(0)
+    require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
+    val sub = dims / nSub
+    val parts = (0 until nSub).map { s =>
+      val sliced = embs.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      val (vecs, cents) = kmeansCore(sliced, k, iters)
+      val lut = vecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"),
+          explode(array(cents.map { case (cid, c) =>
+            struct(lit(cid).as("cid"), dist2To(c).as("d2")) }: _*)).as("e"))
+        .select(col("q_id"), col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
+      val codes = assignToCentroids(
+          vecs.filter(col("vec_id") >= nQueries), cents)
+        .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
+      lut.join(codes, "cid").select(col("q_id"), col("t_id"), col(s"d$s"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("q_id", "t_id")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("t_id"))
+    joined
+      .select(col("q_id"), col("t_id"),
+        (0 until nSub).map(s => col(s"d$s")).reduce(_ + _).as("adc_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("adc_dist"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   /** Symmetric int8 vector quantization — the embedding STORAGE path at
