@@ -17,7 +17,9 @@ object Explain {
         "q05_local_supplier_volume", "q06_forecast_revenue",
         "d05_minhash_lsh_dup", "d12_cosine_banded_lsh_dup",
         "s01_ann_brute_topk", "s06_ann_ivf_topk", "c01_corpus_build",
-        "c04_incremental_dedup", "d14_bloom_membership", "d15_repeated_passages")
+        "c04_incremental_dedup", "d14_bloom_membership", "d15_repeated_passages",
+        "d17_containment_dup", "d18_hll_slice_merge", "s09_kmeans",
+        "s10_pq_encode", "s11_pq_adc_topk")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -319,6 +319,16 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Dimensionality from a one-row peek, with a clear failure on an
+    * empty corpus (a bare head() would throw NoSuchElementException
+    * deep inside the subspace split).
+    */
+  private def peekDims(embs: DataFrame): Int = {
+    val h = embs.select(size(col("embedding")).as("n")).limit(1).collect()
+    require(h.nonEmpty, "PQ over an empty embedding corpus")
+    h.head.getInt(0)
+  }
+
   /** Exact left-fold squared L2 from the `v` column to a literal
     * centroid — the portable distance every k-means/PQ path shares.
     */
@@ -356,6 +366,9 @@ object Similarity {
     var cents: Seq[(Long, Array[Double])] = vecs
       .filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.nonEmpty,
+      s"k-means init found no vectors with vec_id < $k — empty corpus " +
+        "or ids not zero-based; an empty centroid set would assign null clusters")
     for (_ <- 1 to iters) {
       val sums = assignToCentroids(vecs, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
@@ -388,7 +401,7 @@ object Similarity {
     * Output: (vec_id, code "c0,c1,..,c{nSub-1}", recon_err).
     */
   def pqEncode(embs: DataFrame, nSub: Int, k: Int, iters: Int): DataFrame = {
-    val dims = embs.select(size(col("embedding"))).head.getInt(0)
+    val dims = peekDims(embs)
     require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
     val sub = dims / nSub
     val parts = (0 until nSub).map { s =>
@@ -425,7 +438,7 @@ object Similarity {
     */
   def pqAdcTopK(embs: DataFrame, nSub: Int, k: Int, iters: Int,
                 nQueries: Int, topK: Int): DataFrame = {
-    val dims = embs.select(size(col("embedding"))).head.getInt(0)
+    val dims = peekDims(embs)
     require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
     val sub = dims / nSub
     val parts = (0 until nSub).map { s =>

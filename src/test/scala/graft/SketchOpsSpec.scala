@@ -149,6 +149,26 @@ class SketchOpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"ADC recall@5 $recall")
   }
 
+  test("k-means and PQ fail loudly on degenerate inputs") {
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(empty, nSub = 2, k = 4, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      // no vectors with vec_id < k: an empty init centroid set
+      Similarity.kmeansFit(
+        Seq((100L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label"),
+        k = 4, iters = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      // dims not divisible by the subspace count
+      Similarity.pqEncode(
+        Seq((0L, Array(1.0f, 2.0f, 3.0f), 0)).toDF("vec_id", "embedding", "label"),
+        nSub = 2, k = 1, iters = 0)
+    }
+  }
+
   test("int8 quantization: exact codes, error bound, zero-vector guard") {
     val embs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
