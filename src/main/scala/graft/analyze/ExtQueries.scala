@@ -562,6 +562,33 @@ object ExtQueries {
       WHERE CAST(n_common AS DOUBLE) / LEAST(na, nb) >= 0.7
       ORDER BY doc_a, doc_b""")),
 
+    // asymmetric containment: bottom-K shingle-hash probes against the
+    // inverted shingle index — DIRECTED small-in-large recall that
+    // symmetric banding (d17) cannot have; |A^B|/|A| verified exactly
+    ("d19_containment_asym", (s: SparkSession, d: String) =>
+      Dedup.containmentDupAsym(t(s, d, "documents"), threshold = 0.8,
+        probeK = 4),
+      Some(s"""
+      WITH sh0 AS (SELECT DISTINCT doc_id, s FROM
+                     (SELECT doc_id, unnest($shinglesSql) AS s FROM documents)),
+      hh AS (SELECT doc_id, s, ${Hashing.h32Sql("s")} AS h FROM sh0),
+      probe AS (SELECT doc_id AS doc_a, h FROM
+                  (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY h, s) AS rn FROM hh)
+                WHERE rn <= 4),
+      cand AS (SELECT DISTINCT p.doc_a, x.doc_id AS doc_b
+               FROM probe p JOIN hh x ON x.h = p.h AND x.doc_id <> p.doc_a),
+      arr AS (SELECT doc_id, $shinglesSql AS sa FROM documents),
+      com AS (SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
+                     CAST(len(a.sa) AS INT) AS na
+              FROM cand JOIN arr a ON a.doc_id = doc_a
+                        JOIN arr b ON b.doc_id = doc_b)
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / na AS containment
+      FROM com WHERE CAST(n_common AS DOUBLE) / na >= 0.8
+      ORDER BY doc_a, doc_b""")),
+
     ("d07_cosine_dup", (s: SparkSession, d: String) =>
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),
       Some(cosineDupOracle)),

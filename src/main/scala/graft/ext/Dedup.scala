@@ -138,6 +138,52 @@ object Dedup {
       scoreName = "containment",
       score = (n, sa, sb) => n.cast("double") / least(sa, sb))
 
+  /** ASYMMETRIC containment dedup — the recall path [[containmentDup]]
+    * scopes out: a doc whose shingles nearly embed in a 100x larger doc
+    * never collides with it under symmetric minhash banding (their
+    * Jaccard is tiny), but its BOTTOM-K smallest shingle hashes are,
+    * with probability ~containment each, present in the host doc. So
+    * the probe side is each doc's K minimal shingle hashes and the host
+    * side is the full inverted shingle index; any hash hit makes a
+    * DIRECTED candidate (probe, host), verified exactly as
+    * |A∩B| / |A| >= threshold.
+    *
+    * Scale shape: the candidate join is keyed by shingle hash — the
+    * inverted-index build a production system persists once. Stop-like
+    * shingles shared by everyone are the hot keys here, and
+    * [[HotBuckets.prune]] caps postings per shingle before the join
+    * (capped shingles can't nominate candidates; a doc contained via
+    * only ultra-common shingles is boilerplate better caught by
+    * [[repeatedPassages]]). Probe rows are K per doc regardless of doc
+    * size — the asymmetry that makes small-in-large recall size-free.
+    *
+    * Output: DIRECTED (doc_a, doc_b, n_common, containment) with doc_a
+    * the contained candidate.
+    */
+  def containmentDupAsym(docs: DataFrame, threshold: Double,
+                         probeK: Int = 4,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(probeK > 0, "probeK > 0")
+    import org.apache.spark.sql.expressions.Window
+    // distinct per-doc shingles: duplicates would waste probe slots and
+    // multiply candidate rows for no recall
+    val sh = shingleTable(docs).distinct()
+      .withColumn("h", h32(col("s"))).localCheckpoint()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"), col("s"))
+    val probes = sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probeK)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val host = HotBuckets.prune(
+      sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"), maxBucket)
+    val cand = probes.join(host.hint("shuffle_hash"), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardVerify(cand, docs,
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold,
+      scoreName = "containment",
+      score = (n, sa, _) => n.cast("double") / sa)
+  }
+
   /** Distinct candidate pairs (doc_a < doc_b) from a minhash-band
     * self-join, hot buckets capped — the shared front half of
     * [[minhashDup]] and [[containmentDup]].

@@ -71,6 +71,25 @@ class SketchOpsSpec extends SparkSpec {
     assert(jac((0L, 1L)) < 1.0 && jac((0L, 1L)) >= 0.8)
   }
 
+  test("asymmetric containment finds a small doc inside a 13x larger one") {
+    val big = (1 to 200).map(i => s"t$i").mkString(" ")
+    val small = (50 to 64).map(i => s"t$i").mkString(" ") // 15-word slice
+    val docs = docsDf(Seq(big, small,
+      "one unrelated document with its own words",
+      "another unrelated document full of other words"))
+    val asym = Dedup.containmentDupAsym(docs, threshold = 0.8).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    assert(asym.contains((1L, 0L)), s"directed pair missing: $asym")
+    assert(asym((1L, 0L)) == 1.0, "every slice shingle is in the host")
+    // the symmetric minhash-band path CANNOT see this pair — its
+    // Jaccard is ~13/198, far below any banding collision — which is
+    // exactly the gap the asymmetric probe exists to close
+    val sym = Dedup.containmentDup(docs, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!sym.contains((0L, 1L)) && !sym.contains((1L, 0L)))
+  }
+
   test("k-means: inertia never increases across Lloyd iterations") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def inertia(iters: Int): Double =
