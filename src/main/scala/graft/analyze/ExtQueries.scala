@@ -571,13 +571,14 @@ object ExtQueries {
       Some(s"""
       WITH sh0 AS (SELECT DISTINCT doc_id, s FROM
                      (SELECT doc_id, unnest($shinglesSql) AS s FROM documents)),
-      hh AS (SELECT doc_id, s, ${Hashing.h32Sql("s")} AS h FROM sh0),
+      hh AS (SELECT DISTINCT doc_id, ${Hashing.h32Sql("s")} AS h FROM sh0),
       probe AS (SELECT doc_id AS doc_a, h FROM
                   (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id
-                     ORDER BY h, s) AS rn FROM hh)
+                     ORDER BY h) AS rn FROM hh)
                 WHERE rn <= 4),
-      cand AS (SELECT DISTINCT p.doc_a, x.doc_id AS doc_b
-               FROM probe p JOIN hh x ON x.h = p.h AND x.doc_id <> p.doc_a),
+      cand AS (SELECT p.doc_a, x.doc_id AS doc_b
+               FROM probe p JOIN hh x ON x.h = p.h AND x.doc_id <> p.doc_a
+               GROUP BY p.doc_a, x.doc_id HAVING COUNT(*) >= 2),
       arr AS (SELECT doc_id, $shinglesSql AS sa FROM documents),
       com AS (SELECT doc_a, doc_b,
                      CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,

@@ -52,6 +52,22 @@ class VectorExprSpec extends SparkSpec {
     assert(viaExpr.count() > 0)
   }
 
+  test("one-pass ShingleHashesOf equals the HOF distinct+sort formulation") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = graft.ext.Dedup.ShingleSize
+    val viaExpr = docs.select(col("doc_id"),
+      graft.functions.ShingleHashesOf(col("text"), n).as("hs"))
+      .filter(col("hs").isNotNull)
+    val viaHof = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        array_distinct(graft.ext.TextOps.wordShingles(col("text"), n)),
+        s => graft.functions.Hashing.h32(s)))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    assert(viaExpr.exceptAll(viaHof).count() == 0)
+    assert(viaHof.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.count() > 0)
+  }
+
   test("one-pass QualityCountsOf equals the HOF formulation") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val viaExpr = graft.ext.TextAnalysis.qualityScore(docs)
