@@ -202,6 +202,38 @@ object AdvQueries {
         |  AND p_partkey NOT IN (SELECT l_partkey FROM lineitem
         |                        WHERE year(l_shipdate) = 1995)
         |ORDER BY p_partkey""".stripMargin
+    }),
+
+    // hourly exact latency-style percentiles over the event stream —
+    // the windowed form of q36's rank-based selection (no interpolating
+    // quantile built-ins: both engines pick actual row values and
+    // combine them with single IEEE ops)
+    ("w07_windowed_percentiles", {
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, value,
+        |         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+        |  FROM events)
+        |SELECT window_start,
+        |  (MAX(CASE WHEN rn = (n+1) div 2 THEN value END)
+        |   + MAX(CASE WHEN rn = (n+2) div 2 THEN value END)) / 2 AS median_value,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_value,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY window_start ORDER BY window_start""".stripMargin
+    }, {
+      """WITH r AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, value,
+        |         ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+        |  FROM events)
+        |SELECT window_start,
+        |  (MAX(CASE WHEN rn = (n+1) // 2 THEN value END)
+        |   + MAX(CASE WHEN rn = (n+2) // 2 THEN value END)) / 2 AS median_value,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_value,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY window_start ORDER BY window_start""".stripMargin
     }))
 
   val defs: Seq[(String, QFn, Option[String])] =
