@@ -128,6 +128,64 @@ object OpQueries {
     FROM ranked WHERE rn <= $topK ORDER BY query_id, rn"""
   }
 
+  /** IVF-PQ oracle: the coarse kmeans chain assigns target cells and
+    * ranks each query's probe cells; candidates are the cell equi-join;
+    * the per-subspace ADC parts (as in [[pqAdcOracle]]) are computed
+    * restricted to candidates and summed left-assoc — mirrors
+    * Similarity.ivfPqTopK exactly.
+    */
+  private def ivfPqOracle(nCells: Int, nProbe: Int, nSub: Int, dims: Int,
+                          k: Int, iters: Int, nQ: Int, topK: Int): String = {
+    val sub = dims / nSub
+    val I = iters + 1
+    def dist2(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(len($v)), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))), " +
+        "(acc, e) -> acc + e)"
+    val coarse = kmeansCtes("c_", "embedding", nCells, iters)
+    val chains = (0 until nSub).map { s =>
+      kmeansCtes(s"p${s}_",
+        s"list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub})", k, iters)
+    }.mkString(",\n")
+    val partCtes = (0 until nSub).map { s =>
+      s"""part$s AS (
+        SELECT cand.q_id, cand.t_id, l.d$s
+        FROM cand
+        JOIN p${s}_a$I a ON a.vec_id = cand.t_id
+        JOIN (SELECT q.vec_id AS q_id, c.c_id AS cid,
+                     ${dist2("q.v", "c.c")} AS d$s
+              FROM p${s}_vecs q CROSS JOIN p${s}_c$iters c
+              WHERE q.vec_id < $nQ) l
+          ON l.q_id = cand.q_id AND l.cid = a.cluster)"""
+    }.mkString(",\n")
+    val joins = (0 until nSub).map(s => s"part$s")
+      .reduceLeft((a, b) => s"$a JOIN $b USING (q_id, t_id)")
+    val adc = (0 until nSub).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    WITH $coarse,
+    $chains,
+    tcell AS (SELECT vec_id AS t_id, cluster AS cell FROM c_a$I
+              WHERE vec_id >= $nQ),
+    qcell AS (SELECT q_id, cell FROM (
+        SELECT q.vec_id AS q_id, c.c_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${dist2("q.v", "c.c")}, c.c_id) AS crn
+        FROM c_vecs q CROSS JOIN c_c$iters c WHERE q.vec_id < $nQ)
+      WHERE crn <= $nProbe),
+    cand AS (SELECT q_id, t_id, cell FROM qcell JOIN tcell USING (cell)),
+    $partCtes,
+    scored AS (SELECT q_id, t_id, $adc AS adc_dist FROM $joins),
+    withcell AS (SELECT s.q_id, s.t_id, c.cell, s.adc_dist
+                 FROM scored s JOIN cand c USING (q_id, t_id)),
+    ranked AS (SELECT q_id, t_id, cell, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_dist, t_id) AS rn
+               FROM withcell)
+    SELECT q_id AS query_id, t_id AS neighbor_id, cell,
+           adc_dist, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= $topK ORDER BY query_id, rn"""
+  }
+
   val defs: Seq[(String, QFn, Option[String])] = Seq(
 
     // ---- UNION ALL with provenance tags ------------------------------
@@ -248,6 +306,15 @@ object OpQueries {
         nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5),
       Some(pqAdcOracle(nSub = 4, dims = 64, k = 16, iters = 1,
         nQ = 10, topK = 5))),
+
+    // ---- IVF-PQ: coarse cells bound the ADC scan to nProbe cells per
+    // query — the production ANN shape, bit-exact end to end ----------
+    ("s12_ivf_pq_topk", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.ivfPqTopK(t(s, d, "embeddings"),
+        nCells = 8, nProbe = 2, nSub = 4, k = 16, iters = 1,
+        nQueries = 10, topK = 5),
+      Some(ivfPqOracle(nCells = 8, nProbe = 2, nSub = 4, dims = 64,
+        k = 16, iters = 1, nQ = 10, topK = 5))),
 
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {

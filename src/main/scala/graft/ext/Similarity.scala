@@ -356,13 +356,23 @@ object Similarity {
     */
   private def kmeansCore(embs: DataFrame, k: Int, iters: Int)
       : (DataFrame, Seq[(Long, Array[Double])]) = {
-    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
-    val Q = 1099511627776.0 // 2^40
     // scanned iters+2 times (init + per-round + final): materialize once
     val vecs = graft.core.Tables.spread(embs)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .localCheckpoint()
+    (vecs, kmeansCentsFromVecs(vecs, k, iters))
+  }
+
+  /** Lloyd loop over a prepared (vec_id, v) frame — the PQ paths call
+    * this once per subspace with SLICES of one materialized full-vector
+    * table instead of re-reading and re-checkpointing the source per
+    * codebook.
+    */
+  private def kmeansCentsFromVecs(vecs: DataFrame, k: Int, iters: Int)
+      : Seq[(Long, Array[Double])] = {
+    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    val Q = 1099511627776.0 // 2^40
     var cents: Seq[(Long, Array[Double])] = vecs
       .filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -383,7 +393,7 @@ object Similarity {
         (cid, arr)
       }.sortBy(_._1)
     }
-    (vecs, cents)
+    cents
   }
 
   /** Product quantization (Jégou et al. 2011, the Faiss IVF-PQ
@@ -404,10 +414,14 @@ object Similarity {
     val dims = peekDims(embs)
     require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
     val sub = dims / nSub
+    val fullVecs = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
     val parts = (0 until nSub).map { s =>
-      val sliced = embs.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      kmeansFit(sliced, k, iters)
+      val svecs = fullVecs.select(col("vec_id"),
+        slice(col("v"), s * sub + 1, sub).as("v"))
+      assignToCentroids(svecs, kmeansCentsFromVecs(svecs, k, iters))
         .select(col("vec_id"), col("cluster").as(s"c$s"), col("dist2").as(s"e$s"))
     }
     parts.reduce((a, b) => a.join(b, "vec_id"))
@@ -441,17 +455,21 @@ object Similarity {
     val dims = peekDims(embs)
     require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
     val sub = dims / nSub
+    val fullVecs = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
     val parts = (0 until nSub).map { s =>
-      val sliced = embs.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      val (vecs, cents) = kmeansCore(sliced, k, iters)
-      val lut = vecs.filter(col("vec_id") < nQueries)
+      val svecs = fullVecs.select(col("vec_id"),
+        slice(col("v"), s * sub + 1, sub).as("v"))
+      val cents = kmeansCentsFromVecs(svecs, k, iters)
+      val lut = svecs.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"),
           explode(array(cents.map { case (cid, c) =>
             struct(lit(cid).as("cid"), dist2To(c).as("d2")) }: _*)).as("e"))
         .select(col("q_id"), col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
       val codes = assignToCentroids(
-          vecs.filter(col("vec_id") >= nQueries), cents)
+          svecs.filter(col("vec_id") >= nQueries), cents)
         .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
       lut.join(codes, "cid").select(col("q_id"), col("t_id"), col(s"d$s"))
     }
@@ -465,6 +483,83 @@ object Similarity {
       .filter(col("rn") <= topK)
       .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
         col("adc_dist"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** IVF-PQ: the production ANN shape — a coarse k-means partitions
+    * the corpus into cells, each query probes only its `nProbe`
+    * nearest cells, and WITHIN the probed cells distances come from
+    * PQ codes via ADC tables. [[pqAdcTopK]]'s q x t scan becomes
+    * q x (corpus/nCells x nProbe): the cell equi-join bounds the
+    * candidate set, the code scan bounds the bytes — together they are
+    * why a 100 TB corpus is searchable at all. Five bounded-collect
+    * k-means fits (1 coarse + nSub codebooks); every join is
+    * key-partitioned (cell id, centroid id, pair key); nothing
+    * corpus-sized broadcasts.
+    *
+    * Output: (query_id, neighbor_id, cell, adc_dist, rn) — approximate
+    * top-k per query over the probed cells only.
+    */
+  def ivfPqTopK(embs: DataFrame, nCells: Int, nProbe: Int,
+                nSub: Int, k: Int, iters: Int,
+                nQueries: Int, topK: Int): DataFrame = {
+    val dims = peekDims(embs)
+    require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
+    val sub = dims / nSub
+    // one materialized full-vector table: the coarse quantizer reads it
+    // whole, each subspace codebook reads a SLICE of it — never a
+    // second scan/checkpoint of the source per codebook
+    val fullVecs = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint()
+    // coarse quantizer: cells from full-vector k-means
+    val cells = kmeansCentsFromVecs(fullVecs, nCells, iters)
+    val targetCells = assignToCentroids(
+        fullVecs.filter(col("vec_id") >= nQueries), cells)
+      .select(col("vec_id").as("t_id"), col("cluster").as("cell"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd2"), col("cell"))
+    val queryCells = fullVecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(array(cells.map { case (cid, c) =>
+          struct(lit(cid).as("cell"), dist2To(c).as("cd2")) }: _*)).as("e"))
+      .select(col("q_id"), col("e.cell").as("cell"), col("e.cd2").as("cd2"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nProbe)
+      .select(col("q_id"), col("cell"))
+    // the IVF cut: candidates are (query, target) pairs sharing a
+    // probed cell — an equi-join on cell id, never the full q x t scan
+    val cand = queryCells.join(targetCells, "cell")
+      .select(col("q_id"), col("t_id"), col("cell")).localCheckpoint()
+    // fine quantizer: per-subspace ADC restricted to the candidates
+    val parts = (0 until nSub).map { s =>
+      val svecs = fullVecs.select(col("vec_id"),
+        slice(col("v"), s * sub + 1, sub).as("v"))
+      val cents = kmeansCentsFromVecs(svecs, k, iters)
+      val lut = svecs.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"),
+          explode(array(cents.map { case (cid, c) =>
+            struct(lit(cid).as("cid"), dist2To(c).as("d2")) }: _*)).as("e"))
+        .select(col("q_id"), col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
+      val codes = assignToCentroids(
+          svecs.filter(col("vec_id") >= nQueries), cents)
+        .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
+      cand.join(codes, "t_id").join(lut, Seq("q_id", "cid"))
+        .select(col("q_id"), col("t_id"), col(s"d$s"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq("q_id", "t_id")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("t_id"))
+    joined
+      .select(col("q_id"), col("t_id"),
+        (0 until nSub).map(s => col(s"d$s")).reduce(_ + _).as("adc_dist"))
+      .join(cand.select(col("q_id"), col("t_id"), col("cell")),
+        Seq("q_id", "t_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("cell"), col("adc_dist"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
 

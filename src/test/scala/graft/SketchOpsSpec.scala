@@ -188,6 +188,24 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ distances agree with the unrestricted ADC scan") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ivf = Similarity.ivfPqTopK(embs, nCells = 8, nProbe = 2,
+      nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5).collect()
+    assert(ivf.nonEmpty)
+    // same codebooks, independent code path: every (query, neighbor)
+    // the IVF cut returns must carry EXACTLY the distance the full
+    // q x t ADC scan computes for that pair
+    val full = Similarity.pqAdcTopK(embs, nSub = 4, k = 16, iters = 1,
+      nQueries = 10, topK = 490).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adc_dist")).toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(full(key) == r.getAs[Double]("adc_dist"), s"mismatch at $key")
+    }
+  }
+
   test("int8 quantization: exact codes, error bound, zero-vector guard") {
     val embs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
