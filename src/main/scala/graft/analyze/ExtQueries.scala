@@ -692,6 +692,25 @@ object ExtQueries {
             FROM documents) x
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
 
+    // statistical LM-quality proxy: mean corpus bigram frequency per
+    // doc (CCNet-style filter without the external LM); fixed-point
+    // mean makes the doubles bit-portable
+    ("t15_lm_quality", (s: SparkSession, d: String) =>
+      TextAnalysis.lmQualityScore(t(s, d, "documents")),
+      Some(s"""
+      WITH bi AS (SELECT doc_id, unnest(${TextOps.wordShinglesSql("text", 2)}) AS bigram
+                  FROM documents),
+      cnts AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM bi GROUP BY bigram),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM bi),
+      f AS (SELECT doc_id,
+                   CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS freq
+            FROM bi JOIN cnts USING (bigram) CROSS JOIN tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(floor(freq * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS mean_freq
+      FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
     // deterministic stratified sample: first-20-per-lang in
     // (hash32(text), doc_id) order — seedless, engine-reproducible;
     // runs the map-side TopKAggregator path (the 100 TB shape)

@@ -222,6 +222,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Statistical LM-quality proxy (the CCNet-style corpus-frequency
+    * filter, without the external LM): each doc scores the MEAN corpus
+    * frequency of its word bigrams — fluent prose built from common
+    * constructions scores high, gibberish and boilerplate-of-rare-
+    * tokens score low; in a curation DAG the score ranks docs the way
+    * a real LM-perplexity bucket would, from nothing but the corpus
+    * itself.
+    *
+    * Scale shape: one hash-partitioned bigram count aggregation (the
+    * corpus LM "training"), one bigram-keyed fact join to attach each
+    * occurrence's frequency, one per-doc aggregation. The mean is a
+    * floating sum over an engine-chosen row order, so it's summed as
+    * floor(freq * 2^40) exact integers — the same fixed-point trick as
+    * the k-means centroid means — making the score bit-portable.
+    * No logs on purpose: libm log is not correctly rounded and differs
+    * across engines; the mean-frequency ranks identically to mean-log
+    * for filtering cutlines at matched bigram counts.
+    *
+    * Output: (doc_id, n_bigrams, mean_freq), docs with >= 1 bigram.
+    */
+  def lmQualityScore(docs: DataFrame): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val bi = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+      .localCheckpoint() // read by counts, the total, and the fact join
+    val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    val total = bi.agg(count(lit(1)).as("total"))
+    bi.join(counts.hint("shuffle_hash"), "bigram")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("freq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(floor(col("freq") * lit(Q))).cast("double")
+          / count(lit(1)).cast("double") / lit(Q)).as("mean_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * the word-hash sequence, mod 2^31-1. Content AND order sensitive
     * (unlike minhash), exact in 64-bit integer arithmetic.

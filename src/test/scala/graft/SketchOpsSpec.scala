@@ -206,6 +206,23 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("LM-quality score ranks common-construction text above gibberish") {
+    val common = "the cat sat on the mat"
+    val docs = docsDf(Seq(
+      common, common, common, // three docs of the same common bigrams
+      "zxq wvut plok mnbju qsdfg hjklz", // unique-bigram gibberish
+      "the cat sat quietly watching birds"))
+    val scores = graft.ext.TextAnalysis.lmQualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_freq")).toMap
+    assert(scores(0L) > scores(3L),
+      s"common ${scores(0L)} must beat gibberish ${scores(3L)}")
+    assert(scores(4L) > scores(3L),
+      "sharing SOME common bigrams still beats all-unique")
+    // docs with < 2 words have no bigrams and no row
+    val one = graft.ext.TextAnalysis.lmQualityScore(docsDf(Seq("word", "a b")))
+    assert(one.count() == 1)
+  }
+
   test("int8 quantization: exact codes, error bound, zero-vector guard") {
     val embs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f), 0),
