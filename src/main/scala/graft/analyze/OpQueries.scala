@@ -48,14 +48,17 @@ object OpQueries {
               FROM ${pfx}e$i GROUP BY cluster, d),
       ${pfx}c$i AS (SELECT cluster AS c_id, list(m ORDER BY d) AS c
               FROM ${pfx}s$i GROUP BY cluster)"""
+    // iters = 0 (assignment under the raw init, as kmeansFit supports)
+    // must not leave a dangling comma where the rounds would go
     val rounds = (1 to iters)
       .map(i => assignCte(i, s"${pfx}c${i - 1}") + "," + updateCte(i))
       .mkString(",")
+    val roundsSeg = if (rounds.isEmpty) "" else s"$rounds,"
     s"""${pfx}vecs AS (SELECT vec_id,
            list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
     ${pfx}c0 AS (SELECT vec_id AS c_id, v AS c FROM ${pfx}vecs WHERE vec_id < $k),
-    $rounds,
+    $roundsSeg
     ${assignCte(iters + 1, s"${pfx}c$iters")}"""
   }
 

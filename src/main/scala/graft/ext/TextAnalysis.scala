@@ -224,15 +224,19 @@ object TextAnalysis {
 
   /** Statistical LM-quality proxy (the CCNet-style corpus-frequency
     * filter, without the external LM): each doc scores the MEAN corpus
-    * frequency of its word bigrams — fluent prose built from common
-    * constructions scores high, gibberish and boilerplate-of-rare-
-    * tokens score low; in a curation DAG the score ranks docs the way
-    * a real LM-perplexity bucket would, from nothing but the corpus
-    * itself.
+    * DOCUMENT-frequency of its DISTINCT word bigrams (wordShingles
+    * dedups within a doc, so cnt counts documents containing the
+    * bigram, not occurrences — deliberately repetition-blind: a doc
+    * repeating one common construction 100x scores as if it used it
+    * once; occurrence-level repetition is [[repetitionMetrics]]'s job).
+    * Fluent prose built from common constructions scores high,
+    * gibberish and boilerplate-of-rare-tokens score low; in a curation
+    * DAG the score ranks docs the way a real LM-perplexity bucket
+    * would, from nothing but the corpus itself.
     *
     * Scale shape: one hash-partitioned bigram count aggregation (the
     * corpus LM "training"), one bigram-keyed fact join to attach each
-    * occurrence's frequency, one per-doc aggregation. The mean is a
+    * distinct bigram's frequency, one per-doc aggregation. The mean is a
     * floating sum over an engine-chosen row order, so it's summed as
     * floor(freq * 2^40) exact integers — the same fixed-point trick as
     * the k-means centroid means — making the score bit-portable.
@@ -240,7 +244,8 @@ object TextAnalysis {
     * across engines; the mean-frequency ranks identically to mean-log
     * for filtering cutlines at matched bigram counts.
     *
-    * Output: (doc_id, n_bigrams, mean_freq), docs with >= 1 bigram.
+    * Output: (doc_id, n_bigrams = the doc's DISTINCT bigram count,
+    * mean_freq), docs with >= 1 bigram.
     */
   def lmQualityScore(docs: DataFrame): DataFrame = {
     val Q = 1099511627776.0 // 2^40

@@ -71,10 +71,16 @@ object StreamDedup {
       val docsPath = s"$stateDir/docs"
       val bandsPath = s"$stateDir/bands"
       // state = strictly earlier batches only; a replayed batch must not
-      // probe the partial writes of its own failed attempt
+      // probe the partial writes of its own failed attempt. A state dir
+      // written by the pre-batch-keyed layout has no `batch` partition
+      // column: all of it was committed by completed batches, so it is
+      // prior state wholesale (and must not crash column resolution).
       def priorState(path: String): Option[DataFrame] =
-        Try(spark.read.parquet(path)).toOption
-          .map(_.filter(col("batch") < batchId).drop("batch"))
+        Try(spark.read.parquet(path)).toOption.map { df =>
+          if (df.columns.contains("batch"))
+            df.filter(col("batch") < batchId).drop("batch")
+          else df
+        }
       val state = for {
         corpusDocs <- priorState(docsPath)
         corpusBands <- priorState(bandsPath)

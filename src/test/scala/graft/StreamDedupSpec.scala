@@ -84,4 +84,25 @@ class StreamDedupSpec extends SparkSpec {
     StreamDedup.processBatch(spark, b1, 1L, state, out, 0.5)
     assert(snapshot() == once, "replay changed state or output")
   }
+
+  test("state from the pre-batch-keyed layout is read as prior corpus") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sd_state3").toString
+    val out = Files.createTempDirectory("sd_out3").toString + "/dups"
+    // legacy layout: flat parquet under docs/ and bands/, no batch= dirs
+    val legacy = Seq(
+      0L -> "alpha bravo charlie delta echo foxtrot").toDF("doc_id", "text")
+    legacy.write.parquet(s"$state/docs")
+    graft.ext.Dedup.minhashBands(graft.ext.Dedup.minhashSignatures(legacy))
+      .write.parquet(s"$state/bands")
+    // a new batch must neither crash on the missing batch column nor
+    // silently skip the legacy corpus
+    val b = Seq(
+      10L -> "alpha bravo charlie delta echo foxtrot").toDF("doc_id", "text")
+    StreamDedup.processBatch(spark, b, 7L, state, out, 0.5)
+    val pairs = spark.read.parquet(out)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 0L)), s"got $pairs")
+  }
 }
