@@ -319,6 +319,21 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Run `n` independent driver-side builds concurrently — the PQ
+    * subspace codebook fits are separate Lloyd loops over slices of one
+    * checkpointed table, and their Spark actions (collects) otherwise
+    * serialize on the driver while executors idle. Job submission is
+    * thread-safe and each fit's result is timing-independent, so
+    * parallel training changes wall-clock only.
+    */
+  private def inParallel[T](n: Int)(f: Int => T): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence((0 until n).map(i => Future(f(i)))), Duration.Inf)
+  }
+
   /** Dimensionality from a one-row peek, with a clear failure on an
     * empty corpus (a bare head() would throw NoSuchElementException
     * deep inside the subspace split).
@@ -418,7 +433,7 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .localCheckpoint()
-    val parts = (0 until nSub).map { s =>
+    val parts = inParallel(nSub) { s =>
       val svecs = fullVecs.select(col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
       assignToCentroids(svecs, kmeansCentsFromVecs(svecs, k, iters))
@@ -459,7 +474,7 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .localCheckpoint()
-    val parts = (0 until nSub).map { s =>
+    val parts = inParallel(nSub) { s =>
       val svecs = fullVecs.select(col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
       val cents = kmeansCentsFromVecs(svecs, k, iters)
@@ -533,7 +548,7 @@ object Similarity {
     val cand = queryCells.join(targetCells, "cell")
       .select(col("q_id"), col("t_id"), col("cell")).localCheckpoint()
     // fine quantizer: per-subspace ADC restricted to the candidates
-    val parts = (0 until nSub).map { s =>
+    val parts = inParallel(nSub) { s =>
       val svecs = fullVecs.select(col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
       val cents = kmeansCentsFromVecs(svecs, k, iters)
