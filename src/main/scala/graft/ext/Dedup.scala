@@ -488,6 +488,26 @@ object Dedup {
         col("estimate"))
   }
 
+  /** HLL register table (bucket, m_rho) of a key column — the
+    * mergeable 2^p-long state: per-bucket MAX combines registers from
+    * any partitioning of the data ([[hllSliceMerge]] proves the
+    * identity; [[graft.streaming.StreamSketch]] persists these per
+    * micro-batch).
+    */
+  def hllRegisters(rows: DataFrame, key: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    rows.select(h32(key.cast("string")).as("hv"))
+      .select(hllBucket(col("hv"), p).as("bucket"),
+        hllRho(col("hv"), p).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m_rho"))
+  }
+
+  /** One-row (n_buckets_used, denom, estimate) from a register table —
+    * public face of the summary for register state persisted elsewhere.
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 8): DataFrame =
+    hllSummary(regs, p)
+
   /** Top `p` bits of the portable 32-bit hash: the register index. */
   private def hllBucket(hv: Column, p: Int): Column = shiftright(hv, 32 - p)
 
