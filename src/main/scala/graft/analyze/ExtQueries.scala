@@ -590,6 +590,61 @@ object ExtQueries {
       FROM com WHERE CAST(n_common AS DOUBLE) / na >= 0.8
       ORDER BY doc_a, doc_b""")),
 
+    // LSH near-dedup recall measured in-engine (the dedup twin of s07)
+    // on a FIXED 1200-doc sample (contains near-dup pairs at sf0.01 AND
+    // sf0.1), so the exact all-pairs baseline costs the same at every
+    // sf. minhashDup's verified output is by
+    // construction the subset of true pairs whose docs band-collide, so
+    // recall = |lsh| / |exact| with no pair join.
+    ("d20_minhash_recall", (s: SparkSession, d: String) => {
+      val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
+      val lshN = Dedup.minhashDup(sample, threshold = 0.5)
+        .agg(count(lit(1)).as("n_lsh"))
+      // spread + checkpoint: the nested-loop baseline streams one side
+      // against the broadcast other — without the repartition the
+      // stream side is the fixture's single input split and all 720k
+      // pair intersects run in one task (31s measured; ~2s spread)
+      val arr = Tables.spread(sample).select(col("doc_id"),
+        array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
+        .localCheckpoint()
+      def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
+      val exactN = arr.as("a")
+        .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
+        // both-empty pairs make the union size 0: the oracle's NaN
+        // comparison excludes them; ANSI Spark would throw on the
+        // division instead, so exclude them before dividing
+        .filter(size(col("a.sa")) + size(col("b.sa")) > 0)
+        .select((nc.cast("double") /
+          (size(col("a.sa")) + size(col("b.sa")) - nc)).as("j"))
+        .filter(col("j") >= 0.5)
+        .agg(count(lit(1)).as("n_exact"))
+      // n_lsh <= n_exact always (the LSH output is the verified subset
+      // of true pairs), so a pair-free sample yields 0/1 = 0.0 under
+      // the GREATEST guard — total at any sf, never a NaN or an ANSI
+      // divide-by-zero, and n_exact = 0 is visible alongside
+      exactN.crossJoin(lshN)
+        .select(col("n_exact"), col("n_lsh"),
+          (col("n_lsh").cast("double") /
+            greatest(col("n_exact"), lit(1L)).cast("double")).as("recall"))
+    }, Some {
+      val sampled = minhashCtes.replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id < 1200)")
+      s"""
+      WITH $sampled,
+      lshn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM com
+               WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+      sarr AS (SELECT doc_id, $shinglesSql AS sa FROM documents
+               WHERE doc_id < 1200),
+      exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM sarr a JOIN sarr b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sa, b.sa)) AS DOUBLE)
+                    / (len(a.sa) + len(b.sa) - len(list_intersect(a.sa, b.sa)))
+                    >= 0.5)
+      SELECT n_exact, n_lsh,
+             CAST(n_lsh AS DOUBLE) / CAST(GREATEST(n_exact, 1) AS DOUBLE) AS recall
+      FROM exn CROSS JOIN lshn"""
+    }),
+
     ("d07_cosine_dup", (s: SparkSession, d: String) =>
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),
       Some(cosineDupOracle)),
