@@ -259,17 +259,31 @@ object Dedup {
   def minhashDupAgainstBands(corpusBands: DataFrame, corpusDocs: DataFrame,
                              newDocs: DataFrame, threshold: Double,
                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val cb = HotBuckets.prune(corpusBands, Seq("band_idx", "band_key"), maxBucket)
-    val nb = HotBuckets.prune(
-      minhashBands(minhashSignatures(newDocs)).localCheckpoint(),
-      Seq("band_idx", "band_key"), maxBucket)
-    val cand = nb.as("x").join(cb.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_key") === col("y.band_key"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = bandProbeJoin(corpusBands,
+      minhashBands(minhashSignatures(newDocs)).localCheckpoint(), maxBucket)
       .distinct()
     jaccardVerify(cand, corpusDocs.unionByName(newDocs),
       array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
+  }
+
+  /** The probe half of [[minhashDupAgainstBands]] before pair-dedup:
+    * new-bands x corpus-bands equi-join on (band_idx, band_key), hot
+    * buckets capped on both sides, emitting DIRECTED raw candidates
+    * (doc_a = new, doc_b = corpus). Factored out so plan tests can
+    * assert the scale contract directly: when `corpusBands` is a table
+    * bucketed by the two join keys ([[graft.operators.Layout
+    * .ensureBucketedBatchTable]] — [[graft.streaming.StreamDedup]]'s
+    * state shape), this join plans with NO Exchange on the corpus side;
+    * only the O(batch) new side shuffles.
+    */
+  private[graft] def bandProbeJoin(corpusBands: DataFrame, newBands: DataFrame,
+                                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cb = HotBuckets.prune(corpusBands, Seq("band_idx", "band_key"), maxBucket)
+    val nb = HotBuckets.prune(newBands, Seq("band_idx", "band_key"), maxBucket)
+    nb.as("x").join(cb.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
   }
 
   /** Exact-Jaccard verification of candidate pairs against per-doc

@@ -85,6 +85,51 @@ class StreamDedupSpec extends SparkSpec {
     assert(snapshot() == once, "replay changed state or output")
   }
 
+  test("per-batch probe joins the persisted corpus bands with no Exchange") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sd_state4").toString
+    val out = Files.createTempDirectory("sd_out4").toString + "/dups"
+    val corpus = (0L until 200L).map(i =>
+      (i, s"corpus doc number $i with some shared words and body $i"))
+      .toDF("doc_id", "text")
+    StreamDedup.processBatch(spark, corpus, 0L, state, out, 0.5)
+
+    // the shape every subsequent micro-batch runs: batch bands itself
+    // and probes the BUCKETED accumulated band table. Corpus side must
+    // plan exchange-free — only the O(batch) side shuffles.
+    val batch = (1000L until 1020L).map(i =>
+      (i, s"fresh doc number $i with some shared words and body $i"))
+      .toDF("doc_id", "text")
+    val corpusBands = spark.table(StreamDedup.bandTableName(s"$state/bands"))
+      .filter(col("batch") < 1).drop("batch")
+    val nb = graft.ext.Dedup.minhashBands(
+      graft.ext.Dedup.minhashSignatures(batch))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = graft.ext.Dedup.bandProbeJoin(corpusBands, nb)
+      val plan = probe.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the batch-side shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"corpus bands not read as a bucketed scan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("a flat pre-batch-keyed OUTPUT dir is refused, not corrupted") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sd_state5").toString
+    val out = Files.createTempDirectory("sd_out5").toString + "/dups"
+    // legacy layout: pair report written flat (no batch= dirs)
+    Seq((1L, 2L, 3L, 1.0)).toDF("doc_a", "doc_b", "n_common", "jaccard")
+      .write.parquet(out)
+    val b = Seq(
+      10L -> "alpha bravo charlie delta echo foxtrot").toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      StreamDedup.processBatch(spark, b, 7L, state, out, 0.5)
+    }
+    assert(e.getMessage.contains("pre-batch-keyed"))
+  }
+
   test("state from the pre-batch-keyed layout is read as prior corpus") {
     import spark.implicits._
     val state = Files.createTempDirectory("sd_state3").toString
