@@ -565,9 +565,14 @@ object ExtQueries {
     // asymmetric containment: bottom-K shingle-hash probes against the
     // inverted shingle index — DIRECTED small-in-large recall that
     // symmetric banding (d17) cannot have; |A^B|/|A| verified exactly
+    // maxBucket = MaxValue here: the DuckDB twin does not model the
+    // HotBuckets postings cap, so the gated query runs uncapped — engine
+    // and oracle compute the same candidate set by construction at any
+    // corpus size (the production default keeps the cap; its recall cost
+    // is what d21 measures)
     ("d19_containment_asym", (s: SparkSession, d: String) =>
       Dedup.containmentDupAsym(t(s, d, "documents"), threshold = 0.8,
-        probeK = 4),
+        probeK = 4, maxBucket = Int.MaxValue),
       Some(s"""
       WITH sh0 AS (SELECT DISTINCT doc_id, s FROM
                      (SELECT doc_id, unnest($shinglesSql) AS s FROM documents)),
@@ -644,6 +649,71 @@ object ExtQueries {
              CAST(n_lsh AS DOUBLE) / CAST(GREATEST(n_exact, 1) AS DOUBLE) AS recall
       FROM exn CROSS JOIN lshn"""
     }),
+
+    // asymmetric-containment recall measured in-engine (the d20 twin for
+    // d19's directed small-in-large path) on the same FIXED 1200-doc
+    // sample. The bottom-K probe with >= 2-hit agreement misses a true
+    // containment pair with probability ~P[Binom(4, c) <= 1] — this
+    // query turns that documented trade into an oracle-checked VALUE.
+    // The verified asym output is by construction a subset of the exact
+    // directed pairs (same string-shingle verification predicate), so
+    // recall = n_asym / n_exact with no pair join; one undirected
+    // all-pairs scan scores both directions.
+    ("d21_containment_recall", (s: SparkSession, d: String) => {
+      val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
+      val asymN = Dedup.containmentDupAsym(sample, threshold = 0.8,
+          probeK = 4, maxBucket = Int.MaxValue)
+        .agg(count(lit(1)).as("n_asym"))
+      val arr = Tables.spread(sample).select(col("doc_id"),
+        array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
+        .localCheckpoint()
+      def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
+      val exactN = arr.as("a")
+        .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
+        // empty-shingle docs can't pass 0.8 in either direction; dropping
+        // them up front keeps both divisions ANSI-safe
+        .filter(size(col("a.sa")) > 0 && size(col("b.sa")) > 0)
+        .select(nc.as("n"),
+          size(col("a.sa")).as("na"), size(col("b.sa")).as("nb"))
+        .select(((col("n").cast("double") / col("na") >= 0.8).cast("long") +
+                 (col("n").cast("double") / col("nb") >= 0.8).cast("long"))
+          .as("hits"))
+        .agg(coalesce(sum(col("hits")), lit(0L)).as("n_exact"))
+      exactN.crossJoin(asymN)
+        .select(col("n_exact"), col("n_asym"),
+          (col("n_asym").cast("double") /
+            greatest(col("n_exact"), lit(1L)).cast("double")).as("recall"))
+    }, Some(s"""
+      WITH sdocs AS (SELECT * FROM documents WHERE doc_id < 1200),
+      sh0 AS (SELECT DISTINCT doc_id, s FROM
+                (SELECT doc_id, unnest($shinglesSql) AS s FROM sdocs)),
+      hh AS (SELECT DISTINCT doc_id, ${Hashing.h32Sql("s")} AS h FROM sh0),
+      probe AS (SELECT doc_id AS doc_a, h FROM
+                  (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY h) AS rn FROM hh)
+                WHERE rn <= 4),
+      cand AS (SELECT p.doc_a, x.doc_id AS doc_b
+               FROM probe p JOIN hh x ON x.h = p.h AND x.doc_id <> p.doc_a
+               GROUP BY p.doc_a, x.doc_id HAVING COUNT(*) >= 2),
+      arr AS (SELECT doc_id, $shinglesSql AS sa FROM sdocs),
+      com AS (SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
+                     CAST(len(a.sa) AS INT) AS na
+              FROM cand JOIN arr a ON a.doc_id = doc_a
+                        JOIN arr b ON b.doc_id = doc_b),
+      asymn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_asym FROM com
+                WHERE CAST(n_common AS DOUBLE) / na >= 0.8),
+      exn AS (SELECT CAST(COALESCE(SUM(
+                (CASE WHEN CAST(len(list_intersect(a.sa, b.sa)) AS DOUBLE)
+                           / len(a.sa) >= 0.8 THEN 1 ELSE 0 END) +
+                (CASE WHEN CAST(len(list_intersect(a.sa, b.sa)) AS DOUBLE)
+                           / len(b.sa) >= 0.8 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                AS n_exact
+              FROM arr a JOIN arr b ON a.doc_id < b.doc_id
+              WHERE len(a.sa) > 0 AND len(b.sa) > 0)
+      SELECT n_exact, n_asym,
+             CAST(n_asym AS DOUBLE) / CAST(GREATEST(n_exact, 1) AS DOUBLE) AS recall
+      FROM exn CROSS JOIN asymn""")),
 
     ("d07_cosine_dup", (s: SparkSession, d: String) =>
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4),

@@ -532,6 +532,21 @@ object RelQueries {
              CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
       FROM orders ORDER BY seq""")),
 
+    // Same numbering through the scale-safe operator: range-partition +
+    // per-partition offsets, NO unpartitioned window anywhere in the
+    // plan (PlanGuardSpec forbids it outside q30's allowlist entry).
+    // Identical oracle semantics; seq is BIGINT here (offset arithmetic)
+    // vs q30's INT (row_number).
+    ("q30b_global_seq_scalable", (s: SparkSession, d: String) => {
+      graft.operators.SeqNumber.withSeq(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          Seq(col("o_orderdate"), col("o_orderkey")))
+        .orderBy(col("seq"))
+    }, Some("""
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+      FROM orders ORDER BY seq""")),
+
     // ---- arg_max / arg_min (SURVEY P8 last-row lookup) -------------------
     ("q31_argmax", (s: SparkSession, d: String) => {
       t(s, d, "orders").groupBy(col("o_custkey"))

@@ -25,6 +25,7 @@ class PlanGuardSpec extends SparkSpec {
     "d18_hll_slice_merge" -> 2, // counts x merged-est x direct-est, all 1-row
     "t15_lm_quality" -> 1, // 1-row corpus-total join
     "d20_minhash_recall" -> 2, // fixed-sample exact all-pairs baseline + 1-row count join
+    "d21_containment_recall" -> 2, // fixed-sample exact all-pairs baseline + 1-row count join
     "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
     "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
     "s05_knn_classify" -> 1, // broadcast labeled query set
@@ -34,17 +35,34 @@ class PlanGuardSpec extends SparkSpec {
     "s06_ann_ivf_topk" -> 2, // broadcast centroids (cell build + query probe)
     "t05_tfidf_top_terms" -> 1) // broadcast 1-row corpus-size aggregate
 
+  /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
+    * shape that funnels every row through one task. Only the declared
+    * single-task twin may carry one; everything else must window inside
+    * a partition (or use graft.operators.SeqNumber, like q30b).
+    */
+  private val allowedGlobalWindow = Map(
+    "q30_global_seq" -> 1) // declared single-task twin of q30b
+
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val sfDir = "/root/testdata/sf0.001"
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.executedPlan.toString
         val cart = "CartesianProduct".r.findAllIn(plan).size
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        val gwin = qe.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }.size
         val allowed = allowedBnlj.getOrElse(name, 0)
+        val allowedW = allowedGlobalWindow.getOrElse(name, 0)
         (if (cart > 0) Seq(s"$name: $cart CartesianProduct node(s)") else Nil) ++
           (if (bnlj != allowed)
             Seq(s"$name: $bnlj BroadcastNestedLoopJoin node(s), allowed $allowed")
+          else Nil) ++
+          (if (gwin != allowedW)
+            Seq(s"$name: $gwin unpartitioned WindowExec node(s), allowed $allowedW")
           else Nil)
     }
     assert(failures.isEmpty,
