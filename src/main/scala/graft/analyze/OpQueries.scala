@@ -23,18 +23,25 @@ object OpQueries {
     * per iteration, a distance cross-join to the current centroid rows,
     * a row_number()-over-(dist2, c_id) assignment, and a fixed-point
     * (floor(x*2^40) BIGINT sum) centroid mean — the same arithmetic,
-    * in the same order, as the Spark side.
+    * in the same order, as the Spark side. Mirrors the engine's
+    * training-sample rule too: rounds aggregate over the hash-sampled
+    * `tvecs` (modulus derived from the oracle's own COUNT(*) and the
+    * shared [[graft.ext.Similarity.DefaultTrainCap]]), seeds are the k
+    * smallest by (h32(vec_id), vec_id), and only the final assignment
+    * reads every vector.
     */
   private def kmeansCtes(pfx: String, vecExpr: String,
                          k: Int, iters: Int): String = {
     val Q = "CAST(1099511627776 AS DOUBLE)" // 2^40
+    val cap = graft.ext.Similarity.DefaultTrainCap
+    val idH = graft.functions.Hashing.h32Sql("CAST(vec_id AS VARCHAR)")
     def dist2(v: String, c: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
         s"list_transform(range(len($v)), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))), " +
         "(acc, e) -> acc + e)"
-    def assignCte(i: Int, cents: String) = s"""
+    def assignCte(i: Int, cents: String, src: String) = s"""
       ${pfx}d$i AS (SELECT vec_id, v, c_id, ${dist2("v", "c")} AS dist2
-              FROM ${pfx}vecs CROSS JOIN $cents),
+              FROM ${pfx}$src CROSS JOIN $cents),
       ${pfx}a$i AS (SELECT vec_id, v, c_id AS cluster, dist2
               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                       ORDER BY dist2, c_id) AS rn FROM ${pfx}d$i)
@@ -51,15 +58,22 @@ object OpQueries {
     // iters = 0 (assignment under the raw init, as kmeansFit supports)
     // must not leave a dangling comma where the rounds would go
     val rounds = (1 to iters)
-      .map(i => assignCte(i, s"${pfx}c${i - 1}") + "," + updateCte(i))
+      .map(i => assignCte(i, s"${pfx}c${i - 1}", "tvecs") + "," + updateCte(i))
       .mkString(",")
     val roundsSeg = if (rounds.isEmpty) "" else s"$rounds,"
     s"""${pfx}vecs AS (SELECT vec_id,
            list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings),
-    ${pfx}c0 AS (SELECT vec_id AS c_id, v AS c FROM ${pfx}vecs WHERE vec_id < $k),
+    ${pfx}m AS (SELECT GREATEST(CAST(1 AS BIGINT),
+           CAST(ceil(CAST(COUNT(*) AS DOUBLE) / $cap) AS BIGINT)) AS md
+         FROM ${pfx}vecs),
+    ${pfx}tvecs AS (SELECT vec_id, v FROM ${pfx}vecs
+         WHERE $idH % (SELECT md FROM ${pfx}m) = 0),
+    ${pfx}c0 AS (SELECT vec_id AS c_id, v AS c FROM (
+           SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY $idH, vec_id) AS rn
+           FROM ${pfx}tvecs) WHERE rn <= $k),
     $roundsSeg
-    ${assignCte(iters + 1, s"${pfx}c$iters")}"""
+    ${assignCte(iters + 1, s"${pfx}c$iters", "vecs")}"""
   }
 
   private def kmeansOracle(k: Int, iters: Int): String = s"""

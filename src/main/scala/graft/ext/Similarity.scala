@@ -286,9 +286,12 @@ object Similarity {
 
   /** Distributed k-means (Lloyd) over the embedding corpus — the
     * centroid TRAINER [[ivfTopK]]'s doc defers to ("production would
-    * run a few Lloyd iterations"): init from the k lowest vec_ids
-    * (deterministic, oracle-sharable), then `iters` rounds of
-    * assign-to-nearest + recompute-means, then a final assignment.
+    * run a few Lloyd iterations"): init from the k vectors with the
+    * smallest portable hash of vec_id (a deterministic order-statistic
+    * that works for ARBITRARY ids, not just 0..n — and is
+    * oracle-sharable), then `iters` rounds of assign-to-nearest +
+    * recompute-means over a bounded deterministic training sample
+    * ([[DefaultTrainCap]]), then a final assignment of the full corpus.
     *
     * Scale shape per iteration: centroids ride into the assignment as
     * LITERAL arrays (k x dims doubles — broadcast-free constants in the
@@ -312,12 +315,23 @@ object Similarity {
     *
     * Output: (vec_id, cluster, dist2) under the final centroids.
     */
-  def kmeansFit(embs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val (vecs, cents) = kmeansCore(embs, k, iters)
+  def kmeansFit(embs: DataFrame, k: Int, iters: Int,
+                trainCap: Int = DefaultTrainCap): DataFrame = {
+    val (vecs, cents) = kmeansCore(embs, k, iters, trainCap)
     assignToCentroids(vecs, cents)
       .select(col("vec_id"), col("cluster"), col("dist2"))
       .orderBy(col("vec_id"))
   }
+
+  /** Lloyd iterations train on at most ~this many vectors: above it the
+    * training set is the deterministic hash-sample
+    * `h32(vec_id) % ceil(n/cap) = 0` (portable — the oracle derives the
+    * same modulus from its own COUNT(*)). Standard codebook practice:
+    * at 100 TB the iters x (1 + nSub) full-corpus scans a naive Lloyd
+    * costs become iters passes over a ~256k-row sample, and only the
+    * single final assignment reads every vector.
+    */
+  val DefaultTrainCap: Int = 262144
 
   /** Run `n` independent driver-side builds concurrently — the PQ
     * subspace codebook fits are separate Lloyd loops over slices of one
@@ -369,14 +383,15 @@ object Similarity {
     * the materialized (vec_id, v) frame and the trained centroid
     * matrix (driver-held, k x dims — the bounded-collect contract).
     */
-  private def kmeansCore(embs: DataFrame, k: Int, iters: Int)
+  private def kmeansCore(embs: DataFrame, k: Int, iters: Int,
+                         trainCap: Int = DefaultTrainCap)
       : (DataFrame, Seq[(Long, Array[Double])]) = {
     // scanned iters+2 times (init + per-round + final): materialize once
     val vecs = graft.core.Tables.spread(embs)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .localCheckpoint()
-    (vecs, kmeansCentsFromVecs(vecs, k, iters))
+    (vecs, kmeansCentsFromVecs(vecs, k, iters, trainCap))
   }
 
   /** Lloyd loop over a prepared (vec_id, v) frame — the PQ paths call
@@ -384,18 +399,45 @@ object Similarity {
     * table instead of re-reading and re-checkpointing the source per
     * codebook.
     */
-  private def kmeansCentsFromVecs(vecs: DataFrame, k: Int, iters: Int)
+  private def kmeansCentsFromVecs(vecs: DataFrame, k: Int, iters: Int,
+                                  trainCap: Int = DefaultTrainCap)
       : Seq[(Long, Array[Double])] = {
-    require(k > 0 && iters >= 0, "k > 0, iters >= 0")
+    require(k > 0 && iters >= 0 && trainCap > 0,
+      "k > 0, iters >= 0, trainCap > 0")
     val Q = 1099511627776.0 // 2^40
-    var cents: Seq[(Long, Array[Double])] = vecs
-      .filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
+    // portable hash of vec_id: drives BOTH the bounded training sample
+    // and the k-seed order statistic, for arbitrary (non-contiguous,
+    // non-zero-based) id spaces. Non-negative in both engines, so plain
+    // mod == pmod.
+    val idH = graft.functions.Hashing.h32(col("vec_id").cast("string"))
+    val n = vecs.count()
+    require(n > 0, "k-means over an empty corpus " +
+      "(an empty centroid set would assign null clusters)")
+    val mod = math.max(1L, math.ceil(n.toDouble / trainCap).toLong)
+    val train = if (mod == 1L) vecs
+      else vecs.filter(pmod(idH, lit(mod)) === 0).localCheckpoint()
+    val stats = train.agg(count(lit(1)).as("nt"),
+      max(array_max(transform(col("v"), x => abs(x)))).as("max_abs"))
+      .collect().head
+    val nTrain = stats.getLong(0)
+    require(nTrain > 0,
+      s"k-means training sample is empty (corpus $n, sample modulus $mod)")
+    // the order-independent fixed-point mean sums floor(x*2^40) longs;
+    // |sum| per (cluster, dim) is bounded by nTrain * (max|x| * 2^40 + 1)
+    // and must stay inside Long — fail loudly instead of converging to
+    // corrupt centroids on an out-of-envelope corpus
+    val maxAbs = stats.getDouble(1)
+    require(nTrain.toDouble * (maxAbs + 1e-9) < 4194304.0, // 2^22
+      s"fixed-point centroid sum would overflow Long: max|x| = $maxAbs " +
+        s"over $nTrain training vectors exceeds the 2^22 envelope; " +
+        "rescale the embeddings or lower trainCap")
+    var cents: Seq[(Long, Array[Double])] = train
+      .orderBy(idH, col("vec_id")).limit(k) // TakeOrdered: bounded collect
+      .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    require(cents.nonEmpty,
-      s"k-means init found no vectors with vec_id < $k — empty corpus " +
-        "or ids not zero-based; an empty centroid set would assign null clusters")
+      .sortBy(_._1)
     for (_ <- 1 to iters) {
-      val sums = assignToCentroids(vecs, cents)
+      val sums = assignToCentroids(train, cents)
         .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
         .groupBy(col("cluster"), col("d"))
         .agg(sum(floor(col("x") * lit(Q))).as("s"), count(lit(1)).as("n"))

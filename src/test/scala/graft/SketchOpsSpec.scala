@@ -106,9 +106,52 @@ class SketchOpsSpec extends SparkSpec {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val out = Similarity.kmeansFit(embs, k = 8, iters = 2)
     assert(out.count() == embs.count())
+    // cluster ids are the SEED vec_ids (hash order-statistic), so they
+    // are some subset of the corpus ids of size <= k
+    val ids = embs.select("vec_id").collect().map(_.getLong(0)).toSet
     val clusters = out.select("cluster").distinct().collect().map(_.getLong(0)).toSet
-    assert(clusters.subsetOf((0L until 8L).toSet) && clusters.nonEmpty)
+    assert(clusters.subsetOf(ids) && clusters.nonEmpty && clusters.size <= 8)
     assert(out.filter(col("dist2") < 0).isEmpty)
+  }
+
+  test("k-means seeds by hash order-statistic: arbitrary vec_ids train fine") {
+    // non-contiguous, non-zero-based ids — the corpora real pipelines
+    // have; the old `vec_id < k` init would find no seeds here
+    val embs = Seq(
+      (1000L, Array(0f, 0f), 0), (2500L, Array(10f, 10f), 0),
+      (7777L, Array(0.1f, 0f), 0), (123456789L, Array(10f, 10.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.kmeansFit(embs, k = 2, iters = 2).collect()
+    assert(out.length == 4)
+    val ids = Set(1000L, 2500L, 7777L, 123456789L)
+    assert(out.map(_.getAs[Long]("cluster")).toSet.subsetOf(ids))
+    assert(out.forall(_.getAs[Double]("dist2") >= 0.0))
+  }
+
+  test("bounded-sample training still assigns the full corpus") {
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // trainCap far below the corpus size forces the hash-sample path
+    // (modulus > 1); Lloyd trains on the sample, the final assignment
+    // still covers every vector
+    val out = Similarity.kmeansFit(embs, k = 8, iters = 2, trainCap = 100)
+    assert(out.count() == embs.count())
+    val ids = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val clusters = out.select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf(ids) && clusters.nonEmpty)
+  }
+
+  test("fixed-point centroid sum overflow fails loudly") {
+    // max|x| * n over the 2^22 envelope: summing floor(x*2^40) longs
+    // could overflow, so the trainer must refuse rather than converge
+    // to corrupt centroids
+    val big = Seq(
+      (0L, Array(5e6f, 0f), 0), (1L, Array(5e6f, 1f), 0),
+      (2L, Array(-5e6f, 2f), 0), (3L, Array(5e6f, 3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansFit(big, k = 2, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("overflow"))
   }
 
   test("PQ with one subspace degenerates to plain k-means") {
@@ -161,11 +204,13 @@ class SketchOpsSpec extends SparkSpec {
       (s intersect exact(qq)).size.toDouble / topK }.sum / nQ
     // the fixture's embeddings are near-isotropic — PQ's worst case, so
     // absolute recall is modest by construction. Chance recall@5 over
-    // 490 targets is ~0.01; the codes recall 0.26 here (deterministic:
-    // fixed fixture, fixed init), pinned with margin as a regression
-    // guard. Structured corpora are where 4x16 codes shine; the
-    // ORACLE, not this spec, is the exactness statement.
-    assert(recall >= 0.15, s"ADC recall@5 $recall")
+    // 490 targets is ~0.01; the codes recall 0.08 here (deterministic:
+    // fixed fixture, fixed hash-seeded init — the earlier 0.26 under
+    // zero-based init was inflated by taking the query vectors
+    // themselves as seeds), pinned with margin as a regression guard.
+    // Structured corpora are where 4x16 codes shine; the ORACLE, not
+    // this spec, is the exactness statement.
+    assert(recall >= 0.05, s"ADC recall@5 $recall")
   }
 
   test("k-means and PQ fail loudly on degenerate inputs") {
@@ -175,9 +220,9 @@ class SketchOpsSpec extends SparkSpec {
       Similarity.pqEncode(empty, nSub = 2, k = 4, iters = 1)
     }
     intercept[IllegalArgumentException] {
-      // no vectors with vec_id < k: an empty init centroid set
+      // empty corpus: an empty init centroid set would assign nulls
       Similarity.kmeansFit(
-        Seq((100L, Array(1.0f, 2.0f), 0)).toDF("vec_id", "embedding", "label"),
+        Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"),
         k = 4, iters = 1).collect()
     }
     intercept[IllegalArgumentException] {
