@@ -31,7 +31,8 @@ object OpQueries {
     * reads every vector.
     */
   private def kmeansCtes(pfx: String, vecExpr: String,
-                         k: Int, iters: Int): String = {
+                         k: Int, iters: Int,
+                         src: String = "embeddings"): String = {
     val Q = "CAST(1099511627776 AS DOUBLE)" // 2^40
     val cap = graft.ext.Similarity.DefaultTrainCap
     val idH = graft.functions.Hashing.h32Sql("CAST(vec_id AS VARCHAR)")
@@ -63,7 +64,7 @@ object OpQueries {
     val roundsSeg = if (rounds.isEmpty) "" else s"$rounds,"
     s"""${pfx}vecs AS (SELECT vec_id,
            list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS v
-         FROM embeddings),
+         FROM $src),
     ${pfx}m AS (SELECT GREATEST(CAST(1 AS BIGINT),
            CAST(ceil(CAST(COUNT(*) AS DOUBLE) / $cap) AS BIGINT)) AS md
          FROM ${pfx}vecs),
@@ -145,10 +146,13 @@ object OpQueries {
     FROM ranked WHERE rn <= $topK ORDER BY query_id, rn"""
   }
 
-  /** IVF-PQ oracle: the coarse kmeans chain assigns target cells and
-    * ranks each query's probe cells; candidates are the cell equi-join;
-    * the per-subspace ADC parts (as in [[pqAdcOracle]]) are computed
-    * restricted to candidates and summed left-assoc — mirrors
+  /** IVF-PQ oracle (residual/IVFADC form): the coarse kmeans chain
+    * assigns target cells and ranks each query's probe cells; targets
+    * get a residual vector against their own cell's centroid and the
+    * subspace chains train/encode over THOSE (src = tres); queries get
+    * one residual per probed cell, so the ADC tables are keyed
+    * (q_id, cell, cid); candidates are the cell equi-join and the
+    * per-subspace parts are summed left-assoc — mirrors
     * Similarity.ivfPqTopK exactly.
     */
   private def ivfPqOracle(nCells: Int, nProbe: Int, nSub: Int, dims: Int,
@@ -160,36 +164,51 @@ object OpQueries {
         s"list_transform(range(len($v)), i -> ($v[i+1] - $c[i+1]) * ($v[i+1] - $c[i+1]))), " +
         "(acc, e) -> acc + e)"
     val coarse = kmeansCtes("c_", "embedding", nCells, iters)
-    val chains = (0 until nSub).map { s =>
-      kmeansCtes(s"p${s}_",
-        s"list_slice(embedding, ${s * sub + 1}, ${(s + 1) * sub})", k, iters)
-    }.mkString(",\n")
-    val partCtes = (0 until nSub).map { s =>
-      s"""part$s AS (
-        SELECT cand.q_id, cand.t_id, l.d$s
-        FROM cand
-        JOIN p${s}_a$I a ON a.vec_id = cand.t_id
-        JOIN (SELECT q.vec_id AS q_id, c.c_id AS cid,
-                     ${dist2("q.v", "c.c")} AS d$s
-              FROM p${s}_vecs q CROSS JOIN p${s}_c$iters c
-              WHERE q.vec_id < $nQ) l
-          ON l.q_id = cand.q_id AND l.cid = a.cluster)"""
-    }.mkString(",\n")
-    val joins = (0 until nSub).map(s => s"part$s")
-      .reduceLeft((a, b) => s"$a JOIN $b USING (q_id, t_id)")
-    val adc = (0 until nSub).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
-    s"""
-    WITH $coarse,
-    $chains,
-    tcell AS (SELECT vec_id AS t_id, cluster AS cell FROM c_a$I
-              WHERE vec_id >= $nQ),
+    val resCtes = s"""
+    tres AS (SELECT a.vec_id, a.cluster AS cell,
+               list_transform(range(len(a.v)), i -> a.v[i+1] - c.c[i+1]) AS rv
+             FROM c_a$I a JOIN c_c$iters c ON c.c_id = a.cluster
+             WHERE a.vec_id >= $nQ),
     qcell AS (SELECT q_id, cell FROM (
         SELECT q.vec_id AS q_id, c.c_id AS cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                  ORDER BY ${dist2("q.v", "c.c")}, c.c_id) AS crn
         FROM c_vecs q CROSS JOIN c_c$iters c WHERE q.vec_id < $nQ)
       WHERE crn <= $nProbe),
-    cand AS (SELECT q_id, t_id, cell FROM qcell JOIN tcell USING (cell)),
+    qres AS (SELECT qc.q_id, qc.cell,
+               list_transform(range(len(q.v)), i -> q.v[i+1] - c.c[i+1]) AS rv
+             FROM qcell qc
+             JOIN c_vecs q ON q.vec_id = qc.q_id
+             JOIN c_c$iters c ON c.c_id = qc.cell),
+    cand AS (SELECT r.q_id, t.vec_id AS t_id, r.cell
+             FROM qres r JOIN tres t ON t.cell = r.cell)"""
+    val chains = (0 until nSub).map { s =>
+      kmeansCtes(s"p${s}_",
+        s"list_slice(rv, ${s * sub + 1}, ${(s + 1) * sub})", k, iters,
+        src = "tres")
+    }.mkString(",\n")
+    val lutCtes = (0 until nSub).map { s =>
+      s"""lut$s AS (
+        SELECT r.q_id, r.cell, cc.c_id AS cid,
+               ${dist2(s"list_slice(r.rv, ${s * sub + 1}, ${(s + 1) * sub})", "cc.c")} AS d$s
+        FROM qres r CROSS JOIN p${s}_c$iters cc)"""
+    }.mkString(",\n")
+    val partCtes = (0 until nSub).map { s =>
+      s"""part$s AS (
+        SELECT cand.q_id, cand.t_id, l.d$s
+        FROM cand
+        JOIN p${s}_a$I a ON a.vec_id = cand.t_id
+        JOIN lut$s l
+          ON l.q_id = cand.q_id AND l.cell = cand.cell AND l.cid = a.cluster)"""
+    }.mkString(",\n")
+    val joins = (0 until nSub).map(s => s"part$s")
+      .reduceLeft((a, b) => s"$a JOIN $b USING (q_id, t_id)")
+    val adc = (0 until nSub).map(s => s"d$s").reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    WITH $coarse,
+    $resCtes,
+    $chains,
+    $lutCtes,
     $partCtes,
     scored AS (SELECT q_id, t_id, $adc AS adc_dist FROM $joins),
     withcell AS (SELECT s.q_id, s.t_id, c.cell, s.adc_dist

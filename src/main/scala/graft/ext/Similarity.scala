@@ -552,7 +552,17 @@ object Similarity {
     * why a 100 TB corpus is searchable at all. Five bounded-collect
     * k-means fits (1 coarse + nSub codebooks); every join is
     * key-partitioned (cell id, centroid id, pair key); nothing
-    * corpus-sized broadcasts.
+    * corpus-sized broadcasts (the coarse centroid table that attaches
+    * residuals is nCells rows — bounded by construction).
+    *
+    * RESIDUAL encoding (Jégou et al. 2011's IVFADC, the form Faiss
+    * ships): PQ codes quantize `v - coarse_centroid(cell)`, not the
+    * raw vector. Residual magnitudes are a fraction of vector
+    * magnitudes, so the same code budget spends its centroids on a
+    * tighter distribution — better recall at identical bytes. The ADC
+    * tables become per-(query, probed cell): the query's residual
+    * against THAT cell's centroid, since a candidate pair's distance is
+    * ||(q - c) - (t - c)|| within their shared cell.
     *
     * Output: (query_id, neighbor_id, cell, adc_dist, rn) — approximate
     * top-k per query over the probed cells only.
@@ -563,6 +573,8 @@ object Similarity {
     val dims = peekDims(embs)
     require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
     val sub = dims / nSub
+    val spark = embs.sparkSession
+    import spark.implicits._
     // one materialized full-vector table: the coarse quantizer reads it
     // whole, each subspace codebook reads a SLICE of it — never a
     // second scan/checkpoint of the source per codebook
@@ -572,37 +584,55 @@ object Similarity {
       .localCheckpoint()
     // coarse quantizer: cells from full-vector k-means
     val cells = kmeansCentsFromVecs(fullVecs, nCells, iters)
-    val targetCells = assignToCentroids(
+    val centsDf = broadcast(
+      cells.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "c_emb"))
+    def residual(v: Column): Column =
+      zip_with(v, col("c_emb"), (a, b) => a - b)
+    // targets: residual against their OWN cell's centroid — checkpointed
+    // once, each subspace codebook/code pass reads a slice of it
+    val tRes = assignToCentroids(
         fullVecs.filter(col("vec_id") >= nQueries), cells)
-      .select(col("vec_id").as("t_id"), col("cluster").as("cell"))
+      .select(col("vec_id").as("t_id"), col("cluster").as("cell"), col("v"))
+      .join(centsDf, "cell")
+      .select(col("t_id"), col("cell"), residual(col("v")).as("rv"))
+      .localCheckpoint()
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cd2"), col("cell"))
     val queryCells = fullVecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"),
+      .select(col("vec_id").as("q_id"), col("v"),
         explode(array(cells.map { case (cid, c) =>
           struct(lit(cid).as("cell"), dist2To(c).as("cd2")) }: _*)).as("e"))
-      .select(col("q_id"), col("e.cell").as("cell"), col("e.cd2").as("cd2"))
+      .select(col("q_id"), col("v"), col("e.cell").as("cell"), col("e.cd2").as("cd2"))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nProbe)
-      .select(col("q_id"), col("cell"))
+      .select(col("q_id"), col("cell"), col("v"))
+    // queries: one residual PER PROBED CELL (nProbe rows per query) —
+    // the ADC tables below are keyed (q_id, cell, cid)
+    val qRes = queryCells
+      .join(centsDf, "cell")
+      .select(col("q_id"), col("cell"), residual(col("v")).as("rv"))
+      .localCheckpoint()
     // the IVF cut: candidates are (query, target) pairs sharing a
     // probed cell — an equi-join on cell id, never the full q x t scan
-    val cand = queryCells.join(targetCells, "cell")
+    val cand = qRes.select(col("q_id"), col("cell"))
+      .join(tRes.select(col("t_id"), col("cell")), "cell")
       .select(col("q_id"), col("t_id"), col("cell")).localCheckpoint()
-    // fine quantizer: per-subspace ADC restricted to the candidates
+    // fine quantizer: per-subspace residual ADC restricted to candidates
     val parts = inParallel(nSub) { s =>
-      val svecs = fullVecs.select(col("vec_id"),
-        slice(col("v"), s * sub + 1, sub).as("v"))
+      val svecs = tRes.select(col("t_id").as("vec_id"),
+        slice(col("rv"), s * sub + 1, sub).as("v"))
       val cents = kmeansCentsFromVecs(svecs, k, iters)
-      val lut = svecs.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"),
+      val lut = qRes
+        .select(col("q_id"), col("cell"),
+          slice(col("rv"), s * sub + 1, sub).as("v"))
+        .select(col("q_id"), col("cell"),
           explode(array(cents.map { case (cid, c) =>
             struct(lit(cid).as("cid"), dist2To(c).as("d2")) }: _*)).as("e"))
-        .select(col("q_id"), col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
-      val codes = assignToCentroids(
-          svecs.filter(col("vec_id") >= nQueries), cents)
+        .select(col("q_id"), col("cell"),
+          col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
+      val codes = assignToCentroids(svecs, cents)
         .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
-      cand.join(codes, "t_id").join(lut, Seq("q_id", "cid"))
+      cand.join(codes, "t_id").join(lut, Seq("q_id", "cell", "cid"))
         .select(col("q_id"), col("t_id"), col(s"d$s"))
     }
     val joined = parts.reduce((a, b) => a.join(b, Seq("q_id", "t_id")))

@@ -233,22 +233,37 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
-  test("IVF-PQ distances agree with the unrestricted ADC scan") {
+  test("residual IVF-PQ matches-or-beats the non-residual recall") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val nQ = 10; val topK = 5
     val ivf = Similarity.ivfPqTopK(embs, nCells = 8, nProbe = 2,
-      nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5).collect()
+        nSub = 4, k = 16, iters = 1, nQueries = nQ, topK = topK).collect()
     assert(ivf.nonEmpty)
-    // same codebooks, independent code path: every (query, neighbor)
-    // the IVF cut returns must carry EXACTLY the distance the full
-    // q x t ADC scan computes for that pair
-    val full = Similarity.pqAdcTopK(embs, nSub = 4, k = 16, iters = 1,
-      nQueries = 10, topK = 490).collect()
-      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
-        r.getAs[Double]("adc_dist")).toMap
-    ivf.foreach { r =>
-      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
-      assert(full(key) == r.getAs[Double]("adc_dist"), s"mismatch at $key")
-    }
+    assert(ivf.forall(_.getAs[Double]("adc_dist") >= 0.0))
+    // recall@5 vs the exact L2 top-5: PQ over raw (non-residual) codes
+    // measured 0.10 on this fixture at identical parameters — encoding
+    // v - coarse_centroid(cell) (IVFADC) must not do worse at the same
+    // code budget. Deterministic: fixed fixture, fixed hash-seeded init.
+    val byQ = ivf.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    val v = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = v.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val t = v.filter(col("vec_id") >= nQ)
+      .select(col("vec_id").as("t_id"), col("v").as("tv"))
+    val d2 = aggregate(zip_with(col("qv"), col("tv"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, e) => acc + e)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("t_id"))
+    val exact = q.crossJoin(t).select(col("q_id"), col("t_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .map { case (qq, rs) => qq -> rs.map(_.getAs[Long]("t_id")).toSet }
+    val recall = byQ.map { case (qq, s) =>
+      (s intersect exact.getOrElse(qq, Set.empty)).size.toDouble / topK }
+      .sum / nQ
+    assert(recall >= 0.10, s"residual IVF-PQ recall@5 $recall")
   }
 
   test("LM-quality score ranks common-construction text above gibberish") {
