@@ -41,12 +41,14 @@ object Pipeline {
         println(s"[pipeline] fetching $landing")
         graft.sources.Fetch.toLanding(spark, landing, s"$work/landing")
       } else landing
+    val ledgerDir = s"$work/ledger"
+    var staged: Seq[String] = Nil
     val raw = (if (landed.endsWith(".zip")) {
       println(s"[pipeline] reading matches from archive $landed")
       graft.sources.ZipSource.readMatches(spark, landed)
     } else {
-      val staged = IngestJob.run(spark, landed, s"$work/staging",
-        s"$work/ledger", maxFiles)
+      staged = IngestJob.run(spark, landed, s"$work/staging",
+        ledgerDir, maxFiles)
       println(s"[pipeline] ingested ${staged.size} new file(s): ${staged.mkString(", ")}")
       Cricsheet.read(spark, s"$work/staging")
     }).persist()
@@ -54,8 +56,13 @@ object Pipeline {
     val deliverywise = PublishJob.buildDeliverywise(
       Extractors.deliverywise(raw), matchwise)
 
+    // each extraction stage marks ITS OWN ledger flag once its artifact
+    // is written (the reference's per-stage DynamoDB update_item) — a
+    // crash between the two leaves a retryable half-done ledger row
     PublishJob.writeCsv(matchwise, s"$work/output/matchwise_data.csv")
+    IngestJob.markStage(spark, ledgerDir, staged, IngestJob.MatchwiseStatus)
     PublishJob.writeCsv(deliverywise, s"$work/output/deliverywise_data.csv")
+    IngestJob.markStage(spark, ledgerDir, staged, IngestJob.DeliverywiseStatus)
     println(s"[pipeline] matchwise rows: ${matchwise.count()}")
     println(s"[pipeline] deliverywise rows: ${deliverywise.count()}")
     println(s"[pipeline] version note: ${PublishJob.versionNote(matchwise)}")

@@ -41,6 +41,72 @@ class IngestStreamSpec extends SparkSpec {
     assert(staged.size == 4)
   }
 
+  test("per-stage ledger flags transition independently and re-run idempotently") {
+    val landing = tmp("st_landing"); val staging = tmp("st_staging")
+    val ledger = s"${tmp("st_ledger_root")}/ledger"
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+    val staged = IngestJob.run(spark, landing, staging, ledger, limit = 10)
+    assert(staged == Seq("1001.json", "1002.json"))
+
+    def flags(): Map[String, (Boolean, Boolean)] =
+      spark.read.parquet(ledger).collect().map { r =>
+        r.getAs[String]("file_name") ->
+          ((r.getAs[Boolean](IngestJob.MatchwiseStatus),
+            r.getAs[Boolean](IngestJob.DeliverywiseStatus)))
+      }.toMap
+
+    // staged-but-unextracted: both flags false
+    assert(flags() == Map("1001.json" -> ((false, false)),
+      "1002.json" -> ((false, false))))
+
+    // matchwise stage completes for one file only (a partial failure):
+    // ONLY its matchwise flag flips — the state the single-row
+    // both-true append could not represent
+    IngestJob.markStage(spark, ledger, Seq("1001.json"), IngestJob.MatchwiseStatus)
+    assert(flags() == Map("1001.json" -> ((true, false)),
+      "1002.json" -> ((false, false))))
+
+    // the retry marks the remaining file; deliverywise then runs whole
+    IngestJob.markStage(spark, ledger, Seq("1002.json"), IngestJob.MatchwiseStatus)
+    IngestJob.markStage(spark, ledger,
+      Seq("1001.json", "1002.json"), IngestJob.DeliverywiseStatus)
+    assert(flags() == Map("1001.json" -> ((true, true)),
+      "1002.json" -> ((true, true))))
+
+    // per-stage re-run idempotency: marking again changes nothing
+    IngestJob.markStage(spark, ledger,
+      Seq("1001.json", "1002.json"), IngestJob.DeliverywiseStatus)
+    assert(flags() == Map("1001.json" -> ((true, true)),
+      "1002.json" -> ((true, true))))
+
+    // a marked file stays excluded from the next ingest's anti-join
+    assert(IngestJob.run(spark, landing, staging, ledger, limit = 10).isEmpty)
+
+    // a stage mark for a file the ledger has never seen creates its row
+    IngestJob.markStage(spark, ledger, Seq("9999.json"), IngestJob.MatchwiseStatus)
+    val row = spark.read.parquet(ledger)
+      .filter(col("file_name") === "9999.json").collect().head
+    assert(row.getAs[Boolean](IngestJob.MatchwiseStatus))
+    assert(row.isNullAt(row.fieldIndex(IngestJob.DeliverywiseStatus)))
+  }
+
+  test("discovery survives a many-thousand-file landing dir") {
+    val landing = tmp("big_landing"); val staging = tmp("big_staging")
+    val ledger = s"${tmp("big_ledger_root")}/ledger"
+    // 3000 files — enough to cross the parallel-discovery threshold;
+    // the capped pick must still be the lexicographic head
+    (0 until 3000).foreach { i =>
+      Files.writeString(Paths.get(landing, f"m$i%05d.json"), "{}")
+      ()
+    }
+    val picked = IngestJob.newFiles(spark, landing, ledger, limit = 5)
+    assert(picked == (0 until 5).map(i => f"m$i%05d.json"))
+    // ledger the head, the next pick moves on
+    IngestJob.run(spark, landing, staging, ledger, limit = 5)
+    val next = IngestJob.newFiles(spark, landing, ledger, limit = 3)
+    assert(next == (5 until 8).map(i => f"m$i%05d.json"))
+  }
+
   test("streaming: AvailableNow extract equals the batch extract") {
     val landing = tmp("s_landing"); val staging = tmp("s_staging")
     val checkpoint = tmp("s_ckpt")
