@@ -45,11 +45,22 @@ object Fetch {
       // rename WITH overwrite semantics: a delete-then-rename pair
       // would lose the previous good landing if the rename failed
       // between the two steps — the old archive must survive until the
-      // new one is in place
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        fs.getUri, conf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // new one is in place. FileContext needs an AbstractFileSystem
+      // binding for the scheme (fs.AbstractFileSystem.<scheme>.impl);
+      // schemes without one (some s3a builds/configs) fall back to the
+      // FileSystem delete+rename pair — rename isn't atomic on object
+      // stores anyway, so the fallback gives up nothing there
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, conf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      }
     } catch {
       case NonFatal(ex) => // never leave a half-written temp behind
         try fs.delete(tmp, false) catch { case NonFatal(_) => }
