@@ -585,7 +585,46 @@ object OpQueries {
       SELECT doc_id, rn, w AS term, tf, df, score
       FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS INT) AS rn
             FROM scored) z
-      WHERE rn <= 3 ORDER BY doc_id, rn""")))
+      WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ---- BM25-style sparse retrieval (rational idf / N; fixed-point
+    // per-doc sums so the score is order-independent and the rank ties
+    // on an integer in both engines) --------------------------------
+    ("t16_bm25_topk", (s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.bm25TopK(t(s, d, "documents"),
+        nQueries = 5, topK = 10),
+      Some("""
+      WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tgt AS (SELECT * FROM words WHERE doc_id >= 5),
+      tf AS (SELECT doc_id AS t_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tgt GROUP BY 1, 2),
+      dl AS (SELECT doc_id AS t_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tgt GROUP BY 1),
+      dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tgt GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_words FROM tgt),
+      qt AS (SELECT DISTINCT doc_id AS q_id, w FROM words WHERE doc_id < 5),
+      ts AS (SELECT qt.q_id, tf.t_id,
+               (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) / CAST(n_docs AS DOUBLE))
+               * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                        * (CAST(dl AS DOUBLE)
+                           / (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+               AS term_score
+             FROM qt JOIN tf ON tf.w = qt.w
+                     JOIN dfreq ON dfreq.w = qt.w
+                     JOIN dl ON dl.t_id = tf.t_id
+                     CROSS JOIN stats),
+      agg AS (SELECT q_id, t_id,
+                CAST(SUM(CAST(floor(term_score * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+              FROM ts GROUP BY 1, 2),
+      ranked AS (SELECT q_id, t_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, t_id) AS rn
+                 FROM agg)
+      SELECT q_id AS query_id, t_id AS neighbor_id,
+             CAST(s AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS score,
+             CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""")))
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
   def oracles: Map[String, String] =

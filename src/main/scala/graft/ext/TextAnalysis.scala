@@ -278,4 +278,70 @@ object TextAnalysis {
           (acc, x) => pmod(acc * 31 + x, lit(P))).as("fingerprint"),
         md5(col("text")).as("exact_md5"))
       .orderBy(col("doc_id"))
+
+  /** BM25-style ranked retrieval: docs with doc_id < nQueries are the
+    * query set, the rest are the searchable corpus — the sparse
+    * (lexical) retrieval shape a curation/RAG pipeline runs next to
+    * the dense ANN stack ([[Similarity]]).
+    *
+    * Scoring is the BM25 term-frequency saturation (k1 = 1.2,
+    * b = 0.75) with a RATIONAL idf normalized by corpus size:
+    * `(N - df + 0.5) / (df + 0.5) / N` — no libm `ln` (whose last ulp
+    * differs across engines), monotone-in-df like the standard idf,
+    * and bounded <= ~2 at ANY corpus size, which keeps the per-doc
+    * fixed-point partial sums inside Long forever. The 1/N factor is a
+    * per-query uniform scale, so rankings are exactly those of the
+    * un-normalized rational idf. Per-(query, doc) scores sum
+    * `floor(term_score * 2^40)` longs — order-independent across
+    * partitions (the k-means centroid-mean discipline) — and the rank
+    * ties on the integer sum, identically in both engines.
+    *
+    * Scale shape: postings (tf + df + dl attach by equi-joins) are
+    * term-partitioned — the standard inverted-index layout a production
+    * system persists bucketed by term; the corpus-wide stats row is a
+    * 1-row broadcast. Nothing corpus-sized broadcasts; the only
+    * skew risk is stop-like terms, which at scale get the same
+    * [[HotBuckets]] treatment as hot shingles.
+    *
+    * Output: (query_id, neighbor_id, score, rn) — top `topK` corpus
+    * docs per query by BM25-style score.
+    */
+  def bm25TopK(docs: DataFrame, nQueries: Int, topK: Int): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val words = graft.core.Tables.spread(docs).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .localCheckpoint() // query terms + three corpus aggregations
+    val tgt = words.filter(col("doc_id") >= nQueries)
+    val tf = tgt.groupBy(col("doc_id").as("t_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tgt.groupBy(col("doc_id").as("t_id"))
+      .agg(count(lit(1)).as("dl"))
+    val dfreq = tgt.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val stats = tgt.agg(countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("n_words"))
+    val qt = words.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("w")).distinct()
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("n_words").cast("double") / nD
+    val idf = ((nD - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))) / nD
+    val tfd = col("tf").cast("double")
+    val termScore = idf * ((tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))))
+    val scored = qt
+      .join(tf, "w")
+      .join(dfreq, "w")
+      .join(dl.hint("shuffle_hash"), "t_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("q_id"), col("t_id"))
+      .agg(sum(floor(termScore * lit(Q))).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("s").desc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        (col("s").cast("double") / lit(Q)).as("score"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
 }

@@ -33,7 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "s07_ann_lsh_recall" -> 3, // composes s01 (broadcast queries) + s02's shape (2x hyperplanes)
     "d11_cosine_lsh_dup" -> 2, // broadcast hyperplanes (bucket table inlined per side while the cap is dormant)
     "s06_ann_ivf_topk" -> 2, // broadcast centroids (cell build + query probe)
-    "t05_tfidf_top_terms" -> 1) // broadcast 1-row corpus-size aggregate
+    "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
+    "t16_bm25_topk" -> 1) // broadcast 1-row corpus-stats aggregate
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

@@ -266,6 +266,28 @@ class SketchOpsSpec extends SparkSpec {
     assert(recall >= 0.10, s"residual IVF-PQ recall@5 $recall")
   }
 
+  test("BM25 ranks rare-term matches above common-term matches") {
+    // doc 0 is the query: one rare term ("zebra") + one everywhere-term
+    // ("common"). The corpus doc holding the rare term must outrank the
+    // docs that only share the stopword-like term, and saturation (k1)
+    // must keep a term-spamming doc from swamping the rare-term signal.
+    val docs = docsDf(Seq(
+      "zebra common",                                   // 0: the query
+      "zebra herd grazing quietly common",              // 1: rare-term match
+      "common words only in this one common common",    // 2: common-only
+      "common phrasing common again common common common", // 3: common spam
+      "totally unrelated content here",                 // 4: no overlap
+      "more filler common text"))                       // 5: common-only
+    val top = graft.ext.TextAnalysis.bm25TopK(docs, nQueries = 1, topK = 5)
+      .collect()
+    val ranked = top.map(r =>
+      (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rn")))
+    assert(ranked.head == ((1L, 1)), s"rare-term doc must rank first: ${ranked.toSeq}")
+    // doc 4 shares no term: absent from the result entirely
+    assert(!top.exists(_.getAs[Long]("neighbor_id") == 4L))
+    assert(top.forall(_.getAs[Double]("score") > 0.0))
+  }
+
   test("LM-quality score ranks common-construction text above gibberish") {
     val common = "the cat sat on the mat"
     val docs = docsDf(Seq(
