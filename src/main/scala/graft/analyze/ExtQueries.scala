@@ -1135,6 +1135,51 @@ object ExtQueries {
          AND c.ts >= p.ts - INTERVAL 30 MINUTE
       ORDER BY purchase_id, click_id""")),
 
+    // mergeable bottom-k-by-hash quantile sketch over hourly event
+    // values (the rank twin of d18's HLL merge proof): estimates from a
+    // bounded uniform sample, and the KMV merge identity — sketch
+    // rebuilt from parity halves == direct sketch — asserted as a VALUE
+    ("w08_quantile_sketch", (s: SparkSession, d: String) =>
+      Dedup.quantileSketchMerge(t(s, d, "events"), k = 64),
+      Some(s"""
+      WITH rows_ AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+                            event_id, value,
+                            ${Hashing.h32Sql("CAST(event_id AS VARCHAR)")} AS h
+                     FROM events WHERE value IS NOT NULL),
+      dsmp AS (SELECT hour, event_id, value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY hour
+                             ORDER BY h, event_id) AS rn
+                 FROM rows_) WHERE rn <= 64),
+      psmp AS (SELECT hour, event_id, h, value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY hour, event_id % 2
+                             ORDER BY h, event_id) AS rn
+                 FROM rows_) WHERE rn <= 64),
+      msmp AS (SELECT hour, event_id, value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY hour
+                             ORDER BY h, event_id) AS rn
+                 FROM psmp) WHERE rn <= 64),
+      dq AS (SELECT hour, CAST(MAX(m) AS BIGINT) AS m,
+                    MAX(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_est,
+                    MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN value END) AS p90_est
+             FROM (SELECT hour, value,
+                          ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY value, event_id) AS vr,
+                          COUNT(*) OVER (PARTITION BY hour) AS m
+                   FROM dsmp) GROUP BY hour),
+      mq AS (SELECT hour,
+                    MAX(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_merged,
+                    MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN value END) AS p90_merged
+             FROM (SELECT hour, value,
+                          ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY value, event_id) AS vr,
+                          COUNT(*) OVER (PARTITION BY hour) AS m
+                   FROM msmp) GROUP BY hour)
+      SELECT dq.hour, dq.m, dq.p50_est, dq.p90_est,
+             mq.p50_merged, mq.p90_merged,
+             (dq.p50_est = mq.p50_merged AND dq.p90_est = mq.p90_merged)
+               AS merge_exact
+      FROM dq JOIN mq USING (hour) ORDER BY hour""")),
+
     ("w03_session_window", (s: SparkSession, d: String) => {
       t(s, d, "events")
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))

@@ -601,6 +601,86 @@ object Dedup {
         (col("merged_estimate") === col("direct_estimate")).as("merge_exact"))
   }
 
+  /** Mergeable per-hour QUANTILE sketch over event values — the rank
+    * twin of the HLL cardinality sketch: exact percentiles (w07) need
+    * a full per-window sort at 100 TB, so production keeps a bounded
+    * sample per window instead. The sample is the k rows with the
+    * SMALLEST portable hash of event_id — bottom-k order statistics,
+    * i.e. KMV's uniform-without-replacement sample applied to rank
+    * estimation — kept with the map-side-combining [[graft.functions
+    * .TopKAggregator]] so the exchange carries O(windows x k) rows at
+    * any corpus size. Quantile estimates are the sample's exact rank
+    * statistics at integer ranks ceil(m/2) / ceil(9m/10) (integer
+    * `div` arithmetic — a float p*m can land on the wrong side of an
+    * integer boundary).
+    *
+    * Mergeability is the KMV property — bottom-k of a union equals
+    * bottom-k of the merged per-part bottom-ks — and like [[d18's
+    * hllSliceMerge]] it is PROVEN in-engine as an oracle-checked
+    * VALUE: the sketch rebuilt from two event_id-parity halves must
+    * select EXACTLY the direct sketch's rows (merge_exact column).
+    * That identity is what lets per-executor / per-micro-batch sample
+    * state combine without re-reading history.
+    *
+    * Output per hour: (hour, m, p50_est, p90_est, p50_merged,
+    * p90_merged, merge_exact).
+    */
+  def quantileSketchMerge(events: DataFrame, k: Int = 64): DataFrame = {
+    require(k > 0, "k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val topk = graft.functions.TopKAggregator.topK(k)
+    // null values carry no rank information; excluded in both engines
+    // (Spark sorts nulls first, DuckDB last — never give them a rank)
+    val rows = graft.core.Tables.spread(events)
+      .filter(col("value").isNotNull)
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("event_id"), col("value"),
+        h32(col("event_id").cast("string")).as("h"))
+      .localCheckpoint() // direct sketch + parity halves + value attach
+    // bottom-k by (h, event_id): TopKAggregator keeps (score desc, id
+    // asc), so score = -h is smallest-hash-first with the id tiebreak;
+    // h < 2^32 so the double negation is exact and invertible
+    def expand(agged: DataFrame): DataFrame = agged
+      .select(col("hour"), explode(col("smp")).as("e"))
+      .select(col("hour"), col("e.id").as("event_id"),
+        negate(col("e.score")).cast("long").as("h"))
+    val direct = expand(rows.groupBy(col("hour"))
+      .agg(topk(col("event_id"), negate(col("h").cast("double"))).as("smp")))
+    val halves = expand(rows
+      .groupBy(col("hour"), pmod(col("event_id"), lit(2)).as("par"))
+      .agg(topk(col("event_id"), negate(col("h").cast("double"))).as("smp")))
+    val merged = halves
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("hour")).orderBy(col("h"), col("event_id"))))
+      .filter(col("rn") <= k).drop("rn")
+    // rank statistics over a sample: attach values (sampled ids only —
+    // the semi-join shape), rank by value inside the <= k-row window
+    def quants(smp: DataFrame, p50Name: String, p90Name: String): DataFrame = {
+      val wv = Window.partitionBy(col("hour"))
+        .orderBy(col("value"), col("event_id"))
+      smp
+        .join(rows.select(col("event_id"), col("value")).hint("shuffle_hash"),
+          "event_id")
+        .withColumn("vr", row_number().over(wv))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy(col("hour"))))
+        .groupBy(col("hour"))
+        .agg(max(col("m")).as(s"__m_$p50Name"),
+          max(when(col("vr") === expr("(m + 1) div 2"), col("value")))
+            .as(p50Name),
+          max(when(col("vr") === expr("(9 * m + 9) div 10"), col("value")))
+            .as(p90Name))
+    }
+    quants(direct, "p50_est", "p90_est")
+      .withColumnRenamed("__m_p50_est", "m")
+      .join(quants(merged, "p50_merged", "p90_merged")
+        .drop("__m_p50_merged"), "hour")
+      .select(col("hour"), col("m"), col("p50_est"), col("p90_est"),
+        col("p50_merged"), col("p90_merged"),
+        (col("p50_est") === col("p50_merged") &&
+          col("p90_est") === col("p90_merged")).as("merge_exact"))
+      .orderBy(col("hour"))
+  }
+
   /** Repeated-passage detection (the exact-substring-dedup family, cf.
     * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     * Better"): every `windowChars`-char rolling window (stride 1) of

@@ -266,6 +266,27 @@ class SketchOpsSpec extends SparkSpec {
     assert(recall >= 0.10, s"residual IVF-PQ recall@5 $recall")
   }
 
+  test("quantile sketch: bounded sample estimates, KMV merge identity") {
+    import java.sql.Timestamp
+    // one hour of 1000 events with value == event_id: true median 499.5,
+    // true p90 899.1 — the k=32 sample must land in the right region
+    // and the parity-merged sketch must select EXACTLY the same rows
+    val events = (0L until 1000L).map { i =>
+      (i, new Timestamp(3600L * 1000 + i), i.toDouble)
+    }.toDF("event_id", "ts", "value")
+    val out = graft.ext.Dedup.quantileSketchMerge(events, k = 32).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("m") == 32, "sample must cap at k")
+    assert(r.getAs[Boolean]("merge_exact"), "KMV merge identity must hold")
+    val p50 = r.getAs[Double]("p50_est"); val p90 = r.getAs[Double]("p90_est")
+    // a uniform 32-sample's rank statistics: generous deterministic
+    // corridors (fixed hash → fixed sample) around the true quantiles
+    assert(p50 > 200 && p50 < 800, s"p50_est $p50")
+    assert(p90 > 700 && p90 <= 999, s"p90_est $p90")
+    assert(p50 < p90)
+  }
+
   test("BM25 ranks rare-term matches above common-term matches") {
     // doc 0 is the query: one rare term ("zebra") + one everywhere-term
     // ("common"). The corpus doc holding the rare term must outrank the
