@@ -1045,6 +1045,38 @@ object ExtQueries {
         docs.filter(col("doc_id") % 2 === 1), threshold = 0.5)
     }, Some(incrementalDupOracle)),
 
+    // incremental DIRECTED containment: fresh batch (odd ids) probed
+    // against the existing corpus's (even ids) inverted shingle index —
+    // the ingestion-time twin of d19 (uncapped for the same
+    // oracle-parity reason)
+    ("c05_incremental_containment", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Dedup.containmentDupAsymAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        threshold = 0.8, probeK = 4, maxBucket = Int.MaxValue)
+    }, Some(s"""
+      WITH sh0 AS (SELECT DISTINCT doc_id, s FROM
+                     (SELECT doc_id, unnest($shinglesSql) AS s FROM documents)),
+      hh AS (SELECT DISTINCT doc_id, ${Hashing.h32Sql("s")} AS h FROM sh0),
+      probe AS (SELECT doc_id AS doc_a, h FROM
+                  (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY h) AS rn FROM hh WHERE doc_id % 2 = 1)
+                WHERE rn <= 4),
+      cand AS (SELECT p.doc_a, x.doc_id AS doc_b
+               FROM probe p JOIN hh x ON x.h = p.h AND x.doc_id % 2 = 0
+               GROUP BY p.doc_a, x.doc_id HAVING COUNT(*) >= 2),
+      arr AS (SELECT doc_id, $shinglesSql AS sa FROM documents),
+      com AS (SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
+                     CAST(len(a.sa) AS INT) AS na
+              FROM cand JOIN arr a ON a.doc_id = doc_a
+                        JOIN arr b ON b.doc_id = doc_b)
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / na AS containment
+      FROM com WHERE CAST(n_common AS DOUBLE) / na >= 0.8
+      ORDER BY doc_a, doc_b""")),
+
     ("m01_multimodal_meta", (s: SparkSession, d: String) =>
       Multimodal.mediaPipeline(t(s, d, "documents")),
       Some(multimodalOracle)),

@@ -201,6 +201,47 @@ object Dedup {
       score = (n, sa, _) => n.cast("double") / sa)
   }
 
+  /** Incremental [[containmentDupAsym]]: bottom-K probes of the NEW
+    * batch only against the inverted shingle index of the EXISTING
+    * corpus — the ingestion-time question ("is this fresh doc
+    * near-contained in something we already hold?") without re-pairing
+    * the corpus with itself. At cluster scale the corpus index is what
+    * you'd persist bucketed by `h` (exactly the
+    * [[graft.operators.Layout.ensureBucketedBatchTable]] shape
+    * StreamDedup uses for minhash bands) so the per-batch probe joins
+    * the corpus side exchange-free; probe rows stay K per new doc
+    * regardless of corpus size. doc_ids must be disjoint across the
+    * two inputs. Output: DIRECTED (doc_a = new contained candidate,
+    * doc_b = corpus host, n_common, containment).
+    */
+  def containmentDupAsymAgainst(corpus: DataFrame, newDocs: DataFrame,
+                                threshold: Double,
+                                probeK: Int = 4, minProbeHits: Int = 2,
+                                maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(probeK > 0 && minProbeHits >= 1 && minProbeHits <= probeK,
+      "probeK > 0, 1 <= minProbeHits <= probeK")
+    def hashed(docs: DataFrame): DataFrame = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        graft.functions.ShingleHashesOf(col("text"), ShingleSize).as("hs"))
+      .filter(col("hs").isNotNull)
+    val probes = hashed(newDocs)
+      .select(col("doc_id").as("doc_a"),
+        explode(slice(col("hs"), 1, probeK)).as("h"))
+    val host = HotBuckets.prune(
+      hashed(corpus).localCheckpoint() // prune count + candidate join
+        .select(col("doc_id").as("doc_b"), explode(col("hs")).as("h")),
+      Seq("h"), maxBucket)
+    val cand = probes.join(host.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minProbeHits)
+      .select(col("doc_a"), col("doc_b"))
+    jaccardVerify(cand, corpus.unionByName(newDocs),
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold,
+      scoreName = "containment",
+      score = (n, sa, _) => n.cast("double") / sa)
+  }
+
   /** Distinct candidate pairs (doc_a < doc_b) from a minhash-band
     * self-join, hot buckets capped — the shared front half of
     * [[minhashDup]] and [[containmentDup]].

@@ -90,6 +90,23 @@ class SketchOpsSpec extends SparkSpec {
     assert(!sym.contains((0L, 1L)) && !sym.contains((1L, 0L)))
   }
 
+  test("incremental asym containment: fresh batch probed against the corpus") {
+    val big = (1 to 200).map(i => s"t$i").mkString(" ")
+    val corpus = docsDf(Seq(big,
+      "one unrelated corpus document with its own words"))
+    val fresh = Seq(
+      (10L, (50 to 64).map(i => s"t$i").mkString(" ")), // slice of corpus 0
+      (11L, "a completely novel incoming document"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.containmentDupAsymAgainst(corpus, fresh, threshold = 0.8)
+      .collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("containment"))).toMap
+    // only the directed new-in-corpus pair; the corpus never self-pairs
+    assert(hits.keySet == Set((10L, 0L)), s"got $hits")
+    assert(hits((10L, 0L)) == 1.0)
+  }
+
   test("k-means: inertia never increases across Lloyd iterations") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def inertia(iters: Int): Double =
