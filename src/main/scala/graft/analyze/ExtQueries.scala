@@ -732,6 +732,33 @@ object ExtQueries {
         nBands = 2, rowsPerBand = 4, threshold = 0.4),
       Some(bandedCosineDupOracle)),
 
+    // incremental embedding near-dup: fresh batch (odd ids) bucketed
+    // against the corpus's (even ids) persisted hyperplane buckets —
+    // the dense twin of c04/c05
+    ("c06_incremental_cosine_dedup", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.lshCosineDupAgainst(
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 === 1),
+        nPlanes = 8, threshold = 0.3)
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+      pl0 AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+      pl AS (SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+             FROM pl0),
+      b AS (SELECT v.vec_id,
+              CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                       THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings v CROSS JOIN pl p GROUP BY v.vec_id),
+      eb AS (SELECT e.vec_id, embedding, nrm, bucket FROM e JOIN b USING (vec_id))
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket AS bucket,
+             ${dotS("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS cosine
+      FROM eb a JOIN eb c ON a.bucket = c.bucket
+        AND a.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+      WHERE ${dotS("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.3
+      ORDER BY vec_a, vec_b""")),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),

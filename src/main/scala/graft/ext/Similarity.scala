@@ -99,6 +99,53 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Incremental embedding near-dup: NEW vectors vs an EXISTING corpus
+    * only — the dense twin of [[Dedup.minhashDupAgainst]] /
+    * [[Dedup.containmentDupAsymAgainst]], for deduping a fresh batch
+    * against the indexed corpus without re-pairing the corpus with
+    * itself. Hyperplanes are the corpus's lowest-nPlanes vec_ids,
+    * collected once (bounded — the centroid contract) and inlined as
+    * LITERAL float arrays, so bucketing either side is one codegen'd
+    * map pass with no join; at cluster scale the corpus bucket table is
+    * what you'd persist (bucketed by `bucket`, the
+    * [[graft.operators.Layout.ensureBucketedBatchTable]] shape) and
+    * only the O(batch) side buckets per probe. Candidates come from the
+    * bucket equi-join (never new x corpus), hot buckets capped on both
+    * sides, each verified with the exact codegen'd cosine. vec_ids must
+    * be disjoint across the inputs.
+    *
+    * Output: (vec_a = new id, vec_b = corpus id, bucket, cosine).
+    */
+  def lshCosineDupAgainst(corpus: DataFrame, newVecs: DataFrame, nPlanes: Int,
+                          threshold: Double,
+                          maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(nPlanes > 0 && nPlanes <= 62, "nPlanes in [1, 62]")
+    val planes: Seq[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nPlanes) // TakeOrdered: bounded collect
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
+    require(planes.nonEmpty, "empty corpus: no hyperplanes to bucket by")
+    def bucketOf(emb: Column): Column =
+      planes.zipWithIndex.map { case (p, j) =>
+        when(dotCol(emb, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val cb = HotBuckets.prune(
+      side(corpus, "b").withColumn("bucket", bucketOf(col("b_emb")))
+        .localCheckpoint(),
+      Seq("bucket"), maxBucket)
+    val nb = HotBuckets.prune(
+      side(newVecs, "a").withColumn("bucket", bucketOf(col("a_emb")))
+        .localCheckpoint(),
+      Seq("bucket"), maxBucket)
+    nb.join(cb, "bucket")
+      .withColumn("cosine",
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        col("bucket"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Banded multi-table cosine LSH near-dup pairs — the full 100 TB
     * shape. [[lshCosineDupPairs]] uses ONE hash table over all planes:
     * recall falls geometrically as nPlanes grows and parallelism is
