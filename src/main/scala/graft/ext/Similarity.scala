@@ -125,16 +125,14 @@ object Similarity {
       .orderBy(col("vec_id")).limit(nPlanes) // TakeOrdered: bounded collect
       .collect().map(_.getSeq[Float](1).toArray).toSeq
     require(planes.nonEmpty, "empty corpus: no hyperplanes to bucket by")
-    def bucketOf(emb: Column): Column =
-      planes.zipWithIndex.map { case (p, j) =>
-        when(dotCol(emb, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
     val cb = HotBuckets.prune(
-      side(corpus, "b").withColumn("bucket", bucketOf(col("b_emb")))
+      side(corpus, "b")
+        .withColumn("bucket", hyperplaneBucket(col("b_emb"), planes))
         .localCheckpoint(),
       Seq("bucket"), maxBucket)
     val nb = HotBuckets.prune(
-      side(newVecs, "a").withColumn("bucket", bucketOf(col("a_emb")))
+      side(newVecs, "a")
+        .withColumn("bucket", hyperplaneBucket(col("a_emb"), planes))
         .localCheckpoint(),
       Seq("bucket"), maxBucket)
     nb.join(cb, "bucket")
@@ -144,6 +142,21 @@ object Similarity {
       .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
         col("bucket"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Sign-pattern bucket id from FIXED hyperplanes supplied as driver
+    * values (bounded — nPlanes float arrays): bit j set iff
+    * dot(v, plane_j) > 0. The planes inline as literal float arrays so
+    * the whole bucket id is one codegen'd map expression — no join, no
+    * shuffle; [[graft.streaming.StreamSimilarity]] uses this with
+    * planes persisted at stream birth so every micro-batch buckets
+    * identically.
+    */
+  def hyperplaneBucket(emb: Column, planes: Seq[Array[Float]]): Column = {
+    require(planes.nonEmpty && planes.size <= 62, "1 to 62 planes")
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dotCol(emb, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** Banded multi-table cosine LSH near-dup pairs — the full 100 TB

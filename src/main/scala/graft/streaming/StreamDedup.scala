@@ -168,7 +168,7 @@ object StreamDedup {
     * and unlike band/doc state it carries no identity to fold by.
     * Refuse loudly instead of writing a layout the user can't read.
     */
-  private def refuseFlatLegacyDir(spark: SparkSession, dir: String): Unit = {
+  private[streaming] def refuseFlatLegacyDir(spark: SparkSession, dir: String): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) &&
@@ -179,6 +179,6 @@ object StreamDedup {
         "the stream's next batch id) or start a fresh outDir")
   }
 
-  private def isDataFile(name: String): Boolean =
+  private[streaming] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 }
