@@ -19,7 +19,9 @@ object Explain {
         "s01_ann_brute_topk", "s06_ann_ivf_topk", "c01_corpus_build",
         "c04_incremental_dedup", "d14_bloom_membership", "d15_repeated_passages",
         "d17_containment_dup", "d18_hll_slice_merge", "s09_kmeans",
-        "s10_pq_encode", "s11_pq_adc_topk")
+        "s10_pq_encode", "s11_pq_adc_topk", "s12_ivf_pq_topk",
+        "t16_bm25_topk", "w08_quantile_sketch",
+        "c05_incremental_containment", "c06_incremental_cosine_dedup")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -310,16 +310,20 @@ object TextAnalysis {
     val Q = 1099511627776.0 // 2^40
     val words = graft.core.Tables.spread(docs).select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
-      .localCheckpoint() // query terms + three corpus aggregations
-    val tgt = words.filter(col("doc_id") >= nQueries)
-    val tf = tgt.groupBy(col("doc_id").as("t_id"), col("w"))
+    // ONE corpus-scale aggregation: tf is the only pass over the
+    // exploded words; dl (= sum of tf per doc), df (= tf rows per term
+    // — (t_id, w) is already distinct) and the corpus stats all derive
+    // from the much smaller tf table
+    val tf = words.filter(col("doc_id") >= nQueries)
+      .groupBy(col("doc_id").as("t_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tgt.groupBy(col("doc_id").as("t_id"))
-      .agg(count(lit(1)).as("dl"))
-    val dfreq = tgt.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val stats = tgt.agg(countDistinct(col("doc_id")).as("n_docs"),
-      count(lit(1)).as("n_words"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("t_id"))
+      .agg(sum(col("tf")).as("dl"))
+      .localCheckpoint() // read by the pair join and the stats row
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("n_words"))
     val qt = words.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("q_id"), col("w")).distinct()
     val nD = col("n_docs").cast("double")
