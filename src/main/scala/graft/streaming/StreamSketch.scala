@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 import graft.ext.Dedup
 
@@ -51,5 +51,77 @@ object StreamSketch {
       .groupBy(col("bucket")).agg(max(col("m_rho")).as("m_rho"))
     Dedup.hllEstimate(merged, p)
       .write.mode("overwrite").parquet(s"$stateDir/estimate")
+  }
+
+  // ---- streaming QUANTILE sketch --------------------------------------
+
+  val quantileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("value", DoubleType)))
+
+  /** Streaming running-quantile estimate — the rank twin of the HLL
+    * stream above, built on w08's proven KMV merge identity
+    * ([[Dedup.quantileSketchMerge]]): each micro-batch reduces to its
+    * bottom-k rows by portable hash of event_id (k rows of state per
+    * batch, whatever the batch size), and the live p50/p90 snapshot
+    * re-takes the bottom-k over ALL batches' samples — which the
+    * identity guarantees IS the bottom-k of every row ever seen, so
+    * the streamed estimate equals the one-pass estimate exactly.
+    */
+  def runQuantile(spark: SparkSession, landingDir: String, stateDir: String,
+                  checkpointDir: String, k: Int = 64): StreamingQuery = {
+    val events = spark.readStream.schema(quantileSchema)
+      .option("multiLine", "false")
+      .json(landingDir)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQuantileBatch(spark, batch, batchId, stateDir, k)
+      }
+      .start()
+  }
+
+  /** One idempotent micro-batch step (public for replay tests):
+    * overwrite this batch's bottom-k sample partition, then refresh
+    * the one-row (m, p50_est, p90_est) snapshot from the KMV re-merge
+    * of all batches. The snapshot ranks are picked driver-side over
+    * the <= k merged rows — the bounded-collect contract.
+    */
+  def processQuantileBatch(spark: SparkSession, batch: DataFrame,
+                           batchId: Long, stateDir: String, k: Int): Unit = {
+    import spark.implicits._
+    require(k > 0, "k > 0")
+    val topk = graft.functions.TopKAggregator.topK(k)
+    val clean = batch
+      .filter(col("event_id").isNotNull && col("value").isNotNull)
+      .persist()
+    try {
+      // bottom-k by (h, event_id) via the map-side-combining aggregator
+      // (score = -h, as in quantileSketchMerge); values re-attach to
+      // the k sampled ids only
+      val ids = clean
+        .select(col("event_id"),
+          graft.functions.Hashing.h32(col("event_id").cast("string")).as("h"))
+        .agg(topk(col("event_id"), negate(col("h").cast("double"))).as("smp"))
+        .select(explode(col("smp")).as("e"))
+        .select(col("e.id").as("event_id"),
+          negate(col("e.score")).cast("long").as("h"))
+      ids.join(clean.select(col("event_id"), col("value")).hint("shuffle_hash"),
+          "event_id")
+        .write.mode("overwrite").parquet(s"$stateDir/qsample/batch=$batchId")
+      val merged = spark.read.parquet(s"$stateDir/qsample")
+        .orderBy(col("h"), col("event_id")).limit(k) // TakeOrdered: bounded
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      val m = merged.length
+      val est =
+        if (m == 0) Seq.empty[(Long, Double, Double)]
+        else Seq((m.toLong, merged((m + 1) / 2 - 1), merged((9 * m + 9) / 10 - 1)))
+      est.toDF("m", "p50_est", "p90_est")
+        .write.mode("overwrite").parquet(s"$stateDir/qestimate")
+    } finally {
+      try clean.unpersist() catch { case scala.util.control.NonFatal(_) => }
+      ()
+    }
   }
 }

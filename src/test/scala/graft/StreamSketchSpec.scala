@@ -46,4 +46,32 @@ class StreamSketchSpec extends SparkSpec {
     // state is registers only: at most 2^p rows per batch
     assert(spark.read.parquet(s"$state/regs").count() <= 2L * 256)
   }
+
+  test("streaming quantile sketch: merged batches equal the one-pass sketch") {
+    val state = Files.createTempDirectory("skq_state").toString
+    val k = 16
+    def batchDf(ids: Seq[Long]) =
+      ids.map(i => (i, i.toDouble)).toDF("event_id", "value")
+
+    StreamSketch.processQuantileBatch(spark, batchDf(0L until 100L), 0L, state, k)
+    StreamSketch.processQuantileBatch(spark, batchDf(100L until 200L), 1L, state, k)
+    def est(dir: String): (Long, Double, Double) = {
+      val r = spark.read.parquet(s"$dir/qestimate").collect().head
+      (r.getAs[Long]("m"), r.getAs[Double]("p50_est"), r.getAs[Double]("p90_est"))
+    }
+    val streamed = est(state)
+    assert(streamed._1 == k, "merged sample must cap at k")
+
+    // KMV identity: the re-merged streamed sample IS the bottom-k of
+    // every row ever seen, so a one-pass sketch over the union must
+    // produce the IDENTICAL estimate
+    val direct = Files.createTempDirectory("skq_direct").toString
+    StreamSketch.processQuantileBatch(spark, batchDf(0L until 200L), 0L, direct, k)
+    assert(est(direct) == streamed, s"streamed $streamed vs direct ${est(direct)}")
+
+    // replay of the last batch changes nothing; per-batch state is <= k rows
+    StreamSketch.processQuantileBatch(spark, batchDf(100L until 200L), 1L, state, k)
+    assert(est(state) == streamed, "replay changed the estimate")
+    assert(spark.read.parquet(s"$state/qsample").count() <= 2L * k)
+  }
 }
