@@ -233,10 +233,13 @@ object ExtQueries {
 
   private val lshCosineDupOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    pl0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    pl AS (SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+           FROM pl0),
     b AS (SELECT v.vec_id,
                  CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
-                          THEN (CAST(1 AS BIGINT) << p.vec_id) ELSE 0 END) AS BIGINT) AS bucket
-          FROM embeddings v JOIN embeddings p ON p.vec_id < 8 GROUP BY v.vec_id),
+                          THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings v CROSS JOIN pl p GROUP BY v.vec_id),
     eb AS (SELECT e.vec_id, embedding, nrm, bucket FROM e JOIN b ON e.vec_id = b.vec_id)
     SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
            ${dotS("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
@@ -248,11 +251,14 @@ object ExtQueries {
   // in at least one band (DISTINCT pairs), then exact-cosine verified
   private val bandedCosineDupOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
-    bb AS (SELECT v.vec_id, CAST(p.vec_id // 4 AS INT) AS band,
+    pl0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    pl AS (SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+           FROM pl0),
+    bb AS (SELECT v.vec_id, CAST(p.j // 4 AS INT) AS band,
                   CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
-                           THEN (CAST(1 AS BIGINT) << CAST(p.vec_id % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-           FROM embeddings v JOIN embeddings p ON p.vec_id < 8
-           GROUP BY v.vec_id, CAST(p.vec_id // 4 AS INT)),
+                           THEN (CAST(1 AS BIGINT) << CAST(p.j % 4 AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings v CROSS JOIN pl p
+           GROUP BY v.vec_id, CAST(p.j // 4 AS INT)),
     cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
              FROM bb x JOIN bb y
              ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
@@ -273,10 +279,13 @@ object ExtQueries {
 
   private val annLshOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+    pl0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+    pl AS (SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+           FROM pl0),
     b AS (SELECT v.vec_id,
                  CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
-                          THEN (CAST(1 AS BIGINT) << p.vec_id) ELSE 0 END) AS BIGINT) AS bucket
-          FROM embeddings v JOIN embeddings p ON p.vec_id < 8 GROUP BY v.vec_id),
+                          THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings v CROSS JOIN pl p GROUP BY v.vec_id),
     q AS (SELECT e.vec_id AS q_id, embedding AS q_emb, nrm AS q_norm, bucket
           FROM e JOIN b ON e.vec_id = b.vec_id WHERE e.vec_id < 10),
     tt AS (SELECT e.vec_id AS t_id, embedding AS t_emb, nrm AS t_norm, bucket AS t_bucket
@@ -288,14 +297,15 @@ object ExtQueries {
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, t_id) AS INT) AS rn FROM sc) z
     WHERE rn <= 3 ORDER BY query_id, rn"""
 
-  // IVF: centroids = target vectors 10..25; targets assigned to their
+  // IVF: centroids = the 16 lowest-id target vectors (order statistic,
+  // arbitrary id spaces); targets assigned to their
   // single nearest centroid, queries probe their 2 nearest cells.
   // DuckDB expresses the assignment as ROW_NUMBER()=1, which equals the
   // Spark side's max_by under the same unique (cosine DESC, c_id) order.
   private val annIvfOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
     c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_norm
-          FROM e WHERE vec_id >= 10 AND vec_id < 26),
+          FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
     t AS (SELECT vec_id AS t_id, embedding AS t_emb, nrm AS t_norm FROM e WHERE vec_id >= 10),
     q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_norm FROM e WHERE vec_id < 10),
     ta AS (SELECT t_id, t_emb, t_norm, c_id AS cell FROM (

@@ -178,21 +178,25 @@ object Similarity {
                            maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val nPlanes = nBands * rowsPerBand
     val parts = embs.sparkSession.sessionState.conf.numShufflePartitions
-    val planes = embs.filter(col("vec_id") < nPlanes)
-      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
-    // per-(vector, band) bucket id from that band's plane signs;
-    // materialized once — the candidate self-join references it on both
-    // sides, and the corpus-wide plane-dot aggregation is too expensive
-    // to risk running twice if ReuseExchange fails to dedupe. Hot
-    // (band, bucket) cells capped before the self-join (HotBuckets).
+    val planeVecs = lowestVecs(embs, nPlanes)
+    require(planeVecs.size == nPlanes,
+      s"corpus has fewer than $nPlanes vectors to serve as hyperplanes")
+    // per-(vector, band) bucket id from that band's slice of the
+    // LITERAL planes: a pure map + explode — no plane join and no
+    // corpus-wide re-aggregation (the former crossJoin + groupBy
+    // shuffle is gone). Materialized once — the candidate self-join
+    // references it on both sides. Hot (band, bucket) cells capped
+    // before the self-join (HotBuckets).
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        hyperplaneBucket(col("embedding"),
+          planeVecs.slice(b * rowsPerBand, (b + 1) * rowsPerBand)).as("bucket"))
+    }
     val bandBuckets = HotBuckets.prune(
       graft.core.Tables.spread(embs)
-        .crossJoin(broadcast(planes))
-        .withColumn("d", dotCol(col("embedding"), col("p_emb")))
-        .groupBy(col("vec_id"), expr(s"CAST(plane_id div $rowsPerBand AS INT)").as("band"))
-        .agg(sum(when(col("d") > 0,
-            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(plane_id % $rowsPerBand AS INT))"))
-          .otherwise(lit(0L))).as("bucket"))
+        .select(col("vec_id"), explode(array(bandCols: _*)).as("e"))
+        .select(col("vec_id"), col("e.band").as("band"),
+          col("e.bucket").as("bucket"))
         .localCheckpoint(),
       Seq("band", "bucket"), maxBucket)
     // distinct candidate pairs: same bucket in at least one band
@@ -257,21 +261,26 @@ object Similarity {
   }
 
   /** Sign-pattern LSH bucket per vector: bucket = sum_j [dot(v, plane_j) > 0] << j.
-    * The "planes" are the first nPlanes corpus vectors — deterministic
-    * and oracle-sharable (a production build would use seeded Gaussian
-    * planes). One broadcast join + one hash aggregation; no shuffle of
-    * the embedding corpus beyond the groupBy on vec_id.
+    * The "planes" are the corpus's lowest-nPlanes vec_ids — an order
+    * statistic, so ARBITRARY (non-contiguous, non-zero-based) id
+    * spaces work — collected once (bounded) and inlined as literal
+    * float arrays; a production build would use seeded Gaussian
+    * planes. The whole bucket id is one codegen'd map expression: NO
+    * join, NO shuffle of the corpus at all (the former
+    * crossJoin + groupBy(vec_id) re-aggregation is gone).
     */
-  def lshBuckets(embs: DataFrame, nPlanes: Int): DataFrame = {
-    val planes = embs.filter(col("vec_id") < nPlanes)
-      .select(col("vec_id").as("plane_id"), col("embedding").as("p_emb"))
-    embs.crossJoin(broadcast(planes))
-      .withColumn("d", dotCol(col("embedding"), col("p_emb")))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("d") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(plane_id AS INT))"))
-        .otherwise(lit(0L))).as("bucket"))
-  }
+  def lshBuckets(embs: DataFrame, nPlanes: Int): DataFrame =
+    embs.select(col("vec_id"),
+      hyperplaneBucket(col("embedding"), lowestVecs(embs, nPlanes)).as("bucket"))
+
+  /** The `n` embeddings with the smallest vec_ids (TakeOrdered —
+    * bounded collect): the deterministic, oracle-sharable
+    * plane/centroid selection that works for any id space.
+    */
+  private def lowestVecs(embs: DataFrame, n: Int): Seq[Array[Float]] =
+    embs.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(n)
+      .collect().map(_.getSeq[Float](1).toArray).toSeq
 
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path
     * alongside [[lshTopK]]. Cell structure: nCentroids deterministic
@@ -289,8 +298,10 @@ object Similarity {
     */
   def ivfTopK(embs: DataFrame, nCentroids: Int, nProbe: Int,
               nQueries: Int, k: Int): DataFrame = {
-    val cents = embs
-      .filter(col("vec_id") >= nQueries && col("vec_id") < nQueries + nCentroids)
+    // lowest-nCentroids TARGET ids (order statistic, arbitrary id
+    // spaces) — the bounded set that broadcasts below
+    val cents = embs.filter(col("vec_id") >= nQueries)
+      .orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normCol(col("embedding")).as("c_norm"))
     val t = side(embs.filter(col("vec_id") >= nQueries), "t")

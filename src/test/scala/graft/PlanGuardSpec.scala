@@ -29,9 +29,7 @@ class PlanGuardSpec extends SparkSpec {
     "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
     "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
     "s05_knn_classify" -> 1, // broadcast labeled query set
-    "s02_ann_lsh_topk" -> 2, // broadcast hyperplanes (bucket build runs per side)
-    "s07_ann_lsh_recall" -> 3, // composes s01 (broadcast queries) + s02's shape (2x hyperplanes)
-    "d11_cosine_lsh_dup" -> 2, // broadcast hyperplanes (bucket table inlined per side while the cap is dormant)
+    "s07_ann_lsh_recall" -> 1, // composes s01's broadcast query set (hyperplanes are literals now)
     "s06_ann_ivf_topk" -> 2, // broadcast centroids (cell build + query probe)
     "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
     "t16_bm25_topk" -> 1) // broadcast 1-row corpus-stats aggregate

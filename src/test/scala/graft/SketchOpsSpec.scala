@@ -107,6 +107,26 @@ class SketchOpsSpec extends SparkSpec {
     assert(hits((10L, 0L)) == 1.0)
   }
 
+  test("LSH/IVF plane and centroid selection works on arbitrary vec_ids") {
+    import spark.implicits._
+    // ids far above any plane/centroid count: the old `vec_id < n`
+    // selection would find nothing here
+    val embs = Seq(
+      (5000L, Array(1f, 0f, 0f, 0f)), (6000L, Array(0f, 1f, 0f, 0f)),
+      (7000L, Array(0.9f, -0.1f, 0f, 0f)), (8000L, Array(0f, 0f, 1f, 1f)),
+      (9999L, Array(0f, 1f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val buckets = graft.ext.Similarity.lshBuckets(embs, nPlanes = 2).collect()
+    assert(buckets.length == 5)
+    // queries = ids < 7000 convention-free: use the Against-form dedup
+    // which takes explicit sides
+    val pairs = graft.ext.Similarity.lshCosineDupAgainst(
+        embs.filter(col("vec_id") < 7000), embs.filter(col("vec_id") >= 7000),
+        nPlanes = 2, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+      == Set((7000L, 5000L), (9999L, 6000L)))
+  }
+
   test("k-means: inertia never increases across Lloyd iterations") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def inertia(iters: Int): Double =
