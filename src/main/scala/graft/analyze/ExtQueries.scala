@@ -80,6 +80,32 @@ object ExtQueries {
     SELECT src AS doc_id, MIN(dst) AS rep_id
     FROM reach GROUP BY src ORDER BY doc_id"""
 
+  /** d22 twin of [[graft.ext.Dedup.nearDupResolution]]: the d09
+    * transitive closure plus the t02 quality chain; the per-cluster
+    * winner is ROW_NUMBER over (quality DESC, doc_id) — identical to
+    * the Spark side's max_by over (quality, -doc_id).
+    */
+  private val nearDupResolutionOracle: String = s"""
+    WITH RECURSIVE $minhashCtes,
+    dup AS (SELECT doc_a, doc_b FROM com
+            WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+              UNION SELECT doc_b, doc_a FROM dup),
+    reach(src, dst) AS (
+      (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    cl AS (SELECT src AS doc_id, MIN(dst) AS rep_id FROM reach GROUP BY src),
+    $qualityCtes,
+    jj AS (SELECT cl.doc_id, cl.rep_id, qual.quality
+           FROM cl JOIN qual USING (doc_id)),
+    w AS (SELECT rep_id, doc_id AS keep_id FROM (
+           SELECT rep_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY rep_id
+                    ORDER BY quality DESC, doc_id) AS rn FROM jj) WHERE rn = 1)
+    SELECT jj.doc_id, jj.rep_id, jj.quality, jj.doc_id = w.keep_id AS keep
+    FROM jj JOIN w USING (rep_id) ORDER BY doc_id"""
+
   private val simhashExpr: String = {
     // 64-bit fingerprint: bits 0-31 tally h32(word) bits, 32-63 tally
     // h32b(word) bits — mirrors Dedup.simhashViaAgg term for term. The
@@ -381,24 +407,29 @@ object ExtQueries {
     FROM p GROUP BY labeled_lang, predicted_lang
     ORDER BY labeled_lang, predicted_lang"""
 
-  private val qualityOracle: String = {
+  /** Quality-score CTE chain ending in `qual(doc_id, ..., quality)` —
+    * shared by the t02 oracle and d22's per-cluster winner rule.
+    */
+  private def qualityCtes: String = {
     val allStop = TextAnalysis.stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
     val ws = TextOps.wordsSql("text")
-    s"""
-    WITH c AS (SELECT doc_id, n_chars,
+    s"""qc AS (SELECT doc_id, n_chars,
         CAST(len($ws) AS INT) AS n_words,
         CAST(len(list_distinct($ws)) AS INT) AS n_distinct,
         CAST(len(list_filter($ws, w -> w IN ($allStop))) AS INT) AS n_stop,
         CAST(length(text) AS INT) AS len FROM documents),
-    r AS (SELECT doc_id, n_chars, n_words, n_distinct, n_stop,
+    qr AS (SELECT doc_id, n_chars, n_words, n_distinct, n_stop,
         CAST(len - n_words + 1 AS DOUBLE) / n_words AS avg_word_len,
         CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
-        CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio FROM c)
-    SELECT *,
+        CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio FROM qc),
+    qual AS (SELECT *,
         0.4 * distinct_ratio + 0.4 * (1.0 - stopword_ratio)
-          + 0.2 * LEAST(avg_word_len / 10.0, 1.0) AS quality
-    FROM r ORDER BY doc_id"""
+          + 0.2 * LEAST(avg_word_len / 10.0, 1.0) AS quality FROM qr)"""
   }
+
+  private val qualityOracle: String = s"""
+    WITH $qualityCtes
+    SELECT * FROM qual ORDER BY doc_id"""
 
   private val tokensOracle: String = s"""
     SELECT doc_id,
@@ -475,6 +506,12 @@ object ExtQueries {
       Dedup.dupClusters(Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))),
       Some(clustersOracle)),
+
+    // near-dup RESOLUTION: per minhash-component keep the single
+    // highest-quality member (the artifact a corpus dedup ships)
+    ("d22_neardup_resolution", (s: SparkSession, d: String) =>
+      Dedup.nearDupResolution(t(s, d, "documents"), threshold = 0.5),
+      Some(nearDupResolutionOracle)),
 
     ("d06_ngram_jaccard_dup", (s: SparkSession, d: String) =>
       Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),

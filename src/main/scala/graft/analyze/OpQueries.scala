@@ -81,6 +81,27 @@ object OpQueries {
     WITH ${kmeansCtes("", "embedding", k, iters)}
     SELECT vec_id, cluster, dist2 FROM a${iters + 1} ORDER BY vec_id"""
 
+  /** SemDeDup twin: the [[kmeansCtes]] assignment is the blocking key;
+    * pairs join within a cluster, cosine is the shared float->double
+    * fold, and the drop rule (nearer-to-centroid loses, ties drop the
+    * larger id) compares the same bit-exact dist2 values as the engine.
+    */
+  private def semDedupOracle(k: Int, iters: Int, threshold: Double): String = s"""
+    WITH ${kmeansCtes("", "embedding", k, iters)},
+    e AS (SELECT vec_id, embedding,
+                 ${graft.ext.Similarity.normSql("embedding")} AS nrm FROM embeddings),
+    j AS (SELECT t.vec_id, t.cluster, t.dist2, e.embedding, e.nrm
+          FROM a${iters + 1} t JOIN e USING (vec_id)),
+    p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster AS cluster,
+                 ${graft.ext.Similarity.dotSql("x.embedding", "y.embedding")}
+                   / (x.nrm * y.nrm) AS cosine,
+                 x.dist2 AS da, y.dist2 AS db
+          FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+    SELECT vec_a, vec_b, cluster, cosine,
+           CASE WHEN da < db THEN vec_a WHEN db < da THEN vec_b
+                ELSE GREATEST(vec_a, vec_b) END AS drop_id
+    FROM p WHERE cosine >= $threshold ORDER BY vec_a, vec_b"""
+
   /** PQ oracle: one [[kmeansCtes]] chain per subspace over
     * list_slice'd vectors, joined on vec_id; code is the comma-joined
     * cluster ids, recon_err the left-assoc sum of subspace residuals —
@@ -326,6 +347,16 @@ object OpQueries {
     ("s09_kmeans", (s: SparkSession, d: String) =>
       graft.ext.Similarity.kmeansFit(t(s, d, "embeddings"), k = 8, iters = 2),
       Some(kmeansOracle(k = 8, iters = 2))),
+
+    // ---- SemDeDup: k-means clusters as the near-dup blocking key,
+    // cosine verify + drop-the-centroid-nearest only within a cluster.
+    // maxCluster = MaxValue on the verified twin: the oracle computes
+    // the cap-free candidate set by construction (the cap itself is
+    // spec-tested in SketchOpsSpec) --------------------------------------
+    ("s13_semdedup", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.semDedup(t(s, d, "embeddings"),
+        k = 8, iters = 2, threshold = 0.4, maxCluster = Int.MaxValue),
+      Some(semDedupOracle(k = 8, iters = 2, threshold = 0.4))),
 
     // ---- product quantization: 4 subspace codebooks (k=16, 1 Lloyd
     // round each) -> 4 nibble codes per 64-dim vector; codes and

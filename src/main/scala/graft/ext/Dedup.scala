@@ -479,6 +479,33 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster RESOLUTION — the end product a training-set
+    * dedup actually ships: every minhash-connected component keeps its
+    * single highest-quality member ([[TextAnalysis.qualityScore]];
+    * ties keep the smallest doc_id) and drops the rest. Composes
+    * [[minhashDup]] -> [[dupClusters]] -> one quality equi-join + a
+    * per-cluster argmax (max_by over a (quality, -doc_id) struct — a
+    * partial-aggregable shape, no window). Docs outside every cluster
+    * are implicitly kept and don't appear. The quality doubles are the
+    * bit-exact t02 values, so the winner choice verifies cross-engine.
+    *
+    * Output: (doc_id, rep_id, quality, keep) for clustered docs only.
+    */
+  def nearDupResolution(docs: DataFrame, threshold: Double): DataFrame = {
+    val clusters = dupClusters(
+      minhashDup(docs, threshold).select(col("doc_a"), col("doc_b")))
+    val jj = clusters.join(
+      TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")),
+      "doc_id")
+    val winners = jj.groupBy(col("rep_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("keep_id"))
+    jj.join(winners, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("quality"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over document texts.
     * The estimator is (k-1) * 2^32 / h_k where h_k is the k-th smallest
     * distinct 32-bit hash — deterministic given the hash, so unlike

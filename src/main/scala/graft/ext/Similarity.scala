@@ -394,6 +394,57 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+    * clusters the embedding space, then near-dup pairs are searched
+    * ONLY within each cluster — the cluster id is the blocking key, so
+    * candidate generation is a cluster equi-join, never all-pairs. At
+    * corpus scale k grows with n (SemDeDup uses ~100k clusters) so the
+    * per-cluster member count — and with it the within-cluster pair
+    * quadratic — stays bounded; `maxCluster` hard-caps it the same way
+    * LSH buckets are capped ([[HotBuckets]]), dropping pathological
+    * clusters rather than letting one go n².
+    *
+    * Resolution follows the paper: within a duplicate pair the member
+    * CLOSER to its cluster centroid is dropped (keep the outlier —
+    * it carries the most marginal information); ties drop the larger
+    * vec_id. `dist2` comes from the same bit-exact assignment as
+    * [[kmeansFit]] and the cosine is the shared fold, so the
+    * drop decision verifies cross-engine value-for-value.
+    *
+    * Output: (vec_a, vec_b, cluster, cosine, drop_id), a < b.
+    */
+  def semDedup(embs: DataFrame, k: Int, iters: Int, threshold: Double,
+               maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val (vecs, cents) = kmeansCore(embs, k, iters)
+    val assigned = assignToCentroids(vecs, cents)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+    // one vec_id equi-join re-attaches the float embeddings: the
+    // codegen'd dot ([[dotCol]]) runs on the original float arrays,
+    // matching the oracle's CAST(float AS DOUBLE) folds bit-for-bit
+    val members = HotBuckets.prune(
+      graft.core.Tables.spread(embs)
+        .join(assigned, "vec_id")
+        .select(col("vec_id"), col("cluster"), col("dist2"),
+          col("embedding"), normCol(col("embedding")).as("nrm"))
+        .localCheckpoint(),
+      Seq("cluster"), maxCluster)
+    def sided(p: String) = members.select(
+      col("vec_id").as(s"${p}_id"), col("cluster").as(s"${p}_cluster"),
+      col("dist2").as(s"${p}_dist2"), col("embedding").as(s"${p}_emb"),
+      col("nrm").as(s"${p}_nrm"))
+    sided("a").join(sided("b"),
+        col("a_cluster") === col("b_cluster") && col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotCol(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        col("a_cluster").as("cluster"), col("cosine"),
+        when(col("a_dist2") < col("b_dist2"), col("a_id"))
+          .when(col("b_dist2") < col("a_dist2"), col("b_id"))
+          .otherwise(greatest(col("a_id"), col("b_id"))).as("drop_id"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Lloyd iterations train on at most ~this many vectors: above it the
     * training set is the deterministic hash-sample
     * `h32(vec_id) % ceil(n/cap) = 0` (portable — the oracle derives the

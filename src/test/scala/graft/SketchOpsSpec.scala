@@ -127,6 +127,70 @@ class SketchOpsSpec extends SparkSpec {
       == Set((7000L, 5000L), (9999L, 6000L)))
   }
 
+  test("semDedup: planted near-identical pair found, centroid-nearest dropped") {
+    import spark.implicits._
+    // two tight groups far apart; ids arbitrary (non-contiguous).
+    // 7001 is 5001 plus a tiny perturbation -> same cluster, cosine ~1;
+    // the lone 9000 direction produces no pair.
+    val embs = Seq(
+      (5001L, Array(10f, 0f, 0f, 0f)), (7001L, Array(10f, 0.01f, 0f, 0f)),
+      (6002L, Array(0f, 10f, 0f, 0f)), (8002L, Array(0f, 10f, 0.01f, 0f)),
+      (9000L, Array(0f, 0f, 0f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(embs, k = 3, iters = 2, threshold = 0.99)
+      .collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs == Set((5001L, 7001L), (6002L, 8002L)))
+    // the dropped member is the one NEARER its centroid (keep the
+    // outlier, per SemDeDup); both members are in the pair, so the
+    // drop_id must be one of them
+    out.foreach { r =>
+      val (a, b, drop) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Long]("drop_id"))
+      assert(drop == a || drop == b)
+    }
+  }
+
+  test("semDedup: maxCluster cap drops a pathological cluster, keeps the rest") {
+    import spark.implicits._
+    // 30 identical vectors in one direction (one huge cluster) plus a
+    // small legit dup pair in another; cap 10 removes the hot cluster's
+    // n^2 while the small cluster still reports its pair. Cold ids
+    // 26/27 chosen so the k=2 hash-order-statistic seeding picks one
+    // hot and one cold seed (h32("27") is 2nd-smallest over these ids).
+    val hot = (0 until 30).map(i => (1000L + i, Array(10f, 0f, 0f, 0f)))
+    val cold = Seq((26L, Array(0f, 10f, 0f, 0f)), (27L, Array(0f, 10f, 0.01f, 0f)))
+    val embs = (hot ++ cold).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedup(embs, k = 2, iters = 2,
+      threshold = 0.99, maxCluster = 10).collect()
+    val pairs = capped.map(r =>
+      (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(pairs == Set((26L, 27L)),
+      s"hot cluster must be quarantined, got ${pairs.size} pairs")
+  }
+
+  test("nearDupResolution keeps exactly one highest-quality doc per cluster") {
+    // three near-identical docs (one cluster) with different quality
+    // (distinct-word ratio); two unrelated docs form no cluster
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = docsDf(Seq(
+      base,
+      base + " extra", // superset shingles -> jaccard above 0.5
+      base + " extra words variety increases distinct ratio quality substantially",
+      "completely different text about spark physical plans and shuffles",
+      "another unrelated document mentioning parquet column pruning"))
+    val out = Dedup.nearDupResolution(
+      docs.withColumn("n_chars", length(col("text"))), threshold = 0.5).collect()
+    // only clustered docs appear
+    assert(out.map(_.getAs[Long]("doc_id")).toSet.subsetOf(Set(0L, 1L, 2L)))
+    val kept = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id"))
+    assert(kept.length == 1, s"one winner per cluster, got ${kept.mkString(",")}")
+    // the winner has the max quality among its cluster's members
+    val best = out.maxBy(_.getAs[Double]("quality")).getAs[Long]("doc_id")
+    assert(kept.head == best)
+  }
+
   test("k-means: inertia never increases across Lloyd iterations") {
     val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     def inertia(iters: Int): Double =
