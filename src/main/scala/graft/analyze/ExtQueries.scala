@@ -976,6 +976,27 @@ object ExtQueries {
         ORDER BY lang, doc_id"""
       }),
 
+    // token-budget mixture plan: per-lang token inventory, quota and
+    // epoch (repeat) factor for a 1M-token budget at fixed weights
+    ("c07_token_budget", (s: SparkSession, d: String) =>
+      Curation.tokenBudgetPlan(t(s, d, "documents"), "lang",
+        budgetTokens = 1000000L,
+        weights = Map("en" -> 50, "de" -> 20, "fr" -> 10, "es" -> 10, "zh" -> 10)),
+      Some(s"""
+      WITH w AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(${TextOps.wordsSql("text")})) AS BIGINT) AS n_tokens,
+                   CAST(CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                        WHEN 'fr' THEN 10 WHEN 'es' THEN 10
+                        WHEN 'zh' THEN 10 END AS INT) AS weight_pct
+                 FROM documents
+                 WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')
+                 GROUP BY lang)
+      SELECT lang, n_docs, n_tokens, weight_pct,
+             CAST((1000000 * weight_pct) // 100 AS BIGINT) AS quota_tokens,
+             CAST((1000000 * weight_pct) // 100 AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS epochs
+      FROM w ORDER BY lang""")),
+
     // weighted mixture: per-lang quotas in the deterministic hash order
     ("c02_mixture_sample", (s: SparkSession, d: String) =>
       Curation.mixtureSample(t(s, d, "documents"), "lang",

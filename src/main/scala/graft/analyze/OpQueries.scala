@@ -358,6 +358,20 @@ object OpQueries {
         k = 8, iters = 2, threshold = 0.4, maxCluster = Int.MaxValue),
       Some(semDedupOracle(k = 8, iters = 2, threshold = 0.4))),
 
+    // ---- cluster-balanced (diversity) sampling: per-cluster nearest
+    // perCluster members via the map-side TopKAggregator ----------------
+    ("s14_cluster_sample", (s: SparkSession, d: String) =>
+      graft.ext.Similarity.clusterSample(t(s, d, "embeddings"),
+        k = 8, iters = 2, perCluster = 10),
+      Some(s"""
+      WITH ${kmeansCtes("", "embedding", 8, 2)}
+      SELECT vec_id, cluster, dist2, CAST(rn AS INT) AS rk FROM (
+        SELECT vec_id, cluster, dist2,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY dist2, vec_id) AS rn
+        FROM a3) z
+      WHERE rn <= 10 ORDER BY cluster, rk""")),
+
     // ---- product quantization: 4 subspace codebooks (k=16, 1 Lloyd
     // round each) -> 4 nibble codes per 64-dim vector; codes and
     // residual sums bit-exact ------------------------------------------

@@ -85,6 +85,46 @@ object Curation {
       .orderBy(col(stratum), col("rk"))
   }
 
+  /** Token-budget mixture planning — the recipe arithmetic of a
+    * training mix ("source X gets w% of a B-token budget; how many
+    * EPOCHS of X is that?" — the repeat-factor table a data card
+    * publishes). Per stratum: doc count and the exact whitespace-token
+    * sum (same token rule as t03); quota_tokens = budget * w DIV 100
+    * in exact integer math; epochs = quota / available as ONE IEEE
+    * division, so the doubles verify cross-engine. Strata without a
+    * weight drop before the aggregation (isin pushes to the scan).
+    * Scale shape: one partial-aggregable groupBy — the exchange
+    * carries a row per (partition, stratum); the plan artifact costs
+    * what a COUNT(*) costs at any corpus size.
+    *
+    * Output: (stratum, n_docs, n_tokens, weight_pct, quota_tokens,
+    * epochs); epochs > 1 means that stratum must repeat to fill its
+    * share of the budget.
+    */
+  def tokenBudgetPlan(docs: DataFrame, stratum: String, budgetTokens: Long,
+                      weights: Map[String, Int]): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0) &&
+      weights.values.sum == 100,
+      "weights must be positive percents summing to 100")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = weights.toSeq.toDF(stratum, "weight_pct")
+    graft.core.Tables.spread(docs)
+      .filter(col(stratum).isin(weights.keys.toSeq: _*))
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"))
+      .join(broadcast(wDf), stratum)
+      .withColumn("quota_tokens",
+        expr(s"CAST(($budgetTokens * weight_pct) DIV 100 AS BIGINT)"))
+      .withColumn("epochs",
+        col("quota_tokens").cast("double") / col("n_tokens").cast("double"))
+      .select(col(stratum), col("n_docs"), col("n_tokens"),
+        col("weight_pct"), col("quota_tokens"), col("epochs"))
+      .orderBy(col(stratum))
+  }
+
   /** Deterministic train/val/test assignment: bucket = portable
     * hash32(text) mod 100, splits carved by cumulative percent weights
     * in the given order. Hash-of-content (not of id) keeps exact

@@ -445,6 +445,32 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Cluster-balanced (diversity) sampling: fit k-means, keep each
+    * cluster's `perCluster` most-central members ((dist2, vec_id)
+    * order) — the coverage-preserving subset selection used for corpus
+    * pruning and prototype picking. Scale shape: the same map-side
+    * [[graft.functions.TopKAggregator]] as stratified sampling — each
+    * map partition keeps at most k x perCluster candidates before the
+    * exchange, however skewed the clusters (score = -dist2, so "best"
+    * = nearest; NaN/tie order identical to the oracle's ROW_NUMBER).
+    *
+    * Output: (vec_id, cluster, dist2, rk), rk 1..perCluster per cluster.
+    */
+  def clusterSample(embs: DataFrame, k: Int, iters: Int,
+                    perCluster: Int): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val (vecs, cents) = kmeansCore(embs, k, iters)
+    val topk = graft.functions.TopKAggregator.topK(perCluster)
+    assignToCentroids(vecs, cents)
+      .groupBy(col("cluster"))
+      .agg(topk(col("vec_id"), negate(col("dist2"))).as("sel"))
+      .select(col("cluster"), posexplode(col("sel")).as(Seq("idx", "s")))
+      .select(col("s.id").as("vec_id"), col("cluster"),
+        negate(col("s.score")).as("dist2"),
+        (col("idx") + 1).cast("int").as("rk"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
   /** Lloyd iterations train on at most ~this many vectors: above it the
     * training set is the deterministic hash-sample
     * `h32(vec_id) % ceil(n/cap) = 0` (portable — the oracle derives the

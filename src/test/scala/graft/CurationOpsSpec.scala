@@ -25,6 +25,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L), (5L, 2L)), s"got $got")
   }
 
+  test("token budget plan: exact quotas and epoch factors") {
+    import spark.implicits._
+    // lang a: 2 docs x 5 words = 10 tokens; lang b: 1 doc x 4 words;
+    // lang c has no weight and must not appear
+    val docs = Seq(
+      (1L, "one two three four five", "a"),
+      (2L, "six seven eight nine ten", "a"),
+      (3L, "just four words here", "b"),
+      (4L, "unweighted language row", "c")).toDF("doc_id", "text", "lang")
+    val plan = Curation.tokenBudgetPlan(docs, "lang", budgetTokens = 100L,
+      weights = Map("a" -> 60, "b" -> 40)).collect()
+    assert(plan.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = plan(0); val b = plan(1)
+    assert(a.getAs[Long]("n_tokens") == 10L && a.getAs[Long]("quota_tokens") == 60L)
+    assert(a.getAs[Double]("epochs") == 6.0) // 60 quota over 10 available
+    assert(b.getAs[Long]("n_tokens") == 4L && b.getAs[Long]("quota_tokens") == 40L)
+    assert(b.getAs[Double]("epochs") == 10.0)
+    intercept[IllegalArgumentException] {
+      Curation.tokenBudgetPlan(docs, "lang", 100L, Map("a" -> 50)) // != 100
+    }
+  }
+
   test("hash split partitions the corpus, duplicates land in one split") {
     import spark.implicits._
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

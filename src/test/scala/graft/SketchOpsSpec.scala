@@ -170,6 +170,31 @@ class SketchOpsSpec extends SparkSpec {
       s"hot cluster must be quarantined, got ${pairs.size} pairs")
   }
 
+  test("clusterSample keeps the most-central members per cluster") {
+    import spark.implicits._
+    // two tight directions; the slightly-perturbed member of each pair
+    // is farther from the cluster mean, so perCluster=1 keeps the
+    // member nearer the fixed-point centroid
+    val embs = Seq(
+      (5001L, Array(10f, 0f, 0f, 0f)), (7001L, Array(10f, 2f, 0f, 0f)),
+      (6002L, Array(0f, 10f, 0f, 0f)), (8002L, Array(0f, 10f, 2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val all = Similarity.clusterSample(embs, k = 2, iters = 2, perCluster = 10)
+      .collect()
+    assert(all.length == 4) // perCluster above size: everything sampled
+    assert(all.forall(_.getAs[Int]("rk") <= 2))
+    val one = Similarity.clusterSample(embs, k = 2, iters = 2, perCluster = 1)
+      .collect()
+    assert(one.length == 2 && one.forall(_.getAs[Int]("rk") == 1))
+    // each kept member is its cluster's min-dist2 row from the full run
+    val bestPerCluster = all.groupBy(_.getAs[Long]("cluster"))
+      .map { case (c, rs) => c -> rs.minBy(r =>
+        (r.getAs[Double]("dist2"), r.getAs[Long]("vec_id"))).getAs[Long]("vec_id") }
+    one.foreach { r =>
+      assert(bestPerCluster(r.getAs[Long]("cluster")) == r.getAs[Long]("vec_id"))
+    }
+  }
+
   test("nearDupResolution keeps exactly one highest-quality doc per cluster") {
     // three near-identical docs (one cluster) with different quality
     // (distinct-word ratio); two unrelated docs form no cluster
