@@ -297,6 +297,35 @@ object OpQueries {
              COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
       FROM events GROUP BY 1 ORDER BY window_start""")),
 
+    // ---- windowed heavy hitters: top-5 trending prop values per hour.
+    // Two partial-aggregable stages: exact (window, k) counts, then the
+    // map-side TopKAggregator per window — the exchange never carries
+    // more than windows x 5 candidate rows however hot one value gets
+    // (the exact-count companion of the t09 count-min sketch) ----------
+    ("w09_trending_props", (s: SparkSession, d: String) => {
+      val topk = graft.functions.TopKAggregator.topK(5)
+      t(s, d, "events")
+        .select(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("window_start"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("window_start"))
+        .agg(topk(col("k").cast("long"), col("n").cast("double")).as("sel"))
+        .select(col("window_start"), posexplode(col("sel")).as(Seq("idx", "s")))
+        .select(col("window_start"), col("s.id").cast("int").as("k"),
+          col("s.score").cast("long").as("n"),
+          (col("idx") + 1).cast("int").as("rk"))
+        .orderBy(col("window_start"), col("rk"))
+    }, Some("""
+      WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                        CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                        COUNT(*) AS n
+                 FROM events GROUP BY 1, 2)
+      SELECT window_start, k, CAST(n AS BIGINT) AS n, CAST(rn AS INT) AS rk
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+              ORDER BY n DESC, k) AS rn FROM c) z
+      WHERE rn <= 5 ORDER BY window_start, rk""")),
+
     // ---- embedding stats per label (exact: min/max of exact norms) ---
     ("s04_embedding_stats", (s: SparkSession, d: String) => {
       import graft.functions.VectorExpressions
@@ -357,6 +386,42 @@ object OpQueries {
       graft.ext.Similarity.semDedup(t(s, d, "embeddings"),
         k = 8, iters = 2, threshold = 0.4, maxCluster = Int.MaxValue),
       Some(semDedupOracle(k = 8, iters = 2, threshold = 0.4))),
+
+    // ---- IVF index quality audit: per-cell population and residual
+    // spread plus the global imbalance factor (k * sum n_c^2 / n^2, the
+    // Faiss nlist-health metric — 1.0 = perfectly balanced cells, big =
+    // hot cells that break the nProbe cost model). Sums are fixed-point
+    // (exact), the imbalance is integer products + ONE division --------
+    ("s15_ivf_cell_stats", (s: SparkSession, d: String) => {
+      val Q = 1099511627776.0 // 2^40
+      val cells = graft.ext.Similarity
+        .kmeansFit(t(s, d, "embeddings"), k = 8, iters = 2)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), max(col("dist2")).as("max_dist2"),
+          sum(floor(col("dist2") * lit(Q)).cast("long")).as("__sq"))
+        .withColumn("sum_dist2", col("__sq").cast("double") / lit(Q))
+        .drop("__sq")
+      val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+        sum(col("n_vecs") * col("n_vecs")).as("n_sq"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("imbalance",
+          (lit(8L) * col("n_sq")).cast("double")
+            / (col("n_total") * col("n_total")).cast("double"))
+        .select(col("cluster"), col("n_vecs"), col("max_dist2"),
+          col("sum_dist2"), col("imbalance"))
+        .orderBy(col("cluster"))
+    }, Some(s"""
+      WITH ${kmeansCtes("", "embedding", 8, 2)},
+      cells AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                       MAX(dist2) AS max_dist2,
+                       CAST(SUM(CAST(floor(dist2 * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                         / 1099511627776.0 AS sum_dist2
+                FROM a3 GROUP BY cluster),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+                     CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS n_sq FROM cells)
+      SELECT cluster, n_vecs, max_dist2, sum_dist2,
+             CAST(8 * n_sq AS DOUBLE) / CAST(n_total * n_total AS DOUBLE) AS imbalance
+      FROM cells, tot ORDER BY cluster""")),
 
     // ---- cluster-balanced (diversity) sampling: per-cluster nearest
     // perCluster members via the map-side TopKAggregator ----------------
