@@ -997,6 +997,54 @@ object ExtQueries {
                / CAST(n_tokens AS DOUBLE) AS epochs
       FROM w ORDER BY lang""")),
 
+    // DSIR-style target-affinity selection: keep the 50 training docs
+    // whose bigram mass best matches the doc_id<20 target set
+    ("c08_target_select", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Curation.targetSelect(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        topN = 50)
+    }, Some(s"""
+      WITH tgt AS (SELECT bigram, COUNT(*) AS tc FROM (
+                     SELECT unnest(${TextOps.wordShinglesSql("text", 2)}) AS bigram
+                     FROM documents WHERE doc_id < 20) z GROUP BY bigram),
+      tr AS (SELECT doc_id, unnest(${TextOps.wordShinglesSql("text", 2)}) AS bigram
+             FROM documents WHERE doc_id >= 20),
+      sc AS (SELECT doc_id,
+                    CAST(SUM(COALESCE(tc, 0)) AS BIGINT) AS score_int,
+                    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+             FROM tr LEFT JOIN tgt USING (bigram) GROUP BY doc_id)
+      SELECT doc_id, score_int, n_bigrams,
+             CAST(score_int AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS affinity
+      FROM sc ORDER BY affinity DESC, doc_id LIMIT 50""")),
+
+    // tokenizer fertility by language: exact corpus-level token and
+    // char inventories, per-lang chars/token and bpe-to-ws blowup
+    ("c09_token_fertility", (s: SparkSession, d: String) =>
+      Tables.spread(t(s, d, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.words(col("text"))).cast("long")).as("n_ws_tokens"),
+          sum(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long")).as("n_bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("chars_per_ws_token",
+          col("n_chars").cast("double") / col("n_ws_tokens").cast("double"))
+        .withColumn("bpe_blowup",
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+        .orderBy(col("lang")),
+      Some(s"""
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(${TextOps.wordsSql("text")})) AS BIGINT) AS n_ws_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(length(text)) AS DOUBLE)
+               / CAST(SUM(len(${TextOps.wordsSql("text")})) AS DOUBLE) AS chars_per_ws_token,
+             CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+               / CAST(SUM(len(${TextOps.wordsSql("text")})) AS DOUBLE) AS bpe_blowup
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // weighted mixture: per-lang quotas in the deterministic hash order
     ("c02_mixture_sample", (s: SparkSession, d: String) =>
       Curation.mixtureSample(t(s, d, "documents"), "lang",

@@ -125,6 +125,40 @@ object Curation {
       .orderBy(col(stratum))
   }
 
+  /** Target-affinity data selection (the DSIR family, Xie et al. 2023,
+    * reduced to exact integer arithmetic): score every training doc by
+    * how much its word-bigram mass appears in a TARGET corpus, and keep
+    * the topN most target-like. score_int = sum over the doc's bigrams
+    * (with multiplicity) of the target's exact bigram count; affinity
+    * = score_int / n_bigrams — integer sums and ONE division, so the
+    * ranking verifies cross-engine (the published method's log-ratio
+    * weights need libm; the count-overlap form keeps the same
+    * "select what resembles the target" semantics deterministically).
+    * Scale shape: the target's bigram table broadcasts (a target/eval
+    * set is small by definition); training docs explode to bigrams and
+    * hash-join it map-side; one groupBy(doc_id) aggregation; global
+    * topN = TakeOrdered. No doc-pair term anywhere.
+    *
+    * Output: (doc_id, score_int, n_bigrams, affinity), topN by
+    * (affinity DESC, doc_id).
+    */
+  def targetSelect(train: DataFrame, target: DataFrame, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val tgt = graft.core.Tables.spread(target)
+      .select(explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("tc"))
+    graft.core.Tables.spread(train)
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+      .join(broadcast(tgt), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("tc"), lit(0L))).as("score_int"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("affinity",
+        col("score_int").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Deterministic train/val/test assignment: bucket = portable
     * hash32(text) mod 100, splits carved by cumulative percent weights
     * in the given order. Hash-of-content (not of id) keeps exact

@@ -25,6 +25,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L), (5L, 2L)), s"got $got")
   }
 
+  test("targetSelect ranks target-like training docs first") {
+    import spark.implicits._
+    val target = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (20L, "the quick brown fox jumps again and again today"), // heavy overlap
+      (21L, "quick brown animals exist"), // light overlap
+      (22L, "completely unrelated parquet shuffle exchange text")) // none
+      .toDF("doc_id", "text")
+    val got = Curation.targetSelect(train, target, topN = 3).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 21L, 22L))
+    assert(got(0).getAs[Double]("affinity") > got(1).getAs[Double]("affinity"))
+    assert(got(2).getAs[Long]("score_int") == 0L) // zero target overlap
+    // topN truncates below the corpus size
+    assert(Curation.targetSelect(train, target, topN = 1).count() == 1)
+  }
+
   test("token budget plan: exact quotas and epoch factors") {
     import spark.implicits._
     // lang a: 2 docs x 5 words = 10 tokens; lang b: 1 doc x 4 words;
