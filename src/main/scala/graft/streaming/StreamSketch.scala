@@ -82,6 +82,58 @@ object StreamSketch {
       .start()
   }
 
+  // ---- streaming HEAVY HITTERS ----------------------------------------
+
+  val hhSchema: StructType = StructType(Seq(
+    StructField("k", LongType)))
+
+  /** Streaming exact heavy hitters — the frequency twin of the HLL
+    * stream: each micro-batch reduces to its exact per-value count
+    * table under an idempotent `batch=<id>` partition, and the live
+    * top-N snapshot SUM-merges all batches (counts are the simplest
+    * mergeable summary there is) before one map-side TopK. A replayed
+    * batch rewrites identical counts, so the snapshot is replay-stable.
+    * State honesty: per-batch state is O(distinct values in the batch)
+    * — exact HH can't do better; when the value universe itself is
+    * unbounded, the bounded-state answer is the count-min sketch (t09)
+    * with this same batch-partitioned merge layout.
+    */
+  def runHeavyHitters(spark: SparkSession, landingDir: String,
+                      stateDir: String, checkpointDir: String,
+                      topN: Int = 5): StreamingQuery = {
+    val events = spark.readStream.schema(hhSchema)
+      .option("multiLine", "false")
+      .json(landingDir)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHHBatch(spark, batch, batchId, stateDir, topN)
+      }
+      .start()
+  }
+
+  /** One idempotent micro-batch step (public for replay tests):
+    * overwrite this batch's count partition, then refresh the top-N
+    * snapshot from the sum-merge of ALL batches' counts (ties rank by
+    * lowest value, the TopKAggregator order).
+    */
+  def processHHBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                     stateDir: String, topN: Int): Unit = {
+    require(topN > 0, "topN > 0")
+    batch.filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$stateDir/counts/batch=$batchId")
+    val topk = graft.functions.TopKAggregator.topK(topN)
+    spark.read.parquet(s"$stateDir/counts")
+      .groupBy(col("k")).agg(sum(col("n")).as("n"))
+      .agg(topk(col("k"), col("n").cast("double")).as("sel"))
+      .select(posexplode(col("sel")).as(Seq("idx", "s")))
+      .select(col("s.id").as("k"), col("s.score").cast("long").as("n"),
+        (col("idx") + 1).cast("int").as("rk"))
+      .write.mode("overwrite").parquet(s"$stateDir/top")
+  }
+
   /** One idempotent micro-batch step (public for replay tests):
     * overwrite this batch's bottom-k sample partition, then refresh
     * the one-row (m, p50_est, p90_est) snapshot from the KMV re-merge

@@ -74,4 +74,28 @@ class StreamSketchSpec extends SparkSpec {
     assert(est(state) == streamed, "replay changed the estimate")
     assert(spark.read.parquet(s"$state/qsample").count() <= 2L * k)
   }
+
+  test("streaming heavy hitters: sum-merged batches equal the one-pass top") {
+    val state = Files.createTempDirectory("skh_state").toString
+    def batchDf(ks: Seq[Long]) = ks.toDF("k")
+    // value 7 is hot in both batches; 3 only in the first; ties (1,2)
+    // must rank by lowest value
+    val b0 = Seq.fill(10)(7L) ++ Seq.fill(6)(3L) ++ Seq(1L, 2L)
+    val b1 = Seq.fill(5)(7L) ++ Seq.fill(8)(9L) ++ Seq(1L, 2L)
+    StreamSketch.processHHBatch(spark, batchDf(b0), 0L, state, topN = 3)
+    StreamSketch.processHHBatch(spark, batchDf(b1), 1L, state, topN = 3)
+    def top(dir: String) = spark.read.parquet(s"$dir/top")
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n"), r.getAs[Int]("rk"))).toSeq
+    val streamed = top(state)
+    // global counts: 7->15, 9->8, 3->6, 1->2, 2->2
+    assert(streamed == Seq((7L, 15L, 1), (9L, 8L, 2), (3L, 6L, 3)), s"$streamed")
+    // one-pass over the union produces the identical snapshot
+    val direct = Files.createTempDirectory("skh_direct").toString
+    StreamSketch.processHHBatch(spark, batchDf(b0 ++ b1), 0L, direct, topN = 3)
+    assert(top(direct) == streamed)
+    // replay idempotency
+    StreamSketch.processHHBatch(spark, batchDf(b1), 1L, state, topN = 3)
+    assert(top(state) == streamed, "replay changed the top")
+  }
 }
