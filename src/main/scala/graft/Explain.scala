@@ -21,7 +21,9 @@ object Explain {
         "d17_containment_dup", "d18_hll_slice_merge", "s09_kmeans",
         "s10_pq_encode", "s11_pq_adc_topk", "s12_ivf_pq_topk",
         "t16_bm25_topk", "w08_quantile_sketch",
-        "c05_incremental_containment", "c06_incremental_cosine_dedup")
+        "c05_incremental_containment", "c06_incremental_cosine_dedup",
+        "s13_semdedup", "s14_cluster_sample", "d22_neardup_resolution",
+        "c08_target_select", "w09_trending_props")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -1045,6 +1045,33 @@ object ExtQueries {
                / CAST(SUM(len(${TextOps.wordsSql("text")})) AS DOUBLE) AS bpe_blowup
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // materialized budget mixture: per-doc copy counts filling each
+    // lang's token quota (full epochs + greedy hash-order remainder)
+    ("c10_budget_materialize", (s: SparkSession, d: String) =>
+      Curation.budgetMaterialize(t(s, d, "documents"), "lang",
+        budgetTokens = 1000000L,
+        weights = Map("en" -> 50, "de" -> 20, "fr" -> 10, "es" -> 10, "zh" -> 10)),
+      Some(s"""
+      WITH tok AS (SELECT doc_id, lang,
+                     CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS n_tokens,
+                     ('0x'||substr(md5(text),1,8))::BIGINT AS h
+                   FROM documents
+                   WHERE lang IN ('en', 'de', 'fr', 'es', 'zh')),
+      r AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+            FROM tok),
+      q AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total,
+                   CAST((1000000 * CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                        WHEN 'fr' THEN 10 WHEN 'es' THEN 10
+                        WHEN 'zh' THEN 10 END) // 100 AS BIGINT) AS quota
+            FROM tok GROUP BY lang)
+      SELECT r.lang, r.doc_id, r.n_tokens,
+             CAST(q.quota // q.total
+               + CASE WHEN r.run < q.quota % q.total THEN 1 ELSE 0 END AS BIGINT)
+               AS n_copies
+      FROM r JOIN q USING (lang) ORDER BY lang, doc_id""")),
+
     // weighted mixture: per-lang quotas in the deterministic hash order
     ("c02_mixture_sample", (s: SparkSession, d: String) =>
       Curation.mixtureSample(t(s, d, "documents"), "lang",

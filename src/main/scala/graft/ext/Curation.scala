@@ -125,6 +125,51 @@ object Curation {
       .orderBy(col(stratum))
   }
 
+  /** Materialize a [[tokenBudgetPlan]]: per-doc COPY COUNTS that fill
+    * each stratum's token quota exactly — floor(quota/total) full
+    * epochs for every doc plus one greedy partial pass in the
+    * deterministic hash order until the remainder is spent (the doc
+    * whose exclusive prefix crosses the remainder is the last one in).
+    * All integer arithmetic (DIV/MOD on exact token sums), so the copy
+    * counts verify cross-engine.
+    *
+    * Scale shape: ONE range exchange for the global exclusive prefix
+    * sum over (stratum, hash, doc_id) ([[PrefixSum.withRunningSum]] —
+    * balanced regardless of stratum skew, never a per-stratum window
+    * funnel); per-stratum starts/totals are a partial-aggregable
+    * groupBy broadcast back. Output: (stratum, doc_id, n_tokens,
+    * n_copies) for every doc of a weighted stratum (n_copies may be 0).
+    */
+  def budgetMaterialize(docs: DataFrame, stratum: String, budgetTokens: Long,
+                        weights: Map[String, Int]): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0) &&
+      weights.values.sum == 100,
+      "weights must be positive percents summing to 100")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = graft.core.Tables.spread(docs)
+      .filter(col(stratum).isin(weights.keys.toSeq: _*))
+      .select(col("doc_id"), col(stratum),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+        hash32.as("__h"))
+    val run = PrefixSum.withRunningSum(toks,
+      Seq(col(stratum), col("__h"), col("doc_id")), "n_tokens", "__run")
+    val starts = run.groupBy(col(stratum))
+      .agg(min(col("__run")).as("__start"),
+        sum(col("n_tokens")).as("__total"))
+    // quotas in exact Scala long math — same DIV-100 rule as the plan
+    val quotaDf = weights.toSeq
+      .map { case (k, w) => (k, budgetTokens * w / 100) }
+      .toDF(stratum, "__quota")
+    run.join(broadcast(starts), stratum)
+      .join(broadcast(quotaDf), stratum)
+      .withColumn("n_copies", expr(
+        "CAST(__quota DIV __total + IF(__run - __start < __quota % __total, 1, 0) AS BIGINT)"))
+      .select(col(stratum), col("doc_id"), col("n_tokens"), col("n_copies"))
+      .orderBy(col(stratum), col("doc_id"))
+  }
+
   /** Target-affinity data selection (the DSIR family, Xie et al. 2023,
     * reduced to exact integer arithmetic): score every training doc by
     * how much its word-bigram mass appears in a TARGET corpus, and keep

@@ -42,6 +42,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(Curation.targetSelect(train, target, topN = 1).count() == 1)
   }
 
+  test("budget materialize fills each quota to within one document") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val weights = Map("en" -> 50, "de" -> 20, "fr" -> 10, "es" -> 10, "zh" -> 10)
+    val budget = 200000L
+    val out = Curation.budgetMaterialize(docs, "lang", budget, weights).cache()
+    val filled = out.groupBy(col("lang"))
+      .agg(sum(col("n_copies") * col("n_tokens")).as("got"),
+        max(col("n_tokens")).as("max_doc"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("got"), r.getAs[Long]("max_doc"))).toMap
+    weights.foreach { case (lang, w) =>
+      val quota = budget * w / 100
+      val (got, maxDoc) = filled(lang)
+      // greedy fill: meets the quota, overshoots by less than one doc
+      assert(got >= quota, s"$lang under-filled: $got < $quota")
+      assert(got < quota + maxDoc, s"$lang overshot by a full doc: $got vs $quota")
+    }
+    // every doc of a weighted stratum appears exactly once
+    assert(out.count() == docs.filter(col("lang").isin(weights.keys.toSeq: _*)).count())
+    out.unpersist()
+    ()
+  }
+
   test("token budget plan: exact quotas and epoch factors") {
     import spark.implicits._
     // lang a: 2 docs x 5 words = 10 tokens; lang b: 1 doc x 4 words;
