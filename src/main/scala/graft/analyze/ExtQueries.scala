@@ -829,6 +829,42 @@ object ExtQueries {
     // recall@5 of the LSH index against the exact baseline — the ANN
     // quality measurement, in-engine (both sides are exact-cosine
     // rankings, so even the recall fractions verify value-for-value)
+    // truncated-dimension retrieval audit (the Matryoshka/dim-pruning
+    // trade): recall@5 of brute search on the first 16 of 64 dims vs
+    // the full-dimension baseline — the measurement that justifies (or
+    // forbids) storing short embedding prefixes at 4x density
+    ("s16_truncated_recall", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val full = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = Similarity.bruteForceTopK(
+          embs.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+          nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_full"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_full").cast("double"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH b AS ($annTopkOracle),
+      te AS (SELECT vec_id, list_slice(embedding, 1, 16) AS temb FROM embeddings),
+      e2 AS (SELECT vec_id, temb, ${normS("temb")} AS nrm FROM te),
+      sc2 AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                     ${dotS("q.temb", "t.temb")} / (q.nrm * t.nrm) AS cosine
+              FROM e2 q JOIN e2 t ON q.vec_id < 10 AND t.vec_id >= 10),
+      tr AS (SELECT qid AS query_id, tid AS neighbor_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, tid) AS rn FROM sc2) z
+             WHERE rn <= 5)
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(tr.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM b LEFT JOIN tr
+        ON b.query_id = tr.query_id AND b.neighbor_id = tr.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id""")),
+
     ("s07_ann_lsh_recall", (s: SparkSession, d: String) => {
       val embs = t(s, d, "embeddings")
       val brute = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)

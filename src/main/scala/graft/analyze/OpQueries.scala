@@ -326,6 +326,42 @@ object OpQueries {
               ORDER BY n DESC, k) AS rn FROM c) z
       WHERE rn <= 5 ORDER BY window_start, rk""")),
 
+    // ---- ordered funnel analysis: view -> click -> purchase, each
+    // step's timestamp strictly after the previous step's. Three
+    // per-user MIN aggregations chained by user_id equi-joins (all
+    // co-partitioned after the first shuffle) — never a per-user
+    // event-array materialization; conversion lag sums exact micros ----
+    ("w10_funnel_steps", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      def step(typ: String) = ev.filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts"))
+      val s1 = step("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = step("click").join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = step("purchase").join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n_view"), count(col("t2")).as("n_view_click"),
+          count(col("t3")).as("n_full"),
+          coalesce(sum(when(col("t3").isNotNull,
+            unix_micros(col("t3")) - unix_micros(col("t1")))), lit(0L))
+            .as("sum_lag_us"))
+    }, Some("""
+      WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      SELECT CAST(COUNT(s1.t1) AS BIGINT) AS n_view,
+             CAST(COUNT(s2.t2) AS BIGINT) AS n_view_click,
+             CAST(COUNT(s3.t3) AS BIGINT) AS n_full,
+             CAST(COALESCE(SUM(CASE WHEN s3.t3 IS NOT NULL
+               THEN epoch_us(s3.t3) - epoch_us(s1.t1) END), 0) AS BIGINT) AS sum_lag_us
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""")),
+
     // ---- embedding stats per label (exact: min/max of exact norms) ---
     ("s04_embedding_stats", (s: SparkSession, d: String) => {
       import graft.functions.VectorExpressions
