@@ -865,6 +865,45 @@ object ExtQueries {
         ON b.query_id = tr.query_id AND b.neighbor_id = tr.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // JL ±1 random projection to the SAME 16 dims as s16's prefix
+    // truncation, then the identical recall@5 audit — measures, rather
+    // than assumes, whether a random projection preserves neighborhoods
+    // better than dropping 48 of 64 coordinates at equal storage cost
+    // (on this near-isotropic fixture BOTH collapse toward chance —
+    // which is precisely the go/no-go evidence the audit exists to
+    // produce before anyone ships 4x-denser short vectors)
+    ("s17_jl_recall", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val full = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val proj = Similarity.bruteForceTopK(Similarity.jlProject(embs),
+          nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      full.join(proj, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_full"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_full").cast("double"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH b AS ($annTopkOracle),
+      pe AS (SELECT vec_id, ${Similarity.jlProjectSql("embedding")} AS pemb
+             FROM embeddings),
+      e2 AS (SELECT vec_id, pemb, ${normS("pemb")} AS nrm FROM pe),
+      sc2 AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                     ${dotS("q.pemb", "t.pemb")} / (q.nrm * t.nrm) AS cosine
+              FROM e2 q JOIN e2 t ON q.vec_id < 10 AND t.vec_id >= 10),
+      pr AS (SELECT qid AS query_id, tid AS neighbor_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, tid) AS rn FROM sc2) z
+             WHERE rn <= 5)
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(COUNT(pr.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(pr.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM b LEFT JOIN pr
+        ON b.query_id = pr.query_id AND b.neighbor_id = pr.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id""")),
+
     ("s07_ann_lsh_recall", (s: SparkSession, d: String) => {
       val embs = t(s, d, "embeddings")
       val brute = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)

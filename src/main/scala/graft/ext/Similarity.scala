@@ -835,4 +835,57 @@ object Similarity {
             lit(0.0), (acc, e) => acc + e)).as("sq_err"))
       .orderBy(col("vec_id"))
   }
+
+  /** Deterministic ±1 sign matrix for [[jlProject]], signs(k)(j) for
+    * output dim k and input dim j. Knuth-multiplicative bit mix — a
+    * FIXED pseudo-random matrix generated once here and inlined as
+    * literal +/- chains into BOTH the Spark plan and the DuckDB oracle,
+    * so no cross-engine arithmetic is needed to agree on it.
+    */
+  def jlSigns(inDims: Int, outDims: Int): Array[Array[Int]] =
+    Array.tabulate(outDims, inDims) { (k, j) =>
+      if ((((j * outDims + k + 1).toLong * 2654435761L) >>> 16 & 1L) == 0L) 1
+      else -1
+    }
+
+  /** Johnson–Lindenstrauss random projection (Achlioptas ±1 form):
+    * each of `outDims` output coordinates is a signed sum of ALL
+    * `inDims` input coordinates, folded left-to-right in double and
+    * stored back as float. Distances are preserved in expectation
+    * (prefix truncation instead drops 75% of the signal outright —
+    * s16 vs s17 measures that trade per corpus; on tie-dense isotropic
+    * data both audits report near-chance recall, the honest "don't"
+    * answer). The common 1/sqrt(outDims)
+    * scaling is omitted: cosine is scale-invariant, and dropping it
+    * keeps the arithmetic to +/- only (bit-portable by construction).
+    * Pure projection — no shuffle, scan throughput at any corpus size.
+    */
+  def jlProject(embs: DataFrame, inDims: Int = 64, outDims: Int = 16): DataFrame = {
+    val signs = jlSigns(inDims, outDims)
+    val proj = (0 until outDims).map { k =>
+      val sum = (0 until inDims).foldLeft(lit(0.0)) { (acc, j) =>
+        val x = element_at(col("embedding"), j + 1).cast("double")
+        if (signs(k)(j) > 0) acc + x else acc - x
+      }
+      sum.cast("float")
+    }
+    graft.core.Tables.spread(embs)
+      .select(col("vec_id"), array(proj: _*).as("embedding"))
+  }
+
+  /** DuckDB twin of [[jlProject]]'s row expression: the projected list
+    * literal-for-literal in the same fold order (`emb` names a
+    * LIST(FLOAT) column).
+    */
+  def jlProjectSql(emb: String, inDims: Int = 64, outDims: Int = 16): String = {
+    val signs = jlSigns(inDims, outDims)
+    val dims = (0 until outDims).map { k =>
+      val chain = (0 until inDims).foldLeft("CAST(0.0 AS DOUBLE)") { (acc, j) =>
+        val op = if (signs(k)(j) > 0) "+" else "-"
+        s"($acc $op CAST($emb[${j + 1}] AS DOUBLE))"
+      }
+      s"CAST($chain AS REAL)"
+    }
+    dims.mkString("list_value(", ", ", ")")
+  }
 }
