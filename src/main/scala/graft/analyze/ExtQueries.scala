@@ -249,6 +249,37 @@ object ExtQueries {
   private def dotS(a: String, b: String) = Similarity.dotSql(a, b)
   private def normS(a: String) = Similarity.normSql(a)
 
+  /** Analytic twin of [[Multimodal.syntheticPatternImages]] +
+    * [[Multimodal.dhash64]]: per-doc dHash recomputed from the md5 cell
+    * rule — pattern p = doc_id%16, cell v = h32(p*72 + qy*9 + qx) % 256
+    * (first three cells of row p%8 complemented for noisy docs), bit
+    * qy*8+qx set when the right neighbor cell is greater. Bit 63 is
+    * spelled as the Long sign-bit literal: DuckDB refuses 1<<63 where
+    * Spark's shiftleft wraps — same value, written out.
+    */
+  private val phashDocsCte: String = {
+    val cellHash = Hashing.h32Sql(
+      "CAST(pn.p*72 + gy.qy*9 + gx.qx AS VARCHAR)") + " % 256"
+    s"""d AS (SELECT doc_id, CAST(doc_id % ${Multimodal.PatternCount} AS BIGINT) AS p,
+             9*(2 + doc_id % 3) AS w, 8*(2 + doc_id % 2) AS h,
+             (doc_id % ${Multimodal.NoiseEvery} = 0) AS noisy FROM documents),
+      pn AS (SELECT DISTINCT p, noisy FROM d),
+      cells AS (SELECT pn.p, pn.noisy, gx.qx, gy.qy,
+          CASE WHEN pn.noisy AND gy.qy = pn.p % 8 AND gx.qx <= 2
+               THEN 255 - ($cellHash) ELSE ($cellHash) END AS v
+        FROM pn CROSS JOIN range(9) gx(qx) CROSS JOIN range(8) gy(qy)),
+      hh AS (SELECT c1.p, c1.noisy,
+          CAST(SUM(CASE WHEN c2.v <= c1.v THEN CAST(0 AS BIGINT)
+               WHEN c1.qy*8 + c1.qx = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+               ELSE (CAST(1 AS BIGINT) << CAST(c1.qy*8 + c1.qx AS INT)) END)
+            AS BIGINT) AS dhash
+        FROM cells c1 JOIN cells c2 ON c1.p = c2.p AND c1.noisy = c2.noisy
+         AND c1.qy = c2.qy AND c2.qx = c1.qx + 1
+        WHERE c1.qx < 8 GROUP BY c1.p, c1.noisy),
+      hd AS (SELECT d.doc_id, d.w, d.h, hh.dhash FROM d
+             JOIN hh ON d.p = hh.p AND d.noisy = hh.noisy)"""
+  }
+
   private val cosineDupOracle: String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1358,6 +1389,47 @@ object ExtQueries {
         CAST(list_sum(list_transform(range((4 + doc_id % 13) * (3 + doc_id % 7)),
           i -> (doc_id*31 + i) % 256)) AS BIGINT) AS pixel_sum
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // ---- perceptual image dedup (dHash over REAL decoded pixels) ----
+    // the multimodal near-dup story: the same pattern rendered at
+    // different resolutions hashes identically (m04 groups find the
+    // cross-resolution exact-duplicates); a perturbed rendition lands a
+    // few bits away and is recovered by the banded Hamming join (m05).
+    // The oracle recomputes every cell analytically from the md5 cell
+    // rule — it never decodes an image, yet checks the real
+    // encode->decode->sample->hash path value-for-value.
+    ("m04_phash_groups", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Multimodal.dhash64(Multimodal.syntheticPatternImages(docs))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("width") * lit(1000) + col("height")).as("n_sizes"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("dhash"))
+    }, Some(s"""
+      WITH $phashDocsCte
+      SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT w*1000 + h) AS BIGINT) AS n_sizes,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM hd GROUP BY dhash ORDER BY dhash""")),
+
+    ("m05_phash_neardup", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val hashed = Multimodal.dhash64(Multimodal.syntheticPatternImages(docs))
+      Dedup.fingerprintNearDup(
+        hashed.select(col("doc_id"), col("dhash").as("fp")),
+        minHamming = 1, maxHamming = 4)
+    }, Some(s"""
+      WITH $phashDocsCte
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+      FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+       AND ((a.dhash & 65535) = (b.dhash & 65535) OR
+            ((a.dhash >> 16) & 65535) = ((b.dhash >> 16) & 65535) OR
+            ((a.dhash >> 32) & 65535) = ((b.dhash >> 32) & 65535) OR
+            ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535))
+      WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 4
+      ORDER BY doc_a, doc_b""")),
 
     // ---- streaming window workload, batch form -------------------------
     // (the true readStream variants live in graft.streaming and are

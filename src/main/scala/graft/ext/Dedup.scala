@@ -887,14 +887,30 @@ object Dedup {
     * bits below the shifted-in sign bits.
     */
   def simhashDup(docs: DataFrame, maxHamming: Int,
-                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = simhash(docs)
+                 maxBucket: Int = DefaultMaxBucket): DataFrame =
+    fingerprintNearDup(
+      simhash(docs).select(col("doc_id"), col("simhash").as("fp")),
+      minHamming = 0, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Banded Hamming near-dup over ANY 64-bit fingerprint column — the
+    * blocking engine behind [[simhashDup]] (text) and the perceptual
+    * image-hash dedup ([[graft.ext.Multimodal.dhash64]]). `fps` carries
+    * (doc_id, fp); candidates share one of [[SimhashBands]]
+    * [[SimhashBandBits]]-bit bands (hot buckets capped), then verify by
+    * popcount of XOR. `minHamming` > 0 reports only strictly-near pairs
+    * (exact duplicates have their own groupBy path — no pair blowup on
+    * a corpus of identical fingerprints). Arithmetic-vs-logical shift
+    * is irrelevant: the mask keeps only bits below the shifted-in sign
+    * bits.
+    */
+  def fingerprintNearDup(fps: DataFrame, minHamming: Int, maxHamming: Int,
+                         maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // checkpointed: the candidate self-join references the banded table
     // on both sides (same multi-reference rule as jaccardVerify)
     val banded = HotBuckets.prune(
-      sh.select(col("doc_id"), col("simhash"),
+      fps.select(col("doc_id"), col("fp"),
         posexplode(array((0 until SimhashBands).map(k =>
-          shiftright(col("simhash"), SimhashBandBits * k)
+          shiftright(col("fp"), SimhashBandBits * k)
             .bitwiseAND(lit(SimhashBandMask))): _*))
           .as(Seq("band_idx", "band_val")))
         .localCheckpoint(),
@@ -904,11 +920,12 @@ object Dedup {
         col("x.band_val") === col("y.band_val") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
       .distinct()
     pairs
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming &&
+        col("hamming") >= minHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -162,6 +162,110 @@ object Multimodal {
     decoded
   }
 
+  /** Perceptual-hash fixture geometry: images are step functions on a
+    * 9x8 logical cell grid (the dHash sampling grid), rendered at
+    * pixel sizes that are exact multiples of it — so the SAME pattern
+    * rendered at 18x16 and 36x24 is perceptually (and dHash-) identical
+    * while being byte-wise completely different PNGs. Cell values are
+    * the portable md5 hash of the cell key (the [[graft.functions
+    * .Hashing.h32]] discipline), so the DuckDB oracle recomputes every
+    * pixel analytically without decoding anything. Docs with
+    * doc_id % [[NoiseEvery]] == 0 get one row's first three cells
+    * complemented — a planted PERTURBED rendition whose dHash lands 2-3
+    * bits from its clean twin (near-dup, not exact-dup).
+    */
+  val PatternCount = 16
+  val NoiseEvery = 97
+
+  private def cellValue(p: Int, qx: Int, qy: Int, noisy: Boolean): Int = {
+    val key = (p * 72 + qy * 9 + qx).toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    val v = (java.lang.Long.parseLong(hex, 16) % 256L).toInt
+    if (noisy && qy == p % 8 && qx <= 2) 255 - v else v
+  }
+
+  /** Deterministic synthetic pattern images, REALLY encoded as PNG:
+    * pattern = doc_id % 16 at w = 9*(2 + doc_id%3), h = 8*(2 + doc_id%2)
+    * — the multi-resolution perceptual-dedup fixture (see [[cellValue]]).
+    */
+  def syntheticPatternImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = (id % PatternCount).toInt
+          val w = 9 * (2 + (id % 3).toInt)
+          val h = 8 * (2 + (id % 2).toInt)
+          val noisy = id % NoiseEvery == 0
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                cellValue(p, x * 9 / w, y * 8 / h, noisy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** 64-bit difference hash (dHash) from REAL decoded pixels: decode
+    * via `javax.imageio`, nearest-sample a 9x8 grid, set bit
+    * qy*8 + qx when sample(qx+1, qy) > sample(qx, qy). Resolution-
+    * invariant for content that is (close to) a step function on the
+    * grid — the property perceptual dedup rests on. Per-partition map,
+    * no shuffle; undecodable payloads are dropped (the malformed-input
+    * contract: a corrupt image must never crash the hash pass).
+    */
+  def dhash64(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None
+            else {
+              val raster = img.getRaster
+              val w = img.getWidth; val h = img.getHeight
+              var hash = 0L
+              var qy = 0
+              while (qy < 8) {
+                val sy = qy * h / 8
+                var qx = 0
+                while (qx < 8) {
+                  val a = raster.getSample(qx * w / 9, sy, 0)
+                  val b = raster.getSample((qx + 1) * w / 9, sy, 0)
+                  if (b > a) hash |= 1L << (qy * 8 + qx)
+                  qx += 1
+                }
+                qy += 1
+              }
+              Some((id, w, h, hash))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "dhash")
+  }
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))
