@@ -326,6 +326,55 @@ object OpQueries {
               ORDER BY n DESC, k) AS rn FROM c) z
       WHERE rn <= 5 ORDER BY window_start, rk""")),
 
+    // ---- link-graph centrality: fixed-point PageRank over the item
+    // transition graph (per-user consecutive prop-k values). The
+    // corpus-curation quality-prior shape: edges from behavior, 3 exact
+    // integer iterations, every rank a value-verifiable BIGINT. Oracle
+    // = the same three iterations unrolled as CTEs ---------------------
+    ("g01_pagerank", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("src", lag(col("k"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src").cast("long").as("src"),
+          col("k").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graphs.pageRank(edges, iters = 3)
+        .select(col("k"), col("r").as("rank_fp"))
+    }, Some {
+      val scale = 1L << 40
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT ed.dst, SUM(r${i - 1}.r * ed.w // ow.ow) AS s
+              FROM ed JOIN ow ON ed.src = ow.src
+              JOIN r${i - 1} ON r${i - 1}.k = ed.src GROUP BY ed.dst),
+        r$i AS (SELECT nodes.k,
+                  (15 * $scale // 100) // (SELECT n FROM nn)
+                    + 85 * COALESCE(c$i.s, 0) // 100 AS r
+                FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH ev AS (SELECT user_id, ts, event_id,
+                         CAST(json_extract_string(props, '$$.k') AS INT) AS k
+                  FROM events
+                  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      tr AS (SELECT k, LAG(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src FROM ev),
+      ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
+                    COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+      ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT k, $scale // (SELECT n FROM nn) AS r FROM nodes),
+      $iterCtes
+      SELECT k, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY k"""
+    }),
+
     // ---- ordered funnel analysis: view -> click -> purchase, each
     // step's timestamp strictly after the previous step's. Three
     // per-user MIN aggregations chained by user_id equi-joins (all
