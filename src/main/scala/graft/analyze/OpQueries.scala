@@ -782,6 +782,47 @@ object OpQueries {
             FROM scored) z
       WHERE rn <= 3 ORDER BY doc_id, rn""")),
 
+    // ---- BPE merge training: 3 exact merge iterations over the
+    // top-200 word dictionary. Each iteration = explode + partial-agg
+    // groupBy + a 1-row argmax collect (the bounded-collect contract);
+    // the oracle unrolls the same iterations as CTE chains, with the
+    // " a  b " -> " ab " delimiter scheme making the leftmost-non-
+    // overlapping merge identical string semantics in both engines ----
+    ("t17_bpe_merges", (s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.bpeMerges(t(s, d, "documents"),
+        vocabTop = 200, iters = 3),
+      Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""sy$i AS (SELECT freq, string_split(trim(seq), '  ') AS sy FROM v${i - 1}
+               WHERE len(string_split(trim(seq), '  ')) > 1),
+        pc$i AS (SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
+                 FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+                         j -> [sy[j], sy[j+1]])) AS p FROM sy$i) q
+                 GROUP BY 1, 2),
+        tp$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+        v$i AS (SELECT word, freq,
+                  replace(seq,
+                    ' ' || (SELECT a FROM tp$i) || '  ' || (SELECT b FROM tp$i) || ' ',
+                    ' ' || (SELECT a FROM tp$i) || (SELECT b FROM tp$i) || ' ') AS seq
+                FROM v${i - 1})"""
+      }.mkString(",\n        ")
+      s"""
+      WITH wf AS (SELECT wd AS word, COUNT(*) AS freq
+                  FROM (SELECT unnest(string_split(text, ' ')) AS wd
+                        FROM documents) u
+                  WHERE regexp_matches(wd, '^[a-z]+$$') GROUP BY wd),
+      v0 AS (SELECT word, freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+             FROM wf ORDER BY freq DESC, word LIMIT 200),
+      $iterCtes
+      SELECT * FROM (
+        SELECT 1 AS iter, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS pair_count FROM tp1
+        UNION ALL
+        SELECT 2, a, b, CAST(cnt AS BIGINT) FROM tp2
+        UNION ALL
+        SELECT 3, a, b, CAST(cnt AS BIGINT) FROM tp3) z
+      ORDER BY iter"""
+    }),
+
     // ---- BM25-style sparse retrieval (rational idf / N; fixed-point
     // per-doc sums so the score is order-independent and the rank ties
     // on an integer in both engines) --------------------------------

@@ -348,4 +348,63 @@ object TextAnalysis {
         (col("s").cast("double") / lit(Q)).as("score"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016, the
+    * word-frequency-dictionary formulation every BPE tokenizer trainer
+    * uses): start from character sequences over the corpus's top
+    * `vocabTop` words (deterministic (freq DESC, word) cut — a
+    * TakeOrdered, not a global window), then `iters` times (a) count
+    * adjacent symbol pairs weighted by word frequency, (b) pick the
+    * argmax pair with (count DESC, pair) tie-break, (c) merge it
+    * leftmost-non-overlapping in every sequence. Returns one row per
+    * learned merge: (iter, sym_a, sym_b, pair_count).
+    *
+    * Distribution shape: each iteration is one explode + one partial-
+    * aggregable groupBy over the vocab table; the only driver-side
+    * value is the single argmax row per iteration (the same bounded-
+    * collect contract as the k-means Lloyd loop — merges ARE the
+    * model). Sequences hold symbols as " sym " units separated by two
+    * spaces, so the merge is a plain leftmost string replace of
+    * " a  b " with " ab " — adjacent occurrences keep disjoint
+    * delimiters and no symbol can match inside another's name; the
+    * same replace() semantics hold in the oracle engine, making every
+    * iteration value-verifiable.
+    */
+  def bpeMerges(docs: DataFrame, vocabTop: Int = 200,
+                iters: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = graft.core.Tables.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabTop)
+      .withColumn("seq", regexp_replace(col("word"), "(.)", " $1 "))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to iters) {
+      val syms = vocab
+        .select(col("freq"), split(trim(col("seq")), "  ").as("sy"))
+        .filter(size(col("sy")) > 1)
+      val top = syms
+        .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("sy")) - 1), j =>
+              struct(element_at(col("sy"), j).as("a"),
+                element_at(col("sy"), j + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"BPE iteration $i: no adjacent pairs left")
+      val (a, b, cnt) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((i, a, b, cnt))
+      vocab = vocab.withColumn("seq",
+          expr(s"replace(seq, ' $a  $b ', ' $a$b ')"))
+        .localCheckpoint()
+    }
+    merges.result()
+      .toDF("iter", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("iter"))
+  }
 }
