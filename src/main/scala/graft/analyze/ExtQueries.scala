@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.ext.{Curation, Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, TextOps}
 import graft.functions.Hashing
 import graft.functions.Hashing.{MersennePrime => P}
 
@@ -248,6 +248,35 @@ object ExtQueries {
 
   private def dotS(a: String, b: String) = Similarity.dotSql(a, b)
   private def normS(a: String) = Similarity.normSql(a)
+
+  /** The reconciliation fixture's divergent replica: drop every 997th
+    * doc, append " v2" to every 499th's text — deletions AND
+    * modifications, derived in-query so both engines build the same
+    * replica.
+    */
+  private val ReconcileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  private def reconcileV2(a: DataFrame): DataFrame =
+    a.filter(col("doc_id") % 997 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 499 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+
+  private val reconcileBucketSql: String =
+    s"${Hashing.h32Sql("CAST(doc_id AS VARCHAR)")} % 64"
+
+  private val reconcileCtes: String = {
+    val rh = Reconcile.rowHashSql(ReconcileCols)
+    s"""b2 AS (SELECT doc_id,
+               CASE WHEN doc_id % 499 = 0 THEN text || ' v2' ELSE text END AS text,
+               lang, source, n_chars FROM documents WHERE doc_id % 997 <> 0),
+      da AS (SELECT $reconcileBucketSql AS bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+                    CAST(SUM($rh) AS BIGINT) AS digest_a
+             FROM documents GROUP BY 1),
+      db AS (SELECT $reconcileBucketSql AS bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+                    CAST(SUM($rh) AS BIGINT) AS digest_b
+             FROM b2 GROUP BY 1)"""
+  }
 
   /** Analytic twin of [[Multimodal.syntheticPatternImages]] +
     * [[Multimodal.dhash64]]: per-doc dHash recomputed from the md5 cell
@@ -547,6 +576,52 @@ object ExtQueries {
     ("d06_ngram_jaccard_dup", (s: SparkSession, d: String) =>
       Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),
       Some(ngramJaccardOracle)),
+
+    // ---- replica reconciliation (Merkle-style bucket digests) ----
+    // "did the copy land intact?" for tables too big to compare by
+    // moving them: phase 1 ships only `buckets` counter rows per side
+    // (d24); phase 2 joins full rows ONLY inside mismatched buckets
+    // (d25). The divergent replica is derived in-query: drop every
+    // 997th doc, append ' v2' to every 499th's text.
+    ("d24_table_diff", (s: SparkSession, d: String) => {
+      val a = t(s, d, "documents")
+      Reconcile.tableDiff(a, reconcileV2(a), "doc_id", ReconcileCols,
+        buckets = 64)
+    }, Some(s"""
+      WITH $reconcileCtes
+      SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+             COALESCE(digest_a, 0) AS digest_a, COALESCE(digest_b, 0) AS digest_b,
+             (COALESCE(n_a, 0) = COALESCE(n_b, 0) AND
+              COALESCE(digest_a, 0) = COALESCE(digest_b, 0)) AS is_match
+      FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+      ORDER BY bucket""")),
+
+    ("d25_table_diff_drill", (s: SparkSession, d: String) => {
+      val a = t(s, d, "documents")
+      Reconcile.tableDiffDrill(a, reconcileV2(a), "doc_id", ReconcileCols,
+        buckets = 64)
+    }, Some(s"""
+      WITH $reconcileCtes,
+      bad AS (SELECT COALESCE(da.bucket, db.bucket) AS bucket
+              FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+              WHERE NOT (COALESCE(n_a, 0) = COALESCE(n_b, 0) AND
+                         COALESCE(digest_a, 0) = COALESCE(digest_b, 0))),
+      ra AS (SELECT doc_id, ${reconcileBucketSql} AS bucket,
+                    ${Reconcile.rowHashSql(ReconcileCols)} AS rh
+             FROM documents),
+      rb AS (SELECT doc_id, ${reconcileBucketSql} AS bucket,
+                    ${Reconcile.rowHashSql(ReconcileCols)} AS rh
+             FROM b2),
+      fa AS (SELECT ra.* FROM ra JOIN bad USING (bucket)),
+      fb AS (SELECT rb.* FROM rb JOIN bad USING (bucket))
+      SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+             CASE WHEN fa.doc_id IS NULL THEN 'added'
+                  WHEN fb.doc_id IS NULL THEN 'deleted'
+                  WHEN fa.rh <> fb.rh THEN 'modified' END AS status
+      FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+      WHERE (fa.doc_id IS NULL OR fb.doc_id IS NULL OR fa.rh <> fb.rh)
+      ORDER BY doc_id""")),
 
     // deterministic sketch: the KMV estimate verifies value-for-value
     // (same portable hash both engines), not just "close enough"
