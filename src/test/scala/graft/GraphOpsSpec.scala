@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Graphs, Multimodal, Reconcile, TextAnalysis}
+
+/** Direct property checks for the graph/reconciliation/BPE/perceptual
+  * operators (their oracle twins prove cross-engine exactness on the
+  * star tables; these pin the SEMANTIC claims on hand-built inputs).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric cycle ranks equally, sink of a star ranks highest") {
+    val cycle = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val rc = Graphs.pageRank(cycle, iters = 3).collect()
+    assert(rc.length == 2 && rc.map(_.getLong(1)).distinct.length == 1)
+
+    // star: 1,2,3 all point at 4; 4 points at 1 — 4 must out-rank all
+    val star = Seq((1L, 4L, 1L), (2L, 4L, 1L), (3L, 4L, 1L), (4L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val rs = Graphs.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs(4L) > rs(1L) && rs(1L) > rs(2L) && rs(2L) == rs(3L))
+  }
+
+  test("pageRank: rank mass is bounded by scale and deterministic across runs") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val a = Graphs.pageRank(edges, iters = 4).collect().toSeq
+    val b = Graphs.pageRank(edges, iters = 4).collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(1)).sum <= (1L << 40))
+  }
+
+  test("tableDiff: identical tables match everywhere, drill is empty") {
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val diff = Reconcile.tableDiff(t1, t1, "doc_id", Seq("doc_id", "v"), 8)
+    assert(diff.filter(!col("is_match")).count() == 0)
+    assert(Reconcile.tableDiffDrill(t1, t1, "doc_id", Seq("doc_id", "v"), 8)
+      .count() == 0)
+  }
+
+  test("tableDiff drill classifies added/deleted/modified") {
+    val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    val t2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("doc_id", "v")
+    val drill = Reconcile
+      .tableDiffDrill(t1, t2, "doc_id", Seq("doc_id", "v"), 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(drill == Map(2L -> "modified", 3L -> "deleted", 4L -> "added"))
+    // and the matching row never appears
+    assert(!drill.contains(1L))
+  }
+
+  test("tableDiff null-safety: NULL column vs literal empty string differ") {
+    val t1 = Seq((1L, Some("x")), (2L, None)).toDF("doc_id", "v")
+    val t2 = Seq((1L, Some("x")), (2L, Some(""))).toDF("doc_id", "v")
+    val drill = Reconcile
+      .tableDiffDrill(t1, t2, "doc_id", Seq("doc_id", "v"), 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(drill == Map(2L -> "modified"))
+  }
+
+  test("bpeMerges learns the dominant pair first, then its extension") {
+    // "abab" x10 dominates: pair (a,b) weight 20; after merging,
+    // (ab, ab) weight 10 wins the second round
+    val docs = Seq((1L, Seq.fill(10)("abab").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, vocabTop = 10, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m(0) == ((1, "a", "b", 20L)))
+    assert(m(1) == ((2, "ab", "ab", 10L)))
+  }
+
+  test("bpeMerges merge is leftmost non-overlapping (aaa -> one merge)") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    // pairs in "a a a": (a,a) x2 per word x2 words = 4; after merging
+    // leftmost, each word is [aa, a] — second round merges (aa, a) x2
+    val m = TextAnalysis.bpeMerges(docs, vocabTop = 10, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(m(0) == ((1, "a", "a", 4L)))
+    assert(m(1) == ((2, "aa", "a", 2L)))
+  }
+
+  test("dhash64 is invariant across renderings of the same pattern") {
+    // doc_ids 16 apart share a pattern but render at different sizes
+    val docs = Seq((1L, "x"), (17L, "x"), (33L, "x"), (2L, "y"))
+      .toDF("doc_id", "text")
+    val hashed = Multimodal.dhash64(Multimodal.syntheticPatternImages(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    // different pixel dimensions…
+    assert(Set(hashed(1L)._1, hashed(17L)._1, hashed(33L)._1).size > 1)
+    // …same perceptual hash; a different pattern hashes far away
+    assert(hashed(1L)._3 == hashed(17L)._3 &&
+      hashed(17L)._3 == hashed(33L)._3)
+    assert(java.lang.Long.bitCount(hashed(1L)._3 ^ hashed(2L)._3) > 10)
+  }
+}
