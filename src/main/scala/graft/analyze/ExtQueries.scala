@@ -1010,6 +1010,25 @@ object ExtQueries {
         ON b.query_id = pr.query_id AND b.neighbor_id = pr.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // filtered vector search: the metadata predicate (doc lang = 'en')
+    // semi-joins the target side BEFORE any distance math — filtered
+    // ANN as a composition, never a post-filter that can starve k
+    ("s18_filtered_ann", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val allowed = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.filteredBruteTopK(embs, allowed, nQueries = 10, k = 5)
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+      sc AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                    ${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cosine
+             FROM e q JOIN e t ON q.vec_id < 10 AND t.vec_id >= 10
+             JOIN documents dd ON dd.doc_id = t.vec_id AND dd.lang = 'en')
+      SELECT qid AS query_id, tid AS neighbor_id, cosine, rn
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, tid) AS INT) AS rn FROM sc) z
+      WHERE rn <= 5 ORDER BY query_id, rn""")),
+
     ("s07_ann_lsh_recall", (s: SparkSession, d: String) => {
       val embs = t(s, d, "embeddings")
       val brute = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
@@ -1201,6 +1220,52 @@ object ExtQueries {
 
     // tokenizer fertility by language: exact corpus-level token and
     // char inventories, per-lang chars/token and bpe-to-ws blowup
+    // in-engine model fitting: per-language exact least-squares
+    // calibration of doc length (chars) against whitespace token count.
+    // One partial-aggregable groupBy collects the five OLS power sums
+    // as exact BIGINTs; slope/intercept/r2 are then a fixed, shared
+    // sequence of IEEE divisions over integer operands — bit-portable
+    // without any iterative solver. The shape every "train a cheap
+    // calibration/quality probe on 100 TB" job wants: the model IS a
+    // handful of aggregates.
+    ("c11_length_regression", (s: SparkSession, d: String) => {
+      val x = size(TextOps.words(col("text"))).cast("long")
+      val y = col("n_chars").cast("long")
+      Tables.spread(t(s, d, "documents"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .withColumn("r2",
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .select(col("lang"), col("n"), col("slope"), col("intercept"), col("r2"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy,
+                   CAST(SUM(y*y) AS BIGINT) AS syy
+                 FROM (SELECT lang,
+                         CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS x,
+                         CAST(n_chars AS BIGINT) AS y FROM documents) q
+                 GROUP BY lang)
+      SELECT lang, n,
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+             (CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) /
+                CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept,
+             (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
+               (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+      FROM s ORDER BY lang""")),
+
     ("c09_token_fertility", (s: SparkSession, d: String) =>
       Tables.spread(t(s, d, "documents"))
         .groupBy(col("lang"))

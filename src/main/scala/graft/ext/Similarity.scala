@@ -238,6 +238,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Pre-filtered vector search: top-k cosine where targets must ALSO
+    * satisfy a metadata predicate, passed as the allowed-id set
+    * (semi-joined BEFORE any distance math — the "filtered ANN"
+    * production semantic: the filter composes with the index scan, it
+    * is not a post-filter that can starve k). The query side is never
+    * filtered. At scale the semi-join is an id-to-id hash join on the
+    * corpus's own key — with an IVF index the same semi-join applies to
+    * the cell-probe candidate stream instead.
+    */
+  def filteredBruteTopK(embs: DataFrame, allowedIds: DataFrame,
+                        nQueries: Int, k: Int): DataFrame = {
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+    val t = side(embs.filter(col("vec_id") >= nQueries)
+      .join(allowedIds.select(col("vec_id")), Seq("vec_id"), "left_semi"), "t")
+    val scored = t.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Brute-force top-k via the typed TopKAggregator instead of a
     * window: partial aggregation keeps only k candidates per query on
     * the map side, so the shuffle carries O(queries x k) rows — the
