@@ -1220,6 +1220,42 @@ object ExtQueries {
 
     // tokenizer fertility by language: exact corpus-level token and
     // char inventories, per-lang chars/token and bpe-to-ws blowup
+    // character-edit-distance near-dup: the verify family that catches
+    // in-place edits Jaccard barely sees. levenshtein is built into
+    // both engines with identical DP semantics on single-byte text —
+    // and the operator restricts to single-byte text EXPLICITLY in
+    // both (Spark counts chars, DuckDB counts bytes), so the oracle
+    // equivalence is by construction, not fixture luck
+    ("d26_edit_distance_dup", (s: SparkSession, d: String) =>
+      Dedup.editDistanceDup(t(s, d, "documents"), maxDist = 40),
+      Some("""
+      WITH d AS (SELECT doc_id, lang, n_chars, text FROM documents
+                 WHERE doc_id % 2 = 0 AND length(text) = strlen(text)),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text) AS dist
+            FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              AND abs(a.n_chars - b.n_chars) <= 5)
+      SELECT doc_a, doc_b, CAST(dist AS INT) AS dist FROM p
+      WHERE dist <= 40 ORDER BY doc_a, doc_b""")),
+
+    // temperature-scaled multilingual mixture (T5 alpha=1/2): weights
+    // sqrt(n_docs) at 2^20 fixed point (exact power-of-two scaling of a
+    // correctly-rounded sqrt), integer total, integer floor quotas
+    ("c12_temperature_mixture", (s: SparkSession, d: String) =>
+      Curation.temperatureMixture(t(s, d, "documents"), "lang",
+        budgetDocs = 1000L),
+      Some("""
+      WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY lang),
+      w AS (SELECT lang, n_docs,
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT)
+                AS weight_fp FROM s),
+      tot AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tw FROM w)
+      SELECT lang, n_docs, weight_fp,
+             CAST((1000 * weight_fp) // (SELECT tw FROM tot) AS BIGINT)
+               AS quota_docs
+      FROM w ORDER BY lang""")),
+
     // in-engine model fitting: per-language exact least-squares
     // calibration of doc length (chars) against whitespace token count.
     // One partial-aggregable groupBy collects the five OLS power sums

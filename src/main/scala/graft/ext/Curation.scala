@@ -125,6 +125,33 @@ object Curation {
       .orderBy(col(stratum))
   }
 
+  /** Temperature-scaled multilingual mixture (the T5/mT5 alpha-sampling
+    * rule at alpha = 1/2): each stratum's sampling weight is
+    * sqrt(n_docs), damping the head languages so the tail is not
+    * drowned. Portability of the irrational weights: sqrt is
+    * correctly-rounded IEEE in both engines and the 2^20 fixed-point
+    * scaling multiply is exact (power of two), so per-stratum
+    * weight_fp is bit-identical; the weight TOTAL is then an integer
+    * sum (order-free where an IEEE sum would not be) and quotas are
+    * pure integer floor division. One partial-aggregable groupBy plus
+    * a broadcast 1-row total.
+    */
+  def temperatureMixture(docs: DataFrame, stratum: String,
+                         budgetDocs: Long): DataFrame = {
+    require(budgetDocs > 0, "budget must be positive")
+    val counts = graft.core.Tables.spread(docs)
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight_fp",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1048576L)).cast("long"))
+    val total = counts.agg(sum(col("weight_fp")).as("tw"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("quota_docs",
+        expr(s"CAST(($budgetDocs * weight_fp) DIV tw AS BIGINT)"))
+      .select(col(stratum), col("n_docs"), col("weight_fp"), col("quota_docs"))
+      .orderBy(col(stratum))
+  }
+
   /** Materialize a [[tokenBudgetPlan]]: per-doc COPY COUNTS that fill
     * each stratum's token quota exactly — floor(quota/total) full
     * epochs for every doc plus one greedy partial pass in the

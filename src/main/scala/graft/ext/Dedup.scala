@@ -936,6 +936,46 @@ object Dedup {
     * partition and length-banded, not corpus-wide; each surviving pair
     * is verified with one codegen'd array_intersect.
     */
+  /** Character-edit-distance near-dup — the third verify family next
+    * to set-overlap (Jaccard) and bit-distance (simhash): levenshtein
+    * catches in-place character edits that barely move n-gram sets.
+    * Candidates come from the same (lang, length-band) blocking as
+    * [[ngramJaccardDup]] (every qualifying pair reachable exactly
+    * once), on a deterministic doc_id % sampleMod sample that bounds
+    * the in-block quadratic verify; at corpus scale the candidate
+    * stream is minhash bands ([[minhashDup]]) with this as the
+    * verifier. Scope is explicitly single-byte texts IN BOTH ENGINES
+    * (`length == octet_length`): Spark's levenshtein counts characters
+    * while DuckDB's counts bytes, and excluding multi-byte docs in the
+    * operator — not just in the fixture — keeps the oracle equivalence
+    * by construction.
+    */
+  def editDistanceDup(docs: DataFrame, maxDist: Int, maxLenDiff: Int = 5,
+                      sampleMod: Long = 2L): DataFrame = {
+    val base = graft.core.Tables.spread(docs)
+      .filter(col("doc_id") % sampleMod === 0 &&
+        length(col("text")) === octet_length(col("text")))
+      .localCheckpoint()
+    val meta = base.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("bkt", (col("n_chars") / maxLenDiff).cast("int"))
+    val lhs = meta.withColumn("bkt",
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+    val cand = lhs.as("a").join(meta.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.bkt") === col("b.bkt") &&
+        abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val texts = base.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.toDF("doc_a", "ta"), "doc_a")
+      .join(texts.toDF("doc_b", "tb"), "doc_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def ngramJaccardDup(docs: DataFrame, n: Int, maxLenDiff: Int,
                       threshold: Double): DataFrame = {
     // Blocking key = (lang, length bucket). Joining on lang alone gives
