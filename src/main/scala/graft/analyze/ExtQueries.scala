@@ -932,6 +932,21 @@ object ExtQueries {
         nCentroids = 16, nProbe = 2, nQueries = 10, k = 5),
       Some(annIvfOracle)),
 
+    // filtered IVF: s18's metadata predicate composed with the cell
+    // probe — the index is built once over the full corpus, the
+    // allowed-id semi-join prunes candidates between cell assignment
+    // and exact scoring (the production filtered-ANN shape)
+    ("s19_filtered_ivf", (s: SparkSession, d: String) => {
+      val allowed = t(s, d, "documents").filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Similarity.ivfTopK(t(s, d, "embeddings"),
+        nCentroids = 16, nProbe = 2, nQueries = 10, k = 5,
+        allowed = Some(allowed))
+    }, Some(annIvfOracle.replace(
+      "FROM qp JOIN ta USING (cell))",
+      "FROM qp JOIN ta USING (cell) " +
+        "WHERE t_id IN (SELECT doc_id FROM documents WHERE lang = 'en'))"))),
+
     // recall@5 of the LSH index against the exact baseline — the ANN
     // quality measurement, in-engine (both sides are exact-cosine
     // rankings, so even the recall fractions verify value-for-value)

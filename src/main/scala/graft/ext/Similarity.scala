@@ -322,7 +322,8 @@ object Similarity {
     * codegen'd cosine.
     */
   def ivfTopK(embs: DataFrame, nCentroids: Int, nProbe: Int,
-              nQueries: Int, k: Int): DataFrame = {
+              nQueries: Int, k: Int,
+              allowed: Option[DataFrame] = None): DataFrame = {
     // lowest-nCentroids TARGET ids (order statistic, arbitrary id
     // spaces) — the bounded set that broadcasts below
     val cents = embs.filter(col("vec_id") >= nQueries)
@@ -339,7 +340,13 @@ object Similarity {
       .withColumn("c_cos", cScore("t_emb", "t_norm"))
       .groupBy(col("t_id"))
       .agg(max_by(col("c_id"), struct(col("c_cos"), negate(col("c_id")))).as("cell"))
-    val assigned = t.join(cells, "t_id")
+    // metadata pre-filter (filtered ANN): the allowed-id semi-join
+    // prunes the CANDIDATE stream after cell assignment — the index is
+    // built once over the full corpus, and any predicate composes with
+    // the cell probe instead of post-filtering a starved top-k
+    val assigned = allowed.foldLeft(t.join(cells, "t_id")) { (a, ids) =>
+      a.join(ids.select(col("vec_id").as("t_id")), Seq("t_id"), "left_semi")
+    }
     // probe: nProbe nearest cells per query (query set is small)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
