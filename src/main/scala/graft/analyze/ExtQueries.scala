@@ -1253,6 +1253,32 @@ object ExtQueries {
       SELECT doc_a, doc_b, CAST(dist AS INT) AS dist FROM p
       WHERE dist <= 40 ORDER BY doc_a, doc_b""")),
 
+    // shard planning for bulk writes: assign docs to fixed-byte-budget
+    // shards by exact cumulative size — shard_id = exclusive-prefix-sum
+    // DIV budget. The prefix sum is the range-partitioned PrefixSum
+    // (one balanced exchange at any scale, never an unpartitioned
+    // window); the emitted plan is per-shard stats a writer consumes
+    ("c13_shard_plan", (s: SparkSession, d: String) => {
+      import graft.operators.PrefixSum
+      val planned = PrefixSum.withRunningSum(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id")), "n_chars", "start")
+      planned.withColumn("shard_id", expr("start div 16384"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    }, Some("""
+      WITH c AS (SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                 FROM documents)
+      SELECT CAST(start // 16384 AS BIGINT) AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY shard_id""")),
+
     // temperature-scaled multilingual mixture (T5 alpha=1/2): weights
     // sqrt(n_docs) at 2^20 fixed point (exact power-of-two scaling of a
     // correctly-rounded sqrt), integer total, integer floor quotas
