@@ -23,7 +23,10 @@ object Explain {
         "t16_bm25_topk", "w08_quantile_sketch",
         "c05_incremental_containment", "c06_incremental_cosine_dedup",
         "s13_semdedup", "s14_cluster_sample", "d22_neardup_resolution",
-        "c08_target_select", "w09_trending_props")
+        "c08_target_select", "w09_trending_props",
+        "s17_jl_recall", "s19_filtered_ivf", "m05_phash_neardup",
+        "g01_pagerank", "t17_bpe_merges", "d24_table_diff",
+        "d26_edit_distance_dup", "c13_shard_plan")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -84,6 +84,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(m(1) == ((2, "aa", "a", 2L)))
   }
 
+  test("dhash64 drops undecodable payloads instead of failing the pass") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val good = Multimodal.syntheticPatternImages(
+      Seq((3L, "x")).toDF("doc_id", "text"))
+    val out = Multimodal.dhash64(junk.unionByName(good))
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("dhash64 is invariant across renderings of the same pattern") {
     // doc_ids 16 apart share a pattern but render at different sizes
     val docs = Seq((1L, "x"), (17L, "x"), (33L, "x"), (2L, "y"))
