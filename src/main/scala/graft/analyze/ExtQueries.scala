@@ -701,6 +701,43 @@ object ExtQueries {
              ${est("merged")} = ${est("direct")} AS merge_exact"""
       }),
 
+    // HLL sketch algebra: distinct-user overlap of two event types
+    // from register state alone — union by per-bucket MAX, intersection
+    // by inclusion-exclusion. The overlap answer at 100 TB without a
+    // set join; the exact semi-join count rides along as the audit
+    ("d27_hll_intersection", (s: SparkSession, d: String) =>
+      Dedup.hllIntersection(t(s, d, "events"), "view", "purchase", p = 8),
+      Some {
+        val est = (regs: String) =>
+          s"""(SELECT (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+                 * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+                 / (SUM(CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << m_rho AS DOUBLE))
+                    + (CAST(256 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)))
+              FROM $regs)"""
+        s"""
+      WITH h AS (SELECT event_type,
+                        ${Hashing.h32Sql("CAST(user_id AS VARCHAR)")} AS hv
+                 FROM events WHERE event_type IN ('view', 'purchase')),
+      b AS (SELECT event_type, hv >> 24 AS bucket, hv & 16777215 AS w FROM h),
+      s1 AS (SELECT event_type, bucket, w | (w >> 1) AS v FROM b),
+      s2 AS (SELECT event_type, bucket, v | (v >> 2) AS v FROM s1),
+      s4 AS (SELECT event_type, bucket, v | (v >> 4) AS v FROM s2),
+      s8 AS (SELECT event_type, bucket, v | (v >> 8) AS v FROM s4),
+      s16 AS (SELECT event_type, bucket, v | (v >> 16) AS v FROM s8),
+      r AS (SELECT event_type, bucket, 25 - bit_count(v) AS rho FROM s16),
+      pt AS (SELECT event_type, bucket, MAX(rho) AS m_rho FROM r GROUP BY 1, 2),
+      ra AS (SELECT bucket, m_rho FROM pt WHERE event_type = 'view'),
+      rb AS (SELECT bucket, m_rho FROM pt WHERE event_type = 'purchase'),
+      ru AS (SELECT bucket, MAX(m_rho) AS m_rho FROM pt GROUP BY bucket)
+      SELECT ${est("ra")} AS est_a, ${est("rb")} AS est_b,
+             ${est("ru")} AS est_union,
+             (${est("ra")} + ${est("rb")}) - ${est("ru")} AS est_intersection,
+             CAST((SELECT COUNT(DISTINCT e1.user_id) FROM events e1
+                   WHERE e1.event_type = 'view' AND e1.user_id IN
+                     (SELECT user_id FROM events WHERE event_type = 'purchase'))
+               AS BIGINT) AS n_exact_intersection"""
+      }),
+
     // Jaccard-CONTAINMENT dedup: |A^B| / min(|A|,|B|) over the same
     // minhash-band candidates as d05 — catches near-superset pairs
     // (boilerplate wrappers, quoted replies) that plain Jaccard

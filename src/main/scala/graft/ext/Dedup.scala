@@ -669,6 +669,48 @@ object Dedup {
         (col("merged_estimate") === col("direct_estimate")).as("merge_exact"))
   }
 
+  /** HLL sketch ALGEBRA: the distinct-user overlap of two event types
+    * from register state alone — union by per-bucket MAX (the
+    * mergeability d18 proves), intersection by inclusion-exclusion
+    * (estA + estB − estUnion). This is how overlap questions are
+    * answered at 100 TB without a set join: per-side registers are 2^p
+    * longs wherever they were accumulated, and every estimate is the
+    * bit-portable integer-rank/dyadic form, so even the inclusion-
+    * exclusion DOUBLE verifies exactly (fixed operation order). The
+    * exact semi-join count rides along as the audit column.
+    */
+  def hllIntersection(events: DataFrame, typeA: String, typeB: String,
+                      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val rows = graft.core.Tables.spread(events)
+      .filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        h32(col("user_id").cast("string")).as("hv"))
+      .select(col("event_type"), hllBucket(col("hv"), p).as("bucket"),
+        hllRho(col("hv"), p).as("rho"))
+    val perType = rows.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_rho"))
+      .localCheckpoint()
+    val ra = perType.filter(col("event_type") === typeA)
+      .select(col("bucket"), col("m_rho"))
+    val rb = perType.filter(col("event_type") === typeB)
+      .select(col("bucket"), col("m_rho"))
+    val ru = perType.groupBy(col("bucket")).agg(max(col("m_rho")).as("m_rho"))
+    val exact = events.filter(col("event_type") === typeA)
+      .select(col("user_id"))
+      .join(events.filter(col("event_type") === typeB).select(col("user_id")),
+        Seq("user_id"), "left_semi")
+      .agg(countDistinct(col("user_id")).as("n_exact_intersection"))
+    hllSummary(ra, p).select(col("estimate").as("est_a"))
+      .crossJoin(hllSummary(rb, p).select(col("estimate").as("est_b")))
+      .crossJoin(hllSummary(ru, p).select(col("estimate").as("est_union")))
+      .crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        ((col("est_a") + col("est_b")) - col("est_union"))
+          .as("est_intersection"),
+        col("n_exact_intersection"))
+  }
+
   /** Mergeable per-hour QUANTILE sketch over event values — the rank
     * twin of the HLL cardinality sketch: exact percentiles (w07) need
     * a full per-window sort at 100 TB, so production keeps a bounded
