@@ -326,6 +326,31 @@ object OpQueries {
               ORDER BY n DESC, k) AS rn FROM c) z
       WHERE rn <= 5 ORDER BY window_start, rk""")),
 
+    // ---- cohort retention: users grouped by first-seen day, counted
+    // on each later active day. Two partial-aggregable aggregations
+    // (first-touch per user; distinct user-days) joined on user_id —
+    // co-partitioned after the first shuffle, no window, no
+    // per-user event arrays; counts are exact integers ---------------
+    ("w12_cohort_retention", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val active = ev.distinct()
+      active.join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("offset_days"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      cohorts AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+      active AS (SELECT DISTINCT user_id, day FROM ev)
+      SELECT c.cohort,
+             CAST(date_diff('day', c.cohort, a.day) AS INT) AS offset_days,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM active a JOIN cohorts c ON a.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY cohort, offset_days""")),
+
     // ---- link-graph centrality: fixed-point PageRank over the item
     // transition graph (per-user consecutive prop-k values). The
     // corpus-curation quality-prior shape: edges from behavior, 3 exact
