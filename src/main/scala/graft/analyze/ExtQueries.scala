@@ -1670,9 +1670,12 @@ object ExtQueries {
     ("m05_phash_neardup", (s: SparkSession, d: String) => {
       val docs = t(s, d, "documents")
       val hashed = Multimodal.dhash64(Multimodal.syntheticPatternImages(docs))
+      // maxBucket = MaxValue: the analytic oracle below does not model
+      // the HotBuckets cap, so the verified run must not prune either
+      // (same rule as d19; the operator's default stays capped)
       Dedup.fingerprintNearDup(
         hashed.select(col("doc_id"), col("dhash").as("fp")),
-        minHamming = 1, maxHamming = 4)
+        minHamming = 1, maxHamming = 4, maxBucket = Int.MaxValue)
     }, Some(s"""
       WITH $phashDocsCte
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
