@@ -1062,6 +1062,50 @@ object ExtQueries {
         ON b.query_id = pr.query_id AND b.neighbor_id = pr.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // MMR diversified re-ranking: 5 picks from each query's top-20,
+    // trading relevance against similarity-to-already-picked at
+    // lambda = 0.5 — the selection loop that stops a batch from
+    // filling with near-copies of one hit. Oracle = the same four
+    // selection rounds unrolled; scores are fixed-order IEEE over the
+    // portable cosine fold, so every pick and score verifies exactly
+    ("s20_mmr_rerank", (s: SparkSession, d: String) =>
+      Similarity.mmrTopK(t(s, d, "embeddings"), nQueries = 10,
+        kCand = 20, kSel = 5),
+      Some {
+        val sim = s"${dotS("te.embedding", "se.embedding")} / (te.nrm * se.nrm)"
+        val rounds = (2 to 5).map { r =>
+          s"""ms$r AS (SELECT c.qid, c.tid, MAX($sim) AS maxsim
+               FROM cand c JOIN selall${r - 1} sl ON c.qid = sl.qid
+               JOIN e te ON te.vec_id = c.tid JOIN e se ON se.vec_id = sl.tid
+               WHERE NOT EXISTS (SELECT 1 FROM selall${r - 1} x
+                 WHERE x.qid = c.qid AND x.tid = c.tid)
+               GROUP BY c.qid, c.tid),
+          sel$r AS (SELECT qid, tid, $r AS rk, score FROM (
+               SELECT m.qid, m.tid, 0.5 * c.rel - 0.5 * m.maxsim AS score,
+                      ROW_NUMBER() OVER (PARTITION BY m.qid
+                        ORDER BY 0.5 * c.rel - 0.5 * m.maxsim DESC, m.tid) AS rn
+               FROM ms$r m JOIN cand c ON c.qid = m.qid AND c.tid = m.tid) z
+             WHERE rn = 1),
+          selall$r AS (SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        }.mkString(",\n      ")
+        s"""
+      WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+      sc AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                    ${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cosine
+             FROM e q JOIN e t ON q.vec_id < 10 AND t.vec_id >= 10),
+      cand AS (SELECT qid, tid, cosine AS rel
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY cosine DESC, tid) AS rn FROM sc) z
+               WHERE rn <= 20),
+      sel1 AS (SELECT qid, tid, 1 AS rk, rel AS score FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rel DESC, tid) AS rn FROM cand) z WHERE rn = 1),
+      selall1 AS (SELECT * FROM sel1),
+      $rounds
+      SELECT qid AS query_id, tid AS neighbor_id, CAST(rk AS INT) AS rk, score
+      FROM selall5 ORDER BY query_id, rk"""
+      }),
+
     // filtered vector search: the metadata predicate (doc lang = 'en')
     // semi-joins the target side BEFORE any distance math — filtered
     // ANN as a composition, never a post-filter that can starve k

@@ -868,6 +868,61 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversified re-ranking: from each
+    * query's `kCand` cosine candidates, select `kSel` iteratively —
+    * first the most relevant, then whatever maximizes
+    * lambda*rel − (1−lambda)*max-sim-to-already-selected. The retrieval
+    * tool that keeps a training batch (or a RAG context) from filling
+    * with near-duplicates of one hit; the near-dup stack detects
+    * redundancy, this one spends a budget against it.
+    *
+    * Exactness: rel and pairwise sims are the portable cosine fold;
+    * the MMR score is two fixed-order multiplies and a subtract
+    * (lambda must be exactly representable — the 0.5 default is);
+    * max-over-selected is an order-free MAX of at most kSel−1 values.
+    * Every round is one anti-join + one equi-join + one partitioned
+    * window over O(queries × kCand) rows — per-query work is constant
+    * at any corpus size because the candidate set is already bounded.
+    */
+  def mmrTopK(embs: DataFrame, nQueries: Int, kCand: Int, kSel: Int,
+              lambda: Double = 0.5): DataFrame = {
+    require(kSel >= 1 && kCand >= kSel, "need kCand >= kSel >= 1")
+    val cand0 = bruteForceTopK(embs, nQueries, kCand)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("t_id"),
+        col("cosine").as("rel"))
+    val tEmb = graft.core.Tables.spread(embs)
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        normCol(col("embedding")).as("t_norm"))
+    val cand = cand0.join(tEmb, "t_id").localCheckpoint()
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("t_id"))
+    var selected = cand.withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+      .select(col("q_id"), col("t_id"), lit(1).as("rk"), col("score"),
+        col("t_emb"), col("t_norm"))
+      .localCheckpoint()
+    for (r <- 2 to kSel) {
+      val rem = cand.join(selected.select(col("q_id"), col("t_id")),
+        Seq("q_id", "t_id"), "left_anti")
+      val ms = rem
+        .join(selected.select(col("q_id"), col("t_emb").as("s_emb"),
+          col("t_norm").as("s_norm")), Seq("q_id"))
+        .withColumn("sim",
+          dotCol(col("t_emb"), col("s_emb")) / (col("t_norm") * col("s_norm")))
+        .groupBy(col("q_id"), col("t_id")).agg(max(col("sim")).as("maxsim"))
+      val pick = cand.join(ms, Seq("q_id", "t_id"))
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("maxsim"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+        .select(col("q_id"), col("t_id"), lit(r).as("rk"), col("score"),
+          col("t_emb"), col("t_norm"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+      col("rk"), col("score"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   /** Deterministic ±1 sign matrix for [[jlProject]], signs(k)(j) for
     * output dim k and input dim j. Knuth-multiplicative bit mix — a
     * FIXED pseudo-random matrix generated once here and inlined as

@@ -36,6 +36,8 @@ class PlanGuardSpec extends SparkSpec {
     "s16_truncated_recall" -> 2, // broadcast query set per brute side (full + truncated)
     "s17_jl_recall" -> 2, // broadcast query set per brute side (full + JL-projected)
     "s18_filtered_ann" -> 1, // broadcast query set against the semi-join-filtered targets
+    // s20_mmr_rerank: the candidate brute pass's broadcast sits behind a
+    // localCheckpoint, so the registered plan itself carries no BNLJ
     "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
     "d27_hll_intersection" -> 3, // four 1-row summaries chained (est_a x est_b x est_union x exact)
     "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
