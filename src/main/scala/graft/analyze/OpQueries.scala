@@ -19,6 +19,35 @@ object OpQueries {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.load(s, d, name)
 
+  /** The item-transition edge list both graph queries share: per-user
+    * consecutive prop-k values ordered by (ts, event_id), weighted by
+    * transition count.
+    */
+  private def eventEdges(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("src", lag(col("k"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src").cast("long").as("src"),
+        col("k").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** DuckDB twin of [[eventEdges]] as CTEs ending in `ed(src, dst, w)`. */
+  private val eventEdgesCtes: String = s"""
+      ev AS (SELECT user_id, ts, event_id,
+                    CAST(json_extract_string(props, '$$.k') AS INT) AS k
+             FROM events
+             WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      tr AS (SELECT k, LAG(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src FROM ev),
+      ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
+                    COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2)"""
+
   /** Unrolled-Lloyd DuckDB twin of [[graft.ext.Similarity.kmeansFit]]:
     * per iteration, a distance cross-join to the current centroid rows,
     * a row_number()-over-(dist2, c_id) assignment, and a fixed-point
@@ -326,6 +355,29 @@ object OpQueries {
               ORDER BY n DESC, k) AS rn FROM c) z
       WHERE rn <= 5 ORDER BY window_start, rk""")),
 
+    // ---- graph-health audit (the s15 pattern for graphs): per-node
+    // weighted degrees + dangling flag + broadcast one-row totals —
+    // what pageRank's mass-drop note quantifies per corpus ------------
+    ("g02_degree_audit", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.degreeAudit(eventEdges(s, d))
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      o AS (SELECT src AS k, CAST(SUM(w) AS BIGINT) AS out_w,
+                   CAST(COUNT(*) AS BIGINT) AS out_deg FROM ed GROUP BY src),
+      i AS (SELECT dst AS k, CAST(SUM(w) AS BIGINT) AS in_w,
+                   CAST(COUNT(*) AS BIGINT) AS in_deg FROM ed GROUP BY dst),
+      tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                    CAST(SUM(w) AS BIGINT) AS total_w FROM ed)
+      SELECT COALESCE(o.k, i.k) AS k,
+             COALESCE(out_w, 0) AS out_w, COALESCE(out_deg, 0) AS out_deg,
+             COALESCE(in_w, 0) AS in_w, COALESCE(in_deg, 0) AS in_deg,
+             COALESCE(out_deg, 0) = 0 AS dangling,
+             (SELECT n_edges FROM tt) AS n_edges,
+             (SELECT total_w FROM tt) AS total_w
+      FROM o FULL OUTER JOIN i ON o.k = i.k
+      ORDER BY k""")),
+
     // ---- cohort retention: users grouped by first-seen day, counted
     // on each later active day. Two partial-aggregable aggregations
     // (first-touch per user; distinct user-days) joined on user_id —
@@ -358,18 +410,7 @@ object OpQueries {
     // = the same three iterations unrolled as CTEs ---------------------
     ("g01_pagerank", (s: SparkSession, d: String) => {
       import graft.ext.Graphs
-      val ev = t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .filter(col("k").isNotNull)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val edges = ev.withColumn("src", lag(col("k"), 1).over(w))
-        .filter(col("src").isNotNull)
-        .groupBy(col("src").cast("long").as("src"),
-          col("k").cast("long").as("dst"))
-        .agg(count(lit(1)).as("w"))
-      Graphs.pageRank(edges, iters = 3)
+      Graphs.pageRank(eventEdges(s, d), iters = 3)
         .select(col("k"), col("r").as("rank_fp"))
     }, Some {
       val scale = 1L << 40
@@ -383,14 +424,7 @@ object OpQueries {
                 FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.k)"""
       }.mkString(",\n        ")
       s"""
-      WITH ev AS (SELECT user_id, ts, event_id,
-                         CAST(json_extract_string(props, '$$.k') AS INT) AS k
-                  FROM events
-                  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
-      tr AS (SELECT k, LAG(k) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS src FROM ev),
-      ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
-                    COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+      WITH $eventEdgesCtes,
       ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
       nodes AS (SELECT DISTINCT k FROM
                   (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),

@@ -63,4 +63,32 @@ object Graphs {
     }
     r.orderBy(col("k"))
   }
+
+  /** Graph-health audit for [[pageRank]]'s input (the s15/IVF-audit
+    * pattern applied to graphs): per-node weighted in/out degree and a
+    * dangling flag, plus broadcast one-row totals so each node carries
+    * the graph-level context (n_nodes, n_edges, total weight, dangling
+    * count — the mass [[pageRank]] will drop). Two partial-aggregable
+    * groupBys and a full outer on node id; no row ever carries more
+    * than its own counters.
+    */
+  def degreeAudit(edges: DataFrame): DataFrame = {
+    val outw = edges.groupBy(col("src").as("k"))
+      .agg(sum(col("w")).as("out_w"), count(lit(1)).as("out_deg"))
+    val inw = edges.groupBy(col("dst").as("k"))
+      .agg(sum(col("w")).as("in_w"), count(lit(1)).as("in_deg"))
+    val nodes = outw.join(inw, Seq("k"), "full_outer")
+      .select(col("k"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("dangling", col("out_deg") === 0L)
+    val totals = edges.agg(count(lit(1)).as("n_edges"),
+      sum(col("w")).as("total_w"))
+    nodes.crossJoin(broadcast(totals))
+      .select(col("k"), col("out_w"), col("out_deg"), col("in_w"),
+        col("in_deg"), col("dangling"), col("n_edges"), col("total_w"))
+      .orderBy(col("k"))
+  }
 }
