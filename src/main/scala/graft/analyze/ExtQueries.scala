@@ -1378,6 +1378,32 @@ object ExtQueries {
                AS quota_docs
       FROM w ORDER BY lang""")),
 
+    // composition showcase: mixture quotas computed AFTER near-dup
+    // resolution — dedup (minhash -> connected components -> quality
+    // argmax keep-list) feeding curation (temperature quotas), the way
+    // the stages chain in a real corpus build. The oracle nests d22's
+    // full recursive-CC oracle as a CTE under c12's quota arithmetic
+    ("c14_dedup_aware_mixture", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val dropIds = Dedup.nearDupResolution(docs, threshold = 0.5)
+        .filter(!col("keep")).select(col("doc_id"))
+      val kept = docs.join(dropIds, Seq("doc_id"), "left_anti")
+      Curation.temperatureMixture(kept, "lang", budgetDocs = 1000L)
+    }, Some(s"""
+      WITH res AS ($nearDupResolutionOracle),
+      kept AS (SELECT d.* FROM documents d
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM res WHERE NOT keep)),
+      s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM kept GROUP BY lang),
+      w AS (SELECT lang, n_docs,
+              CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1048576) AS BIGINT)
+                AS weight_fp FROM s),
+      tot AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tw FROM w)
+      SELECT lang, n_docs, weight_fp,
+             CAST((1000 * weight_fp) // (SELECT tw FROM tot) AS BIGINT)
+               AS quota_docs
+      FROM w ORDER BY lang""")),
+
     // in-engine model fitting: per-language exact least-squares
     // calibration of doc length (chars) against whitespace token count.
     // One partial-aggregable groupBy collects the five OLS power sums
