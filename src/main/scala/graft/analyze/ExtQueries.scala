@@ -1606,6 +1606,40 @@ object ExtQueries {
     // repeated-passage detection over planted boilerplate (10% of docs
     // share an appended 80-char banner; every 60-char window inside it
     // repeats corpus-wide)
+    // maximal repeated-span extraction (exact-substring dedup, the
+    // per-doc cut list): consecutive shared-window positions merge
+    // into one span via the pos - row_number island trick. The planted
+    // banner surfaces as ONE span per planted doc, not 22 window rows
+    ("d28_repeated_spans", (s: SparkSession, d: String) => {
+      val planted = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"),
+          lit(" SUBSCRIBE TO OUR NEWSLETTER TODAY FOR ALL THE LATEST UPDATES AND BREAKING NEWS")))
+          .otherwise(col("text")))
+      Dedup.repeatedSpans(planted, windowChars = 60, minDocs = 5)
+    }, Some("""
+      WITH planted AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 10 = 0
+                     THEN ' SUBSCRIBE TO OUR NEWSLETTER TODAY FOR ALL THE LATEST UPDATES AND BREAKING NEWS'
+                     ELSE '' END AS text
+        FROM documents),
+      win AS (SELECT doc_id,
+                     unnest(range(1, length(text) - 58)) AS pos,
+                     unnest(list_transform(range(1, length(text) - 58),
+                       i -> substr(text, CAST(i AS INT), 60))) AS w
+              FROM planted WHERE length(text) >= 60),
+      shared AS (SELECT w FROM (SELECT w, COUNT(DISTINCT doc_id) AS n_docs
+                                FROM win GROUP BY w) g
+                 WHERE n_docs >= 5),
+      marked AS (SELECT doc_id, pos FROM win JOIN shared USING (w)),
+      runs AS (SELECT doc_id, pos,
+                      pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY pos) AS rid FROM marked)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(COUNT(*) + 59 AS BIGINT) AS span_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM runs GROUP BY doc_id, rid
+      ORDER BY doc_id, span_start""")),
+
     ("d15_repeated_passages", (s: SparkSession, d: String) => {
       val planted = t(s, d, "documents").withColumn("text",
         when(col("doc_id") % 10 === 0, concat(col("text"),

@@ -832,6 +832,52 @@ object Dedup {
       .orderBy(col("passage_md5"))
   }
 
+  /** Maximal repeated-SPAN extraction — the per-document form of
+    * exact-substring dedup (Lee et al. 2022's "remove duplicated
+    * spans", built on [[repeatedPassages]]' fixed windows): a window is
+    * SHARED when >= minDocs docs contain it; per doc, maximal runs of
+    * consecutive shared window positions merge into one span of
+    * run_length + windowChars - 1 characters. Output is what a cleaner
+    * actually cuts: (doc_id, span_start [1-based], span_chars,
+    * n_windows).
+    *
+    * Scale shape: the corpus-wide stage is the same two lean hash
+    * aggregations as [[repeatedPassages]] (per-(window, doc) pre-agg,
+    * never an Expand); the run merge is a window partitioned by doc_id
+    * over only the MARKED positions (boilerplate hits, not all
+    * windows) using the pos − row_number island trick.
+    */
+  def repeatedSpans(docs: DataFrame, windowChars: Int,
+                    minDocs: Int): DataFrame = {
+    require(windowChars > 0 && minDocs >= 2, "windowChars > 0, minDocs >= 2")
+    val windows = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= windowChars)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharWindows(col("text"), windowChars))
+          .as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("w"))
+      .localCheckpoint() // referenced by both the shared-set agg and the mark join
+    val shared = windows
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("w"))
+    val marked = windows.join(shared, "w").select(col("doc_id"), col("pos"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("rid", col("pos") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(min(col("pos")).as("span_start"),
+        (count(lit(1)) + lit((windowChars - 1).toLong)).as("span_chars"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_chars"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Bloom-filter membership sketch: build an m-bit filter over the
     * corpus's distinct text hashes, probe another table against it —
     * the third mergeable summary alongside [[kmvDistinct]] (distinct
