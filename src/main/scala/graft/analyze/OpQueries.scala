@@ -882,6 +882,56 @@ object OpQueries {
       ORDER BY iter"""
     }),
 
+    // ---- BPE train-then-apply: tokenize the corpus with the learned
+    // merges, per-language compression report. The oracle re-learns
+    // the same three merges (t17's CTE chain) and applies the same
+    // replace chain to every word ------------------------------------
+    ("t18_bpe_tokenize", (s: SparkSession, d: String) =>
+      graft.ext.TextAnalysis.bpeTokenize(t(s, d, "documents"),
+        vocabTop = 200, iters = 3),
+      Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""sy$i AS (SELECT freq, string_split(trim(seq), '  ') AS sy FROM v${i - 1}
+               WHERE len(string_split(trim(seq), '  ')) > 1),
+        pc$i AS (SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
+                 FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+                         j -> [sy[j], sy[j+1]])) AS p FROM sy$i) q
+                 GROUP BY 1, 2),
+        tp$i AS (SELECT a, b, cnt FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1),
+        v$i AS (SELECT word, freq,
+                  replace(seq,
+                    ' ' || (SELECT a FROM tp$i) || '  ' || (SELECT b FROM tp$i) || ' ',
+                    ' ' || (SELECT a FROM tp$i) || (SELECT b FROM tp$i) || ' ') AS seq
+                FROM v${i - 1})"""
+      }.mkString(",\n        ")
+      val applied = (1 to 3).foldLeft(
+          "regexp_replace(word, '(.)', ' \\1 ', 'g')") { (acc, i) =>
+        s"""replace($acc,
+             ' ' || (SELECT a FROM tp$i) || '  ' || (SELECT b FROM tp$i) || ' ',
+             ' ' || (SELECT a FROM tp$i) || (SELECT b FROM tp$i) || ' ')"""
+      }
+      s"""
+      WITH wf AS (SELECT wd AS word, COUNT(*) AS freq
+                  FROM (SELECT unnest(string_split(text, ' ')) AS wd
+                        FROM documents) u
+                  WHERE regexp_matches(wd, '^[a-z]+$$') GROUP BY wd),
+      v0 AS (SELECT word, freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+             FROM wf ORDER BY freq DESC, word LIMIT 200),
+      $iterCtes,
+      dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+      tok AS (SELECT lang, CAST(length(word) AS BIGINT) AS n_chars,
+                     CAST(len(string_split(trim($applied), '  ')) AS BIGINT)
+                       AS n_units
+              FROM dw)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(n_units) AS BIGINT) AS n_units,
+             CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_units) AS DOUBLE)
+               AS chars_per_unit
+      FROM tok GROUP BY lang ORDER BY lang"""
+    }),
+
     // ---- BM25-style sparse retrieval (rational idf / N; fixed-point
     // per-doc sums so the score is order-independent and the rank ties
     // on an integer in both engines) --------------------------------

@@ -374,6 +374,16 @@ object TextAnalysis {
                 iters: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    learnBpeMerges(docs, vocabTop, iters)
+      .toDF("iter", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("iter"))
+  }
+
+  /** The [[bpeMerges]] training loop, returning the learned merges as
+    * driver values (one bounded argmax row per iteration).
+    */
+  private def learnBpeMerges(docs: DataFrame, vocabTop: Int,
+                             iters: Int): Seq[(Int, String, String, Long)] = {
     var vocab = graft.core.Tables.spread(docs)
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -404,7 +414,35 @@ object TextAnalysis {
         .localCheckpoint()
     }
     merges.result()
-      .toDF("iter", "sym_a", "sym_b", "pair_count")
-      .orderBy(col("iter"))
+  }
+
+  /** Train-then-APPLY: tokenize the whole corpus with the merges
+    * [[bpeMerges]] learns, reporting per-language vocabulary
+    * compression. Merges are word-internal (standard BPE): each word
+    * becomes its " c " unit sequence, the learned replaces run in
+    * merge order, units are counted back per word and summed per
+    * language — one explode + the same leftmost-replace semantics as
+    * training, then a partial-aggregable groupBy; chars_per_unit is a
+    * single per-group IEEE division over exact integer sums.
+    */
+  def bpeTokenize(docs: DataFrame, vocabTop: Int = 200,
+                  iters: Int = 3): DataFrame = {
+    val merges = learnBpeMerges(docs, vocabTop, iters)
+    val seq0 = regexp_replace(col("word"), "(.)", " $1 ")
+    // the Column form of replace — the exact twin of the SQL replace
+    // the training loop used, applied in merge order
+    val seqCol = merges.foldLeft(seq0) { case (acc, (_, a, b, _)) =>
+      call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    graft.core.Tables.spread(docs)
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("word"))
+      .select(col("lang"), length(col("word")).cast("long").as("n_chars"),
+        size(split(trim(seqCol), "  ")).cast("long").as("n_units"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_chars")).as("n_chars"),
+        sum(col("n_units")).as("n_units"))
+      .withColumn("chars_per_unit",
+        col("n_chars").cast("double") / col("n_units").cast("double"))
+      .orderBy(col("lang"))
   }
 }
