@@ -234,6 +234,71 @@ object AdvQueries {
         |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_value,
         |  COUNT(*) AS n_events
         |FROM r GROUP BY window_start ORDER BY window_start""".stripMargin
+    }),
+
+    // robust outlier detection per event type: rank-based median and
+    // MAD (two partitioned ranking passes — no interpolating quantile
+    // builtin, so the doubles verify exactly), outliers = |x − med|
+    // > 3·MAD. The data-quality monitor that survives heavy tails
+    // where mean/stddev gates do not.
+    ("w13_robust_outliers", {
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    (MAX(CASE WHEN rn = (n+1) div 2 THEN value END)
+        |     + MAX(CASE WHEN rn = (n+2) div 2 THEN value END)) / 2 AS med
+        |  FROM r GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (
+        |  SELECT event_type, med, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, MAX(med) AS med,
+        |    (MAX(CASE WHEN rn = (n+1) div 2 THEN dev END)
+        |     + MAX(CASE WHEN rn = (n+2) div 2 THEN dev END)) / 2 AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, m.med, m.mad,
+        |  SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+        |  COUNT(*) AS n_events
+        |FROM d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type""".stripMargin
+    }, {
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    (MAX(CASE WHEN rn = (n+1) // 2 THEN value END)
+        |     + MAX(CASE WHEN rn = (n+2) // 2 THEN value END)) / 2 AS med
+        |  FROM r GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, e.event_id, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (
+        |  SELECT event_type, med, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, MAX(med) AS med,
+        |    (MAX(CASE WHEN rn = (n+1) // 2 THEN dev END)
+        |     + MAX(CASE WHEN rn = (n+2) // 2 THEN dev END)) / 2 AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, m.med, m.mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type, m.med, m.mad ORDER BY d.event_type""".stripMargin
     }))
 
   val defs: Seq[(String, QFn, Option[String])] =
