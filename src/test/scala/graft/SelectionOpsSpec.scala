@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup, Similarity}
+
+/** Property checks for the retrieval-selection and curation-planning
+  * operators (oracle twins prove cross-engine exactness; these pin the
+  * semantics on hand-built inputs).
+  */
+class SelectionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+
+  test("filteredBruteTopK returns only allowed targets, a subset of unfiltered") {
+    val embs = Seq(
+      (0L, vec(1f, 0f)), // query
+      (10L, vec(1f, 0.01f)), (11L, vec(1f, 0.02f)), (12L, vec(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val allowed = Seq(11L, 12L).toDF("vec_id")
+    val got = Similarity.filteredBruteTopK(embs, allowed, nQueries = 1, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(11L, 12L))
+    val unfiltered = Similarity.bruteForceTopK(embs, nQueries = 1, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.subsetOf(unfiltered))
+  }
+
+  test("mmrTopK's second pick trades relevance for diversity") {
+    // two near-identical top hits plus a slightly less relevant but
+    // diverse one: plain top-2 takes the twins; MMR's second pick must
+    // be the diverse target
+    val embs = Seq(
+      (0L, vec(1f, 0f, 0f)), // query
+      (10L, vec(0.99f, 0.1f, 0f)), // top hit
+      (11L, vec(0.98f, 0.11f, 0f)), // its near-twin
+      (12L, vec(0.7f, 0f, 0.7f))) // diverse, lower relevance
+      .toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopK(embs, nQueries = 1, kCand = 3, kSel = 2)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(mmr(1) == 10L)
+    assert(mmr(2) == 12L, s"expected the diverse pick, got ${mmr(2)}")
+    val plain = Similarity.bruteForceTopK(embs, nQueries = 1, k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain == Set(10L, 11L))
+  }
+
+  test("temperatureMixture damps the head: tail share rises, quotas fit budget") {
+    val docs = ((1 to 900).map(i => (i.toLong, "x", "en")) ++
+      (1 to 100).map(i => (900L + i, "x", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val q = Curation.temperatureMixture(docs, "lang", budgetDocs = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(q.values.sum <= 100L)
+    // proportional would give fr 10%; sqrt damping must give more
+    assert(q("fr") > 10L, s"tail quota not damped up: $q")
+    assert(q("en") < 90L)
+  }
+
+  test("shard plan: every shard within budget + one doc, docs contiguous") {
+    // mirrors c13's rule on a hand corpus: shard_id = prefix DIV 100
+    val docs = (1L to 50L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n_chars")
+    val planned = graft.operators.PrefixSum
+      .withRunningSum(docs, Seq(col("doc_id")), "n_chars", "start")
+      .withColumn("shard_id", expr("start div 100"))
+    val shards = planned.groupBy(col("shard_id"))
+      .agg(sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    val maxDoc = 16L
+    shards.foreach { r =>
+      assert(r.getLong(1) <= 100L + maxDoc, s"oversized shard: $r")
+      // contiguity: id range length == doc count
+      assert(r.getLong(3) - r.getLong(2) + 1 == r.getLong(4), s"gap in $r")
+    }
+  }
+
+  test("hllIntersection estimate tracks a planted overlap") {
+    val events = ((1 to 600).map(u => (u.toLong, "view")) ++
+      (301 to 900).map(u => (u.toLong, "purchase")))
+      .map { case (u, t) => (u, t, u) }
+      .toDF("user_id", "event_type", "event_id")
+    val row = Dedup.hllIntersection(events, "view", "purchase", p = 8)
+      .collect()(0)
+    val est = row.getDouble(3); val exact = row.getLong(4)
+    assert(exact == 300L)
+    // p=8 HLL: ~6.5% relative error per sketch; inclusion-exclusion
+    // compounds it — assert the estimate is in a generous envelope
+    assert(est > 150.0 && est < 450.0, s"estimate $est far from $exact")
+  }
+}
