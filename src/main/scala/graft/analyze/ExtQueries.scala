@@ -1106,6 +1106,42 @@ object ExtQueries {
       FROM selall5 ORDER BY query_id, rk"""
       }),
 
+    // int8-retrieval audit: recall@5 of search over the quantized
+    // reconstructions vs the float baseline — s08 shrinks storage 4x,
+    // this measures what that costs retrieval (same audit frame as
+    // s16/s17)
+    ("s21_int8_recall", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val full = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val recon = Similarity.bruteForceTopK(Similarity.int8Reconstruct(embs),
+          nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      full.join(recon, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_full"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_full").cast("double"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH b AS ($annTopkOracle),
+      re AS (SELECT vec_id, ${Similarity.int8ReconstructSql("embedding")} AS remb
+             FROM embeddings),
+      e2 AS (SELECT vec_id, remb, ${normS("remb")} AS nrm FROM re),
+      sc2 AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                     ${dotS("q.remb", "t.remb")} / (q.nrm * t.nrm) AS cosine
+              FROM e2 q JOIN e2 t ON q.vec_id < 10 AND t.vec_id >= 10),
+      rr AS (SELECT qid AS query_id, tid AS neighbor_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY cosine DESC, tid) AS rn FROM sc2) z
+             WHERE rn <= 5)
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(COUNT(rr.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(rr.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM b LEFT JOIN rr
+        ON b.query_id = rr.query_id AND b.neighbor_id = rr.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id""")),
+
     // filtered vector search: the metadata predicate (doc lang = 'en')
     // semi-joins the target side BEFORE any distance math — filtered
     // ANN as a composition, never a post-filter that can starve k

@@ -868,6 +868,42 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The read-side twin of [[quantizeInt8]]: reconstruct each vector
+    * from its int8 codes (q·scale, float-stored) — what a search over
+    * int8-quantized storage actually scores against. Same portable
+    * floor(+0.5) rounding and provably-no-op clamp as the writer; the
+    * s21 audit runs recall@5 of retrieval over these reconstructions
+    * against the float baseline, completing the storage-shrink story
+    * with its retrieval-quality price tag.
+    */
+  def int8Reconstruct(embs: DataFrame): DataFrame = {
+    val base = graft.core.Tables.spread(embs)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) /
+          lit(127.0)).as("scale"))
+    val recon = when(col("scale") === lit(0.0),
+        transform(col("embedding"), _ => lit(0.0f)))
+      .otherwise(transform(col("embedding"), x =>
+        (greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") / col("scale") + lit(0.5)).cast("long")))
+          .cast("double") * col("scale")).cast("float")))
+    base.select(col("vec_id"), recon.as("embedding"))
+  }
+
+  /** DuckDB twin of [[int8Reconstruct]]'s row expression over a
+    * LIST(FLOAT) column named by `emb`.
+    */
+  def int8ReconstructSql(emb: String): String = {
+    val scale =
+      s"(list_aggregate(list_transform($emb, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0)"
+    s"""CASE WHEN $scale = 0.0
+        THEN list_transform($emb, x -> CAST(0.0 AS REAL))
+        ELSE list_transform($emb, x -> CAST(
+          GREATEST(CAST(-127 AS DOUBLE), LEAST(CAST(127 AS DOUBLE),
+            floor(CAST(x AS DOUBLE) / $scale + 0.5))) * $scale AS REAL))
+        END"""
+  }
+
   /** MMR (maximal-marginal-relevance) diversified re-ranking: from each
     * query's `kCand` cosine candidates, select `kSel` iteratively —
     * first the most relevant, then whatever maximizes

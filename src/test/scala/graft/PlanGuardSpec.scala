@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
     "s16_truncated_recall" -> 2, // broadcast query set per brute side (full + truncated)
     "s17_jl_recall" -> 2, // broadcast query set per brute side (full + JL-projected)
     "s18_filtered_ann" -> 1, // broadcast query set against the semi-join-filtered targets
+    "s21_int8_recall" -> 2, // broadcast query set per brute side (full + reconstructed)
     // s20_mmr_rerank: the candidate brute pass's broadcast sits behind a
     // localCheckpoint, so the registered plan itself carries no BNLJ
     "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
