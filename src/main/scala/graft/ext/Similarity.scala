@@ -324,20 +324,13 @@ object Similarity {
   def ivfTopK(embs: DataFrame, nCentroids: Int, nProbe: Int,
               nQueries: Int, k: Int,
               allowed: Option[DataFrame] = None): DataFrame = {
-    // lowest-nCentroids TARGET ids (order statistic, arbitrary id
-    // spaces) — the bounded set that broadcasts below
-    val cents = embs.filter(col("vec_id") >= nQueries)
-      .orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        normCol(col("embedding")).as("c_norm"))
+    val cents = ivfCents(embs, nCentroids, nQueries)
     val t = side(embs.filter(col("vec_id") >= nQueries), "t")
-    val q = side(embs.filter(col("vec_id") < nQueries), "q")
-    def cScore(emb: String, nrm: String) =
-      dotCol(col(emb), col("c_emb")) / (col(nrm) * col("c_norm"))
     // build: argmax-by-(cosine, then lowest c_id) per target, as a
     // partial-aggregating max_by — not a window over the score table
     val cells = t.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cScore("t_emb", "t_norm"))
+      .withColumn("c_cos",
+        dotCol(col("t_emb"), col("c_emb")) / (col("t_norm") * col("c_norm")))
       .groupBy(col("t_id"))
       .agg(max_by(col("c_id"), struct(col("c_cos"), negate(col("c_id")))).as("cell"))
     // metadata pre-filter (filtered ANN): the allowed-id semi-join
@@ -347,11 +340,33 @@ object Similarity {
     val assigned = allowed.foldLeft(t.join(cells, "t_id")) { (a, ids) =>
       a.join(ids.select(col("vec_id").as("t_id")), Seq("t_id"), "left_semi")
     }
-    // probe: nProbe nearest cells per query (query set is small)
+    ivfScoreProbes(cents, assigned, embs, nProbe, nQueries, k)
+  }
+
+  /** Lowest-nCentroids TARGET ids (order statistic, arbitrary id
+    * spaces) — the bounded set the IVF build/probe broadcasts.
+    */
+  private def ivfCents(embs: DataFrame, nCentroids: Int,
+                       nQueries: Int): DataFrame =
+    embs.filter(col("vec_id") >= nQueries)
+      .orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        normCol(col("embedding")).as("c_norm"))
+
+  /** Shared probe+score stage: nProbe nearest cells per query, exact
+    * cosine over the probed cells' assigned targets, per-query top-k.
+    * `assigned` carries (cell, t_id, t_emb, t_norm) from a live build
+    * or a persisted index table.
+    */
+  private def ivfScoreProbes(cents: DataFrame, assigned: DataFrame,
+                             embs: DataFrame, nProbe: Int, nQueries: Int,
+                             k: Int): DataFrame = {
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cScore("q_emb", "q_norm"))
+      .withColumn("c_cos",
+        dotCol(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id").as("cell"))
@@ -365,6 +380,37 @@ object Similarity {
         col("cell"), col("cosine"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
   }
+
+  /** Persist the IVF index — cell-assigned targets — as a CELL-BUCKETED
+    * table: the "build once, query many" production shape. Every later
+    * [[ivfTopKFromIndex]] probe equi-joins on cell and reads the corpus
+    * side with NO Exchange (only the tiny probe side shuffles), at any
+    * index size.
+    */
+  def persistIvfIndex(embs: DataFrame, nCentroids: Int, nQueries: Int,
+                      table: String, buckets: Int): Unit = {
+    val cents = ivfCents(embs, nCentroids, nQueries)
+    val t = side(embs.filter(col("vec_id") >= nQueries), "t")
+    val cells = t.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        dotCol(col("t_emb"), col("c_emb")) / (col("t_norm") * col("c_norm")))
+      .groupBy(col("t_id"))
+      .agg(max_by(col("c_id"), struct(col("c_cos"), negate(col("c_id")))).as("cell"))
+    graft.operators.Layout.writeBucketed(
+      t.join(cells, "t_id")
+        .select(col("cell"), col("t_id"), col("t_emb"), col("t_norm")),
+      table, "cell", buckets)
+  }
+
+  /** Query a [[persistIvfIndex]] table: identical output to the live
+    * [[ivfTopK]] (same centroid rule, same probe/score stage), with the
+    * assigned-target side read from the bucketed index.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       table: String, embs: DataFrame, nCentroids: Int,
+                       nProbe: Int, nQueries: Int, k: Int): DataFrame =
+    ivfScoreProbes(ivfCents(embs, nCentroids, nQueries), spark.table(table),
+      embs, nProbe, nQueries, k)
 
   /** LSH-bucketed ANN top-k: queries probe only their own bucket —
     * approximate, but the candidate join is equi on bucket id (shuffle

@@ -90,4 +90,35 @@ class SelectionOpsSpec extends SparkSpec {
     // compounds it — assert the estimate is in a generous envelope
     assert(est > 150.0 && est < 450.0, s"estimate $est far from $exact")
   }
+
+  test("persisted IVF index: same results as live, zero-Exchange corpus probe") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // a previous JVM's interrupted run can leave the managed location
+    // behind without a catalog entry — clear both before the build
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ivf_idx_spec")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    Similarity.persistIvfIndex(embs, nCentroids = 16, nQueries = 10,
+      table = "ivf_idx_spec", buckets = 8)
+    val live = Similarity.ivfTopK(embs, 16, 2, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, "ivf_idx_spec",
+        embs, 16, 2, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(fromIdx == live)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.ivfTopKFromIndex(spark, "ivf_idx_spec",
+        embs, 16, 2, 10, 5).queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index not read as a bucketed scan:\n$plan")
+      // query-side only: the probe-selection window, the cell join's
+      // probe shuffle, and the final per-query window — the
+      // corpus/index side contributes none at any index size
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 3, s"unexpected exchanges:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
