@@ -577,6 +577,52 @@ object ExtQueries {
       Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),
       Some(ngramJaccardOracle)),
 
+    // dedup-rate dashboard: per SOURCE, how much of its contribution is
+    // exact-duplicated or near-duplicated — the operational question
+    // dedup reporting answers ("which feed is polluting the corpus").
+    // Near-dup membership reuses d05's pair oracle; the engine runs
+    // uncapped so both sides compute the same candidate set
+    ("d29_dup_rate_by_source", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val exactDup = docs
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("nc"))
+        .filter(col("nc") > 1).select(col("h"))
+      val exactIds = docs.join(exactDup,
+          md5(col("text")) === col("h"), "left_semi")
+        .select(col("doc_id")).withColumn("__exact", lit(1))
+      val pairs = Dedup.minhashDup(docs, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+      val nearIds = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id")))
+        .distinct().withColumn("__near", lit(1))
+      docs.join(exactIds.select(col("doc_id"), col("__exact")), Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("__exact")).as("n_exact_dup"),
+          count(col("__near")).as("n_near_dup"))
+        .withColumn("near_pct",
+          col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH $minhashCtes,
+      dup AS (SELECT doc_a, doc_b FROM com
+              WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+      near AS (SELECT DISTINCT doc_id FROM
+                 (SELECT doc_a AS doc_id FROM dup
+                  UNION ALL SELECT doc_b FROM dup) u),
+      eh AS (SELECT md5(text) AS h FROM documents GROUP BY md5(text)
+             HAVING COUNT(*) > 1)
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(CASE WHEN md5(d.text) IN (SELECT h FROM eh)
+               THEN 1 END) AS BIGINT) AS n_exact_dup,
+             CAST(COUNT(CASE WHEN d.doc_id IN (SELECT doc_id FROM near)
+               THEN 1 END) AS BIGINT) AS n_near_dup,
+             CAST(COUNT(CASE WHEN d.doc_id IN (SELECT doc_id FROM near)
+               THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS near_pct
+      FROM documents d GROUP BY d.source ORDER BY d.source""")),
+
     // ---- replica reconciliation (Merkle-style bucket digests) ----
     // "did the copy land intact?" for tables too big to compare by
     // moving them: phase 1 ships only `buckets` counter rows per side
