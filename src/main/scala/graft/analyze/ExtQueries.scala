@@ -577,6 +577,72 @@ object ExtQueries {
       Dedup.ngramJaccardDup(t(s, d, "documents"), n = 4, maxLenDiff = 10, threshold = 0.5),
       Some(ngramJaccardOracle)),
 
+    // the ensemble decision table: every candidate near-dup pair from
+    // FOUR families (minhash Jaccard, simhash Hamming, char-n-gram
+    // Jaccard, edit distance) with per-family verdicts and an
+    // agreement count — what a production dedup review queue actually
+    // consumes. Engine and oracle both union the families' own d04/
+    // d05/d06/d26 shapes verbatim (each family's oracle nests as a
+    // CTE), so the composition inherits their exactness
+    ("d30_dedup_ensemble", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      def flag(df: DataFrame, name: String) =
+        df.select(col("doc_a"), col("doc_b")).distinct()
+          .withColumn(name, lit(true))
+      val fams = Seq(
+        flag(Dedup.minhashDup(docs, threshold = 0.5), "f_minhash"),
+        flag(Dedup.simhashDup(docs, maxHamming = 6), "f_simhash"),
+        flag(Dedup.ngramJaccardDup(docs, n = 4, maxLenDiff = 10,
+          threshold = 0.5), "f_ngram"),
+        flag(Dedup.editDistanceDup(docs, maxDist = 40), "f_edit"))
+      val allPairs = fams.map(_.select(col("doc_a"), col("doc_b")))
+        .reduce(_ unionByName _).distinct()
+      val joined = fams.foldLeft(allPairs) { (acc, f) =>
+        acc.join(f, Seq("doc_a", "doc_b"), "left")
+      }
+      val flags = Seq("f_minhash", "f_simhash", "f_ngram", "f_edit")
+      flags.foldLeft(joined) { (df, f) =>
+          df.withColumn(f, coalesce(col(f), lit(false)))
+        }
+        .withColumn("n_families",
+          flags.map(f => when(col(f), 1).otherwise(0)).reduce(_ + _))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(s"""
+      WITH mh AS ($minhashOracle),
+      shq AS ($simhashDupOracle),
+      ngq AS ($ngramJaccardOracle),
+      edq AS (
+        WITH d AS (SELECT doc_id, lang, n_chars, text FROM documents
+                   WHERE doc_id % 2 = 0 AND length(text) = strlen(text)),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     levenshtein(a.text, b.text) AS dist
+              FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                AND abs(a.n_chars - b.n_chars) <= 5)
+        SELECT doc_a, doc_b FROM p WHERE dist <= 40),
+      u AS (SELECT doc_a, doc_b FROM mh UNION
+            SELECT doc_a, doc_b FROM shq UNION
+            SELECT doc_a, doc_b FROM ngq UNION
+            SELECT doc_a, doc_b FROM edq),
+      m2 AS (SELECT DISTINCT doc_a, doc_b, TRUE AS f FROM mh),
+      s2 AS (SELECT DISTINCT doc_a, doc_b, TRUE AS f FROM shq),
+      n2 AS (SELECT DISTINCT doc_a, doc_b, TRUE AS f FROM ngq),
+      e2 AS (SELECT DISTINCT doc_a, doc_b, TRUE AS f FROM edq)
+      SELECT u.doc_a, u.doc_b,
+             COALESCE(m2.f, FALSE) AS f_minhash,
+             COALESCE(s2.f, FALSE) AS f_simhash,
+             COALESCE(n2.f, FALSE) AS f_ngram,
+             COALESCE(e2.f, FALSE) AS f_edit,
+             CAST(CASE WHEN m2.f THEN 1 ELSE 0 END
+               + CASE WHEN s2.f THEN 1 ELSE 0 END
+               + CASE WHEN n2.f THEN 1 ELSE 0 END
+               + CASE WHEN e2.f THEN 1 ELSE 0 END AS INT) AS n_families
+      FROM u
+      LEFT JOIN m2 ON u.doc_a = m2.doc_a AND u.doc_b = m2.doc_b
+      LEFT JOIN s2 ON u.doc_a = s2.doc_a AND u.doc_b = s2.doc_b
+      LEFT JOIN n2 ON u.doc_a = n2.doc_a AND u.doc_b = n2.doc_b
+      LEFT JOIN e2 ON u.doc_a = e2.doc_a AND u.doc_b = e2.doc_b
+      ORDER BY u.doc_a, u.doc_b""")),
+
     // dedup-rate dashboard: per SOURCE, how much of its contribution is
     // exact-duplicated or near-duplicated — the operational question
     // dedup reporting answers ("which feed is polluting the corpus").
