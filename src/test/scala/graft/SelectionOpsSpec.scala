@@ -121,4 +121,24 @@ class SelectionOpsSpec extends SparkSpec {
       assert(exchanges <= 3, s"unexpected exchanges:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("dedup families disagree where they should: edit-close vs set-close") {
+    // docs 0/2: one in-place character edit (edit-distance close, and
+    // shingle sets nearly identical); docs 0/4: same words shuffled
+    // (n-gram/minhash see overlap, edit distance sees a rewrite)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val docs = Seq(
+      (0L, base, "en", base.length.toLong),
+      (2L, base.replace("charlie", "charlee"), "en", base.length.toLong),
+      (4L, base.split(" ").reverse.mkString(" "), "en", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val edit = Dedup.editDistanceDup(docs, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edit.contains((0L, 2L)))
+    assert(!edit.contains((0L, 4L)), s"reversal should not be edit-close: $edit")
+    val ng = Dedup.ngramJaccardDup(docs, n = 4, maxLenDiff = 10,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.contains((0L, 2L)) || ng.contains((0L, 4L)))
+  }
 }
