@@ -78,23 +78,34 @@ object Layout {
     * re-running the same (df, batchId) rewrites the same partition with
     * the same content, and never touches other batches.
     */
-  def overwriteBatch(df: DataFrame, table: String, batchId: Long): Unit = {
-    val spark = df.sparkSession
-    val ordered = spark.table(table).columns.toSeq
-    // insertInto ignores writer options; dynamic-vs-static lives in the
-    // session conf (static would truncate ALL batches, not just this one)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.withColumn("batch", lit(batchId))
-      .select(ordered.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .insertInto(table)
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  /** The partitionOverwriteMode toggle below mutates SESSION-global
+    * conf; two concurrent foreachBatch writers on one session (e.g.
+    * StreamDedup + StreamSimilarity) could interleave so one restores
+    * "static" while the other's insertInto is still planning — which
+    * would truncate every batch partition. All toggle+write sequences
+    * are serialized through this lock (driver-side only; the writes
+    * themselves still run distributed).
+    */
+  private val overwriteModeLock = new Object
+
+  def overwriteBatch(df: DataFrame, table: String, batchId: Long): Unit =
+    overwriteModeLock.synchronized {
+      val spark = df.sparkSession
+      val ordered = spark.table(table).columns.toSeq
+      // insertInto ignores writer options; dynamic-vs-static lives in the
+      // session conf (static would truncate ALL batches, not just this one)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.withColumn("batch", lit(batchId))
+        .select(ordered.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(table)
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Salted equi-join of a skewed left side with a smaller right side
     * on `key`: left rows get a deterministic salt from a high-entropy

@@ -57,9 +57,25 @@ object Fetch {
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          fs.delete(dst, false)
-          if (!fs.rename(tmp, dst))
+          // No OVERWRITE rename for this scheme; a bare delete+rename
+          // would reopen the crash window the FileContext path exists to
+          // close (old good archive gone, new one not yet in place).
+          // Move the old landing ASIDE instead — `._bak.` also doesn't
+          // match the landing glob — swap the new one in, then drop the
+          // backup; on a failed swap-in the backup is restored.
+          val bak = new Path(dir, s"._bak.$name")
+          fs.delete(bak, false)
+          val hadPrior = fs.exists(dst) && fs.rename(dst, bak)
+          def restore(): Unit =
+            if (hadPrior) { try fs.rename(bak, dst) catch { case NonFatal(_) => }; () }
+          val swapped = try fs.rename(tmp, dst) catch {
+            case NonFatal(ex) => restore(); throw ex
+          }
+          if (!swapped) {
+            restore()
             throw new java.io.IOException(s"rename $tmp -> $dst failed")
+          }
+          if (hadPrior) fs.delete(bak, false)
       }
     } catch {
       case NonFatal(ex) => // never leave a half-written temp behind

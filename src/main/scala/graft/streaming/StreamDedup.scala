@@ -152,11 +152,18 @@ object StreamDedup {
     if (fs.exists(p)) {
       val flat = fs.listStatus(p).filter(f => f.isFile && isDataFile(f.getPath.getName))
       if (flat.nonEmpty) {
-        // materialize off the doomed files before deleting them
+        // Fold-then-delete: write the legacy rows to the batch=-1
+        // partition FIRST (reading straight off the still-present flat
+        // files — localCheckpoint is not fault-tolerant, so deleting
+        // before the write commits could lose the pre-migration corpus
+        // forever), and remove the flat files only once the write is
+        // durable. A crash in between re-folds the same deterministic
+        // rows into batch=-1 on the next start; the partitioned table
+        // read lists partition directories only, so lingering root
+        // files are invisible to it.
         val legacy = spark.read.parquet(flat.map(_.getPath.toString).toSeq: _*)
-          .localCheckpoint()
-        flat.foreach(f => fs.delete(f.getPath, false))
         Layout.overwriteBatch(legacy, table, -1L)
+        flat.foreach(f => fs.delete(f.getPath, false))
       }
     }
     table

@@ -138,12 +138,28 @@ object StreamSimilarity {
     if (!fs.exists(p)) {
       val derived = batch.select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(nPlanes) // TakeOrdered: bounded
-      derived.write.mode("overwrite").parquet(planesPath)
+        .persist()
+      try {
+        // An empty batch must NOT persist an empty plane set — the
+        // fs.exists guard would pin it forever and poison every later
+        // batch. Skip the write so the first data-bearing batch derives.
+        require(!derived.isEmpty,
+          "no hyperplanes: this batch was empty; planes will derive " +
+          "from the first non-empty batch")
+        derived.write.mode("overwrite").parquet(planesPath)
+      } finally { derived.unpersist(); () }
     }
     val planes = spark.read.parquet(planesPath)
       .orderBy(col("vec_id")).collect()
       .map(_.getSeq[Float](1).toArray).toSeq
-    require(planes.nonEmpty, "no hyperplanes: first batch was empty")
+    if (planes.isEmpty) {
+      // A pre-fix run may have persisted an empty plane set; unpoison by
+      // deleting so the next batch can re-derive, then fail this one.
+      fs.delete(p, true)
+      throw new IllegalStateException(
+        s"persisted planes at $planesPath were empty (pre-migration " +
+        "poison state); deleted — the next non-empty batch re-derives")
+    }
     planes
   }
 
