@@ -38,21 +38,37 @@ object ExtQueries {
   }.mkString(" UNION ALL ")
 
   /** Shared CTE chain producing minhash candidate pairs with counts
-    * (reused by the dup-pairs oracle and the clustering oracle). */
-  private val minhashCtes: String = {
-    s"""sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+    * (reused by the dup-pairs oracle and the clustering oracle).
+    * `src` is the docs relation (doc_id, text); `cap` — when set —
+    * models [[graft.ext.HotBuckets.prune]] exactly: members of band
+    * buckets holding more than `cap` docs are removed from candidate
+    * generation BEFORE the self-join (a per-bucket HAVING), which is
+    * the production shape the default-capped operators run.
+    */
+  private def minhashCtesFor(src: String, cap: Option[Int] = None): String = {
+    val bandCtes = cap match {
+      case None => s"bands AS (${bandSelectsSql("sig")})"
+      case Some(c) =>
+        s"""bands0 AS (${bandSelectsSql("sig")}),
+    okb AS (SELECT band_idx, band_key FROM bands0
+            GROUP BY band_idx, band_key HAVING COUNT(*) <= $c),
+    bands AS (SELECT bands0.* FROM bands0 JOIN okb USING (band_idx, band_key))"""
+    }
+    s"""sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM $src),
     h AS (SELECT doc_id, $h32s AS h FROM sh),
     sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id),
-    bands AS (${bandSelectsSql("sig")}),
+    $bandCtes,
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
              FROM bands x JOIN bands y
              ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-    arr AS (SELECT doc_id, $shinglesSql AS sa FROM documents),
+    arr AS (SELECT doc_id, $shinglesSql AS sa FROM $src),
     com AS (SELECT doc_a, doc_b,
                    CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
                    CAST(len(a.sa) AS INT) AS na, CAST(len(b.sa) AS INT) AS nb
             FROM cand JOIN arr a ON a.doc_id = doc_a JOIN arr b ON b.doc_id = doc_b)"""
   }
+
+  private val minhashCtes: String = minhashCtesFor("documents")
 
   private val minhashOracle: String = s"""
     WITH $minhashCtes
@@ -106,7 +122,9 @@ object ExtQueries {
     SELECT jj.doc_id, jj.rep_id, jj.quality, jj.doc_id = w.keep_id AS keep
     FROM jj JOIN w USING (rep_id) ORDER BY doc_id"""
 
-  private val simhashExpr: String = {
+  /** `preCtes`, when non-empty, is spliced verbatim after WITH (must end
+    * with a comma) — lets a caller prepend a fixture relation CTE. */
+  private def simhashExprFor(src: String, preCtes: String = ""): String = {
     // 64-bit fingerprint: bits 0-31 tally h32(word) bits, 32-63 tally
     // h32b(word) bits — mirrors Dedup.simhashViaAgg term for term. The
     // j=63 term is the sign bit (literal parses via HUGEINT, cast back);
@@ -119,22 +137,33 @@ object ExtQueries {
       .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString(" + ")
     s"""
-    WITH w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS wd FROM documents),
+    WITH $preCtes w AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS wd FROM $src),
     h AS (SELECT doc_id, ${Hashing.h32Sql("wd")} AS hlo, ${Hashing.h32bSql("wd")} AS hhi FROM w),
     sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
     sh AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM sums)"""
   }
 
+  private val simhashExpr: String = simhashExprFor("documents")
+
   private val simhashOracle: String =
     s"$simhashExpr SELECT doc_id, simhash FROM sh ORDER BY doc_id"
 
-  private val simhashDupOracle: String = {
+  private def simhashDupOracleFor(src: String, cap: Option[Int] = None,
+                                  preCtes: String = ""): String = {
     val bands = (0 until Dedup.SimhashBands)
       .map(k => s"SELECT doc_id, simhash, $k AS band_idx, " +
         s"(simhash >> ${Dedup.SimhashBandBits * k}) & ${Dedup.SimhashBandMask} AS band_val FROM sh")
       .mkString(" UNION ALL ")
-    s"""$simhashExpr,
-    banded AS ($bands),
+    val bandedCtes = cap match {
+      case None => s"banded AS ($bands)"
+      case Some(c) =>
+        s"""banded0 AS ($bands),
+    okb AS (SELECT band_idx, band_val FROM banded0
+            GROUP BY band_idx, band_val HAVING COUNT(*) <= $c),
+    banded AS (SELECT banded0.* FROM banded0 JOIN okb USING (band_idx, band_val))"""
+    }
+    s"""${simhashExprFor(src, preCtes)},
+    $bandedCtes,
     pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                      x.simhash AS sha, y.simhash AS shb
               FROM banded x JOIN banded y
@@ -143,6 +172,8 @@ object ExtQueries {
     FROM pairs WHERE bit_count(xor(sha, shb)) <= 6
     ORDER BY doc_a, doc_b"""
   }
+
+  private val simhashDupOracle: String = simhashDupOracleFor("documents")
 
   /** Incremental dedup oracle: new (odd doc_id) vs corpus (even doc_id)
     * band join — no self-pairs on either side by construction. */
@@ -519,6 +550,72 @@ object ExtQueries {
       upper(hex(substr(text, (strlen(text) // 2) + 1, ${Multimodal.FrameBytes}))) AS mid_frame_hex
     FROM documents ORDER BY doc_id"""
 
+  // ---- hot-bucket cap fixture ------------------------------------------
+  //
+  // d31-d34 gate the PRODUCTION capped candidate path of the dedup
+  // families (the default [[Dedup.DefaultMaxBucket]] = 10000 that d04/
+  // d05/d11 run with and d19 documents): the fixture plants a
+  // 10001-member cluster of identical docs/vectors — one bucket (all
+  // its bands/postings) strictly over the cap, which uncapped would
+  // mean ~5e7 self-pairs — plus a 2-member "warm" identical pair and a
+  // small-doc-in-host containment pair that live in NORMAL buckets.
+  // [[graft.ext.HotBuckets.prune]] must drop every hot-cluster member
+  // BEFORE the self-join while the warm/nest pairs still come out, so
+  // each capped query's rows provably differ from its uncapped twin
+  // (d05/d04/d11/d19: no planted pairs there) and the oracle models
+  // the cap itself as a per-bucket HAVING COUNT(*) <= cap.
+  // Synthetic tokens keep planted shingles/words disjoint from the
+  // organic corpus at any sf.
+
+  private val HotText = "hotqz alphqz betaqz gammqz deltqz" // 3 shingles
+  private val WarmText = "warmqz epsqz zetaqz etaqz thetqz"
+  private val NestSmallText = "nestqz iotaqz kapqz lamqz muqz"
+  private val NestHostText = NestSmallText + " nuqz xiqz omiqz"
+
+  private def docsAug(s: SparkSession, d: String): DataFrame = {
+    def planted(n: Long, idBase: Long, text: String) =
+      s.range(n).select((col("id") + idBase).as("doc_id"),
+        lit(text).as("text"))
+    t(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionByName(planted(10001, 9000000L, HotText))
+      .unionByName(planted(2, 9500000L, WarmText))
+      .unionByName(planted(1, 9600000L, NestSmallText))
+      .unionByName(planted(1, 9600001L, NestHostText))
+  }
+
+  private val docsAugSql: String = s"""docs_aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT 9000000 + gx, '$HotText' FROM range(10001) ga(gx)
+      UNION ALL SELECT 9500000 + gx, '$WarmText' FROM range(2) gb(gx)
+      UNION ALL SELECT 9600000, '$NestSmallText'
+      UNION ALL SELECT 9600001, '$NestHostText')"""
+
+  /** Embedding twin of [[docsAug]]: 10001 copies of e0 = (1,0,...,0)
+    * collapse into one over-cap LSH bucket; the warm pair -e0 lands in
+    * the bitwise-complement bucket (different as long as no plane's
+    * first component is exactly 0 — the planes are organic data).
+    */
+  private def embsAug(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    def basis(sign: Float): Array[Float] =
+      Array.tabulate(dim)(i => if (i == 0) sign else 0f)
+    def planted(n: Long, idBase: Long, v: Array[Float]) =
+      s.range(n).select((col("id") + idBase).as("vec_id"),
+        typedLit(v).as("embedding"))
+    t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .unionByName(planted(10001, 9000000L, basis(1f)))
+      .unionByName(planted(2, 9500000L, basis(-1f)))
+  }
+
+  private val embsAugSql: String = {
+    def basisSql(sign: Int) =
+      s"list_transform(range(64), i -> CAST(CASE WHEN i = 0 THEN $sign ELSE 0 END AS FLOAT))"
+    s"""embs_aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT 9000000 + gx, ${basisSql(1)} FROM range(10001) ga(gx)
+      UNION ALL SELECT 9500000 + gx, ${basisSql(-1)} FROM range(2) gb(gx))"""
+  }
+
   // ---- query definitions -----------------------------------------------
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -547,6 +644,80 @@ object ExtQueries {
     ("d05_minhash_lsh_dup", (s: SparkSession, d: String) =>
       Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5),
       Some(minhashOracle)),
+
+    // ---- capped-path gates (see the hot-bucket cap fixture above):
+    // identical operators and thresholds as d05/d04/d11/d19, but run
+    // on the planted-hot-cluster fixture with the DEFAULT maxBucket,
+    // so the HotBuckets.prune branch itself is hash-verified
+    ("d31_minhash_dup_capped", (s: SparkSession, d: String) =>
+      Dedup.minhashDup(docsAug(s, d), threshold = 0.5),
+      Some(s"""
+      WITH $docsAugSql,
+      ${minhashCtesFor("docs_aug", Some(Dedup.DefaultMaxBucket))}
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+      FROM com
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+      ORDER BY doc_a, doc_b""")),
+
+    ("d32_simhash_dup_capped", (s: SparkSession, d: String) =>
+      Dedup.simhashDup(docsAug(s, d), maxHamming = 6),
+      Some(simhashDupOracleFor("docs_aug", Some(Dedup.DefaultMaxBucket),
+        preCtes = s"$docsAugSql,"))),
+
+    ("d33_cosine_lsh_dup_capped", (s: SparkSession, d: String) =>
+      Similarity.lshCosineDupPairs(embsAug(s, d), nPlanes = 8, threshold = 0.4),
+      Some(s"""
+      WITH $embsAugSql,
+      e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embs_aug),
+      pl0 AS (SELECT vec_id, embedding FROM embs_aug ORDER BY vec_id LIMIT 8),
+      pl AS (SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+             FROM pl0),
+      b AS (SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                            THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embs_aug v CROSS JOIN pl p GROUP BY v.vec_id),
+      okv AS (SELECT bucket FROM b GROUP BY bucket
+              HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+      bc AS (SELECT b.* FROM b JOIN okv USING (bucket)),
+      eb AS (SELECT e.vec_id, embedding, nrm, bucket
+             FROM e JOIN bc ON e.vec_id = bc.vec_id)
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket AS bucket,
+             ${dotS("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosine
+      FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE ${dotS("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.4
+      ORDER BY vec_a, vec_b""")),
+
+    // capped twin of d19: same bottom-K probe / inverted-index shape,
+    // but with the postings cap ON (d19 itself runs uncapped because
+    // its oracle predates the cap model) — hot shingles can't nominate
+    ("d34_containment_asym_capped", (s: SparkSession, d: String) =>
+      Dedup.containmentDupAsym(docsAug(s, d), threshold = 0.8, probeK = 4),
+      Some(s"""
+      WITH $docsAugSql,
+      sh0 AS (SELECT DISTINCT doc_id, s FROM
+                (SELECT doc_id, unnest($shinglesSql) AS s FROM docs_aug)),
+      hh AS (SELECT DISTINCT doc_id, ${Hashing.h32Sql("s")} AS h FROM sh0),
+      okh AS (SELECT h FROM hh GROUP BY h
+              HAVING COUNT(*) <= ${Dedup.DefaultMaxBucket}),
+      host AS (SELECT doc_id, h FROM hh JOIN okh USING (h)),
+      probe AS (SELECT doc_id AS doc_a, h FROM
+                  (SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY h) AS rn FROM hh)
+                WHERE rn <= 4),
+      cand AS (SELECT p.doc_a, x.doc_id AS doc_b
+               FROM probe p JOIN host x ON x.h = p.h AND x.doc_id <> p.doc_a
+               GROUP BY p.doc_a, x.doc_id HAVING COUNT(*) >= 2),
+      arr AS (SELECT doc_id, $shinglesSql AS sa FROM docs_aug),
+      com AS (SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(a.sa, b.sa)) AS INT) AS n_common,
+                     CAST(len(a.sa) AS INT) AS na
+              FROM cand JOIN arr a ON a.doc_id = doc_a
+                        JOIN arr b ON b.doc_id = doc_b)
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / na AS containment
+      FROM com WHERE CAST(n_common AS DOUBLE) / na >= 0.8
+      ORDER BY doc_a, doc_b""")),
 
     // per-doc signature export: verifies every minhash value directly,
     // not just through the pairs they produce
