@@ -154,9 +154,10 @@ object Similarity {
     */
   def hyperplaneBucket(emb: Column, planes: Seq[Array[Float]]): Column = {
     require(planes.nonEmpty && planes.size <= 62, "1 to 62 planes")
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dotCol(emb, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one codegen'd loop over a referenced float[][] — not nPlanes
+    // literal-array dot nodes (plan stays constant-size in nPlanes)
+    graft.functions.VectorExpressions.hyperplaneBucket(
+      emb, planes.map(_.toSeq))
   }
 
   /** Banded multi-table cosine LSH near-dup pairs — the full 100 TB
@@ -587,23 +588,24 @@ object Similarity {
   /** Exact left-fold squared L2 from the `v` column to a literal
     * centroid — the portable distance every k-means/PQ path shares.
     */
-  private def dist2To(c: Array[Double]): Column =
-    aggregate(zip_with(col("v"), array(c.map(lit): _*),
-        (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, e) => acc + e)
+  /** array<struct<dist2, cluster>> of squared distances from `v` to
+    * every centroid — one codegen'd loop over the referenced centroid
+    * matrix ([[graft.functions.CentroidDistancesD]]), not k inlined
+    * literal-array HOF chains.
+    */
+  private def centDists(cents: Seq[(Long, Array[Double])]): Column =
+    graft.functions.VectorExpressions.centroidDistances(
+      col("v"), cents.map { case (cid, c) => cid -> c.toSeq })
 
   /** Nearest-centroid assignment of a (vec_id, v) frame: array_min on
     * (dist2, cluster) structs — ties to the lowest id, the oracle's
     * ORDER BY dist2, c_id.
     */
   private def assignToCentroids(vecs: DataFrame,
-                                cents: Seq[(Long, Array[Double])]): DataFrame = {
-    val scored = array(cents.map { case (cid, c) =>
-      struct(dist2To(c).as("dist2"), lit(cid).as("cluster")) }: _*)
-    vecs.withColumn("best", array_min(scored))
+                                cents: Seq[(Long, Array[Double])]): DataFrame =
+    vecs.withColumn("best", array_min(centDists(cents)))
       .select(col("vec_id"), col("v"),
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
-  }
 
   /** The Lloyd loop shared by [[kmeansFit]] and [[pqAdcTopK]]: returns
     * the materialized (vec_id, v) frame and the trained centroid
@@ -747,10 +749,9 @@ object Similarity {
         slice(col("v"), s * sub + 1, sub).as("v"))
       val cents = kmeansCentsFromVecs(svecs, k, iters)
       val lut = svecs.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"),
-          explode(array(cents.map { case (cid, c) =>
-            struct(lit(cid).as("cid"), dist2To(c).as("d2")) }: _*)).as("e"))
-        .select(col("q_id"), col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
+        .select(col("vec_id").as("q_id"), explode(centDists(cents)).as("e"))
+        .select(col("q_id"), col("e.cluster").as("cid"),
+          col("e.dist2").as(s"d$s"))
       val codes = assignToCentroids(
           svecs.filter(col("vec_id") >= nQueries), cents)
         .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
@@ -826,9 +827,9 @@ object Similarity {
       .orderBy(col("cd2"), col("cell"))
     val queryCells = fullVecs.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v"),
-        explode(array(cells.map { case (cid, c) =>
-          struct(lit(cid).as("cell"), dist2To(c).as("cd2")) }: _*)).as("e"))
-      .select(col("q_id"), col("v"), col("e.cell").as("cell"), col("e.cd2").as("cd2"))
+        explode(centDists(cells)).as("e"))
+      .select(col("q_id"), col("v"), col("e.cluster").as("cell"),
+        col("e.dist2").as("cd2"))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nProbe)
       .select(col("q_id"), col("cell"), col("v"))
@@ -851,11 +852,9 @@ object Similarity {
       val lut = qRes
         .select(col("q_id"), col("cell"),
           slice(col("rv"), s * sub + 1, sub).as("v"))
+        .select(col("q_id"), col("cell"), explode(centDists(cents)).as("e"))
         .select(col("q_id"), col("cell"),
-          explode(array(cents.map { case (cid, c) =>
-            struct(lit(cid).as("cid"), dist2To(c).as("d2")) }: _*)).as("e"))
-        .select(col("q_id"), col("cell"),
-          col("e.cid").as("cid"), col("e.d2").as(s"d$s"))
+          col("e.cluster").as("cid"), col("e.dist2").as(s"d$s"))
       val codes = assignToCentroids(svecs, cents)
         .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
       cand.join(codes, "t_id").join(lut, Seq("q_id", "cell", "cid"))
@@ -1007,9 +1006,10 @@ object Similarity {
 
   /** Deterministic ±1 sign matrix for [[jlProject]], signs(k)(j) for
     * output dim k and input dim j. Knuth-multiplicative bit mix — a
-    * FIXED pseudo-random matrix generated once here and inlined as
-    * literal +/- chains into BOTH the Spark plan and the DuckDB oracle,
-    * so no cross-engine arithmetic is needed to agree on it.
+    * FIXED pseudo-random matrix generated once here and shared by BOTH
+    * the Spark plan (as [[graft.functions.MatProjectF]]'s referenced
+    * matrix) and the DuckDB oracle (as literal +/- chains), so no
+    * cross-engine arithmetic is needed to agree on it.
     */
   def jlSigns(inDims: Int, outDims: Int): Array[Array[Int]] =
     Array.tabulate(outDims, inDims) { (k, j) =>
@@ -1030,16 +1030,14 @@ object Similarity {
     * Pure projection — no shuffle, scan throughput at any corpus size.
     */
   def jlProject(embs: DataFrame, inDims: Int = 64, outDims: Int = 16): DataFrame = {
-    val signs = jlSigns(inDims, outDims)
-    val proj = (0 until outDims).map { k =>
-      val sum = (0 until inDims).foldLeft(lit(0.0)) { (acc, j) =>
-        val x = element_at(col("embedding"), j + 1).cast("double")
-        if (signs(k)(j) > 0) acc + x else acc - x
-      }
-      sum.cast("float")
-    }
+    // the sign matrix rides as ONE referenced int[] inside a codegen'd
+    // double-fold loop (MatProjectF) — the former outDims x inDims
+    // literal +/- chain serialized multi-MiB task binaries per stage
+    val signs = jlSigns(inDims, outDims).map(_.toSeq).toSeq
     graft.core.Tables.spread(embs)
-      .select(col("vec_id"), array(proj: _*).as("embedding"))
+      .select(col("vec_id"),
+        graft.functions.VectorExpressions.matProject(col("embedding"), signs)
+          .as("embedding"))
   }
 
   /** DuckDB twin of [[jlProject]]'s row expression: the projected list
