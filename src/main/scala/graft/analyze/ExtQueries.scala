@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ext.{Curation, Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, TextOps}
+import graft.operators.Layout
 import graft.functions.Hashing
 import graft.functions.Hashing.{MersennePrime => P}
 
@@ -736,6 +737,15 @@ object ExtQueries {
     ("d09_dedup_clusters", (s: SparkSession, d: String) =>
       Dedup.dupClusters(Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))),
+      Some(clustersOracle)),
+
+    // same oracle, driverThreshold = 0: forces the ITERATIVE min-label
+    // shuffle loop — the actual 100 TB connected-components shape — so
+    // the distributed branch is itself hash-verified, not just the
+    // driver union-find the small fixture otherwise takes
+    ("d09b_dedup_clusters_distributed", (s: SparkSession, d: String) =>
+      Dedup.dupClusters(Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")), driverThreshold = 0L),
       Some(clustersOracle)),
 
     // near-dup RESOLUTION: per minhash-component keep the single
@@ -2208,6 +2218,37 @@ object ExtQueries {
              (dq.p50_est = mq.p50_merged AND dq.p90_est = mq.p90_merged)
                AS merge_exact
       FROM dq JOIN mq USING (hour) ORDER BY hour""")),
+
+    // salted skew join as a REGISTERED query: 30% of events collapse
+    // onto one hot user (the pathological single-hot-key case AQE
+    // splits poorly), the per-user dim explodes to every salt, the join
+    // is a forced shuffle-hash equi-join on (u_key, __salt) — so the
+    // skewed key's rows spread across `salts` partitions instead of one
+    // straggler task. The salt values come from murmur hash (engine-
+    // internal, not portable) but never reach the result: the oracle is
+    // the plain join. PlanGuardSpec asserts the salt-explode shape.
+    ("w14_skew_salted_join", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val sk = ev.select(
+        when(col("event_id") % 10 < 3, lit(0L))
+          .otherwise(col("user_id")).as("u_key"),
+        col("event_type"), col("event_id"))
+      val dim = ev.groupBy(col("user_id").as("u_key"))
+        .agg(count(lit(1)).as("u_events"))
+      Layout.saltedJoin(sk, dim.hint("shuffle_hash"), "u_key",
+          salts = 8, entropyCol = "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("u_events")).as("sum_u_events"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH sk AS (SELECT CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id END AS u_key,
+                         event_type FROM events),
+      dim AS (SELECT user_id AS u_key, COUNT(*) AS u_events
+              FROM events GROUP BY user_id)
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(u_events) AS BIGINT) AS sum_u_events
+      FROM sk JOIN dim USING (u_key)
+      GROUP BY event_type ORDER BY event_type""")),
 
     ("w03_session_window", (s: SparkSession, d: String) => {
       t(s, d, "events")

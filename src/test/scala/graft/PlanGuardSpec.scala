@@ -79,4 +79,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"plan regressions:\n${failures.mkString("\n")}")
   }
+
+  test("w14 plans the salt-explode shape (shuffle-hash join on __salt)") {
+    val qe = SparkEntry.queries("w14_skew_salted_join")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      s"expected the dim side's salt-replication Generate:\n$plan")
+    assert(plan.contains("__salt"),
+      s"expected the join keys to carry __salt:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle-hash join (broadcast would defeat the salting):\n$plan")
+  }
 }
