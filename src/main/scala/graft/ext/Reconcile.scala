@@ -38,13 +38,24 @@ object Reconcile {
     Hashing.h32Sql("concat_ws(chr(1), " +
       cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(2))").mkString(", ") + ")")
 
-  private def digests(t: DataFrame, keyCol: String, cols: Seq[String],
-                      buckets: Int, side: String): DataFrame =
+  /** Per-bucket (bucket, n, digest) of a table — the mergeable Merkle
+    * leaf: digests are order-independent h32 sums, so partial digests
+    * from disjoint row sets (e.g. micro-batches,
+    * [[graft.streaming.StreamReconcile]]) combine by plain addition.
+    */
+  def bucketDigests(t: DataFrame, keyCol: String, cols: Seq[String],
+                    buckets: Int): DataFrame =
     t.select(pmod(Hashing.h32(col(keyCol).cast("string")), lit(buckets))
         .as("bucket"),
       rowHash(cols.map(col)).as("rh"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as(s"n_$side"), sum(col("rh")).as(s"digest_$side"))
+      .agg(count(lit(1)).as("n"), sum(col("rh")).as("digest"))
+
+  private def digests(t: DataFrame, keyCol: String, cols: Seq[String],
+                      buckets: Int, side: String): DataFrame =
+    bucketDigests(t, keyCol, cols, buckets)
+      .select(col("bucket"), col("n").as(s"n_$side"),
+        col("digest").as(s"digest_$side"))
 
   /** Phase 1: per-bucket (count, digest) for both sides, full outer on
     * bucket id, `is_match` when both agree. Output has exactly
