@@ -606,6 +606,27 @@ object OpQueries {
       Some(ivfPqOracle(nCells = 8, nProbe = 2, nSub = 4, dims = 64,
         k = 16, iters = 1, nQ = 10, topK = 5))),
 
+    // s12 served from a PERSISTED residual IVF-PQ index (cell-bucketed
+    // code rows + codebook parquet): the build-once/query-many shape,
+    // gated by the SAME oracle as the live query — byte-identical
+    // results through persistence, zero-Exchange corpus probe
+    // (SelectionOpsSpec asserts the plan)
+    ("s22_ivf_pq_persisted", (s: SparkSession, d: String) => {
+      val table = "graft_ivf_pq_idx_q"
+      val cbPath = s.conf.get("spark.sql.warehouse.dir") +
+        "/graft_ivf_pq_codebooks_q"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.ext.Similarity.persistIvfPqIndex(t(s, d, "embeddings"),
+        nCells = 8, nSub = 4, k = 16, iters = 1, nQueries = 10,
+        table = table, buckets = 8, codebookPath = cbPath)
+      graft.ext.Similarity.ivfPqTopKFromIndex(s, table, cbPath,
+        t(s, d, "embeddings"), nProbe = 2, nQueries = 10, topK = 5)
+    }, Some(ivfPqOracle(nCells = 8, nProbe = 2, nSub = 4, dims = 64,
+      k = 16, iters = 1, nQ = 10, topK = 5))),
+
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {
       t(s, d, "documents")

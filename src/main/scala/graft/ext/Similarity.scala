@@ -593,9 +593,10 @@ object Similarity {
     * matrix ([[graft.functions.CentroidDistancesD]]), not k inlined
     * literal-array HOF chains.
     */
-  private def centDists(cents: Seq[(Long, Array[Double])]): Column =
+  private def centDists(cents: Seq[(Long, Array[Double])],
+                        v: Column = col("v")): Column =
     graft.functions.VectorExpressions.centroidDistances(
-      col("v"), cents.map { case (cid, c) => cid -> c.toSeq })
+      v, cents.map { case (cid, c) => cid -> c.toSeq })
 
   /** Nearest-centroid assignment of a (vec_id, v) frame: array_min on
     * (dist2, cluster) structs — ties to the lowest id, the oracle's
@@ -796,7 +797,23 @@ object Similarity {
     */
   def ivfPqTopK(embs: DataFrame, nCells: Int, nProbe: Int,
                 nSub: Int, k: Int, iters: Int,
-                nQueries: Int, topK: Int): DataFrame = {
+                nQueries: Int, topK: Int): DataFrame =
+    pqProbe(embs, buildPq(embs, nCells, nSub, k, iters, nQueries),
+      nProbe, nQueries, topK)
+
+  /** Everything a PQ probe needs: the coarse cells, the per-subspace
+    * residual codebooks (both driver-held, bounded), and the per-target
+    * code rows (cell, t_id, c0..c{nSub-1}). Built once by [[buildPq]]
+    * and shared VERBATIM by the live [[ivfPqTopK]] and
+    * [[persistIvfPqIndex]], so a persisted index serves bit-identical
+    * results to the live query.
+    */
+  private case class PqBuild(cells: Seq[(Long, Array[Double])],
+                             codebooks: Seq[Seq[(Long, Array[Double])]],
+                             codeRows: DataFrame)
+
+  private def buildPq(embs: DataFrame, nCells: Int, nSub: Int, k: Int,
+                      iters: Int, nQueries: Int): PqBuild = {
     val dims = peekDims(embs)
     require(nSub > 0 && dims % nSub == 0, s"dims $dims not divisible by $nSub")
     val sub = dims / nSub
@@ -823,11 +840,45 @@ object Similarity {
       .join(centsDf, "cell")
       .select(col("t_id"), col("cell"), residual(col("v")).as("rv"))
       .localCheckpoint()
+    // fine quantizer: per-subspace residual codebooks + target codes
+    val trained = inParallel(nSub) { s =>
+      val svecs = tRes.select(col("t_id").as("vec_id"),
+        slice(col("rv"), s * sub + 1, sub).as("v"))
+      val cents = kmeansCentsFromVecs(svecs, k, iters)
+      val codes = assignToCentroids(svecs, cents)
+        .select(col("vec_id").as("t_id"), col("cluster").as(s"c$s"))
+      (cents, codes)
+    }
+    val codeRows = trained.map(_._2)
+      .foldLeft(tRes.select(col("t_id"), col("cell"))) { (acc, c) =>
+        acc.join(c, "t_id") }
+      .localCheckpoint()
+    PqBuild(cells, trained.map(_._1), codeRows)
+  }
+
+  /** The query half of [[ivfPqTopK]]: probe-cell selection, per-cell
+    * query residuals, the cell-equi-join candidate cut against the code
+    * rows (never the full q x t scan), per-subspace ADC lookups joined
+    * on the code columns, left-assoc distance sum, per-query top-k.
+    */
+  private def pqProbe(embs: DataFrame, idx: PqBuild, nProbe: Int,
+                      nQueries: Int, topK: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val nSub = idx.codebooks.length
+    require(nSub > 0 && idx.codebooks.forall(_.nonEmpty), "empty PQ codebooks")
+    val sub = idx.codebooks.head.head._2.length
+    val centsDf = broadcast(
+      idx.cells.map { case (cid, c) => (cid, c.toSeq) }.toDF("cell", "c_emb"))
+    def residual(v: Column): Column =
+      zip_with(v, col("c_emb"), (a, b) => a - b)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cd2"), col("cell"))
-    val queryCells = fullVecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v"),
-        explode(centDists(cells)).as("e"))
+    val queryCells = graft.core.Tables.spread(embs)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("q_id"), col("v"), explode(centDists(idx.cells)).as("e"))
       .select(col("q_id"), col("v"), col("e.cluster").as("cell"),
         col("e.dist2").as("cd2"))
       .withColumn("crn", row_number().over(wProbe))
@@ -840,24 +891,22 @@ object Similarity {
       .select(col("q_id"), col("cell"), residual(col("v")).as("rv"))
       .localCheckpoint()
     // the IVF cut: candidates are (query, target) pairs sharing a
-    // probed cell — an equi-join on cell id, never the full q x t scan
+    // probed cell — an equi-join on cell id against the code rows. When
+    // the code rows are a persisted CELL-BUCKETED index table, the
+    // corpus side of this join plans with NO Exchange (only the
+    // O(queries) side shuffles) — SelectionOpsSpec asserts it.
     val cand = qRes.select(col("q_id"), col("cell"))
-      .join(tRes.select(col("t_id"), col("cell")), "cell")
-      .select(col("q_id"), col("t_id"), col("cell")).localCheckpoint()
-    // fine quantizer: per-subspace residual ADC restricted to candidates
+      .join(idx.codeRows, "cell")
+      .localCheckpoint()
     val parts = inParallel(nSub) { s =>
-      val svecs = tRes.select(col("t_id").as("vec_id"),
-        slice(col("rv"), s * sub + 1, sub).as("v"))
-      val cents = kmeansCentsFromVecs(svecs, k, iters)
       val lut = qRes
         .select(col("q_id"), col("cell"),
-          slice(col("rv"), s * sub + 1, sub).as("v"))
-        .select(col("q_id"), col("cell"), explode(centDists(cents)).as("e"))
+          explode(centDists(idx.codebooks(s),
+            slice(col("rv"), s * sub + 1, sub))).as("e"))
         .select(col("q_id"), col("cell"),
-          col("e.cluster").as("cid"), col("e.dist2").as(s"d$s"))
-      val codes = assignToCentroids(svecs, cents)
-        .select(col("vec_id").as("t_id"), col("cluster").as("cid"))
-      cand.join(codes, "t_id").join(lut, Seq("q_id", "cell", "cid"))
+          col("e.cluster").as(s"c$s"), col("e.dist2").as(s"d$s"))
+      cand.select(col("q_id"), col("t_id"), col("cell"), col(s"c$s"))
+        .join(lut, Seq("q_id", "cell", s"c$s"))
         .select(col("q_id"), col("t_id"), col(s"d$s"))
     }
     val joined = parts.reduce((a, b) => a.join(b, Seq("q_id", "t_id")))
@@ -873,6 +922,50 @@ object Similarity {
       .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
         col("cell"), col("adc_dist"), col("rn"))
       .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Persist the residual IVF-PQ index — the code rows as a
+    * CELL-BUCKETED table plus the coarse/subspace codebooks as a small
+    * parquet (sub_idx = -1 marks the coarse book) — the "build once,
+    * query many" production shape for [[ivfPqTopK]].
+    * [[ivfPqTopKFromIndex]] then serves bit-identical results with a
+    * zero-Exchange corpus side. Doubles round-trip parquet exactly, so
+    * persistence moves no values.
+    */
+  def persistIvfPqIndex(embs: DataFrame, nCells: Int, nSub: Int, k: Int,
+                        iters: Int, nQueries: Int, table: String,
+                        buckets: Int, codebookPath: String): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val b = buildPq(embs, nCells, nSub, k, iters, nQueries)
+    graft.operators.Layout.writeBucketed(b.codeRows, table, "cell", buckets)
+    val rows =
+      b.cells.map { case (cid, c) => (-1, cid, c.toSeq) } ++
+        b.codebooks.zipWithIndex.flatMap { case (book, s) =>
+          book.map { case (cid, c) => (s, cid, c.toSeq) } }
+    rows.toDF("sub_idx", "cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath)
+  }
+
+  /** Query a [[persistIvfPqIndex]] index: identical output to the live
+    * [[ivfPqTopK]] with the same build parameters (shared [[pqProbe]];
+    * the codebooks are a bounded collect, the code rows come from the
+    * bucketed table).
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         table: String, codebookPath: String,
+                         embs: DataFrame, nProbe: Int, nQueries: Int,
+                         topK: Int): DataFrame = {
+    val cb = spark.read.parquet(codebookPath)
+      .select(col("sub_idx"), col("cid"), col("vec")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cells = cb.filter(_._1 == -1).map(t => (t._2, t._3)).toSeq
+    require(cells.nonEmpty, s"no coarse cells in $codebookPath")
+    val nSub = cb.map(_._1).max + 1
+    val books = (0 until nSub).map(s =>
+      cb.filter(_._1 == s).map(t => (t._2, t._3)).toSeq)
+    pqProbe(embs, PqBuild(cells, books, spark.table(table)),
+      nProbe, nQueries, topK)
   }
 
   /** Symmetric int8 vector quantization — the embedding STORAGE path at

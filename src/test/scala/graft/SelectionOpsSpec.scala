@@ -114,11 +114,49 @@ class SelectionOpsSpec extends SparkSpec {
         embs, 16, 2, 10, 5).queryExecution.executedPlan.toString
       assert(plan.contains("SelectedBucketsCount"),
         s"index not read as a bucketed scan:\n$plan")
-      // query-side only: the probe-selection window, the cell join's
-      // probe shuffle, and the final per-query window — the
+      // query-side only, EXACTLY: the probe-selection window, the cell
+      // join's probe shuffle, and the final per-query window — the
       // corpus/index side contributes none at any index size
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-      assert(exchanges <= 3, s"unexpected exchanges:\n$plan")
+      assert(exchanges == 3, s"expected exactly 3 query-side exchanges:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("persisted IVF-PQ index: bit-identical to live, exchange-free corpus probe") {
+    import spark.implicits._
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val cbPath = wh + "/ivf_pq_cb_spec"
+    spark.sql("DROP TABLE IF EXISTS ivf_pq_idx_spec")
+    for (p <- Seq(wh + "/ivf_pq_idx_spec", cbPath)) {
+      val loc = new org.apache.hadoop.fs.Path(p)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    Similarity.persistIvfPqIndex(embs, nCells = 8, nSub = 4, k = 16,
+      iters = 1, nQueries = 10, table = "ivf_pq_idx_spec", buckets = 8,
+      codebookPath = cbPath)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    val live = rows(Similarity.ivfPqTopK(embs, nCells = 8, nProbe = 2,
+      nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5))
+    val fromIdx = rows(Similarity.ivfPqTopKFromIndex(spark,
+      "ivf_pq_idx_spec", cbPath, embs, nProbe = 2, nQueries = 10, topK = 5))
+    // bit-identical including the ADC double — persistence moves no values
+    assert(fromIdx == live)
+
+    // the per-batch/per-query probe shape: (q_id, cell) against the
+    // cell-bucketed code rows — corpus side must plan exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Seq((0L, 0L)).toDF("q_id", "cell")
+        .join(spark.table("ivf_pq_idx_spec"), "cell")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"code rows not read as a bucketed scan:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected only the probe-side shuffle:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
