@@ -42,25 +42,33 @@ object Graphs {
     require(iters >= 0 && damping > 0 && damping < 100,
       "iters >= 0, damping in (0, 100)")
     val ed = edges.select(col("src"), col("dst"), col("w"))
-    // Enforce the documented operand envelope instead of trusting it
-    // (mirrors kmeansCentsFromVecs' fixed-point require): r <= scale
-    // and w < 2^22 keep r*w < 2^62; an over-envelope weight would
-    // silently overflow Long and corrupt EVERY rank downstream.
-    val wStats = ed.agg(max(col("w")).cast("long"), min(col("w")).cast("long")).head
-    if (!wStats.isNullAt(0)) {
-      require(wStats.getLong(1) >= 0L, "PageRank edge weights must be >= 0")
-      require(wStats.getLong(0) < (1L << 22),
-        s"PageRank edge weight ${wStats.getLong(0)} >= 2^22: r*w would " +
-        "overflow Long at scale=2^40 fixed point; rescale weights " +
-        "(ranks depend only on relative weight per source)")
-    }
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "PageRank over an empty graph")
     val tele = ((100 - damping) * scale / 100) / n
-    val edFull = ed.join(outw, "src").localCheckpoint()
+    // The weight-envelope check rides on the checkpoint job via
+    // observe() — zero extra passes over the (possibly expensive)
+    // edge-derivation pipeline — and fires before any iteration runs.
+    val wObs = org.apache.spark.sql.Observation("pagerank_w_envelope")
+    val edFull = ed.join(outw, "src")
+      .observe(wObs, max(col("w")).cast("long").as("wmax"),
+        min(col("w")).cast("long").as("wmin"))
+      .localCheckpoint()
+    // Enforce the documented operand envelope instead of trusting it
+    // (mirrors kmeansCentsFromVecs' fixed-point require): r <= scale
+    // and w < 2^22 keep r*w < 2^62; an over-envelope weight would
+    // silently overflow Long and corrupt EVERY rank downstream.
+    (wObs.get("wmax"), wObs.get("wmin")) match {
+      case (wmax: Long, wmin: Long) =>
+        require(wmin >= 0L, "PageRank edge weights must be >= 0")
+        require(wmax < (1L << 22),
+          s"PageRank edge weight $wmax >= 2^22: r*w would overflow Long " +
+          "at scale=2^40 fixed point; rescale weights (ranks depend " +
+          "only on relative weight per source)")
+      case _ => // no edges with weights: nothing to overflow
+    }
     var r = nodes.withColumn("r", lit(scale / n))
     for (_ <- 0 until iters) {
       val contrib = edFull

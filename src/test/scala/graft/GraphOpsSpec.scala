@@ -33,6 +33,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(a.map(_.getLong(1)).sum <= (1L << 40))
   }
 
+  test("pageRank refuses weights outside the fixed-point envelope") {
+    import spark.implicits._
+    val over = Seq((1L, 2L, 1L << 22), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Graphs.pageRank(over, iters = 1)
+    }
+    assert(e.getMessage.contains("2^22"))
+    val negative = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Graphs.pageRank(negative, iters = 1)
+    }
+    assert(e2.getMessage.contains(">= 0"))
+  }
+
   test("tableDiff: identical tables match everywhere, drill is empty") {
     val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
     val diff = Reconcile.tableDiff(t1, t1, "doc_id", Seq("doc_id", "v"), 8)
