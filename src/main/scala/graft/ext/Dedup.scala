@@ -242,6 +242,46 @@ object Dedup {
       score = (n, sa, _) => n.cast("double") / sa)
   }
 
+  /** Incremental [[containmentDupAsymAgainst]] against a PREBUILT
+    * corpus posting table (doc_id, h) — the persisted-state shape
+    * [[graft.streaming.StreamContainment]] maintains as an h-bucketed
+    * batch table, so the per-batch probe equi-join reads the corpus
+    * side with NO Exchange (only the K-per-doc probe rows shuffle).
+    * Corpus docs ride separately: text is needed only to verify the
+    * (pair-sized) candidate set exactly. Output: DIRECTED (doc_a = new
+    * contained candidate, doc_b = corpus host, n_common, containment).
+    */
+  def containmentDupAsymAgainstPostings(corpusPostings: DataFrame,
+                                        corpusDocs: DataFrame,
+                                        newDocs: DataFrame,
+                                        threshold: Double,
+                                        probeK: Int = 4, minProbeHits: Int = 2,
+                                        maxBucket: Int = DefaultMaxBucket)
+      : DataFrame = {
+    require(probeK > 0 && minProbeHits >= 1 && minProbeHits <= probeK,
+      "probeK > 0, 1 <= minProbeHits <= probeK")
+    val probes = graft.core.Tables.spread(newDocs)
+      .select(col("doc_id"),
+        graft.functions.ShingleHashesOf(col("text"), ShingleSize).as("hs"))
+      .filter(col("hs").isNotNull)
+      .select(col("doc_id").as("doc_a"),
+        explode(slice(col("hs"), 1, probeK)).as("h"))
+    // the hot-posting count and the anti-join both group on h — over the
+    // h-bucketed table each plans without an Exchange of the corpus side
+    val host = HotBuckets.prune(
+      corpusPostings.select(col("doc_id").as("doc_b"), col("h")),
+      Seq("h"), maxBucket)
+    val cand = probes.join(host.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") >= minProbeHits)
+      .select(col("doc_a"), col("doc_b"))
+    jaccardVerify(cand, corpusDocs.unionByName(newDocs),
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold,
+      scoreName = "containment",
+      score = (n, sa, _) => n.cast("double") / sa)
+  }
+
   /** Distinct candidate pairs (doc_a < doc_b) from a minhash-band
     * self-join, hot buckets capped — the shared front half of
     * [[minhashDup]] and [[containmentDup]].

@@ -905,11 +905,14 @@ object Similarity {
             slice(col("rv"), s * sub + 1, sub))).as("e"))
         .select(col("q_id"), col("cell"),
           col("e.cluster").as(s"c$s"), col("e.dist2").as(s"d$s"))
+      // shuffle-hash: the ADC tables are hash-joinable pair tables (the
+      // jaccardVerify convention) — SMJ would add a sort per subspace
       cand.select(col("q_id"), col("t_id"), col("cell"), col(s"c$s"))
-        .join(lut, Seq("q_id", "cell", s"c$s"))
+        .join(lut.hint("shuffle_hash"), Seq("q_id", "cell", s"c$s"))
         .select(col("q_id"), col("t_id"), col(s"d$s"))
     }
-    val joined = parts.reduce((a, b) => a.join(b, Seq("q_id", "t_id")))
+    val joined = parts.reduce((a, b) =>
+      a.join(b.hint("shuffle_hash"), Seq("q_id", "t_id")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist"), col("t_id"))
     joined
