@@ -26,7 +26,10 @@ object Explain {
         "c08_target_select", "w09_trending_props",
         "s17_jl_recall", "s19_filtered_ivf", "m05_phash_neardup",
         "g01_pagerank", "t17_bpe_merges", "d24_table_diff",
-        "d26_edit_distance_dup", "c13_shard_plan")
+        "d26_edit_distance_dup", "c13_shard_plan",
+        "d31_minhash_dup_capped", "d34_containment_asym_capped",
+        "d09b_dedup_clusters_distributed", "w14_skew_salted_join",
+        "s22_ivf_pq_persisted")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")
