@@ -93,6 +93,72 @@ class VectorExprSpec extends SparkSpec {
     assert(agg.finish(fed).isEmpty)
   }
 
+  test("MatProjectF equals the inlined literal +/- fold, bit for bit") {
+    val (inD, outD) = (64, 16)
+    val signs = Similarity.jlSigns(inD, outD)
+    val viaExpr = Similarity.jlProject(embs, inD, outD) // MatProjectF inside
+    val proj = (0 until outD).map { k =>
+      (0 until inD).foldLeft(lit(0.0)) { (acc, j) =>
+        val x = element_at(col("embedding"), j + 1).cast("double")
+        if (signs(k)(j) > 0) acc + x else acc - x
+      }.cast("float")
+    }
+    val viaFold = embs.select(col("vec_id"), array(proj: _*).as("embedding"))
+    assert(viaExpr.exceptAll(viaFold).count() == 0)
+    assert(viaFold.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.count() == embs.count())
+    // an input shorter than inDims projects to null, mirroring the
+    // fold's null propagation — never a partial sum
+    val short = embs.select(col("vec_id"),
+      slice(col("embedding"), 1, inD - 1).as("embedding"))
+    val projected = Similarity.jlProject(short, inD, outD)
+    assert(projected.filter(col("embedding").isNotNull).count() == 0)
+  }
+
+  test("HyperplaneBucketL equals the per-plane dot chain") {
+    val planes = embs.orderBy(col("vec_id")).limit(8).collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    val viaExpr = embs.select(col("vec_id"),
+      VectorExpressions.hyperplaneBucket(col("embedding"),
+        planes.map(_.toSeq)).as("b"))
+    val chain = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorExpressions.dotD(col("embedding"), typedLit(p)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val viaChain = embs.select(col("vec_id"), chain.as("b"))
+    assert(viaExpr.exceptAll(viaChain).count() == 0)
+    assert(viaChain.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.select(countDistinct(col("b"))).head.getLong(0) > 1)
+  }
+
+  test("CentroidDistancesD equals the aggregate(zip_with) chain, ties to low id") {
+    val vecs = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = vecs.orderBy(col("vec_id")).limit(5).collect()
+      .map(r => (100L + r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val viaExpr = vecs.select(col("vec_id"),
+        explode(VectorExpressions.centroidDistances(col("v"),
+          cents.map { case (cid, c) => cid -> c.toSeq })).as("e"))
+      .select(col("vec_id"), col("e.cluster"), col("e.dist2"))
+    def dist2To(c: Array[Double]) =
+      aggregate(zip_with(col("v"), array(c.map(lit): _*),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, e) => acc + e)
+    val viaHof = vecs.select(col("vec_id"),
+        explode(array(cents.map { case (cid, c) =>
+          struct(dist2To(c).as("dist2"), lit(cid).as("cluster")) }: _*)).as("e"))
+      .select(col("vec_id"), col("e.cluster"), col("e.dist2"))
+    assert(viaExpr.exceptAll(viaHof).count() == 0)
+    assert(viaHof.exceptAll(viaExpr).count() == 0)
+    // argmin via array_min: a vector equidistant to two centroids (a
+    // centroid vector duplicated under a HIGHER id) ties to the lower
+    val dup = cents.take(1) ++ Seq((999L, cents.head._2))
+    val best = vecs.filter(col("vec_id") === (cents.head._1 - 100L))
+      .select(array_min(VectorExpressions.centroidDistances(col("v"),
+        dup.map { case (cid, c) => cid -> c.toSeq })).as("best"))
+      .select(col("best.cluster")).head.getLong(0)
+    assert(best == cents.head._1)
+  }
+
   test("expression participates in whole-stage codegen") {
     val plan = embs.select(
       VectorExpressions.dotD(col("embedding"), col("embedding")).as("d"))
