@@ -121,7 +121,13 @@ object StreamReconcile {
                                keyCol: String, cols: Seq[String]): DataFrame = {
     val p = new Path(refDigPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // Guard on the COMMIT marker, not bare existence: a crash mid-write
+    // leaves the directory present but uncommitted, and a bare
+    // fs.exists guard would pin that unreadable state forever (the
+    // ensurePlanes poison class). Uncommitted → wipe and re-derive; the
+    // derivation is deterministic, so a re-write is byte-identical.
+    if (!fs.exists(new Path(p, "_SUCCESS"))) {
+      fs.delete(p, true)
       Reconcile.bucketDigests(spark.read.parquet(refPath), keyCol, cols, buckets)
         .write.mode("overwrite").parquet(refDigPath)
     }

@@ -135,6 +135,11 @@ object StreamSimilarity {
                            batch: DataFrame, nPlanes: Int): Seq[Array[Float]] = {
     val p = new Path(planesPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // commit-marker guard (not bare existence): a crash mid-write must
+    // not pin an uncommitted, unreadable plane dir forever
+    if (!fs.exists(new Path(p, "_SUCCESS"))) {
+      fs.delete(p, true)
+    }
     if (!fs.exists(p)) {
       val derived = batch.select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(nPlanes) // TakeOrdered: bounded

@@ -111,6 +111,26 @@ class StreamReconcileSpec extends SparkSpec {
     assert(snapshot() == once, "replay changed digest state or report")
   }
 
+  test("an uncommitted ref-digest dir (crash mid-write) is re-derived, not pinned") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("sr_state5").toString
+    val out = Files.createTempDirectory("sr_out5").toString + "/report"
+    val refPath = Files.createTempDirectory("sr_ref5").toString + "/ref"
+    val reference = (0L until 20L).map(i => (i, s"doc body $i"))
+    reference.toDF("doc_id", "text").write.parquet(refPath)
+    // simulate a crash between starting and committing the digest
+    // write: directory exists, no _SUCCESS marker, stray partial file
+    val digDir = Paths.get(state, "ref_digests")
+    Files.createDirectories(digDir)
+    Files.writeString(digDir.resolve("part-00000.parquet"), "garbage")
+    StreamReconcile.processBatch(spark, reference.toDF("doc_id", "text"), 0L,
+      refPath, state, out, Buckets)
+    val rep = reportOf(out, 0L)
+    assert(rep.count() > 0)
+    assert(rep.filter(!col("is_match")).count() == 0,
+      "digests should have been re-derived from the reference, not pinned")
+  }
+
   test("accumulated-corpus digest merge plans with no Exchange") {
     import spark.implicits._
     val state = Files.createTempDirectory("sr_state4").toString
