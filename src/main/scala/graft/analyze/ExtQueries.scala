@@ -890,6 +890,58 @@ object ExtQueries {
       FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
       ORDER BY bucket""")),
 
+    // digest MERGE IDENTITY as an oracle-checked VALUE (the d18/w08
+    // pattern): per-bucket digests rebuilt from parity halves and
+    // summed == direct whole-table digests — the order-independent
+    // additivity that lets StreamReconcile accumulate replica digests
+    // one micro-batch partition at a time and still compare exactly
+    ("d35_digest_merge_identity", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val cols = Seq("doc_id", "text", "lang")
+      def dig(df: DataFrame) = Reconcile.bucketDigests(df, "doc_id", cols, 64)
+      val merged = dig(docs.filter(col("doc_id") % 2 === 0))
+        .unionByName(dig(docs.filter(col("doc_id") % 2 === 1)))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n_merged"), sum(col("digest")).as("digest_merged"))
+      val direct = dig(docs).select(col("bucket"),
+        col("n").as("n_direct"), col("digest").as("digest_direct"))
+      merged.join(direct, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+          coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+          coalesce(col("digest_merged"), lit(0L)).as("digest_merged"),
+          coalesce(col("digest_direct"), lit(0L)).as("digest_direct"))
+        .withColumn("merge_exact",
+          col("n_merged") === col("n_direct") &&
+            col("digest_merged") === col("digest_direct"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH rh AS (SELECT doc_id,
+                    ${Hashing.h32Sql("CAST(doc_id AS VARCHAR)")} % 64 AS bucket,
+                    ${Reconcile.rowHashSql(Seq("doc_id", "text", "lang"))} AS rh
+                  FROM documents),
+      halves AS (SELECT bucket, COUNT(*) AS n, SUM(rh) AS dg
+                 FROM rh WHERE doc_id % 2 = 0 GROUP BY bucket
+                 UNION ALL
+                 SELECT bucket, COUNT(*) AS n, SUM(rh) AS dg
+                 FROM rh WHERE doc_id % 2 = 1 GROUP BY bucket),
+      mg AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_merged,
+                    CAST(SUM(dg) AS BIGINT) AS digest_merged
+             FROM halves GROUP BY bucket),
+      dr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_direct,
+                    CAST(SUM(rh) AS BIGINT) AS digest_direct
+             FROM rh GROUP BY bucket)
+      SELECT COALESCE(mg.bucket, dr.bucket) AS bucket,
+             COALESCE(n_merged, 0) AS n_merged,
+             COALESCE(n_direct, 0) AS n_direct,
+             COALESCE(digest_merged, 0) AS digest_merged,
+             COALESCE(digest_direct, 0) AS digest_direct,
+             (COALESCE(n_merged, 0) = COALESCE(n_direct, 0) AND
+              COALESCE(digest_merged, 0) = COALESCE(digest_direct, 0))
+               AS merge_exact
+      FROM mg FULL OUTER JOIN dr ON mg.bucket = dr.bucket
+      ORDER BY bucket""")),
+
     ("d25_table_diff_drill", (s: SparkSession, d: String) => {
       val a = t(s, d, "documents")
       Reconcile.tableDiffDrill(a, reconcileV2(a), "doc_id", ReconcileCols,
