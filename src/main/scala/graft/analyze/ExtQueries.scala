@@ -1587,6 +1587,43 @@ object ExtQueries {
                / CAST(COUNT(*) AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS mean_freq
       FROM f GROUP BY doc_id ORDER BY doc_id""")),
 
+    // model-based quality filtering (the GPT-3/LLaMA curation shape):
+    // an exact-count odds classifier trained on curated-vs-crawl
+    // sources (here: src0-4 as the curated positives, src15-19 as the
+    // crawl negatives), scoring EVERY document with a broadcast weight
+    // table — w(t) = n_pos(t)*N_neg - n_neg(t)*N_pos, all integers, so
+    // the learned model itself is value-verified cross-engine
+    ("t19_quality_classifier", (s: SparkSession, d: String) =>
+      TextAnalysis.oddsQualityClassifier(t(s, d, "documents"),
+        posSources = (0 to 4).map("src" + _),
+        negSources = (15 to 19).map("src" + _)),
+      Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS tk
+                   FROM documents),
+      lab AS (SELECT doc_id,
+                     source IN ('src0','src1','src2','src3','src4') AS pos
+              FROM documents
+              WHERE source IN ('src0','src1','src2','src3','src4',
+                               'src15','src16','src17','src18','src19')),
+      cnt AS (SELECT tk,
+                     CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+              FROM tok JOIN lab USING (doc_id) GROUP BY tk),
+      tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+                     CAST(SUM(n_neg) AS BIGINT) AS nn FROM cnt),
+      wt AS (SELECT tk,
+                    n_pos * (SELECT nn FROM tot)
+                      - n_neg * (SELECT np FROM tot) AS w
+             FROM cnt),
+      sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+             FROM tok JOIN wt USING (tk) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(len(${TextOps.wordsSql("d.text")}) AS INT) AS n_tokens,
+             COALESCE(sc.score, 0) AS score,
+             COALESCE(sc.score, 0) > 0 AS keep
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id""")),
+
     // deterministic stratified sample: first-20-per-lang in
     // (hash32(text), doc_id) order — seedless, engine-reproducible;
     // runs the map-side TopKAggregator path (the 100 TB shape)

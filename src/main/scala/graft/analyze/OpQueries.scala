@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, ZOrder}
 
 /** Operator-inventory extensions beyond the reference surface: as-of
   * join (union + running-window formulation), interval/range self-join
@@ -403,6 +403,43 @@ object OpQueries {
       FROM active a JOIN cohorts c ON a.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY cohort, offset_days""")),
 
+    // ---- SCD2 / CDC history build: collapse the per-user event stream
+    // into slowly-changing-dimension validity intervals for the tracked
+    // attribute (props.k). Change rows survive a per-user lag()
+    // comparison; valid_to = the next change's timestamp (NULL = the
+    // open current version). Both windows are PARTITIONED BY user_id —
+    // per-key state only, no global sort, scale-safe; ties break on
+    // event_id so the interval chain is deterministic ------------------
+    ("w16_scd2_intervals", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = ev.withColumn("prev_k", lag(col("k"), 1).over(w))
+        .filter(col("prev_k").isNull || col("prev_k") =!= col("k"))
+      changes
+        .withColumn("version_no", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version_no"), col("k"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy(col("user_id"), col("version_no"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, ts, event_id,
+                    CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events
+                  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+      lg AS (SELECT *, LAG(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_k FROM ev),
+      ch AS (SELECT * FROM lg WHERE prev_k IS NULL OR prev_k <> k)
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no, k,
+             ts AS valid_from, LEAD(ts) OVER w AS valid_to
+      FROM ch
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, version_no""")),
+
     // ---- link-graph centrality: fixed-point PageRank over the item
     // transition graph (per-user consecutive prop-k values). The
     // corpus-curation quality-prior shape: edges from behavior, 3 exact
@@ -433,6 +470,124 @@ object OpQueries {
       $iterCtes
       SELECT k, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY k"""
     }),
+
+    // ---- bucketed co-located fact-fact join: both tables written
+    // bucketed+sorted on the join key (Layout.writeBucketed, the
+    // one-time pre-shuffle), so the sort-merge join itself plans with
+    // ZERO Exchange — the only hash exchange left in the plan is the
+    // tiny post-join rollup (LayoutSpec pins that count). At cluster
+    // scale this converts the dominant recurring shuffle of a star
+    // workload into a write-once cost; oracle is the plain join (the
+    // layout is physical only) ----------------------------------------
+    ("w17_bucketed_colocated_join", (s: SparkSession, d: String) => {
+      import graft.operators.Layout
+      val ot = "graft_bkt_orders_q"
+      val lt = "graft_bkt_lineitem_q"
+      Seq(ot, lt).foreach { tb =>
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$tb")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      Layout.writeBucketed(t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 8)
+      Layout.writeBucketed(t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        lt, "l_orderkey", 8)
+      s.table(ot).hint("merge")
+        .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- Z-order data-skipping audit: the Delta/Iceberg OPTIMIZE
+    // ZORDER BY decision, measured. Events map to a 10-bit x (event-id
+    // bucket) x 10-bit y (minute-slot) grid; 64 simulated files per
+    // layout; the box predicate is file-aligned so the headline reads
+    // clean: z-order's interleaved leading bits pin BOTH dims (1 file
+    // touched), linear-on-x pins one (8 files, 8x the scan). The
+    // interleave is one shared bit plan rendered per engine — every
+    // stat an exact integer ------------------------------------------
+    ("w15_zorder_skipping", (s: SparkSession, d: String) => {
+      val grid = t(s, d, "events").select(
+        (col("event_id") % 1024).as("x"),
+        expr("(unix_micros(ts) div 60000000) % 1024").as("y"))
+      ZOrder.skippingAudit(grid, bits = 10, fileBits = 6,
+        x0 = 256, x1 = 383, y0 = 512, y1 = 639)
+    }, Some(s"""
+      WITH base AS (SELECT CAST(event_id % 1024 AS BIGINT) AS x,
+                           CAST((epoch_us(ts) // 60000000) % 1024 AS BIGINT) AS y
+                    FROM events),
+      zb AS (SELECT x, y,
+                    CAST(${ZOrder.interleaveDuckSql("x", "y", 10)} AS BIGINT) AS z
+             FROM base),
+      tagged AS (SELECT 'zorder' AS layout, z >> 14 AS fid, x, y FROM zb
+                 UNION ALL
+                 SELECT 'linear' AS layout, x >> 4 AS fid, x, y FROM zb),
+      pf AS (SELECT layout, fid,
+                    MIN(x) AS min_x, MAX(x) AS max_x,
+                    MIN(y) AS min_y, MAX(y) AS max_y,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN x BETWEEN 256 AND 383
+                                   AND y BETWEEN 512 AND 639
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+             FROM tagged GROUP BY layout, fid)
+      SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN min_x <= 383 AND max_x >= 256
+                            AND min_y <= 639 AND max_y >= 512
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+             CAST(SUM(CASE WHEN min_x <= 383 AND max_x >= 256
+                            AND min_y <= 639 AND max_y >= 512
+                      THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(n_match) AS BIGINT) AS rows_matched
+      FROM pf GROUP BY layout ORDER BY layout""")),
+
+    // ---- per-node triangle counts: the local-clustering signal that
+    // separates organic link neighborhoods from spam farms. Degree-
+    // ORIENTED wedge join (each edge oriented from its (deg, id)-lower
+    // endpoint) so a hub's oriented out-degree is O(sqrt(m)) — three
+    // node-keyed equi-joins, never an unoriented hub self-join; counts
+    // all exact integers --------------------------------------------
+    ("g03_triangles", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.triangleCounts(eventEdges(s, d))
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM ed WHERE src <> dst),
+      dg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS deg FROM
+               (SELECT a AS k FROM und UNION ALL SELECT b FROM und) u
+             GROUP BY k),
+      ornt AS (SELECT CASE WHEN da.deg > db.deg THEN und.b ELSE und.a END AS u,
+                      CASE WHEN da.deg > db.deg THEN und.a ELSE und.b END AS v,
+                      CASE WHEN da.deg > db.deg THEN da.deg ELSE db.deg END AS dv
+               FROM und JOIN dg da ON da.k = und.a JOIN dg db ON db.k = und.b),
+      tri AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+              FROM ornt o1 JOIN ornt o2 ON o1.u = o2.u
+                AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+              WHERE EXISTS (SELECT 1 FROM ornt o3
+                            WHERE o3.u = o1.v AND o3.v = o2.v)),
+      tn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+               (SELECT x AS k FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) t
+             GROUP BY k)
+      SELECT dg.k, dg.deg, dg.deg * (dg.deg - 1) // 2 AS n_wedges,
+             COALESCE(tn.n_tri, 0) AS n_tri
+      FROM dg LEFT JOIN tn ON tn.k = dg.k
+      ORDER BY dg.k""")),
 
     // ---- ordered funnel analysis: view -> click -> purchase, each
     // step's timestamp strictly after the previous step's. Three

@@ -349,6 +349,67 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Model-based quality filtering, the GPT-3/LLaMA corpus-curation
+    * shape: train a linear classifier to separate a curated positive
+    * corpus from the raw crawl, then score EVERY document and keep the
+    * positives. The model here is the exact-count odds form — for each
+    * token, w(t) = n_pos(t)·N_neg − n_neg(t)·N_pos (sign = which class
+    * the token favors after normalizing class sizes; the integer-exact
+    * stand-in for the log-odds weight, trainable in one aggregation,
+    * no libm). A document's score is the sum of its tokens' weights;
+    * keep = score > 0.
+    *
+    * Distribution shape: training is ONE partial-aggregable groupBy
+    * over the labeled subset's exploded tokens; the learned weight
+    * table is vocabulary-of-the-training-sample sized and BROADCAST to
+    * the scoring join — the full-corpus score pass is map-side (no
+    * shuffle on token, so stop-word skew can't hot-key it), followed
+    * by one groupBy(doc_id). The only driver-side values are the two
+    * class token totals (one 2-long collect — they parameterize the
+    * weight formula and its overflow envelope). Envelope, enforced:
+    * N_pos·N_neg < 2^40 keeps every weight under 2^40 and any document
+    * below 2^22 tokens under the Long sum bound — at real scale the
+    * training sample is deliberately bounded (quality classifiers
+    * train on samples, not the corpus), so the envelope is a sampling
+    * contract, not a size limit.
+    */
+  def oddsQualityClassifier(docs: DataFrame, posSources: Seq[String],
+                            negSources: Seq[String]): DataFrame = {
+    require(posSources.nonEmpty && negSources.nonEmpty &&
+      posSources.intersect(negSources).isEmpty,
+      "positive/negative source sets must be non-empty and disjoint")
+    val spread = graft.core.Tables.spread(docs)
+    val tok = spread.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("tk"))
+    val lab = docs
+      .filter(col("source").isin(posSources ++ negSources: _*))
+      .select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
+    val cnt = tok.join(lab, "doc_id").groupBy(col("tk"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      .localCheckpoint() // read twice: totals row + weight projection
+    val totals = cnt.agg(
+      coalesce(sum(col("n_pos")), lit(0L)).cast("long"),
+      coalesce(sum(col("n_neg")), lit(0L)).cast("long")).collect()(0)
+    val (np, nn) = (totals.getLong(0), totals.getLong(1))
+    require(np > 0 && nn > 0, "both classes need at least one token")
+    require(np < (1L << 31) && nn < (1L << 31) && np * nn < (1L << 40),
+      s"class token totals $np x $nn exceed the 2^40 weight envelope: " +
+      "train on a bounded sample (weights, then doc sums, would " +
+      "overflow Long)")
+    val wt = cnt.select(col("tk"),
+      (col("n_pos") * lit(nn) - col("n_neg") * lit(np)).as("w"))
+    val sc = tok.join(broadcast(wt), Seq("tk"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+    spread.select(col("doc_id"),
+        size(TextOps.words(col("text"))).as("n_tokens"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Byte-pair-encoding merge training (Sennrich et al. 2016, the
     * word-frequency-dictionary formulation every BPE tokenizer trainer
     * uses): start from character sequences over the corpus's top

@@ -108,6 +108,60 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("triangleCounts: K4, a square, and a pendant count exactly") {
+    // K4 on 1..4 (each node in C(3,2)=3 triangles), a 4-cycle on
+    // 5..8 (wedges but zero closure), node 9 pendant off the cycle
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L),
+      (8L, 9L))
+    val edges = und.map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    val got = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for (k <- 1L to 4L) assert(got(k) == ((3L, 3L, 3L)), s"node $k")
+    for (k <- Seq(5L, 6L, 7L)) assert(got(k)._3 == 0L, s"node $k")
+    assert(got(8L) == ((3L, 3L, 0L)) && got(9L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangleCounts ignores direction, multiplicity, and self-loops") {
+    // same triangle asserted as duplicated anti-parallel weighted
+    // edges plus a self-loop: still exactly one triangle per node
+    val messy = Seq((1L, 2L, 5L), (2L, 1L, 7L), (2L, 3L, 1L),
+      (3L, 1L, 2L), (1L, 3L, 9L), (2L, 2L, 4L))
+      .toDF("src", "dst", "w")
+    val got = Graphs.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("zorder interleave places x on even bits, y on odd bits") {
+    import graft.operators.ZOrder
+    val z = spark.sql(
+      s"""SELECT ${ZOrder.interleaveSparkSql("x", "y", 4)} AS z FROM VALUES
+          (CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+          (CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+          (CAST(15 AS BIGINT), CAST(15 AS BIGINT)),
+          (CAST(5 AS BIGINT), CAST(10 AS BIGINT)) AS t(x, y)""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(z == Seq(5L, 10L, 255L, 153L))
+  }
+
+  test("zorder skippingAudit: aligned box prunes to one z file") {
+    import graft.operators.ZOrder
+    // the full 16x16 grid, 4 simulated files per layout; the box is
+    // the top-right quadrant, exactly one z file but two linear files
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val audit = ZOrder.skippingAudit(grid, bits = 4, fileBits = 2,
+      x0 = 8, x1 = 15, y0 = 8, y1 = 15).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(audit("zorder") == ((4L, 1L, 64L, 64L)))
+    assert(audit("linear") == ((4L, 2L, 128L, 64L)))
+  }
+
   test("dhash64 is invariant across renderings of the same pattern") {
     // doc_ids 16 apart share a pattern but render at different sizes
     val docs = Seq((1L, "x"), (17L, "x"), (33L, "x"), (2L, "y"))

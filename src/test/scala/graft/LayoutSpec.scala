@@ -95,6 +95,20 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("registered w17 keeps the co-located join exchange-free") {
+    // the oracle-gated w17 query end to end: the ONLY hash exchange in
+    // the plan is the post-join priority rollup — the sort-merge join
+    // over the two freshly written bucketed tables shuffles nothing
+    val df = graft.analyze.OpQueries
+      .queries("w17_bucketed_colocated_join")(wspark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"join must be exchange-free (1 rollup shuffle only):\n$plan")
+    assert(df.collect().length == 5) // the five order priorities
+  }
+
   test("salted join equals the plain join result under a hot key") {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("value"))

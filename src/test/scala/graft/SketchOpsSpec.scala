@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 
 /** Round-5 sketch/quantization operators: HyperLogLog distinct,
   * Jaccard-containment dedup, int8 embedding quantization. The DuckDB
@@ -450,6 +450,40 @@ class SketchOpsSpec extends SparkSpec {
     // docs with < 2 words have no bigrams and no row
     val one = graft.ext.TextAnalysis.lmQualityScore(docsDf(Seq("word", "a b")))
     assert(one.count() == 1)
+  }
+
+  test("odds classifier separates curated prose from crawl spam") {
+    val docs = Seq(
+      (1L, "clean clear prose about science", "wiki"),
+      (2L, "careful clear writing about history", "wiki"),
+      (3L, "buy now spam spam click here", "crawl"),
+      (4L, "spam click buy cheap now", "crawl"),
+      // unlabeled docs scored by the trained weights only
+      (5L, "clear prose about careful science", "web"),
+      (6L, "click spam buy", "web"),
+      (7L, "", "web")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.oddsQualityClassifier(docs,
+      posSources = Seq("wiki"), negSources = Seq("crawl"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.size == 7)
+    assert(out(1L)._2 && out(2L)._2 && out(5L)._2, "curated-looking kept")
+    assert(!out(3L)._2 && !out(4L)._2 && !out(6L)._2, "spam-looking dropped")
+    assert(out(7L)._1 == 0L && !out(7L)._2, "no-vocab doc scores 0, dropped")
+    // class-balanced by construction: a token appearing only in the
+    // positive class scores positive, and vice versa
+    assert(out(5L)._1 > 0L && out(6L)._1 < 0L)
+  }
+
+  test("odds classifier refuses bad class setups") {
+    val docs = Seq((1L, "a b", "wiki")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.oddsQualityClassifier(docs, Seq("wiki"), Seq("wiki"))
+    }
+    // negative class present in the source list but empty in the data
+    intercept[IllegalArgumentException] {
+      TextAnalysis.oddsQualityClassifier(docs, Seq("wiki"), Seq("crawl"))
+    }
   }
 
   test("int8 quantization: exact codes, error bound, zero-vector guard") {
