@@ -30,7 +30,8 @@ object Explain {
         "d31_minhash_dup_capped", "d34_containment_asym_capped",
         "d09b_dedup_clusters_distributed", "w14_skew_salted_join",
         "s22_ivf_pq_persisted", "g03_triangles", "w15_zorder_skipping",
-        "t19_quality_classifier")
+        "t19_quality_classifier", "g04_label_propagation",
+        "w17_bucketed_colocated_join")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

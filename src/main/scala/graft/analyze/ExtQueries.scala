@@ -420,7 +420,7 @@ object ExtQueries {
   // single nearest centroid, queries probe their 2 nearest cells.
   // DuckDB expresses the assignment as ROW_NUMBER()=1, which equals the
   // Spark side's max_by under the same unique (cosine DESC, c_id) order.
-  private val annIvfOracle: String = s"""
+  private def annIvfOracleN(nProbe: Int): String = s"""
     WITH e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
     c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_norm
           FROM e WHERE vec_id >= 10 ORDER BY vec_id LIMIT 16),
@@ -435,7 +435,7 @@ object ExtQueries {
              SELECT q_id, q_emb, q_norm, c_id,
                     ROW_NUMBER() OVER (PARTITION BY q_id
                       ORDER BY ${dotS("q_emb", "c_emb")} / (q_norm * c_norm) DESC, c_id) AS crn
-             FROM q CROSS JOIN c) z WHERE crn <= 2),
+             FROM q CROSS JOIN c) z WHERE crn <= $nProbe),
     sc AS (SELECT q_id, t_id, cell,
                   ${dotS("q_emb", "t_emb")} / (q_norm * t_norm) AS cosine
            FROM qp JOIN ta USING (cell))
@@ -443,6 +443,8 @@ object ExtQueries {
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, t_id) AS INT) AS rn FROM sc) z
     WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  private val annIvfOracle: String = annIvfOracleN(2)
 
   // Count-Min sketch: 4 hash rows from the first 4 minhash perms over
   // h32, width 512; estimates for the exact top-10 words. Deterministic
@@ -1529,6 +1531,41 @@ object ExtQueries {
       FROM b LEFT JOIN l
         ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id""")),
+
+    // the IVF TUNING CURVE: total recall@5 at nProbe = 1, 2, 4 against
+    // the exact baseline in one table — the probe-budget knob every
+    // IVF deployment sets from exactly this measurement (recall rises
+    // with probed cells, scan cost rises linearly). Each sweep point's
+    // oracle nests the full IVF oracle at that nProbe verbatim, so the
+    // curve inherits s06's exactness point by point
+    ("s23_ivf_nprobe_sweep", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val brute = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      Seq(1, 2, 4).map { np =>
+        val ivf = Similarity.ivfTopK(embs, nCentroids = 16, nProbe = np,
+            nQueries = 10, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_brute"), count(col("__hit")).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_brute"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_brute").cast("double"))
+              .as("recall"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"))
+    }, Some {
+      def sweepPoint(np: Int): String = s"""
+        SELECT CAST($np AS INT) AS nprobe,
+               CAST(COUNT(*) AS BIGINT) AS n_brute,
+               CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(l.neighbor_id) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM (SELECT query_id, neighbor_id FROM ($annTopkOracle) bz) b
+        LEFT JOIN (SELECT query_id, neighbor_id
+                   FROM (${annIvfOracleN(np)}) lz) l
+          ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id"""
+      Seq(1, 2, 4).map(sweepPoint).mkString(
+        "SELECT * FROM (", " UNION ALL ", ") s ORDER BY nprobe")
+    }),
 
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),

@@ -589,6 +589,38 @@ object OpQueries {
       FROM dg LEFT JOIN tn ON tn.k = dg.k
       ORDER BY dg.k""")),
 
+    // ---- community detection: synchronous label propagation, 2 exact
+    // deterministic iterations (argmax neighbor-label weight, ties to
+    // the smallest label) — the site/community grouping pass before
+    // per-community curation quotas. Oracle = both iterations unrolled
+    // as CTEs over the symmetrized edge list --------------------------
+    ("g04_label_propagation", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.labelPropagation(eventEdges(s, d), iters = 2)
+    }, Some {
+      val iterCtes = (1 to 2).map { i =>
+        s"""s$i AS (SELECT sym.src, l${i - 1}.label AS nl, SUM(sym.w) AS s
+              FROM sym JOIN l${i - 1} ON l${i - 1}.k = sym.dst
+              GROUP BY sym.src, l${i - 1}.label),
+        p$i AS (SELECT src, nl, ROW_NUMBER() OVER (PARTITION BY src
+                  ORDER BY s DESC, nl) AS rn FROM s$i),
+        l$i AS (SELECT l${i - 1}.k, COALESCE(p$i.nl, l${i - 1}.label) AS label
+                FROM l${i - 1} LEFT JOIN p$i
+                  ON p$i.src = l${i - 1}.k AND p$i.rn = 1)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $eventEdgesCtes,
+      sym AS (SELECT src, dst, SUM(w) AS w FROM (
+                SELECT src, dst, w FROM ed WHERE src <> dst
+                UNION ALL
+                SELECT dst, src, w FROM ed WHERE src <> dst) u
+              GROUP BY src, dst),
+      nodes AS (SELECT DISTINCT src AS k FROM sym),
+      l0 AS (SELECT k, k AS label FROM nodes),
+      $iterCtes
+      SELECT k, CAST(label AS BIGINT) AS label FROM l2 ORDER BY k"""
+    }),
+
     // ---- ordered funnel analysis: view -> click -> purchase, each
     // step's timestamp strictly after the previous step's. Three
     // per-user MIN aggregations chained by user_id equi-joins (all

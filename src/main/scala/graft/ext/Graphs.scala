@@ -84,6 +84,51 @@ object Graphs {
     r.orderBy(col("k"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected weighted graph, run for exactly `iters` iterations —
+    * the near-linear community-detection pass corpus curation uses to
+    * group a link graph into sites/communities before per-community
+    * quotas. Deterministic by construction: every node starts labeled
+    * with its own id; each iteration relabels a node to the neighbor
+    * label with the greatest incident weight sum, ties to the SMALLEST
+    * label — no randomized visit order, so results verify
+    * value-for-value cross-engine and across runs.
+    *
+    * Shape at scale: per iteration one equi-join of the label vector
+    * to the symmetrized edge list on dst, one partial-aggregable
+    * groupBy (src, label), and one per-src window (PARTITIONED — the
+    * argmax state is one row per (node, distinct neighbor label),
+    * never a neighborhood array). Everything keys on node id, so a
+    * cluster run co-partitions edges and labels once and every
+    * iteration reuses that partitioning — the same contract as
+    * [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters >= 0")
+    val dir = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+    val sym = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint() // static across iterations; cap lineage
+    val nodes = sym.select(col("src").as("k")).distinct()
+    var lab = nodes.withColumn("label", col("k"))
+    for (_ <- 0 until iters) {
+      val scored = sym
+        .join(lab.select(col("k").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src"), col("nl")).agg(sum(col("w")).as("s"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("s").desc, col("nl"))
+      val next = scored.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .select(col("src").as("k"), col("nl").as("newlab"))
+      lab = lab.join(next, Seq("k"), "left")
+        .select(col("k"), coalesce(col("newlab"), col("label")).as("label"))
+    }
+    lab.orderBy(col("k"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced
     * by a weighted edge list — the local-clustering signal link-graph
     * curation uses to separate organic link neighborhoods (high

@@ -136,6 +136,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("labelPropagation converges two bridged triangles to two communities") {
+    // triangles {1,2,3} and {4,5,6} with a 3-4 bridge: by iteration 3
+    // (hand-computed under the min-label tie-break) every node carries
+    // its community's label — 1 on the left, 3 on the right
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val edges = und.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val l3 = Graphs.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $l3")
+    // weight beats count: a single heavy neighbor out-votes two light ones
+    val heavy = Seq((10L, 11L, 10L), (10L, 12L, 1L), (10L, 13L, 1L))
+      .toDF("src", "dst", "w")
+    val l1 = Graphs.labelPropagation(heavy, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1(10L) == 11L, s"got $l1")
+  }
+
   test("zorder interleave places x on even bits, y on odd bits") {
     import graft.operators.ZOrder
     val z = spark.sql(
