@@ -154,9 +154,11 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint() // read by deg AND the orientation join
     val deg = und.select(col("a").as("k"))
       .unionAll(und.select(col("b").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // read by the orientation join AND the output
     // Orient a->b unless deg(a) > deg(b) (ties break on id, and a < b
     // already): u is always the (deg, id)-smaller endpoint.
     val oriented = und
@@ -166,6 +168,9 @@ object Graphs {
         when(col("da") > col("db"), col("b")).otherwise(col("a")).as("u"),
         when(col("da") > col("db"), col("a")).otherwise(col("b")).as("v"),
         when(col("da") > col("db"), col("da")).otherwise(col("db")).as("dv"))
+      .localCheckpoint() // the wedge join reads this THREE times (o1,
+      // o2, and the closing semi-join) — without the checkpoint the
+      // whole edge-derivation pipeline re-runs once per reference
     // Wedges (u; v1 < v2 under (deg, id)) closed by the oriented edge
     // v1 -> v2 — each triangle is produced exactly once.
     val o2 = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
