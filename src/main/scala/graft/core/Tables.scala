@@ -15,15 +15,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // parquet reader rejects; read the raw int64 nanos and truncate to
-    // micros exactly like DuckDB does (ns div 1000, toward zero).
+    // events.parquet has shipped with two physical types for `ts`
+    // across driver generations: TIMESTAMP(NANOS) (which Spark's
+    // vectorized reader only surfaces as raw int64 nanos) and plain
+    // TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Normalize BOTH to
+    // the session-zone TIMESTAMP the whole engine was written against:
+    // nanos truncate to micros exactly like DuckDB (ns div 1000,
+    // toward zero); NTZ micros cast wall-clock-preserving (session
+    // zone is UTC in every entrypoint).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") df.withColumn("ts", normalizedTs(df)) else df
+  }
+
+  /** `ts` as session-zone TIMESTAMP regardless of the fixture's
+    * physical type (int64 nanos, TIMESTAMP_NTZ, or already TIMESTAMP).
+    */
+  private[graft] def normalizedTs(df: DataFrame)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    df.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast("timestamp")
+    }
   }
 
   /** Register every table as a temp view so spark.sql(...) queries work. */

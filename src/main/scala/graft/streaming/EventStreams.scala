@@ -35,11 +35,11 @@ object EventStreams {
     */
   def readStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
     // file source wants a directory; glob-filter to the events table
-    spark.readStream.schema(schema).format("parquet")
+    spark.readStream.schema(batch.schema).format("parquet")
       .option("pathGlobFilter", "events.parquet").load(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.core.Tables.normalizedTs(batch))
   }
 
   /** Watermarked tumbling-window counts (w01's streaming form). */
