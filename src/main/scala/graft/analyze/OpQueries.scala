@@ -621,6 +621,37 @@ object OpQueries {
       SELECT k, CAST(label AS BIGINT) AS label FROM l2 ORDER BY k"""
     }),
 
+    // ---- trust-radius BFS: minimum-hop distance from a seed set over
+    // the item-transition graph (TrustRank's propagation step — nodes
+    // near a curated seed set inherit trust, spam sits far away or
+    // unreachable). The engine runs the frontier/delta iteration; the
+    // oracle unrolls the equivalent min-expansion recurrence
+    // d_i = min(d_{i-1}, 1 + d_{i-1}∘edges) — identical min-hop
+    // distances, provable by induction on i --------------------------
+    ("g05_bfs_hops", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ed = eventEdges(s, d)
+      val nodes = ed.select(col("src").as("k"))
+        .union(ed.select(col("dst").as("k"))).distinct()
+      Graphs.bfsHops(ed, nodes.filter(col("k") % 13 === 0), maxHops = 3)
+    }, Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT k, MIN(hop) AS hop FROM (
+                SELECT k, hop FROM d${i - 1}
+                UNION ALL
+                SELECT ed.dst AS k, d${i - 1}.hop + 1 AS hop
+                FROM ed JOIN d${i - 1} ON ed.src = d${i - 1}.k) u
+              GROUP BY k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $eventEdgesCtes,
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      d0 AS (SELECT k, 0 AS hop FROM nodes WHERE k % 13 = 0),
+      $iterCtes
+      SELECT k, CAST(hop AS INT) AS hop FROM d3 ORDER BY k"""
+    }),
+
     // ---- ordered funnel analysis: view -> click -> purchase, each
     // step's timestamp strictly after the previous step's. Three
     // per-user MIN aggregations chained by user_id equi-joins (all
@@ -813,6 +844,55 @@ object OpQueries {
         t(s, d, "embeddings"), nProbe = 2, nQueries = 10, topK = 5)
     }, Some(ivfPqOracle(nCells = 8, nProbe = 2, nSub = 4, dims = 64,
       k = 16, iters = 1, nQ = 10, topK = 5))),
+
+    // ---- IVF-PQ recall audit: recall@5 of the production ANN shape
+    // (s12's coarse-probe + residual-ADC scan) against the EXACT
+    // squared-L2 top-5 — the end-to-end quality number an IVF-PQ
+    // deployment reports, folding in BOTH loss sources (cells not
+    // probed + quantization error), unlike s23 which isolates the
+    // probe loss. Exact baseline sits behind a localCheckpoint (the
+    // s20 convention) so the registered plan carries no BNLJ ----------
+    ("s24_ivf_pq_recall", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val exact = graft.ext.Similarity
+        .bruteForceL2TopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+      val approx = graft.ext.Similarity.ivfPqTopK(embs, nCells = 8,
+          nProbe = 2, nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_exact").cast("double"))
+        .orderBy(col("query_id"))
+    }, Some {
+      val d2 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(len(q.v)), i -> " +
+        "(q.v[i+1] - t.v[i+1]) * (q.v[i+1] - t.v[i+1]))), " +
+        "(acc, e) -> acc + e)"
+      s"""
+      WITH ev24 AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+      sc24 AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                      $d2 AS d2
+               FROM ev24 q JOIN ev24 t ON q.vec_id < 10 AND t.vec_id >= 10),
+      b24 AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY d2, neighbor_id) AS rn FROM sc24) z
+              WHERE rn <= 5),
+      l24 AS (SELECT query_id, neighbor_id FROM (${ivfPqOracle(nCells = 8,
+        nProbe = 2, nSub = 4, dims = 64, k = 16, iters = 1, nQ = 10,
+        topK = 5)}) z)
+      SELECT b24.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(COUNT(l24.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(l24.neighbor_id) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM b24 LEFT JOIN l24
+        ON b24.query_id = l24.query_id AND b24.neighbor_id = l24.neighbor_id
+      GROUP BY b24.query_id ORDER BY b24.query_id"""
+    }),
 
     // ---- dedup resolution: canonical keep + drop list ----------------
     ("d08_dedup_resolution", (s: SparkSession, d: String) => {

@@ -191,6 +191,47 @@ object Graphs {
       .orderBy(col("k"))
   }
 
+  /** Minimum-hop BFS distance from a seed set, capped at `maxHops` —
+    * multi-source reachability over the directed edge list `(src,
+    * dst)`. The link-graph trust-radius signal (the propagation step
+    * of TrustRank, Gyöngyi et al. 2004): documents a few hops from a
+    * curated seed set inherit trust; spam sits far away or
+    * unreachable. Returns `(k, hop)` for every node reachable in at
+    * most `maxHops` hops, where `hop` is the TRUE BFS distance (the
+    * minimum over all paths); seeds are at hop 0. Unreachable nodes
+    * are absent, not null — the caller left-joins if it wants the
+    * complement.
+    *
+    * Shape at scale: the classic frontier/delta iteration — each hop
+    * expands only the nodes DISCOVERED on the previous hop (never the
+    * whole distance table), with one equi-join frontier→edges on src
+    * plus one anti-join against the accumulated distances, all keyed
+    * on node id, so a cluster run co-partitions the static edge list
+    * once and every hop reuses that partitioning (the [[pageRank]] /
+    * [[labelPropagation]] contract). localCheckpoint per hop caps
+    * lineage (the Dedup.dupClusters loop convention). The driver sees
+    * no data and `maxHops` bounds the loop statically, so a
+    * pathological graph cannot spin the driver.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops >= 0")
+    val ed = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint() // static across hops; read once per hop
+    var dist = seeds.select(col("k").cast("long").as("k")).distinct()
+      .withColumn("hop", lit(0).cast("int")).localCheckpoint()
+    var frontier = dist.select(col("k"))
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(ed, col("k") === col("src"))
+        .select(col("dst").as("k")).distinct()
+        .join(dist.select(col("k")), Seq("k"), "left_anti")
+        .withColumn("hop", lit(h).cast("int"))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next.select(col("k"))
+    }
+    dist.orderBy(col("k"))
+  }
+
   /** Graph-health audit for [[pageRank]]'s input (the s15/IVF-audit
     * pattern applied to graphs): per-node weighted in/out degree and a
     * dangling flag, plus broadcast one-row totals so each node carries

@@ -239,6 +239,33 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Exact squared-L2 top-k — the metric-matched baseline for the
+    * IVF-PQ family (which approximates L2, not cosine): queries are
+    * vec_id < nQueries, targets the rest, neighbors ranked by
+    * (dist2 asc, t_id). dist2 is the portable left-fold
+    * sum((q_i - t_i)^2) over double-cast components, so it verifies
+    * bit-for-bit cross-engine. Same broadcast-query-set shape (and
+    * the same declared-baseline O(q x t) cost) as [[bruteForceTopK]].
+    */
+  def bruteForceL2TopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val ev = embs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = ev.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val t = ev.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("t_id"), col("v").as("t_v"))
+    val d2 = aggregate(
+      zip_with(col("q_v"), col("t_v"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e)
+    val scored = t.crossJoin(broadcast(q)).withColumn("dist2", d2)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("dist2"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Pre-filtered vector search: top-k cosine where targets must ALSO
     * satisfy a metadata predicate, passed as the allowed-id set
     * (semi-joined BEFORE any distance math — the "filtered ANN"

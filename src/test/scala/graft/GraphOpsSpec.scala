@@ -48,6 +48,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains(">= 0"))
   }
 
+  test("bfsHops: chain distances, hop cap, unreachable absent, multi-source min") {
+    // 5 -> 1 -> 2 -> 3 -> 4: from seed {1}, 5 is upstream (unreachable)
+    val chain = Seq((5L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val seeds1 = Seq(1L).toDF("k")
+    val got = Graphs.bfsHops(chain, seeds1, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // cap at 2 hops: node 4 not yet discovered
+    val capped = Graphs.bfsHops(chain, seeds1, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // multi-source: distance is the MIN over seeds; seed 4 shadows the
+    // long path, and a cycle must not resurrect a visited node
+    val cyc = chain.unionAll(Seq((4L, 1L)).toDF("src", "dst"))
+    val multi = Graphs.bfsHops(cyc, Seq(1L, 4L).toDF("k"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi == Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 2))
+  }
+
   test("tableDiff: identical tables match everywhere, drill is empty") {
     val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
     val diff = Reconcile.tableDiff(t1, t1, "doc_id", Seq("doc_id", "v"), 8)
