@@ -630,7 +630,10 @@ object OpQueries {
     // distances, provable by induction on i --------------------------
     ("g05_bfs_hops", (s: SparkSession, d: String) => {
       import graft.ext.Graphs
-      val ed = eventEdges(s, d)
+      // checkpoint once: both the seed derivation and the BFS read the
+      // edge list, and the per-user window behind eventEdges is the
+      // expensive part — never re-derive it per consumer
+      val ed = eventEdges(s, d).localCheckpoint()
       val nodes = ed.select(col("src").as("k"))
         .union(ed.select(col("dst").as("k"))).distinct()
       Graphs.bfsHops(ed, nodes.filter(col("k") % 13 === 0), maxHops = 3)

@@ -225,9 +225,11 @@ object Graphs {
         .select(col("dst").as("k")).distinct()
         .join(dist.select(col("k")), Seq("k"), "left_anti")
         .withColumn("hop", lit(h).cast("int"))
-        .localCheckpoint()
+      // ONE materialization per hop: the union'd distance table is the
+      // checkpoint, and the next frontier is a cheap filter over it
+      // (hop = h selects exactly this hop's discoveries).
       dist = dist.unionAll(next).localCheckpoint()
-      frontier = next.select(col("k"))
+      frontier = dist.filter(col("hop") === h).select(col("k"))
     }
     dist.orderBy(col("k"))
   }

@@ -16,6 +16,24 @@ class FormatsSpec extends SparkSpec {
   val sf = "/root/testdata/sf0.001"
   private def tmp = Files.createTempDirectory("graft_fmt").toString
 
+  test("normalizedTs: int64-nanos and NTZ-micros fixtures land on identical instants") {
+    import spark.implicits._
+    // the same three instants, once as raw int64 nanos (pre-round-7
+    // fixtures surfaced via nanosAsLong) and once as TIMESTAMP_NTZ
+    // micros (the regenerated fixtures) — normalization must agree
+    val micros = Seq(0L, 1704067200123456L, 1706655976220708L)
+    val asNanos = micros.map(_ * 1000 + 999).toDF("ts") // sub-us residue truncates
+    val asNtz = micros.toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+    val a = asNanos.select(Tables.normalizedTs(asNanos).as("ts"))
+    val b = asNtz.select(Tables.normalizedTs(asNtz).as("ts"))
+    assert(a.schema("ts").dataType.typeName == "timestamp")
+    assert(b.schema("ts").dataType.typeName == "timestamp")
+    val ga = a.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    val gb = b.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted
+    assert(ga.toSeq == micros.sorted && gb.toSeq == micros.sorted)
+  }
+
   test("ORC round-trip preserves schema and rows") {
     val o = Tables.load(spark, sf, "orders")
     val dir = s"$tmp/orders_orc"
