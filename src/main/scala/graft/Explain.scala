@@ -31,7 +31,8 @@ object Explain {
         "d09b_dedup_clusters_distributed", "w14_skew_salted_join",
         "s22_ivf_pq_persisted", "g03_triangles", "w15_zorder_skipping",
         "t19_quality_classifier", "g04_label_propagation",
-        "w17_bucketed_colocated_join", "g05_bfs_hops", "s24_ivf_pq_recall")
+        "w17_bucketed_colocated_join", "g05_bfs_hops", "s24_ivf_pq_recall",
+        "g06_kcore")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -655,6 +655,34 @@ object OpQueries {
       SELECT k, CAST(hop AS INT) AS hop FROM d3 ORDER BY k"""
     }),
 
+    // ---- k-core peel: the embeddedness companion to g03's closure —
+    // three peel rounds dropping nodes whose surviving degree < 3 over
+    // the undirected simple transition graph; link farms and scrape
+    // chains (star/chain shells) collapse in the first rounds. Oracle
+    // unrolls the identical peel: degree groupBy + two IN-survivor
+    // restrictions per round ------------------------------------------
+    ("g06_kcore", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.kCore(eventEdges(s, d), minDeg = 3, iters = 3)
+    }, Some {
+      val rounds = (1 to 3).map { i =>
+        s"""kp$i AS (SELECT k FROM (
+                SELECT k, COUNT(*) AS deg FROM (
+                  SELECT a AS k FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+                GROUP BY k) z WHERE deg >= 3),
+        e$i AS (SELECT a, b FROM e${i - 1}
+                WHERE a IN (SELECT k FROM kp$i) AND b IN (SELECT k FROM kp$i))"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $eventEdgesCtes,
+      e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      $rounds
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS k FROM e3 UNION ALL SELECT b FROM e3) u
+      GROUP BY k ORDER BY k"""
+    }),
+
     // ---- ordered funnel analysis: view -> click -> purchase, each
     // step's timestamp strictly after the previous step's. Three
     // per-user MIN aggregations chained by user_id equi-joins (all

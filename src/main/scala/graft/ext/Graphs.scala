@@ -234,6 +234,45 @@ object Graphs {
     dist.orderBy(col("k"))
   }
 
+  /** k-core peel over the undirected simple graph, run for exactly
+    * `iters` peel rounds: repeatedly drop nodes whose surviving degree
+    * is below `minDeg`, keeping only edges between survivors. The
+    * link-graph embeddedness signal curation pairs with
+    * [[triangleCounts]]: a page inside a dense well-linked core is
+    * organically referenced; link farms and scrape chains peel away in
+    * the first rounds (their shells are stars/chains whose degrees
+    * collapse once neighbors vanish). Fixed `iters` keeps the result
+    * deterministic and oracle-verifiable; at convergence (no node
+    * dropped in a round) further rounds are no-ops, so `iters` is an
+    * upper bound, not a tuning knob. Output: surviving `(k, deg)` with
+    * deg = the within-core degree.
+    *
+    * Shape at scale: per round one partial-aggregable degree groupBy
+    * and two node-keyed LEFT SEMI joins restricting the edge list to
+    * survivors — everything keys on node id, co-partitionable with the
+    * static edge list like every Graphs loop; localCheckpoint per
+    * round caps lineage, and the driver sees no data.
+    */
+  def kCore(edges: DataFrame, minDeg: Int, iters: Int): DataFrame = {
+    require(minDeg >= 1 && iters >= 0, "minDeg >= 1, iters >= 0")
+    var cur = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint()
+    for (_ <- 0 until iters) {
+      val keep = cur.select(col("a").as("k")).unionAll(cur.select(col("b").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= minDeg).select(col("k"))
+      cur = cur
+        .join(keep.select(col("k").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("k").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    cur.select(col("a").as("k")).unionAll(cur.select(col("b").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("k"))
+  }
+
   /** Graph-health audit for [[pageRank]]'s input (the s15/IVF-audit
     * pattern applied to graphs): per-node weighted in/out degree and a
     * dangling flag, plus broadcast one-row totals so each node carries

@@ -68,6 +68,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(multi == Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 2))
   }
 
+  test("kCore: pendants and chains peel away, the dense core survives with its degree") {
+    // triangle {1,2,3} + pendant 4-1 + chain 4-5-6; minDeg=2 leaves
+    // exactly the triangle (each member at within-core degree 2)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val core = Graphs.kCore(g, minDeg = 2, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // a bare chain fully peels (ends first, then the stranded middle);
+    // direction/multiplicity/self-loops must not resurrect anything
+    val chain = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 4L))
+      .toDF("src", "dst")
+    assert(Graphs.kCore(chain, minDeg = 2, iters = 3).count() == 0)
+    // iters is an upper bound: once converged (round 3 here — 6, then
+    // 5, then 4 peel off), extra rounds are no-ops
+    val a = Graphs.kCore(g, minDeg = 2, iters = 3).collect().toSeq
+    val b = Graphs.kCore(g, minDeg = 2, iters = 6).collect().toSeq
+    assert(a == b)
+  }
+
   test("tableDiff: identical tables match everywhere, drill is empty") {
     val t1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
     val diff = Reconcile.tableDiff(t1, t1, "doc_id", Seq("doc_id", "v"), 8)
