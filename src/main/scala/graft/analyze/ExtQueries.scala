@@ -1833,6 +1833,28 @@ object ExtQueries {
                AS quota_docs
       FROM w ORDER BY lang""")),
 
+    // priority sampling (Duffield-Lund-Thorup 2007): weighted
+    // without-replacement sample of 200 docs by n_chars with the
+    // unbiased subset-sum estimator w_est = max(w, tau). Priorities
+    // are one exact double multiply (w * 2^32, exact below 2^21) and
+    // ONE IEEE division off the shared md5 hash — no accumulation, so
+    // sample AND estimator verify bit-for-bit cross-engine -----------
+    ("c15_priority_sample", (s: SparkSession, d: String) =>
+      Curation.prioritySample(t(s, d, "documents"), "n_chars", n = 200),
+      Some("""
+      WITH pr AS (SELECT doc_id, n_chars,
+              (CAST(n_chars AS DOUBLE) * 4294967296.0)
+                / (CAST(('0x'||substr(md5(text),1,8))::BIGINT AS DOUBLE) + 1.0)
+                AS priority
+            FROM documents),
+      rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+               AS rn FROM pr),
+      tau AS (SELECT COALESCE(MAX(CASE WHEN rn = 201 THEN priority END), 0.0)
+                AS tau FROM rk)
+      SELECT doc_id, n_chars, priority,
+             GREATEST(CAST(n_chars AS DOUBLE), (SELECT tau FROM tau)) AS w_est
+      FROM rk WHERE rn <= 200 ORDER BY doc_id""")),
+
     // composition showcase: mixture quotas computed AFTER near-dup
     // resolution — dedup (minhash -> connected components -> quality
     // argmax keep-list) feeding curation (temperature quotas), the way

@@ -48,6 +48,28 @@ object OpQueries {
       ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
                     COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2)"""
 
+  /** Unrolled k-core peel as CTEs over the shared `ed(src, dst, w)`
+    * edge list: `{pfx}e0` is the undirected simple graph, each round i
+    * drops nodes whose surviving degree < minDeg and restricts edges
+    * to survivors, ending in `{pfx}e$rounds` — the DuckDB twin of
+    * [[graft.ext.Graphs.kCore]]'s loop body.
+    */
+  private def kcorePeelCtes(minDeg: Int, rounds: Int, pfx: String): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${pfx}kp$i AS (SELECT k FROM (
+              SELECT k, COUNT(*) AS deg FROM (
+                SELECT a AS k FROM ${pfx}e${i - 1}
+                UNION ALL SELECT b FROM ${pfx}e${i - 1}) u
+              GROUP BY k) z WHERE deg >= $minDeg),
+      ${pfx}e$i AS (SELECT a, b FROM ${pfx}e${i - 1}
+              WHERE a IN (SELECT k FROM ${pfx}kp$i)
+                AND b IN (SELECT k FROM ${pfx}kp$i))"""
+    }.mkString(",\n      ")
+    s"""${pfx}e0 AS (SELECT DISTINCT LEAST(src, dst) AS a,
+             GREATEST(src, dst) AS b FROM ed WHERE src <> dst),
+      $roundCtes"""
+  }
+
   /** Unrolled-Lloyd DuckDB twin of [[graft.ext.Similarity.kmeansFit]]:
     * per iteration, a distance cross-join to the current centroid rows,
     * a row_number()-over-(dist2, c_id) assignment, and a fixed-point
@@ -664,23 +686,42 @@ object OpQueries {
     ("g06_kcore", (s: SparkSession, d: String) => {
       import graft.ext.Graphs
       Graphs.kCore(eventEdges(s, d), minDeg = 3, iters = 3)
-    }, Some {
-      val rounds = (1 to 3).map { i =>
-        s"""kp$i AS (SELECT k FROM (
-                SELECT k, COUNT(*) AS deg FROM (
-                  SELECT a AS k FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
-                GROUP BY k) z WHERE deg >= 3),
-        e$i AS (SELECT a, b FROM e${i - 1}
-                WHERE a IN (SELECT k FROM kp$i) AND b IN (SELECT k FROM kp$i))"""
-      }.mkString(",\n        ")
-      s"""
+    }, Some(s"""
       WITH $eventEdgesCtes,
-      e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-             FROM ed WHERE src <> dst),
-      $rounds
+      ${kcorePeelCtes(minDeg = 3, rounds = 3, pfx = "")}
       SELECT k, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT a AS k FROM e3 UNION ALL SELECT b FROM e3) u
-      GROUP BY k ORDER BY k"""
+      GROUP BY k ORDER BY k""")),
+
+    // ---- coreness decay curve: the g06 sweep (the s23 discipline
+    // applied to graphs) — surviving-core size and degree mass at
+    // minDeg 2/3/4, each sweep point nesting the full peel verbatim.
+    // The corpus-graph embeddedness profile: how fast the graph
+    // evaporates as the core requirement tightens ---------------------
+    ("g07_coreness_sweep", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ed = eventEdges(s, d).localCheckpoint()
+      Seq(2, 3, 4).map { md =>
+        Graphs.kCore(ed, minDeg = md, iters = 3)
+          .agg(count(lit(1)).as("n_core_nodes"),
+            coalesce(sum(col("deg")), lit(0L)).as("sum_deg"))
+          .select(lit(md).cast("int").as("min_deg"),
+            col("n_core_nodes"), col("sum_deg"))
+      }.reduce(_ unionAll _).orderBy(col("min_deg"))
+    }, Some {
+      def sweepPoint(md: Int): String = s"""
+        SELECT CAST($md AS INT) AS min_deg,
+               CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+               COALESCE(CAST(SUM(deg) AS BIGINT), 0) AS sum_deg
+        FROM (SELECT k, COUNT(*) AS deg FROM (
+                SELECT a AS k FROM m${md}_e3 UNION ALL SELECT b FROM m${md}_e3) u
+              GROUP BY k) z"""
+      s"""
+      WITH $eventEdgesCtes,
+      ${Seq(2, 3, 4).map(md =>
+        kcorePeelCtes(minDeg = md, rounds = 3, pfx = s"m${md}_")).mkString(",\n      ")}
+      SELECT * FROM (${Seq(2, 3, 4).map(sweepPoint).mkString(" UNION ALL ")}) s
+      ORDER BY min_deg"""
     }),
 
     // ---- ordered funnel analysis: view -> click -> purchase, each

@@ -378,4 +378,44 @@ object Curation {
         col("offset_in_stratum"), col("bin_id"))
       .orderBy(col(stratum), col("doc_id"))
   }
+
+  /** Priority sampling (Duffield, Lund, Thorup — JACM 2007): a
+    * weighted without-replacement sample of `n` docs that supports
+    * UNBIASED subset-sum estimation — the statistically principled way
+    * to down-sample a corpus proportionally to a weight (here: any
+    * numeric column, e.g. token counts) while keeping every later
+    * "how many tokens did stratum X contribute" query answerable from
+    * the sample alone. Each doc draws the seedless uniform
+    * u = (hash32 + 1) / 2^32 in (0, 1] and gets priority w / u; the
+    * sample is the n highest (priority, doc_id) rows; the threshold
+    * tau = the (n+1)-th priority (0 when the corpus has <= n docs)
+    * yields the estimator w_est = max(w, tau), whose sum is unbiased
+    * for the total weight of any subset.
+    *
+    * Arithmetic discipline: w * 2^32 stays EXACT in a double for
+    * w < 2^21 (the documents fixture is ~1e4 chars max), and the
+    * priority is then ONE correctly-rounded IEEE division — both
+    * engines agree bit-for-bit, no accumulation order anywhere. The
+    * top-(n+1) is a TakeOrdered (map-side n+1 per partition, the
+    * exchange carries O(partitions x n) rows); tau is a broadcast
+    * 1-row aggregate over those n+1 rows only.
+    */
+  def prioritySample(docs: DataFrame, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n >= 1")
+    val spread = graft.core.Tables.spread(docs)
+    val w = col(weightCol).cast("double")
+    val p = (w * lit(4294967296.0)) / (hash32.cast("double") + lit(1.0))
+    val cand = spread
+      .select(col("doc_id"), col(weightCol), p.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(n + 1)
+      .localCheckpoint() // read twice: tau and the sample cut
+    val tau = cand.agg(
+      when(count(lit(1)) === (n + 1), min(col("priority")))
+        .otherwise(lit(0.0)).as("tau"))
+    cand.orderBy(col("priority").desc, col("doc_id")).limit(n)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col(weightCol), col("priority"),
+        greatest(w, col("tau")).as("w_est"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -6,6 +6,30 @@ import graft.ext.{Curation, Dedup, TextAnalysis}
 
 class CurationOpsSpec extends SparkSpec {
 
+  test("priority sample: invariants of the DLT estimator") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, s"doc text number $i" * (i % 7 + 1),
+        (i % 7 + 1) * 19L))
+      .toDF("doc_id", "text", "n_chars")
+    val n = 10
+    val got = Curation.prioritySample(docs, "n_chars", n).collect()
+    assert(got.length == n)
+    // deterministic across runs (seedless hash order)
+    val again = Curation.prioritySample(docs, "n_chars", n).collect()
+    assert(got.toSeq == again.toSeq)
+    // every included priority >= tau, and w_est = max(w, tau) >= w
+    val prios = got.map(_.getDouble(2))
+    val wests = got.map(_.getDouble(3))
+    val ws = got.map(_.getLong(1).toDouble)
+    val tau = wests.zip(ws).map { case (e, w) => if (e > w) e else 0.0 }.max
+    assert(prios.forall(_ >= tau))
+    assert(wests.zip(ws).forall { case (e, w) => e >= w })
+    // corpus <= n: everything included, tau = 0, estimator = raw weight
+    val small = Curation.prioritySample(docs.limit(5), "n_chars", n).collect()
+    assert(small.length == 5 &&
+      small.forall(r => r.getDouble(3) == r.getLong(1).toDouble))
+  }
+
   test("incremental dedup pairs only cross the batch boundary") {
     import spark.implicits._
     val corpus = Seq(

@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
     // s20_mmr_rerank: the candidate brute pass's broadcast sits behind a
     // localCheckpoint, so the registered plan itself carries no BNLJ
     "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
+    "c15_priority_sample" -> 1, // broadcast 1-row tau (the (n+1)-th priority)
     "c14_dedup_aware_mixture" -> 1, // same 1-row weight-total broadcast, post-dedup
     "d27_hll_intersection" -> 3, // four 1-row summaries chained (est_a x est_b x est_union x exact)
     "g02_degree_audit" -> 1, // broadcast 1-row edge totals
