@@ -1316,6 +1316,29 @@ object ExtQueries {
         nCentroids = 16, nProbe = 2, nQueries = 10, k = 5),
       Some(annIvfOracle)),
 
+    // incremental IVF index maintenance: build the persisted index
+    // over the first 300 vectors, APPEND the remaining 200 under the
+    // FROZEN coarse centroids (insertInto through the catalog bucket
+    // spec — probes keep the zero-Exchange corpus side), then serve.
+    // Centroids are an order statistic of the lowest target ids, so
+    // append-then-probe is bit-identical to a full rebuild — gated by
+    // the SAME oracle as live s06 -------------------------------------
+    ("s25_ivf_index_append", (s: SparkSession, d: String) => {
+      val table = "graft_ivf_idx_append_q"
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      val embs = t(s, d, "embeddings")
+      val original = embs.filter(col("vec_id") < 300)
+      Similarity.persistIvfIndex(original, nCentroids = 16, nQueries = 10,
+        table = table, buckets = 8)
+      Similarity.appendIvfIndex(s, table, original,
+        embs.filter(col("vec_id") >= 300), nCentroids = 16, nQueries = 10)
+      Similarity.ivfTopKFromIndex(s, table, embs, nCentroids = 16,
+        nProbe = 2, nQueries = 10, k = 5)
+    }, Some(annIvfOracle)),
+
     // filtered IVF: s18's metadata predicate composed with the cell
     // probe — the index is built once over the full corpus, the
     // allowed-id semi-join prunes candidates between cell assignment

@@ -416,19 +416,46 @@ object Similarity {
     * index size.
     */
   def persistIvfIndex(embs: DataFrame, nCentroids: Int, nQueries: Int,
-                      table: String, buckets: Int): Unit = {
-    val cents = ivfCents(embs, nCentroids, nQueries)
-    val t = side(embs.filter(col("vec_id") >= nQueries), "t")
+                      table: String, buckets: Int): Unit =
+    graft.operators.Layout.writeBucketed(
+      assignCells(side(embs.filter(col("vec_id") >= nQueries), "t"),
+        ivfCents(embs, nCentroids, nQueries)),
+      table, "cell", buckets)
+
+  /** (cell, t_id, t_emb, t_norm) rows for a prefixed target side under
+    * the given centroid set — the argmax-by-(cosine, lowest c_id) rule
+    * every IVF build/append shares, as a partial-aggregating max_by.
+    */
+  private def assignCells(t: DataFrame, cents: DataFrame): DataFrame = {
     val cells = t.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         dotCol(col("t_emb"), col("c_emb")) / (col("t_norm") * col("c_norm")))
       .groupBy(col("t_id"))
       .agg(max_by(col("c_id"), struct(col("c_cos"), negate(col("c_id")))).as("cell"))
-    graft.operators.Layout.writeBucketed(
-      t.join(cells, "t_id")
-        .select(col("cell"), col("t_id"), col("t_emb"), col("t_norm")),
-      table, "cell", buckets)
+    t.join(cells, "t_id")
+      .select(col("cell"), col("t_id"), col("t_emb"), col("t_norm"))
   }
+
+  /** Incrementally grow a [[persistIvfIndex]] table: assign ONLY the
+    * new vectors under the index's FROZEN coarse centroids (the
+    * deterministic order statistic of `original`, the corpus the index
+    * was built over) and append them through the catalog table's
+    * bucket spec (insertInto), so later probes keep reading the corpus
+    * side with zero Exchange. Because the centroids are an order
+    * statistic of the lowest target ids, append-then-probe is
+    * BIT-IDENTICAL to a full rebuild over original ∪ newVecs whenever
+    * the new ids sit above the centroid seeds — the grow-only index
+    * maintenance contract (no retrain, no rewrite of existing cells;
+    * periodic full rebuilds remain a policy decision when drift
+    * accumulates).
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     table: String, original: DataFrame,
+                     newVecs: DataFrame, nCentroids: Int,
+                     nQueries: Int): Unit =
+    assignCells(side(newVecs, "t"),
+      ivfCents(original, nCentroids, nQueries))
+      .write.insertInto(table)
 
   /** Query a [[persistIvfIndex]] table: identical output to the live
     * [[ivfTopK]] (same centroid rule, same probe/score stage), with the

@@ -32,6 +32,7 @@ class PlanGuardSpec extends SparkSpec {
     "s07_ann_lsh_recall" -> 1, // composes s01's broadcast query set (hyperplanes are literals now)
     "s06_ann_ivf_topk" -> 2, // broadcast centroids (cell build + query probe)
     "s23_ivf_nprobe_sweep" -> 6, // s06's 2 centroid broadcasts x 3 sweep points
+    "s25_ivf_index_append" -> 1, // probe-side centroid broadcast only (index side: none)
 
     "s19_filtered_ivf" -> 2, // same centroid broadcasts; the filter is an equi semi-join
     "s15_ivf_cell_stats" -> 1, // broadcast 1-row totals for the imbalance factor

@@ -122,6 +122,40 @@ class SelectionOpsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("appended IVF index: frozen-centroid append equals a full rebuild") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_append_spec")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/ivf_idx_append_spec")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    val original = embs.filter(col("vec_id") < 300)
+    Similarity.persistIvfIndex(original, nCentroids = 16, nQueries = 10,
+      table = "ivf_idx_append_spec", buckets = 8)
+    Similarity.appendIvfIndex(spark, "ivf_idx_append_spec", original,
+      embs.filter(col("vec_id") >= 300), nCentroids = 16, nQueries = 10)
+    // the centroid seeds (lowest 16 target ids) all sit below the
+    // split, so the frozen-centroid append must serve BIT-IDENTICAL
+    // results to the live build over the full corpus
+    val live = Similarity.ivfTopK(embs, 16, 2, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, "ivf_idx_append_spec",
+        embs, 16, 2, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(fromIdx == live)
+    // the appended files must land under the table's bucket spec: the
+    // probe still reads a bucketed scan with query-side-only exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Similarity.ivfTopKFromIndex(spark, "ivf_idx_append_spec",
+        embs, 16, 2, 10, 5).queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index not read as a bucketed scan:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 3, s"expected exactly 3 query-side exchanges:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("persisted IVF-PQ index: bit-identical to live, exchange-free corpus probe") {
     import spark.implicits._
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
