@@ -453,9 +453,18 @@ object Similarity {
                      table: String, original: DataFrame,
                      newVecs: DataFrame, nCentroids: Int,
                      nQueries: Int): Unit =
-    assignCells(side(newVecs, "t"),
-      ivfCents(original, nCentroids, nQueries))
+    assignCellsFor(newVecs, original, nCentroids, nQueries)
       .write.insertInto(table)
+
+  /** [[assignCells]] over raw (vec_id, embedding) rows under the frozen
+    * centroids of `original` — the shared entry the batch append and
+    * the streaming index ingestion ([[graft.streaming.StreamAnnIngest]])
+    * both write through.
+    */
+  private[graft] def assignCellsFor(newVecs: DataFrame, original: DataFrame,
+                                    nCentroids: Int,
+                                    nQueries: Int): DataFrame =
+    assignCells(side(newVecs, "t"), ivfCents(original, nCentroids, nQueries))
 
   /** Query a [[persistIvfIndex]] table: identical output to the live
     * [[ivfTopK]] (same centroid rule, same probe/score stage), with the
