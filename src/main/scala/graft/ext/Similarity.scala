@@ -464,7 +464,22 @@ object Similarity {
   private[graft] def assignCellsFor(newVecs: DataFrame, original: DataFrame,
                                     nCentroids: Int,
                                     nQueries: Int): DataFrame =
-    assignCells(side(newVecs, "t"), ivfCents(original, nCentroids, nQueries))
+    assignCellsUnder(newVecs, ivfCentsFor(original, nCentroids, nQueries))
+
+  /** The frozen coarse-centroid rows (c_id, c_emb, c_norm) a grow-only
+    * index derives from its reference corpus — exposed so a streaming
+    * ingester can derive them ONCE at stream start (and checkpoint the
+    * 16-odd rows) instead of re-running a corpus-wide order statistic
+    * on every micro-batch.
+    */
+  private[graft] def ivfCentsFor(original: DataFrame, nCentroids: Int,
+                                 nQueries: Int): DataFrame =
+    ivfCents(original, nCentroids, nQueries)
+
+  /** [[assignCells]] under an already-derived centroid frame. */
+  private[graft] def assignCellsUnder(newVecs: DataFrame,
+                                      cents: DataFrame): DataFrame =
+    assignCells(side(newVecs, "t"), cents)
 
   /** Query a [[persistIvfIndex]] table: identical output to the live
     * [[ivfTopK]] (same centroid rule, same probe/score stage), with the

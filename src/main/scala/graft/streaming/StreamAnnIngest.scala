@@ -42,6 +42,12 @@ object StreamAnnIngest {
           statePath: String, checkpointDir: String, original: DataFrame,
           nCentroids: Int, nQueries: Int,
           buckets: Int = 8): StreamingQuery = {
+    // derive the frozen centroids ONCE at stream start — a 16-odd-row
+    // order statistic of the (possibly corpus-sized) reference table;
+    // re-deriving per micro-batch would re-run that corpus TakeOrdered
+    // on every trigger
+    val cents = Similarity.ivfCentsFor(original, nCentroids, nQueries)
+      .localCheckpoint()
     val vecs = spark.readStream.schema(vecSchema)
       .option("multiLine", "false")
       .json(landingDir)
@@ -49,8 +55,8 @@ object StreamAnnIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, batch, batchId, table, statePath, original,
-          nCentroids, nQueries, buckets)
+        processBatchUnder(spark, batch, batchId, table, statePath, cents,
+          buckets)
       }
       .start()
   }
@@ -61,13 +67,22 @@ object StreamAnnIngest {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    table: String, statePath: String, original: DataFrame,
-                   nCentroids: Int, nQueries: Int, buckets: Int): Unit = {
+                   nCentroids: Int, nQueries: Int, buckets: Int): Unit =
+    processBatchUnder(spark, batch, batchId, table, statePath,
+      Similarity.ivfCentsFor(original, nCentroids, nQueries), buckets)
+
+  /** [[processBatch]] under an already-derived (checkpointed) centroid
+    * frame — what the running stream uses so the reference corpus is
+    * scanned once per stream, not once per trigger.
+    */
+  def processBatchUnder(spark: SparkSession, batch: DataFrame,
+                        batchId: Long, table: String, statePath: String,
+                        cents: DataFrame, buckets: Int): Unit = {
     Layout.ensureBucketedBatchTable(spark, table, statePath, StateCols,
       Seq("cell"), buckets)
     val clean = batch.filter(col("vec_id").isNotNull &&
       col("embedding").isNotNull)
-    Layout.overwriteBatch(
-      Similarity.assignCellsFor(clean, original, nCentroids, nQueries),
+    Layout.overwriteBatch(Similarity.assignCellsUnder(clean, cents),
       table, batchId)
   }
 
