@@ -33,10 +33,14 @@ object ExtQueries {
     .map { case ((a, b), j) => s"MIN(($a * h + $b) % $P) AS m$j" }
     .mkString(", ")
 
-  private def bandSelectsSql(sig: String) = (0 until Dedup.Bands).map { bi =>
-    val ms = (0 until Dedup.Rows).map(ri => s"m${bi * Dedup.Rows + ri}").mkString(", ")
+  private def bandSelectsSqlShaped(sig: String, bands: Int,
+                                   rows: Int) = (0 until bands).map { bi =>
+    val ms = (0 until rows).map(ri => s"m${bi * rows + ri}").mkString(", ")
     s"SELECT doc_id, $bi AS band_idx, concat_ws(',', $ms) AS band_key FROM $sig"
   }.mkString(" UNION ALL ")
+
+  private def bandSelectsSql(sig: String) =
+    bandSelectsSqlShaped(sig, Dedup.Bands, Dedup.Rows)
 
   /** Shared CTE chain producing minhash candidate pairs with counts
     * (reused by the dup-pairs oracle and the clustering oracle).
@@ -1138,6 +1142,78 @@ object ExtQueries {
     // sf. minhashDup's verified output is by
     // construction the subset of true pairs whose docs band-collide, so
     // recall = |lsh| / |exact| with no pair join.
+    // the LSH TUNING CURVE for near-dedup (the s23 discipline applied
+    // to minhash): recall at band shapes (8x2 / 4x4 / 2x8) of the
+    // 16-perm signature against the same fixed-sample exact baseline
+    // d20 uses — the bands-vs-rows knob every LSH dedup deployment
+    // sets from exactly this measurement (shorter bands collide more:
+    // higher recall, more candidates to verify). The exact baseline is
+    // computed ONCE behind a localCheckpoint; each sweep point's
+    // oracle nests the shaped banding verbatim over a shared signature
+    ("d36_lsh_band_sweep", (s: SparkSession, d: String) => {
+      val sample = Tables.spread(
+        t(s, d, "documents").filter(col("doc_id") < 1200)).localCheckpoint()
+      val arr = sample.select(col("doc_id"),
+        array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
+        .localCheckpoint()
+      def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
+      val exactN = arr.as("a")
+        .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(size(col("a.sa")) + size(col("b.sa")) > 0)
+        .select((nc.cast("double") /
+          (size(col("a.sa")) + size(col("b.sa")) - nc)).as("j"))
+        .filter(col("j") >= 0.5)
+        .agg(count(lit(1)).as("n_exact")).localCheckpoint()
+      Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
+        val lshN = Dedup.minhashDupShaped(sample, threshold = 0.5,
+            bands = b, rows = r)
+          .agg(count(lit(1)).as("n_lsh"))
+        exactN.crossJoin(lshN).select(
+          lit(b).cast("int").as("n_bands"),
+          lit(r).cast("int").as("rows_per_band"),
+          col("n_exact"), col("n_lsh"),
+          (col("n_lsh").cast("double") /
+            greatest(col("n_exact"), lit(1L)).cast("double")).as("recall"))
+      }.reduce(_ unionAll _).orderBy(col("n_bands").desc)
+    }, Some {
+      def point(b: Int, r: Int) = s"""
+      bands_${b}_$r AS (${bandSelectsSqlShaped("sig", b, r)}),
+      cand_${b}_$r AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands_${b}_$r x JOIN bands_${b}_$r y
+          ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+             AND x.doc_id < y.doc_id),
+      lshn_${b}_$r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh
+          FROM cand_${b}_$r c JOIN sarr a ON a.doc_id = c.doc_a
+               JOIN sarr b2 ON b2.doc_id = c.doc_b
+          WHERE CAST(len(list_intersect(a.sa, b2.sa)) AS DOUBLE)
+                / (len(a.sa) + len(b2.sa) - len(list_intersect(a.sa, b2.sa)))
+                >= 0.5)"""
+      def sel(b: Int, r: Int) = s"""
+      SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS rows_per_band,
+             (SELECT n_exact FROM exn) AS n_exact,
+             (SELECT n_lsh FROM lshn_${b}_$r) AS n_lsh,
+             CAST((SELECT n_lsh FROM lshn_${b}_$r) AS DOUBLE)
+               / CAST(GREATEST((SELECT n_exact FROM exn), 1) AS DOUBLE)
+               AS recall"""
+      val shapes = Seq((8, 2), (4, 4), (2, 8))
+      s"""
+      WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s
+                  FROM (SELECT * FROM documents WHERE doc_id < 1200)),
+      h AS (SELECT doc_id, $h32s AS h FROM sh),
+      sig AS (SELECT doc_id, $sigColsSql FROM h GROUP BY doc_id),
+      sarr AS (SELECT doc_id, $shinglesSql AS sa FROM documents
+               WHERE doc_id < 1200),
+      exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM sarr a JOIN sarr b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sa, b.sa)) AS DOUBLE)
+                    / (len(a.sa) + len(b.sa) - len(list_intersect(a.sa, b.sa)))
+                    >= 0.5),
+      ${shapes.map { case (b, r) => point(b, r) }.mkString(",")}
+      SELECT * FROM (${shapes.map { case (b, r) => sel(b, r) }
+        .mkString(" UNION ALL ")}) s
+      ORDER BY n_bands DESC"""
+    }),
+
     ("d20_minhash_recall", (s: SparkSession, d: String) => {
       val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
       val lshN = Dedup.minhashDup(sample, threshold = 0.5)

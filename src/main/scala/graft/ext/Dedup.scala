@@ -100,9 +100,20 @@ object Dedup {
   }
 
   /** (doc_id, band_idx, band_key) — LSH buckets from the signature. */
-  def minhashBands(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { bi =>
-      concat_ws(",", (0 until Rows).map(ri => col(s"m${bi * Rows + ri}")): _*)
+  def minhashBands(sig: DataFrame): DataFrame =
+    minhashBandsShaped(sig, Bands, Rows)
+
+  /** [[minhashBands]] at an arbitrary (bands, rows) cut of the
+    * signature (bands * rows <= permutation count) — the LSH tuning
+    * axis: more/shorter bands collide more (higher recall, more
+    * candidates to verify); fewer/longer bands are cheaper but
+    * blinder. The d36 sweep measures exactly this trade.
+    */
+  def minhashBandsShaped(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= Hashing.perms.size,
+      s"bands * rows must fit the ${Hashing.perms.size}-permutation signature")
+    val bandCols = (0 until bands).map { bi =>
+      concat_ws(",", (0 until rows).map(ri => col(s"m${bi * rows + ri}")): _*)
     }
     sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
@@ -287,14 +298,20 @@ object Dedup {
     * [[minhashDup]] and [[containmentDup]].
     */
   private def minhashSelfCandidates(docs: DataFrame, maxBucket: Int)
-      : DataFrame = {
-    // The cap cannot trigger when the whole corpus fits in one bucket's
-    // budget — one cheap row count (narrow parquet scan) decides, and
-    // the uncapped shape keeps the plan free of the checkpoint + prune
-    // jobs. When active: checkpointed, because the banded table is
-    // referenced by the bucket-count agg and both self-join sides (the
-    // multi-reference rule).
-    val rawBands = minhashBands(minhashSignatures(docs))
+      : DataFrame =
+    selfCandidatesFromBands(minhashBands(minhashSignatures(docs)), docs,
+      maxBucket)
+
+  /** Distinct (doc_a < doc_b) candidate pairs from any banded table.
+    * The cap cannot trigger when the whole corpus fits in one bucket's
+    * budget — one cheap row count (narrow parquet scan) decides, and
+    * the uncapped shape keeps the plan free of the checkpoint + prune
+    * jobs. When active: checkpointed, because the banded table is
+    * referenced by the bucket-count agg and both self-join sides (the
+    * multi-reference rule).
+    */
+  private def selfCandidatesFromBands(rawBands: DataFrame, docs: DataFrame,
+                                      maxBucket: Int): DataFrame = {
     val bands =
       if (maxBucket == Int.MaxValue || docs.count() <= maxBucket) rawBands
       else HotBuckets.prune(rawBands.localCheckpoint(),
@@ -306,6 +323,20 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** [[minhashDup]] at an arbitrary (bands, rows) signature cut — same
+    * candidate/verify pipeline, shaped banding
+    * ([[minhashBandsShaped]]).
+    */
+  def minhashDupShaped(docs: DataFrame, threshold: Double, bands: Int,
+                       rows: Int,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame =
+    jaccardVerify(
+      selfCandidatesFromBands(
+        minhashBandsShaped(minhashSignatures(docs), bands, rows), docs,
+        maxBucket),
+      docs,
+      array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
 
   /** Incremental near-dedup: MinHash+LSH candidates between NEW docs
     * and an EXISTING corpus only — the production ingestion shape

@@ -181,6 +181,27 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("shaped banding nests: finer bands only widen the verified-pair set") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 300).cache()
+    def pairs(b: Int, r: Int) =
+      Dedup.minhashDupShaped(docs, threshold = 0.5, bands = b, rows = r)
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val p82 = pairs(8, 2); val p44 = pairs(4, 4); val p28 = pairs(2, 8)
+    // an r-row band match implies both of its r/2-row halves match, so
+    // candidates (and their verified subsets) nest by construction
+    assert(p28.subsetOf(p44) && p44.subsetOf(p82))
+    // the default shape IS the (Bands, Rows) point of the sweep
+    val dflt = Dedup.minhashDup(docs, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(dflt == p44)
+    docs.unpersist()
+    ()
+  }
+
   test("minhashDup equals brute-force Jaccard restricted to LSH candidates") {
     import spark.implicits._
     forSamples(corpusGen, 8) { texts =>

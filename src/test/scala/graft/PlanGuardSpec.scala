@@ -25,6 +25,7 @@ class PlanGuardSpec extends SparkSpec {
     "d18_hll_slice_merge" -> 2, // counts x merged-est x direct-est, all 1-row
     "t15_lm_quality" -> 1, // 1-row corpus-total join
     "d20_minhash_recall" -> 2, // fixed-sample exact all-pairs baseline + 1-row count join
+    "d36_lsh_band_sweep" -> 3, // 1-row exact x 1-row lsh count join, x 3 band shapes (exact baseline is checkpointed)
     "d21_containment_recall" -> 2, // fixed-sample exact all-pairs baseline + 1-row count join
     "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
     "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
