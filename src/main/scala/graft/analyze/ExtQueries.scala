@@ -1415,6 +1415,28 @@ object ExtQueries {
         nProbe = 2, nQueries = 10, k = 5)
     }, Some(annIvfOracle)),
 
+    // hard-negative mining (DPR-style contrastive training data): for
+    // each query, the top-5 most-similar vectors of a DIFFERENT class
+    // label — the label inequality drops same-class candidates before
+    // any distance math, the map-side TopKAggregator bounds the
+    // shuffle at queries x k rows, and the mined negative's own label
+    // re-attaches via a broadcast equi-join of the tiny result
+    ("s26_hard_negatives", (s: SparkSession, d: String) =>
+      Similarity.hardNegatives(t(s, d, "embeddings"), nQueries = 10, k = 5),
+      Some(s"""
+      WITH e AS (SELECT vec_id, embedding, label,
+                        ${normS("embedding")} AS nrm FROM embeddings),
+      sc AS (SELECT q.vec_id AS qid, q.label AS q_label,
+                    t.vec_id AS tid, t.label AS t_label,
+                    ${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cosine
+             FROM e q JOIN e t
+               ON q.vec_id < 10 AND t.vec_id >= 10 AND t.label <> q.label)
+      SELECT qid AS query_id, q_label, tid AS neighbor_id,
+             t_label AS neighbor_label, cosine, rn
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, tid) AS INT) AS rn FROM sc) z
+      WHERE rn <= 5 ORDER BY query_id, rn""")),
+
     // filtered IVF: s18's metadata predicate composed with the cell
     // probe — the index is built once over the full corpus, the
     // allowed-id semi-join prunes candidates between cell assignment

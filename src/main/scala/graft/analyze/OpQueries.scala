@@ -493,6 +493,41 @@ object OpQueries {
       SELECT k, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY k"""
     }),
 
+    // ---- HITS hubs & authorities over the same event transition
+    // graph: g01's fixed-point discipline with max-renormalization by
+    // integer division (portable stand-in for the L2 normalize — HITS
+    // scores are only meaningful up to a per-vector constant). Two
+    // exact unrolled iterations; aggregator pages score as hubs,
+    // canonical destinations as authorities -------------------------
+    ("g08_hits", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.hits(eventEdges(s, d), iters = 2)
+    }, Some {
+      val scale = 1L << 20
+      val iterCtes = (1 to 2).map { i =>
+        s"""a${i}r AS (SELECT nodes.k, COALESCE(sa.ar, 0) AS ar FROM nodes
+              LEFT JOIN (SELECT ed.dst, SUM(ed.w * h${i - 1}.h) AS ar
+                         FROM ed JOIN h${i - 1} ON h${i - 1}.k = ed.src
+                         GROUP BY ed.dst) sa ON sa.dst = nodes.k),
+        a$i AS (SELECT k, ar // GREATEST(CAST(1 AS BIGINT),
+                  (SELECT MAX(ar) FROM a${i}r) // $scale) AS a FROM a${i}r),
+        h${i}r AS (SELECT nodes.k, COALESCE(sh.hr, 0) AS hr FROM nodes
+              LEFT JOIN (SELECT ed.src, SUM(ed.w * a$i.a) AS hr
+                         FROM ed JOIN a$i ON a$i.k = ed.dst
+                         GROUP BY ed.src) sh ON sh.src = nodes.k),
+        h$i AS (SELECT k, hr // GREATEST(CAST(1 AS BIGINT),
+                  (SELECT MAX(hr) FROM h${i}r) // $scale) AS h FROM h${i}r)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $eventEdgesCtes,
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      h0 AS (SELECT k, CAST($scale AS BIGINT) AS h FROM nodes),
+      $iterCtes
+      SELECT a2.k, a2.a AS auth_fp, h2.h AS hub_fp
+      FROM a2 JOIN h2 ON a2.k = h2.k ORDER BY a2.k"""
+    }),
+
     // ---- bucketed co-located fact-fact join: both tables written
     // bucketed+sorted on the join key (Layout.writeBucketed, the
     // one-time pre-shuffle), so the sort-merge join itself plans with

@@ -84,6 +84,78 @@ object Graphs {
     r.orderBy(col("k"))
   }
 
+  /** Fixed-point weighted HITS (Kleinberg 1999) over a directed edge
+    * list `(src, dst, w)`, run for exactly `iters` iterations from the
+    * uniform hub start — the hubs-and-authorities decomposition link
+    * curation uses next to [[pageRank]]: directories/aggregators score
+    * as hubs, canonical content as authorities.
+    *
+    * All arithmetic is integer, so scores verify value-for-value
+    * cross-engine. Each iteration computes the raw sums
+    * a_raw(v) = sum over in-edges of w * h, then renormalizes to
+    * `scale` = 2^20 by INTEGER division with
+    * denom = greatest(1, max(a_raw) div scale) — the portable stand-in
+    * for HITS' usual L2 normalization (scores are only meaningful up
+    * to a per-vector constant); hubs likewise from the normalized
+    * authorities. Post-normalization values stay < 2*scale = 2^21, so
+    * with the enforced envelope (w < 2^22 per edge, total weight
+    * < 2^41) every product and sum stays far inside Long.
+    *
+    * Shape at scale: per iteration one equi-join of the score vector
+    * to the static edge list + one partial-aggregable groupBy per
+    * direction (both keyed on node id — co-partitionable exactly like
+    * [[pageRank]]), plus a 1-row max aggregate broadcast for each
+    * renormalization. Output: (k, auth_fp, hub_fp) per node.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1L << 20): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val ed = edges.select(col("src"), col("dst"), col("w"))
+    val nodes = ed.select(col("src").as("k"))
+      .union(ed.select(col("dst").as("k"))).distinct().localCheckpoint()
+    // Envelope enforcement rides on the edge checkpoint job (the
+    // pageRank observe() pattern): per-edge w < 2^22 and total weight
+    // < 2^41 keep w * score < 2^43 and every in/out sum < 2^62.
+    val wObs = org.apache.spark.sql.Observation("hits_w_envelope")
+    val edC = ed.observe(wObs,
+      max(col("w")).cast("long").as("wmax"),
+      min(col("w")).cast("long").as("wmin"),
+      sum(col("w")).cast("long").as("wtot")).localCheckpoint()
+    (wObs.get("wmax"), wObs.get("wmin"), wObs.get("wtot")) match {
+      case (wmax: Long, wmin: Long, wtot: Long) =>
+        require(wmin >= 0L, "HITS edge weights must be >= 0")
+        require(wmax < (1L << 22) && wtot < (1L << 41),
+          s"HITS weight envelope exceeded (max $wmax, total $wtot): " +
+          "w must be < 2^22 and total weight < 2^41 so integer " +
+          "score sums cannot overflow Long; rescale weights")
+      case _ => // edge-free graph: nothing to overflow
+    }
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val m = raw.agg(max(col(c)).as("m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("k"),
+          expr(s"$c div greatest(CAST(1 AS BIGINT), m div $scale)").as(c))
+    }
+    var hub = nodes.withColumn("h", lit(scale))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 0 until iters) {
+      val aRaw = nodes.join(
+        edC.join(hub.select(col("k").as("src"), col("h")), "src")
+          .groupBy(col("dst")).agg(sum(expr("w * h")).as("ar")),
+        col("k") === col("dst"), "left")
+        .select(col("k"), coalesce(col("ar"), lit(0L)).as("ar"))
+      auth = renorm(aRaw, "ar").withColumnRenamed("ar", "a")
+      val hRaw = nodes.join(
+        edC.join(auth.select(col("k").as("dst"), col("a")), "dst")
+          .groupBy(col("src")).agg(sum(expr("w * a")).as("hr")),
+        col("k") === col("src"), "left")
+        .select(col("k"), coalesce(col("hr"), lit(0L)).as("hr"))
+      hub = renorm(hRaw, "hr").withColumnRenamed("hr", "h")
+    }
+    auth.join(hub, "k")
+      .select(col("k"), col("a").as("auth_fp"), col("h").as("hub_fp"))
+      .orderBy(col("k"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over the
     * undirected weighted graph, run for exactly `iters` iterations —
     * the near-linear community-detection pass corpus curation uses to

@@ -313,6 +313,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training (dense-retrieval /
+    * embedding fine-tuning): for each query vector, the top-k most
+    * similar corpus vectors whose class `label` DIFFERS from the
+    * query's — the near-miss negatives that carry the training signal
+    * random in-batch negatives lack (Karpukhin et al. 2020, DPR). The
+    * label inequality lives in the join condition, so mismatched rows
+    * are dropped BEFORE any distance math, and the map-side
+    * TopKAggregator keeps the shuffle at O(queries x k) rows at any
+    * corpus size ([[bruteForceTopKAgg]]'s scale shape). The negative's
+    * own label re-attaches afterward by equi-joining the (queries x k)-
+    * row result — broadcast side — against the corpus labels.
+    */
+  def hardNegatives(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = graft.core.Tables.spread(embs.filter(col("vec_id") < nQueries))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        normCol(col("embedding")).as("q_norm"), col("label").as("q_label"))
+    val t = graft.core.Tables.spread(embs.filter(col("vec_id") >= nQueries))
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        normCol(col("embedding")).as("t_norm"), col("label").as("t_label"))
+    val topk = graft.functions.TopKAggregator.topK(k)
+    val mined = t.join(broadcast(q), col("t_label") =!= col("q_label"))
+      .withColumn("cosine",
+        dotCol(col("q_emb"), col("t_emb")) / (col("q_norm") * col("t_norm")))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(topk(col("t_id"), col("cosine")).as("nbrs"))
+      .select(col("q_id").as("query_id"), col("q_label"),
+        posexplode(col("nbrs")).as(Seq("idx", "nb")))
+      .select(col("query_id"), col("q_label"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cosine"), (col("idx") + 1).cast("int").as("rn"))
+    val labels = embs.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"))
+    broadcast(mined).join(labels, Seq("neighbor_id"))
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Sign-pattern LSH bucket per vector: bucket = sum_j [dot(v, plane_j) > 0] << j.
     * The "planes" are the corpus's lowest-nPlanes vec_ids — an order
     * statistic, so ARBITRARY (non-contiguous, non-zero-based) id

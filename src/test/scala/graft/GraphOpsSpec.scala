@@ -48,6 +48,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains(">= 0"))
   }
 
+  test("hits: hub/authority separation on a directory-page fixture") {
+    // 1 links to both authorities (the directory page), 2 and 3 link
+    // only to 10; 10 and 11 emit nothing
+    val edges = Seq((1L, 10L, 1L), (1L, 11L, 1L), (2L, 10L, 1L),
+      (3L, 10L, 1L)).toDF("src", "dst", "w")
+    val got = Graphs.hits(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // pure sources score zero authority; pure sinks zero hub
+    assert(Seq(1L, 2L, 3L).forall(k => got(k)._1 == 0L))
+    assert(Seq(10L, 11L).forall(k => got(k)._2 == 0L))
+    // 10 is the strongest authority (3 in-links vs 1), 1 the strongest
+    // hub (it links to both authorities); integer renormalization puts
+    // the max of each vector in [scale, 2*scale)
+    def inBand(x: Long) = x >= (1L << 20) && x < (2L << 20)
+    assert(got(10L)._1 > got(11L)._1 && inBand(got(10L)._1))
+    assert(got(1L)._2 > got(2L)._2 && inBand(got(1L)._2))
+    assert(got(2L)._2 == got(3L)._2) // symmetric hubs tie exactly
+  }
+
+  test("hits refuses weights outside the fixed-point envelope") {
+    val bad = Seq((1L, 2L, 1L << 22)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.hits(bad, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("envelope"))
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Graphs.hits(neg, iters = 1).collect()
+    }
+    assert(e2.getMessage.contains(">= 0"))
+  }
+
   test("bfsHops: chain distances, hop cap, unreachable absent, multi-source min") {
     // 5 -> 1 -> 2 -> 3 -> 4: from seed {1}, 5 is upstream (unreachable)
     val chain = Seq((5L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))

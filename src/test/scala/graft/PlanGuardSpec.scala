@@ -36,6 +36,7 @@ class PlanGuardSpec extends SparkSpec {
     "s25_ivf_index_append" -> 1, // probe-side centroid broadcast only (index side: none)
 
     "s19_filtered_ivf" -> 2, // same centroid broadcasts; the filter is an equi semi-join
+    "s26_hard_negatives" -> 1, // broadcast query set, label-inequality predicate
     "s15_ivf_cell_stats" -> 1, // broadcast 1-row totals for the imbalance factor
     "s16_truncated_recall" -> 2, // broadcast query set per brute side (full + truncated)
     "s17_jl_recall" -> 2, // broadcast query set per brute side (full + JL-projected)
@@ -48,6 +49,7 @@ class PlanGuardSpec extends SparkSpec {
     "c14_dedup_aware_mixture" -> 1, // same 1-row weight-total broadcast, post-dedup
     "d27_hll_intersection" -> 3, // four 1-row summaries chained (est_a x est_b x est_union x exact)
     "g02_degree_audit" -> 1, // broadcast 1-row edge totals
+    "g08_hits" -> 4, // 1-row max-renormalization broadcast x 2 vectors x 2 iterations
     "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
     "t16_bm25_topk" -> 1) // broadcast 1-row corpus-stats aggregate
 

@@ -27,6 +27,23 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.subsetOf(unfiltered))
   }
 
+  test("hardNegatives skips the nearest same-label hit, keeps cross-label ranks") {
+    // target 10 is the query's nearest neighbor but shares its label —
+    // mining must skip it and rank only the different-label targets
+    val embs = Seq(
+      (0L, vec(1f, 0f), 7), // query, label 7
+      (10L, vec(1f, 0.001f), 7), // nearest overall, SAME label
+      (11L, vec(1f, 0.1f), 3), // best hard negative
+      (12L, vec(0.5f, 0.8f), 4), // weaker negative
+      (13L, vec(0f, 1f), 7)) // same label again
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(embs, nQueries = 1, k = 3).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(11L, 12L)) // 10 and 13 excluded
+    assert(got.map(_.getInt(3)).toSeq == Seq(3, 4)) // neighbor_label re-attached
+    assert(got.forall(r => r.getInt(1) == 7 && r.getInt(3) != 7))
+    assert(got.map(_.getInt(5)).toSeq == Seq(1, 2)) // dense ranks, no gap for 10
+  }
+
   test("mmrTopK's second pick trades relevance for diversity") {
     // two near-identical top hits plus a slightly less relevant but
     // diverse one: plain top-2 takes the twins; MMR's second pick must
