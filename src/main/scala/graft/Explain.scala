@@ -32,7 +32,9 @@ object Explain {
         "s22_ivf_pq_persisted", "g03_triangles", "w15_zorder_skipping",
         "t19_quality_classifier", "g04_label_propagation",
         "w17_bucketed_colocated_join", "g05_bfs_hops", "s24_ivf_pq_recall",
-        "g06_kcore", "g07_coreness_sweep", "c15_priority_sample", "s25_ivf_index_append", "d36_lsh_band_sweep")
+        "g06_kcore", "g07_coreness_sweep", "c15_priority_sample",
+        "s25_ivf_index_append", "d36_lsh_band_sweep", "s26_hard_negatives",
+        "g08_hits", "g09_link_prediction", "c16_dsir_select")
     val spark = Sessions.local()
     names.foreach { n =>
       println(s"\n========== $n ==========")

@@ -1976,6 +1976,36 @@ object ExtQueries {
              GREATEST(CAST(n_chars AS DOUBLE), (SELECT tau FROM tau)) AS w_est
       FROM rk WHERE rn <= 200 ORDER BY doc_id""")),
 
+    // DSIR-style importance selection: rank raw docs by how 'en'-like
+    // their hashed-unigram distribution is (no-libm mean probability
+    // ratio; see Curation.dsirSelect scaladoc) and keep the top 100.
+    // 256 feature buckets; the score join is a 256-row shuffle-hash
+    ("c16_dsir_select", (s: SparkSession, d: String) =>
+      Curation.dsirSelect(t(s, d, "documents"), "lang", "en",
+        nBuckets = 256, topK = 100),
+      Some(s"""
+      WITH occ AS (SELECT doc_id, lang = 'en' AS is_tgt,
+              ${Hashing.h32Sql("w")} % 256 AS h
+            FROM (SELECT doc_id, lang, unnest(${TextOps.wordsSql("text")}) AS w
+                  FROM documents)),
+      feat AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS rc,
+                 CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc
+               FROM occ GROUP BY h),
+      tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtot,
+                     CAST(SUM(tc) AS BIGINT) AS ttot FROM feat),
+      ratio AS (SELECT h,
+                  ((CAST(tc + 1 AS DOUBLE) / CAST((SELECT ttot FROM tot) + 256 AS DOUBLE))
+                   / (CAST(rc + 1 AS DOUBLE) / CAST((SELECT rtot FROM tot) + 256 AS DOUBLE)))
+                  AS ratio
+                FROM feat),
+      sc AS (SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(CAST(floor(ratio * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+             FROM occ JOIN ratio ON ratio.h = occ.h GROUP BY 1)
+      SELECT doc_id, n_words,
+             CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE)
+               / CAST(1099511627776 AS DOUBLE) AS mean_imp
+      FROM sc ORDER BY mean_imp DESC, doc_id LIMIT 100""")),
+
     // composition showcase: mixture quotas computed AFTER near-dup
     // resolution — dedup (minhash -> connected components -> quality
     // argmax keep-list) feeding curation (temperature quotas), the way

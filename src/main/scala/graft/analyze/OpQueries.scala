@@ -528,6 +528,37 @@ object OpQueries {
       FROM a2 JOIN h2 ON a2.k = h2.k ORDER BY a2.k"""
     }),
 
+    // ---- link prediction over the same undirected transition graph:
+    // common-neighbors + preferential-attachment for non-adjacent
+    // pairs, wedge centers hot-capped at deg <= 85 (the sf0.01 fixture
+    // has degrees 74..92, so the cap provably prunes — the capped
+    // production path is itself the hash-verified path, the d31-d34
+    // convention). Integer-only scores; global top-N is a TakeOrdered,
+    // no window --------------------------------------------------------
+    ("g09_link_prediction", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.linkPrediction(eventEdges(s, d), topN = 50, maxWedgeDeg = 85)
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM ed WHERE src <> dst),
+      adj AS (SELECT a AS k, b AS n FROM und
+              UNION ALL SELECT b AS k, a AS n FROM und),
+      deg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      adjc AS (SELECT adj.n, adj.k FROM adj
+               JOIN deg ON deg.k = adj.n WHERE deg.deg <= 85),
+      cn AS (SELECT x.k AS a, y.k AS b, CAST(COUNT(*) AS BIGINT) AS cn
+             FROM adjc x JOIN adjc y ON x.n = y.n AND x.k < y.k
+             GROUP BY 1, 2),
+      cand AS (SELECT cn.a, cn.b, cn.cn FROM cn
+               WHERE NOT EXISTS (SELECT 1 FROM und
+                                 WHERE und.a = cn.a AND und.b = cn.b)),
+      sc AS (SELECT cand.a, cand.b, cand.cn, da.deg * db.deg AS pa
+             FROM cand JOIN deg da ON da.k = cand.a
+                       JOIN deg db ON db.k = cand.b)
+      SELECT a, b, cn, pa FROM sc
+      ORDER BY cn DESC, pa DESC, a, b LIMIT 50""")),
+
     // ---- bucketed co-located fact-fact join: both tables written
     // bucketed+sorted on the join key (Layout.writeBucketed, the
     // one-time pre-shuffle), so the sort-merge join itself plans with

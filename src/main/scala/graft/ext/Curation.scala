@@ -418,4 +418,69 @@ object Curation {
         greatest(w, col("tau")).as("w_est"))
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR-style importance selection (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw doc by how target-like its hashed-unigram distribution
+    * is, and keep the top `topK`. The target distribution is estimated
+    * from the in-corpus docs matching `targetValue` on `targetCol`
+    * (e.g. the high-resource language or a trusted source) — the
+    * standard "select web data that looks like Wikipedia" move.
+    *
+    * Departure from the paper, on purpose: DSIR's importance weight is
+    * the log-likelihood ratio sum; libm log is not correctly rounded
+    * and differs across engines, so the per-occurrence term here is
+    * the RAW Laplace-smoothed probability ratio
+    * `((tc+1)/(ttot+B)) / ((rc+1)/(rtot+B))` and the doc score is its
+    * MEAN over occurrences — the [[TextAnalysis.lmQualityScore]]
+    * no-libm convention: at matched feature counts the mean-ratio
+    * ranks the way the mean-log does, and every arithmetic step
+    * (two correctly-rounded IEEE divisions, one multiply, floor) is
+    * bit-identical in both engines. Per-doc sums are
+    * `floor(ratio * 2^40)` longs — order-independent across
+    * partitions. Envelope: target is a subset of raw so
+    * tc <= rc, hence ratio <= (rtot+B)/(ttot+B); with a target >= 1%
+    * of the corpus the per-occurrence term is < 2^47 and a doc needs
+    * > 2^16 words to approach Long overflow — far beyond the fixture
+    * and still 10^4 docs of headroom at a 100x skinnier target.
+    *
+    * Scale shape: ONE pass over the exploded words builds the
+    * bucketed-feature count table (B buckets, partial-aggregable);
+    * the raw and target counts and their totals all derive from it;
+    * the per-doc score attaches each occurrence's ratio by a
+    * B-row-table equi-join (hot by construction — B is small — so
+    * shuffle-hash, never sort-merge); topK is a TakeOrdered. No
+    * window, no all-pairs, nothing corpus-sized on the driver.
+    */
+  def dsirSelect(docs: DataFrame, targetCol: String, targetValue: String,
+                 nBuckets: Int, topK: Int): DataFrame = {
+    require(nBuckets >= 2 && topK >= 1, "nBuckets >= 2, topK >= 1")
+    val Q = 1099511627776.0 // 2^40
+    val occ = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        (col(targetCol) === targetValue).as("is_tgt"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), col("is_tgt"),
+        pmod(graft.functions.Hashing.h32(col("w")), lit(nBuckets.toLong)).as("h"))
+      .localCheckpoint() // read by the feature counts AND the score join
+    val feat = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
+      .localCheckpoint() // read by totals AND the ratio table
+    val totals = feat.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
+    val ratio = feat.crossJoin(broadcast(totals))
+      .select(col("h"),
+        (((col("tc") + 1L).cast("double") / (col("ttot") + nBuckets.toLong).cast("double"))
+          / ((col("rc") + 1L).cast("double") / (col("rtot") + nBuckets.toLong).cast("double")))
+          .as("ratio"))
+    occ.join(ratio.hint("shuffle_hash"), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(floor(col("ratio") * lit(Q))).as("s"))
+      .select(col("doc_id"), col("n_words"),
+        (col("s").cast("double") / col("n_words").cast("double") / lit(Q))
+          .as("mean_imp"))
+      .orderBy(col("mean_imp").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

@@ -143,13 +143,20 @@ object Graphs {
           .groupBy(col("dst")).agg(sum(expr("w * h")).as("ar")),
         col("k") === col("dst"), "left")
         .select(col("k"), coalesce(col("ar"), lit(0L)).as("ar"))
+      // ONE materialization per half-iteration (the kCore/bfs loop
+      // discipline): without it each renorm references its input twice
+      // (the max row and the main branch), so the lineage — and the
+      // recomputation — doubles per half-iteration (2^(2*iters) plan
+      // growth; the iters=2 plan carried 22 BNLJ nodes).
       auth = renorm(aRaw, "ar").withColumnRenamed("ar", "a")
+        .localCheckpoint()
       val hRaw = nodes.join(
         edC.join(auth.select(col("k").as("dst"), col("a")), "dst")
           .groupBy(col("src")).agg(sum(expr("w * a")).as("hr")),
         col("k") === col("src"), "left")
         .select(col("k"), coalesce(col("hr"), lit(0L)).as("hr"))
       hub = renorm(hRaw, "hr").withColumnRenamed("hr", "h")
+        .localCheckpoint()
     }
     auth.join(hub, "k")
       .select(col("k"), col("a").as("auth_fp"), col("h").as("hub_fp"))
@@ -343,6 +350,65 @@ object Graphs {
     cur.select(col("a").as("k")).unionAll(cur.select(col("b").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("deg"))
       .orderBy(col("k"))
+  }
+
+  /** Link-prediction candidate scoring over the undirected simple
+    * graph: for every non-adjacent pair with at least one common
+    * neighbor, the common-neighbors count and the preferential-
+    * attachment product (Liben-Nowell & Kleinberg 2003) — the two
+    * classic integer-exact scores. In a crawl-curation DAG this is the
+    * "likely missing link" signal (a candidate page strongly wedged
+    * into a trusted neighborhood inherits its trust); in a
+    * dedup/recommendation DAG it is the co-visitation affinity score.
+    * Adamic-Adar is deliberately absent: its 1/log(deg) terms need
+    * libm, and the engine's oracle discipline is integer/rational only.
+    *
+    * Scale shape: candidate pairs are generated ONLY through shared
+    * neighbors (one self-equi-join of the adjacency list on the
+    * neighbor id) — never an all-pairs product. A wedge center of
+    * degree d contributes d^2 candidate rows, so centers with degree >
+    * `maxWedgeDeg` are pruned BEFORE the self-join (the [[HotBuckets]]
+    * convention: a stop-hub connects everything to everything and
+    * carries no discriminative signal, exactly like a stop-shingle in
+    * minhash LSH). The cap is part of the operator's semantics and is
+    * modeled in the SQL oracle, so the capped path itself is
+    * hash-verified. Already-connected pairs leave via an anti-join on
+    * the undirected edge list; degrees attach by two node-keyed
+    * broadcasts-or-shuffles of the (tiny) degree table. Output is the
+    * deterministic global top `topN` by (cn DESC, pa DESC, a, b) — a
+    * TakeOrdered, no unpartitioned window.
+    */
+  def linkPrediction(edges: DataFrame, topN: Int,
+                     maxWedgeDeg: Int = 10000): DataFrame = {
+    require(topN > 0 && maxWedgeDeg >= 1, "topN >= 1, maxWedgeDeg >= 1")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint() // read by adj (twice via unionAll) AND the anti-join
+    val adj = und.select(col("a").as("k"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("k"), col("a").as("n")))
+    val deg = adj.groupBy(col("k")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // read by the wedge prune and both score joins
+    // Prune hot wedge centers BEFORE the self-join: the center of a
+    // wedge is the shared neighbor n, so the cap keys on deg(n).
+    val adjc = adj
+      .join(deg.select(col("k").as("n"), col("deg").as("dn")), "n")
+      .filter(col("dn") <= maxWedgeDeg)
+      .select(col("n"), col("k"))
+      .localCheckpoint() // self-joined below
+    val cn = adjc
+      .join(adjc.select(col("n"), col("k").as("k2")), "n")
+      .filter(col("k") < col("k2"))
+      .groupBy(col("k").as("a"), col("k2").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("k").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("k").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("deg_a") * col("deg_b")).as("pa"))
+      .orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+      .limit(topN)
   }
 
   /** Graph-health audit for [[pageRank]]'s input (the s15/IVF-audit

@@ -186,4 +186,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(m(1L), "diverse doc must be kept")
     assert(!m(2L), "templated doc must be dropped")
   }
+
+  test("dsirSelect ranks target-like docs above off-distribution docs") {
+    import spark.implicits._
+    // target (en) vocabulary is {alpha beta gamma}; the de docs use a
+    // disjoint vocabulary; doc 10 is an en-vocab doc NOT labeled en,
+    // doc 11 mixes the two vocabularies evenly
+    val en = (0L to 4L).map(i => (i, "alpha beta gamma alpha beta", "en"))
+    val de = (5L to 9L).map(i => (i, "zeta eta theta zeta eta", "de"))
+    val docs = (en ++ de ++ Seq(
+      (10L, "alpha beta gamma beta alpha", "xx"),
+      (11L, "alpha beta zeta eta alpha beta zeta eta", "xx")))
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.dsirSelect(docs, "lang", "en", nBuckets = 64,
+      topK = 12).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // en-vocab docs (labeled or not) outrank the mixed doc, which
+    // outranks the pure off-distribution docs
+    assert(got(10L) > got(11L), "unlabeled target-vocab doc ranks high")
+    assert(got(11L) > got(5L), "mixed doc outranks off-distribution doc")
+    // same word multiset => identical floor-sum => exactly equal score
+    assert(got(0L) == got(10L), "score depends on text only, not label")
+    // deterministic across runs
+    val again = Curation.dsirSelect(docs, "lang", "en", nBuckets = 64,
+      topK = 12).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == again)
+  }
 }

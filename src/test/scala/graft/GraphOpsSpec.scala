@@ -267,4 +267,38 @@ class GraphOpsSpec extends SparkSpec {
       hashed(17L)._3 == hashed(33L)._3)
     assert(java.lang.Long.bitCount(hashed(1L)._3 ^ hashed(2L)._3) > 10)
   }
+
+  test("linkPrediction: scores non-adjacent wedge pairs, excludes edges") {
+    // path 1-2-3-4 plus 5-2: candidates through wedge centers only
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (5L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graphs.linkPrediction(edges, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // every adjacent pair is excluded
+    assert(!got.contains((1L, 2L)) && !got.contains((2L, 3L)) &&
+      !got.contains((3L, 4L)) && !got.contains((2L, 5L)))
+    // wedges through 2: {1,3},{1,5},{3,5}; through 3: {2,4} (adjacent)
+    assert(got((1L, 3L)) == ((1L, 2L)), "cn=1, pa=deg(1)*deg(3)=1*2")
+    assert(got((1L, 5L)) == ((1L, 1L)))
+    assert(got((3L, 5L)) == ((1L, 2L)))
+    assert(got((2L, 4L)) == ((1L, 3L)), "2-4 via 3, pa=deg(2)*deg(4)=3*1")
+    assert(got.size == 4)
+  }
+
+  test("linkPrediction: hot wedge centers are pruned by maxWedgeDeg") {
+    // hub 0 connects 1..5 (deg 5); 1-2 also share low-degree center 9
+    val hub = (1L to 5L).map(v => (0L, v, 1L))
+    val side = Seq((9L, 1L, 1L), (9L, 2L, 1L))
+    val edges = (hub ++ side).toDF("src", "dst", "w")
+    val capped = Graphs.linkPrediction(edges, topN = 100, maxWedgeDeg = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // pairs wedged ONLY through the deg-5 hub vanish; 1-2 survives via 9
+    assert(capped.contains((1L, 2L)) && capped((1L, 2L)) == 1L)
+    assert(!capped.contains((3L, 4L)) && !capped.contains((4L, 5L)))
+    val uncapped = Graphs.linkPrediction(edges, topN = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(uncapped((1L, 2L)) == 2L, "both centers count uncapped")
+    assert(uncapped.contains((3L, 4L)))
+  }
 }

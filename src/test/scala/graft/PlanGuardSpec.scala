@@ -47,9 +47,11 @@ class PlanGuardSpec extends SparkSpec {
     "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
     "c15_priority_sample" -> 1, // broadcast 1-row tau (the (n+1)-th priority)
     "c14_dedup_aware_mixture" -> 1, // same 1-row weight-total broadcast, post-dedup
+    "c16_dsir_select" -> 1, // broadcast 1-row feature-total aggregate
     "d27_hll_intersection" -> 3, // four 1-row summaries chained (est_a x est_b x est_union x exact)
     "g02_degree_audit" -> 1, // broadcast 1-row edge totals
-    "g08_hits" -> 4, // 1-row max-renormalization broadcast x 2 vectors x 2 iterations
+    // g08_hits: the per-half-iteration renorm broadcasts sit behind
+    // localCheckpoints, so the registered plan itself carries no BNLJ
     "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
     "t16_bm25_topk" -> 1) // broadcast 1-row corpus-stats aggregate
 
