@@ -2006,6 +2006,20 @@ object ExtQueries {
                / CAST(1099511627776 AS DOUBLE) AS mean_imp
       FROM sc ORDER BY mean_imp DESC, doc_id LIMIT 100""")),
 
+    // competence-based curriculum: global shortest-first training
+    // position via the SeqNumber range-partition primitive (the q30b
+    // scale shape applied to curation — no unpartitioned window)
+    ("c17_curriculum_order", (s: SparkSession, d: String) =>
+      Curation.curriculumOrder(t(s, d, "documents")),
+      Some(s"""
+      WITH tk AS (SELECT doc_id,
+              CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS n_tokens,
+              ${Hashing.h32Sql("text")} AS h
+            FROM documents)
+      SELECT doc_id, n_tokens, h,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) AS BIGINT) AS pos
+      FROM tk ORDER BY pos""")),
+
     // composition showcase: mixture quotas computed AFTER near-dup
     // resolution — dedup (minhash -> connected components -> quality
     // argmax keep-list) feeding curation (temperature quotas), the way

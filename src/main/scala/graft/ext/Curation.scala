@@ -419,6 +419,30 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Competence-based curriculum ordering (Platanios et al., NAACL
+    * 2019): assign every doc its global training position under the
+    * shortest-first difficulty order — token count ascending, tie-broken
+    * by the seedless content hash then doc_id so the order is total,
+    * reproducible, and content-determined. Length is the classic
+    * model-free competence signal; any other integer difficulty column
+    * would slot into the same order tuple.
+    *
+    * The global dense 1..N position comes from [[graft.operators.SeqNumber]]
+    * (range-repartition + per-partition offsets) — NEVER a
+    * `row_number() OVER ()` unpartitioned window, which funnels the
+    * corpus through one task. At 100 TB this is the difference between
+    * a curriculum build that runs and one that cannot.
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val toks = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"),
+        hash32.as("h"))
+    graft.operators.SeqNumber
+      .withSeq(toks, Seq(col("n_tokens"), col("h"), col("doc_id")), "pos")
+      .orderBy(col("pos"))
+  }
+
   /** DSIR-style importance selection (Xie et al., NeurIPS 2023 "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw doc by how target-like its hashed-unigram distribution

@@ -212,4 +212,21 @@ class CurationOpsSpec extends SparkSpec {
       topK = 12).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got == again)
   }
+
+  test("curriculumOrder assigns dense shortest-first global positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four"), // 4 tokens
+      (2L, "one"),                // 1 token
+      (3L, "a b"),                // 2 tokens
+      (4L, "x y"))                // 2 tokens: hash tie-break vs doc 3
+      .toDF("doc_id", "text")
+    val got = Curation.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // dense 1..N, token counts ascending along the positions
+    assert(got.map(_._3).toSeq == (1L to 4L))
+    assert(got.sortBy(_._3).map(_._2).toSeq == Seq(1L, 2L, 2L, 4L))
+    assert(got.find(_._1 == 2L).get._3 == 1L, "shortest doc leads")
+    assert(got.find(_._1 == 1L).get._3 == 4L, "longest doc trails")
+  }
 }
