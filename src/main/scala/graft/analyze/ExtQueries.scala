@@ -1214,6 +1214,31 @@ object ExtQueries {
       ORDER BY n_bands DESC"""
     }),
 
+    // LOSSLESS set-similarity self-join: prefix filtering (AllPairs /
+    // PPJoin) instead of LSH banding. The oracle is deliberately the
+    // BRUTE-FORCE all-pairs exact Jaccard with no knowledge of the
+    // prefix scheme — equality proves the rarest-first prefix index
+    // generates every qualifying candidate (zero false negatives),
+    // which is the theorem the operator's scale claim rests on.
+    ("d37_prefix_jaccard_dup", (s: SparkSession, d: String) =>
+      Dedup.prefixJaccardDup(t(s, d, "documents"), num = 1, denom = 2),
+      Some(s"""
+      WITH tk AS (SELECT doc_id, unnest($shinglesSql) AS tok
+                  FROM documents),
+      tok AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n FROM tok GROUP BY 1),
+      pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(COUNT(*) AS INT) AS n_common
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common,
+             CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      FROM pairs
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE n_common * 2 >= (sa.n + sb.n - n_common)
+      ORDER BY doc_a, doc_b""")),
+
     ("d20_minhash_recall", (s: SparkSession, d: String) => {
       val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
       val lshN = Dedup.minhashDup(sample, threshold = 0.5)
@@ -1725,6 +1750,57 @@ object ExtQueries {
       FROM (SELECT doc_id, unnest(${TextOps.wordShinglesSql("text", 2)}) AS bigram
             FROM documents) x
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
+
+    // Misra-Gries heavy hitters (functions.MisraGriesAggregator): the
+    // DETERMINISTIC-guarantee counterpart to the Count-Min sketch
+    // (t09), audited like the recall queries (d20/d21): the stream is
+    // unigram occurrences + per-doc-distinct word bigrams (vocab ~950
+    // >> k = 64, so the summary genuinely decrements and merges, with
+    // ~30 true heavy tokens), and the oracle states the THEOREMS as
+    // values — every token above n/(k+1) captured, every estimate in
+    // [true - n/(k+1), true] — which hold for every partition merge
+    // order, making the row hash-stable despite MG's order-dependent
+    // survivor set.
+    ("t20_heavy_hitters", (s: SparkSession, d: String) => {
+      val k = 64
+      val docs = Tables.spread(t(s, d, "documents"))
+      val stream = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .unionByName(docs
+          .select(explode(TextOps.wordShingles(col("text"), 2)).as("tok")))
+        .localCheckpoint() // feeds both the sketch and the exact audit
+      val mg = stream
+        .agg(graft.functions.MisraGries.heavyHitters(k)(col("tok")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.tok").as("tok"), col("e.est").as("est"))
+      val exact = stream.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = exact.agg(sum(col("cnt")).as("n_total"))
+      val heavy = col("cnt") * (k + 1) > col("n_total")
+      val bad = col("est").isNotNull && (col("est") > col("cnt") ||
+        (col("cnt") - col("est")) * (k + 1) > col("n_total"))
+      exact.join(mg, Seq("tok"), "left")
+        .crossJoin(broadcast(tot)) // 1-row summary attach
+        .agg(max(col("n_total")).as("n_total"),
+          sum(when(heavy, 1L).otherwise(0L)).as("n_heavy"),
+          sum(when(heavy && col("est").isNotNull, 1L).otherwise(0L))
+            .as("n_captured"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_bad"))
+        .select(col("n_total"), col("n_heavy"), col("n_captured"),
+          (col("n_bad") === 0).as("all_bounds_ok"))
+    }, Some(s"""
+      WITH uni AS (SELECT unnest(${TextOps.wordsSql("text")}) AS tok FROM documents),
+      bi AS (SELECT unnest(${TextOps.wordShinglesSql("text", 2)}) AS tok FROM documents),
+      stream AS (SELECT tok FROM uni WHERE tok <> '' UNION ALL SELECT tok FROM bi),
+      c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM stream GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM c)
+      SELECT n_total,
+             CAST((SELECT COUNT(*) FROM c WHERE cnt * 65 > n_total) AS BIGINT)
+               AS n_heavy,
+             CAST((SELECT COUNT(*) FROM c WHERE cnt * 65 > n_total) AS BIGINT)
+               AS n_captured,
+             TRUE AS all_bounds_ok
+      FROM tot""")),
 
     // statistical LM-quality proxy: mean corpus bigram frequency per
     // doc (CCNet-style filter without the external LM); fixed-point
@@ -2433,6 +2509,36 @@ object ExtQueries {
             ((a.dhash >> 48) & 65535) = ((b.dhash >> 48) & 65535))
       WHERE bit_count(xor(a.dhash, b.dhash)) BETWEEN 1 AND 4
       ORDER BY doc_a, doc_b""")),
+
+    // REAL audio codec round-trip: encode deterministic PCM16 WAV per
+    // doc (Multimodal.syntheticAudio), decode with the JDK's
+    // javax.sound.sampled, emit exact integer features (sample count,
+    // energy, zero crossings). The oracle regenerates the samples from
+    // the closed-form generator with generate_series — it never parses
+    // WAV — so equality proves the real encode+decode is lossless and
+    // the feature math exact, the m03 discipline applied to audio.
+    ("m06_audio_decode", (s: SparkSession, d: String) =>
+      Multimodal.decodeAudio(Multimodal.syntheticAudio(t(s, d, "documents")))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("sum_sq"), col("n_zero_cross"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH m AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+      idx AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM m),
+      vals AS (SELECT doc_id, i,
+                      ((doc_id * 31 + i * 7) % 2001) - 1000 AS v
+               FROM idx),
+      lagd AS (SELECT doc_id, v,
+                      LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+               FROM vals)
+      SELECT doc_id,
+             CAST(${Multimodal.AudioRate} AS INT) AS sample_rate,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+             CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+      FROM lagd GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- streaming window workload, batch form -------------------------
     // (the true readStream variants live in graft.streaming and are

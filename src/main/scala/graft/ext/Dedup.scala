@@ -1174,4 +1174,92 @@ object Dedup {
           .otherwise(graft.functions.SortedIntersectCount(strsOf(a), strsOf(b))),
       sizeOf = c => coalesce(size(c("p")), size(c("s"))))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (AllPairs,
+    * Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — the lossless
+    * complement to [[minhashDup]]'s probabilistic LSH recall. Token
+    * sets are each doc's distinct word [[ShingleSize]]-shingles (the
+    * same unit minhash signatures summarize); output is EVERY pair
+    * with Jaccard >= num/denom, with zero false negatives.
+    *
+    * Why it scales without a hot-bucket cap: tokens are globally
+    * ordered rarest-first (ascending document frequency, then token),
+    * and each doc indexes only its first p = n - ceil(t*n) + 1 tokens
+    * in that order. Any qualifying pair's SMALLEST common token (in
+    * the global order) provably sits inside BOTH prefixes — the tokens
+    * of x ranked before it are all absent from y, and x has at most
+    * n_x - ceil(t*n_x) = p-1 such tokens — so the prefix-token
+    * equi-join reaches every qualifying pair while indexing only the
+    * RAREST slice of each doc. Stop-word buckets never form: a token
+    * lands in a prefix only when a doc has almost nothing rarer, which
+    * its global frequency makes rare by construction. Capping here
+    * would break the losslessness the oracle proves, and the frequency
+    * ordering is exactly what makes the cap unnecessary.
+    *
+    * Shape at 100 TB: one groupBy(token) for document frequencies, one
+    * equi-join to attach them (AQE skew-handles the stop-word attach
+    * keys — it is 1 row per token on the build side, never
+    * pair-generating), one groupBy(doc_id) to assemble ordered arrays,
+    * then a prefix-token equi-join whose keys are rare by design, and
+    * the same semi-join + shuffle-hash exact-intersection verify as
+    * every other family ([[jaccardVerify]]). The length filter
+    * (t*max(n_a,n_b) <= min(n_a,n_b), required by J >= t) prunes
+    * candidates before the distinct. Threshold compares as integers
+    * (inter * denom >= num * union) — no float edge at the boundary.
+    *
+    * Output: (doc_a, doc_b, n_common, jaccard), doc_a < doc_b.
+    */
+  def prefixJaccardDup(docs: DataFrame, num: Int, denom: Int): DataFrame = {
+    require(num > 0 && denom > 0 && num <= denom, "0 < num/denom <= 1")
+    val spread = graft.core.Tables.spread(docs)
+    // token set = the minhash family's own unit, distinct word
+    // 3-shingles — discriminative enough that both the prefix index
+    // and the output stay near-dup-sized (single words are not: a
+    // small shared vocabulary makes every doc pair word-similar)
+    val toks = spread
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), ShingleSize)).as("tok"))
+      .filter(col("tok") =!= "")
+    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc token array in global rarest-first (df, tok) order; the
+    // ordered array is the one artifact both the prefix index and the
+    // exact verify derive from, so it materializes once
+    val arrs = toks.join(docFreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, s -> s.tok)").as("ord_toks"))
+      .withColumn("n", size(col("ord_toks")))
+      // p = n - ceil(t*n) + 1, ceil in exact integer arithmetic
+      .withColumn("p",
+        expr(s"cast(n - (n * $num + $denom - 1) div $denom + 1 as int)"))
+      .localCheckpoint() // feeds prefix index AND both verify attaches
+    val prefix = arrs.select(col("doc_id"), col("n"),
+      explode(slice(col("ord_toks"), lit(1), col("p"))).as("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        // J >= t forces t*|larger| <= |smaller|
+        col("a.n") * num <= col("b.n") * denom &&
+        col("b.n") * num <= col("a.n") * denom)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val lex = arrs.select(col("doc_id"),
+      array_sort(col("ord_toks")).as("arr"))
+    cand
+      .join(lex.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(lex.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"))
+        .hint("shuffle_hash"), "doc_b")
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount(col("arr_a"), col("arr_b")))
+      .withColumn("n_union",
+        size(col("arr_a")) + size(col("arr_b")) - col("n_common"))
+      .filter(col("n_common") * denom >= col("n_union") * num)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_union")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

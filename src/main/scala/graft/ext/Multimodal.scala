@@ -266,6 +266,100 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "dhash")
   }
 
+  // ---- audio -----------------------------------------------------------
+
+  val AudioRate = 8000
+
+  /** Canonical 44-byte RIFF/WAVE header + PCM16LE mono payload. */
+  private def wavBytes(samples: Array[Byte], rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(samples.length)
+      .put(samples)
+    bb.array()
+  }
+
+  /** Deterministic synthetic audio, REALLY encoded as RIFF/WAVE PCM16
+    * mono at [[AudioRate]] Hz: per doc, n = 256 + (doc_id%7)*64 samples
+    * with sample i = ((doc_id*31 + i*7) % 2001) - 1000 — analytically
+    * known content, so the DuckDB oracle verifies the real codec
+    * round-trip (encode here, `javax.sound.sampled` decode in
+    * [[decodeAudio]]) value-for-value by regenerating the samples from
+    * the formula, without touching a byte of WAV itself.
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (256 + (id % 7) * 64).toInt
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i.toLong * 7) % 2001) - 1000).toInt
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          (id, wavBytes(data, AudioRate))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (JDK-bundled
+    * WAV support) per partition — the header yields the sample rate,
+    * the stream yields PCM16LE frames, and the features are exact
+    * integers over the decoded samples: count, energy (sum of squared
+    * amplitudes) and zero crossings (sign flips between consecutive
+    * samples, 0 counted as non-negative). Undecodable payloads yield
+    * null feature columns, never a task failure — same malformed-input
+    * contract as [[decodeImages]].
+    */
+  def decodeAudio(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = ais.getFormat
+            val rate = fmt.getSampleRate.toInt
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            var sumSq = 0L
+            var zc = 0L
+            var prevNonNeg = true
+            var i = 0
+            while (i < n) {
+              val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+              sumSq += v.toLong * v
+              val nonNeg = v >= 0
+              if (i > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              i += 1
+            }
+            (id, Some(rate), Some(n.toLong), Some(sumSq), Some(zc))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, None: Option[Int], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_samples", "sum_sq", "n_zero_cross")
+  }
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))

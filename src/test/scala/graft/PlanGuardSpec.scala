@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkSpec {
     // g08_hits: the per-half-iteration renorm broadcasts sit behind
     // localCheckpoints, so the registered plan itself carries no BNLJ
     "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
-    "t16_bm25_topk" -> 1) // broadcast 1-row corpus-stats aggregate
+    "t16_bm25_topk" -> 1, // broadcast 1-row corpus-stats aggregate
+    "t20_heavy_hitters" -> 1) // broadcast 1-row stream-total aggregate
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

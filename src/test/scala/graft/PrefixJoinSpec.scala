@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.ext.{Dedup, TextOps}
+import graft.functions.{MisraGries, MisraGriesAggregator}
+
+/** Prefix-filtering exact similarity join (Dedup.prefixJaccardDup) and
+  * the Misra-Gries heavy-hitters aggregator — the two round-7 additions
+  * whose correctness claims are theorems (lossless candidate
+  * generation; deterministic frequency bounds), checked here on random
+  * and adversarial inputs beyond the fixed-fixture oracle gate.
+  */
+class PrefixJoinSpec extends SparkSpec {
+
+  private val vocab = Vector(
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+
+  private def forSamples[T](g: Gen[T], n: Int)(body: T => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(body)
+
+  // corpora with planted near-dups at mixed lengths, so qualifying
+  // pairs exist at several (|x|, |y|) shapes and the length filter and
+  // prefix lengths are both exercised
+  private val corpusGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(5, 10)
+    bases <- Gen.listOfN(n,
+      Gen.choose(4, 24).flatMap(l => Gen.listOfN(l, Gen.oneOf(vocab))))
+    flags <- Gen.listOfN(n, Gen.choose(0, 2))
+    idxs <- Gen.listOfN(n, Gen.choose(0, 1000))
+    words <- Gen.listOfN(n, Gen.oneOf(vocab))
+  } yield {
+    val dups = bases.lazyZip(flags).lazyZip(idxs).lazyZip(words).flatMap {
+      case (b, 1, _, _) => Some(b)
+      case (b, 2, i, w) => Some(b.updated(i % b.size, w))
+      case _ => None
+    }
+    (bases ++ dups).map(_.mkString(" "))
+  }
+
+  /** Driver-side exact reference: all pairs with shingle-set Jaccard
+    * >= num/denom, compared as integers like the operator.
+    */
+  private def bruteForce(texts: Seq[String], num: Int, denom: Int)
+      : Set[(Long, Long, Int)] = {
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < Dedup.ShingleSize) Set.empty
+      else ws.sliding(Dedup.ShingleSize).map(_.mkString(" ")).toSet
+    }
+    val sets = texts.map(shingles)
+    (for {
+      a <- sets.indices; b <- sets.indices if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = sets(a).size + sets(b).size - inter
+      if uni > 0 && inter * denom >= uni * num
+    } yield (a.toLong, b.toLong, inter)).toSet
+  }
+
+  test("prefixJaccardDup equals brute-force exact Jaccard (lossless)") {
+    import spark.implicits._
+    forSamples(corpusGen, 5) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardDup(docs, num = 1, denom = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = bruteForce(texts, 1, 2)
+      assert(got == want,
+        s"prefix join diverged: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
+  test("prefixJaccardDup is lossless at a tight threshold too") {
+    import spark.implicits._
+    forSamples(corpusGen, 3) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.prefixJaccardDup(docs, num = 9, denom = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == bruteForce(texts, 9, 10))
+    }
+  }
+
+  // ---- Misra-Gries ------------------------------------------------------
+
+  test("MG guarantees hold for every partition layout (merge order)") {
+    import spark.implicits._
+    // skewed stream: token i has frequency ~ N/(i+1) (zipf-ish), vocab
+    // 200 >> k = 8, so decrements and merge cuts both fire
+    val stream = (0 until 200).flatMap(i => Seq.fill(600 / (i + 1))(s"tok$i"))
+    val n = stream.size.toLong
+    val k = 8
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val heavy = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(heavy.nonEmpty && heavy.size < k, s"fixture: ${heavy.size} heavy")
+    for (parts <- Seq(1, 3, 8)) {
+      val ds = spark.createDataset(stream).repartition(parts)
+      val out = ds.select(MisraGries.heavyHitters(k)(col("value")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.tok"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size <= k, s"summary over k at parts=$parts")
+      heavy.foreach(t => assert(out.contains(t),
+        s"heavy $t missing at parts=$parts"))
+      out.foreach { case (t, est) =>
+        val truth = exact(t)
+        assert(est <= truth && (truth - est) * (k + 1) <= n,
+          s"bound violated for $t: est=$est true=$truth at parts=$parts")
+      }
+    }
+  }
+
+  test("MG merge cut keeps at most k counters and is a valid summary") {
+    val agg = new MisraGriesAggregator(3)
+    val x = Map("a" -> 5L, "b" -> 4L, "c" -> 1L)
+    val y = Map("d" -> 3L, "e" -> 2L, "a" -> 1L)
+    val m = agg.merge(x, y)
+    // combined: a=6 b=4 d=3 e=2 c=1; cut = 4th largest = 2
+    assert(m == Map("a" -> 4L, "b" -> 2L, "d" -> 1L))
+  }
+
+  // ---- audio ------------------------------------------------------------
+
+  test("decodeAudio yields nulls on malformed payloads, values on real WAV") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val wav = graft.ext.Multimodal.syntheticAudio(docs)
+    val broken = wav.withColumn("payload",
+      when(col("doc_id") === 2L, lit("not a wav".getBytes))
+        .otherwise(col("payload")))
+    val out = graft.ext.Multimodal.decodeAudio(broken)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!out(1L) && out(2L) && !out(3L))
+  }
+}
