@@ -754,6 +754,16 @@ object ExtQueries {
         .select(col("doc_a"), col("doc_b")), driverThreshold = 0L),
       Some(clustersOracle)),
 
+    // same oracle again, via the alternating large-star/small-star
+    // algorithm (Kiveris et al. SoCC'14) — O(log n) rounds vs the
+    // min-label loop's O(diameter), hash-verified against the
+    // identical component labeling
+    ("d09c_dedup_clusters_twophase", (s: SparkSession, d: String) =>
+      Dedup.dupClustersTwoPhase(
+        Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))),
+      Some(clustersOracle)),
+
     // near-dup RESOLUTION: per minhash-component keep the single
     // highest-quality member (the artifact a corpus dedup ships)
     ("d22_neardup_resolution", (s: SparkSession, d: String) =>
@@ -2095,6 +2105,41 @@ object ExtQueries {
       SELECT doc_id, n_tokens, h,
              CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) AS BIGINT) AS pos
       FROM tk ORDER BY pos""")),
+
+    // DoReMi-style domain reweighting (one linearized multiplicative-
+    // weights step): per-domain stopword-rate excess vs the corpus in
+    // exact 2^20 fixed point, baseline (domain size) times
+    // (1 + eta*excess) floored at 10%, renormalized. The eta step is a
+    // pure integer multiply — no division on the possibly-negative
+    // excess, so Spark's trunc-div and DuckDB's floor-div can't diverge
+    ("c18_domain_reweight", (s: SparkSession, d: String) =>
+      Curation.domainReweight(t(s, d, "documents"), etaNum = 2L),
+      Some {
+        val allStop = TextAnalysis.stopwords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        s"""
+      WITH qc AS (SELECT source,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(list_filter(ws, w -> w IN ($allStop))) AS BIGINT) AS n_stop
+            FROM (SELECT source, ${TextOps.wordsSql("text")} AS ws FROM documents)),
+      dom AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     SUM(n_words) AS sw, SUM(n_stop) AS ss
+              FROM qc GROUP BY 1),
+      tot AS (SELECT SUM(sw) AS tw, SUM(ss) AS ts FROM dom),
+      x AS (SELECT source, n_docs,
+                   CAST((ss * 1048576) // sw AS BIGINT) AS stop_rate_fp,
+                   CAST(2 * ((ts * 1048576) // tw - (ss * 1048576) // sw) AS BIGINT)
+                     AS delta_fp
+            FROM dom, tot),
+      y AS (SELECT source, n_docs, stop_rate_fp, delta_fp,
+                   CAST(n_docs * GREATEST(1048576 + delta_fp, 104857) AS BIGINT)
+                     AS w_raw
+            FROM x)
+      SELECT source, n_docs, stop_rate_fp, delta_fp, w_raw,
+             CAST(w_raw AS DOUBLE) / CAST((SELECT SUM(w_raw) FROM y) AS DOUBLE)
+               AS weight
+      FROM y ORDER BY source"""
+      }),
 
     // composition showcase: mixture quotas computed AFTER near-dup
     // resolution — dedup (minhash -> connected components -> quality

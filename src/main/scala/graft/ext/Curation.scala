@@ -507,4 +507,52 @@ object Curation {
       .orderBy(col("mean_imp").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, one
+    * multiplicative-weights step, linearized): per-domain excess
+    * signal -> adjusted mixture weights. The trained proxy's excess
+    * LOSS is replaced by an engine-native excess signal — each
+    * domain's stopword rate vs the corpus rate (domains cleaner than
+    * average get up-weighted, boilerplate-heavy domains get
+    * down-weighted) — but the SHAPE is DoReMi's: baseline weight
+    * (domain size) times (1 + eta * excess), floored at 10% of
+    * baseline so no domain is starved to zero, renormalized.
+    *
+    * All signal math is exact integer fixed point (scale 2^20): rates
+    * are `(count * S) div total` on non-negative longs, the eta step
+    * is a pure integer multiply (no division, so no trunc-vs-floor
+    * divergence on negative excess), and the only doubles are the two
+    * final single-division shares. Shuffle shape: one groupBy(domain)
+    * + two 1-row broadcast attaches — domains are few by definition,
+    * the corpus scan dominates at 100 TB.
+    *
+    * Output: (source, n_docs, stop_rate_fp, delta_fp, w_raw, weight).
+    */
+  def domainReweight(docs: DataFrame, etaNum: Long = 2L): DataFrame = {
+    val S = 1L << 20
+    val floorFp = S / 10
+    val counted = graft.core.Tables.spread(docs)
+      .withColumn("__q", graft.functions.QualityCountsOf(col("text"),
+        TextAnalysis.stopwords.flatMap(_._2)))
+      .select(col("source"), col("__q.n_words").as("n_words"),
+        col("__q.n_stop").as("n_stop"))
+    val dom = counted.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sw"), sum(col("n_stop")).as("ss"))
+    val tot = dom.agg(sum(col("sw")).as("tw"), sum(col("ss")).as("ts"))
+    val weighted = dom.crossJoin(broadcast(tot))
+      .withColumn("stop_rate_fp", expr(s"(ss * $S) div sw"))
+      .withColumn("delta_fp",
+        expr(s"$etaNum * ((ts * $S) div tw - stop_rate_fp)"))
+      .withColumn("w_raw",
+        col("n_docs") * greatest(lit(S) + col("delta_fp"), lit(floorFp)))
+      .localCheckpoint() // feeds its own total; never recompute the scan
+    val wtot = weighted.agg(sum(col("w_raw")).as("wtot"))
+    weighted.crossJoin(broadcast(wtot))
+      .select(col("source"), col("n_docs"), col("stop_rate_fp"),
+        col("delta_fp"), col("w_raw"),
+        (col("w_raw").cast("double") / col("wtot").cast("double"))
+          .as("weight"))
+      .orderBy(col("source"))
+  }
 }

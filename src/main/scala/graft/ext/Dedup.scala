@@ -550,6 +550,69 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the O(log n)-round scale path next to [[dupClusters]]'s
+    * min-label loop, whose round count is the graph DIAMETER: a near-dup
+    * chain of D exact-copies-of-copies costs D shuffle rounds there but
+    * ~log D here, because both star operations contract whole
+    * neighborhoods onto their minimum at once.
+    *
+    * Per round: large-star connects every neighbor v > u to
+    * m = min(Γ⁺(u)); small-star connects every neighbor v <= u (and u)
+    * to m. Each is one groupBy(u).min + one co-partitioned equi-join +
+    * distinct — the same per-round shuffle shape as [[Graphs.pageRank]],
+    * with per-round localCheckpoints bounding lineage. The fixpoint test
+    * is exact set equality (count + one-sided exceptAll), not a
+    * fingerprint — a hash-collision false fixpoint would silently
+    * mislabel components — and non-convergence inside maxRounds fails
+    * loudly rather than emitting partial labels. At the fixpoint the
+    * edge set IS the component stars, so rep_id = min(Γ⁺) and roots
+    * label themselves.
+    *
+    * Output: (doc_id, rep_id) for every node in `pairs` — identical to
+    * [[dupClusters]] (oracle-shared d09/d09b/d09c).
+    */
+  def dupClustersTwoPhase(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def symmetrize(dir: DataFrame): DataFrame =
+      dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    def minsOf(e: DataFrame): DataFrame =
+      e.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+    def largeStar(e: DataFrame): DataFrame =
+      symmetrize(e.join(minsOf(e), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.join(minsOf(e), "u")
+      symmetrize(withM.filter(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v"))))
+    }
+    var cur = symmetrize(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint()
+    val nodeCount = cur.select(col("u")).distinct().count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).isEmpty
+      cur = next
+      rounds += 1
+    }
+    require(converged,
+      s"two-phase connected components did not converge in $maxRounds rounds")
+    val labels = cur.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u").as("doc_id"), least(col("mv"), col("u")).as("rep_id"))
+      .localCheckpoint()
+    require(labels.count() == nodeCount,
+      "two-phase star cover lost nodes — refusing to emit partial labels")
+    labels.orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster RESOLUTION — the end product a training-set
     * dedup actually ships: every minhash-connected component keeps its
     * single highest-quality member ([[TextAnalysis.qualityScore]];

@@ -51,22 +51,8 @@ class MisraGriesAggregator(k: Int)
         b.iterator.collect { case (t, c) if c > 1 => t -> (c - 1) }.toMap
     }
 
-  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
-    val sum = y.foldLeft(x) { case (m, (t, c)) =>
-      m.updated(t, m.getOrElse(t, 0L) + c)
-    }
-    if (sum.size <= k) sum
-    else {
-      // subtract the (k+1)-th largest count from all counters: at most
-      // k stay positive, and each token's estimate drops by at most
-      // that cut — summed over the merge tree the total error stays
-      // within n/(k+1) (Agarwal et al. PODS'12, Thm. 1)
-      val cs = sum.valuesIterator.toArray
-      java.util.Arrays.sort(cs)
-      val cut = cs(cs.length - (k + 1)) // (k+1)-th largest
-      sum.iterator.collect { case (t, c) if c > cut => t -> (c - cut) }.toMap
-    }
-  }
+  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeSummaries(k)(x, y)
 
   override def finish(b: Map[String, Long]): Seq[TokEst] =
     b.toSeq.sortBy(_._1).map { case (t, c) => TokEst(t, c) }
@@ -75,10 +61,59 @@ class MisraGriesAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[TokEst]] = ExpressionEncoder()
 }
 
+/** Merge-only MG aggregation: folds already-built summaries (rows of
+  * (tok, est), e.g. one persisted summary per micro-batch) into one
+  * k-counter summary. Piecewise singleton merges form just another
+  * merge tree, so the PODS'12 bound holds for the combined stream —
+  * this is what lets [[graft.streaming.StreamSketch]] keep O(k) state
+  * per batch and still serve a globally-bounded heavy-hitter set.
+  */
+class MisraGriesMergeAggregator(k: Int)
+    extends Aggregator[TokEst, Map[String, Long], Seq[TokEst]] {
+  require(k > 0, "k counters, k > 0")
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], e: TokEst): Map[String, Long] =
+    MisraGries.mergeSummaries(k)(b, Map(e.tok -> e.est))
+  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeSummaries(k)(x, y)
+  override def finish(b: Map[String, Long]): Seq[TokEst] =
+    b.toSeq.sortBy(_._1).map { case (t, c) => TokEst(t, c) }
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[TokEst]] = ExpressionEncoder()
+}
+
 object MisraGries {
+  /** Merge two k-counter summaries (Agarwal et al. PODS'12): sum
+    * counts, then subtract the (k+1)-th largest combined count from
+    * all and drop the non-positive — at most k survive, and each
+    * token's estimate drops by at most the cut, so the total error
+    * over any merge tree stays within n/(k+1).
+    */
+  def mergeSummaries(k: Int)(x: Map[String, Long],
+                             y: Map[String, Long]): Map[String, Long] = {
+    val sum = y.foldLeft(x) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      val cs = sum.valuesIterator.toArray
+      java.util.Arrays.sort(cs)
+      val cut = cs(cs.length - (k + 1)) // (k+1)-th largest
+      sum.iterator.collect { case (t, c) if c > cut => t -> (c - cut) }.toMap
+    }
+  }
+
   /** Untyped column form: heavy_hitters(tok_col) -> array<struct<tok,est>>. */
   def heavyHitters(k: Int): Column => Column = {
     val fn = udaf(new MisraGriesAggregator(k), ExpressionEncoder[String]())
     tok => fn(tok)
+  }
+
+  /** Untyped merge form: merge_summaries(tok_col, est_col) over
+    * persisted summary rows -> array<struct<tok,est>>.
+    */
+  def mergeHeavyHitters(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new MisraGriesMergeAggregator(k), ExpressionEncoder[TokEst]())
+    (tok, est) => fn(tok, est)
   }
 }

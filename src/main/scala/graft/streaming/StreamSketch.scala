@@ -176,4 +176,57 @@ object StreamSketch {
       ()
     }
   }
+
+  // ---- streaming BOUNDED-STATE heavy hitters (Misra-Gries) ------------
+
+  val mgSchema: StructType = StructType(Seq(
+    StructField("tok", org.apache.spark.sql.types.StringType)))
+
+  /** Streaming heavy hitters with BOUNDED per-batch state: each
+    * micro-batch reduces to its k-counter Misra-Gries summary (<= k
+    * rows whatever the batch's value universe — the case
+    * [[runHeavyHitters]]'s exact counts can't bound) under an
+    * idempotent `batch=<id>` partition; the live snapshot merge-folds
+    * every batch's summary with
+    * [[graft.functions.MisraGriesMergeAggregator]]. Piecewise merges
+    * are just another merge tree, so the PODS'12 bound — every token
+    * with total frequency > n/(k+1) present, every estimate within
+    * n/(k+1) below truth — holds for the WHOLE stream, which is what
+    * the StreamSketchSpec audit asserts against exact replay counts.
+    */
+  def runMgHeavyHitters(spark: SparkSession, landingDir: String,
+                        stateDir: String, checkpointDir: String,
+                        k: Int = 8): StreamingQuery = {
+    val events = spark.readStream.schema(mgSchema)
+      .option("multiLine", "false")
+      .json(landingDir)
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMgBatch(spark, batch, batchId, stateDir, k)
+      }
+      .start()
+  }
+
+  /** One idempotent micro-batch step (public for replay tests):
+    * overwrite this batch's summary partition, then refresh the merged
+    * snapshot from ALL batches' summaries. A replayed batch rebuilds
+    * the identical summary (the batch's own MG run is deterministic),
+    * so the snapshot is replay-stable.
+    */
+  def processMgBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                     stateDir: String, k: Int): Unit = {
+    batch.filter(col("tok").isNotNull)
+      .agg(graft.functions.MisraGries.heavyHitters(k)(col("tok")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.tok").as("tok"), col("e.est").as("est"))
+      .write.mode("overwrite").parquet(s"$stateDir/mg/batch=$batchId")
+    spark.read.parquet(s"$stateDir/mg")
+      .agg(graft.functions.MisraGries.mergeHeavyHitters(k)(
+        col("tok"), col("est")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.tok").as("tok"), col("e.est").as("est"))
+      .write.mode("overwrite").parquet(s"$stateDir/mgtop")
+  }
 }

@@ -301,4 +301,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(uncapped((1L, 2L)) == 2L, "both centers count uncapped")
     assert(uncapped.contains((3L, 4L)))
   }
+
+  test("dupClustersTwoPhase equals union-find labels, incl. a deep chain") {
+    import graft.ext.Dedup
+    // components: a 40-node chain (diameter stress — the min-label
+    // loop's worst case), a triangle, a 2-clique, shuffled ids so
+    // component minima are not positional
+    val chain = (0 until 39).map(i => (100L + i, 101L + i))
+    val tri = Seq((7L, 3L), (3L, 5L), (5L, 7L))
+    val duo = Seq((93L, 91L))
+    val pairs = (chain ++ tri ++ duo).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClustersTwoPhase(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"two-phase diverged from union-find")
+    assert(got(139L) == 100L && got(7L) == 3L && got(93L) == 91L)
+  }
 }

@@ -54,7 +54,10 @@ class PlanGuardSpec extends SparkSpec {
     // localCheckpoints, so the registered plan itself carries no BNLJ
     "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
     "t16_bm25_topk" -> 1, // broadcast 1-row corpus-stats aggregate
-    "t20_heavy_hitters" -> 1) // broadcast 1-row stream-total aggregate
+    "t20_heavy_hitters" -> 1, // broadcast 1-row stream-total aggregate
+    // c18: the corpus-total attach sits behind a localCheckpoint; the
+    // registered plan carries only the 1-row weight-total broadcast
+    "c18_domain_reweight" -> 1)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

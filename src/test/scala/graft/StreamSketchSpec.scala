@@ -98,4 +98,40 @@ class StreamSketchSpec extends SparkSpec {
     StreamSketch.processHHBatch(spark, batchDf(b1), 1L, state, topN = 3)
     assert(top(state) == streamed, "replay changed the top")
   }
+
+  test("streaming Misra-Gries: bounded state, stream-wide guarantees, replay") {
+    val state = Files.createTempDirectory("skmg_state").toString
+    val k = 8
+    def batchDf(ts: Seq[String]) = ts.toDF("tok")
+    // heavy token "hot" spread across batches (never batch-locally
+    // overwhelming); per-batch vocab 40 >> k so each batch's summary
+    // genuinely decrements
+    val b0 = Seq.fill(120)("hot") ++ (0 until 40).flatMap(i => Seq.fill(3)(s"a$i"))
+    val b1 = Seq.fill(130)("hot") ++ (0 until 40).flatMap(i => Seq.fill(3)(s"b$i"))
+    val b2 = Seq.fill(110)("hot") ++ (0 until 40).flatMap(i => Seq.fill(3)(s"c$i"))
+    val batches = Seq(b0, b1, b2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamSketch.processMgBatch(spark, batchDf(b), i.toLong, state, k)
+      // bounded state: every batch partition holds <= k summary rows
+      assert(spark.read.parquet(s"$state/mg/batch=$i").count() <= k)
+    }
+    def snap(): Map[String, Long] = spark.read.parquet(s"$state/mgtop")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = snap()
+    val all = batches.flatten
+    val n = all.size.toLong
+    val exact = all.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val heavy = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+    assert(heavy == Set("hot"), s"fixture heavy set: $heavy")
+    assert(got.size <= k)
+    heavy.foreach(t => assert(got.contains(t), s"heavy $t missing"))
+    got.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth && (truth - est) * (k + 1) <= n,
+        s"bound violated for $t: est=$est true=$truth n=$n")
+    }
+    // replay of the middle batch rebuilds the identical summary
+    StreamSketch.processMgBatch(spark, batchDf(b1), 1L, state, k)
+    assert(snap() == got, "replay changed the snapshot")
+  }
 }
