@@ -1472,6 +1472,43 @@ object ExtQueries {
               ORDER BY cosine DESC, tid) AS INT) AS rn FROM sc) z
       WHERE rn <= 5 ORDER BY query_id, rn""")),
 
+    // DBSCAN-style density clustering on the cosine graph: core =
+    // >= 5 neighbors at cosine >= 0.3, clusters = two-phase CC over
+    // core-core edges, border = min core-neighbor cluster, else noise.
+    // The oracle recomputes all of it from the brute-force pair list
+    // with the d09 recursive-CTE closure — roles AND labels exact
+    ("s27_dbscan", (s: SparkSession, d: String) =>
+      Similarity.dbscanLite(t(s, d, "embeddings"),
+        threshold = 0.3, minPts = 5),
+      Some(s"""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding,
+                                  ${normS("embedding")} AS nrm FROM embeddings),
+      p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM e a JOIN e b
+            ON a.vec_id <> b.vec_id
+            WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3),
+      core AS (SELECT va AS vec_id FROM p GROUP BY va HAVING COUNT(*) >= 5),
+      ce AS (SELECT p.va AS src, p.vb AS dst FROM p
+             WHERE p.va IN (SELECT vec_id FROM core)
+               AND p.vb IN (SELECT vec_id FROM core)),
+      reach(src, dst) AS (
+        (SELECT src, dst FROM ce UNION SELECT vec_id, vec_id FROM core)
+        UNION
+        SELECT r.src, c.dst FROM reach r JOIN ce c ON r.dst = c.src),
+      cl AS (SELECT src AS vec_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+      border AS (SELECT p.va AS vec_id, MIN(cl.cluster) AS cluster
+                 FROM p JOIN cl ON p.vb = cl.vec_id
+                 WHERE p.va NOT IN (SELECT vec_id FROM core)
+                 GROUP BY 1)
+      SELECT em.vec_id,
+             CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+                  WHEN border.vec_id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             COALESCE(cl.cluster, border.cluster) AS cluster
+      FROM embeddings em
+      LEFT JOIN cl USING (vec_id)
+      LEFT JOIN border USING (vec_id)
+      ORDER BY vec_id""")),
+
     // filtered IVF: s18's metadata predicate composed with the cell
     // probe — the index is built once over the full corpus, the
     // allowed-id semi-join prunes candidates between cell assignment

@@ -160,6 +160,64 @@ object Similarity {
       emb, planes.map(_.toSeq))
   }
 
+  /** DBSCAN-style density clustering (Ester et al., KDD'96) on the
+    * cosine-similarity graph: neighbor = cosine >= threshold, a vector
+    * is CORE when it has >= minPts neighbors (self excluded), clusters
+    * are connected components of the core-core neighbor graph
+    * ([[Dedup.dupClustersTwoPhase]] — the O(log n)-round CC), BORDER
+    * vectors attach to the smallest cluster id among their core
+    * neighbors (deterministic tie-break), the rest is NOISE.
+    *
+    * Composition is the point: pair generation is the exact all-pairs
+    * baseline ([[cosineDupPairs]] — the pre-blocked-corpus contract);
+    * at 100 TB swap in [[lshCosineDupPairs]]/[[bandedCosineDupPairs]]
+    * candidates and everything downstream (degree count, CC, border
+    * attach) is already key-partitioned groupBys and equi-joins.
+    *
+    * Output: (vec_id, role core|border|noise, cluster nullable) for
+    * every input vector.
+    */
+  def dbscanLite(embs: DataFrame, threshold: Double, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts >= 1")
+    val pairs = cosineDupPairs(embs, threshold)
+      .select(col("vec_a"), col("vec_b")).localCheckpoint()
+    val sym = pairs.union(pairs.select(col("vec_b"), col("vec_a")))
+      .toDF("va", "vb")
+    val core = sym.groupBy(col("va")).agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= minPts)
+      .select(col("va").as("vec_id")).localCheckpoint()
+    val coreEdges = sym
+      .join(core.select(col("vec_id").as("va")), Seq("va"))
+      .join(core.select(col("vec_id").as("vb")), Seq("vb"))
+      .filter(col("va") < col("vb"))
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    // CC labels cover every core on a core-core edge; a core whose
+    // neighbors are all non-core is a legitimate one-core cluster and
+    // keeps its own id via the coalesce
+    val coreLab = core
+      .join(Dedup.dupClustersTwoPhase(coreEdges)
+        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("cluster"))
+      .localCheckpoint()
+    val borderLab = sym
+      .join(core.select(col("vec_id").as("va")), Seq("va"), "left_anti")
+      .join(coreLab.select(col("vec_id").as("vb"), col("cluster")), Seq("vb"))
+      .groupBy(col("va")).agg(min(col("cluster")).as("cluster"))
+      .select(col("va").as("vec_id"), col("cluster"))
+    embs.select(col("vec_id"))
+      .join(coreLab.select(col("vec_id"), col("cluster").as("c_core")),
+        Seq("vec_id"), "left")
+      .join(borderLab.select(col("vec_id"), col("cluster").as("c_border")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("c_core").isNotNull, "core")
+          .when(col("c_border").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("c_core"), col("c_border")).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Banded multi-table cosine LSH near-dup pairs — the full 100 TB
     * shape. [[lshCosineDupPairs]] uses ONE hash table over all planes:
     * recall falls geometrically as nPlanes grows and parallelism is

@@ -230,4 +230,27 @@ class SelectionOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ng.contains((0L, 2L)) || ng.contains((0L, 4L)))
   }
+
+  test("dbscanLite: dense blob is core, fringe is border, sparse blob is noise") {
+    // blob A (ids 0-3): pairwise cosine >= 0.9 -> each deg 3 -> core at
+    // minPts=3. id 4 sees only a subset of A (deg 2) -> border, joins
+    // A's cluster. id 5 orthogonal -> noise. blob B (6-8): pairwise
+    // close but only deg 2 each — BELOW the density bar, so the whole
+    // blob is noise (the defining DBSCAN behavior vs plain CC)
+    val embs = Seq(
+      (0L, vec(1f, 0f, 0f)), (1L, vec(0.99f, 0.141f, 0f)),
+      (2L, vec(0.99f, -0.141f, 0f)), (3L, vec(0.97f, 0f, 0.243f)),
+      (4L, vec(0.92f, -0.392f, 0f)), (5L, vec(0f, 0f, 1f)),
+      (6L, vec(0f, 1f, 0f)), (7L, vec(0.141f, 0.99f, 0f)),
+      (8L, vec(-0.141f, 0.99f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dbscanLite(embs, threshold = 0.9, minPts = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    (0L to 3L).foreach(i => assert(got(i) == ("core", 0L), s"$i: ${got(i)}"))
+    assert(got(4L) == ("border", 0L))
+    assert(got(5L) == ("noise", -1L))
+    (6L to 8L).foreach(i => assert(got(i) == ("noise", -1L), s"$i: ${got(i)}"))
+  }
 }
