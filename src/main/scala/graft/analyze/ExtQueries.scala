@@ -2143,6 +2143,23 @@ object ExtQueries {
              CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) AS BIGINT) AS pos
       FROM tk ORDER BY pos""")),
 
+    // per-epoch deterministic training shuffle: dense rank of the
+    // portable h32("epoch:doc_id") per epoch via the SeqNumber
+    // range-partition primitive — reproducible pseudo-random order,
+    // different each epoch, no RNG state, no unpartitioned window
+    ("c19_epoch_shuffle", (s: SparkSession, d: String) =>
+      Curation.epochShuffle(t(s, d, "documents"), epochs = 2),
+      Some(s"""
+      WITH ep AS (SELECT doc_id, 0 AS epoch FROM documents
+                  UNION ALL SELECT doc_id, 1 FROM documents),
+      k AS (SELECT epoch, doc_id,
+              ${Hashing.h32Sql("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h
+            FROM ep)
+      SELECT CAST(epoch AS INT) AS epoch, doc_id, h,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+               AS BIGINT) AS pos
+      FROM k ORDER BY epoch, pos""")),
+
     // DoReMi-style domain reweighting (one linearized multiplicative-
     // weights step): per-domain stopword-rate excess vs the corpus in
     // exact 2^20 fixed point, baseline (domain size) times
@@ -2621,6 +2638,52 @@ object ExtQueries {
              CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
       FROM lagd GROUP BY doc_id ORDER BY doc_id""")),
+
+    // perceptual AUDIO near-dup: multi-amplitude WAV renditions ->
+    // real javax.sound decode -> 64-bit energy-delta fingerprint ->
+    // the m05 band-blocked Hamming pipeline. The oracle derives every
+    // fingerprint from the closed-form window-step generator (energy
+    // comparisons reduce to step comparisons — amp^2 scales uniformly)
+    // and reproduces the band join + Hamming verify in SQL; minHamming
+    // = 1 keeps the planted PERTURBED renditions and drops the
+    // unbounded identical-fingerprint cliques, exactly like m05
+    ("m07_audio_neardup", (s: SparkSession, d: String) => {
+      val hashed = Multimodal.audioFingerprint64(
+        Multimodal.syntheticAudioRenditions(t(s, d, "documents")))
+      Dedup.fingerprintNearDup(hashed.select(col("doc_id"), col("fp")),
+        minHamming = 1, maxHamming = 4, maxBucket = Int.MaxValue)
+    }, Some {
+      val aStep = "100 + (" + Hashing.h32Sql(
+        s"CAST(pn.p*${Multimodal.AudioWindows} + w.w AS VARCHAR)") + " % 900)"
+      s"""
+      WITH d AS (SELECT doc_id,
+              CAST(doc_id % ${Multimodal.AudioPatterns} AS BIGINT) AS p,
+              (doc_id % ${Multimodal.NoiseEvery} = 0) AS noisy FROM documents),
+      pn AS (SELECT DISTINCT p, noisy FROM d),
+      aw AS (SELECT pn.p, pn.noisy, w.w,
+              CASE WHEN pn.noisy AND w.w = (pn.p % 64) + 1
+                   THEN ($aStep) + 1000 ELSE ($aStep) END AS a
+             FROM pn CROSS JOIN range(${Multimodal.AudioWindows}) w(w)),
+      fp0 AS (SELECT a1.p, a1.noisy,
+              CAST(SUM(CASE WHEN a2.a <= a1.a THEN CAST(0 AS BIGINT)
+                       WHEN a1.w = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT) << CAST(a1.w AS INT)) END)
+                AS BIGINT) AS fp
+              FROM aw a1 JOIN aw a2 ON a1.p = a2.p AND a1.noisy = a2.noisy
+               AND a2.w = a1.w + 1
+              WHERE a1.w < 64 GROUP BY a1.p, a1.noisy),
+      hd AS (SELECT d.doc_id, fp0.fp FROM d
+             JOIN fp0 ON d.p = fp0.p AND d.noisy = fp0.noisy)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+       AND ((a.fp & 65535) = (b.fp & 65535) OR
+            ((a.fp >> 16) & 65535) = ((b.fp >> 16) & 65535) OR
+            ((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535) OR
+            ((a.fp >> 48) & 65535) = ((b.fp >> 48) & 65535))
+      WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 4
+      ORDER BY doc_a, doc_b"""
+    }),
 
     // ---- streaming window workload, batch form -------------------------
     // (the true readStream variants live in graft.streaming and are

@@ -508,6 +508,32 @@ object Curation {
       .limit(topK)
   }
 
+  /** Per-epoch deterministic training shuffle: epoch e's order is the
+    * dense rank of the portable hash h32("e:doc_id") — a
+    * content-determined pseudo-random permutation that is (a) fully
+    * reproducible (restarts and stragglers recompute identical
+    * positions — no RNG state to ship), (b) different every epoch, and
+    * (c) assigned by the [[graft.operators.SeqNumber]] range-partition
+    * primitive, never an unpartitioned row_number window. Epochs
+    * materialize independently (one balanced range exchange each), so
+    * the planner can produce any epoch on demand.
+    *
+    * Output: (epoch, doc_id, h, pos) with pos dense 1..N per epoch.
+    */
+  def epochShuffle(docs: DataFrame, epochs: Int): DataFrame = {
+    require(epochs >= 1, "epochs >= 1")
+    val base = docs.select(col("doc_id"))
+    (0 until epochs).map { e =>
+      val keyed = base.withColumn("epoch", lit(e))
+        .withColumn("h", graft.functions.Hashing.h32(
+          concat(lit(e.toString), lit(":"), col("doc_id").cast("string"))))
+      graft.operators.SeqNumber.withSeq(keyed,
+        Seq(col("h"), col("doc_id")), "pos")
+    }.reduce(_ unionByName _)
+      .select(col("epoch"), col("doc_id"), col("h"), col("pos"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, one
     * multiplicative-weights step, linearized): per-domain excess
     * signal -> adjusted mixture weights. The trained proxy's excess

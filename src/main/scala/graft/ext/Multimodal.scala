@@ -360,6 +360,105 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_samples", "sum_sq", "n_zero_cross")
   }
 
+  /** Audio-fingerprint fixture geometry (the [[syntheticPatternImages]]
+    * discipline applied to audio): waveforms are step functions on
+    * [[AudioWindows]] fixed 8-sample windows whose step heights are the
+    * portable md5 hash of the window key, rendered at per-doc AMPLITUDE
+    * 1-3x — so the same pattern at different amplitudes is byte-wise
+    * completely different WAV while its energy-delta fingerprint is
+    * identical (energies scale by amp^2 uniformly; the comparisons
+    * don't move). Docs with doc_id % [[NoiseEvery]] == 0 get one
+    * pattern-determined window boosted — a planted PERTURBED rendition
+    * 0-2 fingerprint bits from its clean twins.
+    */
+  val AudioPatterns = 16
+  val AudioWindows = 65 // 64 energy-delta bits
+  val AudioWinSamples = 8
+
+  private def h32OfString(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  /** Step height of window w for pattern p (before amplitude). */
+  private def audioStep(p: Int, w: Int, noisy: Boolean): Int = {
+    val a0 = (100 + h32OfString((p * AudioWindows + w).toString) % 900).toInt
+    if (noisy && w == (p % 64) + 1) a0 + 1000 else a0
+  }
+
+  /** Deterministic multi-rendition synthetic audio, REALLY encoded as
+    * WAV: pattern = doc_id % 16, amplitude = 1 + (doc_id div 16) % 3,
+    * 65 windows x 8 samples of constant value step*amp (max 5997 —
+    * safely inside int16).
+    */
+  def syntheticAudioRenditions(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val p = (id % AudioPatterns).toInt
+          val amp = 1 + ((id / AudioPatterns) % 3).toInt
+          val noisy = id % NoiseEvery == 0
+          val n = AudioWindows * AudioWinSamples
+          val data = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = audioStep(p, i / AudioWinSamples, noisy) * amp
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          (id, wavBytes(data, AudioRate))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** 64-bit audio energy-delta fingerprint from a REAL
+    * `javax.sound.sampled` decode: bit k = 1 iff the (k+1)-th 8-sample
+    * window's energy (exact integer sum of squared amplitudes) exceeds
+    * the k-th's — the dHash gradient-sign idea on the time axis, and
+    * like it invariant under uniform amplitude scaling. Works on any
+    * PCM16 WAV (bits cap at min(windows-1, 64)); undecodable payloads
+    * yield a null fingerprint.
+    */
+  def audioFingerprint64(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val nw = n / AudioWinSamples
+            val e = new Array[Long](nw)
+            var i = 0
+            while (i < nw * AudioWinSamples) {
+              val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+              e(i / AudioWinSamples) += v.toLong * v
+              i += 1
+            }
+            var fp = 0L
+            var k = 0
+            while (k < math.min(nw - 1, 64)) {
+              if (e(k + 1) > e(k)) fp |= 1L << k
+              k += 1
+            }
+            (id, Some(fp))
+          } catch {
+            case scala.util.control.NonFatal(_) => (id, None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))

@@ -136,4 +136,23 @@ class PrefixJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
     assert(!out(1L) && out(2L) && !out(3L))
   }
+
+  test("audio fingerprint is amplitude-invariant and perturbation-sensitive") {
+    import spark.implicits._
+    import graft.ext.Multimodal
+    // ids 3, 19, 35 share pattern 3 at amplitudes 1x, 2x, 3x; id 0 is
+    // pattern 0 AND noisy (0 % 97 == 0) vs clean pattern-0 id 16
+    val docs = Seq(3L, 19L, 35L, 0L, 16L).toDF("doc_id")
+    val wav = Multimodal.syntheticAudioRenditions(docs)
+    // renditions are byte-wise different WAVs
+    val paySizes = wav.select(col("doc_id"), md5(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(3L, 19L, 35L).map(paySizes).size == 3, "payloads not distinct")
+    val fp = Multimodal.audioFingerprint64(wav)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(3L) == fp(19L) && fp(19L) == fp(35L),
+      "amplitude changed the fingerprint")
+    val ham = java.lang.Long.bitCount(fp(0L) ^ fp(16L))
+    assert(ham >= 0 && ham <= 2, s"perturbation moved $ham bits")
+  }
 }
