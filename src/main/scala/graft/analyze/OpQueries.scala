@@ -559,6 +559,34 @@ object OpQueries {
       SELECT a, b, cn, pa FROM sc
       ORDER BY cn DESC, pa DESC, a, b LIMIT 50""")),
 
+    // deterministic pseudo-random walks (the DeepWalk corpus step,
+    // RNG-free): step t moves to the out-neighbor minimizing the
+    // portable h32("v:t:u") — the oracle unrolls the three steps with
+    // ROW_NUMBER-over-(h, dst) picks and must match node-for-node
+    ("g10_random_walks", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.randomWalks(eventEdges(s, d), steps = 3)
+    }, Some {
+      def step(i: Int): String = s"""
+      c${i + 1} AS (SELECT w$i.start, e.dst,
+              ${graft.functions.Hashing.h32Sql(s"CAST(w$i.node AS VARCHAR) || ':$i:' || CAST(e.dst AS VARCHAR)")} AS h
+             FROM w$i JOIN ed e ON w$i.node = e.src),
+      w${i + 1} AS (SELECT start, dst AS node FROM (
+              SELECT start, dst,
+                     ROW_NUMBER() OVER (PARTITION BY start ORDER BY h, dst) AS rn
+              FROM c${i + 1}) z WHERE rn = 1)"""
+      s"""
+      WITH $eventEdgesCtes,
+      w0 AS (SELECT DISTINCT src AS start, src AS node FROM ed),
+      ${(0 until 3).map(step).mkString(",")}
+      SELECT start, CAST(step AS INT) AS step, node FROM (
+        SELECT start, 0 AS step, node FROM w0
+        UNION ALL SELECT start, 1, node FROM w1
+        UNION ALL SELECT start, 2, node FROM w2
+        UNION ALL SELECT start, 3, node FROM w3) u
+      ORDER BY start, step"""
+    }),
+
     // ---- bucketed co-located fact-fact join: both tables written
     // bucketed+sorted on the join key (Layout.writeBucketed, the
     // one-time pre-shuffle), so the sort-merge join itself plans with

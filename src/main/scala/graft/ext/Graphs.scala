@@ -438,4 +438,42 @@ object Graphs {
         col("in_deg"), col("dangling"), col("n_edges"), col("total_w"))
       .orderBy(col("k"))
   }
+
+  /** Deterministic pseudo-random walks — the DeepWalk/node2vec corpus
+    * step (Perozzi et al. KDD'14) without RNG state: one walk starts
+    * from every node with out-edges, and step t moves from v to the
+    * out-neighbor u minimizing the portable hash h32("v:t:u") (min over
+    * (h, u) — a total order, so the walk table is a pure function of
+    * the graph; restarts, stragglers and both engines reproduce it
+    * bit-for-bit). A walk ends early at a node with no out-edges.
+    *
+    * Shape per step: one equi-join (current frontier x adjacency, keyed
+    * on the node id) + one groupBy(start).min — the pageRank round
+    * shape; frontier never exceeds one row per start. localCheckpoint
+    * per step keeps lineage flat.
+    *
+    * Output: (start, step, node), step 0..steps.
+    */
+  def randomWalks(edges: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, "steps >= 1")
+    val adj = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var cur = adj.select(col("src").as("start")).distinct()
+      .withColumn("node", col("start"))
+    val acc = scala.collection.mutable.Buffer(cur.withColumn("step", lit(0)))
+    for (t <- 1 to steps) {
+      val cand = cur.join(adj, cur("node") === adj("src"))
+        .select(col("start"), col("dst"),
+          graft.functions.Hashing.h32(concat(
+            col("node").cast("string"), lit(s":${t - 1}:"),
+            col("dst").cast("string"))).as("h"))
+      cur = cand.groupBy(col("start"))
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("start"), col("m").getField("dst").as("node"))
+        .localCheckpoint()
+      acc += cur.withColumn("step", lit(t))
+    }
+    acc.reduce(_ unionByName _)
+      .select(col("start"), col("step"), col("node"))
+      .orderBy(col("start"), col("step"))
+  }
 }

@@ -302,6 +302,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(uncapped.contains((3L, 4L)))
   }
 
+  test("randomWalks: hash-min picks, dead-end truncation, determinism") {
+    // 1 -> {2,3}; 2 -> {4}; 3 -> {}; 4 -> {}: walk from 1 picks the
+    // min-hash neighbor, then continues only while out-edges exist
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graphs.randomWalks(edges, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // expected step-1 pick from node 1: argmin over h32("1:0:2"),
+    // h32("1:0:3") — recompute driver-side with the same portable hash
+    def h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString, 16)
+    val pick = if (h("1:0:2") < h("1:0:3") ||
+      (h("1:0:2") == h("1:0:3") && 2L < 3L)) 2L else 3L
+    assert(got((1L, 0)) == 1L && got((1L, 1)) == pick)
+    if (pick == 2L) {
+      assert(got((1L, 2)) == 4L, "walk must continue 2 -> 4")
+      assert(!got.contains((1L, 3)), "dead-end at 4 truncates the walk")
+    } else assert(!got.contains((1L, 2)), "dead-end at 3 truncates the walk")
+    // walks start only from nodes with out-edges, and are reproducible
+    assert(got.keys.map(_._1).toSet == Set(1L, 2L))
+    val again = Graphs.randomWalks(edges, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("dupClustersTwoPhase equals union-find labels, incl. a deep chain") {
     import graft.ext.Dedup
     // components: a 40-node chain (diameter stress — the min-label

@@ -73,6 +73,25 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardDup is lossless under hostile tokenization") {
+    import spark.implicits._
+    // runs of spaces create empty words that flow INTO shingles (both
+    // engines keep them); docs shorter than the shingle width vanish
+    val texts = Seq(
+      "alpha bravo charlie delta echo",
+      "alpha bravo charlie delta foxtrot",
+      "alpha  bravo  charlie  delta", // double-space twin: different shingles
+      "alpha  bravo  charlie  delta", // its exact copy
+      "alpha bravo", // too short to shingle
+      "", "  ")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardDup(docs, num = 1, denom = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == bruteForce(texts, 1, 2), s"hostile diverged: $got")
+    assert(got.exists(p => p._1 == 2L && p._2 == 3L), "exact copies must pair")
+  }
+
   test("prefixJaccardDup is lossless at a tight threshold too") {
     import spark.implicits._
     forSamples(corpusGen, 3) { texts =>
