@@ -2402,6 +2402,35 @@ object ExtQueries {
         Seq("train" -> 80, "val" -> 10, "test" -> 10)),
       Some(hashSplitOracle)),
 
+    // LEAKAGE-SAFE split: t12's hash split applied to the near-dup
+    // CLUSTER representative instead of the doc, so an entire minhash
+    // component co-travels into one split — a near-duplicate can never
+    // straddle train/eval. Oracle = the d09 closure + the t12 rule
+    ("c20_cluster_safe_split", (s: SparkSession, d: String) =>
+      Curation.clusterSafeSplit(t(s, d, "documents"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10), threshold = 0.5),
+      Some {
+        val rb = Hashing.h32Sql("CAST(rep_id AS VARCHAR)")
+        s"""
+      WITH RECURSIVE $minhashCtes,
+      dup AS (SELECT doc_a, doc_b FROM com
+              WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                UNION SELECT doc_b, doc_a FROM dup),
+      reach(src, dst) AS (
+        (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, MIN(dst) AS rep_id FROM reach GROUP BY src),
+      r AS (SELECT d.doc_id, COALESCE(cl.rep_id, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN cl USING (doc_id))
+      SELECT doc_id, rep_id, $rb % 100 AS bucket,
+             CASE WHEN $rb % 100 < 80 THEN 'train'
+                  WHEN $rb % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM r ORDER BY doc_id"""
+      }),
+
     // context-window chunking: docs -> overlapping training sequences
     ("t13_chunking", (s: SparkSession, d: String) =>
       Curation.chunkDocs(t(s, d, "documents"), chunkWords = 64, stride = 48),

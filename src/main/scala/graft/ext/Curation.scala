@@ -240,16 +240,51 @@ object Curation {
     * speed at any corpus size.
     */
   def hashSplit(docs: DataFrame, weights: Seq[(String, Int)]): DataFrame = {
-    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
-      weights.map(_._2).sum == 100, "weights must be positive percents summing to 100")
     val bucket = pmod(hash32, lit(100L))
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"), bucket.as("bucket"),
+        splitOfBucket(bucket, weights).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cumulative-percent split label for a 0-99 bucket column. */
+  private def splitOfBucket(bucket: Column,
+                            weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
+      weights.map(_._2).sum == 100,
+      "weights must be positive percents summing to 100")
     val cuts = weights.scanLeft(0)(_ + _._2).tail.init // cumulative, last cut implied
       .zip(weights.init.map(_._1))
-    val split = cuts.foldRight(lit(weights.last._1): Column) {
+    cuts.foldRight(lit(weights.last._1): Column) {
       case ((cut, name), els) => when(bucket < cut, name).otherwise(els)
     }
-    graft.core.Tables.spread(docs)
-      .select(col("doc_id"), bucket.as("bucket"), split.as("split"))
+  }
+
+  /** LEAKAGE-SAFE split: the hashed unit is the NEAR-DUP CLUSTER
+    * representative, not the document — [[hashSplit]]'s hash-of-content
+    * already co-splits exact duplicates, but a near-duplicate (one
+    * edited word) hashes elsewhere and lands in another split, leaking
+    * training text into eval. Here minhash pairs -> connected
+    * components ([[Dedup.dupClusters]]) give every doc its cluster's
+    * min doc_id as rep; docs outside any pair are their own rep; the
+    * split buckets h32(rep_id) — so an ENTIRE near-dup cluster travels
+    * together by construction. Cost at scale: the dedup pass the
+    * corpus pipeline runs anyway, plus one left join and a projection.
+    *
+    * Output: (doc_id, rep_id, bucket, split).
+    */
+  def clusterSafeSplit(docs: DataFrame, weights: Seq[(String, Int)],
+                       threshold: Double): DataFrame = {
+    val labels = Dedup.dupClusters(
+      Dedup.minhashDup(docs, threshold).select(col("doc_a"), col("doc_b")))
+    val withRep = graft.core.Tables.spread(docs).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("doc_id")))
+    val bucket = pmod(
+      graft.functions.Hashing.h32(col("rep_id").cast("string")), lit(100L))
+    withRep
+      .select(col("doc_id"), col("rep_id"), bucket.as("bucket"),
+        splitOfBucket(bucket, weights).as("split"))
       .orderBy(col("doc_id"))
   }
 

@@ -229,4 +229,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.find(_._1 == 2L).get._3 == 1L, "shortest doc leads")
     assert(got.find(_._1 == 1L).get._3 == 4L, "longest doc trails")
   }
+
+  test("clusterSafeSplit: every near-dup pair co-splits; singletons self-rep") {
+    import spark.implicits._
+    // 0/1 exact copies (guaranteed minhash pair), 2 a one-word mutation
+    // (pairs if its bands collide), 3 unrelated
+    val base = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    val docs = Seq(
+      (0L, base), (1L, base),
+      (2L, base.replace("ff", "zz")),
+      (3L, "qq rr ss tt uu vv ww xx yy"))
+      .toDF("doc_id", "text")
+    val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val out = Curation.clusterSafeSplit(docs, weights, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    val pairs = Dedup.minhashDup(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), "exact copies must pair")
+    pairs.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"pair ($a,$b) straddles: ${out(a)} ${out(b)}")
+    }
+    assert(out(3L)._1 == 3L, "unpaired doc is its own rep")
+    assert(out.values.map(_._2).forall(Set("train", "val", "test")))
+  }
 }
