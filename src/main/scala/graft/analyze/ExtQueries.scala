@@ -1798,6 +1798,27 @@ object ExtQueries {
             FROM documents) x
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
 
+    // per-doc shingle NOVELTY in ingestion (doc_id) order: fraction of
+    // a doc's shingles first seen in this doc — the marginal-
+    // information signal between "exact dup" and "keep"; the
+    // first-occurrence index is the grow-only structure an incremental
+    // pipeline persists and min-merges
+    ("t21_novelty_score", (s: SparkSession, d: String) =>
+      TextAnalysis.noveltyScore(t(s, d, "documents")),
+      Some(s"""
+      WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+      fst AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+      sc AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                    CAST(SUM(CASE WHEN fst.first_doc = sh.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             FROM sh JOIN fst USING (s) GROUP BY 1)
+      SELECT d.doc_id,
+             COALESCE(sc.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+             COALESCE(sc.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+             CASE WHEN COALESCE(sc.n_shingles, 0) = 0 THEN NULL
+                  ELSE CAST(sc.n_novel AS DOUBLE) / sc.n_shingles END AS novelty
+      FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
+
     // Misra-Gries heavy hitters (functions.MisraGriesAggregator): the
     // DETERMINISTIC-guarantee counterpart to the Count-Min sketch
     // (t09), audited like the recall queries (d20/d21): the stream is

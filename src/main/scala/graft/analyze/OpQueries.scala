@@ -493,6 +493,43 @@ object OpQueries {
       SELECT k, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY k"""
     }),
 
+    // personalized PageRank (random walk with restart): teleport mass
+    // confined to the seed set k <= 2 — g01's integer fixed point with
+    // a seed-conditional teleport term, unrolled identically in SQL
+    ("g11_personalized_pagerank", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ed = eventEdges(s, d)
+      val seeds = ed.select(col("src").as("k"))
+        .union(ed.select(col("dst").as("k")))
+        .distinct().filter(col("k") <= 2)
+      Graphs.personalizedPageRank(ed, seeds, iters = 3)
+        .select(col("k"), col("is_seed"), col("r").as("rank_fp"))
+    }, Some {
+      val scale = 1L << 40
+      val tele = s"(15 * $scale // 100) // (SELECT n FROM nsd)"
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT ed.dst, SUM(r${i - 1}.r * ed.w // ow.ow) AS s
+              FROM ed JOIN ow ON ed.src = ow.src
+              JOIN r${i - 1} ON r${i - 1}.k = ed.src GROUP BY ed.dst),
+        r$i AS (SELECT nodes.k,
+                  CASE WHEN nodes.k <= 2 THEN $tele ELSE 0 END
+                    + 85 * COALESCE(c$i.s, 0) // 100 AS r
+                FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $eventEdgesCtes,
+      ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      nsd AS (SELECT COUNT(*) AS n FROM nodes WHERE k <= 2),
+      r0 AS (SELECT k, CASE WHEN k <= 2
+                    THEN $scale // (SELECT n FROM nsd) ELSE 0 END AS r
+             FROM nodes),
+      $iterCtes
+      SELECT k, k <= 2 AS is_seed, CAST(r AS BIGINT) AS rank_fp
+      FROM r3 ORDER BY k"""
+    }),
+
     // ---- HITS hubs & authorities over the same event transition
     // graph: g01's fixed-point discipline with max-renormalization by
     // integer division (portable stand-in for the L2 normalize — HITS

@@ -48,27 +48,7 @@ object Graphs {
     val n = nodes.count()
     require(n > 0, "PageRank over an empty graph")
     val tele = ((100 - damping) * scale / 100) / n
-    // The weight-envelope check rides on the checkpoint job via
-    // observe() — zero extra passes over the (possibly expensive)
-    // edge-derivation pipeline — and fires before any iteration runs.
-    val wObs = org.apache.spark.sql.Observation("pagerank_w_envelope")
-    val edFull = ed.join(outw, "src")
-      .observe(wObs, max(col("w")).cast("long").as("wmax"),
-        min(col("w")).cast("long").as("wmin"))
-      .localCheckpoint()
-    // Enforce the documented operand envelope instead of trusting it
-    // (mirrors kmeansCentsFromVecs' fixed-point require): r <= scale
-    // and w < 2^22 keep r*w < 2^62; an over-envelope weight would
-    // silently overflow Long and corrupt EVERY rank downstream.
-    (wObs.get("wmax"), wObs.get("wmin")) match {
-      case (wmax: Long, wmin: Long) =>
-        require(wmin >= 0L, "PageRank edge weights must be >= 0")
-        require(wmax < (1L << 22),
-          s"PageRank edge weight $wmax >= 2^22: r*w would overflow Long " +
-          "at scale=2^40 fixed point; rescale weights (ranks depend " +
-          "only on relative weight per source)")
-      case _ => // no edges with weights: nothing to overflow
-    }
+    val edFull = envelopeCheckedEdges(ed, outw)
     var r = nodes.withColumn("r", lit(scale / n))
     for (_ <- 0 until iters) {
       val contrib = edFull
@@ -82,6 +62,78 @@ object Graphs {
             .as("r"))
     }
     r.orderBy(col("k"))
+  }
+
+  /** Shared [[pageRank]]/[[personalizedPageRank]] edge prep: attach
+    * per-source out-weight and enforce the fixed-point operand envelope
+    * before any iteration runs. The weight check rides on the
+    * checkpoint job via observe() — zero extra passes over the
+    * (possibly expensive) edge-derivation pipeline. r <= scale = 2^40
+    * and w < 2^22 keep r*w < 2^62; an over-envelope weight would
+    * silently overflow Long and corrupt EVERY rank downstream
+    * (mirrors kmeansCentsFromVecs' fixed-point require).
+    */
+  private def envelopeCheckedEdges(ed: DataFrame,
+                                   outw: DataFrame): DataFrame = {
+    val wObs = org.apache.spark.sql.Observation()
+    val edFull = ed.join(outw, "src")
+      .observe(wObs, max(col("w")).cast("long").as("wmax"),
+        min(col("w")).cast("long").as("wmin"))
+      .localCheckpoint()
+    (wObs.get("wmax"), wObs.get("wmin")) match {
+      case (wmax: Long, wmin: Long) =>
+        require(wmin >= 0L, "PageRank edge weights must be >= 0")
+        require(wmax < (1L << 22),
+          s"PageRank edge weight $wmax >= 2^22: r*w would overflow Long " +
+          "at scale=2^40 fixed point; rescale weights (ranks depend " +
+          "only on relative weight per source)")
+      case _ => // no edges with weights: nothing to overflow
+    }
+    edFull
+  }
+
+  /** PERSONALIZED PageRank (random walk with restart to a seed set):
+    * [[pageRank]]'s fixed-point iteration with the teleport mass
+    * confined to `seeds` — the relevance-to-a-topic ranking
+    * (Jeh & Widom, WWW'03) used to expand a trusted corpus from seed
+    * domains. Start vector and teleport are uniform over the seed
+    * nodes; non-seeds receive only propagated mass. Identical integer
+    * envelope and per-iteration shuffle shape as [[pageRank]] (one
+    * co-partitionable equi-join + groupBy(dst) per round); the only
+    * driver-side value is the seed count.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           scale: Long = 1L << 40,
+                           damping: Int = 85): DataFrame = {
+    require(iters >= 0 && damping > 0 && damping < 100,
+      "iters >= 0, damping in (0, 100)")
+    val ed = edges.select(col("src"), col("dst"), col("w"))
+    val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val nodes = ed.select(col("src").as("k"))
+      .union(ed.select(col("dst").as("k"))).distinct()
+    val flagged = nodes
+      .join(seeds.select(col("k")).distinct().withColumn("__s", lit(true)),
+        Seq("k"), "left")
+      .select(col("k"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val ns = flagged.filter(col("is_seed")).count()
+    require(ns > 0, "personalized PageRank needs at least one seed in the graph")
+    val tele = ((100 - damping) * scale / 100) / ns
+    val edFull = envelopeCheckedEdges(ed, outw)
+    var r = flagged.select(col("k"), col("is_seed"),
+      when(col("is_seed"), lit(scale / ns)).otherwise(lit(0L)).as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = edFull
+        .join(r.select(col("k").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r * w div ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = flagged.join(contrib, col("k") === col("dst"), "left")
+        .select(col("k"), col("is_seed"),
+          (when(col("is_seed"), lit(tele)).otherwise(lit(0L)) +
+            expr(s"(CAST($damping AS BIGINT) * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+    }
+    r.select(col("k"), col("is_seed"), col("r")).orderBy(col("k"))
   }
 
   /** Fixed-point weighted HITS (Kleinberg 1999) over a directed edge

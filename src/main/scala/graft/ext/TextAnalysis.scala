@@ -506,4 +506,38 @@ object TextAnalysis {
         col("n_chars").cast("double") / col("n_units").cast("double"))
       .orderBy(col("lang"))
   }
+
+  /** Shingle NOVELTY per document: the fraction of a doc's distinct
+    * word shingles whose FIRST corpus occurrence (in doc_id order —
+    * the ingestion order) is this doc. A crawler re-fetching mostly
+    * boilerplate scores near 0; genuinely new text scores near 1 — the
+    * marginal-information signal dedup thresholds are too blunt for
+    * (a doc can be 40% recycled yet worth keeping).
+    *
+    * Shape: one shingle explode -> groupBy(shingle).min(doc_id) (the
+    * first-occurrence index a production pipeline persists and
+    * min-merges incrementally — the same grow-only idea as the
+    * StreamDedup band state) -> join back on shingle -> one
+    * groupBy(doc). All key-partitioned; no windows, no driver state.
+    * Docs too short to shingle report n_shingles = 0, novelty null.
+    */
+  def noveltyScore(docs: DataFrame): DataFrame = {
+    val sh = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("s"))
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    val scored = sh.join(first.hint("shuffle_hash"), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -253,4 +253,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L)._1 == 3L, "unpaired doc is its own rep")
     assert(out.values.map(_._2).forall(Set("train", "val", "test")))
   }
+
+  test("noveltyScore: first sight scores 1, exact copy 0, short doc null") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa bb cc dd ee"),     // all 3 shingles first seen here
+      (1L, "aa bb cc dd ee"),     // exact copy: nothing novel
+      (2L, "aa bb cc dd zz"),     // shares 2 of 3 shingles with doc 0
+      (3L, "xx yy"))              // too short to shingle
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .toMap
+    assert(got(0L) == ((3L, 3L, 1.0)))
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L)._1 == 3L && got(2L)._2 == 1L)
+    assert(got(3L) == ((0L, 0L, -1.0)), "short doc must report null novelty")
+  }
 }

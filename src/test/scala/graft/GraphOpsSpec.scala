@@ -302,6 +302,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(uncapped.contains((3L, 4L)))
   }
 
+  test("personalizedPageRank: mass stays near seeds, unreachable nodes get zero") {
+    // chain 1 -> 2 -> 3; isolated pair 8 -> 9. Seeding {1}: rank decays
+    // along the chain and 8/9 (unreachable from the seed) end at zero
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (8L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("k")
+    val r = Graphs.personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getBoolean(1), x.getLong(2))).toMap
+    assert(r(1L)._1 && !r(2L)._1)
+    assert(r(1L)._2 > r(2L)._2 && r(2L)._2 > r(3L)._2 && r(3L)._2 > 0L)
+    assert(r(8L)._2 == 0L && r(9L)._2 == 0L, "unreachable must hold zero mass")
+    // uniform pageRank gives 8/9 nonzero teleport mass — the contrast
+    val u = Graphs.pageRank(edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(u(9L) > 0L)
+  }
+
   test("randomWalks: hash-min picks, dead-end truncation, determinism") {
     // 1 -> {2,3}; 2 -> {4}; 3 -> {}; 4 -> {}: walk from 1 picks the
     // min-hash neighbor, then continues only while out-edges exist
