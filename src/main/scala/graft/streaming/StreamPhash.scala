@@ -52,9 +52,27 @@ object StreamPhash {
     table
   }
 
+  /** Default hasher: the image path (synthetic pattern PNGs -> real
+    * dHash decode). Any 64-bit fingerprint plugs in — [[audioHasher]]
+    * gives the WAV/energy-delta twin — because everything downstream
+    * (banding, probe join, Hamming verify, batch-keyed state) only
+    * sees (doc_id, fp).
+    */
+  val imageHasher: DataFrame => DataFrame = batch =>
+    Multimodal.dhash64(Multimodal.syntheticPatternImages(batch))
+      .select(col("doc_id"), col("dhash").as("fp"))
+
+  /** Audio twin: multi-amplitude WAV renditions -> real javax.sound
+    * decode -> 64-bit energy-delta fingerprint (m07's batch pipeline).
+    */
+  val audioHasher: DataFrame => DataFrame = batch =>
+    Multimodal.audioFingerprint64(Multimodal.syntheticAudioRenditions(batch))
+      .select(col("doc_id"), col("fp"))
+
   def run(spark: SparkSession, landingDir: String, stateDir: String,
           outDir: String, checkpointDir: String,
-          maxHamming: Int = 4, buckets: Int = 8): StreamingQuery = {
+          maxHamming: Int = 4, buckets: Int = 8,
+          hasher: DataFrame => DataFrame = imageHasher): StreamingQuery = {
     val docs = spark.readStream.schema(StreamDedup.docSchema)
       .option("multiLine", "false")
       .json(landingDir)
@@ -63,7 +81,7 @@ object StreamPhash {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         processBatch(spark, batch0, batchId, stateDir, outDir, maxHamming,
-          buckets)
+          buckets, hasher)
       }
       .start()
   }
@@ -73,11 +91,11 @@ object StreamPhash {
     */
   def processBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
                    stateDir: String, outDir: String,
-                   maxHamming: Int = 4, buckets: Int = 8): Unit = {
+                   maxHamming: Int = 4, buckets: Int = 8,
+                   hasher: DataFrame => DataFrame = imageHasher): Unit = {
     val batch = batch0.filter(col("doc_id").isNotNull)
-    val hashed = Multimodal
-      .dhash64(Multimodal.syntheticPatternImages(batch))
-      .select(col("doc_id"), col("dhash").as("fp"))
+    val hashed = hasher(batch)
+      .select(col("doc_id"), col("fp"))
       .localCheckpoint()
     val table = ensureState(spark, s"$stateDir/bands", buckets)
     val corpus = spark.table(table)

@@ -92,4 +92,28 @@ class StreamPhashSpec extends SparkSpec {
         s"corpus bands not read as a bucketed scan:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("audio fingerprints stream through the same banded state (m07 twin)") {
+    // doc ids 16 apart share an audio PATTERN at different amplitudes
+    // (fingerprint-identical, byte-different WAV) — the audio analog of
+    // the multi-resolution image fixture; only the hasher changes, the
+    // banded batch-keyed state machinery is identical
+    val state = Files.createTempDirectory("sa_state").toString
+    val out = Files.createTempDirectory("sa_out").toString + "/dups"
+    val b0 = Seq(1L -> "x", 17L -> "x").toDF("doc_id", "text")
+    StreamPhash.processBatch(spark, b0, 0L, state, out,
+      hasher = StreamPhash.audioHasher)
+    val b1 = Seq(33L -> "x", 2L -> "x").toDF("doc_id", "text")
+    StreamPhash.processBatch(spark, b1, 1L, state, out,
+      hasher = StreamPhash.audioHasher)
+    def pairs() = spark.read.parquet(out)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs()
+    assert(got == Set((1L, 17L), (33L, 1L), (33L, 17L)), s"got $got")
+    // at-least-once replay of the same batch id is byte-identical
+    StreamPhash.processBatch(spark, b1, 1L, state, out,
+      hasher = StreamPhash.audioHasher)
+    assert(pairs() == got, "replay changed the audio dedup output")
+  }
 }
