@@ -1062,6 +1062,46 @@ object ExtQueries {
              ${est("merged")} = ${est("direct")} AS merge_exact"""
       }),
 
+    // SLIDING trailing-3h distinct users from the hourly HLL slices —
+    // the d18 merge identity put to operational use: per-window
+    // registers are max-merges of the persisted hourly state, never a
+    // re-scan; the window mapping is slice-explode + equi-join (no
+    // range join); exact trailing distinct rides along as the audit
+    ("w18_sliding_distinct_hll", (s: SparkSession, d: String) =>
+      Dedup.slidingDistinctHll(t(s, d, "events"), trailingHours = 3, p = 8),
+      Some {
+        val est =
+          s"""(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+                 * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+                 / (SUM(CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << m_rho AS DOUBLE))
+                    + (CAST(256 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)))"""
+        s"""
+      WITH h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS slice,
+                        ${Hashing.h32Sql("CAST(user_id AS VARCHAR)")} AS hv,
+                        user_id
+                 FROM events),
+      b AS (SELECT slice, user_id, hv >> 24 AS bucket, hv & 16777215 AS w FROM h),
+      s1 AS (SELECT slice, user_id, bucket, w | (w >> 1) AS v FROM b),
+      s2 AS (SELECT slice, user_id, bucket, v | (v >> 2) AS v FROM s1),
+      s4 AS (SELECT slice, user_id, bucket, v | (v >> 4) AS v FROM s2),
+      s8 AS (SELECT slice, user_id, bucket, v | (v >> 8) AS v FROM s4),
+      s16 AS (SELECT slice, user_id, bucket, v | (v >> 16) AS v FROM s8),
+      r AS (SELECT slice, user_id, bucket, 25 - bit_count(v) AS rho FROM s16),
+      sliced AS (SELECT slice, bucket, MAX(rho) AS m_rho FROM r GROUP BY 1, 2),
+      wins AS (SELECT DISTINCT slice AS win FROM sliced),
+      smap AS (SELECT x.slice, w.win
+               FROM (SELECT DISTINCT slice FROM sliced) x JOIN wins w
+               ON w.win >= x.slice AND w.win <= x.slice + INTERVAL 2 HOUR),
+      merged AS (SELECT smap.win, sliced.bucket, MAX(sliced.m_rho) AS m_rho
+                 FROM sliced JOIN smap ON sliced.slice = smap.slice
+                 GROUP BY 1, 2),
+      est AS (SELECT win, $est AS hll_estimate FROM merged GROUP BY win),
+      ex AS (SELECT smap.win, CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS n_exact
+             FROM r JOIN smap ON r.slice = smap.slice GROUP BY 1)
+      SELECT est.win, ex.n_exact, est.hll_estimate
+      FROM est JOIN ex USING (win) ORDER BY win"""
+      }),
+
     // HLL sketch algebra: distinct-user overlap of two event types
     // from register state alone — union by per-bucket MAX, intersection
     // by inclusion-exclusion. The overlap answer at 100 TB without a

@@ -803,6 +803,58 @@ object Dedup {
         (col("merged_estimate") === col("direct_estimate")).as("merge_exact"))
   }
 
+  /** SLIDING-window distinct users from hourly HLL register slices —
+    * the operational payoff of the d18 merge identity: "distinct users
+    * in the trailing K hours, every hour" without ever re-scanning
+    * events. Each hour keeps its 2^p-register slice (the persisted
+    * streaming state); a trailing window's registers are the per-bucket
+    * MAX over its K slices, built by exploding each slice to the
+    * windows it serves (an equi-join on window id — no range join, no
+    * nested loop) and one groupBy(win, bucket). The per-window
+    * estimate uses the dyadic 1/2^rho sum (each term and every partial
+    * sum exactly representable, so the grouped double sum is
+    * order-independent and bit-portable). Exact trailing distinct
+    * rides along as the per-window audit column.
+    *
+    * Output: (win, n_exact, hll_estimate) per hour with data.
+    */
+  def slidingDistinctHll(events: DataFrame, trailingHours: Int = 3,
+                         p: Int = 8): DataFrame = {
+    require(trailingHours >= 1 && p >= 4 && p <= 16,
+      "trailingHours >= 1, p in [4,16]")
+    val rows = graft.core.Tables.spread(events)
+      .select(date_trunc("hour", col("ts")).as("slice"),
+        h32(col("user_id").cast("string")).as("hv"), col("user_id"))
+      .select(col("slice"), hllBucket(col("hv"), p).as("bucket"),
+        hllRho(col("hv"), p).as("rho"), col("user_id"))
+      .localCheckpoint() // registers AND the exact audit read it
+    val sliced = rows.groupBy(col("slice"), col("bucket"))
+      .agg(max(col("rho")).as("m_rho"))
+    val wins = sliced.select(col("slice").as("win")).distinct()
+    def toWins(df: DataFrame): DataFrame = df
+      .withColumn("win", explode(array((0 until trailingHours).map(k =>
+        expr(s"slice + INTERVAL '$k' HOUR")): _*)))
+      .join(wins.hint("shuffle_hash"), Seq("win"))
+    val merged = toWins(sliced)
+      .groupBy(col("win"), col("bucket")).agg(max(col("m_rho")).as("m_rho"))
+    val m = 1L << p
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val est = merged.groupBy(col("win"))
+      .agg(count(lit(1)).as("nb"),
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), m_rho)")
+          .cast("double")).as("sum_used"))
+      .select(col("win"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_used") + (lit(m.toDouble) - col("nb").cast("double"))))
+          .as("hll_estimate"))
+    val exact = toWins(rows.select(col("slice"), col("user_id")))
+      .groupBy(col("win"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, Seq("win"))
+      .select(col("win"), col("n_exact"), col("hll_estimate"))
+      .orderBy(col("win"))
+  }
+
   /** HLL sketch ALGEBRA: the distinct-user overlap of two event types
     * from register state alone — union by per-bucket MAX (the
     * mergeability d18 proves), intersection by inclusion-exclusion
