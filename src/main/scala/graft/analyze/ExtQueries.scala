@@ -1512,6 +1512,32 @@ object ExtQueries {
               ORDER BY cosine DESC, tid) AS INT) AS rn FROM sc) z
       WHERE rn <= 5 ORDER BY query_id, rn""")),
 
+    // embedding distribution drift between two snapshots (even/odd
+    // vec_id halves): per-dim means in exact 2^20 fixed point —
+    // integer sums (never order-dependent float sums), single exact
+    // divisions at the end
+    ("s28_embedding_drift", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      Similarity.embeddingDrift(
+        embs.filter(col("vec_id") % 2 === 0),
+        embs.filter(col("vec_id") % 2 === 1))
+    }, Some {
+      def side(tag: String, par: Int) = s"""
+      x$tag AS (SELECT CAST(i AS INT) AS dim,
+                CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS fx
+             FROM (SELECT embedding FROM embeddings WHERE vec_id % 2 = $par) e,
+                  unnest(generate_series(0, CAST(len(embedding) - 1 AS BIGINT))) AS t(i)),
+      g$tag AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_$tag,
+                       CAST(SUM(fx) AS BIGINT) AS sum_fp_$tag
+                FROM x$tag GROUP BY 1)"""
+      s"""
+      WITH ${side("a", 0)}, ${side("b", 1)}
+      SELECT dim, n_a, n_b, sum_fp_a, sum_fp_b,
+             CAST(sum_fp_a AS DOUBLE) / n_a / 1048576
+               - CAST(sum_fp_b AS DOUBLE) / n_b / 1048576 AS mean_delta
+      FROM ga JOIN gb USING (dim) ORDER BY dim"""
+    }),
+
     // DBSCAN-style density clustering on the cosine graph: core =
     // >= 5 neighbors at cosine >= 0.3, clusters = two-phase CC over
     // core-core edges, border = min core-neighbor cluster, else noise.

@@ -160,6 +160,38 @@ object Similarity {
       emb, planes.map(_.toSeq))
   }
 
+  /** Embedding distribution DRIFT between two corpus snapshots — the
+    * dataset-shift monitor a training pipeline runs before trusting a
+    * refreshed embedding corpus: per-dimension mean movement, computed
+    * entirely in exact integer fixed point (floor(x * 2^20) per
+    * element, integer sums — float sums would be partition-order-
+    * dependent; these are not), with the only doubles the final
+    * per-dimension single divisions (exact integer inputs, fixed
+    * operation order — bit-portable). Shape: one posexplode + one
+    * 64-group aggregation per side; partial (map-side) aggregation
+    * means the exchange carries dims x partitions rows, never the
+    * corpus.
+    *
+    * Output per dim: (dim, n_a, n_b, sum_fp_a, sum_fp_b, mean_delta).
+    */
+  def embeddingDrift(embsA: DataFrame, embsB: DataFrame,
+                     scale: Long = 1L << 20): DataFrame = {
+    def dimSums(df: DataFrame, n: String, s: String): DataFrame =
+      graft.core.Tables.spread(df)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(n),
+          sum(floor(col("x").cast("double") * scale).cast("long")).as(s))
+    dimSums(embsA, "n_a", "sum_fp_a")
+      .join(dimSums(embsB, "n_b", "sum_fp_b"), Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("sum_fp_a"), col("sum_fp_b"),
+        (col("sum_fp_a").cast("double") / col("n_a") / scale -
+          col("sum_fp_b").cast("double") / col("n_b") / scale)
+          .as("mean_delta"))
+      .orderBy(col("dim"))
+  }
+
   /** DBSCAN-style density clustering (Ester et al., KDD'96) on the
     * cosine-similarity graph: neighbor = cosine >= threshold, a vector
     * is CORE when it has >= minPts neighbors (self excluded), clusters
