@@ -1885,6 +1885,23 @@ object ExtQueries {
                   ELSE CAST(sc.n_novel AS DOUBLE) / sc.n_shingles END AS novelty
       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")),
 
+    // Heaps-law vocabulary growth at a checkpoint ladder — one pass
+    // over the first-occurrence table (conditional sums), never a scan
+    // per checkpoint
+    ("t22_vocab_growth", (s: SparkSession, d: String) =>
+      TextAnalysis.vocabGrowth(t(s, d, "documents")),
+      Some(s"""
+      WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
+      fst AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+      cp AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096, 16384]) AS BIGINT)
+               AS checkpoint)
+      SELECT cp.checkpoint,
+             CAST((SELECT COUNT(*) FROM sh WHERE doc_id < cp.checkpoint)
+               AS BIGINT) AS n_tokens,
+             CAST((SELECT COUNT(*) FROM fst WHERE first_doc < cp.checkpoint)
+               AS BIGINT) AS vocab
+      FROM cp ORDER BY checkpoint""")),
+
     // Misra-Gries heavy hitters (functions.MisraGriesAggregator): the
     // DETERMINISTIC-guarantee counterpart to the Count-Min sketch
     // (t09), audited like the recall queries (d20/d21): the stream is
@@ -2229,6 +2246,31 @@ object ExtQueries {
       SELECT doc_id, n_tokens, h,
              CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) AS BIGINT) AS pos
       FROM tk ORDER BY pos""")),
+
+    // rendezvous (highest-random-weight) sharding at fleet sizes 4 and
+    // 5: argmax over shards of h32("doc:shard") — growing the fleet
+    // moves ~1/5 of docs instead of re-hashing everything; the argmax
+    // (greatest-of-structs vs ROW_NUMBER desc) must agree doc-for-doc
+    ("c21_rendezvous_shards", (s: SparkSession, d: String) =>
+      Curation.rendezvousShards(t(s, d, "documents"),
+        nBefore = 4, nAfter = 5),
+      Some {
+        def side(tag: String, n: Int, outCol: String) = s"""
+      x$tag AS (SELECT d.doc_id, t.sh,
+              ${Hashing.h32Sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.sh AS VARCHAR)")} AS h
+             FROM documents d CROSS JOIN
+                  (SELECT CAST(unnest(range($n)) AS INT) AS sh) t),
+      a$tag AS (SELECT doc_id, sh AS $outCol FROM (
+              SELECT doc_id, sh,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY h DESC, sh DESC) AS rn
+              FROM x$tag) z WHERE rn = 1)"""
+        s"""
+      WITH ${side("4", 4, "shard_before")}, ${side("5", 5, "shard_after")}
+      SELECT doc_id, shard_before, shard_after,
+             shard_before <> shard_after AS moved
+      FROM a4 JOIN a5 USING (doc_id) ORDER BY doc_id"""
+      }),
 
     // per-epoch deterministic training shuffle: dense rank of the
     // portable h32("epoch:doc_id") per epoch via the SeqNumber

@@ -569,6 +569,38 @@ object Curation {
       .orderBy(col("epoch"), col("pos"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: a doc's shard is argmax over shards of the portable
+    * h32("doc:shard"). Unlike `doc_id % n`, growing the fleet from n to
+    * n+1 shards moves only the docs whose NEW shard wins the argmax —
+    * an expected 1/(n+1) of the corpus — so a shard-count change
+    * re-ships a sliver, not everything. Pure projection (the argmax is
+    * a greatest-of-literals fold, no join, no shuffle); emitted here
+    * for two fleet sizes with the moved flag so the stability claim is
+    * itself an oracle-checked VALUE.
+    *
+    * Output: (doc_id, shard_before, shard_after, moved).
+    */
+  def rendezvousShards(docs: DataFrame, nBefore: Int,
+                       nAfter: Int): DataFrame = {
+    require(nBefore >= 1 && nAfter >= 1, "shard counts >= 1")
+    def assign(n: Int): Column = {
+      // argmax by (hash, shard) — total order, deterministic ties
+      val scored = (0 until n).map { sh =>
+        struct(graft.functions.Hashing.h32(
+          concat(col("doc_id").cast("string"), lit(s":$sh"))).as("h"),
+          lit(sh).as("sh"))
+      }
+      greatest(scored: _*).getField("sh")
+    }
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        assign(nBefore).as("shard_before"),
+        assign(nAfter).as("shard_after"))
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, one
     * multiplicative-weights step, linearized): per-domain excess
     * signal -> adjusted mixture weights. The trained proxy's excess

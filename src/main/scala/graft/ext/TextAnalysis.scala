@@ -521,6 +521,45 @@ object TextAnalysis {
     * groupBy(doc). All key-partitioned; no windows, no driver state.
     * Docs too short to shingle report n_shingles = 0, novelty null.
     */
+  /** Vocabulary growth curve (Heaps' law): distinct-shingle count and
+    * total shingle occurrences among the first-c docs (doc_id order),
+    * at a fixed checkpoint ladder — the corpus statistic that says
+    * whether more data still buys new content or the crawl has gone
+    * circular. ONE pass: the first-occurrence table ([[noveltyScore]]'s
+    * index) reduces to |checkpoints| conditional sums — never a scan
+    * per checkpoint. Output: (checkpoint, n_tokens, vocab) ascending.
+    */
+  def vocabGrowth(docs: DataFrame,
+                  checkpoints: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L,
+                    16384L)): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
+      "ascending non-empty checkpoints")
+    val sh = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("s"))
+    val first = sh.groupBy(col("s"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("occ_all"))
+    // occurrences among the first-c docs need the per-doc counts, not
+    // occ_all (a shingle first seen early can recur late) — so tokens
+    // come from the raw (doc, s) pairs, vocab from the first table
+    val tokCols = checkpoints.map(c =>
+      sum(when(col("doc_id") < c, 1L).otherwise(0L)).as(s"t$c"))
+    val tokRow = sh.agg(tokCols.head, tokCols.tail: _*)
+    val vocCols = checkpoints.map(c =>
+      sum(when(col("first_doc") < c, 1L).otherwise(0L)).as(s"v$c"))
+    val vocRow = first.agg(vocCols.head, vocCols.tail: _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cps = checkpoints.toDF("checkpoint")
+    cps.crossJoin(broadcast(tokRow)).crossJoin(broadcast(vocRow))
+      .select(col("checkpoint"),
+        checkpoints.map(c => when(col("checkpoint") === c, col(s"t$c")))
+          .reduce(coalesce(_, _)).as("n_tokens"),
+        checkpoints.map(c => when(col("checkpoint") === c, col(s"v$c")))
+          .reduce(coalesce(_, _)).as("vocab"))
+      .orderBy(col("checkpoint"))
+  }
+
   def noveltyScore(docs: DataFrame): DataFrame = {
     val sh = graft.core.Tables.spread(docs)
       .select(col("doc_id"),

@@ -57,7 +57,8 @@ class PlanGuardSpec extends SparkSpec {
     "t20_heavy_hitters" -> 1, // broadcast 1-row stream-total aggregate
     // c18: the corpus-total attach sits behind a localCheckpoint; the
     // registered plan carries only the 1-row weight-total broadcast
-    "c18_domain_reweight" -> 1)
+    "c18_domain_reweight" -> 1,
+    "t22_vocab_growth" -> 2) // two 1-row conditional-sum broadcasts
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
