@@ -1512,6 +1512,31 @@ object ExtQueries {
               ORDER BY cosine DESC, tid) AS INT) AS rn FROM sc) z
       WHERE rn <= 5 ORDER BY query_id, rn""")),
 
+    // late-interaction (ColBERT MaxSim) retrieval: docs = 4-token
+    // vector sets, score = sum over query tokens of max target-token
+    // cosine; per-token maxes exact doubles, outer sum 2^40 fixed
+    // point (aggregation-order-free)
+    ("s29_late_interaction", (s: SparkSession, d: String) =>
+      Similarity.lateInteractionTopK(t(s, d, "embeddings"),
+        tokensPerDoc = 4, nQueries = 2, k = 5),
+      Some(s"""
+      WITH tk AS (SELECT vec_id // 4 AS doc, vec_id % 4 AS tok, embedding,
+                         ${normS("embedding")} AS nrm
+                  FROM embeddings),
+      sc AS (SELECT q.doc AS qd, t.doc AS td, q.tok,
+                    MAX(${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm))
+                      AS mc
+             FROM tk q JOIN tk t ON q.doc < 2 AND q.doc <> t.doc
+             GROUP BY 1, 2, 3),
+      ms AS (SELECT qd, td,
+                    CAST(SUM(CAST(FLOOR(mc * 1099511627776) AS BIGINT))
+                      AS BIGINT) AS maxsim_fp
+             FROM sc GROUP BY 1, 2)
+      SELECT qd AS query_doc, td AS target_doc, maxsim_fp, rn
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qd
+              ORDER BY maxsim_fp DESC, td) AS INT) AS rn FROM ms) z
+      WHERE rn <= 5 ORDER BY query_doc, rn""")),
+
     // embedding distribution drift between two snapshots (even/odd
     // vec_id halves): per-dim means in exact 2^20 fixed point —
     // integer sums (never order-dependent float sums), single exact

@@ -160,6 +160,53 @@ object Similarity {
       emb, planes.map(_.toSeq))
   }
 
+  /** Late-interaction retrieval (ColBERT MaxSim — Khattab & Zaharia,
+    * SIGIR'20): docs are SETS of token vectors (here vec_id div
+    * tokensPerDoc groups the flat embedding table), and a query doc
+    * scores a target doc as sum over query tokens of the MAX cosine
+    * against any target token — the fine-grained relevance that a
+    * single pooled vector flattens away. The per-token maxes are exact
+    * doubles (shared fold-order dot product); the outer sum is 2^40
+    * fixed point so its value is independent of aggregation order —
+    * the hash-exactness discipline for any cross-partition double sum.
+    *
+    * Shape: the bounded query token set broadcasts against the target
+    * scan (the s01 contract); groupBy((q,t,token)).max then
+    * groupBy((q,t)).sum are key-partitioned; top-k is a per-query
+    * partitioned window. At corpus scale the target side would first
+    * pass through an IVF/LSH candidate stage exactly like s06/s12.
+    *
+    * Output: (query_doc, target_doc, maxsim_fp, rn <= k).
+    */
+  def lateInteractionTopK(embs: DataFrame, tokensPerDoc: Int,
+                          nQueries: Int, k: Int): DataFrame = {
+    require(tokensPerDoc >= 1 && nQueries >= 1 && k >= 1,
+      "tokensPerDoc, nQueries, k >= 1")
+    val toks = graft.core.Tables.spread(embs)
+      .select(expr(s"vec_id div $tokensPerDoc").as("doc"),
+        expr(s"vec_id % $tokensPerDoc").as("tok"),
+        col("embedding"), normCol(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val q = toks.filter(col("doc") < nQueries)
+      .select(col("doc").as("qd"), col("tok").as("qtok"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(toks.select(col("doc").as("td"), col("embedding").as("te"),
+        col("nrm").as("tn")), col("qd") =!= col("td"))
+      .withColumn("cos", dotCol(col("qe"), col("te")) / (col("qn") * col("tn")))
+      .groupBy(col("qd"), col("td"), col("qtok"))
+      .agg(max(col("cos")).as("mc"))
+      .groupBy(col("qd"), col("td"))
+      .agg(sum(floor(col("mc") * (1L << 40)).cast("long")).as("maxsim_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qd")).orderBy(col("maxsim_fp").desc, col("td"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .select(col("qd").as("query_doc"), col("td").as("target_doc"),
+        col("maxsim_fp"), col("rn"))
+      .orderBy(col("query_doc"), col("rn"))
+  }
+
   /** Embedding distribution DRIFT between two corpus snapshots — the
     * dataset-shift monitor a training pipeline runs before trusting a
     * refreshed embedding corpus: per-dimension mean movement, computed
