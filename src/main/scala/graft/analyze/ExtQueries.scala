@@ -1062,6 +1062,41 @@ object ExtQueries {
              ${est("merged")} = ${est("direct")} AS merge_exact"""
       }),
 
+    // scalar value-distribution drift between the two halves of the
+    // event stream (the s28 monitor for metrics instead of
+    // embeddings): fixed-width bins, integer counts, shares as exact
+    // single divisions — the pre/post-deploy distribution diff
+    ("w19_value_drift", (s: SparkSession, d: String) => {
+      val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+      val binned = Tables.spread(t(s, d, "events"))
+        .select(floor(col("value") / 50).cast("long").as("bin"),
+          (col("ts") < expr(cut)).as("ha"))
+      val agg = binned.groupBy(col("bin")).agg(
+        sum(when(col("ha"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("ha"), 1L).otherwise(0L)).as("n_b"))
+      val tot = agg.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_a"), col("n_b"),
+          (col("n_a").cast("double") / col("ta")).as("share_a"),
+          (col("n_b").cast("double") / col("tb")).as("share_b"),
+          (col("n_a").cast("double") / col("ta") -
+            col("n_b").cast("double") / col("tb")).as("share_delta"))
+        .orderBy(col("bin"))
+    }, Some("""
+      WITH b AS (SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin,
+                        ts < TIMESTAMP '2024-01-16 00:00:00' AS ha
+                 FROM events),
+      a AS (SELECT bin,
+                   CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN ha THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+            FROM b GROUP BY 1),
+      tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM a)
+      SELECT bin, n_a, n_b,
+             CAST(n_a AS DOUBLE) / ta AS share_a,
+             CAST(n_b AS DOUBLE) / tb AS share_b,
+             CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb AS share_delta
+      FROM a, tot ORDER BY bin""")),
+
     // SLIDING trailing-3h distinct users from the hourly HLL slices —
     // the d18 merge identity put to operational use: per-window
     // registers are max-merges of the persisted hourly state, never a

@@ -59,7 +59,8 @@ class PlanGuardSpec extends SparkSpec {
     // registered plan carries only the 1-row weight-total broadcast
     "c18_domain_reweight" -> 1,
     "t22_vocab_growth" -> 2, // two 1-row conditional-sum broadcasts
-    "s29_late_interaction" -> 1) // broadcast query TOKEN set vs target scan (s01 contract)
+    "s29_late_interaction" -> 1, // broadcast query TOKEN set vs target scan (s01 contract)
+    "w19_value_drift" -> 1) // broadcast 1-row bin-total aggregate
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
