@@ -542,11 +542,14 @@ object TextAnalysis {
     // occurrences among the first-c docs need the per-doc counts, not
     // occ_all (a shingle first seen early can recur late) — so tokens
     // come from the raw (doc, s) pairs, vocab from the first table
+    // coalesce: sum over an EMPTY corpus is null, the curve reads 0
     val tokCols = checkpoints.map(c =>
-      sum(when(col("doc_id") < c, 1L).otherwise(0L)).as(s"t$c"))
+      coalesce(sum(when(col("doc_id") < c, 1L).otherwise(0L)), lit(0L))
+        .as(s"t$c"))
     val tokRow = sh.agg(tokCols.head, tokCols.tail: _*)
     val vocCols = checkpoints.map(c =>
-      sum(when(col("first_doc") < c, 1L).otherwise(0L)).as(s"v$c"))
+      coalesce(sum(when(col("first_doc") < c, 1L).otherwise(0L)), lit(0L))
+        .as(s"v$c"))
     val vocRow = first.agg(vocCols.head, vocCols.tail: _*)
     val spark = docs.sparkSession
     import spark.implicits._

@@ -156,6 +156,30 @@ class PrefixJoinSpec extends SparkSpec {
     assert(!out(1L) && out(2L) && !out(3L))
   }
 
+  test("round-7 operators degrade to empty/zero on degenerate inputs") {
+    import spark.implicits._
+    import graft.ext.{Curation, Dedup, Graphs, Similarity, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val noEmbs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(Dedup.prefixJaccardDup(noDocs, 1, 2).count() == 0)
+    assert(Dedup.dupClustersTwoPhase(noPairs).count() == 0)
+    assert(TextAnalysis.noveltyScore(noDocs).count() == 0)
+    assert(TextAnalysis.vocabGrowth(noDocs).collect()
+      .forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+    assert(Similarity.dbscanLite(noEmbs, 0.3, 2).count() == 0)
+    assert(Similarity.embeddingDrift(noEmbs, noEmbs).count() == 0)
+    assert(Graphs.randomWalks(noEdges, 3).count() == 0)
+    assert(Curation.rendezvousShards(noDocs, 4, 5).count() == 0)
+    assert(Curation.epochShuffle(noDocs, 2).count() == 0)
+    // MG over an empty stream: empty summary, not a crash
+    val mg = spark.emptyDataset[String].toDF("tok")
+      .agg(MisraGries.heavyHitters(4)(col("tok")).as("hh"))
+      .select(explode(col("hh"))).count()
+    assert(mg == 0)
+  }
+
   test("audio fingerprint is amplitude-invariant and perturbation-sensitive") {
     import spark.implicits._
     import graft.ext.Multimodal
