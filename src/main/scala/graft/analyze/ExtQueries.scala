@@ -2307,6 +2307,36 @@ object ExtQueries {
              CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) AS BIGINT) AS pos
       FROM tk ORDER BY pos""")),
 
+    // one-row corpus datasheet (dataset-card numbers, all integer /
+    // 2^20 fixed point — bit-reproducible): size, token volume,
+    // shingle vocab, exact-dup count, stopword rate, language HHI
+    ("c22_corpus_datasheet", (s: SparkSession, d: String) =>
+      Curation.corpusDatasheet(t(s, d, "documents")),
+      Some {
+        val allStop = TextAnalysis.stopwords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        s"""
+      WITH stopc AS (SELECT SUM(CAST(len(${TextOps.wordsSql("text")}) AS BIGINT)) AS sw,
+                  SUM(CAST(len(list_filter(${TextOps.wordsSql("text")},
+                    w -> w IN ($allStop))) AS BIGINT)) AS ss
+             FROM documents),
+      lh AS (SELECT CAST(SUM(share_fp * share_fp) // 1048576 AS BIGINT) AS lang_hhi_fp
+             FROM (SELECT (COUNT(*) * 1048576)
+                          // (SELECT COUNT(*) FROM documents) AS share_fp
+                   FROM documents GROUP BY lang) z)
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+             CAST((SELECT SUM(len(${TextOps.wordsSql("text")})) FROM documents)
+               AS BIGINT) AS n_ws_tokens,
+             CAST((SELECT COUNT(DISTINCT s) FROM
+                   (SELECT unnest($shinglesSql) AS s FROM documents) sh)
+               AS BIGINT) AS vocab,
+             CAST((SELECT COUNT(DISTINCT md5(text)) FROM documents) AS BIGINT)
+               AS n_distinct_texts,
+             CAST((SELECT (ss * 1048576) // sw FROM stopc) AS BIGINT)
+               AS stop_rate_fp,
+             (SELECT lang_hhi_fp FROM lh) AS lang_hhi_fp"""
+      }),
+
     // rendezvous (highest-random-weight) sharding at fleet sizes 4 and
     // 5: argmax over shards of h32("doc:shard") — growing the fleet
     // moves ~1/5 of docs instead of re-hashing everything; the argmax

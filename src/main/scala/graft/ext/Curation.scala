@@ -569,6 +569,44 @@ object Curation {
       .orderBy(col("epoch"), col("pos"))
   }
 
+  /** One-row corpus DATASHEET — the dataset-card numbers (Gebru et al.,
+    * "Datasheets for Datasets") a training corpus ships with: size,
+    * token volume, shingle vocabulary, exact-dup count, corpus stopword
+    * rate and language concentration (Herfindahl index), every one in
+    * exact integer / 2^20 fixed point so the card is bit-reproducible.
+    * Each statistic is one key-partitioned aggregation over the scan it
+    * needs; the five 1-row summaries then broadcast-combine.
+    *
+    * Output: (n_docs, n_ws_tokens, vocab, n_distinct_texts,
+    * stop_rate_fp, lang_hhi_fp).
+    */
+  def corpusDatasheet(docs: DataFrame): DataFrame = {
+    val S = 1L << 20
+    val spread = graft.core.Tables.spread(docs).localCheckpoint()
+    val base = spread.agg(count(lit(1)).as("n_docs"),
+      sum(size(TextOps.words(col("text"))).cast("long")).as("n_ws_tokens"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    val vocab = spread
+      .select(explode(TextOps.wordShingles(col("text"), Dedup.ShingleSize))
+        .as("s"))
+      .agg(countDistinct(col("s")).as("vocab"))
+    val stop = spread
+      .withColumn("__q", graft.functions.QualityCountsOf(col("text"),
+        TextAnalysis.stopwords.flatMap(_._2)))
+      .agg(sum(col("__q.n_words").cast("long")).as("sw"),
+        sum(col("__q.n_stop").cast("long")).as("ss"))
+      .select(expr(s"(ss * $S) div sw").as("stop_rate_fp"))
+    val hhi = spread.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(spread.agg(count(lit(1)).as("n"))))
+      .select(expr(s"(nl * $S) div n").as("share_fp"))
+      .agg(expr(s"CAST(sum(share_fp * share_fp) div $S AS BIGINT)")
+        .as("lang_hhi_fp"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(stop))
+      .crossJoin(broadcast(hhi))
+      .select(col("n_docs"), col("n_ws_tokens"), col("vocab"),
+        col("n_distinct_texts"), col("stop_rate_fp"), col("lang_hhi_fp"))
+  }
+
   /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
     * 1998: a doc's shard is argmax over shards of the portable
     * h32("doc:shard"). Unlike `doc_id % n`, growing the fleet from n to

@@ -60,7 +60,8 @@ class PlanGuardSpec extends SparkSpec {
     "c18_domain_reweight" -> 1,
     "t22_vocab_growth" -> 2, // two 1-row conditional-sum broadcasts
     "s29_late_interaction" -> 1, // broadcast query TOKEN set vs target scan (s01 contract)
-    "w19_value_drift" -> 1) // broadcast 1-row bin-total aggregate
+    "w19_value_drift" -> 1, // broadcast 1-row bin-total aggregate
+    "c22_corpus_datasheet" -> 4) // four 1-row summary broadcasts (datasheet card)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
