@@ -53,6 +53,27 @@ def main() -> None:
         if len(got) != len(want):
             problems.append(f"rows {len(got)} vs {len(want)}")
         if not problems:
+            # The driver's hash is representation-sensitive: an int64
+            # Spark column vs a float64 oracle column (e.g. DuckDB's
+            # SUM(BIGINT) -> HUGEINT -> pandas float64) fails its hash
+            # even when every value is numerically equal. Mirror that
+            # here: integer-kind vs float-kind is a hard FAIL.
+            def kind_class(k):
+                if k in "iu":
+                    return "int"
+                if k == "f":
+                    return "float"
+                return None  # strings/bools/objects stay lenient
+            for c in sorted(got.columns):
+                gk = kind_class(got[c].dtype.kind)
+                wk = kind_class(want[c].dtype.kind)
+                if gk and wk and gk != wk:
+                    problems.append(
+                        f"dtype-class col {c}: spark {got[c].dtype} vs "
+                        f"oracle {want[c].dtype} (driver hash would "
+                        "differ even on equal values — add a CAST in "
+                        "the oracle or the query)")
+        if not problems:
             g, w = canon(got), canon(want)
             try:
                 pd.testing.assert_frame_equal(g, w, check_dtype=False,

@@ -1,4 +1,5 @@
 package graft.analyze
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1237,10 +1238,10 @@ object ExtQueries {
     // oracle nests the shaped banding verbatim over a shared signature
     ("d36_lsh_band_sweep", (s: SparkSession, d: String) => {
       val sample = Tables.spread(
-        t(s, d, "documents").filter(col("doc_id") < 1200)).localCheckpoint()
+        t(s, d, "documents").filter(col("doc_id") < 1200)).cpGuard()
       val arr = sample.select(col("doc_id"),
         array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
-        .localCheckpoint()
+        .cpGuard()
       def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
       val exactN = arr.as("a")
         .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -1248,7 +1249,7 @@ object ExtQueries {
         .select((nc.cast("double") /
           (size(col("a.sa")) + size(col("b.sa")) - nc)).as("j"))
         .filter(col("j") >= 0.5)
-        .agg(count(lit(1)).as("n_exact")).localCheckpoint()
+        .agg(count(lit(1)).as("n_exact")).cpGuard()
       Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
         val lshN = Dedup.minhashDupShaped(sample, threshold = 0.5,
             bands = b, rows = r)
@@ -1334,7 +1335,7 @@ object ExtQueries {
       // pair intersects run in one task (31s measured; ~2s spread)
       val arr = Tables.spread(sample).select(col("doc_id"),
         array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
-        .localCheckpoint()
+        .cpGuard()
       def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
       val exactN = arr.as("a")
         .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -1389,7 +1390,7 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_asym"))
       val arr = Tables.spread(sample).select(col("doc_id"),
         array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
-        .localCheckpoint()
+        .cpGuard()
       def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
       val exactN = arr.as("a")
         .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -1612,6 +1613,52 @@ object ExtQueries {
       p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM e a JOIN e b
             ON a.vec_id <> b.vec_id
             WHERE ${dotS("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3),
+      core AS (SELECT va AS vec_id FROM p GROUP BY va HAVING COUNT(*) >= 5),
+      ce AS (SELECT p.va AS src, p.vb AS dst FROM p
+             WHERE p.va IN (SELECT vec_id FROM core)
+               AND p.vb IN (SELECT vec_id FROM core)),
+      reach(src, dst) AS (
+        (SELECT src, dst FROM ce UNION SELECT vec_id, vec_id FROM core)
+        UNION
+        SELECT r.src, c.dst FROM reach r JOIN ce c ON r.dst = c.src),
+      cl AS (SELECT src AS vec_id, MIN(dst) AS cluster FROM reach GROUP BY src),
+      border AS (SELECT p.va AS vec_id, MIN(cl.cluster) AS cluster
+                 FROM p JOIN cl ON p.vb = cl.vec_id
+                 WHERE p.va NOT IN (SELECT vec_id FROM core)
+                 GROUP BY 1)
+      SELECT em.vec_id,
+             CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+                  WHEN border.vec_id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             COALESCE(cl.cluster, border.cluster) AS cluster
+      FROM embeddings em
+      LEFT JOIN cl USING (vec_id)
+      LEFT JOIN border USING (vec_id)
+      ORDER BY vec_id""")),
+
+    // s27 with LSH-collision candidate pairs instead of the exact
+    // all-pairs baseline — the DBSCAN shape that survives 100 TB
+    // (bucket equi-join candidates, zero nested-loop anywhere,
+    // including behind the checkpoint). The oracle models the
+    // 8-hyperplane bucketing itself (d11's convention), so the
+    // density/CC/border semantics OVER the candidate graph are exact
+    ("s27b_dbscan_lsh", (s: SparkSession, d: String) =>
+      Similarity.dbscanLsh(t(s, d, "embeddings"), nPlanes = 8,
+        threshold = 0.3, minPts = 5),
+      Some(s"""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding,
+                                  ${normS("embedding")} AS nrm FROM embeddings),
+      pl0 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+      pl AS (SELECT embedding, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+             FROM pl0),
+      b AS (SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                            THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT) AS bucket
+            FROM embeddings v CROSS JOIN pl p GROUP BY v.vec_id),
+      eb AS (SELECT e.vec_id, embedding, nrm, bucket FROM e JOIN b USING (vec_id)),
+      p AS (SELECT a.vec_id AS va, c.vec_id AS vb FROM eb a JOIN eb c
+            ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+            WHERE ${dotS("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.3),
       core AS (SELECT va AS vec_id FROM p GROUP BY va HAVING COUNT(*) >= 5),
       ce AS (SELECT p.va AS src, p.vb AS dst FROM p
              WHERE p.va IN (SELECT vec_id FROM core)
@@ -1860,7 +1907,7 @@ object ExtQueries {
     ("s23_ivf_nprobe_sweep", (s: SparkSession, d: String) => {
       val embs = t(s, d, "embeddings")
       val brute = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+        .select(col("query_id"), col("neighbor_id")).cpGuard()
       Seq(1, 2, 4).map { np =>
         val ivf = Similarity.ivfTopK(embs, nCentroids = 16, nProbe = np,
             nQueries = 10, k = 5)
@@ -1980,7 +2027,7 @@ object ExtQueries {
         .filter(col("tok") =!= "")
         .unionByName(docs
           .select(explode(TextOps.wordShingles(col("text"), 2)).as("tok")))
-        .localCheckpoint() // feeds both the sketch and the exact audit
+        .cpGuard() // feeds both the sketch and the exact audit
       val mg = stream
         .agg(graft.functions.MisraGries.heavyHitters(k)(col("tok")).as("hh"))
         .select(explode(col("hh")).as("e"))

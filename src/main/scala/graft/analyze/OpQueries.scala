@@ -1,4 +1,5 @@
 package graft.analyze
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -561,7 +562,7 @@ object OpQueries {
                   (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
       h0 AS (SELECT k, CAST($scale AS BIGINT) AS h FROM nodes),
       $iterCtes
-      SELECT a2.k, a2.a AS auth_fp, h2.h AS hub_fp
+      SELECT a2.k, CAST(a2.a AS BIGINT) AS auth_fp, CAST(h2.h AS BIGINT) AS hub_fp
       FROM a2 JOIN h2 ON a2.k = h2.k ORDER BY a2.k"""
     }),
 
@@ -786,7 +787,7 @@ object OpQueries {
       // checkpoint once: both the seed derivation and the BFS read the
       // edge list, and the per-user window behind eventEdges is the
       // expensive part — never re-derive it per consumer
-      val ed = eventEdges(s, d).localCheckpoint()
+      val ed = eventEdges(s, d).cpGuard()
       val nodes = ed.select(col("src").as("k"))
         .union(ed.select(col("dst").as("k"))).distinct()
       Graphs.bfsHops(ed, nodes.filter(col("k") % 13 === 0), maxHops = 3)
@@ -831,7 +832,7 @@ object OpQueries {
     // evaporates as the core requirement tightens ---------------------
     ("g07_coreness_sweep", (s: SparkSession, d: String) => {
       import graft.ext.Graphs
-      val ed = eventEdges(s, d).localCheckpoint()
+      val ed = eventEdges(s, d).cpGuard()
       Seq(2, 3, 4).map { md =>
         Graphs.kCore(ed, minDeg = md, iters = 3)
           .agg(count(lit(1)).as("n_core_nodes"),
@@ -1059,7 +1060,7 @@ object OpQueries {
       val embs = t(s, d, "embeddings")
       val exact = graft.ext.Similarity
         .bruteForceL2TopK(embs, nQueries = 10, k = 5)
-        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
+        .select(col("query_id"), col("neighbor_id")).cpGuard()
       val approx = graft.ext.Similarity.ivfPqTopK(embs, nCells = 8,
           nProbe = 2, nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))

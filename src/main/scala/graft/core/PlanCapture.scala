@@ -1,0 +1,55 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Sees through `localCheckpoint` for plan audits.
+  *
+  * Several engine operators deliberately materialize a subplan behind
+  * an eager `localCheckpoint` (bounded baselines, per-iteration graph
+  * states, 1-row stats) so the REGISTERED plan stays small — but that
+  * also hides the checkpointed stage from any audit that only inspects
+  * the final `queryExecution`. Every internal checkpoint in the engine
+  * therefore goes through [[CheckpointOps.cpGuard]], which first
+  * records the pre-checkpoint physical plan whenever a capture is
+  * active (PlanGuardSpec wraps each registered query build in
+  * [[capturing]]), then takes the normal `localCheckpoint()`. Outside a
+  * capture the cost is one volatile read — production behavior is
+  * byte-identical to calling `localCheckpoint()` directly.
+  */
+object PlanCapture {
+  @volatile private var label: Option[String] = None
+  private val buf = ArrayBuffer.empty[(String, SparkPlan)]
+
+  /** Run `body` recording every [[CheckpointOps.cpGuard]] plan under
+    * `name`. Single-audit-thread contract (PlanGuardSpec builds
+    * queries sequentially); not meant for concurrent captures.
+    */
+  def capturing[A](name: String)(body: => A): A = {
+    label = Some(name)
+    try body finally label = None
+  }
+
+  /** Drain and return all (queryName, preCheckpointPlan) captures. */
+  def drain(): Seq[(String, SparkPlan)] = buf.synchronized {
+    val r = buf.toList
+    buf.clear()
+    r
+  }
+
+  implicit class CheckpointOps[T](private val ds: Dataset[T]) extends AnyVal {
+    /** `localCheckpoint()` that is visible to plan audits. */
+    def cpGuard(): Dataset[T] = {
+      // capture the pre-AQE physical plan: it is immutable (an
+      // executed AdaptiveSparkPlanExec would later stringify BOTH its
+      // final and initial plans, double-counting nodes) and its tree
+      // is collect-able (AQE hides its subtree from collect)
+      if (label.isDefined) buf.synchronized {
+        label.foreach(l => buf += ((l, ds.queryExecution.sparkPlan)))
+      }
+      ds.localCheckpoint()
+    }
+  }
+}

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -359,11 +360,11 @@ object Curation {
     // is the dominant cost of the composition
     val good = kept.join(quality, "doc_id")
       .filter(col("quality") >= qualityMin)
-      .localCheckpoint()
+      .cpGuard()
     val sampled = good.join(
       stratifiedSample(good, "lang", perStratum).select(col("doc_id"), col("rk")),
       "doc_id")
-      .localCheckpoint() // tiny: strata x perStratum rows
+      .cpGuard() // tiny: strata x perStratum rows
     packDocs(sampled, "lang", "n_chars", capacity, scalable = true)
       .join(sampled.select(col("doc_id"), col("quality"), col("rk")), "doc_id")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("quality"),
@@ -443,7 +444,7 @@ object Curation {
     val cand = spread
       .select(col("doc_id"), col(weightCol), p.as("priority"))
       .orderBy(col("priority").desc, col("doc_id")).limit(n + 1)
-      .localCheckpoint() // read twice: tau and the sample cut
+      .cpGuard() // read twice: tau and the sample cut
     val tau = cand.agg(
       when(count(lit(1)) === (n + 1), min(col("priority")))
         .otherwise(lit(0.0)).as("tau"))
@@ -521,11 +522,11 @@ object Curation {
         explode(TextOps.words(col("text"))).as("w"))
       .select(col("doc_id"), col("is_tgt"),
         pmod(graft.functions.Hashing.h32(col("w")), lit(nBuckets.toLong)).as("h"))
-      .localCheckpoint() // read by the feature counts AND the score join
+      .cpGuard() // read by the feature counts AND the score join
     val feat = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("rc"),
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
-      .localCheckpoint() // read by totals AND the ratio table
+      .cpGuard() // read by totals AND the ratio table
     val totals = feat.agg(sum(col("rc")).as("rtot"), sum(col("tc")).as("ttot"))
     val ratio = feat.crossJoin(broadcast(totals))
       .select(col("h"),
@@ -582,7 +583,7 @@ object Curation {
     */
   def corpusDatasheet(docs: DataFrame): DataFrame = {
     val S = 1L << 20
-    val spread = graft.core.Tables.spread(docs).localCheckpoint()
+    val spread = graft.core.Tables.spread(docs).cpGuard()
     val base = spread.agg(count(lit(1)).as("n_docs"),
       sum(size(TextOps.words(col("text"))).cast("long")).as("n_ws_tokens"),
       countDistinct(md5(col("text"))).as("n_distinct_texts"))
@@ -677,7 +678,7 @@ object Curation {
         expr(s"$etaNum * ((ts * $S) div tw - stop_rate_fp)"))
       .withColumn("w_raw",
         col("n_docs") * greatest(lit(S) + col("delta_fp"), lit(floorFp)))
-      .localCheckpoint() // feeds its own total; never recompute the scan
+      .cpGuard() // feeds its own total; never recompute the scan
     val wtot = weighted.agg(sum(col("w_raw")).as("wtot"))
     weighted.crossJoin(broadcast(wtot))
       .select(col("source"), col("n_docs"), col("stop_rate_fp"),

@@ -1,4 +1,5 @@
 package graft.ext
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -187,7 +188,7 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.ShingleHashesOf(col("text"), ShingleSize).as("hs"))
       .filter(col("hs").isNotNull)
-      .localCheckpoint()
+      .cpGuard()
     val probes = indexed
       .select(col("doc_id").as("doc_a"),
         explode(slice(col("hs"), 1, probeK)).as("h"))
@@ -239,7 +240,7 @@ object Dedup {
       .select(col("doc_id").as("doc_a"),
         explode(slice(col("hs"), 1, probeK)).as("h"))
     val host = HotBuckets.prune(
-      hashed(corpus).localCheckpoint() // prune count + candidate join
+      hashed(corpus).cpGuard() // prune count + candidate join
         .select(col("doc_id").as("doc_b"), explode(col("hs")).as("h")),
       Seq("h"), maxBucket)
     val cand = probes.join(host.hint("shuffle_hash"), "h")
@@ -314,7 +315,7 @@ object Dedup {
                                       maxBucket: Int): DataFrame = {
     val bands =
       if (maxBucket == Int.MaxValue || docs.count() <= maxBucket) rawBands
-      else HotBuckets.prune(rawBands.localCheckpoint(),
+      else HotBuckets.prune(rawBands.cpGuard(),
         Seq("band_idx", "band_key"), maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -356,7 +357,7 @@ object Dedup {
       // checkpointed: the prune's count and the candidate join both
       // read it; a persisted band table (the other overload's caller)
       // is already materialized
-      minhashBands(minhashSignatures(corpus)).localCheckpoint(),
+      minhashBands(minhashSignatures(corpus)).cpGuard(),
       corpus, newDocs, threshold, maxBucket)
 
   /** [[minhashDupAgainst]] with the corpus BAND TABLE precomputed — the
@@ -372,7 +373,7 @@ object Dedup {
                              newDocs: DataFrame, threshold: Double,
                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val cand = bandProbeJoin(corpusBands,
-      minhashBands(minhashSignatures(newDocs)).localCheckpoint(), maxBucket)
+      minhashBands(minhashSignatures(newDocs)).cpGuard(), maxBucket)
       .distinct()
     jaccardVerify(cand, corpusDocs.unionByName(newDocs),
       array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)
@@ -431,7 +432,7 @@ object Dedup {
     // minhash/band candidate generation is too expensive to risk
     // re-execution if ReuseExchange fails to dedupe the subtrees (AQE
     // can specialize them apart) — materialize once, as dupClusters does.
-    val cand = cand0.localCheckpoint()
+    val cand = cand0.cpGuard()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
       .distinct()
@@ -439,7 +440,7 @@ object Dedup {
     // shingle/ngram arrays of candidate docs) feeds BOTH pair joins
     val needed = docs.join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), arrExpr.as("arr"))
-      .localCheckpoint()
+      .cpGuard()
     cand
       .join(needed.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"))
         .hint("shuffle_hash"), "doc_a")
@@ -483,7 +484,7 @@ object Dedup {
     // recovery from an executor loss replay the whole chain)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .distinct().localCheckpoint()
+      .distinct().cpGuard()
     // A dup-pair graph at or below broadcast scale (1M edges = 16 MB of
     // longs) doesn't need iterative shuffle rounds: each distributed
     // round costs whole jobs of fixed overhead regardless of size. Same
@@ -520,7 +521,7 @@ object Dedup {
     def materialize(df: DataFrame, obsName: String): (DataFrame, Long) = {
       val obs = Observation(obsName)
       val chk = df.observe(obs, sum(col("rep_id")).as("label_sum"))
-        .localCheckpoint()
+        .cpGuard()
       (chk, obs.get("label_sum").asInstanceOf[Long])
     }
     var (labels, prevSum) = materialize(
@@ -592,12 +593,12 @@ object Dedup {
     }
     var cur = symmetrize(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .localCheckpoint()
+      .cpGuard()
     val nodeCount = cur.select(col("u")).distinct().count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).cpGuard()
       converged = next.count() == cur.count() &&
         next.exceptAll(cur).isEmpty
       cur = next
@@ -607,7 +608,7 @@ object Dedup {
       s"two-phase connected components did not converge in $maxRounds rounds")
     val labels = cur.groupBy(col("u")).agg(min(col("v")).as("mv"))
       .select(col("u").as("doc_id"), least(col("mv"), col("u")).as("rep_id"))
-      .localCheckpoint()
+      .cpGuard()
     require(labels.count() == nodeCount,
       "two-phase star cover lost nodes — refusing to emit partial labels")
     labels.orderBy(col("doc_id"))
@@ -827,7 +828,7 @@ object Dedup {
         h32(col("user_id").cast("string")).as("hv"), col("user_id"))
       .select(col("slice"), hllBucket(col("hv"), p).as("bucket"),
         hllRho(col("hv"), p).as("rho"), col("user_id"))
-      .localCheckpoint() // registers AND the exact audit read it
+      .cpGuard() // registers AND the exact audit read it
     val sliced = rows.groupBy(col("slice"), col("bucket"))
       .agg(max(col("rho")).as("m_rho"))
     val wins = sliced.select(col("slice").as("win")).distinct()
@@ -876,7 +877,7 @@ object Dedup {
         hllRho(col("hv"), p).as("rho"))
     val perType = rows.groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("m_rho"))
-      .localCheckpoint()
+      .cpGuard()
     val ra = perType.filter(col("event_type") === typeA)
       .select(col("bucket"), col("m_rho"))
     val rb = perType.filter(col("event_type") === typeB)
@@ -932,7 +933,7 @@ object Dedup {
       .select(date_trunc("hour", col("ts")).as("hour"),
         col("event_id"), col("value"),
         h32(col("event_id").cast("string")).as("h"))
-      .localCheckpoint() // direct sketch + parity halves + value attach
+      .cpGuard() // direct sketch + parity halves + value attach
     // bottom-k by (h, event_id): TopKAggregator keeps (score desc, id
     // asc), so score = -h is smallest-hash-first with the id tiebreak;
     // h < 2^32 so the double negation is exact and invertible
@@ -1044,7 +1045,7 @@ object Dedup {
           .as(Seq("pos0", "w")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("w"))
-      .localCheckpoint() // referenced by both the shared-set agg and the mark join
+      .cpGuard() // referenced by both the shared-set agg and the mark join
     val shared = windows
       .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("occ"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_docs"))
@@ -1092,7 +1093,7 @@ object Dedup {
       case (a, b) => pmod(pmod(lit(a) * col("h") + lit(b), lit(P)), lit(mBits.toLong))
     }: _*)
     val corpusHashes = graft.core.Tables.spread(corpus)
-      .select(h.as("h")).distinct().localCheckpoint() // filter build + exact check
+      .select(h.as("h")).distinct().cpGuard() // filter build + exact check
     val filterWords = corpusHashes
       .select(explode(positions).as("p"))
       .select(expr("p div 63").as("word_idx"), pmod(col("p"), lit(63L)).as("bit"))
@@ -1187,7 +1188,7 @@ object Dedup {
           shiftright(col("fp"), SimhashBandBits * k)
             .bitwiseAND(lit(SimhashBandMask))): _*))
           .as(Seq("band_idx", "band_val")))
-        .localCheckpoint(),
+        .cpGuard(),
       Seq("band_idx", "band_val"), maxBucket)
     val pairs = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -1229,7 +1230,7 @@ object Dedup {
     val base = graft.core.Tables.spread(docs)
       .filter(col("doc_id") % sampleMod === 0 &&
         length(col("text")) === octet_length(col("text")))
-      .localCheckpoint()
+      .cpGuard()
     val meta = base.select(col("doc_id"), col("lang"), col("n_chars"))
       .withColumn("bkt", (col("n_chars") / maxLenDiff).cast("int"))
     val lhs = meta.withColumn("bkt",
@@ -1349,7 +1350,7 @@ object Dedup {
       // p = n - ceil(t*n) + 1, ceil in exact integer arithmetic
       .withColumn("p",
         expr(s"cast(n - (n * $num + $denom - 1) div $denom + 1 as int)"))
-      .localCheckpoint() // feeds prefix index AND both verify attaches
+      .cpGuard() // feeds prefix index AND both verify attaches
     val prefix = arrs.select(col("doc_id"), col("n"),
       explode(slice(col("ord_toks"), lit(1), col("p"))).as("tok"))
     val cand = prefix.as("a")

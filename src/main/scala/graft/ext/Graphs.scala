@@ -1,4 +1,5 @@
 package graft.ext
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -44,7 +45,7 @@ object Graphs {
     val ed = edges.select(col("src"), col("dst"), col("w"))
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
-      .union(ed.select(col("dst").as("k"))).distinct().localCheckpoint()
+      .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
     val n = nodes.count()
     require(n > 0, "PageRank over an empty graph")
     val tele = ((100 - damping) * scale / 100) / n
@@ -79,7 +80,7 @@ object Graphs {
     val edFull = ed.join(outw, "src")
       .observe(wObs, max(col("w")).cast("long").as("wmax"),
         min(col("w")).cast("long").as("wmin"))
-      .localCheckpoint()
+      .cpGuard()
     (wObs.get("wmax"), wObs.get("wmin")) match {
       case (wmax: Long, wmin: Long) =>
         require(wmin >= 0L, "PageRank edge weights must be >= 0")
@@ -115,7 +116,7 @@ object Graphs {
       .join(seeds.select(col("k")).distinct().withColumn("__s", lit(true)),
         Seq("k"), "left")
       .select(col("k"), coalesce(col("__s"), lit(false)).as("is_seed"))
-      .localCheckpoint()
+      .cpGuard()
     val ns = flagged.filter(col("is_seed")).count()
     require(ns > 0, "personalized PageRank needs at least one seed in the graph")
     val tele = ((100 - damping) * scale / 100) / ns
@@ -163,7 +164,7 @@ object Graphs {
     require(iters >= 1, "iters >= 1")
     val ed = edges.select(col("src"), col("dst"), col("w"))
     val nodes = ed.select(col("src").as("k"))
-      .union(ed.select(col("dst").as("k"))).distinct().localCheckpoint()
+      .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
     // Envelope enforcement rides on the edge checkpoint job (the
     // pageRank observe() pattern): per-edge w < 2^22 and total weight
     // < 2^41 keep w * score < 2^43 and every in/out sum < 2^62.
@@ -171,7 +172,7 @@ object Graphs {
     val edC = ed.observe(wObs,
       max(col("w")).cast("long").as("wmax"),
       min(col("w")).cast("long").as("wmin"),
-      sum(col("w")).cast("long").as("wtot")).localCheckpoint()
+      sum(col("w")).cast("long").as("wtot")).cpGuard()
     (wObs.get("wmax"), wObs.get("wmin"), wObs.get("wtot")) match {
       case (wmax: Long, wmin: Long, wtot: Long) =>
         require(wmin >= 0L, "HITS edge weights must be >= 0")
@@ -201,14 +202,14 @@ object Graphs {
       // recomputation — doubles per half-iteration (2^(2*iters) plan
       // growth; the iters=2 plan carried 22 BNLJ nodes).
       auth = renorm(aRaw, "ar").withColumnRenamed("ar", "a")
-        .localCheckpoint()
+        .cpGuard()
       val hRaw = nodes.join(
         edC.join(auth.select(col("k").as("dst"), col("a")), "dst")
           .groupBy(col("src")).agg(sum(expr("w * a")).as("hr")),
         col("k") === col("src"), "left")
         .select(col("k"), coalesce(col("hr"), lit(0L)).as("hr"))
       hub = renorm(hRaw, "hr").withColumnRenamed("hr", "h")
-        .localCheckpoint()
+        .cpGuard()
     }
     auth.join(hub, "k")
       .select(col("k"), col("a").as("auth_fp"), col("h").as("hub_fp"))
@@ -242,7 +243,7 @@ object Graphs {
       .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .localCheckpoint() // static across iterations; cap lineage
+      .cpGuard() // static across iterations; cap lineage
     val nodes = sym.select(col("src").as("k")).distinct()
     var lab = nodes.withColumn("label", col("k"))
     for (_ <- 0 until iters) {
@@ -285,11 +286,11 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint() // read by deg AND the orientation join
+      .cpGuard() // read by deg AND the orientation join
     val deg = und.select(col("a").as("k"))
       .unionAll(und.select(col("b").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // read by the orientation join AND the output
+      .cpGuard() // read by the orientation join AND the output
     // Orient a->b unless deg(a) > deg(b) (ties break on id, and a < b
     // already): u is always the (deg, id)-smaller endpoint.
     val oriented = und
@@ -299,7 +300,7 @@ object Graphs {
         when(col("da") > col("db"), col("b")).otherwise(col("a")).as("u"),
         when(col("da") > col("db"), col("a")).otherwise(col("b")).as("v"),
         when(col("da") > col("db"), col("da")).otherwise(col("db")).as("dv"))
-      .localCheckpoint() // the wedge join reads this THREE times (o1,
+      .cpGuard() // the wedge join reads this THREE times (o1,
       // o2, and the closing semi-join) — without the checkpoint the
       // whole edge-derivation pipeline re-runs once per reference
     // Wedges (u; v1 < v2 under (deg, id)) closed by the oriented edge
@@ -347,9 +348,9 @@ object Graphs {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops >= 0")
     val ed = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint() // static across hops; read once per hop
+      .cpGuard() // static across hops; read once per hop
     var dist = seeds.select(col("k").cast("long").as("k")).distinct()
-      .withColumn("hop", lit(0).cast("int")).localCheckpoint()
+      .withColumn("hop", lit(0).cast("int")).cpGuard()
     var frontier = dist.select(col("k"))
     for (h <- 1 to maxHops) {
       val next = frontier.join(ed, col("k") === col("src"))
@@ -359,7 +360,7 @@ object Graphs {
       // ONE materialization per hop: the union'd distance table is the
       // checkpoint, and the next frontier is a cheap filter over it
       // (hop = h selects exactly this hop's discoveries).
-      dist = dist.unionAll(next).localCheckpoint()
+      dist = dist.unionAll(next).cpGuard()
       frontier = dist.filter(col("hop") === h).select(col("k"))
     }
     dist.orderBy(col("k"))
@@ -389,7 +390,7 @@ object Graphs {
     var cur = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct().localCheckpoint()
+      .distinct().cpGuard()
     for (_ <- 0 until iters) {
       val keep = cur.select(col("a").as("k")).unionAll(cur.select(col("b").as("k")))
         .groupBy(col("k")).agg(count(lit(1)).as("deg"))
@@ -397,7 +398,7 @@ object Graphs {
       cur = cur
         .join(keep.select(col("k").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("k").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .cpGuard()
     }
     cur.select(col("a").as("k")).unionAll(cur.select(col("b").as("k")))
       .groupBy(col("k")).agg(count(lit(1)).as("deg"))
@@ -437,18 +438,18 @@ object Graphs {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint() // read by adj (twice via unionAll) AND the anti-join
+      .cpGuard() // read by adj (twice via unionAll) AND the anti-join
     val adj = und.select(col("a").as("k"), col("b").as("n"))
       .unionAll(und.select(col("b").as("k"), col("a").as("n")))
     val deg = adj.groupBy(col("k")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // read by the wedge prune and both score joins
+      .cpGuard() // read by the wedge prune and both score joins
     // Prune hot wedge centers BEFORE the self-join: the center of a
     // wedge is the shared neighbor n, so the cap keys on deg(n).
     val adjc = adj
       .join(deg.select(col("k").as("n"), col("deg").as("dn")), "n")
       .filter(col("dn") <= maxWedgeDeg)
       .select(col("n"), col("k"))
-      .localCheckpoint() // self-joined below
+      .cpGuard() // self-joined below
     val cn = adjc
       .join(adjc.select(col("n"), col("k").as("k2")), "n")
       .filter(col("k") < col("k2"))
@@ -508,7 +509,7 @@ object Graphs {
     */
   def randomWalks(edges: DataFrame, steps: Int): DataFrame = {
     require(steps >= 1, "steps >= 1")
-    val adj = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val adj = edges.select(col("src"), col("dst")).distinct().cpGuard()
     var cur = adj.select(col("src").as("start")).distinct()
       .withColumn("node", col("start"))
     val acc = scala.collection.mutable.Buffer(cur.withColumn("step", lit(0)))
@@ -521,7 +522,7 @@ object Graphs {
       cur = cand.groupBy(col("start"))
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("start"), col("m").getField("dst").as("node"))
-        .localCheckpoint()
+        .cpGuard()
       acc += cur.withColumn("step", lit(t))
     }
     acc.reduce(_ unionByName _)

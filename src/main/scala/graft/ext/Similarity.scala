@@ -1,4 +1,5 @@
 package graft.ext
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -85,7 +86,7 @@ object Similarity {
     val rawBuckets = lshBuckets(embs, nPlanes)
     val buckets =
       if (maxBucket == Int.MaxValue || embs.count() <= maxBucket) rawBuckets
-      else HotBuckets.prune(rawBuckets.localCheckpoint(), Seq("bucket"), maxBucket)
+      else HotBuckets.prune(rawBuckets.cpGuard(), Seq("bucket"), maxBucket)
     val a = side(embs, "a")
       .join(buckets.select(col("vec_id").as("a_id"), col("bucket")), "a_id")
     val b = side(embs, "b")
@@ -128,12 +129,12 @@ object Similarity {
     val cb = HotBuckets.prune(
       side(corpus, "b")
         .withColumn("bucket", hyperplaneBucket(col("b_emb"), planes))
-        .localCheckpoint(),
+        .cpGuard(),
       Seq("bucket"), maxBucket)
     val nb = HotBuckets.prune(
       side(newVecs, "a")
         .withColumn("bucket", hyperplaneBucket(col("a_emb"), planes))
-        .localCheckpoint(),
+        .cpGuard(),
       Seq("bucket"), maxBucket)
     nb.join(cb, "bucket")
       .withColumn("cosine",
@@ -186,7 +187,7 @@ object Similarity {
       .select(expr(s"vec_id div $tokensPerDoc").as("doc"),
         expr(s"vec_id % $tokensPerDoc").as("tok"),
         col("embedding"), normCol(col("embedding")).as("nrm"))
-      .localCheckpoint()
+      .cpGuard()
     val q = toks.filter(col("doc") < nQueries)
       .select(col("doc").as("qd"), col("tok").as("qtok"),
         col("embedding").as("qe"), col("nrm").as("qn"))
@@ -256,15 +257,37 @@ object Similarity {
     * Output: (vec_id, role core|border|noise, cluster nullable) for
     * every input vector.
     */
-  def dbscanLite(embs: DataFrame, threshold: Double, minPts: Int): DataFrame = {
+  def dbscanLite(embs: DataFrame, threshold: Double, minPts: Int): DataFrame =
+    dbscanFromPairs(embs,
+      cosineDupPairs(embs, threshold).select(col("vec_a"), col("vec_b")),
+      minPts)
+
+  /** [[dbscanLite]] with LSH-collision candidate pairs
+    * ([[lshCosineDupPairs]] — bucket equi-join, no nested-loop
+    * anywhere) instead of the exact all-pairs baseline: the DBSCAN
+    * shape that survives 100 TB. Same downstream density/CC/border
+    * machinery; neighbor recall (and therefore core status and cluster
+    * granularity) is governed by nPlanes exactly as in [[lshTopK]] —
+    * the oracle models the bucketing, so the clustering-over-candidates
+    * semantics are value-checked, not approximated.
+    */
+  def dbscanLsh(embs: DataFrame, nPlanes: Int, threshold: Double,
+                minPts: Int,
+                maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    dbscanFromPairs(embs,
+      lshCosineDupPairs(embs, nPlanes, threshold, maxBucket)
+        .select(col("vec_a"), col("vec_b")),
+      minPts)
+
+  private def dbscanFromPairs(embs: DataFrame, pairs0: DataFrame,
+                              minPts: Int): DataFrame = {
     require(minPts >= 1, "minPts >= 1")
-    val pairs = cosineDupPairs(embs, threshold)
-      .select(col("vec_a"), col("vec_b")).localCheckpoint()
+    val pairs = pairs0.cpGuard()
     val sym = pairs.union(pairs.select(col("vec_b"), col("vec_a")))
       .toDF("va", "vb")
     val core = sym.groupBy(col("va")).agg(count(lit(1)).as("n_nbrs"))
       .filter(col("n_nbrs") >= minPts)
-      .select(col("va").as("vec_id")).localCheckpoint()
+      .select(col("va").as("vec_id")).cpGuard()
     val coreEdges = sym
       .join(core.select(col("vec_id").as("va")), Seq("va"))
       .join(core.select(col("vec_id").as("vb")), Seq("vb"))
@@ -278,7 +301,7 @@ object Similarity {
         .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("rep_id"), col("vec_id")).as("cluster"))
-      .localCheckpoint()
+      .cpGuard()
     val borderLab = sym
       .join(core.select(col("vec_id").as("va")), Seq("va"), "left_anti")
       .join(coreLab.select(col("vec_id").as("vb"), col("cluster")), Seq("vb"))
@@ -335,7 +358,7 @@ object Similarity {
         .select(col("vec_id"), explode(array(bandCols: _*)).as("e"))
         .select(col("vec_id"), col("e.band").as("band"),
           col("e.bucket").as("bucket"))
-        .localCheckpoint(),
+        .cpGuard(),
       Seq("band", "bucket"), maxBucket)
     // distinct candidate pairs: same bucket in at least one band
     val cand = bandBuckets.select(col("vec_id").as("a_id"), col("band"), col("bucket"))
@@ -757,7 +780,7 @@ object Similarity {
         .join(assigned, "vec_id")
         .select(col("vec_id"), col("cluster"), col("dist2"),
           col("embedding"), normCol(col("embedding")).as("nrm"))
-        .localCheckpoint(),
+        .cpGuard(),
       Seq("cluster"), maxCluster)
     def sided(p: String) = members.select(
       col("vec_id").as(s"${p}_id"), col("cluster").as(s"${p}_cluster"),
@@ -871,7 +894,7 @@ object Similarity {
     val vecs = graft.core.Tables.spread(embs)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint()
+      .cpGuard()
     (vecs, kmeansCentsFromVecs(vecs, k, iters, trainCap))
   }
 
@@ -896,7 +919,7 @@ object Similarity {
       "(an empty centroid set would assign null clusters)")
     val mod = math.max(1L, math.ceil(n.toDouble / trainCap).toLong)
     val train = if (mod == 1L) vecs
-      else vecs.filter(pmod(idH, lit(mod)) === 0).localCheckpoint()
+      else vecs.filter(pmod(idH, lit(mod)) === 0).cpGuard()
     val stats = train.agg(count(lit(1)).as("nt"),
       max(array_max(transform(col("v"), x => abs(x)))).as("max_abs"))
       .collect().head
@@ -955,7 +978,7 @@ object Similarity {
     val fullVecs = graft.core.Tables.spread(embs)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint()
+      .cpGuard()
     val parts = inParallel(nSub) { s =>
       val svecs = fullVecs.select(col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
@@ -996,7 +1019,7 @@ object Similarity {
     val fullVecs = graft.core.Tables.spread(embs)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint()
+      .cpGuard()
     val parts = inParallel(nSub) { s =>
       val svecs = fullVecs.select(col("vec_id"),
         slice(col("v"), s * sub + 1, sub).as("v"))
@@ -1077,7 +1100,7 @@ object Similarity {
     val fullVecs = graft.core.Tables.spread(embs)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
-      .localCheckpoint()
+      .cpGuard()
     // coarse quantizer: cells from full-vector k-means
     val cells = kmeansCentsFromVecs(fullVecs, nCells, iters)
     val centsDf = broadcast(
@@ -1091,7 +1114,7 @@ object Similarity {
       .select(col("vec_id").as("t_id"), col("cluster").as("cell"), col("v"))
       .join(centsDf, "cell")
       .select(col("t_id"), col("cell"), residual(col("v")).as("rv"))
-      .localCheckpoint()
+      .cpGuard()
     // fine quantizer: per-subspace residual codebooks + target codes
     val trained = inParallel(nSub) { s =>
       val svecs = tRes.select(col("t_id").as("vec_id"),
@@ -1104,7 +1127,7 @@ object Similarity {
     val codeRows = trained.map(_._2)
       .foldLeft(tRes.select(col("t_id"), col("cell"))) { (acc, c) =>
         acc.join(c, "t_id") }
-      .localCheckpoint()
+      .cpGuard()
     PqBuild(cells, trained.map(_._1), codeRows)
   }
 
@@ -1141,7 +1164,7 @@ object Similarity {
     val qRes = queryCells
       .join(centsDf, "cell")
       .select(col("q_id"), col("cell"), residual(col("v")).as("rv"))
-      .localCheckpoint()
+      .cpGuard()
     // the IVF cut: candidates are (query, target) pairs sharing a
     // probed cell — an equi-join on cell id against the code rows. When
     // the code rows are a persisted CELL-BUCKETED index table, the
@@ -1149,7 +1172,7 @@ object Similarity {
     // O(queries) side shuffles) — SelectionOpsSpec asserts it.
     val cand = qRes.select(col("q_id"), col("cell"))
       .join(idx.codeRows, "cell")
-      .localCheckpoint()
+      .cpGuard()
     val parts = inParallel(nSub) { s =>
       val lut = qRes
         .select(col("q_id"), col("cell"),
@@ -1322,14 +1345,14 @@ object Similarity {
     val tEmb = graft.core.Tables.spread(embs)
       .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
         normCol(col("embedding")).as("t_norm"))
-    val cand = cand0.join(tEmb, "t_id").localCheckpoint()
+    val cand = cand0.join(tEmb, "t_id").cpGuard()
     val wq = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("t_id"))
     var selected = cand.withColumn("score", col("rel"))
       .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
       .select(col("q_id"), col("t_id"), lit(1).as("rk"), col("score"),
         col("t_emb"), col("t_norm"))
-      .localCheckpoint()
+      .cpGuard()
     for (r <- 2 to kSel) {
       val rem = cand.join(selected.select(col("q_id"), col("t_id")),
         Seq("q_id", "t_id"), "left_anti")
@@ -1345,7 +1368,7 @@ object Similarity {
         .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
         .select(col("q_id"), col("t_id"), lit(r).as("rk"), col("score"),
           col("t_emb"), col("t_norm"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).cpGuard()
     }
     selected.select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
       col("rk"), col("score"))

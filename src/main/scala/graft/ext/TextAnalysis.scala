@@ -1,4 +1,5 @@
 package graft.ext
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -252,7 +253,7 @@ object TextAnalysis {
     val bi = graft.core.Tables.spread(docs)
       .select(col("doc_id"),
         explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
-      .localCheckpoint() // read by counts, the total, and the fact join
+      .cpGuard() // read by counts, the total, and the fact join
     val counts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
     val total = bi.agg(count(lit(1)).as("total"))
     bi.join(counts.hint("shuffle_hash"), "bigram")
@@ -317,10 +318,10 @@ object TextAnalysis {
     val tf = words.filter(col("doc_id") >= nQueries)
       .groupBy(col("doc_id").as("t_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cpGuard()
     val dl = tf.groupBy(col("t_id"))
       .agg(sum(col("tf")).as("dl"))
-      .localCheckpoint() // read by the pair join and the stats row
+      .cpGuard() // read by the pair join and the stats row
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("n_words"))
@@ -387,7 +388,7 @@ object TextAnalysis {
     val cnt = tok.join(lab, "doc_id").groupBy(col("tk"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
-      .localCheckpoint() // read twice: totals row + weight projection
+      .cpGuard() // read twice: totals row + weight projection
     val totals = cnt.agg(
       coalesce(sum(col("n_pos")), lit(0L)).cast("long"),
       coalesce(sum(col("n_neg")), lit(0L)).cast("long")).collect()(0)
@@ -451,7 +452,7 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(vocabTop)
       .withColumn("seq", regexp_replace(col("word"), "(.)", " $1 "))
-      .localCheckpoint()
+      .cpGuard()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to iters) {
       val syms = vocab
@@ -472,7 +473,7 @@ object TextAnalysis {
       merges += ((i, a, b, cnt))
       vocab = vocab.withColumn("seq",
           expr(s"replace(seq, ' $a  $b ', ' $a$b ')"))
-        .localCheckpoint()
+        .cpGuard()
     }
     merges.result()
   }

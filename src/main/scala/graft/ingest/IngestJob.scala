@@ -1,4 +1,5 @@
 package graft.ingest
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -90,7 +91,7 @@ object IngestJob {
         Seq("file_name"), "full_outer")
       .withColumn(field, when(col("__hit"), lit(status)).otherwise(col(field)))
       .drop("__hit")
-      .localCheckpoint()
+      .cpGuard()
     merged.write.mode(SaveMode.Overwrite).parquet(ledgerDir)
   }
 

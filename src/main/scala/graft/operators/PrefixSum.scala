@@ -1,4 +1,5 @@
 package graft.operators
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -43,7 +44,7 @@ object PrefixSum {
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .cpGuard()
     // sum(cast long) of an all-null or empty partition is null → 0
     val partTotals = sorted.groupBy(col("__pid"))
       .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("t"))

@@ -1,4 +1,5 @@
 package graft.operators
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -37,7 +38,7 @@ object SeqNumber {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__local",
         monotonically_increasing_id() - shiftleft(col("__pid").cast("long"), 33))
-      .localCheckpoint()
+      .cpGuard()
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)

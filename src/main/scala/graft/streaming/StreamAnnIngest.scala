@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,7 +48,7 @@ object StreamAnnIngest {
     // re-deriving per micro-batch would re-run that corpus TakeOrdered
     // on every trigger
     val cents = Similarity.ivfCentsFor(original, nCentroids, nQueries)
-      .localCheckpoint()
+      .cpGuard()
     val vecs = spark.readStream.schema(vecSchema)
       .option("multiLine", "false")
       .json(landingDir)

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.core.PlanCapture.CheckpointOps
 
 import java.security.MessageDigest
 

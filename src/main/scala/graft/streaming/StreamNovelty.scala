@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.core.PlanCapture.CheckpointOps
 
 import java.security.MessageDigest
 
@@ -72,13 +73,13 @@ object StreamNovelty {
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashesOf(col("text"),
           Dedup.ShingleSize)).as("s"))
-      .localCheckpoint() // probe + claim + score all read it
+      .cpGuard() // probe + claim + score all read it
     val corpus = spark.table(table)
       .filter(col("batch") < batchId).select(col("s"))
     // shingles NEW to the corpus, claimed by the batch's smallest doc
     val fresh = sh.join(corpus, Seq("s"), "left_anti")
       .groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
-      .localCheckpoint() // feeds the score join AND the state append
+      .cpGuard() // feeds the score join AND the state append
     val scored = sh
       .join(fresh.select(col("s"), col("first_doc")).hint("shuffle_hash"),
         Seq("s"), "left")

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.core.PlanCapture.CheckpointOps
 
 import java.security.MessageDigest
 
@@ -96,7 +97,7 @@ object StreamPhash {
     val batch = batch0.filter(col("doc_id").isNotNull)
     val hashed = hasher(batch)
       .select(col("doc_id"), col("fp"))
-      .localCheckpoint()
+      .cpGuard()
     val table = ensureState(spark, s"$stateDir/bands", buckets)
     val corpus = spark.table(table)
       .filter(col("batch") < batchId).drop("batch")

@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.core.PlanCapture.CheckpointOps
 
 import java.security.MessageDigest
 
@@ -80,7 +81,7 @@ object StreamReconcile {
       buckets, keyCol, cols)
     // checkpointed: referenced by both the merged total and the state write
     val batchDig = Reconcile.bucketDigests(batch, keyCol, cols, buckets)
-      .localCheckpoint()
+      .cpGuard()
     val total = corpusDigests(spark, digTable, batchId)
       .unionByName(batchDig)
       // second-level merge over ≤ 2 x buckets SUMMARY rows — the only

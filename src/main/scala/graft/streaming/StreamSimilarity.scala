@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.core.PlanCapture.CheckpointOps
 
 import java.security.MessageDigest
 
@@ -75,7 +76,7 @@ object StreamSimilarity {
       val nb = batch
         .select(col("vec_id"),
           Similarity.hyperplaneBucket(col("embedding"), planes).as("bucket"))
-        .localCheckpoint() // probe + self-join + state write
+        .cpGuard() // probe + self-join + state write
       val corpusBuckets = spark.table(table)
         .filter(col("batch") < batchId).drop("batch")
       val corpusVecs = Try(spark.read.parquet(vecsPath)).toOption.map { df =>

@@ -71,27 +71,85 @@ class PlanGuardSpec extends SparkSpec {
   private val allowedGlobalWindow = Map(
     "q30_global_seq" -> 1) // declared single-task twin of q30b
 
+  /** BroadcastNestedLoopJoin allowances for PRE-CHECKPOINT subplans —
+    * the stages a query materializes behind `localCheckpoint` (via
+    * graft.core.PlanCapture.cpGuard) before the registered plan is
+    * built. Without this second pass, "zero cartesian across all
+    * plans" would be blind to exactly the stages most likely to hide
+    * an all-pairs join. Every allowance is a declared bounded or
+    * exact-baseline shape, same standard as [[allowedBnlj]].
+    */
+  private val allowedCpBnlj = Map(
+    "s20_mmr_rerank" -> 1, // candidate brute pass: broadcast query set (s01 contract)
+    "s23_ivf_nprobe_sweep" -> 1, // shared cell-assignment stage: centroid-literal broadcast
+    "s24_ivf_pq_recall" -> 1, // exact-L2 baseline: broadcast query set (s01 contract)
+    "s27_dbscan" -> 1, // declared exact all-pairs baseline (d07 contract)
+    "d36_lsh_band_sweep" -> 1, // exact baseline on the fixed 1200-doc sample
+    "c18_domain_reweight" -> 1, // 1-row corpus-total attach
+    "g08_hits" -> 4) // per-half-iteration 1-row renorm broadcasts (2 iters x 2)
+
+  /** Unpartitioned-WindowExec allowances for pre-checkpoint subplans. */
+  private val allowedCpGlobalWindow = Map.empty[String, Int]
+
+  /** One audit of (regex-able plan string, collect-able plan tree)
+    * against the rules; `where` tags checkpointed-stage findings.
+    */
+  private def audit(name: String, planStr: String,
+                    tree: org.apache.spark.sql.execution.SparkPlan,
+                    allowB: Int, allowW: Int, where: String): Seq[String] = {
+    val cart = "CartesianProduct".r.findAllIn(planStr).size
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(planStr).size
+    val gwin = tree.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }.size
+    (if (cart > 0) Seq(s"$name$where: $cart CartesianProduct node(s)") else Nil) ++
+      (if (bnlj != allowB)
+        Seq(s"$name$where: $bnlj BroadcastNestedLoopJoin node(s), allowed $allowB")
+      else Nil) ++
+      (if (gwin != allowW)
+        Seq(s"$name$where: $gwin unpartitioned WindowExec node(s), allowed $allowW")
+      else Nil)
+  }
+
   test("no unplanned cartesian or nested-loop join in any registered query") {
     val sfDir = "/root/testdata/sf0.001"
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val qe = fn(spark, sfDir).queryExecution
-        val plan = qe.executedPlan.toString
-        val cart = "CartesianProduct".r.findAllIn(plan).size
-        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-        val gwin = qe.sparkPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => w
-        }.size
-        val allowed = allowedBnlj.getOrElse(name, 0)
-        val allowedW = allowedGlobalWindow.getOrElse(name, 0)
-        (if (cart > 0) Seq(s"$name: $cart CartesianProduct node(s)") else Nil) ++
-          (if (bnlj != allowed)
-            Seq(s"$name: $bnlj BroadcastNestedLoopJoin node(s), allowed $allowed")
+        val qe = graft.core.PlanCapture.capturing(name) {
+          fn(spark, sfDir).queryExecution
+        }
+        val cps = graft.core.PlanCapture.drain()
+        // registered (post-checkpoint) plan: regex the executed plan
+        // string (pre-execution AQE prints once), collect windows on
+        // the pre-AQE tree (AQE hides its subtree from collect)
+        audit(name, qe.executedPlan.toString, qe.sparkPlan,
+          allowedBnlj.getOrElse(name, 0),
+          allowedGlobalWindow.getOrElse(name, 0), "") ++ {
+          // second pass: the checkpointed stages (pre-AQE plans
+          // recorded by cpGuard at checkpoint time), summed per
+          // query — the same rules, so an all-pairs join can't hide
+          // behind a localCheckpoint boundary
+          val bnljSum = cps.map(c =>
+            "BroadcastNestedLoopJoin".r.findAllIn(c._2.toString).size).sum
+          val cartSum = cps.map(c =>
+            "CartesianProduct".r.findAllIn(c._2.toString).size).sum
+          val gwinSum = cps.map(_._2.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }.size).sum
+          val aB = allowedCpBnlj.getOrElse(name, 0)
+          val aW = allowedCpGlobalWindow.getOrElse(name, 0)
+          (if (cartSum > 0)
+            Seq(s"$name [checkpointed]: $cartSum CartesianProduct node(s)")
           else Nil) ++
-          (if (gwin != allowedW)
-            Seq(s"$name: $gwin unpartitioned WindowExec node(s), allowed $allowedW")
-          else Nil)
+            (if (bnljSum != aB)
+              Seq(s"$name [checkpointed]: $bnljSum BroadcastNestedLoopJoin node(s), allowed $aB")
+            else Nil) ++
+            (if (gwinSum != aW)
+              Seq(s"$name [checkpointed]: $gwinSum unpartitioned WindowExec node(s), allowed $aW")
+            else Nil)
+        }
     }
     assert(failures.isEmpty,
       s"plan regressions:\n${failures.mkString("\n")}")
