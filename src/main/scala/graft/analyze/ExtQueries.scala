@@ -1998,14 +1998,16 @@ object ExtQueries {
     ("t22_vocab_growth", (s: SparkSession, d: String) =>
       TextAnalysis.vocabGrowth(t(s, d, "documents")),
       Some(s"""
-      WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s FROM documents),
-      fst AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+      WITH rk AS (SELECT doc_id, text,
+                    ROW_NUMBER() OVER (ORDER BY doc_id) AS pos FROM documents),
+      sh AS (SELECT pos, unnest($shinglesSql) AS s FROM rk),
+      fst AS (SELECT s, MIN(pos) AS first_pos FROM sh GROUP BY 1),
       cp AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096, 16384]) AS BIGINT)
                AS checkpoint)
       SELECT cp.checkpoint,
-             CAST((SELECT COUNT(*) FROM sh WHERE doc_id < cp.checkpoint)
+             CAST((SELECT COUNT(*) FROM sh WHERE pos <= cp.checkpoint)
                AS BIGINT) AS n_tokens,
-             CAST((SELECT COUNT(*) FROM fst WHERE first_doc < cp.checkpoint)
+             CAST((SELECT COUNT(*) FROM fst WHERE first_pos <= cp.checkpoint)
                AS BIGINT) AS vocab
       FROM cp ORDER BY checkpoint""")),
 

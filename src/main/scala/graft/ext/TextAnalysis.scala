@@ -526,30 +526,37 @@ object TextAnalysis {
     * total shingle occurrences among the first-c docs (doc_id order),
     * at a fixed checkpoint ladder — the corpus statistic that says
     * whether more data still buys new content or the crawl has gone
-    * circular. ONE pass: the first-occurrence table ([[noveltyScore]]'s
-    * index) reduces to |checkpoints| conditional sums — never a scan
-    * per checkpoint. Output: (checkpoint, n_tokens, vocab) ascending.
+    * circular. "First c docs" means the c lowest doc_ids by RANK
+    * (graft.operators.SeqNumber — range-partitioned, no unpartitioned
+    * window), so sparse or offset id spaces cut at the right docs, not
+    * at a literal id value. ONE pass after ranking: the
+    * first-occurrence table ([[noveltyScore]]'s index) reduces to
+    * |checkpoints| conditional sums — never a scan per checkpoint.
+    * Output: (checkpoint, n_tokens, vocab) ascending.
     */
   def vocabGrowth(docs: DataFrame,
                   checkpoints: Seq[Long] = Seq(16L, 64L, 256L, 1024L, 4096L,
                     16384L)): DataFrame = {
     require(checkpoints.nonEmpty && checkpoints == checkpoints.sorted,
       "ascending non-empty checkpoints")
-    val sh = graft.core.Tables.spread(docs)
-      .select(col("doc_id"),
+    val ranked = graft.operators.SeqNumber.withSeq(
+      graft.core.Tables.spread(docs).select(col("doc_id"), col("text")),
+      Seq(col("doc_id")), "pos")
+    val sh = ranked
+      .select(col("pos"),
         explode(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("s"))
     val first = sh.groupBy(col("s"))
-      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("occ_all"))
+      .agg(min(col("pos")).as("first_pos"), count(lit(1)).as("occ_all"))
     // occurrences among the first-c docs need the per-doc counts, not
     // occ_all (a shingle first seen early can recur late) — so tokens
-    // come from the raw (doc, s) pairs, vocab from the first table
+    // come from the raw (pos, s) pairs, vocab from the first table
     // coalesce: sum over an EMPTY corpus is null, the curve reads 0
     val tokCols = checkpoints.map(c =>
-      coalesce(sum(when(col("doc_id") < c, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("pos") <= c, 1L).otherwise(0L)), lit(0L))
         .as(s"t$c"))
     val tokRow = sh.agg(tokCols.head, tokCols.tail: _*)
     val vocCols = checkpoints.map(c =>
-      coalesce(sum(when(col("first_doc") < c, 1L).otherwise(0L)), lit(0L))
+      coalesce(sum(when(col("first_pos") <= c, 1L).otherwise(0L)), lit(0L))
         .as(s"v$c"))
     val vocRow = first.agg(vocCols.head, vocCols.tail: _*)
     val spark = docs.sparkSession

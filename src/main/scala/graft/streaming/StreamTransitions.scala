@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType, TimestampType}
 
+import graft.core.PlanCapture.CheckpointOps
 import graft.operators.Layout
 
 /** Streaming derivation of the per-user transition edge list — the
@@ -55,6 +56,15 @@ object StreamTransitions {
   case class Transition(src: Long, dst: Long)
   case class LastEvent(tsUs: Long, eventId: Long, k: Int)
 
+  /** Raw stateful-fold output: an edge occurrence, or (late = true) a
+    * DROPPED cross-batch late event — surfaced so a production graph
+    * build can meter and alert on silent drops instead of discovering
+    * them as missing edges. */
+  case class TransEmit(user_id: Long, src: Long, dst: Long, late: Boolean)
+
+  val DropCols: Seq[(String, String)] = Seq(
+    "user_id" -> "BIGINT", "n_dropped" -> "BIGINT")
+
   /** java.sql.Timestamp.getTime is millisecond-truncated; events are
     * microsecond-precision, so convert through Instant. */
   private def toUs(t: Timestamp): Long = {
@@ -63,48 +73,62 @@ object StreamTransitions {
   }
 
   /** Sort this batch's events and fold transitions from the carried
-    * last event; returns the emitted transitions and the new state.
-    * Events at or before the carried (ts, event_id) are late — dropped. */
-  private def fold(carried: Option[LastEvent], evs: Iterator[TransEvent])
-      : (List[Transition], Option[LastEvent]) = {
+    * last event; returns the emitted rows (edges AND late-drop
+    * markers) and the new state. Events at or before the carried
+    * (ts, event_id) are late — dropped from the edge stream, but each
+    * drop is emitted as a `late = true` marker so the run can meter
+    * them. */
+  private def fold(user: Long, carried: Option[LastEvent],
+                   evs: Iterator[TransEvent])
+      : (List[TransEmit], Option[LastEvent]) = {
     val sorted = evs.toList.sortBy(e => (toUs(e.ts), e.event_id))
     var last = carried
-    val out = List.newBuilder[Transition]
+    val out = List.newBuilder[TransEmit]
     sorted.foreach { e =>
       val key = (toUs(e.ts), e.event_id)
       last match {
         case Some(l) if Ordering[(Long, Long)].lteq(key, (l.tsUs, l.eventId)) =>
-          () // late arrival: the ordered prefix already moved past it
+          // late arrival: the ordered prefix already moved past it
+          out += TransEmit(user, 0L, 0L, late = true)
         case l =>
-          l.foreach(prev => out += Transition(prev.k.toLong, e.k.toLong))
+          l.foreach(prev =>
+            out += TransEmit(user, prev.k.toLong, e.k.toLong, late = false))
           last = Some(LastEvent(key._1, key._2, e.k))
       }
     }
     (out.result(), last)
   }
 
-  /** Per-occurrence transitions; works on batch AND streaming input
-    * (batch folds each group once from empty state — exactly the
-    * lag-window semantics). */
-  def transitions(events: Dataset[TransEvent]): Dataset[Transition] = {
+  /** Raw fold output — edge occurrences plus late-drop markers; works
+    * on batch AND streaming input (batch folds each group once from
+    * empty state — exactly the lag-window semantics, in which nothing
+    * is ever late). */
+  def emits(events: Dataset[TransEvent]): Dataset[TransEmit] = {
     import events.sparkSession.implicits._
     if (!events.isStreaming) {
       events.groupByKey(_.user_id)
-        .flatMapGroupsWithState[LastEvent, Transition](
+        .flatMapGroupsWithState[LastEvent, TransEmit](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (_: Long, evs: Iterator[TransEvent], _: GroupState[LastEvent]) =>
-            fold(None, evs)._1.iterator
+          (u: Long, evs: Iterator[TransEvent], _: GroupState[LastEvent]) =>
+            fold(u, None, evs)._1.iterator
         }
     } else {
       events.groupByKey(_.user_id)
-        .flatMapGroupsWithState[LastEvent, Transition](
+        .flatMapGroupsWithState[LastEvent, TransEmit](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (_: Long, evs: Iterator[TransEvent], state: GroupState[LastEvent]) =>
-            val (out, newLast) = fold(state.getOption, evs)
+          (u: Long, evs: Iterator[TransEvent], state: GroupState[LastEvent]) =>
+            val (out, newLast) = fold(u, state.getOption, evs)
             newLast.foreach(state.update)
             out.iterator
         }
     }
+  }
+
+  /** Per-occurrence transitions (the edge stream; drop markers
+    * filtered out — see [[emits]] / [[dropsNow]] for the meter). */
+  def transitions(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    emits(events).filter(!_.late).map(e => Transition(e.src, e.dst))
   }
 
   def run(spark: SparkSession, landingDir: String, table: String,
@@ -117,14 +141,39 @@ object StreamTransitions {
       .filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("event_id").isNotNull && col("k").isNotNull)
       .as[TransEvent]
-    transitions(events).writeStream
+    emits(events).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Transition], batchId: Long) =>
-        writeEdges(spark, batch.toDF(), batchId, table, statePath, buckets)
+      .foreachBatch { (batch: Dataset[TransEmit], batchId: Long) =>
+        // one materialization feeds both the edge write and the drop
+        // meter (two passes over a re-planned stream batch would
+        // recompute the stateful fold)
+        val b = batch.toDF().cpGuard()
+        writeEdges(spark, b.filter(!col("late"))
+          .select(col("src"), col("dst")), batchId, table, statePath, buckets)
+        writeDrops(spark, b, batchId, table, statePath, buckets)
       }
       .start()
   }
+
+  /** One idempotent per-user dropped-count write for this batch — the
+    * late-arrival meter next to the edge deltas. Always writes (an
+    * empty partition when nothing was late) so "no row for batch b"
+    * means "batch b not processed", never "no drops". */
+  def writeDrops(spark: SparkSession, emitsDf: DataFrame, batchId: Long,
+                 table: String, statePath: String, buckets: Int): Unit = {
+    Layout.ensureBucketedBatchTable(spark, s"${table}_drops",
+      s"${statePath}_drops", DropCols, Seq("user_id"), buckets)
+    val agg = emitsDf.filter(col("late"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_dropped"))
+    Layout.overwriteBatch(agg, s"${table}_drops", batchId)
+  }
+
+  /** Per-batch per-user dropped-event counts (batch, user_id,
+    * n_dropped) — the alertable signal that upstream ordering broke. */
+  def dropsNow(spark: SparkSession, table: String): DataFrame =
+    spark.table(s"${table}_drops")
+      .select(col("batch"), col("user_id"), col("n_dropped"))
 
   /** One idempotent edge-delta write (public for replay tests). */
   def writeEdges(spark: SparkSession, transDf: DataFrame, batchId: Long,

@@ -156,6 +156,21 @@ class PrefixJoinSpec extends SparkSpec {
     assert(!out(1L) && out(2L) && !out(3L))
   }
 
+  test("vocabGrowth cuts at doc RANK, not literal id (sparse/offset ids)") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    // 20 docs with ids 1000, 1010, ... — a literal `doc_id < 16` cut
+    // would see ZERO docs at every checkpoint; the rank cut sees the
+    // first 16 docs at checkpoint 16 and all 20 above it
+    val docs = (0 until 20)
+      .map(i => (1000L + 10 * i, s"tok$i " * 60)).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(16L)._1 > 0 && out(16L)._2 > 0, s"empty curve at cp 16: $out")
+    assert(out(16L)._1 < out(64L)._1, "cp 16 must cut BELOW the full corpus")
+    assert(out(64L) == out(16384L), "all 20 docs included from cp 64 up")
+  }
+
   test("round-7 operators degrade to empty/zero on degenerate inputs") {
     import spark.implicits._
     import graft.ext.{Curation, Dedup, Graphs, Similarity, TextAnalysis}

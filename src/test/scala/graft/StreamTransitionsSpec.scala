@@ -97,6 +97,11 @@ class StreamTransitionsSpec extends SparkSpec {
     StreamTransitions.run(spark, landing, table, state, ckpt, Buckets)
       .awaitTermination()
     assert(edgesOf(table) == Map((5L, 9L) -> 1L, (9L, 6L) -> 1L))
+    // the drop is METERED, not silent: batch 0 recorded zero drops
+    // (partition exists but is empty), batch 1 one drop for user 1
+    val drops = StreamTransitions.dropsNow(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(drops == Map((1L, 1L) -> 1L), s"unexpected drop meter: $drops")
   }
 
   test("edge-delta writes replay idempotently") {
