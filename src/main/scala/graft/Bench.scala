@@ -22,6 +22,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size runtime-filter blooms to local candidate cardinality
+      // (see graft.core.Sessions) — keeps task binaries small
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "131072")
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -77,7 +82,11 @@ object Bench {
     // that happened to pass — a consumer comparing totals across rounds
     // must not read a failure as a speedup (passed_total carries the sum)
     val total = if (failed.nonEmpty) -1.0 else passedTotal
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // a SUBSET run (args given) must never clobber the committed
+    // full-registry artifact — it writes its own file instead
+    val defaultOut =
+      if (args.nonEmpty) "bench_out_subset.json" else "bench_out.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     // full form (with the per-query map) goes to the file; the stdout
     // line is the compact form only — a 90+-query map is ~3.4 KB and
     // the driver's stdout-tail capture keeps ~2 KB, which truncated the

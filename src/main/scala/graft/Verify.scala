@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // size runtime-filter blooms to local candidate cardinality
+      // (see graft.core.Sessions) — keeps task binaries small
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "131072")
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

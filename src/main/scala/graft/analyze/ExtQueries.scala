@@ -1325,6 +1325,43 @@ object ExtQueries {
       WHERE n_common * 2 >= (sa.n + sb.n - n_common)
       ORDER BY doc_a, doc_b""")),
 
+    // cross-doc shared SUBSTRING spans (Lee et al. 2022) as relational
+    // diagonals: positional 5-gram equi-join (grams > 50 occurrences
+    // excluded by a deterministic frequency threshold), maximal
+    // consecutive runs per (pair, diagonal) via gaps-and-islands in a
+    // partitioned window; spans of >= 4 consecutive matches = >= 8
+    // shared tokens. The oracle reproduces positions, the frequency
+    // filter, the diagonals and the run detection
+    ("d38_substring_spans", (s: SparkSession, d: String) =>
+      Dedup.substringSpans(t(s, d, "documents"), n = 5, minRun = 4,
+        maxOcc = 50L),
+      Some(s"""
+      WITH pw AS (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws
+                  FROM documents),
+      ps AS (SELECT doc_id, CAST(unnest(range(len(ws) - 4)) AS INT) AS pos, ws
+             FROM pw WHERE len(ws) >= 5),
+      sh AS (SELECT doc_id, pos,
+                    concat_ws(' ', ws[pos+1], ws[pos+2], ws[pos+3],
+                              ws[pos+4], ws[pos+5]) AS s
+             FROM ps),
+      rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+      r AS (SELECT doc_id, pos, s FROM sh WHERE s IN (SELECT s FROM rare)),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pa, a.pos - b.pos AS d
+            FROM r a JOIN r b USING (s) WHERE a.doc_id < b.doc_id),
+      g AS (SELECT doc_a, doc_b, d, pa,
+                   pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d
+                     ORDER BY pa) AS grp
+            FROM m),
+      runs AS (SELECT doc_a, doc_b, d, MIN(pa) AS sa,
+                      CAST(COUNT(*) AS BIGINT) AS run
+               FROM g GROUP BY doc_a, doc_b, d, grp)
+      SELECT doc_a, doc_b, CAST(sa AS BIGINT) AS start_a,
+             CAST(sa - d AS BIGINT) AS start_b,
+             CAST(run + 4 AS BIGINT) AS span_tokens
+      FROM runs WHERE run >= 4
+      ORDER BY doc_a, doc_b, start_a, start_b""")),
+
     ("d20_minhash_recall", (s: SparkSession, d: String) => {
       val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
       val lshN = Dedup.minhashDup(sample, threshold = 0.5)
@@ -2011,6 +2048,71 @@ object ExtQueries {
                AS BIGINT) AS vocab
       FROM cp ORDER BY checkpoint""")),
 
+    // C4-style cross-doc boilerplate coverage: 3-gram shingles in
+    // >= 20 distinct docs are boilerplate; per-doc covered tokens =
+    // UNION of their [pos, pos+3) intervals (gaps-and-islands in a
+    // doc-PARTITIONED window — overlaps count once, runs don't
+    // overshoot). The oracle reproduces positions, lexicon and the
+    // interval union
+    ("t23_boilerplate_coverage", (s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateCoverage(t(s, d, "documents"), n = 3,
+        minDocs = 20L),
+      Some(s"""
+      WITH pw AS (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents),
+      ps AS (SELECT doc_id, CAST(unnest(range(len(ws) - 2)) AS INT) AS pos, ws
+             FROM pw WHERE len(ws) >= 3),
+      sh AS (SELECT doc_id, pos,
+                    ws[pos+1] || ' ' || ws[pos+2] || ' ' || ws[pos+3] AS s
+             FROM ps),
+      bl AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS nd
+                            FROM sh GROUP BY 1) z WHERE nd >= 20),
+      hits AS (SELECT doc_id, pos FROM sh JOIN bl USING (s)),
+      cov AS (SELECT doc_id, pos,
+                     COALESCE(MAX(pos + 3) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), pos) AS prev_end
+              FROM hits),
+      cv AS (SELECT doc_id,
+                    SUM(GREATEST(0, pos + 3 - GREATEST(pos, prev_end)))
+                      AS covered
+             FROM cov GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(len(${TextOps.wordsSql("d.text")}) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(cv.covered, 0) AS BIGINT) AS covered,
+             CAST(COALESCE(cv.covered, 0) AS DOUBLE)
+               / len(${TextOps.wordsSql("d.text")}) AS frac
+      FROM documents d LEFT JOIN cv USING (doc_id) ORDER BY doc_id""")),
+
+    // Gopher intra-doc repetition rules at token granularity:
+    // duplicate-word fraction + most-frequent-bigram share — the
+    // within-doc degeneracy that cross-doc dedup can't see
+    ("t24_intradoc_repetition", (s: SparkSession, d: String) =>
+      TextAnalysis.intraDocRepetition(t(s, d, "documents")),
+      Some(s"""
+      WITH wx AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS tok
+                  FROM documents),
+      wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM wx GROUP BY 1, 2),
+      wst AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct
+              FROM wc GROUP BY 1),
+      bx AS (SELECT doc_id, unnest(${TextOps.allWordShinglesSql("text", 2)})
+               AS bg FROM documents),
+      bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bx GROUP BY 1, 2),
+      bst AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                     CAST(SUM(c) AS BIGINT) AS n_bigrams
+              FROM bc GROUP BY 1)
+      SELECT d.doc_id, wst.n_words, wst.n_distinct,
+             CAST(wst.n_words - wst.n_distinct AS DOUBLE) / wst.n_words
+               AS dup_frac,
+             CAST(COALESCE(bst.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+             CAST(COALESCE(bst.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CASE WHEN COALESCE(bst.n_bigrams, 0) > 0
+                  THEN CAST(bst.top_bigram_n AS DOUBLE) / bst.n_bigrams
+             END AS top_bigram_share
+      FROM documents d
+      JOIN wst USING (doc_id) LEFT JOIN bst USING (doc_id)
+      ORDER BY doc_id""")),
+
     // Misra-Gries heavy hitters (functions.MisraGriesAggregator): the
     // DETERMINISTIC-guarantee counterpart to the Count-Min sketch
     // (t09), audited like the recall queries (d20/d21): the stream is
@@ -2385,6 +2487,74 @@ object ExtQueries {
                AS stop_rate_fp,
              (SELECT lang_hhi_fp FROM lh) AS lang_hhi_fp"""
       }),
+
+    // UniMax language-budget allocation (Chung et al. 2023): exact
+    // integer water-filling of a 150k-token budget at <= 2 epochs per
+    // language — languages sorted by capped supply ascending, each
+    // takes min(cap, floor(remaining / langsLeft)). The oracle unrolls
+    // the same fold as a recursive CTE, so the sequential floor
+    // divisions (not just the final allocation) are value-checked.
+    // sf0.01 lands cap-bound, sf0.1 budget-bound — both regimes gated
+    ("c23_unimax_allocation", (s: SparkSession, d: String) =>
+      Curation.unimaxAllocation(t(s, d, "documents"),
+        budget = 150000L, maxEpochs = 2),
+      Some(s"""
+      WITH RECURSIVE lt AS (SELECT lang,
+               CAST(SUM(len(${TextOps.wordsSql("text")})) AS BIGINT) AS n
+             FROM documents GROUP BY 1),
+      cw AS (SELECT lang, n, CAST(n * 2 AS BIGINT) AS cap,
+                    CAST(ROW_NUMBER() OVER (ORDER BY n * 2, lang) AS BIGINT)
+                      AS rn,
+                    CAST(COUNT(*) OVER () AS BIGINT) AS k
+             FROM lt),
+      rec(rn, remaining, alloc) AS (
+        SELECT CAST(0 AS BIGINT), CAST(150000 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT c.rn,
+               r.remaining - LEAST(c.cap, r.remaining // (c.k - c.rn + 1)),
+               LEAST(c.cap, r.remaining // (c.k - c.rn + 1))
+        FROM rec r JOIN cw c ON c.rn = r.rn + 1)
+      SELECT c.lang, c.n AS n_tokens, c.cap, r.alloc,
+             CAST(r.alloc AS DOUBLE) / c.n AS epochs
+      FROM cw c JOIN rec r ON c.rn = r.rn ORDER BY c.lang""")),
+
+    // 3-stage ordered event funnel (view -> click -> purchase, each
+    // within 60 min of the previous conversion, strictly after it):
+    // per-stage user counts + conversion fractions. Greedy earliest-
+    // event chaining per user via keyed min-aggregations — no per-user
+    // event arrays, no windows over the stream
+    ("w20_event_funnel", (s: SparkSession, d: String) =>
+      graft.ext.Funnels.eventFunnel(t(s, d, "events"),
+        Seq("view", "click", "purchase"), windowMinutes = 60),
+      Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                  FROM events),
+      s1 AS (SELECT user_id, MIN(tus) AS ct FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.tus) AS ct
+             FROM ev e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.tus > s1.ct
+               AND e.tus <= s1.ct + 3600000000 GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(e.tus) AS ct
+             FROM ev e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.tus > s2.ct
+               AND e.tus <= s2.ct + 3600000000 GROUP BY 1),
+      n AS (SELECT 1 AS stage, 'view' AS event_type,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+      SELECT n.stage, n.event_type, n.n_users,
+             CASE WHEN p.n_users > 0
+                  THEN CAST(n.n_users AS DOUBLE) / p.n_users
+             END AS conv_from_prev,
+             CASE WHEN f.n_users > 0
+                  THEN CAST(n.n_users AS DOUBLE) / f.n_users
+             END AS conv_from_first
+      FROM n LEFT JOIN n p ON p.stage + 1 = n.stage
+      CROSS JOIN (SELECT n_users FROM n WHERE stage = 1) f
+      ORDER BY n.stage""")),
 
     // rendezvous (highest-random-weight) sharding at fleet sizes 4 and
     // 5: argmax over shards of h32("doc:shard") — growing the fleet

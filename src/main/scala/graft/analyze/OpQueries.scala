@@ -49,6 +49,33 @@ object OpQueries {
       ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
                     COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2)"""
 
+  /** Unrolled synchronous label propagation as CTEs over the shared
+    * `ed(src, dst, w)` list: symmetrize (`sym`), seed labels with node
+    * ids (`l0`), then `iters` argmax-neighbor-label rounds ending in
+    * `l$iters(k, label)` — the DuckDB twin of
+    * [[graft.ext.Graphs.labelPropagation]], shared by g04 and g12.
+    */
+  private def lpaCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""s$i AS (SELECT sym.src, l${i - 1}.label AS nl, SUM(sym.w) AS s
+              FROM sym JOIN l${i - 1} ON l${i - 1}.k = sym.dst
+              GROUP BY sym.src, l${i - 1}.label),
+        p$i AS (SELECT src, nl, ROW_NUMBER() OVER (PARTITION BY src
+                  ORDER BY s DESC, nl) AS rn FROM s$i),
+        l$i AS (SELECT l${i - 1}.k, COALESCE(p$i.nl, l${i - 1}.label) AS label
+                FROM l${i - 1} LEFT JOIN p$i
+                  ON p$i.src = l${i - 1}.k AND p$i.rn = 1)"""
+    }.mkString(",\n        ")
+    s"""sym AS (SELECT src, dst, SUM(w) AS w FROM (
+                SELECT src, dst, w FROM ed WHERE src <> dst
+                UNION ALL
+                SELECT dst, src, w FROM ed WHERE src <> dst) u
+              GROUP BY src, dst),
+      nodes AS (SELECT DISTINCT src AS k FROM sym),
+      l0 AS (SELECT k, k AS label FROM nodes),
+      $iterCtes"""
+  }
+
   /** Unrolled k-core peel as CTEs over the shared `ed(src, dst, w)`
     * edge list: `{pfx}e0` is the undirected simple graph, each round i
     * drops nodes whose surviving degree < minDeg and restricts edges
@@ -752,27 +779,42 @@ object OpQueries {
       import graft.ext.Graphs
       Graphs.labelPropagation(eventEdges(s, d), iters = 2)
     }, Some {
-      val iterCtes = (1 to 2).map { i =>
-        s"""s$i AS (SELECT sym.src, l${i - 1}.label AS nl, SUM(sym.w) AS s
-              FROM sym JOIN l${i - 1} ON l${i - 1}.k = sym.dst
-              GROUP BY sym.src, l${i - 1}.label),
-        p$i AS (SELECT src, nl, ROW_NUMBER() OVER (PARTITION BY src
-                  ORDER BY s DESC, nl) AS rn FROM s$i),
-        l$i AS (SELECT l${i - 1}.k, COALESCE(p$i.nl, l${i - 1}.label) AS label
-                FROM l${i - 1} LEFT JOIN p$i
-                  ON p$i.src = l${i - 1}.k AND p$i.rn = 1)"""
-      }.mkString(",\n        ")
       s"""
       WITH $eventEdgesCtes,
-      sym AS (SELECT src, dst, SUM(w) AS w FROM (
-                SELECT src, dst, w FROM ed WHERE src <> dst
-                UNION ALL
-                SELECT dst, src, w FROM ed WHERE src <> dst) u
-              GROUP BY src, dst),
-      nodes AS (SELECT DISTINCT src AS k FROM sym),
-      l0 AS (SELECT k, k AS label FROM nodes),
-      $iterCtes
+      ${lpaCtes(2)}
       SELECT k, CAST(label AS BIGINT) AS label FROM l2 ORDER BY k"""
+    }),
+
+    // ---- partition-quality audit: Newman-Girvan modularity of the
+    // g04 LPA communities over the same symmetrized transition graph.
+    // Q = (intra2*M2 - sum_c Dc^2) / M2^2 with every term an exact
+    // BIGINT and ONE final double division (aggregation-order-free);
+    // the Observation-enforced M2 < 2^31 envelope is the same
+    // discipline as PageRank's weight check. The oracle re-derives the
+    // labels (the shared LPA CTEs) and every modularity term ---------
+    ("g12_modularity", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ed = eventEdges(s, d).cpGuard()
+      Graphs.modularity(ed, Graphs.labelPropagation(ed, iters = 2))
+    }, Some {
+      s"""
+      WITH $eventEdgesCtes,
+      ${lpaCtes(2)},
+      syml AS (SELECT sym.src, sym.dst, sym.w, la.label AS la, lb.label AS lb
+               FROM sym JOIN l2 la ON la.k = sym.src
+                        JOIN l2 lb ON lb.k = sym.dst),
+      tot AS (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS m2,
+                     CAST(COALESCE(SUM(CASE WHEN la = lb THEN w ELSE 0 END), 0)
+                       AS BIGINT) AS intra2
+              FROM syml),
+      dg AS (SELECT src, la, SUM(w) AS d FROM syml GROUP BY 1, 2),
+      dc AS (SELECT la, SUM(d) AS dcw FROM dg GROUP BY 1),
+      ds AS (SELECT CAST(COALESCE(SUM(dcw * dcw), 0) AS BIGINT) AS dsq FROM dc)
+      SELECT m2, intra2, dsq,
+             CASE WHEN m2 > 0
+                  THEN CAST(intra2 * m2 - dsq AS DOUBLE) / (m2 * m2)
+             END AS modularity
+      FROM tot CROSS JOIN ds"""
     }),
 
     // ---- trust-radius BFS: minimum-hop distance from a seed set over

@@ -15,6 +15,18 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Runtime bloom-filter join pushdown is the RIGHT call at scale
+      // (candidate-id filtering reaches the parquet scan), but when the
+      // creation side is a stats-less checkpointed frame Spark sizes
+      // the bloom at the 1M-item default — a ~1 MiB filter serialized
+      // into every consumer stage's task binary (measured: the 2-4 MiB
+      // task-binary warnings on c04/c05 were exactly these). Size it to
+      // the candidate cardinality this engine actually produces
+      // (hot-bucket caps bound candidates); an undersized bloom only
+      // raises FPP — never wrong results. Raise for a real cluster.
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        "131072")
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

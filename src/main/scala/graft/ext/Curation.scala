@@ -687,4 +687,43 @@ object Curation {
           .as("weight"))
       .orderBy(col("source"))
   }
+
+  /** UniMax language-budget allocation (Chung et al. 2023): split a
+    * total token budget across languages so no language exceeds
+    * maxEpochs passes over its own data, and the freed-up budget
+    * water-fills the larger languages — the fairer alternative to
+    * temperature sampling for multilingual pretraining. Exact integer
+    * water-filling: languages sorted by capped supply ascending; each
+    * takes min(cap, floor(remaining / languagesLeft)). All BIGINT, so
+    * the allocation is bit-reproducible and sums to <= budget with a
+    * deterministic remainder.
+    *
+    * Shape: one corpus scan -> groupBy(lang) token totals (languages
+    * are FEW by nature — the bounded-collect contract, same as
+    * centroids); the sequential fold over the collected totals is
+    * O(#languages) driver work. Output per language: (lang, n_tokens,
+    * cap, alloc, epochs = alloc/n_tokens) ordered by lang.
+    */
+  def unimaxAllocation(docs: DataFrame, budget: Long,
+                       maxEpochs: Int): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1, "budget >= 0, maxEpochs >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = graft.core.Tables.spread(docs)
+      .select(col("lang"), size(TextOps.words(col("text"))).cast("long").as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (lang, n) => (n * maxEpochs, lang) } // supply asc, ties by lang
+    var remaining = budget
+    val rows = totals.zipWithIndex.map { case ((lang, n), i) =>
+      val cap = n * maxEpochs
+      val alloc = math.min(cap, remaining / (totals.length - i))
+      remaining -= alloc
+      (lang, n, cap, alloc)
+    }
+    rows.toSeq.toDF("lang", "n_tokens", "cap", "alloc")
+      .withColumn("epochs",
+        col("alloc").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1378,4 +1378,58 @@ object Dedup {
         (col("n_common").cast("double") / col("n_union")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Cross-document shared SUBSTRING spans — the token-level exact
+    * duplicated-passage detector of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed as
+    * relational diagonals instead of a suffix array: a positional
+    * n-gram match between two docs at (posA, posB) lies on diagonal
+    * d = posA - posB, and a MAXIMAL shared substring is a maximal run
+    * of consecutive positions on one diagonal. Runs come from the
+    * gaps-and-islands trick (posA - row_number() is constant within a
+    * run) in a (doc_a, doc_b, d)-PARTITIONED window — never a global
+    * sort, never doc texts side by side.
+    *
+    * n-grams occurring more than maxOcc times in the whole corpus are
+    * excluded up front (a deterministic frequency threshold, not a
+    * hash-order cap): boilerplate grams would otherwise quadratically
+    * explode the diagonal join, and a span seeded ONLY by boilerplate
+    * is exactly what substring dedup is not looking for. The skipped
+    * lexicon is the [[graft.ext.TextAnalysis.boilerplateCoverage]]
+    * family's concern.
+    *
+    * Output: one row per maximal run with at least minRun consecutive
+    * n-gram matches — (doc_a, doc_b, start_a, start_b, span_tokens =
+    * run + n - 1), doc_a < doc_b, ordered.
+    */
+  def substringSpans(docs: DataFrame, n: Int, minRun: Int,
+                     maxOcc: Long = 50L): DataFrame = {
+    require(n >= 1 && minRun >= 1 && maxOcc >= 2, "n,minRun >= 1; maxOcc >= 2")
+    val sh = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        posexplode(TextOps.allWordShingles(col("text"), n)).as(Seq("pos", "s")))
+      .cpGuard() // feeds the frequency filter AND both join sides
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOcc).select(col("s"))
+    val r = sh.join(rare.hint("shuffle_hash"), Seq("s"))
+    val matches = r.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("s"))
+      .join(r.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("pa"))
+    matches
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), count(lit(1)).as("run"))
+      .filter(col("run") >= minRun)
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        (col("start_a") - col("d")).cast("long").as("start_b"),
+        (col("run") + (n - 1)).cast("long").as("span_tokens"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
 }

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.PlanCapture.CheckpointOps
+
+/** Ordered event-funnel analysis over an event stream — the product
+  * analytics staple (view -> click -> purchase within a window) that is
+  * also the shape of any multi-stage pipeline-latency audit. A user
+  * converts stage i when they have an event of stage i's type STRICTLY
+  * after their stage-(i-1) conversion time and within `windowMinutes`
+  * of it; the conversion time is the EARLIEST such event (the
+  * deterministic greedy chaining every funnel tool uses).
+  */
+object Funnels {
+
+  /** Per-stage conversion counts for a fixed stage-type sequence.
+    *
+    * Shape at scale: one pass per stage — filter to the stage's type,
+    * equi-join on user_id against the previous stage's conversion
+    * times (both sides hash-partitioned on user_id; AQE broadcasts the
+    * shrinking conversion side as the funnel narrows), groupBy(user)
+    * MIN. No windows, no sort of the full stream, no per-user event
+    * arrays — a user's whole history never materializes on one row.
+    * Timestamps compare as epoch microseconds (exact integers).
+    *
+    * Output: one row per stage, (stage, event_type, n_users,
+    * conv_from_prev, conv_from_first) — conversion fractions are
+    * single exact-integer divisions (null when the denominator is 0).
+    */
+  def eventFunnel(events: DataFrame, stages: Seq[String],
+                  windowMinutes: Int): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    require(windowMinutes > 0, "windowMinutes > 0")
+    val winUs = windowMinutes * 60L * 1000000L
+    val ev = graft.core.Tables.spread(events)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    def stageTimes(prev: Option[DataFrame], tpe: String): DataFrame = {
+      val mine = ev.filter(col("event_type") === tpe)
+      prev match {
+        case None =>
+          mine.groupBy(col("user_id")).agg(min(col("tus")).as("ct"))
+        case Some(p) =>
+          mine.join(p.select(col("user_id"), col("ct").as("prev_ct")),
+              "user_id")
+            .filter(col("tus") > col("prev_ct") &&
+              col("tus") <= col("prev_ct") + winUs)
+            .groupBy(col("user_id")).agg(min(col("tus")).as("ct"))
+      }
+    }
+    val counts: Seq[(Int, String, DataFrame)] = stages.zipWithIndex
+      .foldLeft((Option.empty[DataFrame],
+        List.empty[(Int, String, DataFrame)])) {
+        case ((prev, acc), (tpe, i)) =>
+          // each stage's conversion table feeds TWO consumers (its own
+          // count and the next stage's join): materialize once
+          val st = stageTimes(prev, tpe).cpGuard()
+          val cnt = st.agg(count(lit(1)).cast("long").as("n_users"))
+            .select(lit(i + 1).as("stage"), lit(tpe).as("event_type"),
+              col("n_users"))
+          (Some(st), acc :+ ((i + 1, tpe, cnt)))
+      }._2
+    val all = counts.map(_._3).reduce(_.unionAll(_))
+    // prev-stage attach via a stage+1 equi-join over the |stages|-row
+    // frame — no unpartitioned window anywhere
+    val prev = all.select((col("stage") + 1).as("stage"),
+      col("n_users").as("prev_n"))
+    val first = counts.head._3.select(col("n_users").as("n_first"))
+    all.join(prev, Seq("stage"), "left")
+      .crossJoin(broadcast(first))
+      .select(col("stage"), col("event_type"), col("n_users"),
+        when(col("prev_n") > 0,
+          col("n_users").cast("double") / col("prev_n").cast("double"))
+          .as("conv_from_prev"),
+        when(col("n_first") > 0,
+          col("n_users").cast("double") / col("n_first").cast("double"))
+          .as("conv_from_first"))
+      .orderBy(col("stage"))
+  }
+}

@@ -261,6 +261,60 @@ object Graphs {
     lab.orderBy(col("k"))
   }
 
+  /** Modularity of a node partition (Newman & Girvan 2004) over the
+    * weighted undirected graph induced by an edge list — the partition-
+    * quality audit that says whether [[labelPropagation]]'s communities
+    * are real structure or noise (Q near 0 = no better than random
+    * given the degree sequence). With sym the symmetrized adjacency
+    * (each undirected edge counted in both directions), M2 = sum(sym.w)
+    * = 2m, intra2 = the same sum restricted to same-label endpoint
+    * pairs and D_c the per-community degree sums:
+    * Q = intra2/M2 - sum_c D_c^2 / M2^2 = (intra2*M2 - sum D_c^2)/M2^2
+    * — computed as exact BIGINTs with ONE final double division, so
+    * the value is aggregation-order-free and bit-portable. An
+    * Observation on the symmetrize pass enforces M2 < 2^31 (else
+    * M2^2 overflows Long); beyond that envelope rescale weights.
+    *
+    * Shape: symmetrize groupBy + two node-keyed label attaches +
+    * keyed degree/community groupBys; two 1-row aggregates meet in one
+    * bounded broadcast join. Output: one row (m2, intra2, dsq,
+    * modularity).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dir = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+    val m2Obs = org.apache.spark.sql.Observation()
+    val sym = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .observe(m2Obs, coalesce(sum(col("w")), lit(0L)).cast("long").as("m2"))
+      .join(labels.select(col("k").as("src"), col("label").as("la")), "src")
+      .join(labels.select(col("k").as("dst"), col("label").as("lb")), "dst")
+      .cpGuard() // feeds both 1-row aggregates; never re-derive edges
+    m2Obs.get("m2") match {
+      case m2: Long => require(m2 < (1L << 31),
+        s"total symmetrized weight $m2 >= 2^31: M2^2 would overflow " +
+          "Long; rescale edge weights (modularity is scale-invariant)")
+      case _ => ()
+    }
+    val tot = sym.agg(
+      coalesce(sum(col("w")), lit(0L)).cast("long").as("m2"),
+      coalesce(sum(when(col("la") === col("lb"), col("w"))
+        .otherwise(0L)), lit(0L)).cast("long").as("intra2"))
+    val dsq = sym
+      .groupBy(col("src"), col("la")).agg(sum(col("w")).as("d"))
+      .groupBy(col("la")).agg(sum(col("d")).as("dc"))
+      .agg(coalesce(sum(col("dc") * col("dc")), lit(0L)).cast("long")
+        .as("dsq"))
+    tot.crossJoin(broadcast(dsq))
+      .select(col("m2"), col("intra2"), col("dsq"),
+        when(col("m2") > 0,
+          (col("intra2") * col("m2") - col("dsq")).cast("double") /
+            (col("m2") * col("m2")).cast("double"))
+          .as("modularity"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced
     * by a weighted edge list — the local-clustering signal link-graph
     * curation uses to separate organic link neighborhoods (high

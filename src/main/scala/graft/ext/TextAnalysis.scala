@@ -590,4 +590,97 @@ object TextAnalysis {
           .as("novelty"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cross-document boilerplate coverage — the C4/CCNet-style scrub
+    * statistic (Raffel et al. 2020 §2.2 remove repeated lines; here on
+    * word shingles because the corpus is single-line): a word n-gram
+    * occurring in >= minDocs DISTINCT docs is boilerplate, and a doc's
+    * covered-token count is the length of the UNION of all boilerplate
+    * shingle intervals [pos, pos+n) — overlapping shingles count each
+    * token once (the gaps-and-islands union, not a naive n-per-hit
+    * sum, which would overshoot on runs).
+    *
+    * Shape: one positional shingle explode -> groupBy(shingle)
+    * distinct-doc count (the boilerplate lexicon a production pipeline
+    * persists) -> equi-join back -> per-doc PARTITIONED window over
+    * positions for the interval union. No unpartitioned window, no
+    * driver state; the lexicon join is a key-partitioned shuffle join
+    * (broadcastable when the lexicon is small).
+    *
+    * Output: (doc_id, n_tokens, covered, frac) for every doc,
+    * frac = covered / n_tokens (null on empty docs).
+    */
+  def boilerplateCoverage(docs: DataFrame, n: Int = Dedup.ShingleSize,
+                          minDocs: Long = 20L): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
+    val sh = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        posexplode(TextOps.allWordShingles(col("text"), n)).as(Seq("pos", "s")))
+    val boiler = sh.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("s"))
+    // interval union per doc: contribution of [pos, pos+n) is the part
+    // past the furthest end seen so far (rows sorted by pos)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val covered = sh.join(boiler.hint("shuffle_hash"), Seq("s"))
+      .withColumn("prev_end", coalesce(max(col("pos") + n).over(w), col("pos")))
+      .withColumn("contrib",
+        greatest(lit(0), col("pos") + n - greatest(col("pos"), col("prev_end"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("covered"))
+    docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        (coalesce(col("covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition profile — the Gopher repetition rules
+    * (Rae et al. 2021, Table A1) at token granularity: duplicate-word
+    * fraction (1 - distinct/total) and the share of all bigram
+    * occurrences taken by the single most frequent bigram. High values
+    * mean degenerate/templated text that survives cross-doc dedup
+    * because it repeats only WITHIN the doc.
+    *
+    * Shape: two explode+groupBy passes (words, bigrams), both keyed by
+    * (doc, token) then (doc) — partial-aggregable, skew-bounded by doc
+    * length. Output: (doc_id, n_words, n_distinct, dup_frac,
+    * top_bigram_n, n_bigrams, top_bigram_share) — shares null when the
+    * denominator is zero (sub-bigram docs).
+    */
+  def intraDocRepetition(docs: DataFrame): DataFrame = {
+    val d = graft.core.Tables.spread(docs)
+    val wordStats = d
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_distinct"))
+    val biStats = d
+      .select(col("doc_id"),
+        explode(TextOps.allWordShingles(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).cast("long").as("top_bigram_n"),
+        sum(col("c")).cast("long").as("n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(wordStats, Seq("doc_id"), "left")
+      .join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words"), col("n_distinct"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_share"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -30,6 +30,27 @@ object TextOps {
     s"list_distinct(list_transform(range(len(${wordsSql(e)}) - ${n - 1}), i -> $parts))"
   }
 
+  /** ALL word n-gram occurrences in order (NOT distinct — the
+    * positional/multiset twin of [[wordShingles]] for coverage, span
+    * and repetition operators); empty when shorter than n words. The
+    * shingle at array index i (0-based) starts at word position i.
+    */
+  def allWordShingles(c: Column, n: Int): Column = {
+    val ws = words(c)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[allWordShingles]] (same order, same positions). */
+  def allWordShinglesSql(e: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(k => s"${wordsSql(e)}[i + ${k + 1}]")
+      .mkString(" || ' ' || ")
+    s"list_transform(range(len(${wordsSql(e)}) - ${n - 1}), i -> $parts)"
+  }
+
   /** Distinct character n-grams; empty when shorter than n chars. */
   def charNgrams(c: Column, n: Int): Column =
     when(length(c) >= n,
