@@ -2518,6 +2518,75 @@ object ExtQueries {
              CAST(r.alloc AS DOUBLE) / c.n AS epochs
       FROM cw c JOIN rec r ON c.rn = r.rn ORDER BY c.lang""")),
 
+    // reliability diagram for the t19 odds classifier on HELD-OUT
+    // labeled docs: weights train on even doc_ids, odd labeled docs are
+    // scored and rank-binned into 10 equal-count bins (SeqNumber — no
+    // unpartitioned window); per-bin observed positive rate vs mean
+    // score is the calibration audit behind any quality threshold
+    ("t25_quality_calibration", (s: SparkSession, d: String) =>
+      TextAnalysis.qualityCalibration(t(s, d, "documents"),
+        posSources = (0 to 4).map("src" + _),
+        negSources = (15 to 19).map("src" + _), nBins = 10),
+      Some {
+        val posIn = (0 to 4).map(i => s"'src$i'").mkString(", ")
+        val allIn = ((0 to 4) ++ (15 to 19)).map(i => s"'src$i'")
+          .mkString(", ")
+        s"""
+      WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      te AS (SELECT * FROM documents
+             WHERE doc_id % 2 = 1 AND source IN ($allIn)),
+      tok AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS tk
+              FROM tr),
+      lab AS (SELECT doc_id, source IN ($posIn) AS pos FROM tr
+              WHERE source IN ($allIn)),
+      cnt AS (SELECT tk,
+                     CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                     CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_neg
+              FROM tok JOIN lab USING (doc_id) GROUP BY tk),
+      tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+                     CAST(SUM(n_neg) AS BIGINT) AS nn FROM cnt),
+      wt AS (SELECT tk,
+                    n_pos * (SELECT nn FROM tot)
+                      - n_neg * (SELECT np FROM tot) AS w
+             FROM cnt),
+      sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+             FROM (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS tk
+                   FROM te) tt
+             JOIN wt USING (tk) GROUP BY doc_id),
+      scored AS (SELECT te.doc_id, te.source IN ($posIn) AS pos,
+                        COALESCE(sc.score, 0) AS score
+                 FROM te LEFT JOIN sc USING (doc_id)),
+      rkd AS (SELECT pos, score,
+                     ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rk,
+                     COUNT(*) OVER () AS n_total
+              FROM scored),
+      b AS (SELECT CAST((rk - 1) * 10 // n_total AS BIGINT) + 1 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos,
+                   CAST(SUM(score) AS BIGINT) AS sum_score
+            FROM rkd GROUP BY 1)
+      SELECT bin, n, n_pos,
+             CAST(n_pos AS DOUBLE) / n AS pos_rate,
+             sum_score,
+             CAST(sum_score AS DOUBLE) / n AS mean_score
+      FROM b ORDER BY bin"""
+      }),
+
+    // k-anonymity audit (Sweeney 2002) over the release metadata
+    // (lang, source, 256-char length band): every quasi-identifier
+    // equivalence class with < 5 members is a re-identification risk —
+    // the pre-publication privacy report next to t11's PII redaction
+    ("c24_k_anonymity", (s: SparkSession, d: String) =>
+      Curation.kAnonymityAudit(t(s, d, "documents"), k = 5L),
+      Some("""
+      SELECT lang, source, CAST(n_chars // 256 AS BIGINT) AS len_band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+      ORDER BY lang, source, len_band""")),
+
     // 3-stage ordered event funnel (view -> click -> purchase, each
     // within 60 min of the previous conversion, strictly after it):
     // per-stage user counts + conversion fractions. Greedy earliest-

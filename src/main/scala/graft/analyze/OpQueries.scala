@@ -817,6 +817,39 @@ object OpQueries {
       FROM tot CROSS JOIN ds"""
     }),
 
+    // ---- per-community structure profile: size, intra-edge weight,
+    // degree mass, internal ratio (cohesion) for each g04 community —
+    // g12's global Q says the partition is real, this says WHICH
+    // communities are cohesive curation units. Exact BIGINT terms,
+    // one double division per row -------------------------------------
+    ("g13_community_profile", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ed = eventEdges(s, d).cpGuard()
+      Graphs.communityProfile(ed, Graphs.labelPropagation(ed, iters = 2))
+    }, Some {
+      s"""
+      WITH $eventEdgesCtes,
+      ${lpaCtes(2)},
+      syml AS (SELECT sym.src, sym.w, la.label AS la, lb.label AS lb
+               FROM sym JOIN l2 la ON la.k = sym.src
+                        JOIN l2 lb ON lb.k = sym.dst),
+      nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM l2 GROUP BY 1),
+      pr AS (SELECT la,
+                    CAST(COALESCE(SUM(CASE WHEN la = lb THEN w ELSE 0 END), 0)
+                      AS BIGINT) AS intra2,
+                    CAST(COALESCE(SUM(w), 0) AS BIGINT) AS deg_sum
+             FROM syml GROUP BY 1)
+      SELECT nn.label, nn.n_nodes,
+             CAST(COALESCE(pr.intra2, 0) AS BIGINT) AS intra2,
+             CAST(COALESCE(pr.deg_sum, 0) AS BIGINT) AS deg_sum,
+             CASE WHEN COALESCE(pr.deg_sum, 0) > 0
+                  THEN CAST(pr.intra2 AS DOUBLE) / pr.deg_sum
+             END AS internal_ratio
+      FROM nn LEFT JOIN pr ON pr.la = nn.label
+      ORDER BY nn.label"""
+    }),
+
     // ---- trust-radius BFS: minimum-hop distance from a seed set over
     // the item-transition graph (TrustRank's propagation step — nodes
     // near a curated seed set inherit trust, spam sits far away or

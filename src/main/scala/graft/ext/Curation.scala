@@ -726,4 +726,30 @@ object Curation {
         col("alloc").cast("double") / col("n_tokens").cast("double"))
       .orderBy(col("lang"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
+    * the re-identification risk report a corpus needs before
+    * publication: every equivalence class of the quasi-identifier
+    * tuple with FEWER than k members is a risky class (its members are
+    * distinguishable down to < k candidates). Quasi-identifiers here
+    * are the metadata a release actually carries: lang, source, and a
+    * character-length band (exact lengths are themselves identifying,
+    * which is why the band is part of the audit).
+    *
+    * One partial-aggregable groupBy over the corpus; the risky-class
+    * report is by construction smaller than the class count. Output:
+    * one row per risky class (lang, source, len_band, n) plus the
+    * class is ordered for stable comparison.
+    */
+  def kAnonymityAudit(docs: DataFrame, k: Long,
+                      bandWidth: Long = 256L): DataFrame = {
+    require(k >= 2 && bandWidth >= 1, "k >= 2, bandWidth >= 1")
+    graft.core.Tables.spread(docs)
+      .select(col("lang"), col("source"),
+        expr(s"CAST(n_chars div $bandWidth AS BIGINT)").as("len_band"))
+      .groupBy(col("lang"), col("source"), col("len_band"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") < k)
+      .orderBy(col("lang"), col("source"), col("len_band"))
+  }
 }

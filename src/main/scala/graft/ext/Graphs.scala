@@ -315,6 +315,46 @@ object Graphs {
           .as("modularity"))
   }
 
+  /** Per-community structure profile over the same labeled symmetrized
+    * graph as [[modularity]]: size, intra-community edge weight
+    * (both directions), total degree mass, and the internal ratio
+    * intra2 / deg_sum — per-community cohesion (1 - ratio is the
+    * community's cut fraction, the conductance numerator). The
+    * community-level complement of g12's single global Q: Q says the
+    * partition is real, this says WHICH communities are cohesive
+    * enough to treat as curation units.
+    *
+    * Shape: two node-keyed label attaches + one groupBy(label) with
+    * conditional sums — exact BIGINTs, single double division per row.
+    */
+  def communityProfile(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dir = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+    val sym = dir
+      .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .join(labels.select(col("k").as("src"), col("label").as("la")), "src")
+      .join(labels.select(col("k").as("dst"), col("label").as("lb")), "dst")
+    val nodes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+    sym
+      .groupBy(col("la"))
+      .agg(coalesce(sum(when(col("la") === col("lb"), col("w"))
+          .otherwise(0L)), lit(0L)).cast("long").as("intra2"),
+        coalesce(sum(col("w")), lit(0L)).cast("long").as("deg_sum"))
+      .join(nodes.select(col("label").as("la"), col("n_nodes")), Seq("la"),
+        "right")
+      .select(col("la").as("label"),
+        col("n_nodes"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        when(coalesce(col("deg_sum"), lit(0L)) > 0,
+          col("intra2").cast("double") / col("deg_sum").cast("double"))
+          .as("internal_ratio"))
+      .orderBy(col("label"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced
     * by a weighted edge list — the local-clustering signal link-graph
     * curation uses to separate organic link neighborhoods (high

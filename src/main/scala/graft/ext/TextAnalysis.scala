@@ -591,6 +591,77 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Reliability diagram for the odds quality classifier
+    * ([[oddsQualityClassifier]]'s construction) on HELD-OUT labeled
+    * docs — the calibration audit that says whether the score is a
+    * probability-like signal or just a ranking: weights train on the
+    * even-doc_id half, the odd labeled half is scored and rank-binned
+    * into nBins equal-count bins ((score, doc_id) order via SeqNumber —
+    * no unpartitioned window), and each bin reports its observed
+    * positive rate next to its mean score. A calibrated classifier's
+    * pos_rate rises monotonically with the bin.
+    *
+    * All counts and score sums exact BIGINTs; the two per-bin doubles
+    * are single divisions. Output: (bin, n, n_pos, pos_rate,
+    * sum_score, mean_score) ascending.
+    */
+  def qualityCalibration(docs: DataFrame, posSources: Seq[String],
+                         negSources: Seq[String], nBins: Int): DataFrame = {
+    require(nBins >= 2, "nBins >= 2")
+    require(posSources.nonEmpty && negSources.nonEmpty &&
+      posSources.intersect(negSources).isEmpty,
+      "positive/negative source sets must be non-empty and disjoint")
+    val spread = graft.core.Tables.spread(docs)
+    val train = spread.filter(col("doc_id") % 2 === 0)
+    val test = spread.filter(col("doc_id") % 2 === 1 &&
+      col("source").isin(posSources ++ negSources: _*))
+    val tokTrain = train.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("tk"))
+    val labTrain = train
+      .filter(col("source").isin(posSources ++ negSources: _*))
+      .select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
+    val cnt = tokTrain.join(labTrain, "doc_id").groupBy(col("tk"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      .cpGuard() // read twice: totals row + weight projection
+    val totals = cnt.agg(
+      coalesce(sum(col("n_pos")), lit(0L)).cast("long"),
+      coalesce(sum(col("n_neg")), lit(0L)).cast("long")).collect()(0)
+    val (np, nn) = (totals.getLong(0), totals.getLong(1))
+    require(np > 0 && nn > 0, "both classes need at least one training token")
+    require(np < (1L << 31) && nn < (1L << 31) && np * nn < (1L << 40),
+      s"class token totals $np x $nn exceed the 2^40 weight envelope")
+    val wt = cnt.select(col("tk"),
+      (col("n_pos") * lit(nn) - col("n_neg") * lit(np)).as("w"))
+    val sc = test.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("tk"))
+      .join(broadcast(wt), Seq("tk"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+    val scored = test
+      .select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("score"), lit(0L)).as("score"))
+    val ranked = graft.operators.SeqNumber.withSeq(scored,
+      Seq(col("score"), col("doc_id")), "rk")
+    val nTot = scored.agg(count(lit(1)).cast("long").as("n_total"))
+    ranked.crossJoin(broadcast(nTot))
+      .select(col("pos"), col("score"),
+        expr(s"CAST((rk - 1) * $nBins div n_total AS BIGINT) + 1").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_pos"),
+        coalesce(sum(col("score")), lit(0L)).cast("long").as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        col("sum_score"),
+        (col("sum_score").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+      .orderBy(col("bin"))
+  }
+
   /** Cross-document boilerplate coverage — the C4/CCNet-style scrub
     * statistic (Raffel et al. 2020 §2.2 remove repeated lines; here on
     * word shingles because the corpus is single-line): a word n-gram

@@ -63,7 +63,8 @@ class PlanGuardSpec extends SparkSpec {
     "w19_value_drift" -> 1, // broadcast 1-row bin-total aggregate
     "c22_corpus_datasheet" -> 4, // four 1-row summary broadcasts (datasheet card)
     "w20_event_funnel" -> 1, // broadcast 1-row first-stage count attach
-    "g12_modularity" -> 1) // broadcast 1-row degree-square aggregate
+    "g12_modularity" -> 1, // broadcast 1-row degree-square aggregate
+    "t25_quality_calibration" -> 1) // broadcast 1-row test-count attach (bin cut)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
