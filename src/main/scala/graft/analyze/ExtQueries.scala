@@ -2518,6 +2518,27 @@ object ExtQueries {
              CAST(r.alloc AS DOUBLE) / c.n AS epochs
       FROM cw c JOIN rec r ON c.rn = r.rn ORDER BY c.lang""")),
 
+    // retention cohort matrix: users cohorted by first active week
+    // (integer weeks since epoch — no calendar-week-start conventions),
+    // distinct active users per (cohort, period) and retention vs the
+    // cohort's own week 0 — the decay audit next to w20's funnel
+    ("w21_retention_cohorts", (s: SparkSession, d: String) =>
+      graft.ext.Funnels.retentionCohorts(t(s, d, "events")),
+      Some("""
+      WITH ev AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 604800000000 AS wk FROM events),
+      ch AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+      act AS (SELECT DISTINCT ch.cohort_wk, ev.wk - ch.cohort_wk AS period,
+                     ev.user_id
+              FROM ev JOIN ch USING (user_id)),
+      cnt AS (SELECT cohort_wk, period, CAST(COUNT(*) AS BIGINT) AS n_users
+              FROM act GROUP BY 1, 2),
+      base AS (SELECT cohort_wk, n_users AS n0 FROM cnt WHERE period = 0)
+      SELECT cnt.cohort_wk, cnt.period, cnt.n_users,
+             CAST(cnt.n_users AS DOUBLE) / base.n0 AS retention
+      FROM cnt JOIN base USING (cohort_wk)
+      ORDER BY cohort_wk, period""")),
+
     // reliability diagram for the t19 odds classifier on HELD-OUT
     // labeled docs: weights train on even doc_ids, odd labeled docs are
     // scored and rank-binned into 10 equal-count bins (SeqNumber — no

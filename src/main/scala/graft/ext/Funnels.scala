@@ -79,4 +79,40 @@ object Funnels {
           .as("conv_from_first"))
       .orderBy(col("stage"))
   }
+
+  /** Retention cohort matrix: users cohorted by their FIRST active
+    * week (integer weeks since epoch — `epoch_us div week_us`, exact
+    * and engine-neutral, no calendar-week-start conventions), then for
+    * each (cohort, periods-since-cohort) the distinct active users and
+    * the retention fraction vs the cohort's own week 0. The
+    * product-health matrix every events pipeline reports, and the same
+    * shape as a training-data "source freshness" decay audit.
+    *
+    * Shape: one user-keyed min-aggregate (cohort assignment), one
+    * user-keyed equi-join back, one distinct + groupBy — all
+    * partial-aggregable; the week-0 base attaches by a cohort-keyed
+    * equi-join (cohorts are few; AQE broadcasts). Output: (cohort_wk,
+    * period, n_users, retention) ordered.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = graft.core.Tables.spread(events)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $weekUs").as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val act = ev.join(cohort, "user_id")
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("period"),
+        col("user_id"))
+      .distinct()
+    val counts = act.groupBy(col("cohort_wk"), col("period"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .cpGuard() // feeds itself (week-0 base) — one materialization
+    val base = counts.filter(col("period") === 0)
+      .select(col("cohort_wk"), col("n_users").as("n0"))
+    counts.join(base, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("period"), col("n_users"),
+        (col("n_users").cast("double") / col("n0").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("period"))
+  }
 }
