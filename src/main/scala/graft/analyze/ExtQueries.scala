@@ -323,14 +323,14 @@ object ExtQueries {
     * spelled as the Long sign-bit literal: DuckDB refuses 1<<63 where
     * Spark's shiftleft wraps — same value, written out.
     */
-  private val phashDocsCte: String = {
+  /** cells + hh CTEs computing the analytic 9x8-grid dHash per
+    * (pattern, noisy) variant; expects a `pn(p, noisy)` CTE upstream.
+    * Shared by the image (m05) and video (m08) oracles.
+    */
+  private val patternCellsHhCtes: String = {
     val cellHash = Hashing.h32Sql(
       "CAST(pn.p*72 + gy.qy*9 + gx.qx AS VARCHAR)") + " % 256"
-    s"""d AS (SELECT doc_id, CAST(doc_id % ${Multimodal.PatternCount} AS BIGINT) AS p,
-             9*(2 + doc_id % 3) AS w, 8*(2 + doc_id % 2) AS h,
-             (doc_id % ${Multimodal.NoiseEvery} = 0) AS noisy FROM documents),
-      pn AS (SELECT DISTINCT p, noisy FROM d),
-      cells AS (SELECT pn.p, pn.noisy, gx.qx, gy.qy,
+    s"""cells AS (SELECT pn.p, pn.noisy, gx.qx, gy.qy,
           CASE WHEN pn.noisy AND gy.qy = pn.p % 8 AND gx.qx <= 2
                THEN 255 - ($cellHash) ELSE ($cellHash) END AS v
         FROM pn CROSS JOIN range(9) gx(qx) CROSS JOIN range(8) gy(qy)),
@@ -341,7 +341,15 @@ object ExtQueries {
             AS BIGINT) AS dhash
         FROM cells c1 JOIN cells c2 ON c1.p = c2.p AND c1.noisy = c2.noisy
          AND c1.qy = c2.qy AND c2.qx = c1.qx + 1
-        WHERE c1.qx < 8 GROUP BY c1.p, c1.noisy),
+        WHERE c1.qx < 8 GROUP BY c1.p, c1.noisy)"""
+  }
+
+  private val phashDocsCte: String = {
+    s"""d AS (SELECT doc_id, CAST(doc_id % ${Multimodal.PatternCount} AS BIGINT) AS p,
+             9*(2 + doc_id % 3) AS w, 8*(2 + doc_id % 2) AS h,
+             (doc_id % ${Multimodal.NoiseEvery} = 0) AS noisy FROM documents),
+      pn AS (SELECT DISTINCT p, noisy FROM d),
+      $patternCellsHhCtes,
       hd AS (SELECT d.doc_id, d.w, d.h, hh.dhash FROM d
              JOIN hh ON d.p = hh.p AND d.noisy = hh.noisy)"""
   }
@@ -3239,6 +3247,40 @@ object ExtQueries {
             ((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535) OR
             ((a.fp >> 48) & 65535) = ((b.fp >> 48) & 65535))
       WHERE bit_count(xor(a.fp, b.fp)) BETWEEN 1 AND 4
+      ORDER BY doc_a, doc_b"""
+    }),
+
+    // video near-dup via sampled-frame fingerprints: REAL length-
+    // prefixed PNG-frame containers (demux + decode + shared dHash
+    // grid), every 3rd of 12 frames sampled, near-dup = pairs agreeing
+    // on >= 3 sampled (frame_idx, dhash) — re-encodes at other
+    // resolutions match exactly (grid invariance), the one perturbed
+    // frame in rendition 1 costs one agreement. Oracle recomputes the
+    // frame hashes analytically from the closed-form cell rule, so the
+    // whole demux/decode/hash path is value-verified
+    ("m08_video_neardup", (s: SparkSession, d: String) => {
+      val vids = Multimodal.syntheticVideos(
+        t(s, d, "documents").filter(col("doc_id") < 600))
+      Multimodal.videoFrameDup(vids, sampleEvery = 3, minMatches = 3)
+    }, Some {
+      s"""
+      WITH d AS (SELECT doc_id, doc_id // 2 AS vid, CAST(doc_id % 2 AS INT) AS r
+                 FROM documents WHERE doc_id < 600),
+      fr AS (SELECT doc_id, j.j AS frame_idx,
+                    CAST((vid + j.j) % ${Multimodal.PatternCount} AS BIGINT) AS p,
+                    (r = 1 AND j.j = vid % ${Multimodal.VideoFrames}) AS noisy
+             FROM d CROSS JOIN range(${Multimodal.VideoFrames}) j(j)
+             WHERE j.j % 3 = 0),
+      pn AS (SELECT DISTINCT p, noisy FROM fr),
+      $patternCellsHhCtes,
+      fp AS (SELECT fr.doc_id, fr.frame_idx, hh.dhash FROM fr
+             JOIN hh ON hh.p = fr.p AND hh.noisy = fr.noisy),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches
+            FROM fp a JOIN fp b ON a.frame_idx = b.frame_idx
+              AND a.dhash = b.dhash AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_matches FROM m WHERE n_matches >= 3
       ORDER BY doc_a, doc_b"""
     }),
 

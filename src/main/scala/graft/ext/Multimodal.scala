@@ -229,6 +229,28 @@ object Multimodal {
     * no shuffle; undecodable payloads are dropped (the malformed-input
     * contract: a corrupt image must never crash the hash pass).
     */
+  /** 9x8-grid difference hash of a decoded image — the shared core of
+    * [[dhash64]] and the per-frame hashing in [[videoFrameHashes]].
+    */
+  private def dhashOf(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val w = img.getWidth; val h = img.getHeight
+    var hash = 0L
+    var qy = 0
+    while (qy < 8) {
+      val sy = qy * h / 8
+      var qx = 0
+      while (qx < 8) {
+        val a = raster.getSample(qx * w / 9, sy, 0)
+        val b = raster.getSample((qx + 1) * w / 9, sy, 0)
+        if (b > a) hash |= 1L << (qy * 8 + qx)
+        qx += 1
+      }
+      qy += 1
+    }
+    hash
+  }
+
   def dhash64(withBin: DataFrame): DataFrame = {
     val spark = withBin.sparkSession
     import spark.implicits._
@@ -240,30 +262,129 @@ object Multimodal {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
             if (img == null) None
-            else {
-              val raster = img.getRaster
-              val w = img.getWidth; val h = img.getHeight
-              var hash = 0L
-              var qy = 0
-              while (qy < 8) {
-                val sy = qy * h / 8
-                var qx = 0
-                while (qx < 8) {
-                  val a = raster.getSample(qx * w / 9, sy, 0)
-                  val b = raster.getSample((qx + 1) * w / 9, sy, 0)
-                  if (b > a) hash |= 1L << (qy * 8 + qx)
-                  qx += 1
-                }
-                qy += 1
-              }
-              Some((id, w, h, hash))
-            }
+            else Some((id, img.getWidth, img.getHeight, dhashOf(img)))
           } catch {
             case scala.util.control.NonFatal(_) => None
           }
         }
       }
       .toDF("doc_id", "width", "height", "dhash")
+  }
+
+  // ---- video (frame container) ----------------------------------------
+
+  val VideoFrames = 12
+
+  /** Deterministic synthetic "videos", REALLY encoded: a length-
+    * prefixed frame container (Int nFrames, then per frame Int length +
+    * a real PNG — the demuxer-plus-codec shape of any video pipeline,
+    * minus inter-frame compression). doc_id encodes (video = doc_id
+    * div 2, rendition = doc_id % 2): both renditions carry the SAME
+    * pattern sequence (video + j) % 16 for frame j, at DIFFERENT
+    * resolutions, and rendition 1 perturbs exactly one frame
+    * (j = video % nFrames, the [[cellValue]] noisy rule) — the
+    * re-encoded-with-a-glitch near-duplicate every video dedup must
+    * still catch.
+    */
+  def syntheticVideos(docs: DataFrame, nFrames: Int = VideoFrames): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val vid = id / 2
+          val r = (id % 2).toInt
+          val w = 9 * (2 + r)
+          val h = 8 * 2
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.writeInt(nFrames)
+          var j = 0
+          while (j < nFrames) {
+            val p = ((vid + j) % PatternCount).toInt
+            val noisy = r == 1 && j == (vid % nFrames)
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  cellValue(p, x * 9 / w, y * 8 / h, noisy))
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            val bytes = fb.toByteArray
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            j += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Demux + frame-sample + per-frame dHash: parse the container, keep
+    * every `sampleEvery`-th frame, decode the REAL PNG, hash with the
+    * shared 9x8 grid rule. Per-partition map, no shuffle; truncated or
+    * undecodable containers contribute only their parseable prefix
+    * (the malformed-input contract). Output: (doc_id, frame_idx,
+    * dhash) — the persisted video-fingerprint table at scale.
+    */
+  def videoFrameHashes(videos: DataFrame, sampleEvery: Int): DataFrame = {
+    require(sampleEvery >= 1, "sampleEvery >= 1")
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val in = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val n = in.readInt()
+            (0 until n).iterator.flatMap { j =>
+              val len = in.readInt()
+              val fb = new Array[Byte](len)
+              in.readFully(fb)
+              if (j % sampleEvery != 0) None
+              else {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(fb))
+                if (img == null) None else Some((id, j, dhashOf(img)))
+              }
+            }.toList
+          } catch {
+            case scala.util.control.NonFatal(_) => Nil
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-dup via sampled-frame fingerprint agreement: candidate
+    * pairs share >= minMatches (frame_idx, dhash) sampled frames — an
+    * equi-join on the fingerprint table, never a payload comparison.
+    * The dHash grid is resolution-invariant on grid-step content, so
+    * re-encodes at other resolutions match exactly and a perturbed
+    * frame costs one agreement (catchable by minMatches < samples).
+    */
+  def videoFrameDup(videos: DataFrame, sampleEvery: Int,
+                    minMatches: Long): DataFrame = {
+    val fp = videoFrameHashes(videos, sampleEvery)
+    fp.as("a").join(fp.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+        col("a.dhash") === col("b.dhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+      .filter(col("n_matches") >= minMatches)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- audio -----------------------------------------------------------
