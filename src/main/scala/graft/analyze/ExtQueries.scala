@@ -2091,6 +2091,40 @@ object ExtQueries {
                / len(${TextOps.wordsSql("d.text")}) AS frac
       FROM documents d LEFT JOIN cv USING (doc_id) ORDER BY doc_id""")),
 
+    // the C4 removal step itself: t23's boilerplate lexicon applied —
+    // covered tokens dropped, survivors reassembled in position order
+    // into the cleaned text (exact string equality with the oracle's
+    // string_agg reconstruction)
+    ("t26_boilerplate_scrub", (s: SparkSession, d: String) =>
+      TextAnalysis.boilerplateScrub(t(s, d, "documents"), n = 3,
+        minDocs = 20L),
+      Some(s"""
+      WITH pw AS (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents),
+      ps AS (SELECT doc_id, CAST(unnest(range(len(ws) - 2)) AS INT) AS pos, ws
+             FROM pw WHERE len(ws) >= 3),
+      sh AS (SELECT doc_id, pos,
+                    concat_ws(' ', ws[pos+1], ws[pos+2], ws[pos+3]) AS s
+             FROM ps),
+      bl AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS nd
+                            FROM sh GROUP BY 1) z WHERE nd >= 20),
+      cov AS (SELECT DISTINCT sh.doc_id, sh.pos + o.o AS cpos
+              FROM sh JOIN bl USING (s) CROSS JOIN range(3) o(o)),
+      tok AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos, ws
+              FROM pw),
+      tok2 AS (SELECT doc_id, pos, ws[pos+1] AS tok FROM tok),
+      kept AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos), '')
+                        AS scrubbed_text
+               FROM tok2 t LEFT JOIN cov
+                 ON cov.doc_id = t.doc_id AND cov.cpos = t.pos
+               WHERE cov.doc_id IS NULL GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(len(${TextOps.wordsSql("d.text")}) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(k.scrubbed_text, '') AS scrubbed_text
+      FROM documents d LEFT JOIN kept k USING (doc_id)
+      ORDER BY d.doc_id""")),
+
     // Gopher intra-doc repetition rules at token granularity:
     // duplicate-word fraction + most-frequent-bigram share — the
     // within-doc degeneracy that cross-doc dedup can't see

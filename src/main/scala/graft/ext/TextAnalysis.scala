@@ -712,6 +712,54 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Boilerplate SCRUB — [[boilerplateCoverage]] made actionable, the
+    * C4 removal step itself: tokens covered by any boilerplate shingle
+    * interval are dropped and the surviving tokens reassemble (in
+    * position order) into the cleaned text. Covered positions come
+    * from exploding each boilerplate hit into its n positions (bounded
+    * n-fold fanout of HITS, not tokens) and anti-joining the token
+    * table — no range join. Reassembly is a per-doc sort of collected
+    * (pos, token) structs: docs are bounded-length rows by contract,
+    * so the per-group array is bounded (the same contract as every
+    * per-doc aggregation here).
+    *
+    * Output: (doc_id, n_tokens, n_kept, scrubbed_text) for every doc.
+    */
+  def boilerplateScrub(docs: DataFrame, n: Int = Dedup.ShingleSize,
+                       minDocs: Long = 20L): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "n >= 1, minDocs >= 2")
+    val spread = graft.core.Tables.spread(docs)
+    val sh = spread
+      .select(col("doc_id"),
+        posexplode(TextOps.allWordShingles(col("text"), n)).as(Seq("pos", "s")))
+      .cpGuard() // feeds the lexicon AND the hit join
+    val boiler = sh.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("s"))
+    val covered = sh.join(boiler.hint("shuffle_hash"), Seq("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val toks = spread.select(col("doc_id"),
+      posexplode(TextOps.words(col("text"))).as(Seq("pos", "tok")))
+    val kept = toks
+      .join(covered.withColumnRenamed("cpos", "pos"),
+        Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("scrubbed_text"))
+    spread.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Intra-document repetition profile — the Gopher repetition rules
     * (Rae et al. 2021, Table A1) at token granularity: duplicate-word
     * fraction (1 - distinct/total) and the share of all bigram
