@@ -292,11 +292,11 @@ object Graphs {
       .join(labels.select(col("k").as("src"), col("label").as("la")), "src")
       .join(labels.select(col("k").as("dst"), col("label").as("lb")), "dst")
       .cpGuard() // feeds both 1-row aggregates; never re-derive edges
-    m2Obs.get("m2") match {
-      case m2: Long => require(m2 < (1L << 31),
+    m2Obs.get.get("m2") match {
+      case Some(m2: Long) => require(m2 < (1L << 31),
         s"total symmetrized weight $m2 >= 2^31: M2^2 would overflow " +
           "Long; rescale edge weights (modularity is scale-invariant)")
-      case _ => ()
+      case _ => () // empty graph: nothing to overflow
     }
     val tot = sym.agg(
       coalesce(sum(col("w")), lit(0L)).cast("long").as("m2"),

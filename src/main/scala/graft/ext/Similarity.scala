@@ -78,6 +78,13 @@ object Similarity {
     */
   def lshCosineDupPairs(embs: DataFrame, nPlanes: Int, threshold: Double,
                         maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    // hyperplanes are corpus rows, so an empty corpus has no bucketing
+    // to do (and no pairs to find) — degrade to empty, don't throw
+    if (embs.isEmpty)
+      return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("vec_a"), lit(0L).as("vec_b"),
+          lit(0L).as("bucket"), lit(0.0).as("cosine"))
+        .limit(0)
     // near-constant embedding clusters collapse into one bucket — cap
     // it before the self-join (HotBuckets). The cap can't trigger when
     // the whole corpus fits one bucket's budget (cheap count decides);

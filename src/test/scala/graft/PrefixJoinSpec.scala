@@ -195,6 +195,41 @@ class PrefixJoinSpec extends SparkSpec {
     assert(mg == 0)
   }
 
+  test("round-8 operators degrade to empty/zero on degenerate inputs") {
+    import spark.implicits._
+    import graft.ext.{Curation, Dedup, Funnels, Graphs, Similarity, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noMeta = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noEmbs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val noLabels = Seq.empty[(Long, Long)].toDF("k", "label")
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "event_type")
+    assert(Dedup.substringSpans(noDocs, n = 5, minRun = 4).count() == 0)
+    assert(TextAnalysis.boilerplateCoverage(noDocs).count() == 0)
+    assert(TextAnalysis.boilerplateScrub(noDocs).count() == 0)
+    assert(TextAnalysis.intraDocRepetition(noDocs).count() == 0)
+    assert(Similarity.dbscanLsh(noEmbs, nPlanes = 8, threshold = 0.3,
+      minPts = 2).count() == 0)
+    assert(Curation.kAnonymityAudit(noMeta, k = 5).count() == 0)
+    assert(Curation.unimaxAllocation(
+      noMeta.select(col("doc_id"), col("text"), col("lang")),
+      budget = 1000L, maxEpochs = 2).count() == 0)
+    assert(Funnels.eventFunnel(noEvents, Seq("view", "click"), 60)
+      .collect().map(_.getLong(2)).toSeq == Seq(0L, 0L))
+    assert(Funnels.retentionCohorts(
+      noEvents.select(col("user_id"), col("ts"))).count() == 0)
+    // empty graph: modularity is a single all-null-safe row, profile empty
+    val q = Graphs.modularity(noEdges, noLabels).collect()
+    assert(q.length == 1 && q(0).getLong(0) == 0L && q(0).isNullAt(3))
+    assert(Graphs.communityProfile(noEdges, noLabels).count() == 0)
+    // a single-frame unparseable "video" payload: prefix-parse, no crash
+    val badVid = Seq((1L, Array[Byte](0, 0, 0, 1, 0, 0, 0, 4, 9, 9, 9, 9)))
+      .toDF("doc_id", "payload")
+    assert(graft.ext.Multimodal.videoFrameHashes(badVid, 1).count() == 0)
+  }
+
   test("audio fingerprint is amplitude-invariant and perturbation-sensitive") {
     import spark.implicits._
     import graft.ext.Multimodal
