@@ -1370,6 +1370,46 @@ object ExtQueries {
       FROM runs WHERE run >= 4
       ORDER BY doc_a, doc_b, start_a, start_b""")),
 
+    // incremental substring spans: NEW (odd-id) docs probed against the
+    // EXISTING (even-id) corpus only — the substring twin of c04's
+    // incremental minhash dedup; the frequency threshold uses CORPUS
+    // occurrence counts (the stats a persisted positional posting
+    // index carries), so each batch probe is O(batch), never O(corpus)
+    ("d39_substring_spans_incr", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      Dedup.substringSpansAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        n = 5, minRun = 4, maxOcc = 50L)
+    }, Some(s"""
+      WITH pw AS (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws
+                  FROM documents),
+      ps AS (SELECT doc_id, CAST(unnest(range(len(ws) - 4)) AS INT) AS pos, ws
+             FROM pw WHERE len(ws) >= 5),
+      sh AS (SELECT doc_id, pos,
+                    concat_ws(' ', ws[pos+1], ws[pos+2], ws[pos+3],
+                              ws[pos+4], ws[pos+5]) AS s
+             FROM ps),
+      csh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+      nsh AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+      rare AS (SELECT s FROM csh GROUP BY s HAVING COUNT(*) <= 50),
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pa, a.pos - b.pos AS d
+            FROM nsh a JOIN csh b USING (s)
+            WHERE s IN (SELECT s FROM rare)),
+      g AS (SELECT doc_a, doc_b, d, pa,
+                   pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d
+                     ORDER BY pa) AS grp
+            FROM m),
+      runs AS (SELECT doc_a, doc_b, d, MIN(pa) AS sa,
+                      CAST(COUNT(*) AS BIGINT) AS run
+               FROM g GROUP BY doc_a, doc_b, d, grp)
+      SELECT doc_a, doc_b, CAST(sa AS BIGINT) AS start_a,
+             CAST(sa - d AS BIGINT) AS start_b,
+             CAST(run + 4 AS BIGINT) AS span_tokens
+      FROM runs WHERE run >= 4
+      ORDER BY doc_a, doc_b, start_a, start_b""")),
+
     ("d20_minhash_recall", (s: SparkSession, d: String) => {
       val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
       val lshN = Dedup.minhashDup(sample, threshold = 0.5)

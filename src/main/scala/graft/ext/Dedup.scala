@@ -1405,9 +1405,7 @@ object Dedup {
   def substringSpans(docs: DataFrame, n: Int, minRun: Int,
                      maxOcc: Long = 50L): DataFrame = {
     require(n >= 1 && minRun >= 1 && maxOcc >= 2, "n,minRun >= 1; maxOcc >= 2")
-    val sh = graft.core.Tables.spread(docs)
-      .select(col("doc_id"),
-        posexplode(TextOps.allWordShingles(col("text"), n)).as(Seq("pos", "s")))
+    val sh = posShingleTable(docs, n)
       .cpGuard() // feeds the frequency filter AND both join sides
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxOcc).select(col("s"))
@@ -1417,8 +1415,49 @@ object Dedup {
       .join(r.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
         col("s")), Seq("s"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+      .select(col("doc_a"), col("doc_b"), col("pa"),
         (col("pa") - col("pb")).as("d"))
+    diagonalRuns(matches, n, minRun)
+  }
+
+  /** Incremental [[substringSpans]]: NEW docs against an EXISTING
+    * corpus only — the substring-dedup twin of [[minhashDupAgainst]]
+    * for catching duplicated passages at ingestion without re-pairing
+    * the corpus with itself. The frequency threshold uses CORPUS
+    * occurrence counts (exactly what a persisted positional posting
+    * index carries as statistics); at scale the corpus side IS that
+    * persisted index, bucketed by shingle, and only the O(batch) side
+    * explodes per probe. doc_ids must be disjoint across the inputs.
+    *
+    * Output: (doc_a = new id, doc_b = corpus id, start_a, start_b,
+    * span_tokens), ordered.
+    */
+  def substringSpansAgainst(corpus: DataFrame, newDocs: DataFrame, n: Int,
+                            minRun: Int, maxOcc: Long = 50L): DataFrame = {
+    require(n >= 1 && minRun >= 1 && maxOcc >= 2, "n,minRun >= 1; maxOcc >= 2")
+    val cSh = posShingleTable(corpus, n)
+      .cpGuard() // feeds the corpus-side frequency stats AND the probe
+    val rare = cSh.groupBy(col("s")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxOcc).select(col("s"))
+    val cR = cSh.join(rare.hint("shuffle_hash"), Seq("s"))
+      .select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("s"))
+    val matches = posShingleTable(newDocs, n)
+      .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("s"))
+      .join(cR, Seq("s"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("d"))
+    diagonalRuns(matches, n, minRun)
+  }
+
+  private def posShingleTable(docs: DataFrame, n: Int): DataFrame =
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        posexplode(TextOps.allWordShingles(col("text"), n)).as(Seq("pos", "s")))
+
+  /** Maximal consecutive runs per (pair, diagonal) — the shared
+    * gaps-and-islands closure of the substring-span family. */
+  private def diagonalRuns(matches: DataFrame, n: Int,
+                           minRun: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("pa"))
     matches
