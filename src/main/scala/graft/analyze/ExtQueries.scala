@@ -2678,6 +2678,34 @@ object ExtQueries {
       FROM b ORDER BY bin"""
       }),
 
+    // largest-remainder (Hamilton) apportionment of a 1000-slot eval /
+    // labeling budget across sources: floor shares plus one extra for
+    // the largest remainders (ties by name) — sum(quota) == 1000 by
+    // construction, every step exact BIGINT
+    ("c25_quota_apportionment", (s: SparkSession, d: String) =>
+      Curation.apportionQuota(t(s, d, "documents"), "source",
+        total = 1000L),
+      Some("""
+      WITH cnt AS (SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM cnt),
+      base AS (SELECT stratum, n_docs,
+                      CAST(1000 * n_docs // (SELECT nn FROM tot) AS BIGINT)
+                        AS floor_q,
+                      CAST(1000 * n_docs % (SELECT nn FROM tot) AS BIGINT)
+                        AS rem
+               FROM cnt),
+      lv AS (SELECT CAST(1000 - SUM(floor_q) AS BIGINT) AS leftover FROM base),
+      rk AS (SELECT stratum, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum)
+               AS rn FROM base)
+      SELECT b.stratum, b.n_docs, b.floor_q,
+             CAST(CASE WHEN rk.rn <= (SELECT leftover FROM lv)
+                  THEN 1 ELSE 0 END AS BIGINT) AS extra,
+             b.floor_q + CAST(CASE WHEN rk.rn <= (SELECT leftover FROM lv)
+                  THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM base b JOIN rk USING (stratum)
+      ORDER BY stratum""")),
+
     // k-anonymity audit (Sweeney 2002) over the release metadata
     // (lang, source, 256-char length band): every quasi-identifier
     // equivalence class with < 5 members is a re-identification risk —

@@ -850,6 +850,36 @@ object OpQueries {
       ORDER BY nn.label"""
     }),
 
+    // ---- degree assortativity (Newman 2002): over the symmetrized
+    // list endpoint degrees are identically distributed, so Pearson's
+    // r collapses to the FULLY RATIONAL (M*Sxy - Sx^2)/(M*Sxx - Sx^2)
+    // — exact BIGINT sums, no sqrt, one double division; degenerate
+    // (regular) graphs yield null, never NaN ------------------------
+    ("g14_assortativity", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.assortativity(eventEdges(s, d))
+    }, Some {
+      s"""
+      WITH $eventEdgesCtes,
+      und AS (SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed WHERE src <> dst
+                UNION ALL
+                SELECT dst, src FROM ed WHERE src <> dst) u),
+      dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS dx FROM und GROUP BY 1),
+      e AS (SELECT a.dx AS x, b.dx AS y
+            FROM und JOIN dg a ON a.src = und.src
+                     JOIN dg b ON b.src = und.dst),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                    CAST(COALESCE(SUM(x), 0) AS BIGINT) AS sx,
+                    CAST(COALESCE(SUM(x*x), 0) AS BIGINT) AS sxx,
+                    CAST(COALESCE(SUM(x*y), 0) AS BIGINT) AS sxy FROM e)
+      SELECT m, sx, sxx, sxy,
+             CASE WHEN m*sxx - sx*sx > 0
+                  THEN CAST(m*sxy - sx*sx AS DOUBLE) / (m*sxx - sx*sx)
+             END AS assortativity
+      FROM st"""
+    }),
+
     // ---- trust-radius BFS: minimum-hop distance from a seed set over
     // the item-transition graph (TrustRank's propagation step — nodes
     // near a curated seed set inherit trust, spam sits far away or

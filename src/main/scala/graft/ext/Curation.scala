@@ -727,6 +727,47 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer quota
+    * across strata — the eval-set / labeling-budget allocator that
+    * hands out EXACTLY `total` slots proportionally: stratum i gets
+    * floor(total * n_i / N) plus one extra for the (total - sum of
+    * floors) largest remainders (ties broken by stratum name, so the
+    * allocation is a pure function of the counts). All arithmetic
+    * exact BIGINT; the invariant sum(quota) == total holds by
+    * construction.
+    *
+    * Shape: one groupBy(stratum) count, then the apportionment fold
+    * over the collected per-stratum counts (strata are FEW by nature —
+    * the [[unimaxAllocation]] bounded-collect contract).
+    */
+  def apportionQuota(docs: DataFrame, stratumCol: String,
+                     total: Long): DataFrame = {
+    require(total >= 0, "total >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = graft.core.Tables.spread(docs)
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bigN = counts.map(_._2).sum
+    val rows =
+      if (bigN == 0L) Array.empty[(String, Long, Long, Long, Long)]
+      else {
+        val base = counts.map { case (st, n) =>
+          (st, n, total * n / bigN, total * n % bigN)
+        }
+        val leftover = total - base.map(_._3).sum
+        val extras = base.sortBy { case (st, _, _, rem) => (-rem, st) }
+          .take(leftover.toInt).map(_._1).toSet
+        base.map { case (st, n, fl, rem) =>
+          val extra = if (extras.contains(st)) 1L else 0L
+          (st, n, fl, extra, fl + extra)
+        }
+      }
+    rows.toSeq.toDF("stratum", "n_docs", "floor_q", "extra", "quota")
+      .orderBy(col("stratum"))
+  }
+
   /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
     * the re-identification risk report a corpus needs before
     * publication: every equivalence class of the quasi-identifier

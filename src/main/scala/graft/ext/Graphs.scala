@@ -355,6 +355,43 @@ object Graphs {
       .orderBy(col("label"))
   }
 
+  /** Degree assortativity (Newman 2002) of the undirected simple graph
+    * — do high-degree nodes link to high-degree nodes (organic hubs)
+    * or to leaves (scrape-star spam shapes)? Over the symmetrized
+    * directed edge list the endpoint degrees x and y are identically
+    * distributed, so Pearson's r collapses to the FULLY RATIONAL form
+    * r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) — exact BIGINT sums, no
+    * square root, ONE double division. Degenerate (regular or empty)
+    * graphs have zero denominator: r is null, not NaN. Envelope:
+    * M * Sxx must stay below 2^63 (M directed-sym edges, Sxx the
+    * degree-square sum) — at 2^20 edges and 2^20-bounded degrees this
+    * holds with room; rescale by sampling beyond it.
+    *
+    * Shape: symmetrize + distinct, one degree groupBy, two node-keyed
+    * degree attaches, one global aggregate row.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dir = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val sym = dir.unionAll(dir.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
+      .cpGuard() // feeds the degree table AND the edge attach
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dx"))
+    sym
+      .join(deg.select(col("src"), col("dx").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("dx").as("y")), "dst")
+      .agg(count(lit(1)).cast("long").as("m"),
+        coalesce(sum(col("x")), lit(0L)).cast("long").as("sx"),
+        coalesce(sum(col("x") * col("x")), lit(0L)).cast("long").as("sxx"),
+        coalesce(sum(col("x") * col("y")), lit(0L)).cast("long").as("sxy"))
+      .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") > 0,
+          (col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
   /** Per-node triangle counts over the undirected simple graph induced
     * by a weighted edge list — the local-clustering signal link-graph
     * curation uses to separate organic link neighborhoods (high
