@@ -271,4 +271,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(2L)._1 == 3L && got(2L)._2 == 1L)
     assert(got(3L) == ((0L, 0L, -1.0)), "short doc must report null novelty")
   }
+
+  test("apportionQuota hands out EXACTLY the total at every budget") {
+    import spark.implicits._
+    // skewed strata sizes force nontrivial remainders
+    val docs = (Seq.fill(7)("a") ++ Seq.fill(13)("b") ++ Seq.fill(1)("c") ++
+      Seq.fill(29)("d")).zipWithIndex
+      .map { case (src, i) => (i.toLong, src) }.toDF("doc_id", "source")
+    for (total <- Seq(0L, 1L, 7L, 50L, 999L, 1000L)) {
+      val out = Curation.apportionQuota(docs, "source", total).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(out.map(_._5).sum == total, s"total $total: ${out.toSeq}")
+      assert(out.forall { case (_, _, fl, ex, q) =>
+        q == fl + ex && (ex == 0L || ex == 1L) }, s"total $total: ${out.toSeq}")
+      // proportionality: no stratum deviates from its exact share by >= 1
+      val n = out.map(_._2).sum.toDouble
+      assert(out.forall { case (_, nd, _, _, q) =>
+        math.abs(q - total * nd / n) < 1.0 }, s"total $total: ${out.toSeq}")
+    }
+  }
+
+  test("unimaxAllocation never exceeds caps and spends the spendable budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", "en"), (1L, "a b c d e f g h", "de"),
+      (2L, "a b", "fr"), (3L, "a b c d e f g h i j k l", "de"))
+      .toDF("doc_id", "text", "lang")
+    for (budget <- Seq(0L, 5L, 20L, 1000L)) {
+      val out = Curation.unimaxAllocation(docs, budget, maxEpochs = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(out.forall { case (_, _, cap, alloc) => alloc <= cap })
+      val spent = out.map(_._4).sum
+      val capSum = out.map(_._3).sum
+      assert(spent == math.min(budget, capSum),
+        s"budget $budget: spent $spent of spendable ${math.min(budget, capSum)}")
+    }
+  }
 }
