@@ -2678,6 +2678,34 @@ object ExtQueries {
       FROM b ORDER BY bin"""
       }),
 
+    // watermark late-data audit: replay in (synthetic, documented)
+    // arrival order — event time + a deterministic 0-20min hash jitter
+    // — and count per event-time hour what a 10-minute watermark would
+    // drop; the high-water mark is the distributed exclusive running
+    // max (PrefixSum.withRunningMax), never a single-task global window
+    ("w22_watermark_audit", (s: SparkSession, d: String) => {
+      val arr = unix_micros(col("ts")) +
+        (graft.functions.Hashing.h32(col("event_id").cast("string")) % 1200) *
+          lit(1000000L)
+      graft.ext.Funnels.watermarkLateAudit(t(s, d, "events"), arr,
+        delayMinutes = 10)
+    }, Some(s"""
+      WITH ev AS (SELECT event_id, epoch_us(ts) AS tus,
+              epoch_us(ts) +
+                (${Hashing.h32Sql("CAST(event_id AS VARCHAR)")} % 1200)
+                  * 1000000 AS arr
+            FROM events),
+      hw AS (SELECT tus, MAX(tus) OVER (ORDER BY arr, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+             FROM ev)
+      SELECT CAST(tus // 3600000000 AS BIGINT) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN hw IS NOT NULL AND tus < hw - 600000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+             CAST(SUM(CASE WHEN hw IS NOT NULL AND tus < hw - 600000000
+                  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_frac
+      FROM hw GROUP BY 1 ORDER BY hour""")),
+
     // largest-remainder (Hamilton) apportionment of a 1000-slot eval /
     // labeling budget across sources: floor shares plus one extra for
     // the largest remainders (ties by name) — sum(quota) == 1000 by

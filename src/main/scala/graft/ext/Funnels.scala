@@ -115,4 +115,43 @@ object Funnels {
           .as("retention"))
       .orderBy(col("cohort_wk"), col("period"))
   }
+
+  /** Watermark late-data audit: replay the stream in ARRIVAL order and
+    * count, per event-time hour, the events that a watermark of
+    * `delayMinutes` would have dropped — an event is late when its
+    * event time sits more than the delay behind the high-water mark
+    * (the max event time among everything that ARRIVED before it).
+    * This is the measurement that sizes a Structured Streaming
+    * `withWatermark` before deployment: too tight silently drops the
+    * tail this audit quantifies, too loose holds state.
+    *
+    * The high-water mark is [[graft.operators.PrefixSum.withRunningMax]]
+    * over the arrival order — the distributed exclusive running max, no
+    * single-task global window. `arrival` is whatever column records
+    * ingest order (a kafka offset, an ingest sequence; ties broken by
+    * event_id). Output: (hour, n, n_late, late_frac) by event-time
+    * hour, exact integers + one division.
+    */
+  def watermarkLateAudit(events: DataFrame,
+                         arrival: org.apache.spark.sql.Column,
+                         delayMinutes: Int): DataFrame = {
+    require(delayMinutes >= 0, "delayMinutes >= 0")
+    val dUs = delayMinutes * 60L * 1000000L
+    val ev = graft.core.Tables.spread(events)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        arrival.as("arr"))
+    val hw = graft.operators.PrefixSum.withRunningMax(ev,
+      Seq(col("arr"), col("event_id")), "tus", "hw")
+    hw
+      .select(expr("CAST(tus div 3600000000 AS BIGINT)").as("hour"),
+        (col("hw").isNotNull && col("tus") < col("hw") - dUs).as("late"))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(when(col("late"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_late"))
+      .select(col("hour"), col("n"), col("n_late"),
+        (col("n_late").cast("double") / col("n").cast("double"))
+          .as("late_frac"))
+      .orderBy(col("hour"))
+  }
 }

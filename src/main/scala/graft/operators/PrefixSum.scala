@@ -60,4 +60,53 @@ object PrefixSum {
       .withColumn(name, (col("__lsum") + col("__off")).cast("long"))
       .select(df.columns.map(col).toSeq :+ col(name): _*)
   }
+
+  /** EXCLUSIVE running maximum over a global order — the high-water-
+    * mark sibling of [[withRunningSum]], same two-pass shape: range
+    * partition + local sort, per-partition maxes to the driver
+    * (numPartitions values), exclusive prefix maxes re-attached by
+    * broadcast, within-partition exclusive running max windowed by
+    * pid. The result column is null for the globally first row (no
+    * predecessor — an empty max, not a sentinel). This is the
+    * distributed form of `MAX(x) OVER (ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)` that a watermark/late-data audit
+    * needs without funneling the stream through one task.
+    */
+  def withRunningMax(df: DataFrame, order: Seq[Column], valueCol: String,
+                     name: String = "running_max",
+                     numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vType = df.schema(valueCol).dataType
+    require(Seq("integer", "long", "short", "byte").contains(vType.typeName),
+      s"withRunningMax requires an integral value column; $valueCol is $vType")
+    val parts = numPartitions.getOrElse(
+      spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cpGuard()
+    val partMaxes = sorted.groupBy(col("__pid"))
+      .agg(max(col(valueCol).cast("long")).as("m"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // exclusive prefix max of the partition maxes (None = no rows yet)
+    val prefixes = (0 until parts).scanLeft(Option.empty[Long]) {
+      (acc, p) =>
+        (acc.toSeq ++ partMaxes.getOrElse(p, None).toSeq)
+          .reduceOption(math.max(_: Long, _: Long))
+    }
+    val offsetsDf = (0 until parts)
+      .map(p => (p, prefixes(p).map(java.lang.Long.valueOf).orNull))
+      .toDF("__pid", "__pmax")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("__lmax", max(col(valueCol).cast("long")).over(w))
+      .join(broadcast(offsetsDf), "__pid")
+      // greatest skips nulls (null only when BOTH prefixes are empty —
+      // exactly the globally-first-row case)
+      .withColumn(name, greatest(col("__lmax"), col("__pmax")))
+      .select(df.columns.map(col).toSeq :+ col(name): _*)
+  }
 }

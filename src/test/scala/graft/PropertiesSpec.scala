@@ -122,6 +122,32 @@ class PropertiesSpec extends SparkSpec {
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
     assert(graft.operators.PrefixSum
       .withRunningSum(df, Seq(col("id")), "v", "rs").count() == 0)
+    assert(graft.operators.PrefixSum
+      .withRunningMax(df, Seq(col("id")), "v", "rm").count() == 0)
+  }
+
+  test("withRunningMax equals the single-task window; first row null") {
+    import spark.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0L, 500L)
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (key, v)
+    forSamples(Gen.choose(1, 400).flatMap(n => Gen.listOfN(n, rowGen)), 5) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "k", "v")
+      val viaOp = graft.operators.PrefixSum
+        .withRunningMax(df, Seq(col("k"), col("id")), "v", "rm")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("k"), col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val viaWindow = df.withColumn("rm", max(col("v")).over(w).cast("long"))
+      assert(viaOp.exceptAll(viaWindow).count() == 0)
+      assert(viaWindow.exceptAll(viaOp).count() == 0)
+      // the globally first row has no predecessor: null, not a sentinel
+      assert(viaOp.orderBy(col("k"), col("id")).limit(1)
+        .collect()(0).isNullAt(3))
+      ()
+    }
   }
 
   test("extraction is deterministic (same input, same rows)") {
