@@ -1566,7 +1566,104 @@ object OpQueries {
       SELECT q_id AS query_id, t_id AS neighbor_id,
              CAST(s AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS score,
              CAST(rn AS INT) AS rn
-      FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""")))
+      FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""")),
+
+    // ---- forward as-of with tolerance: click -> next purchase at or
+    // after, nulled when the gap exceeds 30 min (conversion latency).
+    // Same single-shuffle tagged-union window as a01, scanning in
+    // descending event time; tolerance is a post-filter, so ONE pass
+    // serves any tolerance. Oracle: correlated min-ts subquery with
+    // the tolerance folded into the range --------------------------
+    ("a03_asof_tolerance", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("click_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      val tolUs = 30L * 60 * 1000 * 1000
+      val within = col("asof_ts").isNotNull &&
+        unix_micros(col("asof_ts")) - unix_micros(col("ts")) <= tolUs
+      AsOfJoin.firstAfter(clicks, purchases, "user_id", "ts",
+          Seq("purchase_id"))
+        .select(col("click_id"), col("user_id"), col("ts"),
+          when(within, col("asof_ts")).as("conv_ts"),
+          when(within, col("asof_purchase_id")).as("purchase_id"),
+          when(within,
+            unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .orderBy(col("click_id"))
+    }, Some("""
+      WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      m AS (SELECT c.click_id, c.user_id, c.ts,
+              (SELECT min(p.ts) FROM p
+               WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE) AS conv_ts
+            FROM c)
+      SELECT m.click_id, m.user_id, m.ts, m.conv_ts, p.purchase_id,
+             epoch_us(m.conv_ts) - epoch_us(m.ts) AS gap_us
+      FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.conv_ts
+      ORDER BY m.click_id""")),
+
+    // ---- per-user EMA: the recursive smoother as ONE hash aggregation
+    // (ordered collect + left fold) — the exact IEEE sequence DuckDB's
+    // list_reduce performs, so the floats hash-match; no window pass,
+    // per-key state = that key's rows ------------------------------
+    ("w23_ema", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.ema(t(s, d, "events"), alpha = 0.25),
+      Some("""
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> acc + 0.25 * (x - acc)) AS ema
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- time-weighted average: value holds until the next event;
+    // weights are whole seconds (integer-division of the us gap), the
+    // weighted sum is an exact BIGINT in cents*seconds — below 2^53,
+    // so both engines' int->double conversions are exact — divided
+    // once. (A DECIMAL-typed sum whose storage passes 2^53 double-
+    // rounds in DuckDB's decimal->double cast.) ---------------------
+    ("w24_time_weighted_avg", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.timeWeightedAvg(t(s, d, "events")),
+      Some("""
+      WITH o AS (SELECT user_id, value, epoch_us(ts) AS us,
+                   LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_us
+                 FROM events),
+      i AS (SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                   (next_us - us) // 1000000 AS dur_s
+            FROM o WHERE next_us IS NOT NULL)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dur_s) AS BIGINT) AS total_s,
+             CAST(SUM(cents * dur_s) AS DOUBLE)
+               / CAST(SUM(dur_s) * 100 AS DOUBLE) AS twa
+      FROM i GROUP BY user_id
+      HAVING SUM(dur_s) > 0 ORDER BY user_id""")),
+
+    // ---- OHLC bars per (user, hour): first/last in the (ts, event_id)
+    // total order via one full-frame window pass, volume in exact
+    // decimal ------------------------------------------------------
+    ("w25_ohlc", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.ohlc(t(s, d, "events")),
+      Some("""
+      WITH b AS (SELECT user_id, date_trunc('hour', ts) AS hour, value,
+                   FIRST_VALUE(value) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                     ORDER BY ts, event_id) AS open_,
+                   LAST_VALUE(value) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_
+                 FROM events)
+      SELECT user_id, hour, MAX(open_) AS open, MAX(value) AS high,
+             MIN(value) AS low, MAX(close_) AS close,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY user_id, hour ORDER BY user_id, hour""")))
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
   def oracles: Map[String, String] =

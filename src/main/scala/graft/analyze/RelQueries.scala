@@ -619,7 +619,50 @@ object RelQueries {
         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- distinct count over a moving window frame ------------------
+    // Spark has no COUNT(DISTINCT) OVER; the idiomatic encoding is
+    // size(collect_set() OVER frame) — still one window pass, per-row
+    // state bounded by the frame (20 rows), so it holds at scale. The
+    // oracle is DuckDB's native windowed distinct aggregate.
+    ("q56_window_distinct", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w))
+            .cast("long").as("distinct_types"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id,
+             CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_types
+      FROM events ORDER BY event_id""")),
+
+    // ---- ordered string aggregation (LISTAGG / string_agg) ----------
+    // Spark 4's listagg is order-nondeterministic across partitions;
+    // the deterministic encoding is array_sort(collect_list) +
+    // concat_ws — same single hash aggregation, and the sort is per
+    // GROUP (bounded), not global.
+    ("q57_listagg", (s: SparkSession, d: String) => {
+      val nation = t(s, d, "nation")
+      val region = t(s, d, "region")
+      nation.join(broadcast(region),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("n_name"))))
+            .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }, Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

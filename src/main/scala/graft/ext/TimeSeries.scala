@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-entity time-series operators over the event stream: exponential
+  * moving averages, time-weighted averages, and OHLC bar aggregation —
+  * the monitoring/featurization workload a training-data pipeline runs
+  * over interaction logs (reference scope: the analysis notebook's
+  * per-match aggregations, `analysis.ipynb`; here generalized to
+  * event-time series).
+  *
+  * Determinism discipline (see README "Correctness model"): recursive
+  * definitions (EMA) run as a per-key ORDERED LEFT FOLD in double —
+  * the exact IEEE operation sequence DuckDB's `list_reduce` performs —
+  * and weighted sums run in exact decimal with integer microsecond
+  * weights, divided once at the end. Scale shape: one shuffle per
+  * operator (the groupBy/window key); per-key state is the key's own
+  * row count, never the corpus.
+  */
+object TimeSeries {
+
+  /** Exponential moving average of `value` per user, events ordered by
+    * (ts, event_id): ema_0 = x_0; ema_i = ema_{i-1} + alpha*(x_i -
+    * ema_{i-1}). The fold runs inside ONE hash aggregation
+    * (collect_list + array_sort + `aggregate` HOF) — no window
+    * pass, no per-row recursion; alpha must be a dyadic rational
+    * (0.25 here) so the literal converts exactly in both engines.
+    */
+  def ema(events: DataFrame, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        col("ts"), col("event_id"), col("value")))).as("seq"))
+      .select(
+        col("user_id"),
+        size(col("seq")).cast("long").as("n"),
+        aggregate(
+          slice(col("seq.value"), lit(2), size(col("seq")) - 1),
+          element_at(col("seq.value"), 1),
+          (acc: Column, x: Column) => acc + lit(alpha) * (x - acc))
+          .as("ema"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Time-weighted average of `value` per user: each event's value
+    * holds until the next event; weight = interval length in whole
+    * seconds (integer division of the microsecond gap — sub-second
+    * slivers carry no weight). The weighted sum stays a BIGINT in
+    * cents*seconds — bounded by 1e4 cents x ~2.6e6 s per user, far
+    * below 2^53, so BOTH engines convert it to double exactly (a
+    * DECIMAL-typed sum whose storage exceeds 2^53 double-rounds in
+    * DuckDB's decimal->double cast and misses by an ulp). One final
+    * IEEE division. The last event of each user has no successor and
+    * contributes no interval.
+    */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      // both operands are non-negative, so truncating div == floor
+      .withColumn("dur_s", expr("(next_us - us) div 1000000"))
+      // exact integer cents: through DECIMAL(18,2), never value*100
+      // in floating point (6.55*100 is not 655 in IEEE)
+      .withColumn("cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("total_s"),
+        sum(col("cents") * col("dur_s")).as("wv_cents_s"))
+      .filter(col("total_s") > 0)
+      .select(col("user_id"), col("n_intervals"), col("total_s"),
+        (col("wv_cents_s").cast("double") /
+          (col("total_s") * 100).cast("double")).as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  /** OHLC bars: per (user, hour) open/high/low/close of `value` plus
+    * exact-decimal volume. Open/close are first/last in the total
+    * order (ts, event_id) — computed with one window pass whose frame
+    * is the whole partition, then collapsed by the groupBy (the values
+    * are constant within a bar, so max() just projects them).
+    */
+  def ohlc(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("open_", first(col("value")).over(w))
+      .withColumn("close_", last(col("value")).over(full))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(
+        max(col("open_")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(col("close_")).as("close"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("volume"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+}

@@ -31,7 +31,25 @@ object AsOfJoin {
     * @param asOfPrefix prefix for the attached columns (asof_ts, asof_<payload>)
     */
   def lastBefore(left: DataFrame, right: DataFrame, key: String, ts: String,
-                 payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
+                 payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame =
+    asOf(left, right, key, ts, payload, asOfPrefix, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with the
+    * same key and right.ts >= left.ts (at-or-after; e.g. click -> next
+    * conversion). Same tagged-union single-window plan as
+    * [[lastBefore]], scanning in descending event time: the running
+    * `last` then carries the nearest-later right payload. Tolerance
+    * (max allowed gap) is a post-filter the caller applies — the
+    * operator itself is unconditional, so one pass serves any
+    * tolerance.
+    */
+  def firstAfter(left: DataFrame, right: DataFrame, key: String, ts: String,
+                 payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame =
+    asOf(left, right, key, ts, payload, asOfPrefix, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   payload: Seq[String], asOfPrefix: String,
+                   forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     // The tagged-union plan owns these names; a payload column literally
@@ -63,8 +81,14 @@ object AsOfJoin {
         lit(null).cast(asofType).as("__asof") +:
         leftCols.filterNot(c => c == key).map(col)): _*)
 
+    // Backward: ascending scan, the running last right row is the most
+    // recent at-or-before. Forward: DESCENDING ts — the running last
+    // right row is then the nearest at-or-after. Either way, side 0
+    // sorts before side 1 at equal ts, so a right row at exactly
+    // left.ts is visible to that left row.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))

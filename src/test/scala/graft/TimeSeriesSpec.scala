@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ext.TimeSeries
+import graft.operators.AsOfJoin
+
+import java.sql.Timestamp
+
+/** Semantic checks for the round-9 time-series operators (the oracle
+  * gate checks cross-engine equality; these pin the SEMANTICS on
+  * hand-computable inputs).
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def ts(min: Int, us: Int = 0): Timestamp =
+    new Timestamp(min * 60000L + us / 1000L)
+
+  private def events(rows: (Long, Int, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "min", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("min") * 60000L))
+      .drop("min")
+  }
+
+  test("ema is the left fold of the recurrence, seeded by the first value") {
+    val ev = events(
+      (1L, 0, 1L, "view", 8.0), (2L, 1, 1L, "view", 4.0),
+      (3L, 2, 1L, "view", 6.0), (4L, 0, 2L, "view", 5.0))
+    val got = TimeSeries.ema(ev, alpha = 0.25).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // user 1: 8 -> 8+0.25*(4-8)=7 -> 7+0.25*(6-7)=6.75
+    assert(got(1L) == (3L, 6.75))
+    assert(got(2L) == (1L, 5.0)) // single event: ema = the value
+  }
+
+  test("ema ordering is by (ts, event_id), not input order") {
+    val ev = events(
+      (2L, 1, 1L, "view", 100.0), (1L, 0, 1L, "view", 0.0))
+    val Array(r) = TimeSeries.ema(ev, alpha = 0.25).collect()
+    assert(r.getDouble(2) == 25.0) // 0 then +0.25*(100-0)
+  }
+
+  test("time-weighted average: value holds until next event, last row unweighted") {
+    // user 1: value 10 for 60s, then 20 for 120s -> (10*60+20*120)/180
+    val ev = events(
+      (1L, 0, 1L, "view", 10.0), (2L, 1, 1L, "view", 20.0),
+      (3L, 3, 1L, "view", 999.0)) // 999 never weighted (no successor)
+    val Array(r) = TimeSeries.timeWeightedAvg(ev).collect()
+    assert(r.getLong(1) == 2L)          // n_intervals
+    assert(r.getLong(2) == 180L)        // total_s
+    assert(r.getDouble(3) == (10.0 * 60 + 20.0 * 120) / 180.0)
+  }
+
+  test("twa of a constant series is that constant") {
+    val ev = events((1L, 0, 7L, "view", 3.25), (2L, 5, 7L, "view", 3.25),
+      (3L, 11, 7L, "view", 3.25))
+    val Array(r) = TimeSeries.timeWeightedAvg(ev).collect()
+    assert(r.getDouble(3) == 3.25)
+  }
+
+  test("ohlc bar invariants and first/last order") {
+    val ev = events(
+      (1L, 0, 1L, "view", 5.0), (2L, 10, 1L, "view", 9.0),
+      (3L, 20, 1L, "view", 2.0), (4L, 30, 1L, "view", 7.0),
+      (5L, 70, 1L, "view", 1.0)) // second hour
+    val rows = TimeSeries.ohlc(ev).collect()
+    assert(rows.length == 2)
+    val bar = rows(0)
+    assert(bar.getDouble(2) == 5.0) // open
+    assert(bar.getDouble(3) == 9.0) // high
+    assert(bar.getDouble(4) == 2.0) // low
+    assert(bar.getDouble(5) == 7.0) // close
+    assert(bar.getDouble(6) == 23.0) // volume
+    assert(bar.getLong(7) == 4L)
+  }
+
+  test("firstAfter attaches the earliest right row at-or-after, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 25L), (2L, 10L))
+      .toDF("k", "t").withColumn("ts", timestamp_millis(col("t") * 1000))
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("k", "t2", "p").withColumn("ts", timestamp_millis(col("t2") * 1000))
+      .select(col("k"), col("ts"), col("p"))
+    val got = AsOfJoin.firstAfter(
+      left.select(col("k"), col("ts"), col("t")), right, "k", "ts", Seq("p"))
+      .orderBy(col("k"), col("t")).collect()
+    // left(1,10) -> right at exactly 10 ("a"); left(1,25) -> 30 ("c");
+    // left(2,10) -> no right for key 2 -> nulls
+    assert(got(0).getAs[String]("asof_p") == "a")
+    assert(got(1).getAs[String]("asof_p") == "c")
+    assert(got(2).getAs[String]("asof_p") == null)
+  }
+
+  test("firstAfter and lastBefore agree on exact-timestamp matches") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+      .withColumn("ts", timestamp_millis(col("t") * 1000))
+    val right = Seq((1L, 10L, "x")).toDF("k", "t2", "p")
+      .withColumn("ts", timestamp_millis(col("t2") * 1000))
+      .select(col("k"), col("ts"), col("p"))
+    val l = left.select(col("k"), col("ts"))
+    val back = AsOfJoin.lastBefore(l, right, "k", "ts", Seq("p")).collect()
+    val fwd = AsOfJoin.firstAfter(l, right, "k", "ts", Seq("p")).collect()
+    assert(back.head.getAs[String]("asof_p") == "x")
+    assert(fwd.head.getAs[String]("asof_p") == "x")
+  }
+}
