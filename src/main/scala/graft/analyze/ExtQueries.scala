@@ -3565,7 +3565,118 @@ object ExtQueries {
              MAX(ts) + INTERVAL '10 minutes' AS session_end,
              COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+      FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ---- add-one-smoothed conditional bigram LM score (the CCNet/
+    // KenLM perplexity-filter shape): each p(w2|w1) is one IEEE
+    // division of exact integer counts, floor-quantized at 2^40 and
+    // integer-summed (the t15 discipline — no libm log) -------------
+    ("t27_bigram_lm", (s: SparkSession, d: String) =>
+      TextAnalysis.bigramLmScore(t(s, d, "documents")),
+      Some(s"""
+      WITH uni AS (SELECT unnest(${TextOps.wordsSql("text")}) AS w
+                   FROM documents),
+      uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+      v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM uni),
+      bi AS (SELECT doc_id,
+                    unnest(${TextOps.allWordShinglesSql("text", 2)}) AS bigram
+             FROM documents),
+      bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12
+             FROM bi GROUP BY bigram),
+      f AS (SELECT doc_id,
+                   CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE) AS p
+            FROM bi JOIN bc USING (bigram)
+            JOIN uc ON uc.w = string_split(bigram, ' ')[1]
+            CROSS JOIN v)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(floor(p * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS lm_score
+      FROM f GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- readability profile: Flesch reading ease with a vowel-group
+    // syllable proxy + type-token ratio; pure narrow projection, the
+    // polynomial evaluated in ONE fixed association order ------------
+    ("t28_readability", (s: SparkSession, d: String) =>
+      TextAnalysis.readability(t(s, d, "documents")),
+      Some(s"""
+      WITH r AS (SELECT doc_id,
+          CAST(len(${TextOps.wordsSql("text")}) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syllables,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS n_sentences,
+          CAST(len(list_distinct(${TextOps.wordsSql("text")})) AS BIGINT) AS nd
+        FROM documents)
+      SELECT doc_id, n_words, n_syllables, n_sentences,
+        CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS words_per_sentence,
+        CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS syllables_per_word,
+        CAST(206.835 AS DOUBLE)
+          - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch,
+        CAST(nd AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr
+      FROM r ORDER BY doc_id""")),
+
+    // ---- RAKE keyword extraction: stopword-free phrase islands, word
+    // score deg/freq floor-quantized at 2^40, phrase score = sum over
+    // its words (unique phrases scored once; word stats count every
+    // occurrence, as in Rose et al. 2010) ---------------------------
+    ("t29_rake_keywords", (s: SparkSession, d: String) =>
+      TextAnalysis.rakeKeywords(t(s, d, "documents")),
+      Some(s"""
+      WITH toks AS (SELECT doc_id,
+          unnest(list_transform(range(len(${TextOps.wordsSql("text")})),
+            i -> struct_pack(pos := i, tok := ${TextOps.wordsSql("text")}[i + 1]))) AS s
+        FROM documents),
+      t2 AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok,
+                    s.tok NOT IN ('a', 'the') AS keep
+             FROM toks),
+      g AS (SELECT doc_id, pos, tok, keep,
+              pos - SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM t2),
+      ph AS (SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                    CAST(COUNT(*) AS BIGINT) AS plen
+             FROM g WHERE keep GROUP BY doc_id, grp),
+      wstat AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS freq,
+                       CAST(SUM(plen) AS BIGINT) AS deg
+                FROM (SELECT unnest(string_split(phrase, ' ')) AS w1, plen
+                      FROM ph) GROUP BY w1),
+      wsc AS (SELECT w1,
+                CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                  * CAST(1099511627776 AS DOUBLE)) AS BIGINT) AS wscore
+              FROM wstat),
+      ps AS (SELECT phrase, SUM(wscore) AS q
+             FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w1
+                   FROM (SELECT DISTINCT phrase FROM ph))
+             JOIN wsc USING (w1) GROUP BY phrase)
+      SELECT phrase, CAST(q AS DOUBLE) / CAST(1099511627776 AS DOUBLE) AS score
+      FROM ps ORDER BY score DESC, phrase LIMIT 10""")),
+
+    // ---- Gopher rule filter: keep/drop verdict + sorted failed-rule
+    // reasons, every threshold cross-multiplied to integers ----------
+    ("c26_gopher_rules", (s: SparkSession, d: String) =>
+      TextAnalysis.gopherRules(t(s, d, "documents")),
+      Some(s"""
+      WITH r AS (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws, text
+                 FROM documents),
+      s AS (SELECT doc_id,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(length(text) - len(ws) + 1 AS BIGINT) AS n_word_chars,
+              CAST(len(list_filter(ws, t -> t IN ('a', 'the'))) AS BIGINT) AS n_stops,
+              CAST(list_max(list_transform(list_distinct(ws),
+                t -> len(list_filter(ws, x -> x = t)))) AS BIGINT) AS top_word_n
+            FROM r),
+      f AS (SELECT *, COALESCE(array_to_string(list_sort(list_filter([
+              CASE WHEN n_words < 20 THEN 'too_short' END,
+              CASE WHEN n_words > 90 THEN 'too_long' END,
+              CASE WHEN n_word_chars < n_words * 3 THEN 'words_too_short' END,
+              CASE WHEN n_word_chars > n_words * 10 THEN 'words_too_long' END,
+              CASE WHEN n_stops < 2 THEN 'no_stopwords' END,
+              CASE WHEN top_word_n * 5 > n_words THEN 'dominant_word' END],
+              x -> x IS NOT NULL)), ','), '') AS reasons
+            FROM s)
+      SELECT doc_id, n_words, n_word_chars, n_stops, top_word_n, reasons,
+             reasons = '' AS kept
+      FROM f ORDER BY doc_id"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

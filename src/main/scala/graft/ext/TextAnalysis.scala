@@ -802,4 +802,157 @@ object TextAnalysis {
           .as("top_bigram_share"))
       .orderBy(col("doc_id"))
   }
+
+  /** Add-one-smoothed conditional bigram LM score per document: for
+    * every bigram occurrence (w1 w2), p = (c(w1 w2) + 1) / (c(w1) + V)
+    * with corpus-wide counts and vocabulary size V. Doc score = mean p
+    * over the doc's bigram occurrences, in the t15 fixed-point
+    * discipline (each p is ONE IEEE division of exact integers,
+    * floor-quantized at 2^40, integer-summed, divided once) — no libm
+    * log, so the score hash-matches cross-engine. This is the
+    * perplexity-filter shape (CCNet/KenLM stage) with the monotone
+    * probability mean standing in for exp(-mean log p).
+    *
+    * Scale: two hash aggregations (unigram + bigram counts) and one
+    * shuffle-hash join of occurrences to counts — per-key state is the
+    * n-gram's count, never the corpus.
+    */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val d = graft.core.Tables.spread(docs)
+    val uni = d.select(explode(TextOps.words(col("text"))).as("w"))
+      .cpGuard() // read by both the unigram counts and the vocab size
+    val uniCnt = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(countDistinct(col("w")).as("v"))
+    val bi = d.select(col("doc_id"),
+        explode(TextOps.allWordShingles(col("text"), 2)).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .cpGuard() // read by the bigram counts and the per-doc scoring
+    val biCnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    bi.join(biCnt.hint("shuffle_hash"), "bigram")
+      .join(uniCnt.hint("shuffle_hash"), col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        ((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(floor(col("p") * lit(Q))).cast("double")
+          / count(lit(1)).cast("double") / lit(Q)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Readability profile per document — Flesch reading ease with a
+    * vowel-group syllable proxy, words-per-sentence, and type-token
+    * ratio. Pure narrow projection (regexp counts + one split), no
+    * shuffle: at 100 TB this runs at parquet-scan speed. Every ratio
+    * is a single IEEE division and the Flesch polynomial is evaluated
+    * in one fixed association order, so the doubles verify exactly.
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val w = size(ws).cast("long")
+    val syl = regexp_count(col("text"), lit("[aeiou]+")).cast("long")
+    val sent = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]")).cast("long"))
+    val wps = w.cast("double") / sent.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    docs.select(col("doc_id"),
+        w.as("n_words"), syl.as("n_syllables"), sent.as("n_sentences"),
+        wps.as("words_per_sentence"),
+        spw.as("syllables_per_word"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .as("flesch"),
+        (array_size(array_distinct(ws)).cast("double") /
+          w.cast("double")).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free word runs; word score = deg(w)/freq(w)
+    * where deg sums the lengths of phrases containing w; phrase score
+    * sums its word scores. Ratios are floor-quantized at 2^40 before
+    * the sum (the t15 discipline) so ranking ties break identically
+    * cross-engine; returns the global top `topK` phrase strings by
+    * (score, phrase).
+    *
+    * Scale shape: phrase assembly is one window pass per doc (the
+    * island id is pos - rank-among-kept), then two bounded hash
+    * aggregations over (phrase, word) stats; the final top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def rakeKeywords(docs: DataFrame, stop: Seq[String] = Seq("a", "the"),
+                   topK: Int = 10): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
+      .withColumnRenamed("col", "tok")
+      .withColumn("keep", !col("tok").isin(stop: _*))
+      .withColumn("grp",
+        col("pos") - sum(when(col("keep"), 1L).otherwise(0L)).over(w))
+    val phrases = toks.filter(col("keep"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("seq"))
+      .select(concat_ws(" ", col("seq.tok")).as("phrase"),
+        size(col("seq")).cast("long").as("plen"))
+      .cpGuard() // read by word stats and by phrase scoring
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("w1"), col("plen"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore",
+        floor(col("deg").cast("double") / col("freq").cast("double")
+          * lit(Q)).cast("long"))
+    phrases
+      .select(col("phrase")).distinct() // unique phrases scored once
+      .select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("w1"))
+      .join(wordStats.hint("shuffle_hash"), "w1")
+      .groupBy(col("phrase"))
+      .agg(sum(col("wscore")).as("qscore"),
+        count(lit(1)).as("n_words_inc_dup"))
+      .select(col("phrase"),
+        (col("qscore").cast("double") / lit(Q)).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, adapted to the
+    * corpus): per-document keep/drop verdict with the sorted list of
+    * failed-rule names. Every threshold is evaluated in cross-
+    * multiplied integer arithmetic (3*W <= chars <= 10*W instead of a
+    * float mean), so the verdicts are exact. Narrow projection — one
+    * scan, no shuffle; composes upstream of dedup in a curation DAG.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; at least two stopword occurrences; no single word
+    * exceeding 1/5 of the doc (dominance/repetition).
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 20,
+                  maxWords: Int = 90,
+                  stop: Seq[String] = Seq("a", "the")): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val w = size(ws).cast("long")
+    // word chars = doc chars minus the (W-1) separating spaces
+    val chars = (length(col("text")) - w + 1).cast("long")
+    val stops = size(filter(ws, t => t.isin(stop: _*))).cast("long")
+    val topCnt = array_max(transform(array_distinct(ws),
+      t => size(filter(ws, x => x === t)))).cast("long")
+    val reasons = array(
+      when(w < minWords, lit("too_short")),
+      when(w > maxWords, lit("too_long")),
+      when(chars * 1 < w * 3, lit("words_too_short")),
+      when(chars > w * 10, lit("words_too_long")),
+      when(stops < 2, lit("no_stopwords")),
+      when(topCnt * 5 > w, lit("dominant_word")))
+    docs.select(col("doc_id"), w.as("n_words"), chars.as("n_word_chars"),
+        stops.as("n_stops"), topCnt.as("top_word_n"),
+        concat_ws(",", array_sort(filter(reasons, r => r.isNotNull)))
+          .as("reasons"))
+      .withColumn("kept", col("reasons") === "")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis
+
+/** Semantic pins for the round-9 text scorers (the oracle gate proves
+  * cross-engine equality; these prove the SEMANTICS on hand-checkable
+  * corpora).
+  */
+class TextScoringSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "src0", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("bigramLmScore: repeated bigram scores higher than a unique one") {
+    // corpus: "x y" appears 3x, "p q" once; smoothing V = 4 distinct
+    val d = docs("x y x y x y", "p q")
+    val got = TextAnalysis.bigramLmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(0L) > got(1L))
+    // doc 1: one bigram "p q", c12=1, c1(p)=1, V=4 -> p=(1+1)/(1+4)=0.4
+    assert(math.abs(got(1L) - 0.4) < 1e-9)
+  }
+
+  test("readability counts words, vowel groups, sentences, TTR") {
+    val d = docs("see the tree. run far!")
+    val r = TextAnalysis.readability(d).collect().head
+    assert(r.getAs[Long]("n_words") == 5L)
+    // vowel groups: ee, e, ee, u, a -> 5
+    assert(r.getAs[Long]("n_syllables") == 5L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Double]("ttr") == 1.0)
+    val wps = 5.0 / 2.0; val spw = 5.0 / 5.0
+    assert(r.getAs[Double]("flesch") == 206.835 - 1.015 * wps - 84.6 * spw)
+  }
+
+  test("rake splits phrases on stopwords and scores deg/freq") {
+    // "fast car" and "fast" as phrases: deg(fast)=2+1=3 freq=2 ->1.5
+    // deg(car)=2 freq=1 -> 2.0; phrase "fast car" = 3.5, "fast" = 1.5
+    val d = docs("fast car the fast")
+    val got = TextAnalysis.rakeKeywords(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("fast car", "fast"))
+    assert(math.abs(got("fast car") - 3.5) < 1e-9)
+    assert(math.abs(got("fast") - 1.5) < 1e-9)
+  }
+
+  test("rake scores a repeated phrase once") {
+    val d = docs("red fox the red fox")
+    val got = TextAnalysis.rakeKeywords(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // both words: freq=2, deg=4 -> 2.0 each; one "red fox" row at 4.0
+    assert(got == Map("red fox" -> 4.0))
+  }
+
+  test("gopherRules flags each rule and keeps a healthy doc") {
+    val d = docs(
+      // kept: 20+ words, the/a present, no dominant word, sane lengths
+      "the quick brown fox jumps over a lazy dog while many other words " +
+        "keep this document long enough to pass every single rule here",
+      "tiny doc", // too_short + no_stopwords + trivially dominant
+      "the the the the the the the the the the the the the the the the " +
+        "the the the the the") // dominant_word (and stopwords pass)
+    val got = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reasons"), r.getAs[Boolean]("kept"))).toMap
+    assert(got(0L)._2, got(0L)._1)
+    assert(got(1L)._1.split(",").toSet ==
+      Set("dominant_word", "no_stopwords", "too_short"))
+    assert(got(2L)._1.contains("dominant_word") && !got(2L)._2)
+  }
+}
