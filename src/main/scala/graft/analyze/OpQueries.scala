@@ -1610,6 +1610,50 @@ object OpQueries {
       FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.conv_ts
       ORDER BY m.click_id""")),
 
+    // ---- bounded-radius centrality (closeness / harmonic /
+    // eccentricity) from ONE multi-source BFS — the g05 frontier loop
+    // with a seed dimension; harmonic's 1/d terms fold in ascending-
+    // hop order over the per-distance histogram. Oracle unrolls the
+    // same min-expansion recurrence with a seed column --------------
+    ("g15_centrality", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.centrality(eventEdges(s, d).cpGuard(), maxHops = 3)
+    }, Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT seed, k, MIN(hop) AS hop FROM (
+                SELECT seed, k, hop FROM d${i - 1}
+                UNION ALL
+                SELECT p.seed, ed.dst AS k, p.hop + 1
+                FROM ed JOIN d${i - 1} p ON ed.src = p.k) u
+              GROUP BY seed, k)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $eventEdgesCtes,
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      d0 AS (SELECT k AS seed, k, 0 AS hop FROM nodes),
+      $iterCtes,
+      hc AS (SELECT seed, hop, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM d3 WHERE hop > 0 GROUP BY seed, hop),
+      agg AS (SELECT seed,
+                CAST(SUM(cnt) AS BIGINT) AS n_reached,
+                CAST(SUM(cnt * hop) AS BIGINT) AS sum_hops,
+                CAST(MAX(hop) AS INT) AS ecc,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(cnt AS DOUBLE) / CAST(hop AS DOUBLE)
+                       ORDER BY hop)), (a, b) -> a + b) AS harmonic
+              FROM hc GROUP BY seed)
+      SELECT nodes.k, COALESCE(n_reached, 0) AS n_reached,
+             COALESCE(sum_hops, 0) AS sum_hops,
+             COALESCE(ecc, 0) AS ecc,
+             CASE WHEN sum_hops > 0
+               THEN CAST(n_reached AS DOUBLE) / CAST(sum_hops AS DOUBLE)
+             END AS closeness,
+             COALESCE(harmonic, CAST(0.0 AS DOUBLE)) AS harmonic
+      FROM nodes LEFT JOIN agg ON agg.seed = nodes.k
+      ORDER BY k"""
+    }),
+
     // ---- per-user EMA: the recursive smoother as ONE hash aggregation
     // (ordered collect + left fold) — the exact IEEE sequence DuckDB's
     // list_reduce performs, so the floats hash-match; no window pass,

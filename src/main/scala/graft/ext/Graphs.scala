@@ -497,6 +497,66 @@ object Graphs {
     dist.orderBy(col("k"))
   }
 
+  /** Bounded-radius centrality profile: for every node, over the
+    * directed <= `maxHops` out-neighborhood, the reached count, hop
+    * sum, eccentricity, bounded closeness (n_reached / sum_hops) and
+    * bounded harmonic centrality (sum of 1/d). One multi-source BFS —
+    * the [[bfsHops]] frontier/delta loop with a `seed` dimension, so
+    * ALL sources run in a single sequence of node-keyed joins rather
+    * than |V| separate traversals.
+    *
+    * Determinism: hop counts are integers; harmonic's 1/d terms are
+    * single IEEE divisions folded in ascending-hop order over the
+    * per-distance histogram (cnt/hop), never a row-order-dependent
+    * float sum — the DotProductD discipline applied to graph distances.
+    *
+    * Scale: (seed, node) state is O(|V| * neighborhood); bounded hops
+    * keep it near-linear on sparse graphs. At web scale the same loop
+    * runs on a seed SAMPLE (centrality estimates) or switches to
+    * register-merge sketches (HyperBall, Boldi & Vigna 2013 — the
+    * d16/d18 HLL registers over frontiers); exact all-sources is for
+    * item/taxonomy graphs like this one.
+    */
+  def centrality(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, "maxHops >= 1")
+    val ed = edges.select(col("src"), col("dst")).distinct().cpGuard()
+    val nodes = ed.select(col("src").as("k"))
+      .unionAll(ed.select(col("dst").as("k"))).distinct().cpGuard()
+    var dist = nodes.select(col("k").as("seed"), col("k"),
+      lit(0).cast("int").as("hop")).cpGuard()
+    var frontier = dist.select(col("seed"), col("k"))
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(ed, col("k") === col("src"))
+        .select(col("seed"), col("dst").as("k")).distinct()
+        .join(dist.select(col("seed"), col("k")), Seq("seed", "k"),
+          "left_anti")
+        .withColumn("hop", lit(h).cast("int"))
+      dist = dist.unionAll(next).cpGuard()
+      frontier = dist.filter(col("hop") === h).select(col("seed"), col("k"))
+    }
+    val perHop = dist.filter(col("hop") > 0)
+      .groupBy(col("seed"), col("hop")).agg(count(lit(1)).as("cnt"))
+    val agg = perHop.groupBy(col("seed")).agg(
+      sum(col("cnt")).cast("long").as("n_reached"),
+      sum(col("cnt") * col("hop")).cast("long").as("sum_hops"),
+      max(col("hop")).cast("int").as("ecc"),
+      aggregate(
+        array_sort(collect_list(struct(col("hop"), col("cnt")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("cnt").cast("double") /
+          x.getField("hop").cast("double")).as("harmonic"))
+    nodes.join(agg, nodes("k") === agg("seed"), "left")
+      .select(col("k"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_hops"), lit(0L)).as("sum_hops"),
+        coalesce(col("ecc"), lit(0)).as("ecc"),
+        when(col("sum_hops") > 0,
+          col("n_reached").cast("double") / col("sum_hops").cast("double"))
+          .as("closeness"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+      .orderBy(col("k"))
+  }
+
   /** k-core peel over the undirected simple graph, run for exactly
     * `iters` peel rounds: repeatedly drop nodes whose surviving degree
     * is below `minDeg`, keeping only edges between survivors. The

@@ -361,4 +361,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == want, s"two-phase diverged from union-find")
     assert(got(139L) == 100L && got(7L) == 3L && got(93L) == 91L)
   }
+
+  test("centrality on a directed path: hops, closeness, harmonic, ecc") {
+    // 1 -> 2 -> 3 -> 4: from 1 (radius 3) reach {2@1, 3@2, 4@3}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.centrality(path, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val n1 = got(1L)
+    assert(n1.getLong(1) == 3L && n1.getLong(2) == 6L) // n_reached, sum_hops
+    assert(n1.getInt(3) == 3)                          // ecc
+    assert(n1.getDouble(4) == 3.0 / 6.0)               // closeness
+    assert(n1.getDouble(5) == 0.0 + 1.0 / 1.0 + 1.0 / 2.0 + 1.0 / 3.0)
+    // sink node 4 reaches nothing: zeroes and null closeness
+    val n4 = got(4L)
+    assert(n4.getLong(1) == 0L && n4.isNullAt(4) && n4.getDouble(5) == 0.0)
+  }
+
+  test("centrality radius bounds the neighborhood") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.centrality(path, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }
