@@ -1568,6 +1568,62 @@ object ExtQueries {
       WHERE ${dotS("a.embedding", "c.embedding")} / (a.nrm * c.nrm) >= 0.3
       ORDER BY vec_a, vec_b""")),
 
+    // ---- Rocchio pseudo-relevance feedback: round-1 exact top-k ->
+    // rank-ordered feedback-centroid fold -> re-ranked round-2 top-k.
+    // The oracle replays the identical vector folds with list_reduce
+    // (zero-init, rank order), so the expanded-query cosines match
+    // bit-for-bit ---------------------------------------------------
+    ("s30_rocchio_expand", (s: SparkSession, d: String) =>
+      Similarity.rocchioExpand(t(s, d, "embeddings"), nQueries = 5, k = 10),
+      Some(s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                        ${normS("embedding")} AS q_norm
+                 FROM embeddings WHERE vec_id < 5),
+      t AS (SELECT vec_id AS t_id, embedding AS t_emb,
+                   ${normS("embedding")} AS t_norm
+            FROM embeddings WHERE vec_id >= 5),
+      s1 AS (SELECT q_id, t_id, t_emb, q_emb,
+                    ${dotS("q_emb", "t_emb")} / (q_norm * t_norm) AS cosine
+             FROM t CROSS JOIN q),
+      r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, t_id) AS rn FROM s1),
+      fbv AS (SELECT q_id,
+                list(list_transform(t_emb, x -> CAST(x AS DOUBLE))
+                     ORDER BY rn) AS vs,
+                first(q_emb) AS q_emb
+              FROM r1 WHERE rn <= 10 GROUP BY q_id),
+      fb AS (SELECT q_id, q_emb,
+               list_reduce(list_prepend(
+                   list_transform(range(len(q_emb)), i -> CAST(0.0 AS DOUBLE)),
+                   vs),
+                 (acc, v) -> list_transform(range(len(acc)),
+                   i -> acc[i+1] + v[i+1])) AS fsum
+             FROM fbv),
+      qe AS (SELECT q_id,
+               list_transform(range(len(q_emb)), i ->
+                 CAST(q_emb[i+1] AS DOUBLE) * CAST(0.5 AS DOUBLE)
+                 + (fsum[i+1] * CAST(0.5 AS DOUBLE)) / CAST(10.0 AS DOUBLE))
+                 AS q_exp
+             FROM fb),
+      qn AS (SELECT q_id, q_exp,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(len(q_exp)),
+                   i -> q_exp[i+1] * q_exp[i+1])),
+                 (a, b) -> a + b)) AS qx_norm
+             FROM qe),
+      s2 AS (SELECT qn.q_id, t.t_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(len(q_exp)),
+                   i -> q_exp[i+1] * CAST(t_emb[i+1] AS DOUBLE))),
+                 (a, b) -> a + b) / (qx_norm * t_norm) AS cosine2
+             FROM t CROSS JOIN qn),
+      r2 AS (SELECT q_id, t_id, cosine2,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine2 DESC, t_id) AS rn FROM s2)
+      SELECT q_id AS query_id, t_id AS neighbor_id, cosine2,
+             CAST(rn AS INT) AS rn
+      FROM r2 WHERE rn <= 10 ORDER BY query_id, rn""")),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),
@@ -3412,6 +3468,36 @@ object ExtQueries {
             GROUP BY 1, 2)
       SELECT doc_a, doc_b, n_matches FROM m WHERE n_matches >= 3
       ORDER BY doc_a, doc_b"""
+    }),
+
+    // ---- within-video keyframe selection: dHash change between
+    // consecutive frames == shot boundary; only keyframes would reach
+    // the expensive frame encoder downstream. Oracle recomputes every
+    // frame hash analytically from the shot-pattern model and applies
+    // the same LAG ---------------------------------------------------
+    ("m09_keyframes", (s: SparkSession, d: String) => {
+      val vids = Multimodal.syntheticShotVideos(
+        t(s, d, "documents").filter(col("doc_id") < 600))
+      Multimodal.keyframes(vids, sampleEvery = 1)
+    }, Some {
+      s"""
+      WITH d AS (SELECT doc_id, doc_id // 2 AS vid
+                 FROM documents WHERE doc_id < 600),
+      fr AS (SELECT doc_id, j.j AS frame_idx,
+                    CAST((vid + j.j // 4) % ${Multimodal.PatternCount} AS BIGINT) AS p,
+                    FALSE AS noisy
+             FROM d CROSS JOIN range(${Multimodal.VideoFrames}) j(j)),
+      pn AS (SELECT DISTINCT p, noisy FROM fr),
+      $patternCellsHhCtes,
+      fp AS (SELECT fr.doc_id, fr.frame_idx, hh.dhash FROM fr
+             JOIN hh ON hh.p = fr.p AND hh.noisy = fr.noisy),
+      k AS (SELECT doc_id, frame_idx, dhash,
+              LAG(dhash) OVER (PARTITION BY doc_id
+                ORDER BY frame_idx) AS prev
+            FROM fp)
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, dhash
+      FROM k WHERE prev IS NULL OR prev <> dhash
+      ORDER BY doc_id, frame_idx"""
     }),
 
     // ---- streaming window workload, batch form -------------------------

@@ -329,6 +329,78 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Shot-structured synthetic videos (same container format as
+    * [[syntheticVideos]], REAL PNG frames): `nFrames` frames in
+    * consecutive SHOTS of `shotLen` identical-pattern frames — pattern
+    * = (vid + j/shotLen) % [[PatternCount]] — so shot boundaries are
+    * the only visual cuts. Resolution still varies by doc parity (the
+    * dHash grid is resolution-invariant); no noise rows: this fixture
+    * isolates temporal structure, [[syntheticVideos]] isolates
+    * perturbation.
+    */
+  def syntheticShotVideos(docs: DataFrame, nFrames: Int = VideoFrames,
+                          shotLen: Int = 4): DataFrame = {
+    require(shotLen >= 1, "shotLen >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val vid = id / 2
+          val r = (id % 2).toInt
+          val w = 9 * (2 + r)
+          val h = 8 * 2
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.writeInt(nFrames)
+          var j = 0
+          while (j < nFrames) {
+            val p = ((vid + j / shotLen) % PatternCount).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  cellValue(p, x * 9 / w, y * 8 / h, noisy = false))
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            val bytes = fb.toByteArray
+            out.writeInt(bytes.length)
+            out.write(bytes)
+            j += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Within-video keyframe selection over the sampled-frame dHash
+    * sequence: a frame is a keyframe when its hash differs from the
+    * previous SAMPLED frame's (shot-boundary proxy; frame 0 always
+    * is). One demux/decode pass ([[videoFrameHashes]]) + one per-video
+    * window — the temporal-redundancy pruning step a multimodal
+    * training pipeline runs before embedding frames (only keyframes
+    * reach the expensive encoder). Per-video state is its own sampled
+    * frames, so the window never skews.
+    */
+  def keyframes(videos: DataFrame, sampleEvery: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    videoFrameHashes(videos, sampleEvery)
+      .withColumn("prev", lag(col("dhash"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("dhash"))
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Demux + frame-sample + per-frame dHash: parse the container, keep
     * every `sampleEvery`-th frame, decode the REAL PNG, hash with the
     * shared 9x8 grid rule. Per-partition map, no shuffle; truncated or

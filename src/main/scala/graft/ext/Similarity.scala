@@ -406,6 +406,68 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Rocchio pseudo-relevance-feedback query expansion (Rocchio 1971;
+    * the classic PRF loop dense retrieval stacks still run): take each
+    * query's exact cosine top-`k`, form the expanded query
+    * q' = alpha*q + (beta/k) * sum(top-k neighbor vectors), and
+    * re-rank the SAME target set under q'. Output: the second-round
+    * top-k per query. alpha = beta = 0.5 (dyadic, exact literals).
+    *
+    * Determinism: the feedback centroid folds neighbor vectors in
+    * RANK order from a zero vector (ordered collect + elementwise
+    * zip_with fold — the DotProductD discipline lifted to vectors), so
+    * both engines run the identical IEEE sequence; q'-side dot/norm
+    * use the same HOF fold.
+    *
+    * Scale: round 1 is the brute baseline (swap in the IVF/LSH path
+    * for production); the expansion itself is one k-row-per-query
+    * ordered fold — O(q*k*dim) — and round 2 re-uses whatever index
+    * serves round 1. Feedback state per query is k vectors, bounded.
+    */
+  def rocchioExpand(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = side(embs.filter(col("vec_id") < nQueries), "q")
+    val t = side(embs.filter(col("vec_id") >= nQueries), "t").cpGuard()
+    val cos1 = dotCol(col("q_emb"), col("t_emb")) /
+      (col("q_norm") * col("t_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("t_id"))
+    val r1 = t.crossJoin(broadcast(q))
+      .withColumn("cosine", cos1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val toD = (a: Column) => transform(a, x => x.cast("double"))
+    val fb = r1.groupBy(col("q_id"))
+      .agg(
+        first(col("q_emb")).as("q_emb"),
+        array_sort(collect_list(struct(col("rn"), col("t_emb"))))
+          .as("seq"))
+      .withColumn("fsum",
+        aggregate(col("seq"),
+          array_repeat(lit(0.0), size(col("q_emb"))),
+          (acc, x) => zip_with(acc, toD(x.getField("t_emb")),
+            (a, b) => a + b)))
+      .withColumn("q_exp",
+        zip_with(toD(col("q_emb")), col("fsum"),
+          (a, b) => a * lit(0.5) + (b * lit(0.5)) / lit(k.toDouble)))
+      .withColumn("qx_norm",
+        sqrt(aggregate(zip_with(col("q_exp"), col("q_exp"),
+          (a, b) => a * b), lit(0.0), (acc, v) => acc + v)))
+      .select(col("q_id"), col("q_exp"), col("qx_norm"))
+    val cos2 = aggregate(
+      zip_with(col("q_exp"), col("t_emb"),
+        (a, b) => a * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v) / (col("qx_norm") * col("t_norm"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine2").desc, col("t_id"))
+    t.crossJoin(broadcast(fb))
+      .withColumn("cosine2", cos2)
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("cosine2"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Exact squared-L2 top-k — the metric-matched baseline for the
     * IVF-PQ family (which approximates L2, not cosine): queries are
     * vec_id < nQueries, targets the rest, neighbors ranked by

@@ -362,6 +362,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(139L) == 100L && got(7L) == 3L && got(93L) == 91L)
   }
 
+  test("keyframes: one per shot boundary in a shot-structured video") {
+    val docs = Seq((0L, "t", "en", "src0", 1L), (1L, "t", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vids = Multimodal.syntheticShotVideos(docs, nFrames = 12, shotLen = 4)
+    val got = Multimodal.keyframes(vids, sampleEvery = 1).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).toSet).toMap
+    // shots at frames 0-3, 4-7, 8-11 -> keyframes exactly at 0, 4, 8
+    assert(got(0L) == Set(0, 4, 8) && got(1L) == Set(0, 4, 8))
+  }
+
+  test("keyframes: sampling stride still detects the surviving cuts") {
+    val docs = Seq((0L, "t", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vids = Multimodal.syntheticShotVideos(docs, nFrames = 12, shotLen = 4)
+    // sampled frames 0,3,6,9: hash changes at 3->6? both shot1... frames
+    // 0,3 share shot 0; 6 is shot 1; 9 is shot 2 -> keyframes 0, 6, 9
+    val got = Multimodal.keyframes(vids, sampleEvery = 3).collect()
+      .map(_.getInt(1)).toSet
+    assert(got == Set(0, 6, 9))
+  }
+
+  test("rocchio expansion keeps the dominant neighbor and re-ranks by the expanded query") {
+    import graft.ext.Similarity
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0), (5L, Array(1f, 0f), 0),
+      (6L, Array(0f, 1f), 0), (7L, Array(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.rocchioExpand(embs, nQueries = 1, k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    // round 1 top-2: t5 (cos 1.0), t7 (cos 0.6); q' = (0.9, 0.2) still
+    // ranks t5 first, t7 second
+    assert(got.toSeq == Seq((5L, 1), (7L, 2)))
+  }
+
   test("centrality on a directed path: hops, closeness, harmonic, ecc") {
     // 1 -> 2 -> 3 -> 4: from 1 (radius 3) reach {2@1, 3@2, 4@3}
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
