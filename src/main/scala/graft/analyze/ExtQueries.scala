@@ -661,6 +661,33 @@ object ExtQueries {
       Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5),
       Some(minhashOracle)),
 
+    // ---- minhash-estimator calibration: signature-estimated vs exact
+    // Jaccard on every d05 candidate pair, with absolute error — the
+    // audit that justifies trusting the signature at scale. Oracle
+    // compares the m0..mN signature columns componentwise ------------
+    ("d40_minhash_estimator_error", (s: SparkSession, d: String) =>
+      Dedup.minhashEstimatorError(t(s, d, "documents")),
+      Some {
+        val matchSum = Hashing.perms.indices
+          .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val n = Hashing.perms.size
+        s"""
+      WITH $minhashCtes,
+      sm AS (SELECT cand.doc_a, cand.doc_b,
+               CAST($matchSum AS INT) AS n_match
+             FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+                       JOIN sig sb ON sb.doc_id = cand.doc_b)
+      SELECT com.doc_a, com.doc_b, n_match, n_common,
+             CAST(n_match AS DOUBLE) / CAST($n.0 AS DOUBLE) AS est_jaccard,
+             CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard,
+             abs(CAST(n_match AS DOUBLE) / CAST($n.0 AS DOUBLE)
+                 - CAST(n_common AS DOUBLE) / (na + nb - n_common))
+               AS abs_err
+      FROM com JOIN sm USING (doc_a, doc_b)
+      ORDER BY doc_a, doc_b"""
+      }),
+
     // ---- capped-path gates (see the hot-bucket cap fixture above):
     // identical operators and thresholds as d05/d04/d11/d19, but run
     // on the planted-hot-cluster fixture with the DEFAULT maxBucket,

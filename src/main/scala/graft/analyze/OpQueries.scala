@@ -1610,6 +1610,49 @@ object OpQueries {
       FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.conv_ts
       ORDER BY m.click_id""")),
 
+    // ---- nearest as-of: |gap|-minimizing match in either direction,
+    // ties backward — the backward + forward passes composed, the
+    // third member of the as-of family (a01 backward, a03 forward
+    // w/ tolerance). Oracle: correlated max/min subqueries + the same
+    // tie rule ------------------------------------------------------
+    ("a04_asof_nearest", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.nearest(purchases, clicks, "user_id", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("near_ts"),
+          col("asof_click_id").as("click_id"),
+          (unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH c AS (SELECT user_id, ts, max(event_id) AS click_id
+                 FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      p AS (SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT p.event_id, p.user_id, p.ts,
+              (SELECT max(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS b_ts,
+              (SELECT min(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS f_ts
+            FROM p),
+      pick AS (SELECT event_id, user_id, ts,
+                 CASE WHEN f_ts IS NULL THEN b_ts
+                      WHEN b_ts IS NOT NULL
+                           AND epoch_us(ts) - epoch_us(b_ts)
+                               <= epoch_us(f_ts) - epoch_us(ts) THEN b_ts
+                      ELSE f_ts END AS near_ts
+               FROM m)
+      SELECT pick.event_id, pick.user_id, pick.ts, near_ts, c.click_id,
+             epoch_us(near_ts) - epoch_us(pick.ts) AS gap_us
+      FROM pick LEFT JOIN c ON c.user_id = pick.user_id
+                           AND c.ts = pick.near_ts
+      ORDER BY pick.event_id""")),
+
     // ---- bounded-radius centrality (closeness / harmonic /
     // eccentricity) from ONE multi-source BFS — the g05 frontier loop
     // with a seed dimension; harmonic's 1/d terms fold in ascending-
@@ -1689,6 +1732,27 @@ object OpQueries {
                / CAST(SUM(dur_s) * 100 AS DOUBLE) AS twa
       FROM i GROUP BY user_id
       HAVING SUM(dur_s) > 0 ORDER BY user_id""")),
+
+    // ---- inter-arrival gap profile (bot-cadence fingerprint): all
+    // integers except one division; the median is RANK-selected from
+    // the sorted gap list, never interpolated ------------------------
+    ("w26_gap_stats", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.gapStats(t(s, d, "events")),
+      Some("""
+      WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                   LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_us
+                 FROM events),
+      i AS (SELECT user_id, next_us - us AS gap_us
+            FROM o WHERE next_us IS NOT NULL)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+             CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+             list(gap_us ORDER BY gap_us)[CAST((COUNT(*) + 1) // 2 AS INT)]
+               AS p50_gap_us,
+             CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_gap_us
+      FROM i GROUP BY user_id ORDER BY user_id""")),
 
     // ---- OHLC bars per (user, hour): first/last in the (ts, event_id)
     // total order via one full-frame window pass, volume in exact

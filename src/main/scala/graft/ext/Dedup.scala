@@ -120,6 +120,57 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
   }
 
+  /** Estimator-accuracy audit for the minhash family: for every LSH
+    * candidate pair, the SIGNATURE-based Jaccard estimate (matching
+    * components / permutation count — the unbiased minhash estimator)
+    * next to the exact shingle Jaccard, with the absolute error. This
+    * is the calibration table that justifies trusting the signature
+    * at 100 TB (where exact verification is reserved for candidates):
+    * a drifting error distribution means the permutation count is too
+    * small for the corpus's similarity regime.
+    *
+    * Both scores are single IEEE divisions of exact integers, and the
+    * error is one subtraction + abs — hash-verifiable cross-engine.
+    * Cost shape = one extra bounded-width column on the d05 candidate
+    * path (signatures join by doc id, never a second exploded join).
+    */
+  def minhashEstimatorError(docs: DataFrame,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nPerms = Hashing.perms.size
+    val cand = minhashSelfCandidates(docs, maxBucket).cpGuard()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val needed = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.MinhashSigOf(col("text"), ShingleSize).as("sig"),
+        array_sort(TextOps.wordShingles(col("text"), ShingleSize))
+          .as("arr"))
+      .cpGuard() // feeds both pair joins
+    val scored = cand
+      .join(needed.select(col("doc_id").as("doc_a"),
+        col("sig").as("sig_a"), col("arr").as("arr_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(needed.select(col("doc_id").as("doc_b"),
+        col("sig").as("sig_b"), col("arr").as("arr_b"))
+        .hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (a, b) => a === b), x => x)).as("n_match"),
+        graft.functions.SortedIntersectCount(col("arr_a"), col("arr_b"))
+          .as("n_common"),
+        size(col("arr_a")).as("na"), size(col("arr_b")).as("nb"))
+    val est = col("n_match").cast("double") / lit(nPerms.toDouble)
+    val exact = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    scored
+      .withColumn("est_jaccard", est)
+      .withColumn("jaccard", exact)
+      .withColumn("abs_err", abs(est - exact))
+      .select(col("doc_a"), col("doc_b"), col("n_match"), col("n_common"),
+        col("est_jaccard"), col("jaccard"), col("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Near-duplicate pairs with exact Jaccard >= threshold.
     * Pipeline: signatures -> band buckets (hot buckets capped, see
     * [[HotBuckets]]) -> distinct candidate pairs -> per-pair

@@ -81,6 +81,35 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Inter-arrival gap profile per user: count/min/max/sum/mean and
+    * the lower median of the microsecond gaps between consecutive
+    * events — the cadence fingerprint curation uses for bot/scripted-
+    * traffic detection (machine cadence: tiny, near-constant gaps).
+    * All integers except the mean (one IEEE division); the median is
+    * RANK-selected from the per-user sorted gap list (engines'
+    * percentile interpolation differs in the last ulp; a rank pick
+    * cannot). Per-user state = that user's gaps, bounded.
+    */
+  def gapStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - col("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        element_at(array_sort(collect_list(col("gap_us"))),
+          floor((count(lit(1)) + 1) / 2).cast("int")).as("p50_gap_us"))
+      .withColumn("mean_gap_us",
+        col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+      .orderBy(col("user_id"))
+  }
+
   /** OHLC bars: per (user, hour) open/high/low/close of `value` plus
     * exact-decimal volume. Open/close are first/last in the total
     * order (ts, event_id) — computed with one window pass whose frame

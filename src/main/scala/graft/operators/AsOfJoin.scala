@@ -47,6 +47,30 @@ object AsOfJoin {
                  payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame =
     asOf(left, right, key, ts, payload, asOfPrefix, forward = true)
 
+  /** Nearest as-of: the right row minimizing |right.ts - left.ts| with
+    * the same key, ties resolved BACKWARD (the at-or-before row wins —
+    * sensor-alignment semantics: prefer the reading that existed at
+    * event time). Composed from one backward and one forward pass
+    * (SURVEY §2.6 preference (a): both passes are the single-window
+    * tagged-union plan on the same key, so AQE reuses the exchange).
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+              payload: Seq[String], asOfPrefix: String = "asof_"): DataFrame = {
+    val back = asOf(left, right, key, ts, payload, "__b_", forward = false)
+    val both = asOf(back, right, key, ts, payload, "__f_", forward = true)
+    val bTs = col(s"__b_$ts"); val fTs = col(s"__f_$ts")
+    val takeBack = fTs.isNull ||
+      (bTs.isNotNull &&
+        unix_micros(col(ts)) - unix_micros(bTs) <=
+          unix_micros(fTs) - unix_micros(col(ts)))
+    val out = left.columns.map(col) ++
+      ((ts +: payload).map { p =>
+        when(takeBack, col(s"__b_$p")).otherwise(col(s"__f_$p"))
+          .as(s"$asOfPrefix$p")
+      })
+    both.select(out: _*)
+  }
+
   private def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
                    payload: Seq[String], asOfPrefix: String,
                    forward: Boolean): DataFrame = {

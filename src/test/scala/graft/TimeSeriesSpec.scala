@@ -93,6 +93,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2).getAs[String]("asof_p") == null)
   }
 
+  test("nearest picks the |gap|-minimal side, ties backward, one side null-safe") {
+    import spark.implicits._
+    def tdf(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("k", "t2", "p")
+        .withColumn("ts", timestamp_millis(col("t2") * 1000))
+        .select(col("k"), col("ts"), col("p"))
+    val left = Seq((1L, 20L), (2L, 20L), (3L, 20L))
+      .toDF("k", "t").withColumn("ts", timestamp_millis(col("t") * 1000))
+      .select(col("k"), col("ts"))
+    val right = tdf(Seq(
+      (1L, 10L, "back"), (1L, 24L, "fwd"),   // fwd closer (4 < 10)
+      (2L, 15L, "tieB"), (2L, 25L, "tieF"),  // tie -> backward
+      (3L, 30L, "onlyF")))                   // no backward row
+    val got = AsOfJoin.nearest(left, right, "k", "ts", Seq("p")).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("asof_p")).toMap
+    assert(got == Map(1L -> "fwd", 2L -> "tieB", 3L -> "onlyF"))
+  }
+
   test("firstAfter and lastBefore agree on exact-timestamp matches") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")
