@@ -3417,6 +3417,35 @@ object ExtQueries {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
       FROM lagd GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- energy-based audio segmentation (the VAD shape): real WAV
+    // decode -> 64-sample frame energies (exact integers) -> gaps-and-
+    // islands merge of consecutive active frames; only active segments
+    // would reach the expensive audio encoder. Oracle regenerates the
+    // samples analytically and applies the identical islands rule ----
+    ("m10_audio_segments", (s: SparkSession, d: String) =>
+      Multimodal.audioEnergySegments(
+        Multimodal.syntheticAudio(t(s, d, "documents")),
+        windowSamples = 64, energyThreshold = 21500000L),
+      Some(s"""
+      WITH m AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+      idx AS (SELECT doc_id, n,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM m),
+      vals AS (SELECT doc_id, i // 64 AS w,
+                      ((doc_id * 31 + i * 7) % 2001) - 1000 AS v
+               FROM idx),
+      we AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS e
+             FROM vals GROUP BY 1, 2),
+      act AS (SELECT doc_id, w, e,
+                w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w)
+                  AS grp
+              FROM we WHERE e > 21500000)
+      SELECT doc_id, MIN(w) AS start_win,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(e) AS BIGINT) AS seg_energy
+      FROM act GROUP BY doc_id, grp
+      ORDER BY doc_id, start_win""")),
+
     // perceptual AUDIO near-dup: multi-amplitude WAV renditions ->
     // real javax.sound decode -> 64-bit energy-delta fingerprint ->
     // the m05 band-blocked Hamming pipeline. The oracle derives every

@@ -1754,6 +1754,39 @@ object OpQueries {
                AS mean_gap_us
       FROM i GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- one-sided CUSUM upward-shift detector: s_i = max(0,
+    // s_{i-1} + x_i - k), alarm when s > h — computed WITHOUT the
+    // recursion via the prefix identity s_i = P_i - min(0, runmin P),
+    // two same-spec window passes in pure BIGINT cents --------------
+    ("w27_cusum", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.cusum(t(s, d, "events"),
+        kCents = 6000L, hCents = 20000L),
+      Some("""
+      WITH c AS (SELECT user_id, ts, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS cents
+                 FROM events),
+      pr AS (SELECT user_id, ts, event_id, cents,
+               SUM(cents - 6000) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+             FROM c),
+      pp AS (SELECT user_id, cents, p,
+               MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS runmin
+             FROM pr),
+      st AS (SELECT user_id, cents, p,
+               p - LEAST(CAST(0 AS BIGINT), runmin) AS s
+             FROM pp)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN s > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+             CAST((CAST(SUM(cents) AS BIGINT) - COUNT(*) * 6000)
+               - LEAST(CAST(0 AS BIGINT), MIN(p)) AS BIGINT)
+               AS final_cusum_cents
+      FROM st GROUP BY user_id ORDER BY user_id""")),
+
     // ---- OHLC bars per (user, hour): first/last in the (ts, event_id)
     // total order via one full-frame window pass, volume in exact
     // decimal ------------------------------------------------------

@@ -553,6 +553,68 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_samples", "sum_sq", "n_zero_cross")
   }
 
+  /** Energy-based audio segmentation (the VAD shape): REAL WAV decode,
+    * fixed `windowSamples`-sample frames, per-frame energy = exact
+    * integer sum of squared amplitudes, frames above
+    * `energyThreshold` are "active", and consecutive active frames
+    * merge into segments via a per-doc gaps-and-islands window. The
+    * speech/music-extraction front gate of an audio training
+    * pipeline: only active segments reach the expensive encoder
+    * (the [[keyframes]] contract, applied to audio). Output:
+    * (doc_id, start_win, n_windows, seg_energy). All integers —
+    * hash-verifiable against an oracle that regenerates the samples
+    * analytically. Undecodable payloads contribute no frames.
+    */
+  def audioEnergySegments(withBin: DataFrame, windowSamples: Int,
+                          energyThreshold: Long): DataFrame = {
+    require(windowSamples >= 1, "windowSamples >= 1")
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    val frames = withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long)]
+            var w = 0
+            while (w * windowSamples < n) {
+              var e = 0L
+              var i = w * windowSamples
+              val end = math.min(n, (w + 1) * windowSamples)
+              while (i < end) {
+                val v = ((raw(2 * i) & 0xff) |
+                  (raw(2 * i + 1) << 8)).toShort.toInt
+                e += v.toLong * v
+                i += 1
+              }
+              out += ((id, w.toLong, e))
+              w += 1
+            }
+            out
+          } catch {
+            case scala.util.control.NonFatal(_) => Nil
+          }
+        }
+      }
+      .toDF("doc_id", "win", "energy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win"))
+    frames.filter(col("energy") > energyThreshold)
+      .withColumn("grp", col("win") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("win")).as("start_win"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("seg_energy"))
+      .select(col("doc_id"), col("start_win"), col("n_windows"),
+        col("seg_energy"))
+      .orderBy(col("doc_id"), col("start_win"))
+  }
+
   /** Audio-fingerprint fixture geometry (the [[syntheticPatternImages]]
     * discipline applied to audio): waveforms are step functions on
     * [[AudioWindows]] fixed 8-sample windows whose step heights are the

@@ -81,6 +81,41 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** One-sided CUSUM change-point statistic per user (Page 1954):
+    * s_0 = 0; s_i = max(0, s_{i-1} + x_i - k) over events in
+    * (ts, event_id) order, alarm when s_i > h — the classic
+    * upward-shift detector a pipeline runs over per-source volume or
+    * quality series. `kCents`/`hCents` are exact integer cents
+    * (values are 2-decimal), so everything is BIGINT arithmetic — no
+    * float drift, bit-reproducible anywhere.
+    *
+    * The clamp recursion is NOT computed recursively: by the standard
+    * prefix identity, s_i = P_i - min(0, min_{j<=i} P_j) with
+    * P_i = sum_{t<=i}(x_t - k) — so the whole statistic is two
+    * same-spec window passes (running sum + running min) and one
+    * groupBy. No per-user collect, no fold state: the formulation
+    * that survives million-event keys. (It also sidesteps a DuckDB
+    * 1.0 list_reduce miscompute on struct accumulators with repeated
+    * subexpressions, which the fold formulation trips.)
+    */
+  def cusum(events: DataFrame, kCents: Long, hCents: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("p", sum(col("cents") - lit(kCents)).over(w))
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") > lit(hCents), 1L).otherwise(0L))
+          .as("n_alarms"),
+        ((sum(col("cents")) - count(lit(1)) * lit(kCents)) -
+          least(lit(0L), min(col("p")))).as("final_cusum_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Inter-arrival gap profile per user: count/min/max/sum/mean and
     * the lower median of the microsecond gaps between consecutive
     * events — the cadence fingerprint curation uses for bot/scripted-

@@ -383,6 +383,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Set(0, 6, 9))
   }
 
+  test("audio energy segments merge consecutive active windows against the sample model") {
+    val docs = Seq((3L, "t", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wav = Multimodal.syntheticAudio(docs)
+    // recompute expected segments from the closed-form sample model
+    val id = 3L
+    val n = (256 + (id % 7) * 64).toInt
+    val energies = (0 until n / 64).map { w =>
+      (w * 64 until (w + 1) * 64).map { i =>
+        val v = ((id * 31 + i.toLong * 7) % 2001) - 1000
+        v * v
+      }.sum
+    }
+    val thr = 21500000L
+    val active = energies.zipWithIndex.filter(_._1 > thr).map(_._2)
+    val segs = active.foldLeft(List.empty[(Int, Int)]) {
+      case ((s, e) :: rest, w) if w == e + 1 => (s, w) :: rest
+      case (acc, w) => (w, w) :: acc
+    }.reverse.map { case (s, e) => (s.toLong, (e - s + 1).toLong) }
+    val got = Multimodal
+      .audioEnergySegments(wav, windowSamples = 64, energyThreshold = thr)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == segs, s"expected $segs from the sample model, got $got")
+  }
+
   test("rocchio expansion keeps the dominant neighbor and re-ranks by the expanded query") {
     import graft.ext.Similarity
     val embs = Seq(

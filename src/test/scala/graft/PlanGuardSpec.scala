@@ -44,6 +44,8 @@ class PlanGuardSpec extends SparkSpec {
     "s21_int8_recall" -> 2, // broadcast query set per brute side (full + reconstructed)
     // s20_mmr_rerank: the candidate brute pass's broadcast sits behind a
     // localCheckpoint, so the registered plan itself carries no BNLJ
+    "t27_bigram_lm" -> 1, // broadcast 1-row vocabulary-size aggregate
+    "s30_rocchio_expand" -> 2, // broadcast query set per round (s01 contract x2)
     "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
     "c15_priority_sample" -> 1, // broadcast 1-row tau (the (n+1)-th priority)
     "c14_dedup_aware_mixture" -> 1, // same 1-row weight-total broadcast, post-dedup

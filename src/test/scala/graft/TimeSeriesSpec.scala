@@ -76,6 +76,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(bar.getLong(7) == 4L)
   }
 
+  test("cusum window formulation equals the clamp recursion, alarms counted") {
+    // hand case: k=5.00, h=10.00; values 20, 1, 1, 20 ->
+    // s: 15.00, 11.00, 7.00, 22.00 -> alarms at s=15, 11(?), 22
+    val ev = events(
+      (1L, 0, 1L, "view", 20.0), (2L, 1, 1L, "view", 1.0),
+      (3L, 2, 1L, "view", 1.0), (4L, 3, 1L, "view", 20.0))
+    val Array(r) = TimeSeries.cusum(ev, kCents = 500L, hCents = 1000L)
+      .collect()
+    // recursion: 1500, max(0,1500+100-500)=1100, 700, 2200
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 3L)     // 1500, 1100, 2200 > 1000
+    assert(r.getLong(3) == 2200L)  // final s
+  }
+
+  test("cusum equals the brute recursion on a random-ish series") {
+    val vals = (1 to 40).map(i => ((i * 37) % 100) / 4.0 + 1.0)
+    val ev = events(vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, i, 9L, "view", v)
+    }: _*)
+    val Array(r) = TimeSeries.cusum(ev, kCents = 1500L, hCents = 4000L)
+      .collect()
+    var s = 0L; var a = 0L
+    vals.foreach { v =>
+      s = math.max(0L, s + math.round(v * 100) - 1500L)
+      if (s > 4000L) a += 1
+    }
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((40L, a, s)))
+  }
+
   test("firstAfter attaches the earliest right row at-or-after, per key") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 25L), (2L, 10L))
