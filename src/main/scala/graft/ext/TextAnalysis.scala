@@ -939,20 +939,31 @@ object TextAnalysis {
     // word chars = doc chars minus the (W-1) separating spaces
     val chars = (length(col("text")) - w + 1).cast("long")
     val stops = size(filter(ws, t => t.isin(stop: _*))).cast("long")
-    val topCnt = array_max(transform(array_distinct(ws),
-      t => size(filter(ws, x => x === t)))).cast("long")
+    // dominant-word count via explode + two partial-aggregable
+    // groupBys (whole-stage codegen) — the nested per-doc
+    // count-each-distinct HOF is interpreted and O(W * distinct),
+    // measurably slower even at test scale
+    val top = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), explode(ws).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_n"))
     val reasons = array(
-      when(w < minWords, lit("too_short")),
-      when(w > maxWords, lit("too_long")),
-      when(chars * 1 < w * 3, lit("words_too_short")),
-      when(chars > w * 10, lit("words_too_long")),
-      when(stops < 2, lit("no_stopwords")),
-      when(topCnt * 5 > w, lit("dominant_word")))
+      when(col("n_words") < minWords, lit("too_short")),
+      when(col("n_words") > maxWords, lit("too_long")),
+      when(col("n_word_chars") < col("n_words") * 3,
+        lit("words_too_short")),
+      when(col("n_word_chars") > col("n_words") * 10,
+        lit("words_too_long")),
+      when(col("n_stops") < 2, lit("no_stopwords")),
+      when(col("top_word_n") * 5 > col("n_words"), lit("dominant_word")))
     docs.select(col("doc_id"), w.as("n_words"), chars.as("n_word_chars"),
-        stops.as("n_stops"), topCnt.as("top_word_n"),
-        concat_ws(",", array_sort(filter(reasons, r => r.isNotNull)))
-          .as("reasons"))
+        stops.as("n_stops"))
+      .join(top, Seq("doc_id"))
+      .withColumn("reasons",
+        concat_ws(",", array_sort(filter(reasons, r => r.isNotNull))))
       .withColumn("kept", col("reasons") === "")
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        col("n_stops"), col("top_word_n"), col("reasons"), col("kept"))
       .orderBy(col("doc_id"))
   }
 }
