@@ -1787,6 +1787,40 @@ object OpQueries {
                AS final_cusum_cents
       FROM st GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- seasonal robust outliers: per hour-of-day rank-selected
+    // median + MAD in exact cents, events flagged beyond 3 MADs of
+    // their hour's baseline — w13's robust discipline with a seasonal
+    // baseline ------------------------------------------------------
+    ("w28_seasonal_outliers", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.seasonalOutliers(t(s, d, "events")),
+      Some("""
+      WITH ev AS (SELECT event_id, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      AS cents
+                  FROM events),
+      r1 AS (SELECT hod, cents,
+               ROW_NUMBER() OVER (PARTITION BY hod
+                 ORDER BY cents, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY hod) AS cnt
+             FROM ev),
+      med AS (SELECT hod, cents AS med_cents
+              FROM r1 WHERE rn = (cnt + 1) // 2),
+      wm AS (SELECT ev.event_id, ev.hod, ev.cents, med_cents,
+               abs(ev.cents - med_cents) AS adev
+             FROM ev JOIN med USING (hod)),
+      r2 AS (SELECT hod, adev,
+               ROW_NUMBER() OVER (PARTITION BY hod
+                 ORDER BY adev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY hod) AS cnt
+             FROM wm),
+      mad AS (SELECT hod, adev AS mad_cents
+              FROM r2 WHERE rn = (cnt + 1) // 2)
+      SELECT hod, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(med_cents) AS med_cents, MAX(mad_cents) AS mad_cents,
+             CAST(SUM(CASE WHEN adev > 3 * mad_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM wm JOIN mad USING (hod) GROUP BY hod ORDER BY hod""")),
+
     // ---- OHLC bars per (user, hour): first/last in the (ts, event_id)
     // total order via one full-frame window pass, volume in exact
     // decimal ------------------------------------------------------

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.PlanCapture.CheckpointOps
+
 /** Per-entity time-series operators over the event stream: exponential
   * moving averages, time-weighted averages, and OHLC bar aggregation —
   * the monitoring/featurization workload a training-data pipeline runs
@@ -79,6 +81,49 @@ object TimeSeries {
         (col("wv_cents_s").cast("double") /
           (col("total_s") * 100).cast("double")).as("twa"))
       .orderBy(col("user_id"))
+  }
+
+  /** Seasonal robust-outlier profile: per hour-of-day, the lower
+    * median of the value (in exact cents), the median absolute
+    * deviation (MAD), and how many events sit more than `madK` MADs
+    * from their hour's median — w13's robust-outlier discipline with
+    * a seasonal (time-of-day) baseline, so a value that is normal at
+    * peak hours but absurd at 4am is caught. Medians are RANK-selected
+    * (row_number at rank (n+1)/2 — the q36 discipline, no collect, no
+    * interpolation); everything stays integer cents. Two window
+    * passes + two 24-row broadcast joins; at any scale the windows
+    * partition by the 24 hour keys, so a skewed hour is the natural
+    * AQE-skew candidate.
+    */
+  def seasonalOutliers(events: DataFrame, madK: Int = 3): DataFrame = {
+    val ev = events.select(col("event_id"),
+      hour(col("ts")).as("hod"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    def lowerMedian(df: DataFrame, valueCol: String,
+                    out: String): DataFrame = {
+      val w = Window.partitionBy(col("hod"))
+        .orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy(col("hod"))))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2))
+        .select(col("hod"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(ev, "cents", "med_cents")
+    // referenced by the MAD pass AND the final flag join — the
+    // multi-reference rule
+    val withMed = ev.join(broadcast(med), "hod")
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+      .cpGuard()
+    val mad = lowerMedian(withMed, "adev", "mad_cents")
+    withMed.join(broadcast(mad), "hod")
+      .groupBy(col("hod"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med_cents")).as("med_cents"),
+        max(col("mad_cents")).as("mad_cents"),
+        sum(when(col("adev") > lit(madK.toLong) * col("mad_cents"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("hod"))
   }
 
   /** One-sided CUSUM change-point statistic per user (Page 1954):
