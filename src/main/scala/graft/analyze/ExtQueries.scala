@@ -3709,6 +3709,34 @@ object ExtQueries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
+    // ---- IPF / raking to two marginals (Deming & Stephan 1940):
+    // alternating integer rescales w' = w * target // marginal_sum in
+    // u20 fixed point; oracle unrolls the identical recurrence ------
+    ("c27_ipf_raking", (s: SparkSession, d: String) =>
+      Curation.ipfRaking(t(s, d, "documents")),
+      Some {
+        val rounds = (1 to 2).map { r =>
+          s"""l$r AS (SELECT lang, SUM(w) AS c FROM w${2 * r - 2} GROUP BY lang),
+      w${2 * r - 1} AS (SELECT doc_id, q.lang, q.source, q.w * tl // c AS w
+             FROM w${2 * r - 2} q JOIN l$r USING (lang) CROSS JOIN t),
+      s$r AS (SELECT source, SUM(w) AS c FROM w${2 * r - 1} GROUP BY source),
+      w${2 * r} AS (SELECT doc_id, q.lang, q.source, q.w * ts_ // c AS w
+             FROM w${2 * r - 1} q JOIN s$r USING (source) CROSS JOIN t)"""
+        }.mkString(",\n      ")
+        s"""
+      WITH d AS (SELECT doc_id, lang, source FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+                    CAST(COUNT(DISTINCT source) AS BIGINT) AS ns FROM d),
+      t AS (SELECT n * 1048576 // nl AS tl, n * 1048576 // ns AS ts_
+            FROM nn),
+      w0 AS (SELECT doc_id, lang, source, CAST(1048576 AS BIGINT) AS w
+             FROM d),
+      $rounds
+      SELECT doc_id, CAST(w AS BIGINT) AS weight_u20
+      FROM w4 ORDER BY doc_id"""
+      }),
+
     // ---- add-one-smoothed conditional bigram LM score (the CCNet/
     // KenLM perplexity-filter shape): each p(w2|w1) is one IEEE
     // division of exact integer counts, floor-quantized at 2^40 and

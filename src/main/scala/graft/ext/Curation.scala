@@ -793,4 +793,50 @@ object Curation {
       .filter(col("n") < k)
       .orderBy(col("lang"), col("source"), col("len_band"))
   }
+
+  /** Iterative proportional fitting (IPF / raking, Deming & Stephan
+    * 1940) of per-document sampling weights to TWO marginals at once
+    * (equal-share language and source targets): alternately rescale
+    * weights so each language's weighted mass, then each source's,
+    * matches its target. The two-constraint generalization of c18's
+    * single-marginal domain reweighting — the mixture tool when a
+    * corpus must hit language quotas AND source quotas simultaneously
+    * (no closed form exists; IPF converges to the max-entropy
+    * fit).
+    *
+    * Determinism: weights live in u20 fixed point (units of 2^-20);
+    * every rescale is one integer floor division
+    * w' = w * target // marginal_sum — BIGINT throughout, so rounds
+    * are bit-reproducible and the oracle unrolls the identical
+    * integer recurrence. Scale shape: per round, two partial-
+    * aggregable marginal groupBys + two broadcast joins of the (tiny)
+    * marginal tables; weights never leave the executors.
+    */
+  def ipfRaking(docs: DataFrame, rounds: Int = 2,
+                scale: Long = 1L << 20): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val d = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), col("lang"), col("source")).cpGuard()
+    // bounded-collect scalars (the unimaxAllocation contract): corpus
+    // size and marginal cardinalities set the integer targets
+    val Array(n, nLang, nSrc) = d
+      .agg(count(lit(1)), countDistinct(col("lang")),
+        countDistinct(col("source")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val tLang = n * scale / nLang
+    val tSrc = n * scale / nSrc
+    var w = d.withColumn("w", lit(scale))
+    for (_ <- 0 until rounds) {
+      val cl = w.groupBy(col("lang")).agg(sum(col("w")).as("c"))
+      w = w.join(broadcast(cl), "lang")
+        .withColumn("w", expr(s"w * ${tLang}L div c")).drop("c")
+        .cpGuard()
+      val cs = w.groupBy(col("source")).agg(sum(col("w")).as("c"))
+      w = w.join(broadcast(cs), "source")
+        .withColumn("w", expr(s"w * ${tSrc}L div c")).drop("c")
+        .cpGuard()
+    }
+    w.select(col("doc_id"), col("w").as("weight_u20"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -58,6 +58,35 @@ class TextScoringSpec extends SparkSpec {
     assert(got == Map("red fox" -> 4.0))
   }
 
+  test("ipfRaking moves both marginals toward their equal-share targets") {
+    import spark.implicits._
+    // skewed: lang en={a,b,c}, fr={d}; source s1={a,b}, s2={c,d}
+    val d = Seq(
+      (0L, "en", "s1"), (1L, "en", "s1"), (2L, "en", "s2"),
+      (3L, "fr", "s2"))
+      .map { case (i, l, s) => (i, "t", l, s, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = graft.ext.Curation.ipfRaking(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reimplement the integer recurrence
+    val scale = 1L << 20
+    val docs = Seq((0L, "en", "s1"), (1L, "en", "s1"), (2L, "en", "s2"),
+      (3L, "fr", "s2"))
+    val tL = 4 * scale / 2; val tS = 4 * scale / 2
+    var ws = docs.map(_ => scale)
+    for (_ <- 0 until 2) {
+      val cl = docs.zip(ws).groupBy(_._1._2).view.mapValues(_.map(_._2).sum)
+      ws = docs.zip(ws).map { case ((_, l, _), w0) => w0 * tL / cl(l) }
+      val cs = docs.zip(ws).groupBy(_._1._3).view.mapValues(_.map(_._2).sum)
+      ws = docs.zip(ws).map { case ((_, _, s), w0) => w0 * tS / cs(s) }
+    }
+    assert(w == docs.map(_._1).zip(ws).toMap)
+    // the minority-language doc gained weight; the doc sharing both
+    // majority margins ends at-or-below its starting weight (its lang
+    // loss and source gain cancel exactly in this fixture)
+    assert(w(3L) > scale && w(0L) <= scale && w(2L) < scale)
+  }
+
   test("gopherRules flags each rule and keeps a healthy doc") {
     val d = docs(
       // kept: 20+ words, the/a present, no dominant word, sane lengths
