@@ -781,6 +781,36 @@ object ExtQueries {
         .select(col("doc_a"), col("doc_b"))),
       Some(clustersOracle)),
 
+    // ---- dup-cluster size histogram (the dedup report's headline
+    // table: how much of the corpus sits in 2-clusters vs mega-
+    // clusters; a fat tail means boilerplate is stitching unrelated
+    // docs and the threshold/banding needs review). Docs with no dup
+    // pair are out of scope by construction (the d09 contract) ------
+    ("d41_dup_cluster_sizes", (s: SparkSession, d: String) =>
+      Dedup.dupClusters(Dedup.minhashDup(t(s, d, "documents"),
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b")))
+        .groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size")),
+      Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      dup AS (SELECT doc_a, doc_b FROM com
+              WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                UNION SELECT doc_b, doc_a FROM dup),
+      reach(src, dst) AS (
+        (SELECT src, dst FROM edges UNION SELECT src, src FROM edges)
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, MIN(dst) AS rep_id
+             FROM reach GROUP BY src),
+      sz AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM cl GROUP BY rep_id)
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM sz GROUP BY cluster_size ORDER BY cluster_size""")),
+
     // same oracle, driverThreshold = 0: forces the ITERATIVE min-label
     // shuffle loop — the actual 100 TB connected-components shape — so
     // the distributed branch is itself hash-verified, not just the
@@ -3708,6 +3738,38 @@ object ExtQueries {
              COUNT(*) AS n,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ---- shard-balance Gini over the c13 byte-budget plan: exact
+    // sorted-rank identity, BIGINT num/denom, one division — the
+    // straggler-risk scalar for any sharding layout ------------------
+    ("c28_shard_gini", (s: SparkSession, d: String) => {
+      import graft.operators.PrefixSum
+      val planned = PrefixSum.withRunningSum(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id")), "n_chars", "start")
+      val shards = planned.withColumn("shard_id", expr("start div 16384"))
+        .groupBy(col("shard_id"))
+        .agg(sum(col("n_chars")).as("sz"))
+      Curation.shardGini(shards, "sz")
+    }, Some("""
+      WITH c AS (SELECT doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS start
+                 FROM documents),
+      sh AS (SELECT start // 16384 AS shard_id,
+                    CAST(SUM(n_chars) AS BIGINT) AS sz
+             FROM c GROUP BY 1),
+      r AS (SELECT sz,
+              ROW_NUMBER() OVER (ORDER BY sz, shard_id) AS i,
+              COUNT(*) OVER () AS n,
+              SUM(sz) OVER () AS tot
+            FROM sh)
+      SELECT CAST(MAX(n) AS BIGINT) AS n_shards,
+             CAST(MAX(tot) AS BIGINT) AS total_chars,
+             CAST(SUM((2 * i - n - 1) * sz) AS DOUBLE)
+               / CAST(MAX(n) * MAX(tot) AS DOUBLE) AS gini
+      FROM r""")),
 
     // ---- IPF / raking to two marginals (Deming & Stephan 1940):
     // alternating integer rescales w' = w * target // marginal_sum in

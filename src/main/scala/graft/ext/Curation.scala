@@ -794,6 +794,33 @@ object Curation {
       .orderBy(col("lang"), col("source"), col("len_band"))
   }
 
+  /** Gini coefficient of a shard-size distribution — the one-number
+    * balance audit for any sharding plan (c13's byte-budget shards,
+    * c21's rendezvous shards): 0 = perfectly even, ->1 = one shard
+    * holds everything; straggler risk in a single scalar. Computed by
+    * the sorted-rank identity G = sum_i((2i - n - 1) x_(i)) /
+    * (n * sum x): exact BIGINT numerator/denominator, ONE double
+    * division. Shard counts are FEW by construction (each holds a
+    * byte budget), so the sort is a bounded driver-side fold — the
+    * [[unimaxAllocation]]/[[apportionQuota]] contract. Tied sizes
+    * contribute a rank-assignment-independent coefficient sum, so the
+    * value is deterministic without a tiebreak.
+    */
+  def shardGini(shards: DataFrame, sizeCol: String): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val xs = shards.select(col(sizeCol).cast("long")).as[Long]
+      .collect().sorted
+    val n = xs.length.toLong
+    val tot = xs.sum
+    val num = xs.zipWithIndex
+      .map { case (x, i) => (2L * (i + 1) - n - 1) * x }.sum
+    val gini =
+      if (n == 0 || tot == 0) None
+      else Some(num.toDouble / (n * tot).toDouble)
+    Seq((n, tot, gini)).toDF("n_shards", "total_chars", "gini")
+  }
+
   /** Iterative proportional fitting (IPF / raking, Deming & Stephan
     * 1940) of per-document sampling weights to TWO marginals at once
     * (equal-share language and source targets): alternately rescale
