@@ -1653,6 +1653,40 @@ object OpQueries {
                            AND c.ts = pick.near_ts
       ORDER BY pick.event_id""")),
 
+    // ---- k-truss peel (k=4, 2 rounds): edges must sit in >= 2
+    // triangles among survivors — the edge-cohesion gate after g06's
+    // node-degree core; star spokes shed immediately. Oracle unrolls
+    // the identical wedge-join + support recount per round ----------
+    ("g16_ktruss", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.kTruss(eventEdges(s, d), k = 4, iters = 2)
+    }, Some {
+      def round(r: Int): String = {
+        val p = r - 1
+        s"""t$r AS MATERIALIZED (SELECT w.x, w.y, w.z FROM (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e$p e1 JOIN e$p e2 ON e1.a = e2.a AND e1.b < e2.b) w
+            JOIN e$p e3 ON e3.a = w.y AND e3.b = w.z),
+      s$r AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+                SELECT x AS a, y AS b FROM t$r
+                UNION ALL SELECT x, z FROM t$r
+                UNION ALL SELECT y, z FROM t$r) u GROUP BY a, b),
+      e$r AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
+              JOIN s$r s ON s.a = e.a AND s.b = e.b WHERE s.sup >= 2)"""
+      }
+      s"""
+      WITH $eventEdgesCtes,
+      e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+               GREATEST(src, dst) AS b
+             FROM ed WHERE src <> dst),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}
+      SELECT e2.a, e2.b, s3.sup
+      FROM e2 JOIN s3 ON s3.a = e2.a AND s3.b = e2.b
+      ORDER BY e2.a, e2.b"""
+    }),
+
     // ---- bounded-radius centrality (closeness / harmonic /
     // eccentricity) from ONE multi-source BFS — the g05 frontier loop
     // with a seed dimension; harmonic's 1/d terms fold in ascending-

@@ -454,6 +454,55 @@ object Graphs {
       .orderBy(col("k"))
   }
 
+  /** k-truss peel over the undirected simple graph, run for exactly
+    * `iters` rounds (the [[kCore]] contract lifted from nodes to
+    * EDGES): repeatedly drop edges whose support — the number of
+    * triangles containing them — is below k-2, recompute support over
+    * the survivors, repeat. A k-truss is strictly stronger cohesion
+    * than a k-core (every edge is wedged into k-2 shared neighbors),
+    * so it is the next quality gate after [[kCore]] for link-farm
+    * screening: a farm's star hub survives degree-based peeling but
+    * its spokes share no neighbors and shed immediately here. Output:
+    * surviving `(a, b, sup)` with `sup` recomputed on the FINAL edge
+    * set (fixed rounds, an upper bound of the fixpoint — the kCore
+    * determinism convention).
+    *
+    * Shape at scale: per round one wedge self-join on the shared
+    * endpoint + one edge-membership semi-join (the [[triangleCounts]]
+    * closing shape) and a partial-aggregable per-edge count;
+    * everything keys on node/edge ids, localCheckpoint per round caps
+    * lineage.
+    */
+  def kTruss(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 3 && iters >= 0, "k >= 3, iters >= 0")
+    // support per edge: each triangle (x; y < z) contributes one
+    // support unit to its three edges
+    def support(e: DataFrame): DataFrame = {
+      val wedges = e.select(col("a").as("x"), col("b").as("y"))
+        .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x"))
+        .filter(col("y") < col("z"))
+      val tri = wedges
+        .join(e.select(col("a").as("y"), col("b").as("z")),
+          Seq("y", "z"), "left_semi")
+      tri.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+    var cur = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().cpGuard() // read by both wedge sides + the closure
+    for (_ <- 0 until iters) {
+      cur = cur.join(
+          support(cur).filter(col("sup") >= k - 2).select(col("a"), col("b")),
+          Seq("a", "b"), "left_semi")
+        .cpGuard()
+    }
+    cur.join(support(cur), Seq("a", "b"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Minimum-hop BFS distance from a seed set, capped at `maxHops` —
     * multi-source reachability over the directed edge list `(src,
     * dst)`. The link-graph trust-radius signal (the propagation step

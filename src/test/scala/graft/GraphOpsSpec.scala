@@ -421,6 +421,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((5L, 1), (7L, 2)))
   }
 
+  test("kTruss keeps the clique, sheds the star, reports final support") {
+    // K4 on {1,2,3,4} plus a star hub 1 -> {10,11,12}: every K4 edge
+    // sits in 2 triangles (4-truss); star spokes have support 0
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = Seq((1L, 10L), (1L, 11L), (1L, 12L))
+    val edges = (k4 ++ star).toDF("src", "dst")
+    val got = Graphs.kTruss(edges, k = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == k4.toSet, s"expected only the K4 edges: $got")
+    assert(got.values.forall(_ == 2L)) // each K4 edge closes 2 triangles
+  }
+
+  test("kTruss peels cascades: a triangle chain thins from the ends") {
+    // triangles sharing edges: 1-2-3, 2-3-4 -> edge (2,3) has support
+    // 2 but all others 1 < k-2 -> everything peels at k=4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(Graphs.kTruss(edges, k = 4, iters = 2).collect().isEmpty)
+    // at k=3 (support >= 1) nothing peels in round 1... except that
+    // removing nothing keeps both triangles: all 5 edges survive
+    assert(Graphs.kTruss(edges, k = 3, iters = 2).collect().length == 5)
+  }
+
   test("centrality on a directed path: hops, closeness, harmonic, ecc") {
     // 1 -> 2 -> 3 -> 4: from 1 (radius 3) reach {2@1, 3@2, 4@3}
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
