@@ -1681,6 +1681,65 @@ object ExtQueries {
              CAST(rn AS INT) AS rn
       FROM r2 WHERE rn <= 10 ORDER BY query_id, rn""")),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of the dense
+    // cosine ranking (s01 shape) and the sparse BM25 ranking (t16
+    // shape). RRF consumes only ranks, so the fused score is an exact
+    // BIGINT sum of floor(2^40/(60+rank)) terms; the oracle rebuilds
+    // BOTH rankings and fuses with the identical integer arithmetic --
+    ("s31_rrf_fusion", (s: SparkSession, d: String) =>
+      Similarity.hybridRrfTopK(t(s, d, "documents"), t(s, d, "embeddings"),
+        nQueries = 5, depth = 10, k = 8),
+      Some(s"""
+      WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tgt AS (SELECT * FROM words WHERE doc_id >= 5),
+      tf AS (SELECT doc_id AS t_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tgt GROUP BY 1, 2),
+      dl AS (SELECT doc_id AS t_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tgt GROUP BY 1),
+      dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tgt GROUP BY 1),
+      stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_words FROM tgt),
+      qt AS (SELECT DISTINCT doc_id AS q_id, w FROM words WHERE doc_id < 5),
+      ts AS (SELECT qt.q_id, tf.t_id,
+               (((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))) / CAST(n_docs AS DOUBLE))
+               * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+                  / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                        * (CAST(dl AS DOUBLE)
+                           / (CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+               AS term_score
+             FROM qt JOIN tf ON tf.w = qt.w
+                     JOIN dfreq ON dfreq.w = qt.w
+                     JOIN dl ON dl.t_id = tf.t_id
+                     CROSS JOIN stats),
+      bagg AS (SELECT q_id, t_id,
+                 CAST(SUM(CAST(floor(term_score * CAST(1099511627776 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS bs
+               FROM ts GROUP BY 1, 2),
+      bm AS (SELECT q_id, t_id, rn FROM
+               (SELECT q_id, t_id,
+                  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY bs DESC, t_id) AS rn
+                FROM bagg) z WHERE rn <= 10),
+      e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm FROM embeddings),
+      sc AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+                    ${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cosine
+             FROM e q JOIN e t ON q.vec_id < 5 AND t.vec_id >= 5),
+      dn AS (SELECT qid, tid, rn FROM
+               (SELECT qid, tid,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, tid) AS rn
+                FROM sc) z WHERE rn <= 10),
+      fused AS (SELECT COALESCE(d.qid, b.q_id) AS query_id,
+                       COALESCE(d.tid, b.t_id) AS neighbor_id,
+                  COALESCE(CAST(floor(CAST(1099511627776 AS DOUBLE)
+                    / (CAST(60 AS DOUBLE) + CAST(d.rn AS DOUBLE))) AS BIGINT), 0)
+                  + COALESCE(CAST(floor(CAST(1099511627776 AS DOUBLE)
+                    / (CAST(60 AS DOUBLE) + CAST(b.rn AS DOUBLE))) AS BIGINT), 0)
+                  AS rrf_score
+                FROM dn d FULL OUTER JOIN bm b
+                  ON d.qid = b.q_id AND d.tid = b.t_id)
+      SELECT query_id, neighbor_id, rrf_score, CAST(rn AS INT) AS rn FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY rrf_score DESC, neighbor_id) AS rn FROM fused) z
+      WHERE rn <= 8 ORDER BY query_id, rn""")),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),
@@ -3908,7 +3967,64 @@ object ExtQueries {
             FROM s)
       SELECT doc_id, n_words, n_word_chars, n_stops, top_word_n, reasons,
              reasons = '' AS kept
-      FROM f ORDER BY doc_id"""))
+      FROM f ORDER BY doc_id""")),
+
+    // ---- greedy maximum-coverage selection (facility-location data
+    // selection): k rounds, each picking the doc covering the most
+    // not-yet-covered distinct tokens; oracle unrolls the identical
+    // greedy rounds with MATERIALIZED CTEs --------------------------
+    ("c29_maxcover_select", (s: SparkSession, d: String) =>
+      Curation.maxCoverSelect(t(s, d, "documents"), k = 4),
+      Some(s"""
+      WITH tok AS MATERIALIZED (SELECT doc_id,
+          unnest(${graft.ext.TextOps.wordShinglesSql("text", 2)}) AS w
+        FROM documents),
+      g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+             FROM tok GROUP BY 1),
+      w1 AS MATERIALIZED (SELECT doc_id, gain FROM g1
+             ORDER BY gain DESC, doc_id LIMIT 1),
+      c1 AS MATERIALIZED (SELECT DISTINCT w FROM tok
+             WHERE doc_id IN (SELECT doc_id FROM w1)),
+      g2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM tok
+             WHERE doc_id NOT IN (SELECT doc_id FROM w1)
+               AND w NOT IN (SELECT w FROM c1) GROUP BY 1),
+      w2 AS MATERIALIZED (SELECT doc_id, gain FROM g2
+             ORDER BY gain DESC, doc_id LIMIT 1),
+      c2 AS MATERIALIZED (SELECT DISTINCT w FROM tok
+             WHERE doc_id IN (SELECT doc_id FROM w1
+                              UNION SELECT doc_id FROM w2)),
+      g3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM tok
+             WHERE doc_id NOT IN (SELECT doc_id FROM w1
+                                  UNION SELECT doc_id FROM w2)
+               AND w NOT IN (SELECT w FROM c2) GROUP BY 1),
+      w3 AS MATERIALIZED (SELECT doc_id, gain FROM g3
+             ORDER BY gain DESC, doc_id LIMIT 1),
+      c3 AS MATERIALIZED (SELECT DISTINCT w FROM tok
+             WHERE doc_id IN (SELECT doc_id FROM w1
+                              UNION SELECT doc_id FROM w2
+                              UNION SELECT doc_id FROM w3)),
+      g4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM tok
+             WHERE doc_id NOT IN (SELECT doc_id FROM w1
+                                  UNION SELECT doc_id FROM w2
+                                  UNION SELECT doc_id FROM w3)
+               AND w NOT IN (SELECT w FROM c3) GROUP BY 1),
+      w4 AS MATERIALIZED (SELECT doc_id, gain FROM g4
+             ORDER BY gain DESC, doc_id LIMIT 1),
+      c4 AS MATERIALIZED (SELECT DISTINCT w FROM tok
+             WHERE doc_id IN (SELECT doc_id FROM w1
+                              UNION SELECT doc_id FROM w2
+                              UNION SELECT doc_id FROM w3
+                              UNION SELECT doc_id FROM w4))
+      SELECT CAST(1 AS INT) AS round, doc_id, gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS covered_total
+        FROM w1
+      UNION ALL SELECT 2, doc_id, gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) FROM w2
+      UNION ALL SELECT 3, doc_id, gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) FROM w3
+      UNION ALL SELECT 4, doc_id, gain,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c4) FROM w4
+      ORDER BY round"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

@@ -1872,7 +1872,65 @@ object OpQueries {
              MIN(value) AS low, MAX(close_) AS close,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM b GROUP BY user_id, hour ORDER BY user_id, hour""")))
+      FROM b GROUP BY user_id, hour ORDER BY user_id, hour""")),
+
+    // ---- per-user autocorrelation at lags 1..3: exact-integer ACF
+    // via the deviation identity d_i = n*c_i - S (the 1/n factors
+    // cancel in the ratio), floor(r_k*1024) by portable floored
+    // division. One shuffle on user_id; lags unpivot post-agg -------
+    ("w29_acf", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.acf(t(s, d, "events"), maxLag = 3),
+      Some("""
+      WITH b AS (SELECT user_id, ts, event_id,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      d0 AS (SELECT user_id, ts, event_id, cents,
+          COUNT(*) OVER (PARTITION BY user_id) AS n,
+          SUM(cents) OVER (PARTITION BY user_id) AS s FROM b),
+      dd AS (SELECT user_id, ts, event_id, n, n*cents - s AS d FROM d0),
+      led AS (SELECT user_id, n, d,
+          LEAD(d, 1) OVER w AS d1, LEAD(d, 2) OVER w AS d2,
+          LEAD(d, 3) OVER w AS d3
+        FROM dd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      a AS (SELECT user_id, MAX(n) AS n, SUM(d*d) AS den,
+          SUM(d*d1) AS num1, COUNT(d1) AS np1,
+          SUM(d*d2) AS num2, COUNT(d2) AS np2,
+          SUM(d*d3) AS num3, COUNT(d3) AS np3 FROM led GROUP BY 1),
+      u AS (SELECT user_id, n, den, 1 AS lag, num1 AS num, np1 AS n_pairs FROM a
+        UNION ALL SELECT user_id, n, den, 2, num2, np2 FROM a
+        UNION ALL SELECT user_id, n, den, 3, num3, np3 FROM a)
+      SELECT user_id, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+        CAST(n_pairs AS BIGINT) AS n_pairs,
+        CAST((num*1024 - ((num*1024 % den) + den) % den) // den AS BIGINT)
+          AS acf_q
+      FROM u WHERE den > 0 AND n_pairs > 0 ORDER BY user_id, lag""")),
+
+    // ---- Theil-Sen robust slope per user: lower median of pairwise
+    // cents-per-hour slopes, portable floored division; the per-user
+    // self-join is shuffle-hash on user_id with pair count bounded by
+    // the per-key row count ----------------------------------------
+    ("w30_theil_sen", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.theilSen(t(s, d, "events")),
+      Some("""
+      WITH b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      p AS (SELECT a.user_id, (c.cents - a.cents) * 3600000000 AS q,
+              c.us - a.us AS dt
+            FROM b a JOIN b c ON a.user_id = c.user_id AND a.us < c.us),
+      sl AS (SELECT user_id,
+               CAST((q - ((q % dt) + dt) % dt) // dt AS BIGINT) AS slope_cph
+             FROM p),
+      r AS (SELECT user_id, slope_cph,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY slope_cph) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id) AS np FROM sl)
+      SELECT user_id, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        CAST(MIN(slope_cph) AS BIGINT) AS min_slope,
+        CAST(MAX(slope_cph) AS BIGINT) AS max_slope,
+        CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_cph END)
+          AS BIGINT) AS sen_slope_cph
+      FROM r GROUP BY user_id ORDER BY user_id""")))
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
   def oracles: Map[String, String] =

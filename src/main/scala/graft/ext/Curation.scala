@@ -866,4 +866,54 @@ object Curation {
     w.select(col("doc_id"), col("w").as("weight_u20"))
       .orderBy(col("doc_id"))
   }
+
+  /** Greedy maximum-coverage selection (the facility-location /
+    * submodular data-selection shape, Nemhauser-Wolsey-Fisher 1978):
+    * pick `k` documents one at a time, each round the doc covering the
+    * most NOT-yet-covered distinct word bigrams (ties → lowest
+    * doc_id). The classic (1−1/e)-approximate core of coverage-based
+    * corpus selection — "pick few docs that span the phrase space"
+    * (bigrams, not unigrams: the synthetic corpus' unigram vocabulary
+    * is one-doc-coverable, and real coverage selection shingles too).
+    *
+    * Distribution shape: per round ONE anti-join (exploded tokens vs
+    * the covered-token set — the covered set is the vocabulary of ≤k
+    * chosen docs, broadcast-sized by construction) + ONE
+    * partial-aggregable groupBy(doc_id) + a 1-row TakeOrdered collect;
+    * k is small and fixed, so driver work is k bounded single-row
+    * picks, never a corpus materialization. The token table is built
+    * once and localCheckpointed; rounds never rescan `documents`.
+    */
+  def maxCoverSelect(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k $k out of range")
+    val spark = docs.sparkSession
+    val tok = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 2)).as("w"))
+      .cpGuard() // wordShingles is per-doc distinct already
+    var chosen = Vector.empty[(Int, Long, Long, Long)]
+    var chosenIds = Vector.empty[Long]
+    var done = false
+    for (round <- 1 to k if !done) {
+      val covered = tok
+        .filter(col("doc_id").isin(chosenIds: _*)).select(col("w"))
+      val top = tok
+        .filter(!col("doc_id").isin(chosenIds: _*))
+        .join(broadcast(covered), Seq("w"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
+        chosenIds :+= id
+        val coveredTotal = tok
+          .filter(col("doc_id").isin(chosenIds: _*))
+          .select(col("w")).distinct().count()
+        chosen :+= ((round, id, gain, coveredTotal))
+      }
+    }
+    import spark.implicits._
+    chosen.toDF("round", "doc_id", "gain", "covered_total")
+      .orderBy(col("round"))
+  }
 }

@@ -1480,6 +1480,45 @@ object Similarity {
           .as("embedding"))
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack & Clarke,
+    * SIGIR'09): fuse a dense cosine top-`depth` ranking (embeddings)
+    * with a sparse BM25 top-`depth` ranking (documents) into one list,
+    * score(d) = Σ_systems floor(2^40 / (rrfK + rank_system(d))).
+    *
+    * RRF consumes only the RANKS, never the raw scores, so the fused
+    * score is an exact BIGINT the moment both input rankings are exact
+    * (both are separately oracle-gated: s01 / t16) — no score
+    * normalization, no libm. Assumes `vec_id` and `doc_id` name the
+    * same corpus (vector i embeds document i), the usual hybrid-search
+    * contract.
+    *
+    * Distribution shape: both rankers already end in per-query top-k
+    * lists (nQueries x depth rows each) — the fusion join, score sum
+    * and final window all run on that bounded table, so fusion cost is
+    * independent of corpus size. At 100 TB the rankers are the
+    * persisted-index paths (s22/s25 IVF, a posting-list BM25); fusion
+    * itself never touches the corpus.
+    */
+  def hybridRrfTopK(docs: DataFrame, embs: DataFrame, nQueries: Int,
+                    depth: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    def contrib(rn: Column): Column =
+      coalesce(floor(lit(Q) / (lit(rrfK).cast("double") + rn.cast("double")))
+        .cast("long"), lit(0L))
+    val dense = bruteForceTopK(embs, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rn_dense"))
+    val sparse = graft.ext.TextAnalysis.bm25TopK(docs, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id"), col("rn").as("rn_sparse"))
+    val fused = dense.join(sparse, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_score", contrib(col("rn_dense")) + contrib(col("rn_sparse")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rrf_score"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** DuckDB twin of [[jlProject]]'s row expression: the projected list
     * literal-for-literal in the same fold order (`emb` names a
     * LIST(FLOAT) column).

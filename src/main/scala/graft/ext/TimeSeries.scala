@@ -161,6 +161,62 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Autocorrelation function per user at lags 1..`maxLag` over
+    * `value` ordered by (ts, event_id) — the seasonality/persistence
+    * fingerprint (a near-1 lag-k ACF says the series repeats with
+    * period k; curation uses it next to [[gapStats]] to spot scripted
+    * traffic). r_k = Σ(x_i−m)(x_{i+k}−m) / Σ(x_i−m)², computed
+    * EXACTLY in integers via the deviation identity d_i = n·c_i − S
+    * (cents): the 1/n factors cancel in the ratio, so no mean division
+    * ever happens. Output is floor(r_k·1024) by portable floored
+    * division ((q − pmod(q,den)) div den — exact divisibility makes
+    * truncation = floor in both engines; DuckDB's HUGEINT promotion
+    * can't disturb integer identities). Envelope: |d|≤n·maxCents,
+    * Σd·d ≤ n³·maxCents² — at n=99, cents≤56021 that is 3.1e15, and
+    * ×1024 stays under 2^63 (enforced).
+    *
+    * Scale shape: ONE shuffle on user_id serves the window pass and
+    * the groupBy (same key); all lags come from ONE WindowExec (shared
+    * frame spec) and unpivot AFTER aggregation via stack — per-lag
+    * work never re-shuffles. Per-user state is that user's rows.
+    */
+  def acf(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, s"maxLag $maxLag out of range")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dd = events
+      .withColumn("cents",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("s", sum(col("cents")).over(full))
+      .withColumn("d", col("n") * col("cents") - col("s"))
+    val led = dd.select(
+      Seq(col("user_id"), col("n"), col("d")) ++
+        (1 to maxLag).map(k => lead(col("d"), k).over(w).as(s"d$k")): _*)
+    val lagCols = (1 to maxLag).flatMap { k =>
+      Seq(sum(col("d") * col(s"d$k")).as(s"num$k"),
+        count(col(s"d$k")).as(s"np$k"))
+    }
+    val aggAll = Seq(max(col("n")).as("n"),
+      sum(col("d") * col("d")).as("den")) ++ lagCols
+    val agged = led.groupBy(col("user_id"))
+      .agg(aggAll.head, aggAll.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(k => s"$k, num$k, np$k").mkString(", ")
+    agged
+      .select(col("user_id"), col("n"), col("den"),
+        expr(s"stack($maxLag, $stackArgs) AS (lag, num, n_pairs)"))
+      .filter(col("den") > 0 && col("n_pairs") > 0)
+      .withColumn("q", col("num") * lit(1024L))
+      .withColumn("acf_q",
+        expr("(q - pmod(q, den)) div den").cast("long"))
+      .select(col("user_id"), col("lag").cast("int").as("lag"),
+        col("n"), col("n_pairs"), col("acf_q"))
+      .orderBy(col("user_id"), col("lag"))
+  }
+
   /** Inter-arrival gap profile per user: count/min/max/sum/mean and
     * the lower median of the microsecond gaps between consecutive
     * events — the cadence fingerprint curation uses for bot/scripted-
@@ -187,6 +243,43 @@ object TimeSeries {
           floor((count(lit(1)) + 1) / 2).cast("int")).as("p50_gap_us"))
       .withColumn("mean_gap_us",
         col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Theil–Sen robust trend estimator per user: the lower median of
+    * all pairwise slopes (c_j−c_i)/(t_j−t_i) over strictly-earlier
+    * pairs, in integer cents-per-hour via portable floored division
+    * (q = Δcents·3.6e9 µs/h; floor(q/Δt) = (q − pmod(q,Δt)) div Δt —
+    * exact divisibility makes truncation = floor in both engines).
+    * Up to 29.3% contaminated points cannot move the estimate — the
+    * robust alternative to the OLS slope (c11 length regression), and
+    * what you fit when event values carry outliers/bot spikes. Median
+    * is RANK-selected (q36 discipline), never interpolated.
+    *
+    * Scale shape: the pair join is a per-user self-join — shuffle-hash
+    * on user_id, pair count bounded by the per-key row count squared
+    * (n≤99 here → ≤4.9k pairs/user; at 100 TB you'd window or sample
+    * long-lived keys first, the standard Theil–Sen-on-windows cut).
+    * Envelope: |Δcents|·3.6e9 ≤ 2.1e14, far inside Long.
+    */
+  def theilSen(events: DataFrame): DataFrame = {
+    val us = events.select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val a = us.toDF("user_id", "us_a", "eid_a", "c_a")
+    val b = us.toDF("user_id", "us_b", "eid_b", "c_b")
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("user_id"))
+      .filter(col("us_a") < col("us_b"))
+      .withColumn("q", (col("c_b") - col("c_a")) * lit(3600000000L))
+      .withColumn("dt", col("us_b") - col("us_a"))
+      .withColumn("slope_cph",
+        expr("(q - pmod(q, dt)) div dt").cast("long"))
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("slope_cph")).as("min_slope"),
+        max(col("slope_cph")).as("max_slope"),
+        element_at(array_sort(collect_list(col("slope_cph"))),
+          floor((count(lit(1)) + 1) / 2).cast("int")).as("sen_slope_cph"))
       .orderBy(col("user_id"))
   }
 

@@ -309,4 +309,25 @@ class CurationOpsSpec extends SparkSpec {
         s"budget $budget: spent $spent of spendable ${math.min(budget, capSum)}")
     }
   }
+
+  test("maxcover greedy: marginal gains, tie-break, and early termination") {
+    import spark.implicits._
+    // bigram sets: d0={a b, b c, c d}, d1={a b, b c} (subset of d0),
+    // d2={x y, y x}, d3={p q}. Greedy: d0 (3) -> d2 (2) -> d3 (1);
+    // round 4 finds no doc with an uncovered bigram -> stops at 3 rows.
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "a b c"), (2L, "x y x y"), (3L, "p q"))
+      .toDF("doc_id", "text")
+    val got = Curation.maxCoverSelect(docs, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 0L, 3L, 3L), (2, 2L, 2L, 5L), (3, 3L, 1L, 6L)))
+  }
+
+  test("maxcover tie at equal gain goes to the lowest doc_id") {
+    import spark.implicits._
+    val docs = Seq((5L, "m n o"), (2L, "u v w"), (9L, "m n o"))
+      .toDF("doc_id", "text")
+    val got = Curation.maxCoverSelect(docs, k = 1).collect()
+    assert(got.head.getLong(1) == 2L) // all gain 2; lowest id wins
+  }
 }

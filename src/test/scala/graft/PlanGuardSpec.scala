@@ -66,7 +66,10 @@ class PlanGuardSpec extends SparkSpec {
     "c22_corpus_datasheet" -> 4, // four 1-row summary broadcasts (datasheet card)
     "w20_event_funnel" -> 1, // broadcast 1-row first-stage count attach
     "g12_modularity" -> 1, // broadcast 1-row degree-square aggregate
-    "t25_quality_calibration" -> 1) // broadcast 1-row test-count attach (bin cut)
+    "t25_quality_calibration" -> 1, // broadcast 1-row test-count attach (bin cut)
+    // s31 composes both rankers, inheriting exactly their allowances:
+    // s01's broadcast query set + t16's 1-row corpus-stats broadcast
+    "s31_rrf_fusion" -> 2)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

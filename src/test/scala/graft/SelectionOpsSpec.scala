@@ -253,4 +253,36 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got(5L) == ("noise", -1L))
     (6L to 8L).foreach(i => assert(got(i) == ("noise", -1L), s"$i: ${got(i)}"))
   }
+
+  test("rrf fusion: scores are the exact integer rank identity over both rankers") {
+    import spark.implicits._
+    // id space is shared: vec_id i embeds doc_id i. Candidate 2 is
+    // rank 2 dense + rank 1 sparse; candidate 1 is rank 1 dense only
+    // -> 2 must outrank 1 (floor(Q/62)+floor(Q/61) > floor(Q/61)).
+    val embs = Seq(
+      (0L, vec(1f, 0f)),                       // query
+      (1L, vec(1f, 0.01f)), (2L, vec(0.9f, 0.1f)), (3L, vec(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "alpha beta"),                      // query doc
+      (1L, "gamma delta gamma"),               // no term overlap
+      (2L, "alpha alpha delta"), (3L, "beta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val fused = graft.ext.Similarity.hybridRrfTopK(docs, embs,
+      nQueries = 1, depth = 3, k = 4).collect()
+    val q = 1099511627776.0
+    def c(rn: Int): Long = math.floor(q / (60.0 + rn)).toLong
+    val dense = graft.ext.Similarity.bruteForceTopK(embs, 1, 3).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val sparse = graft.ext.TextAnalysis.bm25TopK(docs, 1, 3).collect()
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    fused.foreach { r =>
+      val id = r.getLong(1)
+      val want = dense.get(id).map(c).getOrElse(0L) +
+        sparse.get(id).map(c).getOrElse(0L)
+      assert(r.getLong(2) == want, s"candidate $id")
+    }
+    assert(fused.head.getLong(1) == 2L) // in both lists -> fused top-1
+    assert(fused.map(_.getLong(1)).contains(1L)) // dense-only still present
+  }
 }

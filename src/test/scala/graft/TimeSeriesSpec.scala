@@ -153,4 +153,51 @@ class TimeSeriesSpec extends SparkSpec {
     assert(back.head.getAs[String]("asof_p") == "x")
     assert(fwd.head.getAs[String]("asof_p") == "x")
   }
+
+  test("acf: alternating series gives the exact rational r_k, quantized at 1024") {
+    // cents 100,300,100,300: d = (-400,400,-400,400), den = 640000
+    // lag1: num=-480000 -> r=-3/4 -> -768; lag2: 320000 -> 1/2 -> 512;
+    // lag3: -160000 -> -1/4 -> -256
+    val ev = events(
+      (1L, 0, 1L, "view", 1.0), (2L, 1, 1L, "view", 3.0),
+      (3L, 2, 1L, "view", 1.0), (4L, 3, 1L, "view", 3.0))
+    val got = TimeSeries.acf(ev, maxLag = 3).collect()
+      .map(r => r.getInt(1) -> r.getLong(4)).toMap
+    assert(got == Map(1 -> -768L, 2 -> 512L, 3 -> -256L))
+  }
+
+  test("acf: constant series is dropped (den = 0), short series loses deep lags") {
+    val ev = events(
+      (1L, 0, 1L, "view", 5.0), (2L, 1, 1L, "view", 5.0),
+      (3L, 2, 1L, "view", 5.0),                       // constant: den=0
+      (4L, 0, 2L, "view", 1.0), (5L, 1, 2L, "view", 2.0)) // n=2: lag 1 only
+    val got = TimeSeries.acf(ev, maxLag = 3).collect()
+    assert(got.forall(_.getLong(0) == 2L))
+    assert(got.map(_.getInt(1)).toSeq == Seq(1)) // lags 2,3 have no pairs
+  }
+
+  test("theil-sen: median slope shrugs off an outlier point") {
+    // three collinear points at 100 cents/hour plus one wild outlier:
+    // slopes sorted = (100,100,100,3300,4900,9700), lower median = 100
+    val ev = events(
+      (1L, 0, 1L, "view", 1.0), (2L, 60, 1L, "view", 2.0),
+      (3L, 120, 1L, "view", 3.0), (4L, 180, 1L, "view", 100.0))
+    val Array(r) = TimeSeries.theilSen(ev).collect()
+    assert(r.getLong(1) == 6L)            // n_pairs
+    assert(r.getLong(2) == 100L)          // min_slope
+    assert(r.getLong(3) == 9700L)         // max_slope
+    assert(r.getLong(4) == 100L)          // sen_slope_cph
+  }
+
+  test("theil-sen: negative slopes floor toward -inf, equal-ts pairs excluded") {
+    // 1.00 -> 0.50 over 90 min: floor(-50*3.6e9/5.4e9) = floor(-33.33) = -34
+    val ev = events(
+      (1L, 0, 3L, "view", 1.0), (2L, 90, 3L, "view", 0.5),
+      (3L, 90, 3L, "view", 9.9)) // same ts as event 2: pair (2,3) excluded
+    val Array(r) = TimeSeries.theilSen(ev).collect()
+    assert(r.getLong(1) == 2L)   // (1,2),(1,3) and NOT the equal-ts (2,3)
+    assert(r.getLong(2) == -34L) // min: floor(-33.33) = -34, not -33
+    assert(r.getLong(3) == 593L) // (1,3): floor(890*3.6e9/5.4e9)
+    assert(r.getLong(4) == -34L) // lower median of (-34, 593)
+  }
 }
