@@ -3432,6 +3432,27 @@ object ExtQueries {
           i -> (doc_id*31 + i) % 256)) AS BIGINT) AS pixel_sum
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
 
+    // ---- ViT-style patch tokenization over REAL decoded images:
+    // non-overlapping 2x2 patches (ragged edge cropped), exact integer
+    // patch sums; the oracle regenerates every pixel analytically from
+    // the synthetic rule pix(x,y) = (id*31 + y*w + x) % 256 ----------
+    ("m11_image_patches", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      Multimodal.imagePatches(Multimodal.syntheticImages(docs), p = 2)
+        .orderBy(col("doc_id"), col("py"), col("px"))
+    }, Some("""
+      WITH g AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id < 200),
+      gx AS (SELECT doc_id, w, h, unnest(range(w // 2)) AS px FROM g),
+      gxy AS (SELECT doc_id, w, h, px, unnest(range(h // 2)) AS py FROM gx)
+      SELECT doc_id, CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+        CAST(  (doc_id*31 + (2*py)*w   + 2*px)     % 256
+             + (doc_id*31 + (2*py)*w   + 2*px + 1) % 256
+             + (doc_id*31 + (2*py+1)*w + 2*px)     % 256
+             + (doc_id*31 + (2*py+1)*w + 2*px + 1) % 256 AS BIGINT)
+          AS patch_sum
+      FROM gxy ORDER BY doc_id, py, px""")),
+
     // ---- perceptual image dedup (dHash over REAL decoded pixels) ----
     // the multimodal near-dup story: the same pattern rendered at
     // different resolutions hashes identically (m04 groups find the

@@ -162,6 +162,61 @@ object Multimodal {
     decoded
   }
 
+  /** ViT-style patch-grid extraction over REAL decoded images: split
+    * each image into non-overlapping `p`x`p` patches (cropping the
+    * ragged right/bottom edge, the standard ViT rule), one output row
+    * per patch with its grid coordinates and exact integer pixel sum —
+    * the tokenization step a multimodal training pipeline runs before
+    * the vision encoder (patch embeddings). The m11 oracle recomputes
+    * every patch sum analytically from the synthetic pixel rule, so
+    * the real PNG encode→decode→crop path is value-verified.
+    *
+    * Scale shape: pure flatMap over the binary column — no shuffle,
+    * scan throughput; the patch fan-out is (w/p)·(h/p) rows per image,
+    * bounded by image size. Undecodable payloads emit ZERO patch rows
+    * (consistent with [[decodeImages]]' null contract — a malformed
+    * image contributes no training tokens, never a task failure).
+    */
+  def imagePatches(withBin: DataFrame, p: Int = 2): DataFrame = {
+    require(p >= 1 && p <= 64, s"patch size $p out of range")
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) Iterator.empty
+            else {
+              val raster = img.getRaster
+              for {
+                py <- (0 until img.getHeight / p).iterator
+                px <- (0 until img.getWidth / p).iterator
+              } yield {
+                var sum = 0L
+                var dy = 0
+                while (dy < p) {
+                  var dx = 0
+                  while (dx < p) {
+                    sum += raster.getSample(px * p + dx, py * p + dy, 0)
+                    dx += 1
+                  }
+                  dy += 1
+                }
+                (id, px, py, sum)
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Iterator.empty[(Long, Int, Int, Long)]
+          }
+        }
+      }
+      .toDF("doc_id", "px", "py", "patch_sum")
+  }
+
   /** Perceptual-hash fixture geometry: images are step functions on a
     * 9x8 logical cell grid (the dHash sampling grid), rendered at
     * pixel sizes that are exact multiples of it — so the SAME pattern

@@ -129,6 +129,33 @@ class ZipSourceSpec extends SparkSpec {
     }
   }
 
+  test("image patches: grid shape, analytic sums, ragged edge cropped") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 30)
+    val got = Multimodal.imagePatches(Multimodal.syntheticImages(docs), p = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    (0L until 30L).foreach { id =>
+      val (w, h) = (4 + (id % 13).toInt, 3 + (id % 7).toInt)
+      val rows = got.keys.filter(_._1 == id)
+      assert(rows.size == (w / 2) * (h / 2), s"doc $id patch count")
+      // ragged edge: no patch index reaches past the cropped grid
+      assert(rows.forall { case (_, px, py) => px < w / 2 && py < h / 2 })
+      rows.foreach { case k @ (_, px, py) =>
+        val want = (for { dy <- 0 to 1; dx <- 0 to 1 }
+          yield (id * 31 + (2 * py + dy) * w + (2 * px + dx)) % 256).sum
+        assert(got(k) == want, s"doc $id patch ($px,$py)")
+      }
+    }
+  }
+
+  test("image patches: undecodable payload emits zero rows, not a crash") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val notImages = Multimodal.withPayload(docs.limit(5)) // utf8 text bytes
+    assert(Multimodal.imagePatches(notImages).count() == 0L)
+  }
+
   test("undecodable payload yields null decode columns, not a crash") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val notImages = Multimodal.withPayload(docs.limit(5)) // utf8 text bytes
