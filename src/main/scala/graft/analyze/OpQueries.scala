@@ -1905,6 +1905,40 @@ object OpQueries {
           AS acf_q
       FROM u WHERE den > 0 AND n_pairs > 0 ORDER BY user_id, lag""")),
 
+    // ---- strongly connected components over the top-150-edge
+    // transition backbone: engine runs Pregel FW-BW coloring with
+    // trim; the oracle computes the full transitive closure (the
+    // backbone is ~100 nodes, so closure is cheap in DuckDB) and reads
+    // SCCs off mutual reachability — algorithm-independent truth -----
+    ("g17_scc", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val backbone = eventEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .orderBy(col("w").desc, col("src"), col("dst")).limit(150)
+        .select(col("src"), col("dst"))
+      Graphs.scc(backbone)
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      ed2 AS MATERIALIZED (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT 150)),
+      rk AS (WITH RECURSIVE reach AS (
+          SELECT src AS a, dst AS b FROM ed2
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN ed2 e ON r.b = e.src
+        ) SELECT * FROM reach),
+      mut AS (SELECT r1.a AS k, r1.b AS v FROM rk r1
+              JOIN rk r2 ON r1.a = r2.b AND r1.b = r2.a),
+      scc0 AS (SELECT k, LEAST(k, MIN(v)) AS scc_id FROM mut GROUP BY k),
+      an AS (SELECT DISTINCT k FROM
+             (SELECT src AS k FROM ed2 UNION ALL SELECT dst FROM ed2)),
+      scc AS (SELECT an.k, COALESCE(s0.scc_id, an.k) AS scc_id
+              FROM an LEFT JOIN scc0 s0 USING (k)),
+      sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+             FROM scc GROUP BY 1)
+      SELECT scc.k, scc.scc_id, sz.scc_size
+      FROM scc JOIN sz USING (scc_id) ORDER BY k""")),
+
     // ---- Theil-Sen robust slope per user: lower median of pairwise
     // cents-per-hour slopes, portable floored division; the per-user
     // self-join is shuffle-hash on user_id with pair count bounded by

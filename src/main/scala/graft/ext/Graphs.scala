@@ -769,4 +769,134 @@ object Graphs {
       .select(col("start"), col("step"), col("node"))
       .orderBy(col("start"), col("step"))
   }
+
+  /** Strongly connected components of a DIRECTED edge list `(src,
+    * dst)` — Pregel-style forward-backward coloring (Salihoglu & Widom
+    * GPS'13 / Slota FW-BW) with the standard TRIM optimization:
+    *
+    * per phase: (1) TRIM to fixpoint — a remaining node with zero
+    * in-degree or zero out-degree can sit on no cycle, so it is a
+    * singleton SCC (this peels DAG regions in diameter-many rounds,
+    * the case where bare FW-BW needs one phase per chain node);
+    * (2) forward min-label propagation to fixpoint: c(u) = min id
+    * that reaches u; (3) backward reachability from each color root
+    * (c(r) = r) restricted to its own color class — exactly the nodes
+    * both reachable-from and reaching r, i.e. SCC(r); (4) assign,
+    * remove, repeat. Deterministic: ids, never hashes.
+    *
+    * Scale shape: every step is a node-keyed equi-join + groupBy over
+    * the (static) remaining edge list — co-partitionable on node id
+    * like [[pageRank]]'s iterations, with per-round localCheckpoints.
+    * Driver-side values are per-round counts only (convergence
+    * checks). Rounds are bounded and non-convergence fails LOUDLY
+    * (the [[kCore]]/dedup-clusters determinism contract) rather than
+    * returning a partial labeling.
+    *
+    * Output: (k, scc_id = min node id in the component, scc_size).
+    */
+  def scc(edges: DataFrame, maxPhases: Int = 10,
+          maxIters: Int = 40): DataFrame = {
+    require(maxPhases >= 1 && maxIters >= 1, "maxPhases, maxIters >= 1")
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().cpGuard()
+    val allNodes = e0.select(col("src").as("k"))
+      .unionAll(e0.select(col("dst").as("k"))).distinct().cpGuard()
+    var remaining = allNodes
+    var nRemaining = remaining.count()
+    var assignedAcc: DataFrame = null
+    def accumulate(a: DataFrame): Unit = {
+      assignedAcc =
+        if (assignedAcc == null) a.cpGuard()
+        else assignedAcc.unionAll(a).cpGuard()
+    }
+    var phase = 0
+    while (phase < maxPhases && nRemaining > 0) {
+      phase += 1
+      // edges among remaining nodes
+      var re = e0
+        .join(remaining.select(col("k").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("k").as("dst")), Seq("dst"), "left_semi")
+        .cpGuard()
+      // (1) TRIM: peel zero-in/zero-out nodes as singleton SCCs
+      var trimming = true
+      var it = 0
+      while (trimming && it < maxIters) {
+        it += 1
+        val hasIn = re.select(col("dst").as("k")).distinct()
+        val hasOut = re.select(col("src").as("k")).distinct()
+        val keep = hasIn.join(hasOut, Seq("k"), "left_semi").cpGuard()
+        val peeled = remaining.join(keep, Seq("k"), "left_anti").cpGuard()
+        val nPeeled = peeled.count()
+        if (nPeeled == 0) trimming = false
+        else {
+          accumulate(peeled.select(col("k"), col("k").as("scc_id")))
+          remaining = remaining.join(keep, Seq("k"), "left_semi").cpGuard()
+          nRemaining -= nPeeled
+          re = re
+            .join(keep.select(col("k").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("k").as("dst")), Seq("dst"), "left_semi")
+            .cpGuard()
+        }
+      }
+      require(!trimming, s"scc: trim did not converge in $maxIters rounds")
+      if (nRemaining > 0) {
+        // (2) forward min-label to fixpoint: c(u) = min id reaching u
+        var lab = remaining.select(col("k"), col("k").as("c")).cpGuard()
+        var changed = true
+        it = 0
+        while (changed && it < maxIters) {
+          it += 1
+          val prop = re
+            .join(lab.select(col("k").as("src"), col("c")), Seq("src"))
+            .groupBy(col("dst").as("k")).agg(min(col("c")).as("pc"))
+          val nl = lab.join(prop, Seq("k"), "left_outer")
+            .select(col("k"),
+              least(col("c"), coalesce(col("pc"), col("c"))).as("c"))
+            .cpGuard()
+          changed = nl
+            .join(lab.withColumnRenamed("c", "c0"), Seq("k"))
+            .filter(col("c") =!= col("c0")).isEmpty == false
+          lab = nl
+        }
+        require(!changed,
+          s"scc: forward labeling did not converge in $maxIters rounds")
+        // (3) backward reach from color roots within the color class
+        var reach = lab.filter(col("k") === col("c")).cpGuard()
+        changed = true
+        it = 0
+        var nReach = reach.count()
+        while (changed && it < maxIters) {
+          it += 1
+          val add = re
+            .join(reach.select(col("k").as("dst"), col("c")), Seq("dst"))
+            .select(col("src").as("k"), col("c"))
+            .join(lab.withColumnRenamed("c", "cu"), Seq("k"))
+            .filter(col("c") === col("cu"))
+            .select(col("k"), col("c"))
+          val nr = reach.unionAll(add).distinct().cpGuard()
+          val n1 = nr.count()
+          changed = n1 > nReach
+          nReach = n1
+          reach = nr
+        }
+        require(!changed,
+          s"scc: backward reach did not converge in $maxIters rounds")
+        // (4) assign SCC(root) for every root, remove, next phase
+        val assigned = reach.select(col("k"), col("c").as("scc_id"))
+        accumulate(assigned)
+        remaining = remaining
+          .join(assigned.select(col("k")), Seq("k"), "left_anti").cpGuard()
+        nRemaining = remaining.count()
+      }
+    }
+    require(nRemaining == 0,
+      s"scc: $nRemaining nodes unassigned after $maxPhases phases")
+    val sizes = assignedAcc.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    assignedAcc.join(sizes, Seq("scc_id"))
+      .select(col("k"), col("scc_id"), col("scc_size"))
+      .orderBy(col("k"))
+  }
 }

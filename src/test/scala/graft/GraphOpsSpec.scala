@@ -465,4 +465,31 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("scc: cycles group, bridges and sinks are singletons") {
+    // 3-cycle {1,2,3} -> 2-cycle {4,5} -> sink 6; direction matters:
+    // the 3->4 bridge joins nothing
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = Graphs.scc(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1L, 3L) && got(2L) == (1L, 3L) && got(3L) == (1L, 3L))
+    assert(got(4L) == (4L, 2L) && got(5L) == (4L, 2L))
+    assert(got(6L) == (6L, 1L))
+  }
+
+  test("scc: a pure DAG chain is all singletons (trim path, not phase-per-node)") {
+    val chain = (10L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graphs.scc(chain, maxPhases = 2).collect()
+    assert(got.length == 11)
+    assert(got.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1L))
+  }
+
+  test("scc: two cycles sharing a one-way bridge stay separate; self-loops ignored") {
+    val edges = Seq((1L, 1L), // self-loop: dropped
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val got = Graphs.scc(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
 }
