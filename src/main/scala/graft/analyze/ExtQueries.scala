@@ -3990,6 +3990,29 @@ object ExtQueries {
              reasons = '' AS kept
       FROM f ORDER BY doc_id""")),
 
+    // ---- systematic weighted resampling with replacement: the
+    // particle-filter low-variance resampler over the n_chars weight
+    // line; probes at floor((2i+1)W/2n), draws read off interval
+    // containment against the distributed prefix sum ----------------
+    ("c30_systematic_resample", (s: SparkSession, d: String) =>
+      Curation.systematicResample(t(s, d, "documents"), "n_chars", n = 20),
+      Some("""
+      WITH wd AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+                  FROM documents),
+      cum AS (SELECT doc_id, w,
+                COALESCE(SUM(w) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cum_lo
+              FROM wd),
+      tot AS (SELECT SUM(w) AS wt FROM wd),
+      probes AS (SELECT CAST(i AS INT) AS probe,
+                   CAST((2*i + 1) * wt // 40 AS BIGINT) AS pos
+                 FROM range(20) t(i), tot)
+      SELECT p.probe, p.pos, c.doc_id, c.w AS weight
+      FROM probes p JOIN cum c
+        ON p.pos >= c.cum_lo AND p.pos < c.cum_lo + c.w
+      ORDER BY probe""")),
+
     // ---- greedy maximum-coverage selection (facility-location data
     // selection): k rounds, each picking the doc covering the most
     // not-yet-covered distinct tokens; oracle unrolls the identical

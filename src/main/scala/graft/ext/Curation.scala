@@ -867,6 +867,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Systematic (low-variance) weighted resampling WITH replacement —
+    * the particle-filter resampling step applied to corpus selection:
+    * lay every document's weight on a number line (exclusive prefix
+    * sums in doc_id order), then probe at the n equidistant midpoints
+    * pos_i = floor((2i+1)·W / 2n); doc j is drawn once per probe
+    * landing in [cum_j, cum_j + w_j). Expected draw count is exactly
+    * n·w_j/W with variance strictly below multinomial sampling — and
+    * unlike rand()-based draws it is seedless-deterministic, so the
+    * oracle verifies every draw. Zero-weight docs are never drawn.
+    *
+    * Scale shape: the prefix sum is the range-partitioned two-pass
+    * [[PrefixSum.withRunningSum]] (no global window); the probe table
+    * is n rows broadcast against the cumulative scan (one map-side
+    * containment join, no shuffle of the corpus); W attaches as a
+    * 1-row broadcast. Envelope: (2n+1)·W must fit Long — W is corpus
+    * total chars, fine to exabyte scale.
+    */
+  def systematicResample(docs: DataFrame, weightCol: String,
+                         n: Int): DataFrame = {
+    require(n >= 1 && n <= (1 << 20), s"n $n out of range")
+    val wd = docs.select(col("doc_id"),
+      col(weightCol).cast("long").as("w"))
+    val cum = PrefixSum.withRunningSum(wd, Seq(col("doc_id")), "w",
+      "cum_lo")
+    val tot = wd.agg(sum(col("w")).as("W"))
+    val probes = docs.sparkSession.range(n).toDF("probe")
+      .crossJoin(broadcast(tot))
+      .selectExpr("CAST(probe AS INT) AS probe",
+        s"(2 * probe + 1) * W div ${2L * n} AS pos")
+    cum.join(broadcast(probes),
+        col("pos") >= col("cum_lo") && col("pos") < col("cum_lo") + col("w"))
+      .select(col("probe"), col("pos"), col("doc_id"),
+        col("w").as("weight"))
+      .orderBy(col("probe"))
+  }
+
   /** Greedy maximum-coverage selection (the facility-location /
     * submodular data-selection shape, Nemhauser-Wolsey-Fisher 1978):
     * pick `k` documents one at a time, each round the doc covering the

@@ -323,6 +323,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 0L, 3L, 3L), (2, 2L, 2L, 5L), (3, 3L, 1L, 6L)))
   }
 
+  test("systematic resample: equal weights draw evenly, heavy weight draws repeatedly") {
+    import spark.implicits._
+    val even = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "n_chars")
+    // W=4, n=2: probes at floor(4/4)=1, floor(12/4)=3 -> docs 2 and 4
+    val g1 = Curation.systematicResample(even, "n_chars", n = 2).collect()
+      .map(r => r.getInt(0) -> r.getLong(2))
+    assert(g1.toSeq == Seq(0 -> 2L, 1 -> 4L))
+    // with replacement: doc 2 holds [1,101) of W=102; all 4 probes
+    // (12, 38, 63, 89) land inside it
+    val skew = Seq((1L, 1L), (2L, 100L), (3L, 1L)).toDF("doc_id", "n_chars")
+    val g2 = Curation.systematicResample(skew, "n_chars", n = 4).collect()
+    assert(g2.map(_.getLong(2)).toSeq == Seq(2L, 2L, 2L, 2L))
+    assert(g2.map(_.getLong(1)).toSeq == Seq(12L, 38L, 63L, 89L))
+  }
+
+  test("systematic resample: zero-weight docs are never drawn") {
+    import spark.implicits._
+    val docs = Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("doc_id", "n_chars")
+    val got = Curation.systematicResample(docs, "n_chars", n = 5).collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getLong(2) == 2L))
+  }
+
   test("maxcover tie at equal gain goes to the lowest doc_id") {
     import spark.implicits._
     val docs = Seq((5L, "m n o"), (2L, "u v w"), (9L, "m n o"))

@@ -69,7 +69,10 @@ class PlanGuardSpec extends SparkSpec {
     "t25_quality_calibration" -> 1, // broadcast 1-row test-count attach (bin cut)
     // s31 composes both rankers, inheriting exactly their allowances:
     // s01's broadcast query set + t16's 1-row corpus-stats broadcast
-    "s31_rrf_fusion" -> 2)
+    "s31_rrf_fusion" -> 2,
+    // 1-row total-weight broadcast + n-row probe table broadcast
+    // against the cumulative scan (containment is a range predicate)
+    "c30_systematic_resample" -> 2)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
