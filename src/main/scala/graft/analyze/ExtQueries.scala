@@ -1740,6 +1740,44 @@ object ExtQueries {
            ORDER BY rrf_score DESC, neighbor_id) AS rn FROM fused) z
       WHERE rn <= 8 ORDER BY query_id, rn""")),
 
+    // ---- greedy k-center coreset (Gonzalez farthest-point): 4
+    // rounds of max-over-points min-to-centers squared L2; the oracle
+    // unrolls the identical rounds with MATERIALIZED center sets and
+    // the same one-association-order distance expression ------------
+    ("s32_kcenter_coreset", (s: SparkSession, d: String) =>
+      Similarity.kcenterCoreset(t(s, d, "embeddings"), k = 4),
+      Some {
+        def d2(v: String, c: String) =
+          s"(${dotS(s"$v.embedding", s"$v.embedding")} " +
+            s"- CAST(2 AS DOUBLE) * ${dotS(s"$v.embedding", s"$c.embedding")} " +
+            s"+ ${dotS(s"$c.embedding", s"$c.embedding")})"
+        def roundCtes(r: Int): String = {
+          val prev = s"c${r - 1}"
+          s"""m$r AS (SELECT v.vec_id, MIN(${d2("v", "c")}) AS d2
+               FROM e v CROSS JOIN $prev c
+               WHERE v.vec_id NOT IN (SELECT vec_id FROM $prev)
+               GROUP BY 1),
+          p$r AS MATERIALIZED (SELECT vec_id, d2 FROM m$r
+               ORDER BY d2 DESC, vec_id LIMIT 1),
+          c$r AS MATERIALIZED (SELECT vec_id, embedding FROM e
+               WHERE vec_id IN (SELECT vec_id FROM $prev
+                                UNION SELECT vec_id FROM p$r))"""
+        }
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        c1 AS MATERIALIZED (SELECT vec_id, embedding FROM e
+             ORDER BY vec_id LIMIT 1),
+        ${roundCtes(2)},
+        ${roundCtes(3)},
+        ${roundCtes(4)}
+        SELECT CAST(1 AS INT) AS round, (SELECT vec_id FROM c1) AS vec_id,
+               CAST(NULL AS DOUBLE) AS radius_d2
+        UNION ALL SELECT 2, vec_id, d2 FROM p2
+        UNION ALL SELECT 3, vec_id, d2 FROM p3
+        UNION ALL SELECT 4, vec_id, d2 FROM p4
+        ORDER BY round"""
+      }),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),

@@ -1480,6 +1480,55 @@ object Similarity {
           .as("embedding"))
   }
 
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal):
+    * seed with the lowest vec_id, then k−1 rounds each adding the
+    * vector FARTHEST (max over points of min-to-centers squared L2)
+    * from the current centers — the 2-approximation to the k-center
+    * cover, and the standard diversity-sampling step for active
+    * learning / embedding-space coverage selection (each pick's
+    * min-distance is the cover radius the selection guarantees so
+    * far). Deterministic: ties break on vec_id, distances are the
+    * engine's vector-fold discipline (d2 = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ in
+    * one fixed association order), so the oracle replays every round
+    * value-for-value.
+    *
+    * Scale shape: per round ONE broadcast of the ≤k center rows
+    * against the corpus scan (map-side d2 + partial-agg min/TakeOrdered
+    * 1), never a corpus self-join; driver work is k bounded 1-row
+    * picks (the c29 greedy contract). At billion-vector scale you'd
+    * run the same rounds over an IVF-cell sample first — the published
+    * two-level k-center compositions apply unchanged.
+    */
+  def kcenterCoreset(embs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k $k out of range")
+    val spark = embs.sparkSession
+    val e = graft.core.Tables.spread(embs)
+      .select(col("vec_id"), col("embedding")).cpGuard()
+    val seedId = e.orderBy(col("vec_id")).limit(1)
+      .collect()(0).getLong(0)
+    var centerIds = Vector(seedId)
+    var picks = Vector[(Int, Long, Option[Double])]((1, seedId, None))
+    for (round <- 2 to k) {
+      val centers = e.filter(col("vec_id").isin(centerIds: _*))
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val top = e.filter(!col("vec_id").isin(centerIds: _*))
+        .crossJoin(broadcast(centers))
+        .withColumn("d2",
+          dotCol(col("embedding"), col("embedding"))
+            - lit(2.0) * dotCol(col("embedding"), col("c_emb"))
+            + dotCol(col("c_emb"), col("c_emb")))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (id, d2) = (top(0).getLong(0), top(0).getDouble(1))
+        centerIds :+= id
+        picks :+= ((round, id, Some(d2)))
+      }
+    }
+    import spark.implicits._
+    picks.toDF("round", "vec_id", "radius_d2").orderBy(col("round"))
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack & Clarke,
     * SIGIR'09): fuse a dense cosine top-`depth` ranking (embeddings)
     * with a sparse BM25 top-`depth` ranking (documents) into one list,

@@ -254,6 +254,20 @@ class SelectionOpsSpec extends SparkSpec {
     (6L to 8L).foreach(i => assert(got(i) == ("noise", -1L), s"$i: ${got(i)}"))
   }
 
+  test("k-center coreset: farthest-point picks, tie-break, cover radii") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, vec(0f, 0f)), (2L, vec(1f, 0f)),
+      (3L, vec(10f, 0f)), (4L, vec(0f, 10f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.kcenterCoreset(embs, k = 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // seed 1; then 3 and 4 tie at d2=100 (lower id first); last 2 at 1
+    assert(got.toSeq == Seq((1, 1L, None), (2, 3L, Some(100.0)),
+      (3, 4L, Some(100.0)), (4, 2L, Some(1.0))))
+  }
+
   test("rrf fusion: scores are the exact integer rank identity over both rankers") {
     import spark.implicits._
     // id space is shared: vec_id i embeds doc_id i. Candidate 2 is
