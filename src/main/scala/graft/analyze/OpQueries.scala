@@ -1964,7 +1964,32 @@ object OpQueries {
         CAST(MAX(slope_cph) AS BIGINT) AS max_slope,
         CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_cph END)
           AS BIGINT) AS sen_slope_cph
-      FROM r GROUP BY user_id ORDER BY user_id""")))
+      FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- exact two-sample Kolmogorov-Smirnov drift statistic
+    // (before/after the w19 cut): max CDF gap in cross-multiplied
+    // BIGINTs over the distinct pooled values, one IEEE division at
+    // the read edge; cumulative counts are range-partitioned
+    // PrefixSum, never an unpartitioned window ----------------------
+    ("w31_ks_test", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.ksTest(t(s, d, "events"),
+        "TIMESTAMP '2024-01-16 00:00:00'"),
+      Some("""
+      WITH b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+                 ts < TIMESTAMP '2024-01-16 00:00:00' AS ha FROM events),
+      per AS (SELECT cents,
+                CAST(SUM(CASE WHEN ha THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                CAST(SUM(CASE WHEN ha THEN 0 ELSE 1 END) AS BIGINT) AS nb
+              FROM b GROUP BY 1),
+      cum AS (SELECT cents, SUM(na) OVER (ORDER BY cents) AS ca,
+                     SUM(nb) OVER (ORDER BY cents) AS cb FROM per),
+      tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM per)
+      SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+        CAST(MAX(ABS(ca*tb - cb*ta)) AS BIGINT) AS ks_num,
+        CAST(MAX(ABS(ca*tb - cb*ta)) AS DOUBLE)
+          / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS ks
+      FROM cum, tot GROUP BY ta, tb""")))
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
   def oracles: Map[String, String] =

@@ -246,6 +246,48 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions before and after `cutTs` — the raw-value drift test
+    * next to the binned TV compare (w19 / StreamDrift): KS works on
+    * the empirical CDFs directly, so it catches shifts a coarse
+    * histogram hides. D = max_x |F_a(x) − F_b(x)| is an exact rational
+    * with denominator N_a·N_b: computed as max |ca(x)·N_b − cb(x)·N_a|
+    * over the distinct pooled values in cross-multiplied BIGINTs, ONE
+    * IEEE division at the read edge. (The p-value needs exp() — libm —
+    * so the statistic and its exact numerator are the outputs; the
+    * alert threshold on D is the deployment contract anyway.)
+    *
+    * Scale shape: one partial-aggregable groupBy(cents) collapses the
+    * stream to its distinct values; the two cumulative counts are
+    * range-partitioned [[PrefixSum]] passes (NO unpartitioned window);
+    * totals attach as a 1-row broadcast. Envelope: ca·N_b ≤ N_a·N_b
+    * < 2^62 up to ~2^31 rows a side.
+    */
+  def ksTest(events: DataFrame, cutTs: String): DataFrame = {
+    val b = events.select(
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      (col("ts") < expr(cutTs)).as("ha"))
+    val per = b.groupBy(col("cents")).agg(
+      sum(when(col("ha"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("ha"), 1L).otherwise(0L)).as("nb"))
+    val s1 = graft.operators.PrefixSum.withRunningSum(
+      per, Seq(col("cents")), "na", "ca_ex")
+    val s2 = graft.operators.PrefixSum.withRunningSum(
+      s1, Seq(col("cents")), "nb", "cb_ex")
+    val cum = s2
+      .withColumn("ca", col("ca_ex") + col("na"))
+      .withColumn("cb", col("cb_ex") + col("nb"))
+    val tot = per.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    cum.crossJoin(broadcast(tot))
+      .select(abs(col("ca") * col("tb") - col("cb") * col("ta")).as("dnum"),
+        col("ta"), col("tb"))
+      .groupBy(col("ta").as("n_a"), col("tb").as("n_b"))
+      .agg(max(col("dnum")).as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
   /** Theil–Sen robust trend estimator per user: the lower median of
     * all pairwise slopes (c_j−c_i)/(t_j−t_i) over strictly-earlier
     * pairs, in integer cents-per-hour via portable floored division

@@ -72,7 +72,8 @@ class PlanGuardSpec extends SparkSpec {
     "s31_rrf_fusion" -> 2,
     // 1-row total-weight broadcast + n-row probe table broadcast
     // against the cumulative scan (containment is a range predicate)
-    "c30_systematic_resample" -> 2)
+    "c30_systematic_resample" -> 2,
+    "w31_ks_test" -> 1) // broadcast 1-row sample-totals aggregate
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

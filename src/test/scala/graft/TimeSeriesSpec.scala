@@ -176,6 +176,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_.getInt(1)).toSeq == Seq(1)) // lags 2,3 have no pairs
   }
 
+  test("ks statistic: exact max CDF gap, zero on identical samples") {
+    val cut = "TIMESTAMP '1970-01-01 00:05:00'"
+    // A = {1.00, 2.00}, B = {2.00, 3.00}: D = 1/2 exactly
+    val ev = events(
+      (1L, 0, 1L, "view", 1.0), (2L, 1, 1L, "view", 2.0),
+      (3L, 10, 2L, "view", 2.0), (4L, 11, 2L, "view", 3.0))
+    val Array(r) = TimeSeries.ksTest(ev, cut).collect()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getLong(2) == 2L)      // max |ca*2 - cb*2|
+    assert(r.getDouble(3) == 0.5)
+    // identical halves: D = 0
+    val same = events(
+      (1L, 0, 1L, "view", 7.0), (2L, 1, 1L, "view", 9.0),
+      (3L, 10, 2L, "view", 7.0), (4L, 11, 2L, "view", 9.0))
+    val Array(r2) = TimeSeries.ksTest(same, cut).collect()
+    assert(r2.getLong(2) == 0L && r2.getDouble(3) == 0.0)
+  }
+
   test("theil-sen: median slope shrugs off an outlier point") {
     // three collinear points at 100 cents/hour plus one wild outlier:
     // slopes sorted = (100,100,100,3300,4900,9700), lower median = 100
