@@ -662,7 +662,32 @@ object RelQueries {
       SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM nation JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name ORDER BY r_name"""))
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- VARIANT semi-structured path (Spark 4 VariantType) ---------
+    // parse once into an open VARIANT column, then typed extraction +
+    // schema discovery downstream — the modern ingestion shape for
+    // schema-drifting JSON (vs q22's per-path string extraction).
+    // DuckDB has no VARIANT; the oracle uses its JSON reader, which is
+    // exactly the semantic contract variant_get must honor.
+    ("q58_variant_extract", (s: SparkSession, d: String) => {
+      t(s, d, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "int").as("k"),
+          schema_of_variant(col("v")).as("vschema"))
+        .groupBy(col("event_type"), col("vschema"))
+        .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, 'OBJECT<k: BIGINT>' AS vschema,
+             COUNT(k) AS n_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k, MAX(k) AS max_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events) t
+      GROUP BY event_type ORDER BY event_type"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
