@@ -1989,7 +1989,40 @@ object OpQueries {
         CAST(MAX(ABS(ca*tb - cb*ta)) AS BIGINT) AS ks_num,
         CAST(MAX(ABS(ca*tb - cb*ta)) AS DOUBLE)
           / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS ks
-      FROM cum, tot GROUP BY ta, tb""")))
+      FROM cum, tot GROUP BY ta, tb""")),
+
+    // ---- Holt linear-trend smoother: level + trend recursion as ONE
+    // hash aggregation (w23's fold contract) in exact BIGINT cents<<20
+    // with dyadic alpha=1/4, beta=1/2 — every step an arithmetic right
+    // shift (floor, even for negative trends; div/// would truncate).
+    // Oracle = the identical integer recurrence as a recursive CTE,
+    // never list_reduce (struct-accumulator miscompute in DuckDB 1.0)
+    ("w32_holt", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.holt(t(s, d, "events")),
+      Some("""
+      WITH RECURSIVE c AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events),
+      nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+             FROM c GROUP BY user_id),
+      r(user_id, rn, l, b) AS (
+        SELECT user_id, rn, cents * 1048576, CAST(0 AS BIGINT)
+        FROM c WHERE rn = 1
+        UNION ALL
+        SELECT c.user_id, c.rn,
+               ((c.cents * 1048576 + 3 * (r.l + r.b)) >> 2),
+               ((((c.cents * 1048576 + 3 * (r.l + r.b)) >> 2)
+                 - r.l + r.b) >> 1)
+        FROM r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+      SELECT r.user_id, nn.n,
+             CAST(r.l AS DOUBLE) / 104857600.0 AS level,
+             CAST(r.b AS DOUBLE) / 104857600.0 AS trend,
+             CAST(r.l + 4 * r.b AS DOUBLE) / 104857600.0 AS forecast4
+      FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
+      ORDER BY r.user_id""")))
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
   def oracles: Map[String, String] =

@@ -351,4 +351,56 @@ object TimeSeries {
         count(lit(1)).as("n"))
       .orderBy(col("user_id"), col("hour"))
   }
+
+  /** Holt's linear-trend smoother (double exponential smoothing) per
+    * user — [[ema]]'s level recursion plus a trend component, so a
+    * steadily climbing metric forecasts AHEAD of its last level:
+    *   l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+    *   b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+    * with l_0 = x_0, b_0 = 0 (well-defined for 1-event users).
+    *
+    * Exactness: alpha = 1/4 and beta = 1/2 are dyadic and the state is
+    * BIGINT cents<<20, so each step is integer multiply-add plus an
+    * ARITHMETIC RIGHT SHIFT — floor division by 4/2 exactly, including
+    * negative trends (Spark's `shiftright` and DuckDB's `>>` are both
+    * two's-complement arithmetic shifts; a `div`/`//` here would
+    * truncate toward zero and diverge on the first negative b). The
+    * oracle replays the identical integer recurrence as a per-user
+    * recursive CTE — NOT a list_reduce fold: DuckDB 1.0's list_reduce
+    * miscomputes struct accumulators with repeated subexpressions.
+    * Envelope: |cents| <= ~1e5 so |state| <~ 2^38; 3*(l+b) <~ 2^40 —
+    * forty-plus bits of headroom in the BIGINT.
+    *
+    * Scale shape: ONE hash aggregation (sorted collect + aggregate
+    * HOF), the [[ema]] contract — per-key state is that key's own row
+    * count, never the corpus; no window pass, no per-row shuffle.
+    * Output doubles are single IEEE divisions of exact integers.
+    */
+  def holt(events: DataFrame): DataFrame = {
+    val sc20 = 1048576L            // 2^20 state scale
+    val outDiv = 104857600.0       // 2^20 * 100 (cents) per unit
+    val ev = events.select(col("user_id"), col("ts"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    ev.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        col("ts"), col("event_id"), col("cents")))).as("seq"))
+      .select(col("user_id"),
+        size(col("seq")).cast("long").as("n"),
+        aggregate(
+          slice(col("seq.cents"), lit(2), size(col("seq")) - 1),
+          struct((element_at(col("seq.cents"), 1) * sc20).as("l"),
+            lit(0L).as("b")),
+          (acc: Column, x: Column) => {
+            val lNew = shiftright(
+              x * sc20 + lit(3L) * (acc("l") + acc("b")), 2)
+            struct(lNew.as("l"),
+              shiftright(lNew - acc("l") + acc("b"), 1).as("b"))
+          }).as("st"))
+      .select(col("user_id"), col("n"),
+        (col("st.l").cast("double") / outDiv).as("level"),
+        (col("st.b").cast("double") / outDiv).as("trend"),
+        ((col("st.l") + lit(4L) * col("st.b")).cast("double") / outDiv)
+          .as("forecast4"))
+      .orderBy(col("user_id"))
+  }
 }

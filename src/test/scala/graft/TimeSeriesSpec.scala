@@ -218,4 +218,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(3) == 593L) // (1,3): floor(890*3.6e9/5.4e9)
     assert(r.getLong(4) == -34L) // lower median of (-34, 593)
   }
+
+  /** The integer Holt recurrence, recomputed driver-side. */
+  private def holtBrute(cents: Seq[Long]): (Long, Long) =
+    cents.tail.foldLeft((cents.head << 20, 0L)) { case ((l, b), x) =>
+      val lNew = ((x << 20) + 3L * (l + b)) >> 2
+      (lNew, (lNew - l + b) >> 1)
+    }
+
+  test("holt equals the brute integer recurrence; trend tracks a ramp") {
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val ev = events(vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, i * 5, 1L, "view", v) }: _*)
+    val Array(r) = TimeSeries.holt(ev).collect()
+    val (l, b) = holtBrute(vals.map(v => (v * 100).round))
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == l.toDouble / 104857600.0)
+    assert(r.getDouble(3) == b.toDouble / 104857600.0)
+    assert(r.getDouble(4) == (l + 4L * b).toDouble / 104857600.0)
+    // a steady +1/step ramp: level trails the last value, trend is
+    // positive, and the 4-ahead forecast overshoots the last level
+    assert(r.getDouble(3) > 0.5)
+    assert(r.getDouble(4) > r.getDouble(2))
+  }
+
+  test("holt negative trend floors via arithmetic shift, not truncation") {
+    // decreasing series drives b negative; cross-check vs the brute
+    // fold, which uses Java's arithmetic >> (floor) — a truncating
+    // division would differ on the first odd negative numerator
+    val vals = Seq(9.99, 7.37, 5.01, 2.23, 0.11)
+    val ev = events(vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, i * 3, 4L, "view", v) }: _*)
+    val Array(r) = TimeSeries.holt(ev).collect()
+    val (l, b) = holtBrute(vals.map(v => (v * 100).round))
+    assert(b < 0L)
+    assert(r.getDouble(2) == l.toDouble / 104857600.0)
+    assert(r.getDouble(3) == b.toDouble / 104857600.0)
+  }
+
+  test("holt single-event user: level = value, zero trend") {
+    val ev = events((1L, 0, 2L, "view", 5.25))
+    val Array(r) = TimeSeries.holt(ev).collect()
+    assert(r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 5.25 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 5.25)
+  }
 }
