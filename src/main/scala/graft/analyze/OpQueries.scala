@@ -2022,7 +2022,38 @@ object OpQueries {
              CAST(r.b AS DOUBLE) / 104857600.0 AS trend,
              CAST(r.l + 4 * r.b AS DOUBLE) / 104857600.0 AS forecast4
       FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
-      ORDER BY r.user_id""")))
+      ORDER BY r.user_id""")),
+
+    // ---- matrix-profile-lite motif discovery: per user the minimal-
+    // SAD non-overlapping window pair in exact integer cents (the
+    // repeated-cadence detector); windows from ONE partitioned window
+    // pass, pairs from the theilSen per-key self-join contract,
+    // argmin = lexicographic (sad, i, j) struct-min ------------------
+    ("w33_motif", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.motif(t(s, d, "events"), m = 4),
+      Some("""
+      WITH c AS (SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn
+             FROM events),
+      w AS (SELECT a.user_id, CAST(a.rn AS BIGINT) AS i,
+              list(b.cents ORDER BY b.rn) AS arr
+            FROM c a JOIN c b ON b.user_id = a.user_id
+              AND b.rn BETWEEN a.rn AND a.rn + 3
+            GROUP BY a.user_id, a.rn HAVING COUNT(*) = 4),
+      p AS (SELECT x.user_id, x.i, y.i AS j,
+              ABS(x.arr[1]-y.arr[1]) + ABS(x.arr[2]-y.arr[2])
+              + ABS(x.arr[3]-y.arr[3]) + ABS(x.arr[4]-y.arr[4]) AS sad
+            FROM w x JOIN w y ON y.user_id = x.user_id
+              AND y.i >= x.i + 4)
+      SELECT user_id, n_pairs, i, j, sad AS sad_cents FROM (
+        SELECT user_id, i, j, sad,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY sad, i, j) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                 AS n_pairs
+        FROM p) q WHERE rk = 1 ORDER BY user_id""")))
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap
   def oracles: Map[String, String] =

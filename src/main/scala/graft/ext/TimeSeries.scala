@@ -403,4 +403,55 @@ object TimeSeries {
           .as("forecast4"))
       .orderBy(col("user_id"))
   }
+
+  /** Time-series motif discovery (matrix-profile-lite): per user, the
+    * pair of NON-OVERLAPPING length-`m` windows of the value series
+    * (ordered by ts, event_id) with minimal sum-of-absolute-differences
+    * — the repeated-behavior detector (scripted/bot cadences repeat a
+    * value shape; organic activity doesn't). SAD in exact integer
+    * cents instead of the z-normalized Euclidean of the full matrix
+    * profile (Yeh et al. ICDM'16): no sqrt, no float accumulation, so
+    * every candidate distance is oracle-checkable bit-for-bit.
+    *
+    * Argmin tie-break is the lexicographic (sad, i, j) minimum —
+    * deterministic under any partitioning (min over a struct).
+    *
+    * Scale shape: the windows table is one partitioned window pass
+    * (frame = current..m-1 following); the pair join is the
+    * [[theilSen]] per-key self-join contract — shuffle-hash on
+    * user_id, pairs bounded by the per-key window count squared, never
+    * cross-user. Users with < 2m events have no admissible pair and
+    * drop out. At 100 TB you'd bound long-lived keys by sessionizing
+    * first (the standard matrix-profile batching cut).
+    *
+    * Output: (user_id, n_pairs, i, j, sad_cents), i/j 1-based window
+    * starts with j >= i + m.
+    */
+  def motif(events: DataFrame, m: Int = 4): DataFrame = {
+    require(m >= 2, s"window length >= 2: $m")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val c = events.select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("arr", collect_list(col("cents"))
+        .over(w.rowsBetween(Window.currentRow, m - 1)))
+      .filter(size(col("arr")) === m)
+      .select(col("user_id"), col("i"), col("arr"))
+    val a = c.toDF("user_id", "i", "arr_a")
+    val b = c.toDF("user_id", "j", "arr_b")
+    a.join(b.hint("shuffle_hash"), Seq("user_id"))
+      .filter(col("j") >= col("i") + m)
+      .withColumn("sad", aggregate(
+        zip_with(col("arr_a"), col("arr_b"),
+          (x: Column, y: Column) => abs(x - y)),
+        lit(0L), (acc: Column, v: Column) => acc + v))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("sad"), col("i"), col("j"))).as("best"))
+      .select(col("user_id"), col("n_pairs"),
+        col("best.i").as("i"), col("best.j").as("j"),
+        col("best.sad").as("sad_cents"))
+      .orderBy(col("user_id"))
+  }
 }

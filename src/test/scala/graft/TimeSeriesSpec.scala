@@ -256,6 +256,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(3) == b.toDouble / 104857600.0)
   }
 
+  test("motif finds a planted repeated shape, ignoring the overlap zone") {
+    // user 1: shape (1,5,2,7) planted at positions 1 and 9 inside noise
+    val vals = Seq(1.0, 5.0, 2.0, 7.0, 50.0, 90.0, 30.0, 60.0,
+      1.0, 5.0, 2.0, 7.0)
+    val ev = events(vals.zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, i * 2, 1L, "view", v) }: _*)
+    val Array(r) = TimeSeries.motif(ev, m = 4).collect()
+    assert(r.getLong(2) == 1L && r.getLong(3) == 9L) // the planted pair
+    assert(r.getLong(4) == 0L)                       // exact repeat: SAD 0
+    // n_pairs: windows 1..9, pairs with j >= i+4 -> sum_{i=1..5}(6-i)=15...
+    assert(r.getLong(1) == 15L)
+  }
+
+  test("motif excludes overlapping pairs and ties break to lowest (i, j)") {
+    // constant series: every pair has SAD 0; argmin must be (1, 5)
+    val ev = events((1 to 8).map(i =>
+      (i.toLong, i * 7, 2L, "view", 3.0)): _*)
+    val Array(r) = TimeSeries.motif(ev, m = 4).collect()
+    assert(r.getLong(2) == 1L && r.getLong(3) == 5L && r.getLong(4) == 0L)
+    // windows 1..5; admissible pairs: (1,5) only -> plus (1..5 vs j>=i+4)
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("motif: users with fewer than 2m events emit no row") {
+    val ev = events((1 to 7).map(i =>
+      (i.toLong, i, 3L, "view", 1.0)): _*)
+    assert(TimeSeries.motif(ev, m = 4).count() == 0L)
+  }
+
   test("holt single-event user: level = value, zero trend") {
     val ev = events((1L, 0, 2L, "view", 5.25))
     val Array(r) = TimeSeries.holt(ev).collect()
