@@ -1778,6 +1778,58 @@ object ExtQueries {
         ORDER BY round"""
       }),
 
+    // ---- silhouette audit of the label partition under squared L2:
+    // pairwise sums collapsed to per-cluster moments (n, S, Σ||y||²)
+    // via Σ||x−y||² = n||x||² − 2⟨x,S⟩ + Σ||y||² — never a point-pair
+    // join; inputs floor-quantized at 2^10 so all moments are BIGINT,
+    // three fixed-order IEEE divisions per point, floor(s·2^40) makes
+    // the per-label mean aggregation-order-free -----------------------
+    ("s33_silhouette", (s: SparkSession, d: String) =>
+      Similarity.silhouette(t(s, d, "embeddings")),
+      Some("""
+      WITH f AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS f
+            FROM embeddings),
+      pt AS (SELECT vec_id, label, f,
+               CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS ss
+             FROM f),
+      d AS (SELECT vec_id, label AS own,
+              generate_subscripts(f, 1) AS pos, unnest(f) AS fx
+            FROM pt),
+      cd AS (SELECT own AS label, pos, CAST(SUM(fx) AS BIGINT) AS s_pos
+             FROM d GROUP BY 1, 2),
+      cs AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ss) AS BIGINT) AS ssum
+             FROM pt GROUP BY 1),
+      dots AS (SELECT d.vec_id, d.own, cd.label,
+                 CAST(SUM(d.fx * cd.s_pos) AS BIGINT) AS dot
+               FROM d JOIN cd ON cd.pos = d.pos GROUP BY 1, 2, 3),
+      dd AS (SELECT dots.vec_id, dots.own, dots.label, cs.n,
+               cs.n * pt.ss - 2 * dots.dot + cs.ssum AS bigD
+             FROM dots JOIN cs ON cs.label = dots.label
+               JOIN pt ON pt.vec_id = dots.vec_id),
+      ab AS (SELECT vec_id, own,
+               MAX(CASE WHEN label = own THEN bigD END) AS aD,
+               MAX(CASE WHEN label = own THEN n END) - 1 AS an,
+               MIN(CASE WHEN label <> own THEN
+                 CAST(bigD AS DOUBLE) / CAST(n AS DOUBLE) END) AS b
+             FROM dd GROUP BY 1, 2),
+      sq AS (SELECT vec_id, own,
+               CASE WHEN an = 0 OR
+                 GREATEST(CAST(aD AS DOUBLE) / CAST(an AS DOUBLE), b) = 0.0
+               THEN 0
+               ELSE CAST(floor(
+                 (b - CAST(aD AS DOUBLE) / CAST(an AS DOUBLE))
+                 / GREATEST(CAST(aD AS DOUBLE) / CAST(an AS DOUBLE), b)
+                 * 1099511627776.0) AS BIGINT)
+               END AS sqv
+             FROM ab)
+      SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+             (CAST(SUM(sqv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+               / 1099511627776.0 AS mean_s
+      FROM sq GROUP BY 1 ORDER BY 1""")),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),

@@ -1568,6 +1568,79 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Silhouette audit of the `label` partition (Rousseeuw 1987) under
+    * SQUARED L2 — per point, a = mean squared distance to its own
+    * cluster (self excluded), b = min over other clusters of the mean
+    * squared distance, s = (b − a)/max(a, b); reported as the per-label
+    * mean. The clustering-quality number behind any label-driven
+    * curation cut (does cluster c actually cohere before we
+    * subsample/dedup within it?).
+    *
+    * The 100 TB trick: Σ_{y∈C} ||x−y||² = n_C·||x||² − 2⟨x, S_C⟩ +
+    * Σ_{y∈C}||y||², so all pairwise sums collapse to per-cluster
+    * moments (n, per-dim sum vector S, sum of squared norms) — NEVER a
+    * point-to-point join; cost is one per-dim groupBy plus a
+    * (points × dims) ⋈ (clusters × dims) broadcast join, linear in the
+    * corpus for fixed dims and cluster count.
+    *
+    * Exactness: inputs floor-quantized at 2^10 (floor(x·1024), exact:
+    * power-of-two scale on exact float→double casts), so every moment
+    * and every D = n·ss − 2·dot + ssum is a BIGINT (envelope: |f| <
+    * 2^10·|x|, D < n·dim·f² — at 10^9 points/cluster and |x| ≤ 1 still
+    * < 2^57). Per point exactly three IEEE divisions in one fixed
+    * order (a = aD/an, b-candidates D/n with an order-free MIN, final
+    * s), then floor(s·2^40) BIGINTs make the per-label mean
+    * aggregation-order-free. Singleton clusters score s = 0 (the
+    * Rousseeuw convention), as does the a = b = 0 degenerate.
+    *
+    * Output: (label, n_points, mean_s), ascending label.
+    */
+  def silhouette(embs: DataFrame): DataFrame = {
+    val q = 1024L               // 2^10 input quantization
+    val s40 = 1099511627776.0   // 2^40 silhouette quantization
+    val base = graft.core.Tables.spread(embs)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * q).cast("long")).as("f"))
+      .withColumn("ss", aggregate(col("f"), lit(0L),
+        (a: Column, x: Column) => a + x * x))
+      .cpGuard() // feeds the dim explode AND the per-point join
+    val dims = base.select(col("vec_id"), col("label").as("own"),
+      posexplode(col("f")).as(Seq("pos", "fx")))
+    val cdim = dims.groupBy(col("own").as("label"), col("pos"))
+      .agg(sum(col("fx")).as("s_pos"))
+    val cstat = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("ss")).as("ssum"))
+    // ⟨x, S_c⟩ for every (point, cluster): the only wide intermediate,
+    // points×dims rows fanned out by the (tiny, broadcast) per-dim
+    // cluster sums — partial-aggregable back down to points×clusters
+    val dots = dims.join(broadcast(cdim), Seq("pos"))
+      .groupBy(col("vec_id"), col("own"), col("label"))
+      .agg(sum(col("fx") * col("s_pos")).as("dot"))
+    val dd = dots
+      .join(broadcast(cstat), Seq("label"))
+      .join(base.select(col("vec_id"), col("ss")), Seq("vec_id"))
+      .withColumn("bigD",
+        col("n") * col("ss") - lit(2L) * col("dot") + col("ssum"))
+    val ab = dd.groupBy(col("vec_id"), col("own"))
+      .agg(
+        max(when(col("label") === col("own"), col("bigD"))).as("aD"),
+        (max(when(col("label") === col("own"), col("n"))) - 1L).as("an"),
+        min(when(col("label") =!= col("own"),
+          col("bigD").cast("double") / col("n").cast("double"))).as("b"))
+    val aVal = col("aD").cast("double") / col("an").cast("double")
+    val mx = greatest(aVal, col("b"))
+    val sq = ab.withColumn("sqv",
+      when(col("an") === 0L || mx === lit(0.0), lit(0L))
+        .otherwise(floor((col("b") - aVal) / mx * s40).cast("long")))
+    sq.groupBy(col("own").as("label"))
+      .agg(count(lit(1)).as("n_points"), sum(col("sqv")).as("sum_q"))
+      .select(col("label"), col("n_points"),
+        ((col("sum_q").cast("double") / col("n_points").cast("double"))
+          / s40).as("mean_s"))
+      .orderBy(col("label"))
+  }
+
   /** DuckDB twin of [[jlProject]]'s row expression: the projected list
     * literal-for-literal in the same fold order (`emb` names a
     * LIST(FLOAT) column).

@@ -299,4 +299,38 @@ class SelectionOpsSpec extends SparkSpec {
     assert(fused.head.getLong(1) == 2L) // in both lists -> fused top-1
     assert(fused.map(_.getLong(1)).contains(1L)) // dense-only still present
   }
+
+  test("silhouette: separated blobs score near 1, shuffled labels go negative") {
+    // two tight, far-apart blobs labeled correctly
+    val good = Seq(
+      (1L, vec(0f, 0f), 0), (2L, vec(0.01f, 0f), 0), (3L, vec(0f, 0.01f), 0),
+      (4L, vec(10f, 10f), 1), (5L, vec(10.01f, 10f), 1),
+      (6L, vec(10f, 10.01f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val g = Similarity.silhouette(good).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(g(0)._1 == 3L && g(1)._1 == 3L)
+    assert(g(0)._2 > 0.99 && g(1)._2 > 0.99)
+    // same points, labels split ACROSS the blobs: each cluster mixes
+    // the two blobs, so the stray members' big negatives (≈ −0.67)
+    // outweigh the local members' small positives (≈ +0.25) — the
+    // per-label means go (just) negative
+    val bad = Seq(
+      (1L, vec(0f, 0f), 0), (2L, vec(0.01f, 0f), 1), (3L, vec(0f, 0.01f), 0),
+      (4L, vec(10f, 10f), 1), (5L, vec(10.01f, 10f), 0),
+      (6L, vec(10f, 10.01f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val b = Similarity.silhouette(bad).collect().map(_.getDouble(2))
+    assert(b.forall(_ < 0.0))
+  }
+
+  test("silhouette: singleton cluster scores 0 by convention") {
+    val embs = Seq(
+      (1L, vec(0f, 0f), 0), (2L, vec(1f, 0f), 0),
+      (3L, vec(5f, 5f), 9)) // label 9 is a singleton
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouette(embs).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got(9) == 0.0)
+  }
 }
