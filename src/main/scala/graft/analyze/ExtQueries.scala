@@ -2968,6 +2968,42 @@ object ExtQueries {
                   THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS late_frac
       FROM hw GROUP BY 1 ORDER BY hour""")),
 
+    // Kaplan-Meier churn survival with right-censoring: lifetime =
+    // last−first event in whole hours; churned iff last event >= 1
+    // day before corpus end, else censored at lifetime. Corpus
+    // reduces to one row per distinct lifetime hour (bounded by the
+    // observation window, not the user count); S(t) folds ascending
+    // in one fixed IEEE order on that bounded table ------------------
+    ("w34_kaplan_meier", (s: SparkSession, d: String) =>
+      graft.ext.Funnels.kaplanMeier(t(s, d, "events"), censorDays = 1),
+      Some("""
+      WITH u AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+                   MAX(epoch_us(ts)) AS last_us
+                 FROM events GROUP BY 1),
+      mx AS (SELECT MAX(last_us) AS m FROM u),
+      du AS (SELECT (last_us - first_us) // 3600000000 AS dur_h,
+               last_us <= (SELECT m FROM mx) - 86400000000 AS churn
+             FROM u),
+      g AS (SELECT dur_h, CAST(COUNT(*) AS BIGINT) AS n_all,
+              CAST(SUM(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_churn
+            FROM du GROUP BY 1),
+      r AS (SELECT dur_h, n_churn,
+              CAST(SUM(n_all) OVER (ORDER BY dur_h DESC) AS BIGINT)
+                AS n_risk
+            FROM g),
+      f AS (SELECT dur_h AS t_hours, n_risk, n_churn,
+              1.0 - CAST(n_churn AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                AS factor
+            FROM r WHERE n_churn > 0)
+      SELECT a.t_hours, a.n_risk, a.n_churn AS d_churned,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+               list(b.factor ORDER BY b.t_hours)), (x, y) -> x * y)
+               AS survival
+      FROM f a JOIN f b ON b.t_hours <= a.t_hours
+      GROUP BY a.t_hours, a.n_risk, a.n_churn
+      ORDER BY a.t_hours""")),
+
     // largest-remainder (Hamilton) apportionment of a 1000-slot eval /
     // labeling budget across sources: floor shares plus one extra for
     // the largest remainders (ties by name) — sum(quota) == 1000 by

@@ -154,4 +154,67 @@ object Funnels {
           .as("late_frac"))
       .orderBy(col("hour"))
   }
+
+  /** Kaplan-Meier churn survival curve (Kaplan & Meier 1958) with
+    * right-censoring — the actuarial "how long do users stay active"
+    * estimate product analytics runs next to [[retentionCohorts]].
+    * A user's lifetime is last event − first event in WHOLE HOURS
+    * (exact integer division of the microsecond gap); a user has
+    * CHURNED (the "event" is observed) when their last event is at
+    * least `censorDays` before the corpus's last timestamp, otherwise
+    * they are right-censored at their lifetime — still at risk up to
+    * it, but never a death. S(t) = Π_{t' <= t} (1 − d_t'/n_t') over
+    * death times ascending, with the standard convention that
+    * same-time censored users count in that time's risk set.
+    *
+    * Exactness: lifetimes, risk counts and death counts are exact
+    * BIGINTs; each factor is ONE IEEE division subtracted from 1.0 and
+    * the product folds ascending in one fixed order, so the doubles
+    * replay bit-for-bit in any engine folding the same sequence.
+    *
+    * Scale shape: two partial-aggregable groupBys (per-user min/max,
+    * then per-lifetime counts) reduce the corpus to one row per
+    * DISTINCT LIFETIME HOUR — bounded by the observation window in
+    * hours (720 here), NOT by user or event count — and the survival
+    * fold runs over that bounded table driver-side (the c23/c25
+    * bounded-collect contract; a year-long window is still only 8.8k
+    * rows). Output: (t_hours, n_risk, d_churned, survival) at death
+    * times, ascending.
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    require(censorDays >= 0, "censorDays >= 0")
+    val spark = events.sparkSession
+    val u = graft.core.Tables.spread(events)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .cpGuard() // feeds the 1-row max AND the lifetime histogram
+    val maxRow = u.agg(max(col("last_us"))).collect()
+    import spark.implicits._
+    if (maxRow.isEmpty || maxRow(0).isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("t_hours", "n_risk", "d_churned", "survival")
+    val cutoff = maxRow(0).getLong(0) - censorDays.toLong * 86400000000L
+    val grouped = u
+      .select(expr("(last_us - first_us) div 3600000000").as("dur_h"),
+        (col("last_us") <= cutoff).as("churn"))
+      .groupBy(col("dur_h"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("churn"), 1L).otherwise(0L)).as("n_churn"))
+      .orderBy(col("dur_h"))
+      .collect() // bounded: one row per distinct lifetime hour
+    var atRisk = grouped.map(_.getLong(1)).sum
+    var s = 1.0
+    val out = Vector.newBuilder[(Long, Long, Long, Double)]
+    grouped.foreach { r =>
+      val (t, nAll, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (d > 0) {
+        s = s * (1.0 - d.toDouble / atRisk.toDouble)
+        out += ((t, atRisk, d, s))
+      }
+      atRisk -= nAll
+    }
+    out.result().toDF("t_hours", "n_risk", "d_churned", "survival")
+      .orderBy(col("t_hours"))
+  }
 }

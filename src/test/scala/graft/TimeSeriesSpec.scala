@@ -285,6 +285,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.motif(ev, m = 4).count() == 0L)
   }
 
+  test("kaplan-meier: risk sets shrink by deaths AND censored, product folds") {
+    // lifetimes (hours): A=1 churn, C=1 churn, B=2 churn,
+    // D=166 censored (still active at corpus end)
+    val ev = events(
+      (1L, 0, 1L, "view", 1.0), (2L, 60, 1L, "view", 1.0),     // A: 1h
+      (3L, 0, 2L, "view", 1.0), (4L, 120, 2L, "view", 1.0),    // B: 2h
+      (5L, 0, 3L, "view", 1.0), (6L, 60, 3L, "view", 1.0),     // C: 1h
+      (7L, 0, 4L, "view", 1.0), (8L, 10000, 4L, "view", 1.0))  // D: open
+    val got = graft.ext.Funnels.kaplanMeier(ev, censorDays = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // t=1: 2 deaths of 4 at risk -> S=0.5; t=2: 1 of 2 -> S=0.25;
+    // D's censoring emits no row but holds D in the t<=2 risk sets? no —
+    // D (dur 166) is at risk at t=1 (4 at risk) and t=2 (2 at risk:
+    // B and D, A/C already gone)
+    assert(got.toSeq == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 1L, 0.25)))
+  }
+
+  test("kaplan-meier: empty input yields an empty curve") {
+    val ev = events().limit(0)
+    assert(graft.ext.Funnels.kaplanMeier(ev).count() == 0L)
+  }
+
   test("holt single-event user: level = value, zero trend") {
     val ev = events((1L, 0, 2L, "view", 5.25))
     val Array(r) = TimeSeries.holt(ev).collect()
