@@ -4120,6 +4120,37 @@ object ExtQueries {
     // particle-filter low-variance resampler over the n_chars weight
     // line; probes at floor((2i+1)W/2n), draws read off interval
     // containment against the distributed prefix sum ----------------
+    // Benford first-digit audit of lineitem prices: digit from the
+    // EXACT cents integer; the nine log10(1+1/d) reference probs are
+    // shortest-roundtrip literals parsed identically by both engines
+    // (a runtime log10 could differ by an ulp between libms) ---------
+    ("c31_benford", (s: SparkSession, d: String) =>
+      Curation.benfordAudit(t(s, d, "lineitem"), col("l_extendedprice")),
+      Some("""
+      WITH g AS (SELECT CAST(substr(CAST(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM lineitem
+             WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) > 0
+             GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM g),
+      ref AS (SELECT * FROM (VALUES
+        (1, 0.3010299956639812), (2, 0.17609125905568124),
+        (3, 0.12493873660829992), (4, 0.09691001300805642),
+        (5, 0.07918124604762482), (6, 0.06694678963061322),
+        (7, 0.05799194697768673), (8, 0.05115252244738129),
+        (9, 0.04575749056067514)) AS t(digit, benford_p))
+      SELECT ref.digit, COALESCE(g.n, 0) AS n,
+             CAST(COALESCE(g.n, 0) AS DOUBLE) / CAST(tot.nn AS DOUBLE)
+               AS share,
+             ref.benford_p,
+             ABS(CAST(COALESCE(g.n, 0) AS DOUBLE)
+               / CAST(tot.nn AS DOUBLE) - ref.benford_p) AS abs_gap
+      FROM ref LEFT JOIN g ON g.digit = ref.digit, tot
+      ORDER BY ref.digit""")),
+
     ("c30_systematic_resample", (s: SparkSession, d: String) =>
       Curation.systematicResample(t(s, d, "documents"), "n_chars", n = 20),
       Some("""

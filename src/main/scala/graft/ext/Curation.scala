@@ -952,4 +952,50 @@ object Curation {
     chosen.toDF("round", "doc_id", "gain", "covered_total")
       .orderBy(col("round"))
   }
+
+  /** Benford first-significant-digit audit (Newcomb 1881, Benford
+    * 1938) of a positive numeric column — the fabricated-data /
+    * synthetic-leak detector: organically multiplicative magnitudes
+    * (prices, populations, file sizes) follow P(d) = log10(1 + 1/d);
+    * uniform or hand-typed numbers do not, and the per-digit gaps say
+    * which.
+    *
+    * Exactness: the first digit comes from the EXACT cents integer
+    * (decimal(18,2) cast, never float string-formatting); the nine
+    * Benford probabilities are shortest-roundtrip DECIMAL LITERALS —
+    * both engines parse the identical literal to the identical double,
+    * where a runtime log10 could differ by an ulp between libms.
+    * share = n/N is one IEEE division; abs_gap one subtraction.
+    *
+    * Scale shape: one partial-aggregable groupBy over 9 digit keys, a
+    * 1-row total broadcast, and a 9-row literal frame left join — scan
+    * throughput at any corpus size. Output: (digit, n, share,
+    * benford_p, abs_gap), digits 1..9 always present.
+    */
+  def benfordAudit(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val benford = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "benford_p")
+    val g = df
+      .select((valueCol.cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .filter(col("c") > 0L)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("nn"))
+    benford.join(g, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)).cast("double") /
+          col("nn").cast("double")).as("share"),
+        col("benford_p"),
+        abs(coalesce(col("n"), lit(0L)).cast("double") /
+          col("nn").cast("double") - col("benford_p")).as("abs_gap"))
+      .orderBy(col("digit"))
+  }
 }

@@ -354,4 +354,22 @@ class CurationOpsSpec extends SparkSpec {
     val got = Curation.maxCoverSelect(docs, k = 1).collect()
     assert(got.head.getLong(1) == 2L) // all gain 2; lowest id wins
   }
+
+  test("benford: digit from exact cents, all 9 rows, shares sum to 1") {
+    import spark.implicits._
+    // 19.99 -> cents 1999 -> digit 1 (NOT 2: the digit must come from
+    // the exact cents integer, where float formatting of 19.99 could
+    // stringify as 19.989999...); 0 and negatives excluded
+    val df = Seq(19.99, 3.50, 0.0, -7.0, 912.0, 1.01)
+      .toDF("v")
+    val got = Curation.benfordAudit(df, col("v")).collect()
+    assert(got.length == 9)
+    val byDigit = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) == 2L && byDigit(3) == 1L && byDigit(9) == 1L)
+    assert(byDigit(2) == 0L && byDigit(7) == 0L) // negatives/zero gone
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    // the reference column is the Benford law itself
+    val p1 = got.find(_.getInt(0) == 1).get.getDouble(3)
+    assert(p1 == 0.3010299956639812)
+  }
 }
