@@ -1830,6 +1830,67 @@ object ExtQueries {
                / 1099511627776.0 AS mean_s
       FROM sq GROUP BY 1 ORDER BY 1""")),
 
+    // ---- graph-based ANN (NSW family): greedy beam search over an
+    // exact 8-NN graph — multi-entry at the 8 lowest target ids, 4
+    // rounds of expand-score-keep-8, final top-5 flagged vs the brute
+    // baseline; the oracle unrolls the identical rounds (MATERIALIZED
+    // CTEs — the g16 inlining lesson) -------------------------------
+    ("s34_nsw_search", (s: SparkSession, d: String) =>
+      Similarity.nswSearch(t(s, d, "embeddings"), nQueries = 10,
+        g = 8, beam = 8, rounds = 4, k = 5),
+      Some {
+        def cosQT = s"${dotS("q.q_emb", "t.t_emb")} / (q.q_norm * t.t_norm)"
+        def roundCtes(r: Int): String =
+          s"""c$r AS (SELECT DISTINCT b.q_id, ge.b_id AS t_id
+               FROM b${r - 1} b JOIN ge ON ge.a_id = b.t_id),
+          n$r AS (SELECT c.q_id, c.t_id, $cosQT AS cosine
+               FROM c$r c JOIN q ON q.q_id = c.q_id
+                 JOIN t ON t.t_id = c.t_id),
+          s$r AS MATERIALIZED (SELECT DISTINCT * FROM
+               (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM n$r) u),
+          b$r AS MATERIALIZED (SELECT q_id, t_id, cosine FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, t_id) AS rn FROM s$r) z
+               WHERE rn <= 8)"""
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+               ${normS("embedding")} AS nrm FROM embeddings),
+        t AS MATERIALIZED (SELECT vec_id AS t_id, embedding AS t_emb,
+               nrm AS t_norm FROM e WHERE vec_id >= 10),
+        q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb,
+               nrm AS q_norm FROM e WHERE vec_id < 10),
+        ge AS MATERIALIZED (SELECT a_id, b_id FROM
+             (SELECT a.t_id AS a_id, b.t_id AS b_id,
+                ROW_NUMBER() OVER (PARTITION BY a.t_id ORDER BY
+                  ${dotS("a.t_emb", "b.t_emb")} / (a.t_norm * b.t_norm)
+                    DESC, b.t_id) AS grn
+              FROM t a JOIN t b ON a.t_id <> b.t_id) z
+             WHERE grn <= 8),
+        en AS (SELECT t_id FROM t ORDER BY t_id LIMIT 8),
+        s0 AS MATERIALIZED (SELECT q.q_id, t.t_id, $cosQT AS cosine
+             FROM q, en, t WHERE t.t_id = en.t_id),
+        b0 AS (SELECT * FROM s0),
+        ${roundCtes(1)},
+        ${roundCtes(2)},
+        ${roundCtes(3)},
+        ${roundCtes(4)},
+        ex AS (SELECT q_id, t_id FROM
+             (SELECT q.q_id, t.t_id,
+                ROW_NUMBER() OVER (PARTITION BY q.q_id
+                  ORDER BY $cosQT DESC, t.t_id) AS rn
+              FROM q CROSS JOIN t) z WHERE rn <= 5)
+        SELECT f.q_id AS query_id, f.t_id AS neighbor_id, f.cosine,
+               CAST(f.rn AS INT) AS rn,
+               (ex.t_id IS NOT NULL) AS in_exact
+        FROM (SELECT q_id, t_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, t_id) AS rn
+              FROM s4) f
+        LEFT JOIN ex ON ex.q_id = f.q_id AND ex.t_id = f.t_id
+        WHERE f.rn <= 5
+        ORDER BY query_id, rn"""
+      }),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),

@@ -1568,6 +1568,87 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Graph-based ANN: greedy BEAM SEARCH over a kNN proximity graph —
+    * the NSW/HNSW family (Malkov & Yashunin 2016), the one modern ANN
+    * index family next to the LSH (s02) and IVF/IVF-PQ (s12/s22)
+    * paths. The index is a `g`-NN directed graph over the targets;
+    * search starts from the `beam` lowest target ids (multi-entry, the
+    * NSW convention) and for `rounds` iterations expands every beam node's neighbors, scores
+    * the unseen ones, and keeps the best `beam` — returning the final
+    * top-`k` of everything scored, each hit flagged `in_exact` against
+    * the brute-force baseline (the recall audit riding along).
+    *
+    * Determinism: beam selection and the final cut order by
+    * (cosine DESC, id); cosines are the portable DotProductD fold, and
+    * re-scored duplicates carry identical bits so the per-round
+    * DISTINCT is value-stable. The oracle unrolls the identical
+    * rounds.
+    *
+    * Scale shape: the SEARCH is the scale path — per query the state
+    * is ≤ beam + rounds·beam·g scored nodes (bounded, independent of
+    * corpus size), advanced by equi-joins on node id against the
+    * persisted edge table; this is exactly why graph indexes win at
+    * billion-vector scale. The BUILD here is the exact all-pairs
+    * kNN (one shuffle-hash self-join + per-node top-g window) — at
+    * 100 TB you'd swap in NN-descent or an LSH-seeded build writing
+    * the same (a_id, b_id) edge table; everything downstream is
+    * unchanged.
+    */
+  def nswSearch(embs: DataFrame, nQueries: Int, g: Int = 8,
+                beam: Int = 4, rounds: Int = 3, k: Int = 5): DataFrame = {
+    require(g >= 1 && beam >= 1 && rounds >= 1 && k >= 1, "positive params")
+    val qSide = side(embs.filter(col("vec_id") < nQueries), "q").cpGuard()
+    val tSide = side(embs.filter(col("vec_id") >= nQueries), "t").cpGuard()
+    // ---- index build: per-target top-g out-neighbors by cosine ----
+    val a = tSide.toDF("a_id", "a_emb", "a_norm")
+    val b = tSide.toDF("b_id", "b_emb", "b_norm")
+    val wg = Window.partitionBy(col("a_id"))
+      .orderBy(col("gcos").desc, col("b_id"))
+    val edges = a.join(b.hint("shuffle_hash"), col("a_id") =!= col("b_id"))
+      .withColumn("gcos", dotCol(col("a_emb"), col("b_emb")) /
+        (col("a_norm") * col("b_norm")))
+      .withColumn("grn", row_number().over(wg))
+      .filter(col("grn") <= g)
+      .select(col("a_id"), col("b_id"))
+      .cpGuard() // the persisted index artifact
+    val entryIds = tSide.orderBy(col("t_id")).limit(beam)
+      .collect().map(_.getLong(0))
+    val qcos = dotCol(col("q_emb"), col("t_emb")) /
+      (col("q_norm") * col("t_norm"))
+    var scored = tSide.filter(col("t_id").isin(entryIds: _*))
+      .crossJoin(broadcast(qSide))
+      .withColumn("cosine", qcos)
+      .select(col("q_id"), col("t_id"), col("cosine"))
+      .cpGuard()
+    var beamDf = scored
+    val wb = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("t_id"))
+    for (_ <- 1 to rounds) {
+      val cand = beamDf.select(col("q_id"), col("t_id").as("a_id"))
+        .join(edges, "a_id")
+        .select(col("q_id"), col("b_id").as("t_id"))
+        .distinct()
+      val fresh = cand.join(tSide, "t_id")
+        .join(broadcast(qSide), "q_id")
+        .withColumn("cosine", qcos)
+        .select(col("q_id"), col("t_id"), col("cosine"))
+      scored = scored.union(fresh).distinct().cpGuard()
+      beamDf = scored.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= beam).drop("rn")
+        .cpGuard()
+    }
+    val exact = bruteForceTopK(embs, nQueries, k)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("t_id"),
+        lit(true).as("in_exact"))
+    scored.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .join(exact, Seq("q_id", "t_id"), "left")
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("cosine"), col("rn"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** Silhouette audit of the `label` partition (Rousseeuw 1987) under
     * SQUARED L2 — per point, a = mean squared distance to its own
     * cluster (self excluded), b = min over other clusters of the mean

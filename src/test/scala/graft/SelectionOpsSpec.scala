@@ -300,6 +300,39 @@ class SelectionOpsSpec extends SparkSpec {
     assert(fused.map(_.getLong(1)).contains(1L)) // dense-only still present
   }
 
+  test("nsw beam search walks an angular chain to the true neighbor") {
+    // targets 10..29 on an arc (4° apart); edges (g=4) connect angular
+    // neighbors (±2 hops), entries are the low-angle end, the query sits at the
+    // FAR end — greedy navigation must traverse the whole chain
+    def at(deg: Double) = vec(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val targets = (10 to 29).map(i => (i.toLong, at((i - 10) * 4.0)))
+    val embs = ((0L, at(76.0)) +: targets).toDF("vec_id", "embedding")
+    val got = Similarity.nswSearch(embs, nQueries = 1, g = 4, beam = 2,
+      rounds = 12, k = 3).collect()
+    assert(got.head.getLong(1) == 29L, s"top-1 ${got.head}") // true NN
+    assert(got.head.getBoolean(4), "top-1 must be flagged in_exact")
+    // and the whole top-3 is the exact top-3 (29, 28, 27)
+    assert(got.map(_.getLong(1)).toSeq == Seq(29L, 28L, 27L))
+    assert(got.forall(_.getBoolean(4)))
+  }
+
+  test("nsw search never strays outside graph-reachable scored nodes") {
+    // two disconnected angular islands: queries near island B, but the
+    // entry points (lowest ids) are island A — with g=1 the graph has
+    // no bridge, so results stay inside island A and in_exact is false
+    def at(deg: Double) = vec(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val islandA = (10 to 13).map(i => (i.toLong, at((i - 10) * 2.0)))
+    val islandB = (14 to 17).map(i => (i.toLong, at(170.0 + (i - 14) * 2.0)))
+    val embs = ((0L, at(171.0)) +: (islandA ++ islandB))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nswSearch(embs, nQueries = 1, g = 1, beam = 2,
+      rounds = 6, k = 2).collect()
+    assert(got.forall(r => r.getLong(1) >= 10L && r.getLong(1) <= 13L))
+    assert(got.forall(!_.getBoolean(4)), "island B holds the exact hits")
+  }
+
   test("silhouette: separated blobs score near 1, shuffled labels go negative") {
     // two tight, far-apart blobs labeled correctly
     val good = Seq(
