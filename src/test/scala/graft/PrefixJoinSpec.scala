@@ -230,6 +230,29 @@ class PrefixJoinSpec extends SparkSpec {
     assert(graft.ext.Multimodal.videoFrameHashes(badVid, 1).count() == 0)
   }
 
+  test("round-9 operators degrade to empty/zero on degenerate inputs") {
+    import spark.implicits._
+    import graft.ext.{Curation, Funnels, Similarity, TimeSeries}
+    val noEvents = Seq
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val noEmbs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(TimeSeries.holt(noEvents).count() == 0)
+    assert(TimeSeries.motif(noEvents).count() == 0)
+    assert(Funnels.kaplanMeier(noEvents).count() == 0)
+    assert(Similarity.silhouette(noEmbs).count() == 0)
+    // Benford over all-nonpositive values: the 9-row literal frame
+    // survives with zero counts (digits 1..9 always present)
+    val bf = Curation.benfordAudit(Seq(0.0, -3.0).toDF("v"), col("v"))
+      .collect()
+    assert(bf.length == 9 && bf.forall(_.getLong(1) == 0L))
+    // NSW over an empty corpus: no targets, no entry, empty result
+    assert(Similarity.nswSearch(
+      noEmbs.select(col("vec_id"), col("embedding")),
+      nQueries = 1, g = 2, beam = 2, rounds = 2, k = 3).count() == 0)
+  }
+
   test("audio fingerprint is amplitude-invariant and perturbation-sensitive") {
     import spark.implicits._
     import graft.ext.Multimodal
