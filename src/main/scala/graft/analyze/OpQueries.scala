@@ -2024,6 +2024,38 @@ object OpQueries {
       FROM r JOIN nn ON nn.user_id = r.user_id AND r.rn = nn.n
       ORDER BY r.user_id""")),
 
+    // ---- additive seasonal decomposition of the hourly load series:
+    // centered 25h moving-average trend (daily cycle averages out),
+    // hour-of-day seasonal of the CROSS-MULTIPLIED detrended values
+    // (total·25 − sum25, exact BIGINT), residual at the read edge;
+    // moving window = offset explode + groupBy on the hour key, never
+    // an unpartitioned window --------------------------------------
+    ("w35_seasonal_decompose", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.seasonalDecompose(t(s, d, "events")),
+      Some("""
+      WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total
+            FROM events GROUP BY 1),
+      sm AS (SELECT h + o AS c, total
+             FROM hourly, (SELECT unnest(generate_series(-12, 12)) AS o) os),
+      ag AS (SELECT c, CAST(SUM(total) AS BIGINT) AS sum25,
+               CAST(COUNT(*) AS BIGINT) AS n25
+             FROM sm GROUP BY 1),
+      base AS (SELECT h, total, sum25
+               FROM hourly JOIN ag ON ag.c = hourly.h WHERE n25 = 25),
+      hod AS (SELECT h % 24 AS hod,
+                CAST(SUM(total * 25 - sum25) AS BIGINT) AS s_num,
+                CAST(COUNT(*) AS BIGINT) AS s_cnt
+              FROM base GROUP BY 1)
+      SELECT b.h, b.total AS total_cents,
+             CAST(b.sum25 AS DOUBLE) / 25.0 AS trend,
+             CAST(s_num AS DOUBLE) / CAST(s_cnt * 25 AS DOUBLE) AS seasonal,
+             CAST(b.total * 25 - b.sum25 AS DOUBLE) / 25.0
+               - CAST(s_num AS DOUBLE) / CAST(s_cnt * 25 AS DOUBLE) AS resid
+      FROM base b JOIN hod ON hod.hod = b.h % 24
+      ORDER BY b.h""")),
+
     // ---- matrix-profile-lite motif discovery: per user the minimal-
     // SAD non-overlapping window pair in exact integer cents (the
     // repeated-cadence detector); windows from ONE partitioned window

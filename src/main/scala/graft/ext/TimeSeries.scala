@@ -404,6 +404,66 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Additive seasonal decomposition of the corpus-level hourly load
+    * series (classical decomposition; the moving-average core of STL
+    * without loess): total_cents(h) = trend + seasonal + residual,
+    * where trend is the CENTERED 25-HOUR moving average (spanning one
+    * full day, so the daily cycle averages out of it), seasonal is the
+    * hour-of-day mean of the detrended series, and the residual is
+    * what monitoring should actually alarm on — [[seasonalOutliers]]
+    * flags points against a static hour-of-day baseline, this one
+    * first removes multi-day drift so a slow ramp doesn't masquerade
+    * as seasonal change.
+    *
+    * Exactness: hourly totals are exact BIGINT cents; the moving sum
+    * is exact (sum25, n25); detrended values are kept CROSS-MULTIPLIED
+    * (total·25 − sum25 — never total − sum25/25 in floats), so the
+    * seasonal means are exact integer ratios; the only doubles are
+    * three fixed-order single divisions at the read edge. Hours with
+    * an incomplete 25-hour window are excluded (the classical
+    * convention — their trend is undefined).
+    *
+    * Scale shape: the corpus collapses to one row per hour (partial-
+    * aggregable groupBy); the moving window is an explode of 25
+    * offsets + a second groupBy on the hour key — NO unpartitioned
+    * window, no sort; everything downstream runs on the bounded
+    * hourly table (720 rows/month; a decade is 88k).
+    *
+    * Output: (h, total_cents, trend, seasonal, resid) in cents,
+    * epoch-hours ascending.
+    */
+  def seasonalDecompose(events: DataFrame, halfWin: Int = 12): DataFrame = {
+    require(halfWin >= 1, "halfWin >= 1")
+    val win = 2 * halfWin + 1
+    val hourly = graft.core.Tables.spread(events)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("h")).agg(sum(col("cents")).as("total"))
+      .cpGuard() // feeds the offset explode AND the final join
+    val ag = hourly
+      .select(explode(sequence(lit(-halfWin), lit(halfWin))).as("o"),
+        col("h"), col("total"))
+      .select((col("h") + col("o")).as("c"), col("total"))
+      .groupBy(col("c"))
+      .agg(sum(col("total")).as("sum25"), count(lit(1)).as("n25"))
+    val base = hourly.join(ag, col("h") === col("c"))
+      .filter(col("n25") === win)
+      .select(col("h"), col("total"), col("sum25"))
+      .cpGuard() // feeds the hod means AND the output rows
+    val hod = base.groupBy((col("h") % 24).as("hod"))
+      .agg(sum(col("total") * win - col("sum25")).as("s_num"),
+        count(lit(1)).as("s_cnt"))
+    val seasonal = col("s_num").cast("double") /
+      (col("s_cnt") * win).cast("double")
+    base.join(broadcast(hod), col("h") % 24 === col("hod"))
+      .select(col("h"), col("total").as("total_cents"),
+        (col("sum25").cast("double") / lit(win.toDouble)).as("trend"),
+        seasonal.as("seasonal"),
+        ((col("total") * win - col("sum25")).cast("double") /
+          lit(win.toDouble) - seasonal).as("resid"))
+      .orderBy(col("h"))
+  }
+
   /** Time-series motif discovery (matrix-profile-lite): per user, the
     * pair of NON-OVERLAPPING length-`m` windows of the value series
     * (ordered by ts, event_id) with minimal sum-of-absolute-differences

@@ -285,6 +285,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(TimeSeries.motif(ev, m = 4).count() == 0L)
   }
 
+  test("seasonal decomposition: reconstruction, hod-constant seasonal, edges cut") {
+    // 4 days, one event per hour: value = 10 + (2 if midnight else 0)
+    val ev = events((0 until 96).map { h =>
+      ((h + 1).toLong, h * 60, 1L, "view",
+        if (h % 24 == 0) 12.0 else 10.0) }: _*)
+    val got = graft.ext.TimeSeries.seasonalDecompose(ev).collect()
+    // hours 0..11 and 84..95 lack a full 25h window
+    assert(got.length == 96 - 24)
+    val hs = got.map(_.getLong(0))
+    assert(hs.min == 12L && hs.max == 83L)
+    got.foreach { r =>
+      val (total, trend, seasonal, resid) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(total - (trend + seasonal + resid)) < 1e-6,
+        s"reconstruction broke at h=${r.getLong(0)}")
+    }
+    // seasonal depends only on hour-of-day
+    val byHod = got.groupBy(r => r.getLong(0) % 24)
+      .map { case (k, rs) => k -> rs.map(_.getDouble(3)).distinct }
+    assert(byHod.values.forall(_.size == 1))
+    // midnight's seasonal is the one positive spike, ~ +2*24/25 cents-ish
+    val s0 = byHod(0L).head
+    assert(s0 > 100.0, s"midnight seasonal $s0") // +2.00 -> +200 cents scale
+    assert(byHod.filterKeys(_ != 0L).values.forall(_.head < 0.0))
+  }
+
   test("kaplan-meier: risk sets shrink by deaths AND censored, product folds") {
     // lifetimes (hours): A=1 churn, C=1 churn, B=2 churn,
     // D=166 censored (still active at corpus end)
