@@ -914,6 +914,37 @@ object OpQueries {
       SELECT k, CAST(hop AS INT) AS hop FROM d3 ORDER BY k"""
     }),
 
+    // ---- weighted SSSP (Bellman-Ford, 3 relaxation rounds): g05's
+    // bounded-radius contract lifted to weighted cost — dist = min
+    // total edge weight over paths of <= 3 edges from the seed set,
+    // exact BIGINT sums; Spark side relaxes only the improved delta
+    // per round, the oracle's full relax provably agrees round-for-
+    // round (unimproved nodes contribute only dominated candidates) --
+    ("g18_sssp", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ed = eventEdges(s, d).cpGuard()
+      val nodes = ed.select(col("src").as("k"))
+        .union(ed.select(col("dst").as("k"))).distinct()
+      Graphs.sssp(ed, nodes.filter(col("k") % 13 === 0), rounds = 3)
+    }, Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""d$i AS (SELECT k, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                SELECT k, dist FROM d${i - 1}
+                UNION ALL
+                SELECT ed.dst AS k, d${i - 1}.dist + ed.w AS dist
+                FROM ed JOIN d${i - 1} ON ed.src = d${i - 1}.k) u
+              GROUP BY k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH $eventEdgesCtes,
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      d0 AS (SELECT k, CAST(0 AS BIGINT) AS dist FROM nodes
+             WHERE k % 13 = 0),
+      $iterCtes
+      SELECT k, dist FROM d3 ORDER BY k"""
+    }),
+
     // ---- k-core peel: the embeddedness companion to g03's closure —
     // three peel rounds dropping nodes whose surviving degree < 3 over
     // the undirected simple transition graph; link farms and scrape

@@ -899,4 +899,46 @@ object Graphs {
       .select(col("k"), col("scc_id"), col("scc_size"))
       .orderBy(col("k"))
   }
+
+  /** Weighted single-source-set shortest paths — synchronous
+    * Bellman-Ford over the directed `(src, dst, w)` list with positive
+    * BIGINT edge costs, run for exactly `rounds` relaxation rounds:
+    * the returned `dist` is the minimum total cost over paths of at
+    * most `rounds` edges ([[bfsHops]]'s bounded-radius contract lifted
+    * from hop counts to weighted cost; with unit weights the two
+    * agree). Seeds are at distance 0; nodes unreached within the
+    * bound are absent.
+    *
+    * Exactness: distances are exact BIGINT sums of edge costs — no
+    * floats anywhere, so the oracle replays round-for-round.
+    *
+    * Shape at scale: DELTA relaxation — each round joins only the
+    * nodes IMPROVED last round against the static edge list (equi-join
+    * on src, partial-aggregable min per dst), then a full-outer merge
+    * with the distance table keyed on node id; the edge list is
+    * co-partitioned once and every round reuses it (the [[pageRank]]
+    * contract). A round with no improvements short-circuits every
+    * later round to a no-op join of an empty frontier.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds >= 0")
+    val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()
+    var dist = seeds.select(col("k").cast("long").as("k")).distinct()
+      .withColumn("dist", lit(0L)).cpGuard()
+    var improved = dist
+    for (_ <- 1 to rounds) {
+      val cand = improved.join(ed, col("k") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("w")).as("nd"))
+      val merged = dist.join(cand, col("k") === col("dst"), "full_outer")
+        .select(coalesce(col("k"), col("dst")).as("k"),
+          least(col("dist"), col("nd")).as("ndist"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist"))).as("chg"))
+      dist = merged.select(col("k"), col("ndist").as("dist")).cpGuard()
+      improved = dist
+        .join(merged.filter(col("chg")).select(col("k")), Seq("k"))
+    }
+    dist.orderBy(col("k"))
+  }
 }
