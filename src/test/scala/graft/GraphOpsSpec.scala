@@ -492,4 +492,32 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("sssp: a cheap 2-edge detour beats the heavy direct edge; bound honored") {
+    // 1 -10-> 4 direct, but 1 -1-> 2 -1-> 4 costs 2; node 5 is 3 hops out
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 4L, 1L),
+      (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("k")
+    val r1 = Graphs.sssp(edges, seeds, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L)) // only 1-edge paths
+    val r2 = Graphs.sssp(edges, seeds, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 1L, 4L -> 2L, 5L -> 11L))
+    val r3 = Graphs.sssp(edges, seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(5L) == 3L) // detour's extension wins one round later
+  }
+
+  test("sssp: unit weights reproduce bfsHops distances; multi-seed min wins") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 3L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val seeds = Seq(1L, 9L).toDF("k")
+    val viaSssp = Graphs.sssp(edges, seeds, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBfs = Graphs.bfsHops(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(viaSssp == viaBfs)
+    assert(viaSssp(3L) == 1L) // seed 9 reaches 3 in one hop, not 1's two
+  }
 }
