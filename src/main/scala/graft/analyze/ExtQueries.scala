@@ -1830,6 +1830,54 @@ object ExtQueries {
                / 1099511627776.0 AS mean_s
       FROM sq GROUP BY 1 ORDER BY 1""")),
 
+    // ---- top principal direction by power iteration on the EXACT
+    // integer centered scatter S = n·Σff^T − (Σf)(Σf)^T (s33's 2^10
+    // quantization; cross-multiplied centering — no float mean). One
+    // partial-aggregable Gram pass over a per-vector d² fan-out, then
+    // the iteration runs on the collected d×d matrix in BigInt (the
+    // bounded-collect contract); renormalize each round to max-abs 512
+    // by truncating division on the magnitude (= floor on nonneg,
+    // portable). Oracle unrolls the identical rounds in HUGEINT ------
+    ("s35_pca_power", (s: SparkSession, d: String) =>
+      Similarity.pcaPower(t(s, d, "embeddings"), rounds = 6),
+      Some {
+        val iterCtes = (1 to 6).map { r =>
+          s"""u$r AS MATERIALIZED (SELECT sc.i AS j, SUM(sc.sv * v${r - 1}.v) AS u
+            FROM sc JOIN v${r - 1} ON v${r - 1}.j = sc.j GROUP BY 1),
+      m$r AS (SELECT MAX(ABS(u)) AS mx FROM u$r),
+      v$r AS MATERIALIZED (SELECT j,
+            (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+              * ((ABS(u) * 512) // m$r.mx) AS v
+          FROM u$r CROSS JOIN m$r)"""
+        }.mkString(",\n      ")
+        s"""
+      WITH f AS (SELECT vec_id, list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS f
+            FROM embeddings),
+      dd AS MATERIALIZED (SELECT vec_id, generate_subscripts(f, 1) AS pos,
+              unnest(f) AS fx FROM f),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM f),
+      sm AS MATERIALIZED (SELECT pos, CAST(SUM(fx) AS HUGEINT) AS s
+            FROM dd GROUP BY 1),
+      g AS (SELECT a.pos AS i, b.pos AS j,
+              CAST(SUM(a.fx * b.fx) AS HUGEINT) AS gg
+            FROM dd a JOIN dd b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      sc AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.gg - si.s * sj.s AS sv
+            FROM g JOIN sm si ON si.pos = g.i
+                   JOIN sm sj ON sj.pos = g.j
+                   CROSS JOIN nn),
+      v0 AS (SELECT pos AS j, CAST(512 AS HUGEINT) AS v FROM sm),
+      $iterCtes,
+      ray AS (SELECT SUM(va.v * sc.sv * vb.v) AS num
+              FROM sc JOIN v6 va ON va.j = sc.i JOIN v6 vb ON vb.j = sc.j),
+      den AS (SELECT SUM(v * v) AS vv FROM v6)
+      SELECT CAST(v6.j - 1 AS INT) AS pos, CAST(v6.v AS BIGINT) AS v,
+             CAST((ray.num * 1048576) // (den.vv * nn.n * nn.n) AS BIGINT)
+               AS lambda_u20
+      FROM v6 CROSS JOIN ray CROSS JOIN den CROSS JOIN nn
+      ORDER BY pos"""
+      }),
+
     // ---- graph-based ANN (NSW family): greedy beam search over an
     // exact 8-NN graph — multi-entry at the 8 lowest target ids, 4
     // rounds of expand-score-keep-8, final top-5 flagged vs the brute

@@ -49,6 +49,69 @@ object OpQueries {
       ed AS (SELECT CAST(src AS BIGINT) AS src, CAST(k AS BIGINT) AS dst,
                     COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2)"""
 
+  /** Deterministic top-`300`-weight backbone of [[eventEdges]] shared
+    * by the HyperBall queries (the g17 convention: heavy transitions
+    * keep the graph sparse enough for multi-hop structure to exist in
+    * the near-complete test graph).
+    */
+  private def hbBackbone(s: SparkSession, d: String): DataFrame =
+    eventEdges(s, d)
+      .filter(col("src") =!= col("dst"))
+      .orderBy(col("w").desc, col("src"), col("dst")).limit(300)
+      .select(col("src"), col("dst"))
+
+  /** DuckDB twin of [[graft.ext.Graphs.hyperBall]] (p = 6 hardwired:
+    * bucket = hv >> 26, 26-bit rank word) over the top-`topE` backbone
+    * of `ed`, unrolled to `maxT` max-merge rounds; ends in
+    * `ball(t, k, ball)`.
+    */
+  private def hyperBallCtes(maxT: Int, topE: Int): String = {
+    val iters = (1 to maxT).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT k, bucket, MAX(m_rho) AS m_rho FROM (
+          SELECT k, bucket, m_rho FROM r${i - 1}
+          UNION ALL
+          SELECT e.src AS k, r${i - 1}.bucket, r${i - 1}.m_rho
+          FROM edb e JOIN r${i - 1} ON r${i - 1}.k = e.dst) u
+        GROUP BY k, bucket)"""
+    }.mkString(",\n      ")
+    // the linear-counting table literals are the SAME integers the
+    // Spark operator bakes in (Graphs.linearCountTable) — ln() is
+    // evaluated once in this JVM, never at query runtime
+    val lcList = graft.ext.Graphs.linearCountTable(64).mkString("[", ", ", "]")
+    val balls = (0 to maxT).map { t =>
+      s"""SELECT $t AS t, k,
+           CASE WHEN n_used < 64 AND raw <= CAST(160 AS DOUBLE)
+                THEN list_extract($lcList, CAST(64 - n_used AS INT))
+                ELSE CAST(FLOOR(raw) AS BIGINT) END AS ball
+         FROM (SELECT k, COUNT(*) AS n_used,
+                 (CAST(0.7213 AS DOUBLE)
+                   / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(64 AS DOUBLE)))
+                 * CAST(64 AS DOUBLE) * CAST(64 AS DOUBLE)
+                 / (SUM(CAST(1 AS DOUBLE) / CAST(CAST(1 AS BIGINT) << m_rho AS DOUBLE))
+                    + (CAST(64 AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))) AS raw
+               FROM r$t GROUP BY k) x$t"""
+    }.mkString(" UNION ALL ")
+    s"""edb AS MATERIALIZED (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT $topE)),
+      hbn AS (SELECT DISTINCT k FROM
+                (SELECT src AS k FROM edb UNION SELECT dst FROM edb) u),
+      hbh AS (SELECT k,
+                CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+                  AS hv
+              FROM hbn),
+      hbb AS (SELECT k, hv >> 26 AS bucket, hv & 67108863 AS w FROM hbh),
+      hs1 AS (SELECT k, bucket, w | (w >> 1) AS v FROM hbb),
+      hs2 AS (SELECT k, bucket, v | (v >> 2) AS v FROM hs1),
+      hs4 AS (SELECT k, bucket, v | (v >> 4) AS v FROM hs2),
+      hs8 AS (SELECT k, bucket, v | (v >> 8) AS v FROM hs4),
+      hs16 AS (SELECT k, bucket, v | (v >> 16) AS v FROM hs8),
+      r0 AS MATERIALIZED (SELECT k, bucket, MAX(27 - bit_count(v)) AS m_rho
+                          FROM hs16 GROUP BY k, bucket),
+      $iters,
+      ball AS ($balls)"""
+  }
+
   /** Unrolled synchronous label propagation as CTEs over the shared
     * `ed(src, dst, w)` list: symmetrize (`sym`), seed labels with node
     * ids (`l0`), then `iters` argmax-neighbor-label rounds ending in
@@ -944,6 +1007,54 @@ object OpQueries {
       $iterCtes
       SELECT k, dist FROM d3 ORDER BY k"""
     }),
+
+    // ---- HyperBall neighborhood function (Boldi & Vigna 2013): the
+    // t-hop reachable-pair curve N(t) = sum of per-node HLL ball
+    // estimates — linear register state where the exact version needs
+    // quadratic reachable SETS; the per-node estimates are floored to
+    // BIGINT after one IEEE division (d16 discipline) so N(t) is an
+    // exact integer sum both engines agree on digit-for-digit.
+    // Backbone: top-300 transition edges (the g17 convention) --------
+    ("g19_hyperball_nf", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.hyperBall(hbBackbone(s, d), maxT = 3)
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("ball")).as("nf"))
+        .orderBy(col("t"))
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      ${hyperBallCtes(maxT = 3, topE = 300)}
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(ball) AS BIGINT) AS nf
+      FROM ball GROUP BY t ORDER BY t""")),
+
+    // ---- harmonic centrality from the SAME HyperBall registers: c(v)
+    // = sum_t (ball_t - ball_{t-1})/t, scaled by 12 = lcm(1,2,3) so it
+    // stays exact BIGINT; linearized over the monotone ball curve to
+    // -12*b0 + 6*b1 + 2*b2 + 4*b3. The "which nodes see the most of
+    // the graph soonest" ranking at sketch cost (Boldi & Vigna's
+    // motivating application) ----------------------------------------
+    ("g20_hyperball_centrality", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.hyperBall(hbBackbone(s, d), maxT = 3)
+        .groupBy(col("k"))
+        .agg(sum(when(col("t") === 0, lit(-12L) * col("ball"))
+            .when(col("t") === 1, lit(6L) * col("ball"))
+            .when(col("t") === 2, lit(2L) * col("ball"))
+            .otherwise(lit(4L) * col("ball"))).as("harmonic12"),
+          max(when(col("t") === 3, col("ball"))).as("ball3"))
+        .orderBy(col("harmonic12").desc, col("k")).limit(20)
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      ${hyperBallCtes(maxT = 3, topE = 300)}
+      SELECT k,
+             CAST(SUM(CASE WHEN t = 0 THEN -12 * ball
+                           WHEN t = 1 THEN 6 * ball
+                           WHEN t = 2 THEN 2 * ball
+                           ELSE 4 * ball END) AS BIGINT) AS harmonic12,
+             CAST(MAX(CASE WHEN t = 3 THEN ball END) AS BIGINT) AS ball3
+      FROM ball GROUP BY k
+      ORDER BY harmonic12 DESC, k LIMIT 20""")),
 
     // ---- k-core peel: the embeddedness companion to g03's closure —
     // three peel rounds dropping nodes whose surviving degree < 3 over

@@ -920,6 +920,109 @@ object Graphs {
     * contract). A round with no improvements short-circuits every
     * later round to a no-op join of an empty frontier.
     */
+  /** HyperBall (Boldi & Vigna 2013, the HyperANF estimator of Boldi,
+    * Rosa & Vigna WWW'11): per-node HyperLogLog registers of the
+    * OUT-ball — the set of nodes reachable within `t` hops — iterated
+    * to `maxT` by per-edge register max-merge. The per-node ball SIZE
+    * estimates at every radius come out of 2^p longs of state per
+    * node, which is the whole point: exact neighborhood functions need
+    * per-node reachable SETS (quadratic state, infeasible at crawl
+    * scale), while HyperBall's registers make the t-hop neighborhood
+    * function / effective-diameter / harmonic-centrality family a
+    * linear-state fixed-point like [[pageRank]].
+    *
+    * Registers use [[graft.functions.Hashing.h32]] (engine-portable)
+    * with [[Dedup]]'s integer bit-smear rank and dyadic-rational
+    * denominator, and the per-node estimate is floored to BIGINT after
+    * ONE IEEE division — so every estimate verifies value-for-value
+    * cross-engine (the d16 discipline), and downstream SUMS of the
+    * floored estimates are exact integer arithmetic. Unlike
+    * [[Dedup.hllDistinct]] (corpus-scale counts, raw regime) the balls
+    * here are routinely far below m, where the raw estimator is
+    * uselessly biased (~0.7m at n=1) — so the standard small-range
+    * correction applies: when empty registers exist and the raw
+    * estimate is <= 2.5m, the estimate is linear counting
+    * floor(m*ln(m/E)) over E = empty-register count. E has only m-1
+    * possible values, so the ln() lives in a PRECOMPUTED integer
+    * literal table (StrictMath at query-construction time) shared
+    * verbatim with the generated oracle SQL — the c31 Benford
+    * discipline: no runtime libm in either engine. At 1..~m/3 distinct
+    * balls with collision-free buckets linear counting is EXACT
+    * (floor(m*ln(m/(m-n))) = n), which the spec pins on a hand chain.
+    *
+    * Iteration t: regs_t(v) = max-merge(regs_{t-1}(v), regs_{t-1}(u))
+    * over edges v->u — per round ONE equi-join of the register table
+    * to the static edge list on dst plus one groupBy(node, bucket)
+    * MAX, both shuffling on node id: co-partitionable with the edge
+    * list exactly like [[pageRank]], state 2^p rows per node.
+    * Registers only grow, so per-node estimates are monotone in t and
+    * ball deltas are non-negative by construction.
+    *
+    * Output: (t, k, ball) for t in 0..maxT — ball_0 = the node itself
+    * (estimated, not assumed 1: the estimator's own floor at n=1).
+    */
+  /** Linear-counting literal table for [[hyperBall]]: index E (empty
+    * registers, 1-based) -> floor(m * ln(m / E)) as BIGINT. Computed
+    * once with StrictMath (reproducible by spec) at query-construction
+    * time; the oracle generator embeds the SAME integers, so no
+    * runtime log is ever evaluated in either engine.
+    */
+  def linearCountTable(m: Long): Seq[Long] =
+    (1L until m).map(e =>
+      math.floor(m.toDouble *
+        StrictMath.log(m.toDouble / e.toDouble)).toLong)
+
+  def hyperBall(edges: DataFrame, maxT: Int, p: Int = 6): DataFrame = {
+    require(maxT >= 0, "maxT >= 0")
+    require(p >= 4 && p <= 16, "p in [4,16]")
+    val m = 1L << p
+    val wBits = 32 - p
+    def rho(hv: org.apache.spark.sql.Column) = {
+      val w = hv.bitwiseAND(lit((1L << wBits) - 1))
+      val s1 = w.bitwiseOR(shiftright(w, 1))
+      val s2 = s1.bitwiseOR(shiftright(s1, 2))
+      val s4 = s2.bitwiseOR(shiftright(s2, 4))
+      val s8 = s4.bitwiseOR(shiftright(s4, 8))
+      val s16 = s8.bitwiseOR(shiftright(s8, 16))
+      (lit(wBits + 1) - bit_count(s16)).cast("int")
+    }
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val lcArr = typedLit(linearCountTable(m))
+    def ballOf(regs: DataFrame, t: Int): DataFrame = regs
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_used"),
+        sum(lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), m_rho)")
+          .cast("double")).as("sum_used"))
+      .select(lit(t).as("t"), col("k"), col("n_used"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_used") +
+            (lit(m.toDouble) - col("n_used").cast("double")))).as("raw"))
+      .select(col("t"), col("k"),
+        when(col("n_used") < m && col("raw") <= lit(2.5 * m),
+          element_at(lcArr, (lit(m) - col("n_used")).cast("int")))
+          .otherwise(floor(col("raw"))).as("ball"))
+    val ed = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().cpGuard()
+    val nodes = ed.select(col("src").as("k"))
+      .union(ed.select(col("dst").as("k"))).distinct()
+    val hv = graft.functions.Hashing.h32(col("k").cast("string"))
+    var regs = nodes.select(col("k"), hv.as("hv"))
+      .select(col("k"), shiftright(col("hv"), wBits).as("bucket"),
+        rho(col("hv")).as("m_rho"))
+      .groupBy(col("k"), col("bucket")).agg(max(col("m_rho")).as("m_rho"))
+      .cpGuard()
+    var out = ballOf(regs, 0)
+    for (t <- 1 to maxT) {
+      val contrib = ed.join(regs, col("dst") === col("k"))
+        .select(col("src").as("k"), col("bucket"), col("m_rho"))
+      regs = regs.unionAll(contrib)
+        .groupBy(col("k"), col("bucket")).agg(max(col("m_rho")).as("m_rho"))
+        .cpGuard()
+      out = out.unionAll(ballOf(regs, t))
+    }
+    out.orderBy(col("t"), col("k"))
+  }
+
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds >= 0")
     val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()

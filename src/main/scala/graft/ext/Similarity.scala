@@ -1722,6 +1722,77 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Top principal direction of the embedding cloud by POWER ITERATION
+    * on the exact integer scatter matrix — the PCA-prep primitive
+    * (dominant drift axis, whitening direction, 1-d projection for
+    * stratification) done in the engine's exact-arithmetic discipline.
+    *
+    * Inputs floor-quantize at 2^10 (the [[silhouette]] rule); the
+    * CENTERED scatter is the cross-multiplied integer S = n·Σff^T −
+    * (Σf)(Σf)^T — no float mean ever subtracted. The corpus collapses
+    * to (d per-dim sums) + (d×d Gram) in ONE partial-aggregable
+    * aggregation pass over a per-vector d² fan-out (linear in corpus
+    * size for fixed dims — never a point-pair join), and the iteration
+    * runs on the collected d×d matrix in arbitrary-precision integers
+    * (the c23/c25 bounded-collect contract: d² values, independent of
+    * corpus size; BigInt so no envelope cliff at any n).
+    *
+    * Each round: u = S·v, then renormalize v' = sign(u)·(|u|·512 /
+    * max|u|) with TRUNCATING division on the non-negative magnitude
+    * (truncation = floor there, identical in both engines) — v stays
+    * in [−512, 512], every round is exact integer arithmetic, and the
+    * whole trajectory replays digit-for-digit in the oracle's unrolled
+    * HUGEINT CTEs. Fixed `rounds` (the [[graft.ext.Graphs.pageRank]]
+    * determinism contract); sign fixed by the all-512 start.
+    *
+    * `lambda_u20` = floor(v^T S v · 2^20 / (v^T v · n²)) — the
+    * Rayleigh quotient normalized per point-pair, so it stays BIGINT
+    * at any corpus size (it is the per-point variance along v, scaled
+    * 2^20).
+    *
+    * Output: (pos, v, lambda_u20) for pos 0..d−1 ascending.
+    */
+  def pcaPower(embs: DataFrame, rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, "rounds >= 1")
+    val q = 1024L
+    val base = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * q).cast("long")).as("f"))
+    val dims = base
+      .select(col("vec_id"), posexplode(col("f")).as(Seq("pos", "fx")))
+      .cpGuard() // feeds sums AND both sides of the Gram fan-out
+    val n = BigInt(base.count())
+    val sums = dims.groupBy(col("pos")).agg(sum(col("fx")).as("s"))
+      .collect().map(r => r.getInt(0) -> BigInt(r.getLong(1))).toMap
+    val da = dims.select(col("vec_id"), col("pos").as("i"), col("fx").as("fa"))
+    val db = dims.select(col("vec_id"), col("pos").as("j"), col("fx").as("fb"))
+    val gram = da.join(db, Seq("vec_id"))
+      .groupBy(col("i"), col("j")).agg(sum(col("fa") * col("fb")).as("g"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
+    val d = sums.size
+    val scat = Array.tabulate(d, d)((i, j) => n * gram((i, j)) - sums(i) * sums(j))
+    var v = Array.fill(d)(BigInt(512))
+    for (_ <- 1 to rounds) {
+      val u = Array.tabulate(d)(i =>
+        (0 until d).map(j => scat(i)(j) * v(j)).sum)
+      val mx = u.map(_.abs).max
+      require(mx > BigInt(0), "degenerate zero scatter (constant corpus)")
+      v = u.map(x =>
+        (if (x.signum < 0) BigInt(-1) else BigInt(1)) * (x.abs * 512 / mx))
+    }
+    val vSv = (0 until d).map(i =>
+      (0 until d).map(j => v(i) * scat(i)(j) * v(j)).sum).sum
+    val vv = v.map(x => x * x).sum
+    val lambda = (vSv * BigInt(1048576)) / (vv * n * n)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    (0 until d).map(i => (i, v(i).toLong, lambda.toLong))
+      .toDF("pos", "v", "lambda_u20")
+      .orderBy(col("pos"))
+  }
+
   /** DuckDB twin of [[jlProject]]'s row expression: the projected list
     * literal-for-literal in the same fold order (`emb` names a
     * LIST(FLOAT) column).

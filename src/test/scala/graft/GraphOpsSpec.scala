@@ -493,6 +493,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("hyperBall: linear-counting regime counts a chain exactly; balls are monotone") {
+    // 1 -> 2 -> 3 -> 4: out-ball of node 1 grows 1,2,3,4; node 4 never
+    // grows. At n << m=64 with collision-free buckets linear counting
+    // is exact, so these are equalities, not tolerances.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.hyperBall(chain, maxT = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert((0 to 3).forall(t => got((t, 4L)) == 1L))
+    assert((0 to 3).map(t => got((t, 1L))) == Seq(1L, 2L, 3L, 4L))
+    assert((0 to 3).map(t => got((t, 2L))) == Seq(1L, 2L, 3L, 3L))
+    // monotone per node: registers only grow
+    for (k <- 1L to 4L; t <- 1 to 3)
+      assert(got((t, k)) >= got((t - 1, k)), s"node $k shrank at t=$t")
+  }
+
+  test("hyperBall: linearCountTable is the exact-at-small-n inverse of occupancy") {
+    // floor(m*ln(m/(m-n))) == n for n well below m (the property the
+    // chain test rides on) — check the whole exact band for m=64
+    val lc = Graphs.linearCountTable(64)
+    for (n <- 1 to 10) assert(lc(63 - n) == n.toLong, s"lc at n=$n")
+    // beyond the exact band the quadratic bias term n^2/2m kicks in
+    assert(lc(63 - 11) == 12L)
+    assert(lc.length == 63 && lc.head == lc.max && lc.last == 1L)
+  }
+
   test("sssp: a cheap 2-edge detour beats the heavy direct edge; bound honored") {
     // 1 -10-> 4 direct, but 1 -1-> 2 -1-> 4 costs 2; node 5 is 3 hops out
     val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 4L, 1L),

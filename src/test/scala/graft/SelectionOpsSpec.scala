@@ -366,4 +366,29 @@ class SelectionOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(got(9) == 0.0)
   }
+
+  test("pcaPower: rank-1 cloud converges to the exact integer direction") {
+    // points on the (3,4) line in units of 1/1024 (dyadic — quantizes
+    // exactly): centered scatter is 14*[[9,12],[12,16]], rank-1, so one
+    // round lands the fixed point v = (3/4*512, 512) = (384, 512)
+    val embs = Seq(
+      (1L, vec(3f / 1024, 4f / 1024)),
+      (2L, vec(-3f / 1024, -4f / 1024)),
+      (3L, vec(6f / 1024, 8f / 1024))).toDF("vec_id", "embedding")
+    val got = Similarity.pcaPower(embs, rounds = 4).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 384L), (1, 512L)))
+    val lam = got.map(_.getLong(2)).distinct
+    assert(lam.length == 1 && lam.head > 0L)
+  }
+
+  test("pcaPower: negative-correlation direction keeps its sign structure") {
+    val embs = Seq(
+      (1L, vec(3f / 1024, -4f / 1024)),
+      (2L, vec(-3f / 1024, 4f / 1024)),
+      (3L, vec(6f / 1024, -8f / 1024))).toDF("vec_id", "embedding")
+    val got = Similarity.pcaPower(embs, rounds = 4).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(0 -> -384L, 1 -> 512L))
+  }
 }
