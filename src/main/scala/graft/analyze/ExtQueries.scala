@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, TextOps}
+import graft.ext.{Curation, Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, TextOps, Validate}
 import graft.operators.Layout
 import graft.functions.Hashing
 import graft.functions.Hashing.{MersennePrime => P}
@@ -4259,6 +4259,72 @@ object ExtQueries {
                / CAST(tot.nn AS DOUBLE) - ref.benford_p) AS abs_gap
       FROM ref LEFT JOIN g ON g.digit = ref.digit, tot
       ORDER BY ref.digit""")),
+
+    // ---- Pareto-frontier (skyline) selection on (length, lexical
+    // diversity): docs no other doc beats on BOTH axes — duplicates
+    // collapse, then ONE range-partitioned exclusive running max over
+    // (x desc, y desc) replaces the pairwise dominance join; oracle is
+    // the scheme-blind NOT EXISTS dominance definition ---------------
+    ("c32_skyline_select", (s: SparkSession, d: String) =>
+      Curation.skylineSelect(t(s, d, "documents")),
+      Some("""
+      WITH m AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS y
+             FROM documents)
+      SELECT a.doc_id, a.x AS n_chars, a.y AS n_distinct_words
+      FROM m a
+      WHERE NOT EXISTS (SELECT 1 FROM m b
+        WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+      ORDER BY a.doc_id""")),
+
+    // ---- distinct l-diversity audit: quasi-identifier (lang,
+    // len_band) groups seen by < l distinct SOURCES — the sensitive-
+    // attribute leak k-anonymity (c24) can't see -------------------
+    ("c33_l_diversity", (s: SparkSession, d: String) =>
+      Curation.lDiversityAudit(t(s, d, "documents"), l = 18),
+      Some("""
+      SELECT lang, CAST(n_chars // 256 AS BIGINT) AS len_band,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct_sources,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM documents
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT source) < 18
+      ORDER BY lang, len_band""")),
+
+    // ---- Deequ-style constraint audit: completeness / pk-uniqueness
+    // / range / domain checks folded into ONE aggregation pass over
+    // lineitem plus one left-anti referential check vs orders;
+    // violation counts, not booleans, so a gate can alert on rates ---
+    ("c34_constraint_audit", (s: SparkSession, d: String) =>
+      Validate.constraintAudit(t(s, d, "lineitem"), t(s, d, "orders")),
+      Some("""
+      WITH a AS (SELECT
+          CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_complete,
+          CAST(COUNT(*) - COUNT(DISTINCT
+            concat_ws('|', l_orderkey, l_linenumber)) AS BIGINT) AS c_unique,
+          CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS c_range,
+          CAST(SUM(CASE WHEN l_extendedprice < 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_nonneg,
+          CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+            THEN 1 ELSE 0 END) AS BIGINT) AS c_dom_flag,
+          CAST(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F')
+            THEN 1 ELSE 0 END) AS BIGINT) AS c_dom_status
+        FROM lineitem),
+      fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_fk FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      u AS (SELECT 'complete_l_returnflag' AS check_name,
+                   c_complete AS violations FROM a
+        UNION ALL SELECT 'unique_pk', c_unique FROM a
+        UNION ALL SELECT 'range_l_quantity_1_50', c_range FROM a
+        UNION ALL SELECT 'nonneg_l_extendedprice', c_nonneg FROM a
+        UNION ALL SELECT 'domain_l_returnflag', c_dom_flag FROM a
+        UNION ALL SELECT 'domain_l_linestatus', c_dom_status FROM a
+        UNION ALL SELECT 'fk_orders', c_fk FROM fk)
+      SELECT check_name, violations, violations = 0 AS passed
+      FROM u ORDER BY check_name""")),
 
     ("c30_systematic_resample", (s: SparkSession, d: String) =>
       Curation.systematicResample(t(s, d, "documents"), "n_chars", n = 20),

@@ -998,4 +998,67 @@ object Curation {
           col("nn").cast("double") - col("benford_p")).as("abs_gap"))
       .orderBy(col("digit"))
   }
+
+  /** Pareto-frontier (skyline) document selection over two maximize
+    * objectives: length (`n_chars`) and lexical diversity (distinct
+    * word count) — "keep every doc no other doc beats on BOTH axes",
+    * the non-arbitrary alternative to a weighted quality scalar when
+    * the axes aren't commensurable (Börzsönyi et al. ICDE'01).
+    *
+    * Scale shape: exact-duplicate (x, y) pairs collapse first (one
+    * partial-aggregable groupBy), then the 2-d skyline is ONE
+    * range-partitioned exclusive running max over (x desc, y desc)
+    * order ([[graft.operators.PrefixSum.withRunningMax]] — no
+    * unpartitioned window, no pairwise dominance join): a distinct
+    * pair is on the frontier iff every earlier pair in that order has
+    * a strictly smaller y (earlier ⟹ x' > x, or x' = x with y' > y,
+    * so "high-water mark >= y" is exactly "dominated"). Duplicated
+    * (x, y) points don't dominate each other (the strict-in-one
+    * convention): membership rejoins ALL docs of each frontier pair.
+    *
+    * Output: frontier docs (doc_id, n_chars, n_distinct_words),
+    * doc_id ascending.
+    */
+  def skylineSelect(docs: DataFrame): DataFrame = {
+    val m = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+        size(array_distinct(TextOps.words(col("text")))).cast("long")
+          .as("y"))
+      .cpGuard() // feeds the pair dedup AND the membership rejoin
+    val pairs = m.groupBy(col("x"), col("y")).agg(count(lit(1)).as("nd"))
+    val ranked = PrefixSum.withRunningMax(pairs,
+      Seq(col("x").desc, col("y").desc), "y", "hw")
+    val frontier = ranked.filter(col("hw").isNull || col("hw") < col("y"))
+      .select(col("x"), col("y"))
+    m.join(frontier, Seq("x", "y"))
+      .select(col("doc_id"), col("x").as("n_chars"),
+        col("y").as("n_distinct_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2006) — the
+    * sensitive-attribute companion to [[kAnonymityAudit]]: a release
+    * can be k-anonymous (every quasi-identifier group is large) and
+    * still leak, if a group's SENSITIVE value is homogeneous. Here the
+    * quasi-identifier is (lang, len_band) and the sensitive attribute
+    * is `source`: report every group seen by fewer than `l` distinct
+    * sources, with its row count (the c24 convention: the audit lists
+    * the failures; empty result = the release passes).
+    *
+    * One groupBy with a distinct-count — partial-aggregable, skew
+    * bounded by the (lang × band) key space.
+    */
+  def lDiversityAudit(docs: DataFrame, l: Long,
+                      bandWidth: Long = 256L): DataFrame = {
+    require(l >= 2 && bandWidth >= 1, "l >= 2, bandWidth >= 1")
+    graft.core.Tables.spread(docs)
+      .select(col("lang"),
+        expr(s"CAST(n_chars div $bandWidth AS BIGINT)").as("len_band"),
+        col("source"))
+      .groupBy(col("lang"), col("len_band"))
+      .agg(countDistinct(col("source")).as("n_distinct_sources"),
+        count(lit(1)).as("n_rows"))
+      .filter(col("n_distinct_sources") < l)
+      .orderBy(col("lang"), col("len_band"))
+  }
 }

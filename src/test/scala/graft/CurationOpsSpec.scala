@@ -372,4 +372,62 @@ class CurationOpsSpec extends SparkSpec {
     val p1 = got.find(_.getInt(0) == 1).get.getDouble(3)
     assert(p1 == 0.3010299956639812)
   }
+
+  test("skyline: dominated points drop, ties on one axis resolve strictly, duplicates co-survive") {
+    import spark.implicits._
+    // (n_chars, distinct words): 1:(10,1) 2:(9,5) 3:(9,4) 4:(8,5)
+    // 5:(5,9) 6:(10,1)-duplicate of 1
+    val docs = Seq(
+      (1L, "w", 10L), (2L, "a b c d e", 9L), (3L, "a b c d", 9L),
+      (4L, "a b c d e", 8L), (5L, "a b c d e f g h i", 5L),
+      (6L, "z", 10L)).toDF("doc_id", "text", "n_chars")
+    val got = Curation.skylineSelect(docs).collect().map(_.getLong(0)).toSeq
+    // 3 dominated by 2 (same x, smaller y); 4 dominated by 2 (smaller
+    // x, same y); duplicates 1 and 6 both stay (strict-in-one rule)
+    assert(got == Seq(1L, 2L, 5L, 6L))
+  }
+
+  test("l-diversity: homogeneous quasi-identifier groups are flagged, diverse ones pass") {
+    import spark.implicits._
+    val docs = Seq(
+      // en band 0: 3 rows all from one source -> flagged
+      (1L, "t", "en", "srcA", 10L), (2L, "t", "en", "srcA", 20L),
+      (3L, "t", "en", "srcA", 30L),
+      // de band 0: two sources -> passes at l = 2
+      (4L, "t", "de", "srcA", 10L), (5L, "t", "de", "srcB", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.lDiversityAudit(docs, l = 2).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "en" && r.getLong(1) == 0L &&
+      r.getLong(2) == 1L && r.getLong(3) == 3L)
+  }
+
+  test("constraint audit: a clean table passes everything, each seeded defect trips its check") {
+    import spark.implicits._
+    import graft.ext.Validate
+    val orders = Seq((1L, "x"), (2L, "x")).toDF("o_orderkey", "o_pad")
+    val clean = Seq(
+      (1L, 1, 5.0, 100.0, "A", "O"), (1L, 2, 10.0, 200.0, "N", "F"),
+      (2L, 1, 50.0, 300.0, "R", "O"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus")
+    val ok = Validate.constraintAudit(clean, orders).collect()
+    assert(ok.length == 7 && ok.forall(_.getBoolean(2)))
+    // defects: dup pk, out-of-range qty, negative price, bad domain
+    // values, dangling order key, null flag
+    val dirty = Seq(
+      (1L, 1, 5.0, 100.0, "A", "O"),
+      (1L, 1, 60.0, -1.0, "Z", "Q"), // dup pk + range + neg + domains
+      (9L, 1, 5.0, 100.0, null, "O")) // dangling fk + null flag
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus")
+    val bad = Validate.constraintAudit(dirty, orders).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bad == Map(
+      "complete_l_returnflag" -> 1L, "unique_pk" -> 1L,
+      "range_l_quantity_1_50" -> 1L, "nonneg_l_extendedprice" -> 1L,
+      "domain_l_returnflag" -> 1L, "domain_l_linestatus" -> 1L,
+      "fk_orders" -> 1L))
+  }
 }

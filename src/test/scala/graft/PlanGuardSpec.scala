@@ -73,7 +73,10 @@ class PlanGuardSpec extends SparkSpec {
     // 1-row total-weight broadcast + n-row probe table broadcast
     // against the cumulative scan (containment is a range predicate)
     "c30_systematic_resample" -> 2,
-    "w31_ks_test" -> 1) // broadcast 1-row sample-totals aggregate
+    "w31_ks_test" -> 1, // broadcast 1-row sample-totals aggregate
+    "c31_benford" -> 1, // broadcast 1-row digit-total aggregate
+    "c34_constraint_audit" -> 1, // broadcast 1-row fk-violation count attach
+    "s34_nsw_search" -> 1) // recall audit: brute baseline's broadcast query set (s01 contract)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
@@ -98,7 +101,11 @@ class PlanGuardSpec extends SparkSpec {
     "s27_dbscan" -> 1, // declared exact all-pairs baseline (d07 contract)
     "d36_lsh_band_sweep" -> 1, // exact baseline on the fixed 1200-doc sample
     "c18_domain_reweight" -> 1, // 1-row corpus-total attach
-    "g08_hits" -> 4) // per-half-iteration 1-row renorm broadcasts (2 iters x 2)
+    "g08_hits" -> 4, // per-half-iteration 1-row renorm broadcasts (2 iters x 2)
+    // s34: the exact all-pairs 8-NN graph build (declared NN-descent/
+    // LSH swap-in point, d07 contract) + the beam entry initialization's
+    // bounded query-set broadcast
+    "s34_nsw_search" -> 2)
 
   /** Unpartitioned-WindowExec allowances for pre-checkpoint subplans. */
   private val allowedCpGlobalWindow = Map.empty[String, Int]
