@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Curation, Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, TextOps, Validate}
+import graft.ext.{Curation, Dedup, Multimodal, Reconcile, Similarity, TextAnalysis, TextOps, TimeSeries, Validate}
 import graft.operators.Layout
 import graft.functions.Hashing
 import graft.functions.Hashing.{MersennePrime => P}
@@ -3049,6 +3049,71 @@ object ExtQueries {
       FROM b ORDER BY bin"""
       }),
 
+    // ---- exact ROC AUC of the held-out classifier scores (Mann-
+    // Whitney midrank identity, Hanley & McNeil 1982) — t25's
+    // discrimination companion. All integer: 2·ΣR⁺ from per-score
+    // groups + an exclusive prefix count; ppm via integral div. The
+    // oracle shares t25's train/score CTEs, then applies the textbook
+    // single-task rank window the engine replaces with PrefixSum ----
+    ("t30_auc", (s: SparkSession, d: String) =>
+      TextAnalysis.aucAudit(t(s, d, "documents"),
+        posSources = (0 to 4).map("src" + _),
+        negSources = (15 to 19).map("src" + _)),
+      Some {
+        val posIn = (0 to 4).map(i => s"'src$i'").mkString(", ")
+        val allIn = ((0 to 4) ++ (15 to 19)).map(i => s"'src$i'")
+          .mkString(", ")
+        s"""
+      WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      te AS (SELECT * FROM documents
+             WHERE doc_id % 2 = 1 AND source IN ($allIn)),
+      tok AS (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS tk
+              FROM tr),
+      lab AS (SELECT doc_id, source IN ($posIn) AS pos FROM tr
+              WHERE source IN ($allIn)),
+      cnt AS (SELECT tk,
+                     CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                     CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_neg
+              FROM tok JOIN lab USING (doc_id) GROUP BY tk),
+      tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS np,
+                     CAST(SUM(n_neg) AS BIGINT) AS nn FROM cnt),
+      wt AS (SELECT tk,
+                    n_pos * (SELECT nn FROM tot)
+                      - n_neg * (SELECT np FROM tot) AS w
+             FROM cnt),
+      sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+             FROM (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS tk
+                   FROM te) tt
+             JOIN wt USING (tk) GROUP BY doc_id),
+      scored AS (SELECT te.doc_id, te.source IN ($posIn) AS pos,
+                        COALESCE(sc.score, 0) AS score
+                 FROM te LEFT JOIN sc USING (doc_id)),
+      grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS np
+              FROM scored GROUP BY score),
+      o AS (SELECT score, n, np,
+                   COALESCE(SUM(n) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS c_before
+            FROM grp),
+      agt AS (SELECT SUM(CAST(np AS HUGEINT) * (2 * c_before + n + 1))
+                       AS s2,
+                     CAST(SUM(np) AS HUGEINT) AS npos,
+                     CAST(SUM(n - np) AS HUGEINT) AS nneg,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct_scores
+              FROM o)
+      SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+             n_distinct_scores,
+             CAST(s2 - npos * (npos + 1) AS BIGINT) AS auc_num,
+             CAST(2 * npos * nneg AS BIGINT) AS auc_den,
+             CAST((s2 - npos * (npos + 1)) * 1000000
+               // (2 * npos * nneg) AS BIGINT) AS auc_ppm
+      FROM agt"""
+      }),
+
     // watermark late-data audit: replay in (synthetic, documented)
     // arrival order — event time + a deterministic 0-20min hash jitter
     // — and count per event-time hour what a 10-minute watermark would
@@ -4325,6 +4390,35 @@ object ExtQueries {
         UNION ALL SELECT 'fk_orders', c_fk FROM fk)
       SELECT check_name, violations, violations = 0 AS passed
       FROM u ORDER BY check_name""")),
+
+    // ---- peak-concurrency record audit: sweep line over half-open
+    // activity intervals; every instant that sets a new all-time
+    // concurrency record. Engine side replaces the classic single-task
+    // SUM-OVER sweep with two range-partitioned prefix passes
+    // (PrefixSum.withRunningSum + withRunningMax); oracle IS the
+    // single-task classic, blind to the scheme ---------------------
+    ("w36_concurrency_records", (s: SparkSession, d: String) =>
+      TimeSeries.concurrencyRecords(t(s, d, "events")),
+      Some("""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS s,
+              epoch_us(ts) +
+                (CAST(floor(value * 60) AS BIGINT) + 1) * 1000000 AS en
+            FROM events),
+      sweep AS (
+        SELECT s AS t, CAST(1 AS BIGINT) AS d, event_id FROM e
+        UNION ALL
+        SELECT en, CAST(-1 AS BIGINT), event_id FROM e),
+      r AS (SELECT t, d, event_id,
+              SUM(d) OVER (ORDER BY t, d, event_id
+                ROWS UNBOUNDED PRECEDING) AS conc
+            FROM sweep),
+      m AS (SELECT t, conc,
+              MAX(conc) OVER (ORDER BY t, d, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+            FROM r)
+      SELECT t AS ts_us, CAST(conc AS BIGINT) AS concurrency
+      FROM m WHERE hw IS NULL OR conc > hw
+      ORDER BY ts_us""")),
 
     ("c30_systematic_resample", (s: SparkSession, d: String) =>
       Curation.systematicResample(t(s, d, "documents"), "n_chars", n = 20),

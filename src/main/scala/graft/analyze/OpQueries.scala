@@ -1056,6 +1056,42 @@ object OpQueries {
       FROM ball GROUP BY k
       ORDER BY harmonic12 DESC, k LIMIT 20""")),
 
+    // ---- effective diameter from the SAME HyperBall curve (Palmer /
+    // ANF; Boldi & Vigna's headline statistic): the smallest t whose
+    // reachable-pair count N(t) reaches pct% of the final N(maxT),
+    // for pct in {50, 75, 90} — integer cross-multiplied (100*nf >=
+    // pct*nf_max), never a float ratio. Everything after the hyperBall
+    // sketch is constant-size (maxT+1 rows x 3 thresholds): the
+    // bounded-broadcast joins here are by construction, not by data --
+    ("g21_effective_diameter", (s: SparkSession, d: String) => {
+      import s.implicits._
+      import graft.ext.Graphs
+      val nf = Graphs.hyperBall(hbBackbone(s, d), maxT = 3)
+        .groupBy(col("t"))
+        .agg(sum(col("ball")).as("nf"))
+      val mx = nf.agg(max(col("nf")).as("nf_max"))
+      Seq(50, 75, 90).toDF("pct")
+        .crossJoin(broadcast(mx))
+        .join(broadcast(nf), lit(100) * col("nf") >= col("pct") * col("nf_max"))
+        .groupBy(col("pct"), col("nf_max"))
+        .agg(min(col("t")).as("t_eff"))
+        .join(broadcast(nf.toDF("t", "nf_t")), col("t_eff") === col("t"))
+        .select(col("pct"), col("t_eff"), col("nf_t"), col("nf_max"))
+        .orderBy(col("pct"))
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      ${hyperBallCtes(maxT = 3, topE = 300)},
+      nf AS (SELECT t, CAST(SUM(ball) AS BIGINT) AS nf
+             FROM ball GROUP BY t),
+      mx AS (SELECT MAX(nf) AS nf_max FROM nf),
+      q AS (SELECT th.pct, mx.nf_max, MIN(nf.t) AS t_eff
+            FROM (VALUES (50), (75), (90)) th(pct), mx, nf
+            WHERE 100 * nf.nf >= th.pct * mx.nf_max
+            GROUP BY th.pct, mx.nf_max)
+      SELECT q.pct, q.t_eff, nf.nf AS nf_t, q.nf_max
+      FROM q JOIN nf ON nf.t = q.t_eff
+      ORDER BY q.pct""")),
+
     // ---- k-core peel: the embeddedness companion to g03's closure —
     // three peel rounds dropping nodes whose surviving degree < 3 over
     // the undirected simple transition graph; link farms and scrape

@@ -687,7 +687,36 @@ object RelQueries {
       FROM (SELECT event_type,
               CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events) t
-      GROUP BY event_type ORDER BY event_type"""))
+      GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- market-basket association rules (Agrawal VLDB'94 2-itemset
+    // core): part pairs co-occurring in >= 2 orders, with exact-ppm
+    // support/confidence/lift. Pair generation is an equi-join on the
+    // order key with the hot-basket cap oracle-modeled; lift/conf are
+    // DECIMAL(38,0) integral `div` — no IEEE division ----------------
+    ("q59_basket_rules", (s: SparkSession, d: String) =>
+      graft.ext.Association.frequentPairs(t(s, d, "lineitem")),
+      Some("""
+      WITH b0 AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                  FROM lineitem),
+      ok AS (SELECT okey FROM b0 GROUP BY okey HAVING COUNT(*) <= 100),
+      b AS (SELECT b0.* FROM b0 JOIN ok USING (okey)),
+      tot AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM b),
+      pc AS (SELECT part, COUNT(*) AS n FROM b GROUP BY part),
+      pr AS (SELECT x.part AS part_a, y.part AS part_b,
+               COUNT(*) AS n_ab
+             FROM b x JOIN b y ON x.okey = y.okey AND x.part < y.part
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT pr.part_a, pr.part_b, pr.n_ab, pa.n AS n_a, pb.n AS n_b,
+        CAST((CAST(pr.n_ab AS HUGEINT) * tot.n_orders * 1000000)
+          // (CAST(pa.n AS HUGEINT) * pb.n) AS BIGINT) AS lift_ppm,
+        CAST((CAST(pr.n_ab AS HUGEINT) * 1000000) // pa.n AS BIGINT)
+          AS conf_ppm
+      FROM pr
+      JOIN pc pa ON pa.part = pr.part_a
+      JOIN pc pb ON pb.part = pr.part_b
+      CROSS JOIN tot
+      ORDER BY part_a, part_b"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

@@ -608,6 +608,36 @@ object TextAnalysis {
   def qualityCalibration(docs: DataFrame, posSources: Seq[String],
                          negSources: Seq[String], nBins: Int): DataFrame = {
     require(nBins >= 2, "nBins >= 2")
+    val scored = heldOutScored(docs, posSources, negSources)
+    val ranked = graft.operators.SeqNumber.withSeq(scored,
+      Seq(col("score"), col("doc_id")), "rk")
+    val nTot = scored.agg(count(lit(1)).cast("long").as("n_total"))
+    ranked.crossJoin(broadcast(nTot))
+      .select(col("pos"), col("score"),
+        expr(s"CAST((rk - 1) * $nBins div n_total AS BIGINT) + 1").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_pos"),
+        coalesce(sum(col("score")), lit(0L)).cast("long").as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"),
+        col("sum_score"),
+        (col("sum_score").cast("double") / col("n").cast("double"))
+          .as("mean_score"))
+      .orderBy(col("bin"))
+  }
+
+  /** Shared held-out scoring pass for the classifier-evaluation
+    * operators ([[qualityCalibration]], [[aucAudit]]): train the
+    * [[oddsQualityClassifier]] weight table on even doc_ids, score the
+    * odd LABELED docs, return (doc_id, pos, score) with unmatched docs
+    * scored 0. Same envelope contract as the classifier (2^40 weight
+    * bound, bounded 2-long totals collect).
+    */
+  private def heldOutScored(docs: DataFrame, posSources: Seq[String],
+                            negSources: Seq[String]): DataFrame = {
     require(posSources.nonEmpty && negSources.nonEmpty &&
       posSources.intersect(negSources).isEmpty,
       "positive/negative source sets must be non-empty and disjoint")
@@ -637,29 +667,61 @@ object TextAnalysis {
         explode(TextOps.words(col("text"))).as("tk"))
       .join(broadcast(wt), Seq("tk"))
       .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
-    val scored = test
+    test
       .select(col("doc_id"), col("source").isin(posSources: _*).as("pos"))
       .join(sc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("score"), lit(0L)).as("score"))
-    val ranked = graft.operators.SeqNumber.withSeq(scored,
-      Seq(col("score"), col("doc_id")), "rk")
-    val nTot = scored.agg(count(lit(1)).cast("long").as("n_total"))
-    ranked.crossJoin(broadcast(nTot))
-      .select(col("pos"), col("score"),
-        expr(s"CAST((rk - 1) * $nBins div n_total AS BIGINT) + 1").as("bin"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(when(col("pos"), 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_pos"),
-        coalesce(sum(col("score")), lit(0L)).cast("long").as("sum_score"))
-      .select(col("bin"), col("n"), col("n_pos"),
-        (col("n_pos").cast("double") / col("n").cast("double"))
-          .as("pos_rate"),
-        col("sum_score"),
-        (col("sum_score").cast("double") / col("n").cast("double"))
-          .as("mean_score"))
-      .orderBy(col("bin"))
+  }
+
+  /** Exact ROC AUC of the held-out classifier scores — the
+    * discrimination companion to [[qualityCalibration]]'s calibration
+    * bins, via the Mann-Whitney rank-sum identity AUC = (ΣR⁺ −
+    * n⁺(n⁺+1)/2) / (n⁺n⁻) with MIDRANKS for tied scores (the exact
+    * trapezoidal-ROC value, Hanley & McNeil 1982). All integer: per
+    * distinct score, 2·midrank = 2·(rows before) + (rows at) + 1, so
+    * 2ΣR⁺ = Σ_s n⁺_s·(2C_s + n_s + 1) and auc_ppm = (2ΣR⁺ −
+    * n⁺(n⁺+1))·10⁶ div (2n⁺n⁻) — DECIMAL(38,0) intermediates, one
+    * integral `div`, no IEEE arithmetic anywhere.
+    *
+    * Scale shape: scores collapse to one partial-aggregable
+    * groupBy(score); the rows-before count C_s is an exclusive
+    * [[graft.operators.PrefixSum.withRunningSum]] over score order
+    * (range-partitioned — never a single-task window); the rest is one
+    * constant-size total aggregation. Output: ONE row (n_pos, n_neg,
+    * n_distinct_scores, auc_num, auc_den, auc_ppm) where auc_num/den
+    * is the exact rational AUC·den.
+    */
+  def aucAudit(docs: DataFrame, posSources: Seq[String],
+               negSources: Seq[String]): DataFrame =
+    aucFromScored(heldOutScored(docs, posSources, negSources))
+
+  /** The rank-sum AUC core of [[aucAudit]] over an already-scored
+    * (pos: boolean, score: integral) table — exposed so the midrank
+    * arithmetic is spec-testable on hand values.
+    */
+  def aucFromScored(scored: DataFrame): DataFrame = {
+    val grp = scored
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"))
+    val c = graft.operators.PrefixSum.withRunningSum(
+      grp, Seq(col("score").asc), "n", "c_before")
+    c.agg(
+        sum(col("np").cast("decimal(38,0)") *
+          (lit(2) * col("c_before") + col("n") + lit(1))).as("s2"),
+        sum(col("np")).cast("decimal(38,0)").as("npos"),
+        sum(col("n") - col("np")).cast("decimal(38,0)").as("nneg"),
+        count(lit(1)).as("n_distinct_scores"))
+      .select(
+        col("npos").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"),
+        col("n_distinct_scores"),
+        (col("s2") - col("npos") * (col("npos") + lit(1)))
+          .cast("long").as("auc_num"),
+        (lit(2) * col("npos") * col("nneg")).cast("long").as("auc_den"),
+        expr("""CAST((s2 - npos * (npos + 1)) * 1000000
+                 div (2 * npos * nneg) AS BIGINT)""").as("auc_ppm"))
   }
 
   /** Cross-document boilerplate coverage — the C4/CCNet-style scrub

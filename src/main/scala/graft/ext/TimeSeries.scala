@@ -514,4 +514,48 @@ object TimeSeries {
         col("best.sad").as("sad_cents"))
       .orderBy(col("user_id"))
   }
+
+  /** Peak-concurrency record audit by sweep line: each event opens a
+    * half-open activity interval `[ts, ts + dur)` (dur = floor(value *
+    * 60) + 1 whole seconds — one IEEE multiply both engines perform
+    * identically, never zero-length), and the output is every instant
+    * at which the number of simultaneously open intervals sets a NEW
+    * all-time record — the concurrency ramp curve a capacity planner
+    * reads, at the cost of two balanced passes instead of the classic
+    * single-task `SUM OVER (ORDER BY ...)` sweep.
+    *
+    * Scale shape: interval endpoints become +1/-1 deltas (2 rows per
+    * event, one narrow projection); concurrency after each sweep point
+    * is an exclusive [[graft.operators.PrefixSum.withRunningSum]] plus
+    * the point's own delta, and "new record" is an exclusive
+    * [[graft.operators.PrefixSum.withRunningMax]] strictly below it —
+    * both range-partitioned over the sweep order (t, d, event_id), so
+    * no unpartitioned window anywhere. Ends sort before starts at the
+    * same instant (d = -1 < +1): touching intervals never overlap,
+    * matching the half-open convention.
+    *
+    * Output: (ts_us, concurrency) per record-setting instant, epoch
+    * microseconds ascending.
+    */
+  def concurrencyRecords(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        (floor(col("value") * 60).cast("long") + 1L) * 1000000L).as("en"))
+    val sweep = e.select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d"), col("event_id")),
+        struct(col("en").as("t"), lit(-1L).as("d"), col("event_id"))))
+        .as("p"))
+      .select(col("p.t"), col("p.d"), col("p.event_id"))
+    val order = Seq(col("t").asc, col("d").asc, col("event_id").asc)
+    val summed = graft.operators.PrefixSum
+      .withRunningSum(sweep, order, "d", "excl")
+      .withColumn("conc", col("excl") + col("d"))
+    graft.operators.PrefixSum
+      .withRunningMax(summed, order, "conc", "hw")
+      .filter(col("hw").isNull || col("hw") < col("conc"))
+      .select(col("t").as("ts_us"), col("conc").as("concurrency"))
+      .orderBy(col("ts_us"))
+  }
 }

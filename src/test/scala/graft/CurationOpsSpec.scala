@@ -430,4 +430,33 @@ class CurationOpsSpec extends SparkSpec {
       "domain_l_returnflag" -> 1L, "domain_l_linestatus" -> 1L,
       "fk_orders" -> 1L))
   }
+
+  test("basket rules: hand lift/conf, duplicate rows collapse, support threshold") {
+    import spark.implicits._
+    // o1:{1,2} o2:{1,2} o3:{1,3} o4:{2,3}; (1,2) co-occurs twice;
+    // the duplicated (o1,1) row must not inflate any count
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.ext.Association.frequentPairs(li).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // n_ab=2 n_a=n_b=3 N=4: lift = 2*4/9 -> floor(8e6/9) = 888888 ppm;
+    // conf = floor(2e6/3) = 666666 ppm
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (1L, 2L, 2L, 3L, 3L, 888888L, 666666L))
+  }
+
+  test("basket rules: oversized baskets are excluded everywhere, including totals") {
+    import spark.implicits._
+    // o1/o2:{1,2}; o3:{7,8,9} exceeds maxBasket=2 — its pairs vanish
+    // AND it leaves n_orders, so lift for (1,2) = 2*2/(2*2) = 1.0
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 7L), (3L, 8L), (3L, 9L)).toDF("l_orderkey", "l_partkey")
+    val got = graft.ext.Association.frequentPairs(li, maxBasket = 2)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(5) == 1000000L) // lift exactly 1.0
+  }
 }

@@ -76,7 +76,11 @@ class PlanGuardSpec extends SparkSpec {
     "w31_ks_test" -> 1, // broadcast 1-row sample-totals aggregate
     "c31_benford" -> 1, // broadcast 1-row digit-total aggregate
     "c34_constraint_audit" -> 1, // broadcast 1-row fk-violation count attach
-    "s34_nsw_search" -> 1) // recall audit: brute baseline's broadcast query set (s01 contract)
+    "s34_nsw_search" -> 1, // recall audit: brute baseline's broadcast query set (s01 contract)
+    "q59_basket_rules" -> 1, // broadcast 1-row n_orders total attach
+    // post-sketch stage is constant-size by construction: 1-row max
+    // attach + 3-threshold x (maxT+1)-row curve theta-join
+    "g21_effective_diameter" -> 2)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

@@ -103,4 +103,28 @@ class TextScoringSpec extends SparkSpec {
       Set("dominant_word", "no_stopwords", "too_short"))
     assert(got(2L)._1.contains("dominant_word") && !got(2L)._2)
   }
+
+  test("auc: midrank ties give the exact trapezoidal value (0.875 by hand)") {
+    import spark.implicits._
+    // sorted: 1(neg) 2(neg) 2(pos) 3(pos); midrank of the tied 2s is
+    // 2.5, so sumR+ = 2.5 + 4 = 6.5 and AUC = (6.5 - 3)/4 = 7/8
+    val scored = Seq((1L, true, 3L), (2L, true, 2L),
+      (3L, false, 2L), (4L, false, 1L)).toDF("doc_id", "pos", "score")
+    val Array(r) = TextAnalysis.aucFromScored(scored).collect()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L) // n_pos, n_neg
+    assert(r.getLong(2) == 3L) // distinct scores
+    assert(r.getLong(3) == 7L && r.getLong(4) == 8L) // 7/8
+    assert(r.getLong(5) == 875000L)
+  }
+
+  test("auc: perfect separation scores 1.0, reversed separation 0.0") {
+    import spark.implicits._
+    val perfect = Seq((1L, true, 10L), (2L, true, 9L),
+      (3L, false, 2L), (4L, false, 1L)).toDF("doc_id", "pos", "score")
+    val Array(p) = TextAnalysis.aucFromScored(perfect).collect()
+    assert(p.getLong(3) == p.getLong(4) && p.getLong(5) == 1000000L)
+    val reversed = perfect.withColumn("pos", !col("pos"))
+    val Array(q) = TextAnalysis.aucFromScored(reversed).collect()
+    assert(q.getLong(3) == 0L && q.getLong(5) == 0L)
+  }
 }

@@ -340,4 +340,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(2) == 5.25 && r.getDouble(3) == 0.0)
     assert(r.getDouble(4) == 5.25)
   }
+
+  test("concurrency records: every new all-time peak, and only those") {
+    // dur = floor(value*60)+1 s: e1 [0,121) e2 [60,121) e3 [120,121)
+    // e4 [180,211) — ramp 1,2,3 then everything closes at t=121
+    val ev = events(
+      (1L, 0, 1L, "view", 2.0), (2L, 1, 1L, "view", 1.0),
+      (3L, 2, 2L, "view", 0.0), (4L, 3, 2L, "view", 0.5))
+    val got = TimeSeries.concurrencyRecords(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (60000000L, 2L), (120000000L, 3L)))
+  }
+
+  test("concurrency records: half-open intervals — touching is not overlap") {
+    // value=0.99 -> dur floor(59.4)+1 = 60 s: [0,60) ends exactly as
+    // the next starts; the -1 sorts first, so concurrency never hits 2
+    val ev = events(
+      (1L, 0, 1L, "view", 0.99), (2L, 1, 1L, "view", 0.99))
+    val got = TimeSeries.concurrencyRecords(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L)))
+  }
 }
