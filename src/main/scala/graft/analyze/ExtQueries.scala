@@ -2389,6 +2389,47 @@ object ExtQueries {
         "SELECT * FROM (", " UNION ALL ", ") s ORDER BY nprobe")
     }),
 
+    // ---- MRR@10 retrieval eval: where does each query's TRUE nearest
+    // neighbor (brute-force top-1, the s01 contract) land in the LSH
+    // candidate ranking? Reciprocal ranks stay exact integers scaled
+    // by 2520 = lcm(1..10); the corpus-wide MRR rides along as a ppm
+    // column via the 1-row broadcast attach (c18 convention). The
+    // rank-of-truth join is the same bounded query-set equi-join as
+    // s07's recall ------------------------------------------------
+    ("s36_mrr", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(embs, nQueries = 10, k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val cand = Similarity.lshTopK(embs, nPlanes = 8, nQueries = 10,
+          k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rn"))
+      val per = truth
+        .join(cand, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("neighbor_id").as("truth_id"),
+          col("rn").as("truth_rank"))
+        .withColumn("rr_2520",
+          coalesce(expr("2520 div truth_rank"), lit(0L)))
+        .cpGuard() // read twice: per-query rows + the 1-row MRR total
+      val tot = per.agg(count(lit(1)).as("nq"),
+          sum(col("rr_2520")).as("srr"))
+        .select(expr("CAST(srr * 1000000 div (2520 * nq) AS BIGINT)")
+          .as("mrr_ppm"))
+      per.crossJoin(broadcast(tot)).orderBy(col("query_id"))
+    }, Some(s"""
+      WITH b AS (${annTopkOracle.replace("rn <= 5", "rn <= 1")}),
+      l AS (${annLshOracle.replace("rn <= 3", "rn <= 10")}),
+      per AS (SELECT b.query_id, b.neighbor_id AS truth_id,
+                     l.rn AS truth_rank,
+                     CAST(COALESCE(2520 // l.rn, 0) AS BIGINT) AS rr_2520
+              FROM b LEFT JOIN l
+                ON b.query_id = l.query_id
+               AND b.neighbor_id = l.neighbor_id),
+      tot AS (SELECT CAST((SUM(rr_2520) * 1000000)
+                // (2520 * COUNT(*)) AS BIGINT) AS mrr_ppm FROM per)
+      SELECT per.query_id, per.truth_id, per.truth_rank, per.rr_2520,
+             tot.mrr_ppm
+      FROM per CROSS JOIN tot ORDER BY query_id""")),
+
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),
       Some(langidOracle)),

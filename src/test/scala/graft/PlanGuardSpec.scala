@@ -80,7 +80,8 @@ class PlanGuardSpec extends SparkSpec {
     "q59_basket_rules" -> 1, // broadcast 1-row n_orders total attach
     // post-sketch stage is constant-size by construction: 1-row max
     // attach + 3-threshold x (maxT+1)-row curve theta-join
-    "g21_effective_diameter" -> 2)
+    "g21_effective_diameter" -> 2,
+    "s36_mrr" -> 1) // broadcast 1-row MRR total attach
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
@@ -109,7 +110,8 @@ class PlanGuardSpec extends SparkSpec {
     // s34: the exact all-pairs 8-NN graph build (declared NN-descent/
     // LSH swap-in point, d07 contract) + the beam entry initialization's
     // bounded query-set broadcast
-    "s34_nsw_search" -> 2)
+    "s34_nsw_search" -> 2,
+    "s36_mrr" -> 1) // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
 
   /** Unpartitioned-WindowExec allowances for pre-checkpoint subplans. */
   private val allowedCpGlobalWindow = Map.empty[String, Int]
