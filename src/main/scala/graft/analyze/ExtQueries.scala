@@ -2468,6 +2468,35 @@ object ExtQueries {
             FROM documents) x
       GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 100""")),
 
+    // ---- collocations by lift (log-free PMI ranking, Church & Hanks
+    // 1990): observed/expected bigram rate under unigram independence,
+    // exact ppm integers — the phrase-mining companion to t06's raw
+    // counts ("new york" ranks, "of the" does not) -------------------
+    ("t31_collocations", (s: SparkSession, d: String) =>
+      TextAnalysis.collocations(t(s, d, "documents")),
+      Some(s"""
+      WITH uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM (SELECT unnest(${TextOps.wordsSql("text")}) AS w
+                         FROM documents) x
+                   GROUP BY w),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+      bi AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+             FROM (SELECT unnest(${TextOps.allWordShinglesSql("text", 2)})
+                     AS bigram
+                   FROM documents) y
+             GROUP BY bigram HAVING COUNT(*) >= 5),
+      sp AS (SELECT string_split(bigram, ' ')[1] AS w_a,
+                    string_split(bigram, ' ')[2] AS w_b, c_ab
+             FROM bi)
+      SELECT sp.w_a, sp.w_b, sp.c_ab, a.c AS c_a, b.c AS c_b,
+        CAST((CAST(sp.c_ab AS HUGEINT) * tot.n_uni * 1000000)
+          // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift_ppm
+      FROM sp
+      JOIN uni a ON a.w = sp.w_a
+      JOIN uni b ON b.w = sp.w_b
+      CROSS JOIN tot
+      ORDER BY lift_ppm DESC, w_a, w_b LIMIT 50""")),
+
     // per-doc shingle NOVELTY in ingestion (doc_id) order: fraction of
     // a doc's shingles first seen in this doc — the marginal-
     // information signal between "exact dup" and "keep"; the

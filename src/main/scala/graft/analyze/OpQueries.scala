@@ -1092,6 +1092,24 @@ object OpQueries {
       FROM q JOIN nf ON nf.t = q.t_eff
       ORDER BY q.pct""")),
 
+    // ---- directed-edge reciprocity (Newman 2002): is attention
+    // mutual — one swapped-key self semi-join over the simple
+    // transition graph, exact ppm ------------------------------------
+    ("g22_reciprocity", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.reciprocity(eventEdges(s, d))
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      sed AS (SELECT DISTINCT src, dst FROM ed WHERE src <> dst),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM sed),
+      r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+            FROM sed a WHERE EXISTS (SELECT 1 FROM sed b
+              WHERE b.src = a.dst AND b.dst = a.src))
+      SELECT n.n_edges, r.n_reciprocal,
+             CAST((CAST(r.n_reciprocal AS HUGEINT) * 1000000)
+               // n.n_edges AS BIGINT) AS reciprocity_ppm
+      FROM n, r""")),
+
     // ---- k-core peel: the embeddedness companion to g03's closure —
     // three peel rounds dropping nodes whose surviving degree < 3 over
     // the undirected simple transition graph; link farms and scrape
@@ -2168,6 +2186,71 @@ object OpQueries {
         CAST(MAX(ABS(ca*tb - cb*ta)) AS DOUBLE)
           / (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) AS ks
       FROM cum, tot GROUP BY ta, tb""")),
+
+    // ---- Mann-Whitney U drift (rank companion to w31's KS): does the
+    // after-cut value distribution stochastically dominate? Exact
+    // midrank rank-sum (shared aucFromScored core, t30 contract);
+    // oracle applies the textbook single-task midrank window the
+    // engine replaces with PrefixSum ---------------------------------
+    ("w37_mann_whitney", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.mannWhitneyDrift(t(s, d, "events"),
+        "TIMESTAMP '2024-01-16 00:00:00'"),
+      Some("""
+      WITH b AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS score,
+                 ts >= TIMESTAMP '2024-01-16 00:00:00' AS pos FROM events),
+      grp AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                       AS np
+              FROM b GROUP BY score),
+      o AS (SELECT score, n, np,
+                   COALESCE(SUM(n) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS c_before
+            FROM grp),
+      agt AS (SELECT SUM(CAST(np AS HUGEINT) * (2 * c_before + n + 1))
+                       AS s2,
+                     CAST(SUM(np) AS HUGEINT) AS npos,
+                     CAST(SUM(n - np) AS HUGEINT) AS nneg,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct_scores
+              FROM o)
+      SELECT CAST(npos AS BIGINT) AS n_after,
+             CAST(nneg AS BIGINT) AS n_before,
+             n_distinct_scores,
+             CAST(s2 - npos * (npos + 1) AS BIGINT) AS u2_after,
+             CAST(2 * npos * nneg AS BIGINT) AS u2_den,
+             CAST((s2 - npos * (npos + 1)) * 1000000
+               // (2 * npos * nneg) AS BIGINT) AS superiority_ppm
+      FROM agt""")),
+
+    // ---- Pettitt changepoint (1979): WHERE the value distribution
+    // shifted — w37's location companion. The O(n²) sgn double sum
+    // collapses through the exact midrank identity U_t = Σ_{i≤t}2R_i
+    // − t(n+1) into two balanced prefix passes; oracle applies the
+    // identical identity via the textbook single-task windows --------
+    ("w38_pettitt", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.pettittChangepoint(t(s, d, "events")),
+      Some("""
+      WITH b AS (SELECT event_id, epoch_us(ts) AS tus,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+      r AS (SELECT event_id, tus,
+              2 * RANK() OVER (ORDER BY cents)
+                + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+            FROM b),
+      u AS (SELECT tus, event_id,
+              CAST(SUM(r2) OVER (ORDER BY tus, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                - ROW_NUMBER() OVER (ORDER BY tus, event_id)
+                  * (nn.n + 1) AS ut
+            FROM r, nn),
+      k AS (SELECT CAST(MAX(ABS(ut)) AS BIGINT) AS k_stat FROM u),
+      cp AS (SELECT tus, ut FROM u, k WHERE ABS(ut) = k.k_stat
+             ORDER BY tus, event_id LIMIT 1)
+      SELECT nn.n, k.k_stat, cp.tus AS cp_ts_us,
+             CAST(cp.ut AS BIGINT) AS u_at_cp
+      FROM nn, k, cp""")),
 
     // ---- Holt linear-trend smoother: level + trend recursion as ONE
     // hash aggregation (w23's fold contract) in exact BIGINT cents<<20

@@ -716,7 +716,31 @@ object RelQueries {
       JOIN pc pa ON pa.part = pr.part_a
       JOIN pc pb ON pb.part = pr.part_b
       CROSS JOIN tot
-      ORDER BY part_a, part_b"""))
+      ORDER BY part_a, part_b""")),
+
+    // ---- relative-rank window family: percent_rank / cume_dist /
+    // ntile over per-type value order — the remaining rank-function
+    // surface q53's rank/dense_rank suite doesn't cover. Unique
+    // (value, event_id) order keys make peer groups singletons, so
+    // both engines' definitions coincide exactly; partitioned by
+    // event_type (bounded strata — never an unpartitioned window) ----
+    ("q60_relative_ranks", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, event_type,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             CAST(ntile(4) OVER w AS INT) AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

@@ -1023,6 +1023,32 @@ object Graphs {
     out.orderBy(col("t"), col("k"))
   }
 
+  /** Directed-edge reciprocity (Newman 2002 / Garlaschelli-Loffredo
+    * 2004): the fraction of directed edges whose reverse edge also
+    * exists — the "is attention mutual" diagnostic that separates
+    * feed-like graphs (r→0) from conversation-like graphs (r→1), and
+    * a bot/scrape smell when it collapses on a subpopulation.
+    *
+    * Scale shape: simple-edge dedup (one partial-aggregable groupBy
+    * via distinct), then ONE self left-semi equi-join on the swapped
+    * key pair — co-partitionable, never pairwise; the two counts meet
+    * in a 1-row cross attach. Exact ppm via integral div.
+    *
+    * Output: ONE row (n_edges, n_reciprocal, reciprocity_ppm).
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .cpGuard() // read three times: count + both semi-join sides
+    val recip = ed.join(ed.toDF("dst", "src"), Seq("src", "dst"),
+      "left_semi")
+    ed.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+      .select(col("n_edges"), col("n_reciprocal"),
+        expr("""CAST(CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000
+                 div n_edges AS BIGINT)""").as("reciprocity_ppm"))
+  }
+
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, "rounds >= 0")
     val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()

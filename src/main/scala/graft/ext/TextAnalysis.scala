@@ -724,6 +724,50 @@ object TextAnalysis {
                  div (2 * npos * nneg) AS BIGINT)""").as("auc_ppm"))
   }
 
+  /** Collocation extraction by lift (the PMI ranking without the log:
+    * monotone in pointwise mutual information for fixed scaling, so
+    * the top-k by lift IS the top-k by PMI — and stays exact integer,
+    * the c31/g19 no-runtime-libm discipline): bigrams occurring >=
+    * `minCount` times ranked by observed/expected under unigram
+    * independence, lift_ppm = floor(c_ab * N_uni * 10⁶ / (c_a * c_b))
+    * (expected adjacent-pair count ≈ c_a·c_b/N_uni over the corpus's
+    * adjacency slots). Church & Hanks 1990's association measure, the
+    * standard phrase-mining signal ("new york" ranks; "of the" does
+    * not despite its raw count).
+    *
+    * Scale shape: two partial-aggregable groupBys (unigram + bigram
+    * occurrence counts, the t06 shingle discipline), two equi-joins of
+    * the thresholded bigram table against the unigram counts, a 1-row
+    * token-total broadcast, and a TakeOrdered top-k — never a window,
+    * never all-pairs. DECIMAL(38,0) intermediates; ties break (w_a,
+    * w_b).
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+                   topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount >= 1, topK >= 1")
+    val spread = graft.core.Tables.spread(docs)
+    val uni = spread
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cpGuard() // read three times: token total + both component joins
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = spread
+      .select(explode(TextOps.allWordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(split(col("bigram"), " ").getItem(0).as("w_a"),
+        split(col("bigram"), " ").getItem(1).as("w_b"), col("c_ab"))
+    bi.join(uni.toDF("w_a", "c_a"), Seq("w_a"))
+      .join(uni.toDF("w_b", "c_b"), Seq("w_b"))
+      .crossJoin(broadcast(nUni))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("""CAST(CAST(c_ab AS DECIMAL(38,0)) * n_uni * 1000000
+                 div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)""")
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w_a"), col("w_b"))
+      .limit(topK)
+  }
+
   /** Cross-document boilerplate coverage — the C4/CCNet-style scrub
     * statistic (Raffel et al. 2020 §2.2 remove repeated lines; here on
     * word shingles because the corpus is single-line): a word n-gram

@@ -515,6 +515,74 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Mann-Whitney U drift test between the value distributions before
+    * and after `cutTs` — the rank-based companion to [[ksTest]]: KS
+    * asks "do the CDFs separate anywhere", U asks "does one side
+    * stochastically dominate" (and is the standard nonparametric
+    * location-shift alarm when distributions are non-normal). U is
+    * computed through the exact midrank rank-sum identity shared with
+    * [[TextAnalysis.aucFromScored]] (U/(n₁n₂) IS the common-language
+    * effect size / AUC, so the machinery is literally the same):
+    * integer cents scores, per-score groups, exclusive PrefixSum for
+    * rows-before, DECIMAL(38,0) totals — no IEEE arithmetic.
+    *
+    * Output: ONE row (n_after, n_before, n_distinct_scores, u2_after =
+    * 2·U_after, u2_den = 2·n_after·n_before, superiority_ppm =
+    * floor(10⁶·U/(n₁n₂))) — 500000 ppm = no drift, 1e6 = complete
+    * dominance of the after side.
+    */
+  def mannWhitneyDrift(events: DataFrame, cutTs: String): DataFrame =
+    TextAnalysis.aucFromScored(events.select(
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("score"),
+        (col("ts") >= expr(cutTs)).as("pos")))
+      .select(col("n_pos").as("n_after"), col("n_neg").as("n_before"),
+        col("n_distinct_scores"), col("auc_num").as("u2_after"),
+        col("auc_den").as("u2_den"), col("auc_ppm").as("superiority_ppm"))
+
+  /** Pettitt changepoint test (Pettitt 1979) over the global cents
+    * series in (ts, event_id) order — WHERE did the distribution
+    * shift, the location companion to [[mannWhitneyDrift]]'s "did it
+    * shift at a KNOWN cut": U_t = Σ_{i≤t}Σ_{j>t} sgn(x_i − x_j), the
+    * changepoint is the t maximizing |U_t| (earliest on ties).
+    *
+    * The naive U_t is O(n²); the exact identity U_t = Σ_{i≤t} 2R_i −
+    * t(n+1) (2R = twice the midrank, integer — holds exactly under
+    * ties since sgn contributes 0 where midranks add ½) makes it two
+    * balanced prefix passes: midranks from per-cents groups + an
+    * exclusive [[graft.operators.PrefixSum.withRunningSum]] over cents
+    * order (the t30/w37 discipline), then a second withRunningSum +
+    * [[graft.operators.SeqNumber]] over TIME order. No unpartitioned
+    * window, no pairwise join, all BIGINT.
+    *
+    * Output: ONE row (n, k_stat = max|U_t|, cp_ts_us, u_at_cp).
+    */
+  def pettittChangepoint(events: DataFrame): DataFrame = {
+    val b = events.select(col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val grp = b.groupBy(col("cents")).agg(count(lit(1)).as("ng"))
+    val withBefore = graft.operators.PrefixSum.withRunningSum(
+      grp, Seq(col("cents").asc), "ng", "c_before")
+      .select(col("cents"),
+        (lit(2) * col("c_before") + col("ng") + lit(1)).as("r2"))
+    val ranked = b.join(withBefore, Seq("cents"))
+    val order = Seq(col("tus").asc, col("event_id").asc)
+    val seq = graft.operators.SeqNumber.withSeq(
+      graft.operators.PrefixSum.withRunningSum(ranked, order, "r2", "excl"),
+      order, "i")
+    val nRow = b.agg(count(lit(1)).as("n"))
+    val u = seq.crossJoin(broadcast(nRow))
+      .select(col("tus"), col("event_id"), col("n"),
+        (col("excl") + col("r2") - col("i") * (col("n") + lit(1)))
+          .as("ut"))
+      .cpGuard() // read twice: the max pass + the argmax row
+    val k = u.agg(max(abs(col("ut"))).as("k_stat"))
+    u.join(broadcast(k), abs(col("ut")) === col("k_stat"))
+      .orderBy(col("tus"), col("event_id")).limit(1)
+      .select(col("n"), col("k_stat"), col("tus").as("cp_ts_us"),
+        col("ut").as("u_at_cp"))
+  }
+
   /** Peak-concurrency record audit by sweep line: each event opens a
     * half-open activity interval `[ts, ts + dur)` (dur = floor(value *
     * 60) + 1 whole seconds — one IEEE multiply both engines perform

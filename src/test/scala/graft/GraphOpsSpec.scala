@@ -545,4 +545,14 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaSssp == viaBfs)
     assert(viaSssp(3L) == 1L) // seed 9 reaches 3 in one hop, not 1's two
   }
+
+  test("reciprocity: mutual pair counts both ways, self-loops and dup edges don't") {
+    // 1<->2 mutual; 1->3 one-way; 4->4 self-loop ignored; duplicate
+    // 1->2 row collapses: 3 simple edges, 2 reciprocal -> 666666 ppm
+    val ed = Seq((1L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 1L),
+      (4L, 4L, 1L)).toDF("src", "dst", "w")
+    val Array(r) = Graphs.reciprocity(ed).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (3L, 2L, 666666L))
+  }
 }

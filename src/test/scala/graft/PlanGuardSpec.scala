@@ -81,7 +81,9 @@ class PlanGuardSpec extends SparkSpec {
     // post-sketch stage is constant-size by construction: 1-row max
     // attach + 3-threshold x (maxT+1)-row curve theta-join
     "g21_effective_diameter" -> 2,
-    "s36_mrr" -> 1) // broadcast 1-row MRR total attach
+    "s36_mrr" -> 1, // broadcast 1-row MRR total attach
+    "t31_collocations" -> 1, // broadcast 1-row token-total attach
+    "g22_reciprocity" -> 1) // 1-row edge-count x 1-row reciprocal-count attach
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
@@ -111,7 +113,8 @@ class PlanGuardSpec extends SparkSpec {
     // LSH swap-in point, d07 contract) + the beam entry initialization's
     // bounded query-set broadcast
     "s34_nsw_search" -> 2,
-    "s36_mrr" -> 1) // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
+    "s36_mrr" -> 1, // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
+    "w38_pettitt" -> 1) // U-table stage: broadcast 1-row n attach
 
   /** Unpartitioned-WindowExec allowances for pre-checkpoint subplans. */
   private val allowedCpGlobalWindow = Map.empty[String, Int]

@@ -117,6 +117,19 @@ class TextScoringSpec extends SparkSpec {
     assert(r.getLong(5) == 875000L)
   }
 
+  test("collocations: lift ranks the bound phrase above the frequent word pair") {
+    import spark.implicits._
+    // "new york": 3 of 3/3 unigrams; "big big": 3 of 5/5 — lift
+    // separates them exactly: 3*13e6/9 = 4333333 vs 3*13e6/25 = 1560000
+    val d = Seq((1L, "new york is big big big"), (2L, "new york wins"),
+      (3L, "big big new york")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(d, minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(("new", "york", 3L, 3L, 3L, 4333333L),
+      ("big", "big", 3L, 5L, 5L, 1560000L)))
+  }
+
   test("auc: perfect separation scores 1.0, reversed separation 0.0") {
     import spark.implicits._
     val perfect = Seq((1L, true, 10L), (2L, true, 9L),

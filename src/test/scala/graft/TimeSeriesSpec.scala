@@ -352,6 +352,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((0L, 1L), (60000000L, 2L), (120000000L, 3L)))
   }
 
+  test("mann-whitney: complete after-dominance scores 10^6 ppm, symmetric split 1/2") {
+    // before {1c, 2c}, after {3c, 4c}: U_after = 4 = n1*n2
+    val ev = events(
+      (1L, 0, 1L, "v", 0.01), (2L, 1, 1L, "v", 0.02),
+      (3L, 2, 1L, "v", 0.03), (4L, 3, 1L, "v", 0.04))
+    val cut = "TIMESTAMP '1970-01-01 00:02:00'"
+    val Array(r) = TimeSeries.mannWhitneyDrift(ev, cut).collect()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(3) == 8L && r.getLong(4) == 8L) // u2 = u2_den
+    assert(r.getLong(5) == 1000000L)
+    // identical distributions across the cut: exactly 1/2
+    val ev2 = events(
+      (1L, 0, 1L, "v", 0.01), (2L, 1, 1L, "v", 0.02),
+      (3L, 2, 1L, "v", 0.01), (4L, 3, 1L, "v", 0.02))
+    val Array(r2) = TimeSeries.mannWhitneyDrift(ev2, cut).collect()
+    assert(r2.getLong(3) * 2 == r2.getLong(4)) // U = n1*n2/2 via midranks
+    assert(r2.getLong(5) == 500000L)
+  }
+
+  test("pettitt: level shift located exactly, degenerate series scores zero") {
+    // [1,1,1,5,5,5]c: r2 = 4 for the 1s, 10 for the 5s; U =
+    // -3,-6,-9,-6,-3,0 -> K = 9 at the third event (min 2)
+    val ev = events(
+      (1L, 0, 1L, "v", 0.01), (2L, 1, 1L, "v", 0.01),
+      (3L, 2, 1L, "v", 0.01), (4L, 3, 1L, "v", 0.05),
+      (5L, 4, 1L, "v", 0.05), (6L, 5, 1L, "v", 0.05))
+    val Array(r) = TimeSeries.pettittChangepoint(ev).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (6L, 9L, 120000000L, -9L))
+    // constant series: every U_t = 0, changepoint degenerates to the
+    // earliest instant
+    val flat = events(
+      (1L, 0, 1L, "v", 0.02), (2L, 1, 1L, "v", 0.02),
+      (3L, 2, 1L, "v", 0.02))
+    val Array(f) = TimeSeries.pettittChangepoint(flat).collect()
+    assert((f.getLong(0), f.getLong(1), f.getLong(2), f.getLong(3)) ==
+      (3L, 0L, 0L, 0L))
+  }
+
   test("concurrency records: half-open intervals — touching is not overlap") {
     // value=0.99 -> dur floor(59.4)+1 = 60 s: [0,60) ends exactly as
     // the next starts; the -1 sorts first, so concurrency never hits 2
