@@ -21,6 +21,16 @@ import graft.functions.Hashing
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // spills through a temp file, and the codec-heavy operators touch it
+  // tens of thousands of times per query (600 videos x 24 frames x
+  // encode+decode) — on hosts with slow scratch disks that made m08/m09
+  // 3x slower than the same code on fast disks. The payloads here are
+  // in-memory byte arrays; the heap cache is strictly correct and
+  // removes the filesystem from the hot path. Executors initialize this
+  // when the object loads (every codec closure references it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FrameBytes = 32
 
   /** Attach a binary payload column (here: utf8 bytes of `text` stand in
