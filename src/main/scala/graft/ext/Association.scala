@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.PlanCapture.CheckpointOps
+
 /** Market-basket association mining over the order/part fact table —
   * the classic "what co-occurs" curation signal (Agrawal & Srikant,
   * VLDB'94 frequent itemsets, here the 2-itemset + rule-stats core a
@@ -10,10 +12,12 @@ import org.apache.spark.sql.functions._
   * more often than chance, with exact-integer support / confidence /
   * lift so the result is reproducible across engines.
   *
-  * Scale shape: baskets are distinct (order, part) rows; the pair join
-  * is an equi-join on the order key, so its cost is Σ basket², bounded
-  * by capping basket size (`maxBasket`, the hot-bucket discipline —
-  * oversized baskets are EXCLUDED, and the oracle models the same cap),
+  * Scale shape: ONE groupBy(order) materializes each basket as a
+  * sorted distinct-part array and pairs expand INSIDE the array (a
+  * flatten/transform projection — no basket self-join, no separate
+  * dedup or size passes), so the cost is Σ basket², bounded by capping
+  * basket size (`maxBasket`, the hot-bucket discipline — oversized
+  * baskets are EXCLUDED, and the oracle models the same cap),
   * never a cross join. Supports/lifts are all counts: the only
   * non-count arithmetic is integral `div` on DECIMAL(38,0) products
   * (ppm scaling), which both engines floor identically — no IEEE
@@ -33,18 +37,26 @@ object Association {
                     maxBasket: Int = 100): DataFrame = {
     require(minSupport >= 1 && maxBasket >= 2,
       s"minSupport >= 1, maxBasket >= 2: $minSupport, $maxBasket")
-    val b0 = graft.core.Tables.spread(lineitem)
+    // ONE groupBy materializes each basket as a sorted distinct-part
+    // array (per-group state bounded by the order's own line count),
+    // then pair expansion happens INSIDE the array — no basket
+    // self-join, no separate dedup/size passes. Sorted arrays make
+    // part_a < part_b by construction.
+    val baskets = graft.core.Tables.spread(lineitem)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-      .distinct()
-    val ok = b0.groupBy(col("okey")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBasket).select(col("okey"))
-    val b = b0.join(ok, Seq("okey"))
-    val tot = b.agg(countDistinct(col("okey")).as("n_orders"))
-    val pc = b.groupBy(col("part")).agg(count(lit(1)).as("n"))
-    val x = b.toDF("okey", "part_a")
-    val y = b.toDF("okey", "part_b")
-    val pairs = x.join(y, Seq("okey"))
-      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("part"))).as("parts"))
+      .filter(size(col("parts")) <= maxBasket)
+      .cpGuard() // read three times: total + part counts + pair counts
+    val tot = baskets.agg(count(lit(1)).as("n_orders"))
+    val pc = baskets.select(explode(col("parts")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n"))
+    val combos = flatten(transform(col("parts"), (x, i) =>
+      transform(slice(col("parts"), i + lit(2),
+          greatest(size(col("parts")) - i - 1, lit(0))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    val pairs = baskets.select(explode(combos).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
