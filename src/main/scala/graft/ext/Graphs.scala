@@ -851,35 +851,45 @@ object Graphs {
           val prop = re
             .join(lab.select(col("k").as("src"), col("c")), Seq("src"))
             .groupBy(col("dst").as("k")).agg(min(col("c")).as("pc"))
+          // the improvement flag rides along in the checkpointed
+          // result, so convergence is a cheap scan of the checkpoint —
+          // not a second join against the previous labels (checkpoint
+          // every round: the isEmpty probe and the next round's join
+          // both reread it, so skipping the checkpoint recomputes the
+          // lineage twice per round and measures slower)
           val nl = lab.join(prop, Seq("k"), "left_outer")
             .select(col("k"),
-              least(col("c"), coalesce(col("pc"), col("c"))).as("c"))
+              least(col("c"), coalesce(col("pc"), col("c"))).as("c"),
+              (col("pc").isNotNull && col("pc") < col("c")).as("chg"))
             .cpGuard()
-          changed = nl
-            .join(lab.withColumnRenamed("c", "c0"), Seq("k"))
-            .filter(col("c") =!= col("c0")).isEmpty == false
-          lab = nl
+          changed = !nl.filter(col("chg")).isEmpty
+          lab = nl.select(col("k"), col("c"))
         }
         require(!changed,
           s"scc: forward labeling did not converge in $maxIters rounds")
-        // (3) backward reach from color roots within the color class
+        // (3) backward reach from color roots within the color class —
+        // FRONTIER form: each round expands only last round's newly
+        // reached nodes and anti-joins the known set, so the per-round
+        // distinct/count never rescans the whole accumulated reach
         var reach = lab.filter(col("k") === col("c")).cpGuard()
+        var frontier = reach
         changed = true
         it = 0
-        var nReach = reach.count()
         while (changed && it < maxIters) {
           it += 1
-          val add = re
-            .join(reach.select(col("k").as("dst"), col("c")), Seq("dst"))
+          val nf = re
+            .join(frontier.select(col("k").as("dst"), col("c")), Seq("dst"))
             .select(col("src").as("k"), col("c"))
             .join(lab.withColumnRenamed("c", "cu"), Seq("k"))
             .filter(col("c") === col("cu"))
-            .select(col("k"), col("c"))
-          val nr = reach.unionAll(add).distinct().cpGuard()
-          val n1 = nr.count()
-          changed = n1 > nReach
-          nReach = n1
-          reach = nr
+            .select(col("k"), col("c")).distinct()
+            .join(reach, Seq("k", "c"), "left_anti")
+            .cpGuard()
+          if (nf.isEmpty) changed = false
+          else {
+            reach = reach.unionAll(nf).cpGuard()
+            frontier = nf
+          }
         }
         require(!changed,
           s"scc: backward reach did not converge in $maxIters rounds")
