@@ -2252,6 +2252,40 @@ object OpQueries {
              CAST(cp.ut AS BIGINT) AS u_at_cp
       FROM nn, k, cp""")),
 
+    // ---- exact Spearman rank correlation between the hourly count
+    // and hourly value series: Pearson over doubled integer midranks
+    // (the t30/w37/w38 discipline), moments in BIGINT, one IEEE
+    // num/(sqrt*sqrt) at the read edge; oracle applies the textbook
+    // single-task midrank windows the engine replaces with PrefixSum
+    ("w39_spearman", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.spearmanHourly(t(s, d, "events")),
+      Some("""
+      WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+              CAST(COUNT(*) AS BIGINT) AS x,
+              CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS y
+            FROM events GROUP BY 1),
+      r AS (SELECT 2 * RANK() OVER (ORDER BY x)
+                     + COUNT(*) OVER (PARTITION BY x) - 1 AS rx2,
+                   2 * RANK() OVER (ORDER BY y)
+                     + COUNT(*) OVER (PARTITION BY y) - 1 AS ry2
+            FROM hourly),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(rx2) AS BIGINT) AS sx,
+              CAST(SUM(ry2) AS BIGINT) AS sy,
+              CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+              CAST(SUM(ry2 * ry2) AS BIGINT) AS syy,
+              CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy
+            FROM r)
+      SELECT n AS n_hours,
+             CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS d1,
+             CAST(n * syy - sy * sy AS BIGINT) AS d2,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+      FROM m""")),
+
     // ---- Holt linear-trend smoother: level + trend recursion as ONE
     // hash aggregation (w23's fold contract) in exact BIGINT cents<<20
     // with dyadic alpha=1/4, beta=1/2 — every step an arithmetic right

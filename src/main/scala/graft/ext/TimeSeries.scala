@@ -626,4 +626,56 @@ object TimeSeries {
       .select(col("t").as("ts_us"), col("conc").as("concurrency"))
       .orderBy(col("ts_us"))
   }
+
+  /** Exact Spearman rank correlation between the two hourly load
+    * series (X = events per hour, Y = value-cents per hour) — "do busy
+    * hours carry proportionally more value", robust to the heavy tails
+    * that break Pearson on raw values. Spearman = Pearson over
+    * midranks; midranks are kept as INTEGER doubled midranks (2R =
+    * 2·c_before + ties + 1, the t30/w37/w38 discipline — the doubling
+    * cancels in the correlation), so every moment (n, ΣR, ΣR², ΣRxRy)
+    * is exact BIGINT and the ONLY IEEE arithmetic is the final
+    * num/(√d1·√d2) at the read edge.
+    *
+    * Scale shape: one groupBy(hour) builds the series; each rank table
+    * is a groupBy(value) + exclusive [[graft.operators.PrefixSum
+    * .withRunningSum]] over value order — range-partitioned, never an
+    * unpartitioned window — and joins back by value (1 row per
+    * DISTINCT value on the build side, broadcast-or-hash at any
+    * scale); one hash aggregation collapses the moments.
+    *
+    * Output: ONE row (n_hours, num = n·Sxy − Sx·Sy, d1 = n·Sxx − Sx²,
+    * d2 = n·Syy − Sy², rho = num/(√d1·√d2)).
+    */
+  def spearmanHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("y"))
+      .cpGuard() // feeds both rank builds and the joined moments pass
+    def rank2(c: String, out: String): DataFrame = {
+      val grp = hourly.groupBy(col(c)).agg(count(lit(1)).as("ng"))
+      graft.operators.PrefixSum
+        .withRunningSum(grp, Seq(col(c).asc), "ng", "cb")
+        .select(col(c), (lit(2) * col("cb") + col("ng") + lit(1)).as(out))
+    }
+    hourly
+      .join(rank2("x", "rx2"), Seq("x"))
+      .join(rank2("y", "ry2"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"),
+        sum(col("rx2") * col("ry2")).as("sxy"))
+      .select(col("n").as("n_hours"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("rho"))
+  }
 }

@@ -400,4 +400,26 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((0L, 1L)))
   }
+
+  test("spearman: monotone hourly series score +1, anti-monotone -1") {
+    // hours 0/1/2 carry 1/2/3 events of 1c each: x=(1,2,3), y=(1,2,3)
+    val up = events(
+      (1L, 0, 1L, "v", 0.01),
+      (2L, 60, 1L, "v", 0.01), (3L, 61, 1L, "v", 0.01),
+      (4L, 120, 1L, "v", 0.01), (5L, 121, 1L, "v", 0.01),
+      (6L, 122, 1L, "v", 0.01))
+    val Array(r) = TimeSeries.spearmanHourly(up).collect()
+    // doubled midranks (2,4,6): num = d1 = d2 = 24
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 24L, 24L, 24L))
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
+    // same x, y reversed (9c / 2c / 0c): perfect negative
+    val down = events(
+      (1L, 0, 1L, "v", 0.09),
+      (2L, 60, 1L, "v", 0.01), (3L, 61, 1L, "v", 0.01),
+      (4L, 120, 1L, "v", 0.00), (5L, 121, 1L, "v", 0.00),
+      (6L, 122, 1L, "v", 0.00))
+    val Array(r2) = TimeSeries.spearmanHourly(down).collect()
+    assert(math.abs(r2.getDouble(4) + 1.0) < 1e-12)
+  }
 }
