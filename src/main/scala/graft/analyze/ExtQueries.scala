@@ -2497,6 +2497,30 @@ object ExtQueries {
       CROSS JOIN tot
       ORDER BY lift_ppm DESC, w_a, w_b LIMIT 50""")),
 
+    // ---- Yule's K repeat-rate per language (Yule 1944): the
+    // length-invariant richness statistic corpus QA reads next to TTR;
+    // frequency SPECTRUM (lang, m) -> V(m) keeps every moment a tiny
+    // partial-aggregable groupBy, DECIMAL(38,0) internally ------------
+    ("t32_yule_k", (s: SparkSession, d: String) =>
+      TextAnalysis.yuleK(t(s, d, "documents")),
+      Some(s"""
+      WITH toks AS (SELECT lang, unnest(${TextOps.wordsSql("text")}) AS w
+                    FROM documents),
+      tc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS m
+             FROM toks GROUP BY 1, 2),
+      sp AS (SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS v
+             FROM tc GROUP BY 1, 2),
+      ag AS (SELECT lang, CAST(SUM(m * v) AS BIGINT) AS n_tokens,
+                    CAST(SUM(v) AS BIGINT) AS n_types,
+                    CAST(SUM(m * m * v) AS HUGEINT) AS s2
+             FROM sp GROUP BY 1)
+      SELECT lang, n_tokens, n_types,
+             CAST(10000 * (s2 - n_tokens) AS BIGINT) AS k_num,
+             CAST(10000 * (s2 - n_tokens) AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+               AS yule_k
+      FROM ag ORDER BY lang""")),
+
     // per-doc shingle NOVELTY in ingestion (doc_id) order: fraction of
     // a doc's shingles first seen in this doc — the marginal-
     // information signal between "exact dup" and "keep"; the

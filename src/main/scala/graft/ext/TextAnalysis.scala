@@ -1072,4 +1072,40 @@ object TextAnalysis {
         col("n_stops"), col("top_word_n"), col("reasons"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** Yule's K vocabulary-richness characteristic per language — the
+    * classic repeat-rate statistic (Yule 1944) corpus QA reads next to
+    * type-token ratio, because unlike TTR it is (asymptotically)
+    * length-invariant: K = 10⁴·(Σ_m m²·V(m) − N)/N², where V(m) is the
+    * number of word TYPES occurring exactly m times and N the token
+    * count. High K = a few types dominate (templated/boilerplate
+    * feeds); natural prose sits around 100-200.
+    *
+    * Scale shape: explode → groupBy(lang, word) for type counts →
+    * groupBy(lang, m) for the frequency SPECTRUM (tiny: one row per
+    * distinct occurrence count) → one aggregation per language. All
+    * partial-aggregable; moments in DECIMAL(38,0) (a stop-word's m²
+    * would pass 2⁶³ long before the corpus reaches 100 TB), BIGINT at
+    * the output edge, one IEEE division for the read-edge K.
+    *
+    * Output: (lang, n_tokens, n_types, k_num = 10⁴(Σm²V − N), yule_k).
+    */
+  def yuleK(docs: DataFrame): DataFrame = {
+    val spectrum = docs
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
+      .groupBy(col("lang"), col("m")).agg(count(lit(1)).as("v"))
+    val d38 = "decimal(38,0)"
+    spectrum.groupBy(col("lang"))
+      .agg(sum(col("m").cast(d38) * col("v")).as("nt"),
+        sum(col("v")).as("n_types"),
+        sum(col("m").cast(d38) * col("m") * col("v")).as("s2"))
+      .select(col("lang"), col("nt").cast("long").as("n_tokens"),
+        col("n_types"),
+        (lit(10000L) * (col("s2") - col("nt"))).cast("long").as("k_num"),
+        ((lit(10000L) * (col("s2") - col("nt"))).cast("double")
+          / (col("nt").cast("double") * col("nt").cast("double")))
+          .as("yule_k"))
+      .orderBy(col("lang"))
+  }
 }

@@ -140,4 +140,15 @@ class TextScoringSpec extends SparkSpec {
     val Array(q) = TextAnalysis.aucFromScored(reversed).collect()
     assert(q.getLong(3) == 0L && q.getLong(5) == 0L)
   }
+
+  test("yuleK: hand spectrum — 'a a b' gives K = 10^4·(5-3)/9") {
+    val d = docs("a a b")
+    val r = TextAnalysis.yuleK(d).collect().head
+    // types a(m=2), b(m=1): N=3, types=2, s2 = 4+1 = 5
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 2L, 20000L))
+    assert(r.getDouble(4) == 20000.0 / 9.0)
+    // all-distinct corpus: s2 = N so K = 0 exactly
+    val flat = TextAnalysis.yuleK(docs("p q r s")).collect().head
+    assert(flat.getLong(3) == 0L && flat.getDouble(4) == 0.0)
+  }
 }
