@@ -2497,6 +2497,43 @@ object ExtQueries {
       CROSS JOIN tot
       ORDER BY lift_ppm DESC, w_a, w_b LIMIT 50""")),
 
+    // ---- TextRank keywords (Mihalcea & Tarau 2004): PageRank over
+    // the undirected word co-occurrence graph, g01's 2^40 integer
+    // fixed point unrolled identically in SQL — graph centrality
+    // catches keyphrases raw frequency misses ------------------------
+    ("t33_textrank", (s: SparkSession, d: String) =>
+      TextAnalysis.textrankKeywords(t(s, d, "documents")),
+      Some {
+      val scale = 1L << 40
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT ed.dst, SUM(r${i - 1}.r * ed.w // ow.ow) AS s
+              FROM ed JOIN ow ON ed.src = ow.src
+              JOIN r${i - 1} ON r${i - 1}.k = ed.src GROUP BY ed.dst),
+        r$i AS (SELECT nodes.k,
+                  (15 * $scale // 100) // (SELECT n FROM nn)
+                    + 85 * COALESCE(c$i.s, 0) // 100 AS r
+                FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH wb AS (SELECT unnest(${TextOps.allWordShinglesSql("text", 2)})
+                    AS bg FROM documents),
+      pr AS (SELECT string_split(bg, ' ')[1] AS a,
+                    string_split(bg, ' ')[2] AS b FROM wb),
+      pf AS (SELECT a, b FROM pr WHERE a <> b),
+      ed AS (SELECT src, dst, COUNT(*) AS w FROM
+               (SELECT a AS src, b AS dst FROM pf
+                UNION ALL SELECT b AS src, a AS dst FROM pf) u
+             GROUP BY 1, 2),
+      ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT k, $scale // (SELECT n FROM nn) AS r FROM nodes),
+      $iterCtes
+      SELECT k AS word, CAST(r AS BIGINT) AS rank_fp FROM r3
+      ORDER BY rank_fp DESC, word LIMIT 30"""
+      }),
+
     // ---- Yule's K repeat-rate per language (Yule 1944): the
     // length-invariant richness statistic corpus QA reads next to TTR;
     // frequency SPECTRUM (lang, m) -> V(m) keeps every moment a tiny

@@ -1073,6 +1073,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TextRank keyword ranking (Mihalcea & Tarau, EMNLP 2004): PageRank
+    * over the word co-occurrence graph — adjacent word pairs form
+    * UNDIRECTED edges (both directions, weight = co-occurrence count),
+    * and a word's rank is its stationary importance under the damped
+    * random walk. Catches corpus-level keyphrases frequency alone
+    * misses (a rare word adjacent to many hub words outranks a frequent
+    * word in a repetitive context) — the graph-centrality companion to
+    * [[collocations]]' pairwise lift and [[rakeKeywords]]' phrase
+    * scores.
+    *
+    * Exactness: delegates to [[Graphs.pageRank]]'s 2^40 integer fixed
+    * point (floor division per edge contribution, integer teleport) —
+    * ranks are BIGINTs both engines agree on digit-for-digit, no
+    * convergence epsilon. The undirected construction leaves no
+    * dangling nodes, so the dropped-dangling-mass caveat there is
+    * vacuous here.
+    *
+    * Scale shape: bigram explode → one groupBy(src, dst) for the edge
+    * list, then pageRank's per-iteration join+groupBy on word keys;
+    * the word graph is vocabulary-sized (≪ corpus-sized), and the
+    * final top-k is a TakeOrdered, never a global sort.
+    *
+    * Output: top-`topK` (word, rank_fp), rank descending, word tiebreak.
+    */
+  def textrankKeywords(docs: DataFrame, iters: Int = 3,
+                       topK: Int = 30): DataFrame = {
+    val pairs = docs
+      .select(explode(TextOps.allWordShingles(col("text"), 2)).as("bg"))
+      .select(split(col("bg"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("a"),
+        element_at(col("p"), 2).as("b"))
+      .filter(col("a") =!= col("b")) // no self-loops (TextRank convention)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    Graphs.pageRank(edges, iters)
+      .orderBy(col("r").desc, col("k"))
+      .limit(topK)
+      .select(col("k").as("word"), col("r").as("rank_fp"))
+  }
+
   /** Yule's K vocabulary-richness characteristic per language — the
     * classic repeat-rate statistic (Yule 1944) corpus QA reads next to
     * type-token ratio, because unlike TTR it is (asymptotically)

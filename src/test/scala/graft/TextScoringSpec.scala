@@ -151,4 +151,22 @@ class TextScoringSpec extends SparkSpec {
     val flat = TextAnalysis.yuleK(docs("p q r s")).collect().head
     assert(flat.getLong(3) == 0L && flat.getDouble(4) == 0.0)
   }
+
+  test("textrank: the co-occurrence hub outranks its leaves") {
+    // star graph: hub adjacent to a, b, c; leaves only touch hub
+    // (trailing hub so every leaf sits in exactly two bigrams)
+    val d = docs("hub a hub b hub c hub")
+    val got = TextAnalysis.textrankKeywords(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head._1 == "hub")
+    assert(got.map(_._1).toSet == Set("hub", "a", "b", "c"))
+    // leaves are symmetric by construction: identical ranks
+    val leaves = got.filter(_._1 != "hub").map(_._2).toSet
+    assert(leaves.size == 1)
+    // self-loops are dropped: a one-word-repeated doc leaves an empty
+    // graph, which pageRank rejects loudly rather than returning junk
+    intercept[IllegalArgumentException] {
+      TextAnalysis.textrankKeywords(docs("x x x")).collect()
+    }
+  }
 }
