@@ -4522,6 +4522,39 @@ object ExtQueries {
       SELECT check_name, violations, violations = 0 AS passed
       FROM u ORDER BY check_name""")),
 
+    // ---- t-closeness audit (Li et al. 2007): the distributional
+    // member completing the c24/c33 privacy triad — classes whose
+    // SOURCE distribution diverges from the table's by total variation
+    // > 2/5, as exact cross-multiplied integers; absent-value mass is
+    // folded in algebraically (nc*N + per-cell adjustment), so neither
+    // engine materializes the domain cross join ----------------------
+    ("c35_t_closeness", (s: SparkSession, d: String) =>
+      Curation.tClosenessAudit(t(s, d, "documents"), tNum = 2, tDen = 5),
+      Some("""
+      WITH base AS (SELECT lang, CAST(n_chars // 256 AS BIGINT) AS len_band,
+                           source FROM documents),
+      cell AS (SELECT lang, len_band, source,
+                      CAST(COUNT(*) AS BIGINT) AS ncv
+               FROM base GROUP BY 1, 2, 3),
+      ncls AS (SELECT lang, len_band, CAST(SUM(ncv) AS BIGINT) AS nc
+               FROM cell GROUP BY 1, 2),
+      gh AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+             FROM base GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+      terms AS (SELECT c.lang, c.len_band, n.nc, t.nn,
+                  ABS(c.ncv * t.nn - g.nv * n.nc) - g.nv * n.nc AS term
+                FROM cell c JOIN gh g USING (source)
+                JOIN ncls n ON n.lang = c.lang AND n.len_band = c.len_band,
+                tot t),
+      res AS (SELECT lang, len_band, nc AS n_rows,
+                CAST(nc * nn + SUM(term) AS BIGINT) AS tv_num,
+                CAST(2 * nc * nn AS BIGINT) AS tv_den
+              FROM terms GROUP BY lang, len_band, nc, nn)
+      SELECT lang, len_band, n_rows, tv_num, tv_den,
+             CAST(tv_num AS DOUBLE) / CAST(tv_den AS DOUBLE) AS t_closeness
+      FROM res WHERE tv_num * 5 > tv_den * 2
+      ORDER BY lang, len_band""")),
+
     // ---- peak-concurrency record audit: sweep line over half-open
     // activity intervals; every instant that sets a new all-time
     // concurrency record. Engine side replaces the classic single-task

@@ -1061,4 +1061,61 @@ object Curation {
       .filter(col("n_distinct_sources") < l)
       .orderBy(col("lang"), col("len_band"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * distributional member completing the [[kAnonymityAudit]] /
+    * [[lDiversityAudit]] triad: a group can hold `l` distinct sensitive
+    * values and still leak if its DISTRIBUTION over them diverges from
+    * the table's. Same quasi-identifier (lang, len_band) and sensitive
+    * attribute (`source`); distance = total variation, as the exact
+    * rational TV = Σ_v |n_cv·N − N_v·n_c| / (2·n_c·N). Values absent
+    * from a class contribute N_v·n_c without a row; folding Σ_v N_v =
+    * N turns the full-domain sum into n_c·N + Σ_{v∈class}(|n_cv·N −
+    * N_v·n_c| − N_v·n_c) — no domain cross join, only the class's own
+    * cells. Threshold compares cross-multiplied integers (tv_num·tDen
+    * > tNum·tv_den), no float edge.
+    *
+    * Scale shape: one groupBy for cells, one for class sizes, one for
+    * the global histogram (broadcast-size: distinct sensitive values),
+    * a 1-row total; cell·N products in DECIMAL(38,0) (counts multiply
+    * past 2⁶³ long before 100 TB), BIGINT at the output edge.
+    *
+    * Output: the VIOLATING classes (t > tNum/tDen), with exact
+    * numerator/denominator and the read-edge IEEE t.
+    */
+  def tClosenessAudit(docs: DataFrame, tNum: Int, tDen: Int,
+                      bandWidth: Long = 256L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, "0 < tNum/tDen < 1")
+    val d38 = "decimal(38,0)"
+    val base = graft.core.Tables.spread(docs)
+      .select(col("lang"),
+        expr(s"CAST(n_chars div $bandWidth AS BIGINT)").as("len_band"),
+        col("source"))
+      .cpGuard() // feeds cells, class sizes, histogram, and the total
+    val cell = base.groupBy(col("lang"), col("len_band"), col("source"))
+      .agg(count(lit(1)).as("ncv"))
+    val ncls = cell.groupBy(col("lang"), col("len_band"))
+      .agg(sum(col("ncv")).as("nc"))
+    val glob = base.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val tot = base.agg(count(lit(1)).as("nn"))
+    cell
+      .join(broadcast(glob), Seq("source"))
+      .join(ncls, Seq("lang", "len_band"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("len_band"), col("nc"), col("nn"),
+        (abs(col("ncv").cast(d38) * col("nn")
+            - col("nv").cast(d38) * col("nc"))
+          - col("nv").cast(d38) * col("nc")).as("term"))
+      .groupBy(col("lang"), col("len_band"), col("nc"), col("nn"))
+      .agg(sum(col("term")).as("adj"))
+      .select(col("lang"), col("len_band"), col("nc").as("n_rows"),
+        (col("nc").cast(d38) * col("nn") + col("adj"))
+          .cast("long").as("tv_num"),
+        (lit(2) * col("nc").cast(d38) * col("nn"))
+          .cast("long").as("tv_den"))
+      .filter(col("tv_num") * tDen > col("tv_den") * tNum)
+      .withColumn("t_closeness",
+        col("tv_num").cast("double") / col("tv_den").cast("double"))
+      .orderBy(col("lang"), col("len_band"))
+  }
 }

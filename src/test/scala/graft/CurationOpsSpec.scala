@@ -403,6 +403,29 @@ class CurationOpsSpec extends SparkSpec {
       r.getLong(2) == 1L && r.getLong(3) == 3L)
   }
 
+  test("t-closeness: a class matching the global mix passes, a one-source class is flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      // en band 0: 2 srcA + 2 srcB = exactly the global 50/50 -> t = 0
+      (1L, "t", "en", "srcA", 10L), (2L, "t", "en", "srcA", 20L),
+      (3L, "t", "en", "srcB", 30L), (4L, "t", "en", "srcB", 40L),
+      // de band 0: all srcA; fr band 0: all srcB (mirror) -> TV = 1/2
+      (5L, "t", "de", "srcA", 10L), (6L, "t", "de", "srcA", 20L),
+      (7L, "t", "de", "srcA", 30L), (8L, "t", "de", "srcA", 40L),
+      (9L, "t", "fr", "srcB", 10L), (10L, "t", "fr", "srcB", 20L),
+      (11L, "t", "fr", "srcB", 30L), (12L, "t", "fr", "srcB", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.tClosenessAudit(docs, tNum = 2, tDen = 5).collect()
+    assert(got.length == 2)
+    // de: n_c=4, N=12: v=A |4*12-6*4|=24 (-24 adj cancels), v=B absent
+    // folds into nc*N -> tv = 48/96 = 1/2; fr is the mirror image
+    got.foreach { r =>
+      assert(Set("de", "fr")(r.getString(0)) && r.getLong(1) == 0L &&
+        r.getLong(2) == 4L && r.getLong(3) == 48L && r.getLong(4) == 96L)
+      assert(r.getDouble(5) == 0.5)
+    }
+  }
+
   test("constraint audit: a clean table passes everything, each seeded defect trips its check") {
     import spark.implicits._
     import graft.ext.Validate
