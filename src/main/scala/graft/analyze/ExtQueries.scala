@@ -2497,6 +2497,33 @@ object ExtQueries {
       CROSS JOIN tot
       ORDER BY lift_ppm DESC, w_a, w_b LIMIT 50""")),
 
+    // ---- vocabulary coverage per language: Good-Turing unseen mass
+    // V(1)/N as floor-ppm + bias-corrected Chao1 richness floor —
+    // "is more data from this feed still buying new vocabulary";
+    // same spectrum shape as t32, one IEEE division at the read edge -
+    ("t34_vocab_coverage", (s: SparkSession, d: String) =>
+      TextAnalysis.vocabCoverage(t(s, d, "documents")),
+      Some(s"""
+      WITH toks AS (SELECT lang, unnest(${TextOps.wordsSql("text")}) AS w
+                    FROM documents),
+      tc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS m
+             FROM toks GROUP BY 1, 2),
+      sp AS (SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS v
+             FROM tc GROUP BY 1, 2),
+      ag AS (SELECT lang, CAST(SUM(m * v) AS BIGINT) AS n_tokens,
+                    CAST(SUM(v) AS BIGINT) AS n_types,
+                    CAST(SUM(CASE WHEN m = 1 THEN v ELSE 0 END) AS BIGINT)
+                      AS v1,
+                    CAST(SUM(CASE WHEN m = 2 THEN v ELSE 0 END) AS BIGINT)
+                      AS v2
+             FROM sp GROUP BY 1)
+      SELECT lang, n_tokens, n_types, v1, v2,
+             CAST(1000000 * v1 // n_tokens AS BIGINT) AS unseen_ppm,
+             CAST(n_types AS DOUBLE)
+               + CAST(v1 * (v1 - 1) AS DOUBLE)
+                 / CAST(2 * (v2 + 1) AS DOUBLE) AS chao1
+      FROM ag ORDER BY lang""")),
+
     // ---- TextRank keywords (Mihalcea & Tarau 2004): PageRank over
     // the undirected word co-occurrence graph, g01's 2^40 integer
     // fixed point unrolled identically in SQL — graph centrality

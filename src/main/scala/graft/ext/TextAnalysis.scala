@@ -1073,6 +1073,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary-coverage estimators per language from the same
+    * frequency spectrum as [[yuleK]]: Good-Turing unseen-species mass
+    * (Good 1953) p₀ = V(1)/N — the probability the NEXT token is a
+    * never-seen type, i.e. how much vocabulary the corpus still
+    * misses — and the bias-corrected Chao1 richness floor (Chao 1984)
+    * V + V(1)·(V(1)−1)/(2·(V(2)+1)) — a lower bound on the TRUE
+    * vocabulary size including unseen types. Together they answer the
+    * curation question "is more data from this feed still buying new
+    * vocabulary".
+    *
+    * Exactness: unseen mass as floor-ppm (BIGINT); Chao1's correction
+    * term is an exact integer ratio with ONE IEEE division added to
+    * the integer type count at the read edge (the +1 in the
+    * denominator is the standard bias correction AND makes V(2)=0
+    * safe). Same spectrum shape as [[yuleK]]: everything
+    * partial-aggregable, nothing collected.
+    *
+    * Output: (lang, n_tokens, n_types, v1, v2, unseen_ppm, chao1).
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val spectrum = docs
+      .select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
+      .groupBy(col("lang"), col("m")).agg(count(lit(1)).as("v"))
+    spectrum.groupBy(col("lang"))
+      .agg(sum(col("m") * col("v")).as("n_tokens"),
+        sum(col("v")).as("n_types"),
+        sum(when(col("m") === 1, col("v")).otherwise(lit(0L))).as("v1"),
+        sum(when(col("m") === 2, col("v")).otherwise(lit(0L))).as("v2"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        col("v1"), col("v2"),
+        expr("1000000 * v1 div n_tokens").as("unseen_ppm"),
+        (col("n_types").cast("double")
+          + (col("v1") * (col("v1") - 1)).cast("double")
+            / (lit(2) * (col("v2") + 1)).cast("double")).as("chao1"))
+      .orderBy(col("lang"))
+  }
+
   /** TextRank keyword ranking (Mihalcea & Tarau, EMNLP 2004): PageRank
     * over the word co-occurrence graph — adjacent word pairs form
     * UNDIRECTED edges (both directions, weight = co-occurrence count),

@@ -152,6 +152,20 @@ class TextScoringSpec extends SparkSpec {
     assert(flat.getLong(3) == 0L && flat.getDouble(4) == 0.0)
   }
 
+  test("vocabCoverage: Good-Turing mass and Chao1 from a hand spectrum") {
+    // "a a a b b c d": m(a)=3, m(b)=2, m(c)=m(d)=1
+    // N=7, V=4, V1=2, V2=1: p0 = 2/7 -> 285714 ppm;
+    // chao1 = 4 + 2*1/(2*2) = 4.5
+    val r = TextAnalysis.vocabCoverage(docs("a a a b b c d")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (7L, 4L, 2L, 1L))
+    assert(r.getLong(5) == 285714L)
+    assert(r.getDouble(6) == 4.5)
+    // saturated corpus (no singletons): zero unseen mass, chao1 = V
+    val sat = TextAnalysis.vocabCoverage(docs("x x y y")).collect().head
+    assert(sat.getLong(5) == 0L && sat.getDouble(6) == 2.0)
+  }
+
   test("textrank: the co-occurrence hub outranks its leaves") {
     // star graph: hub adjacent to a, b, c; leaves only touch hub
     // (trailing hub so every leaf sits in exactly two bigrams)
