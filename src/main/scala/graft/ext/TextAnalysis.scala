@@ -1146,6 +1146,8 @@ object TextAnalysis {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .cpGuard() // pageRank reads edges 4x (outw, envelope, nodes, n);
+                 // never re-run the corpus-wide bigram explode per read
     Graphs.pageRank(edges, iters)
       .orderBy(col("r").desc, col("k"))
       .limit(topK)
