@@ -2311,6 +2311,49 @@ object ExtQueries {
         ON b.query_id = rr.query_id AND b.neighbor_id = rr.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // binary-quantization retrieval audit: recall@5 of sign-bit
+    // Hamming search (32x compression, xor+popcount — pure integers)
+    // vs the float baseline; the third point on the s08/s21/s10-s12
+    // storage/recall curve
+    ("s37_sign_hamming_recall", (s: SparkSession, d: String) => {
+      val embs = t(s, d, "embeddings")
+      val full = Similarity.bruteForceTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ham = Similarity.signHammingTopK(embs, nQueries = 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      full.join(ham, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_full"), count(col("__hit")).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_full").cast("double"))
+        .orderBy(col("query_id"))
+    }, Some(s"""
+      WITH b AS ($annTopkOracle),
+      sw AS (SELECT vec_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS w0,
+          CAST(list_sum(list_transform(range(32, 64), i ->
+            CASE WHEN embedding[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT)
+            AS w1
+        FROM embeddings),
+      hd AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+               CAST(bit_count(xor(q.w0, t.w0))
+                 + bit_count(xor(q.w1, t.w1)) AS BIGINT) AS ham
+             FROM sw q JOIN sw t ON q.vec_id < 10 AND t.vec_id >= 10),
+      hh AS (SELECT qid AS query_id, tid AS neighbor_id
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY ham, tid) AS rn FROM hd) z
+             WHERE rn <= 5)
+      SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(COUNT(hh.neighbor_id) AS BIGINT) AS n_hits,
+             CAST(COUNT(hh.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS recall
+      FROM b LEFT JOIN hh
+        ON b.query_id = hh.query_id AND b.neighbor_id = hh.neighbor_id
+      GROUP BY b.query_id ORDER BY b.query_id""")),
+
     // filtered vector search: the metadata predicate (doc lang = 'en')
     // semi-joins the target side BEFORE any distance math — filtered
     // ANN as a composition, never a post-filter that can starve k

@@ -1389,6 +1389,56 @@ object Similarity {
         END"""
   }
 
+  /** Sign-bit word of `emb`'s lanes [lo, lo+32): bit (i − lo) set when
+    * emb[i] > 0 — one 32-bit half of the binary quantization code,
+    * held in a BIGINT so no engine ever shifts into (or compares
+    * across) the sign bit.
+    */
+  private def signWord(emb: String, lo: Int): Column =
+    expr(s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
+      (acc, i) -> acc + CASE WHEN element_at($emb, i + 1) > CAST(0 AS FLOAT)
+        THEN shiftleft(CAST(1 AS BIGINT), i - $lo)
+        ELSE CAST(0 AS BIGINT) END)""")
+
+  /** Binary (sign-bit) quantization retrieval: each 64-dim float
+    * vector collapses to 64 sign bits (two 32-bit words — 32×
+    * smaller than float32) and search ranks by Hamming distance
+    * (xor + popcount), the classic bit-sampling LSH estimate of
+    * angular distance (Charikar 2002 with coordinate hyperplanes).
+    * The third point on the storage/recall curve between int8
+    * ([[int8Reconstruct]], 4×) and product quantization
+    * ([[pqEncode]], codebook-sized): at 100 TB the packed words are
+    * the only representation that fits a scan in memory, and xor +
+    * popcount is one cycle per word — re-rank survivors with full
+    * vectors exactly as the s21/s24 audits price.
+    *
+    * Exactness: codes and Hamming distances are pure integers — no
+    * IEEE anywhere — so ranking ties break on t_id identically in
+    * both engines by construction.
+    *
+    * Output: top-`k` per query (query_id, neighbor_id, hamming, rn),
+    * Hamming ascending, neighbor tiebreak.
+    */
+  def signHammingTopK(embs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    def words(df: DataFrame, p: String) = df.select(
+      col("vec_id").as(s"${p}_id"),
+      signWord("embedding", 0).as(s"${p}_w0"),
+      signWord("embedding", 32).as(s"${p}_w1"))
+    val q = words(embs.filter(col("vec_id") < nQueries), "q")
+    val t = words(embs.filter(col("vec_id") >= nQueries), "t")
+    val scored = t.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(expr("q_w0 ^ t_w0")) + bit_count(expr("q_w1 ^ t_w1")))
+          .cast("long"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id").as("query_id"), col("t_id").as("neighbor_id"),
+        col("hamming"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** MMR (maximal-marginal-relevance) diversified re-ranking: from each
     * query's `kCand` cosine candidates, select `kSel` iteratively —
     * first the most relevant, then whatever maximizes

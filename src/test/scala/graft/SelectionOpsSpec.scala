@@ -27,6 +27,19 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.subsetOf(unfiltered))
   }
 
+  test("signHammingTopK: exact bit distances across both 32-bit words") {
+    def v64(f: Int => Float): Array[Float] = Array.tabulate(64)(f)
+    val embs = Seq(
+      (0L, v64(_ => 1f)),                          // query: all bits set
+      (10L, v64(_ => 1f)),                         // identical -> ham 0
+      (11L, v64(i => if (i < 32) -1f else 1f)),    // low word flipped -> 32
+      (12L, v64(i => if (i == 40) -1f else 1f)))   // one high-word bit -> 1
+      .toDF("vec_id", "embedding")
+    val got = Similarity.signHammingTopK(embs, nQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((10L, 0L, 1), (12L, 1L, 2), (11L, 32L, 3)))
+  }
+
   test("hardNegatives skips the nearest same-label hit, keeps cross-label ranks") {
     // target 10 is the query's nearest neighbor but shares its label —
     // mining must skip it and rank only the different-label targets
