@@ -2252,6 +2252,30 @@ object OpQueries {
              CAST(cp.ut AS BIGINT) AS u_at_cp
       FROM nn, k, cp""")),
 
+    // ---- burst intervals: maximal runs of hours above 5/4 x the
+    // trailing 24h average (full windows only), cross-multiplied
+    // integer threshold, gaps-and-islands over the flagged tail via
+    // SeqNumber; oracle applies the textbook single-task windows -----
+    ("w40_bursts", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.bursts(t(s, d, "events"), num = 5, den = 4),
+      Some("""
+      WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS h,
+              CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      tr AS (SELECT h + o AS h2, c FROM hourly,
+               (SELECT unnest(generate_series(1, 24)) AS o) os),
+      ag AS (SELECT h2, CAST(SUM(c) AS BIGINT) AS s24,
+               CAST(COUNT(*) AS BIGINT) AS n24 FROM tr GROUP BY 1),
+      fl AS (SELECT h, c, s24 FROM hourly JOIN ag ON ag.h2 = hourly.h
+             WHERE n24 = 24 AND c * 96 > s24 * 5),
+      sq AS (SELECT h, c, s24, h - ROW_NUMBER() OVER (ORDER BY h) AS g
+             FROM fl)
+      SELECT CAST(MIN(h) AS BIGINT) AS start_h,
+             CAST(MAX(h) AS BIGINT) AS end_h,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(MAX(c) AS BIGINT) AS peak_count,
+             CAST(SUM(c * 96 - s24 * 5) AS BIGINT) AS excess_num
+      FROM sq GROUP BY g ORDER BY start_h""")),
+
     // ---- exact Spearman rank correlation between the hourly count
     // and hourly value series: Pearson over doubled integer midranks
     // (the t30/w37/w38 discipline), moments in BIGINT, one IEEE

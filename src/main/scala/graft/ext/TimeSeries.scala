@@ -627,6 +627,57 @@ object TimeSeries {
       .orderBy(col("ts_us"))
   }
 
+  /** Burst detection over the hourly load series: every maximal run of
+    * hours whose event count exceeds `num/den` × the TRAILING 24-hour
+    * average (full windows only — the first day and calendar gaps
+    * cannot alarm on partial baselines). The thresholded two-state
+    * reading of Kleinberg's burst model that monitoring actually
+    * deploys; w27's CUSUM tracks cumulative drift, this flags
+    * localized rate spikes and reports them as INTERVALS.
+    *
+    * Exactness: threshold compares cross-multiplied integers
+    * (c·24·den > s24·num — no float ratio, no edge ambiguity); burst
+    * grouping is gaps-and-islands (h − rank is constant within a
+    * consecutive run) over the flagged hours via [[graft.operators
+    * .SeqNumber]], never an unpartitioned window.
+    *
+    * Scale shape: one groupBy(hour); the trailing window is the w35
+    * offset-explode (24 rows per hour, partial-aggregable groupBy) —
+    * calendar-indexed, so series gaps shrink n24 and are excluded
+    * rather than silently stretching the window; flagged hours are by
+    * construction the sparse tail.
+    *
+    * Output: (start_h, end_h, n_hours, peak_count, excess_num) per
+    * burst, start ascending; excess_num = Σ(24·den·c − num·s24), the
+    * integer-scaled area above the threshold.
+    */
+  def bursts(events: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num > den, "threshold num/den > 1")
+    val hourly = events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"))
+      .cpGuard() // feeds both the trailing window and the flag join
+    val trail = hourly
+      .select(explode(sequence(lit(1), lit(24))).as("o"), col("h"),
+        col("c"))
+      .select((col("h") + col("o")).as("h2"), col("c"))
+      .groupBy(col("h2"))
+      .agg(sum(col("c")).as("s24"), count(lit(1)).as("n24"))
+    val flagged = hourly.join(trail, col("h") === col("h2"))
+      .filter(col("n24") === 24 &&
+        col("c") * (24L * den) > col("s24") * num)
+      .select(col("h"), col("c"), col("s24"))
+    graft.operators.SeqNumber.withSeq(flagged, Seq(col("h").asc), "rn")
+      .withColumn("g", col("h") - col("rn"))
+      .groupBy(col("g"))
+      .agg(min(col("h")).as("start_h"), max(col("h")).as("end_h"),
+        count(lit(1)).as("n_hours"), max(col("c")).as("peak_count"),
+        sum(col("c") * (24L * den) - col("s24") * num).as("excess_num"))
+      .select(col("start_h"), col("end_h"), col("n_hours"),
+        col("peak_count"), col("excess_num"))
+      .orderBy(col("start_h"))
+  }
+
   /** Exact Spearman rank correlation between the two hourly load
     * series (X = events per hour, Y = value-cents per hour) — "do busy
     * hours carry proportionally more value", robust to the heavy tails

@@ -401,6 +401,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((0L, 1L)))
   }
 
+  test("bursts: spike above trailing average forms one interval, partial windows never alarm") {
+    // hours 0..23: one event each (baseline); 24-25: two events
+    // (flagged); 26: one event (trailing now includes the spike; not
+    // flagged). Hours < 24 have partial windows and cannot alarm.
+    val rows = (0 to 23).map(h => ((h + 1).toLong, h * 60, 1L, "v", 1.0)) ++
+      Seq((100L, 24 * 60, 1L, "v", 1.0), (101L, 24 * 60 + 1, 1L, "v", 1.0),
+        (102L, 25 * 60, 1L, "v", 1.0), (103L, 25 * 60 + 1, 1L, "v", 1.0),
+        (104L, 26 * 60, 1L, "v", 1.0))
+    val got = TimeSeries.bursts(events(rows: _*), num = 5, den = 4)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // h24: s24=24, 2*96-24*5=72; h25: s24=25, 192-125=67 -> 139
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (24L, 25L, 2L, 2L, 139L))
+  }
+
   test("spearman: monotone hourly series score +1, anti-monotone -1") {
     // hours 0/1/2 carry 1/2/3 events of 1c each: x=(1,2,3), y=(1,2,3)
     val up = events(
