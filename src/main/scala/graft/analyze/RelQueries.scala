@@ -740,6 +740,39 @@ object RelQueries {
              CAST(ntile(4) OVER w AS INT) AS quartile
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id""")),
+
+    // ---- RANGE-frame (logical-offset) windows: trailing one-hour
+    // sliding sum/count per user over event TIME, not row position —
+    // the window-frame surface the q17/q52/q60 ROWS suites don't
+    // touch. Frame = RANGE 3599999999 µs PRECEDING..CURRENT ROW over
+    // epoch-microsecond order: value-based bounds + all-peers-included
+    // semantics are identical in both engines, and the summed cents
+    // are exact integers so frame-set equality IS result equality;
+    // partitioned by user_id, never an unpartitioned window ----------
+    ("q61_range_window", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"))
+        .rangeBetween(-3599999999L, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          sum(col("cents")).over(w).as("hour_cents"),
+          count(lit(1)).over(w).as("hour_events"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events)
+      SELECT event_id, user_id, tus,
+             CAST(SUM(cents) OVER w AS BIGINT) AS hour_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS hour_events
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
   )
 
