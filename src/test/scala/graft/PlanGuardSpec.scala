@@ -83,7 +83,9 @@ class PlanGuardSpec extends SparkSpec {
     "g21_effective_diameter" -> 2,
     "s36_mrr" -> 1, // broadcast 1-row MRR total attach
     "t31_collocations" -> 1, // broadcast 1-row token-total attach
-    "g22_reciprocity" -> 1) // 1-row edge-count x 1-row reciprocal-count attach
+    "g22_reciprocity" -> 1, // 1-row edge-count x 1-row reciprocal-count attach
+    "c35_t_closeness" -> 1, // broadcast 1-row table-total attach
+    "s37_sign_hamming_recall" -> 2) // broadcast query set per side (brute + sign words)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
