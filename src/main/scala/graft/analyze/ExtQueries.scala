@@ -3954,6 +3954,30 @@ object ExtQueries {
           AS patch_sum
       FROM gxy ORDER BY doc_id, py, px""")),
 
+    // ---- area-average image resize (box-filter downsample to 2x2)
+    // over REAL decoded pixels: the fixed-input-size normalization
+    // before a vision encoder; integer-division area partition
+    // (x*g div w) is one closed-form both engines share, exact cell
+    // sums/counts, one IEEE division for the mean --------------------
+    ("m12_image_resize", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      Multimodal.imageResize(Multimodal.syntheticImages(docs), gw = 2,
+          gh = 2)
+        .orderBy(col("doc_id"), col("cy"), col("cx"))
+    }, Some("""
+      WITH g AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                 FROM documents WHERE doc_id < 200),
+      gx AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM g),
+      gxy AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM gx)
+      SELECT doc_id,
+             CAST((x * 2) // w AS INT) AS cx,
+             CAST((y * 2) // h AS INT) AS cy,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM((doc_id * 31 + y * w + x) % 256) AS BIGINT) AS px_sum,
+             CAST(SUM((doc_id * 31 + y * w + x) % 256) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_px
+      FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id, cy, cx""")),
+
     // ---- perceptual image dedup (dHash over REAL decoded pixels) ----
     // the multimodal near-dup story: the same pattern rendered at
     // different resolutions hashes identically (m04 groups find the

@@ -297,6 +297,64 @@ object Multimodal {
   /** 9x8-grid difference hash of a decoded image — the shared core of
     * [[dhash64]] and the per-frame hashing in [[videoFrameHashes]].
     */
+  /** Area-average RESIZE (box-filter downsample) of every decoded
+    * image to a fixed `gw`×`gh` grid — the thumbnail/pre-encoder
+    * normalization step a multimodal pipeline runs before a vision
+    * model with a fixed input size. Source pixel (x, y) maps to cell
+    * (x·gw div w, y·gh div h) — the integer-division area partition,
+    * one closed-form expression both engines evaluate identically —
+    * and each cell reports its EXACT integer pixel sum and count, with
+    * the mean as one IEEE division over those integers.
+    *
+    * Scale shape: pure flatMap over the binary column (no shuffle,
+    * scan throughput), gw·gh rows per image; undecodable or
+    * smaller-than-grid payloads emit zero rows ([[decodeImages]]'
+    * malformed-input contract).
+    */
+  def imageResize(withBin: DataFrame, gw: Int = 2, gh: Int = 2): DataFrame = {
+    require(gw >= 1 && gh >= 1 && gw <= 64 && gh <= 64,
+      s"resize grid ${gw}x$gh out of range")
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null || img.getWidth < gw || img.getHeight < gh)
+              Iterator.empty
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              val raster = img.getRaster
+              val sums = Array.ofDim[Long](gw * gh)
+              val cnts = Array.ofDim[Long](gw * gh)
+              var y = 0
+              while (y < h) {
+                val cy = y * gh / h
+                var x = 0
+                while (x < w) {
+                  val c = cy * gw + x * gw / w
+                  sums(c) += raster.getSample(x, y, 0)
+                  cnts(c) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              (0 until gw * gh).iterator.map { c =>
+                (id, c % gw, c / gw, cnts(c), sums(c),
+                  sums(c).toDouble / cnts(c).toDouble)
+              }
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      }
+      .toDF("doc_id", "cx", "cy", "n_px", "px_sum", "mean_px")
+  }
+
   private def dhashOf(img: java.awt.image.BufferedImage): Long = {
     val raster = img.getRaster
     val w = img.getWidth; val h = img.getHeight

@@ -150,6 +150,25 @@ class ZipSourceSpec extends SparkSpec {
     }
   }
 
+  test("image resize: doc 0's 4x3 image pools to exact quadrant sums") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") === 0)
+    val got = Multimodal.imageResize(Multimodal.syntheticImages(docs))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // doc 0: w=4, h=3, pixel(x,y) = y*4 + x; cy = y*2/3 -> rows {0,1}|{2}
+    assert(got == Map(
+      (0, 0) -> (4L, 10L, 2.5), (1, 0) -> (4L, 18L, 4.5),
+      (0, 1) -> (2L, 17L, 8.5), (1, 1) -> (2L, 21L, 10.5)))
+  }
+
+  test("image resize: undecodable payload emits zero rows, not a crash") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val notImages = Multimodal.withPayload(docs.limit(5))
+    assert(Multimodal.imageResize(notImages).count() == 0L)
+  }
+
   test("image patches: undecodable payload emits zero rows, not a crash") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val notImages = Multimodal.withPayload(docs.limit(5)) // utf8 text bytes
