@@ -827,8 +827,13 @@ object Graphs {
         val hasIn = re.select(col("dst").as("k")).distinct()
         val hasOut = re.select(col("src").as("k")).distinct()
         val keep = hasIn.join(hasOut, Seq("k"), "left_semi").cpGuard()
-        val peeled = remaining.join(keep, Seq("k"), "left_anti").cpGuard()
-        val nPeeled = peeled.count()
+        // the peel count rides on the checkpoint job via observe() —
+        // one action per trim round, not two (the g17 iteration cost
+        // is JOB latency, not data)
+        val pObs = org.apache.spark.sql.Observation()
+        val peeled = remaining.join(keep, Seq("k"), "left_anti")
+          .observe(pObs, count(lit(1)).as("n")).cpGuard()
+        val nPeeled = pObs.get("n").asInstanceOf[Long]
         if (nPeeled == 0) trimming = false
         else {
           accumulate(peeled.select(col("k"), col("k").as("scc_id")))
@@ -851,18 +856,20 @@ object Graphs {
           val prop = re
             .join(lab.select(col("k").as("src"), col("c")), Seq("src"))
             .groupBy(col("dst").as("k")).agg(min(col("c")).as("pc"))
-          // the improvement flag rides along in the checkpointed
-          // result, so convergence is a cheap scan of the checkpoint —
-          // not a second join against the previous labels (checkpoint
-          // every round: the isEmpty probe and the next round's join
-          // both reread it, so skipping the checkpoint recomputes the
-          // lineage twice per round and measures slower)
+          // the improvement count rides ON the checkpoint job via
+          // observe() — one action per labeling round (a separate
+          // isEmpty probe, or a join against the previous labels,
+          // both pay a second job; g17's iteration cost is job
+          // latency, not data)
+          val fObs = org.apache.spark.sql.Observation()
           val nl = lab.join(prop, Seq("k"), "left_outer")
             .select(col("k"),
               least(col("c"), coalesce(col("pc"), col("c"))).as("c"),
               (col("pc").isNotNull && col("pc") < col("c")).as("chg"))
+            .observe(fObs,
+              count(when(col("chg"), lit(1))).as("nchg"))
             .cpGuard()
-          changed = !nl.filter(col("chg")).isEmpty
+          changed = fObs.get("nchg").asInstanceOf[Long] > 0L
           lab = nl.select(col("k"), col("c"))
         }
         require(!changed,
@@ -877,6 +884,10 @@ object Graphs {
         it = 0
         while (changed && it < maxIters) {
           it += 1
+          // frontier size rides on the checkpoint job (observe) —
+          // one action per expansion round instead of a separate
+          // isEmpty probe
+          val bObs = org.apache.spark.sql.Observation()
           val nf = re
             .join(frontier.select(col("k").as("dst"), col("c")), Seq("dst"))
             .select(col("src").as("k"), col("c"))
@@ -884,8 +895,9 @@ object Graphs {
             .filter(col("c") === col("cu"))
             .select(col("k"), col("c")).distinct()
             .join(reach, Seq("k", "c"), "left_anti")
+            .observe(bObs, count(lit(1)).as("n"))
             .cpGuard()
-          if (nf.isEmpty) changed = false
+          if (bObs.get("n").asInstanceOf[Long] == 0L) changed = false
           else {
             reach = reach.unionAll(nf).cpGuard()
             frontier = nf
@@ -896,9 +908,11 @@ object Graphs {
         // (4) assign SCC(root) for every root, remove, next phase
         val assigned = reach.select(col("k"), col("c").as("scc_id"))
         accumulate(assigned)
+        val rObs = org.apache.spark.sql.Observation()
         remaining = remaining
-          .join(assigned.select(col("k")), Seq("k"), "left_anti").cpGuard()
-        nRemaining = remaining.count()
+          .join(assigned.select(col("k")), Seq("k"), "left_anti")
+          .observe(rObs, count(lit(1)).as("n")).cpGuard()
+        nRemaining = rObs.get("n").asInstanceOf[Long]
       }
     }
     require(nRemaining == 0,

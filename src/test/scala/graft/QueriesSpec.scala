@@ -15,7 +15,11 @@ class QueriesSpec extends SparkSpec {
   val sf = "/root/testdata/sf0.001"
 
   test("every declared query runs and returns rows at sf0.001") {
-    val allowedEmpty = Set("q09_anti_join", "q13_except", "d01_dedup_exact_groups")
+    // w40: sf0.001 has only 2 full trailing-24h windows and no hour
+    // beats 5/4x its baseline — an empty burst report is the correct
+    // answer there (the sf0.01/sf0.1 oracle gates return 104/4 rows)
+    val allowedEmpty = Set("q09_anti_join", "q13_except",
+      "d01_dedup_exact_groups", "w40_bursts")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n >= 0, name)
