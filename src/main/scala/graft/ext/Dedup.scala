@@ -646,13 +646,21 @@ object Dedup {
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .cpGuard()
     val nodeCount = cur.select(col("u")).distinct().count()
+    var nCur = cur.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).cpGuard()
-      converged = next.count() == cur.count() &&
-        next.exceptAll(cur).isEmpty
+      // edge count rides on the checkpoint job (observe): per round one
+      // materialization + the one-sided exceptAll — never a third job.
+      // Equal DISTINCT-set sizes + empty next∖cur ⟺ set equality, so
+      // the exactness of the fixpoint test is unchanged
+      val nObs = org.apache.spark.sql.Observation()
+      val next = smallStar(largeStar(cur))
+        .observe(nObs, count(lit(1)).as("n")).cpGuard()
+      val nNext = nObs.get("n").asInstanceOf[Long]
+      converged = nNext == nCur && next.exceptAll(cur).isEmpty
       cur = next
+      nCur = nNext
       rounds += 1
     }
     require(converged,
