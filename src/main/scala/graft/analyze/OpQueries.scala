@@ -2305,9 +2305,11 @@ object OpQueries {
              CAST(n * sxy - sx * sy AS BIGINT) AS num,
              CAST(n * sxx - sx * sx AS BIGINT) AS d1,
              CAST(n * syy - sy * sy AS BIGINT) AS d2,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS rho
       FROM m""")),
 
     // ---- Holt linear-trend smoother: level + trend recursion as ONE

@@ -722,11 +722,14 @@ object TimeSeries {
       .select(col("n").as("n_hours"),
         (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
         (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
-        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double"))
-            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-              .cast("double")))).as("rho"))
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      // a constant series has zero rank variance (d = 0): rho is
+      // undefined there — degrade to NULL, never an ANSI
+      // divide-by-zero crash (the RobustnessSpec contract)
+      .withColumn("rho",
+        when(col("d1") > 0 && col("d2") > 0,
+          col("num").cast("double")
+            / (sqrt(col("d1").cast("double"))
+              * sqrt(col("d2").cast("double")))))
   }
 }

@@ -439,4 +439,14 @@ class TimeSeriesSpec extends SparkSpec {
     val Array(r2) = TimeSeries.spearmanHourly(down).collect()
     assert(math.abs(r2.getDouble(4) + 1.0) < 1e-12)
   }
+
+  test("spearman: constant series degrades to null rho, never a crash") {
+    // one event per hour, identical values: both rank variances are 0
+    val flat = events(
+      (1L, 0, 1L, "v", 0.05), (2L, 60, 1L, "v", 0.05),
+      (3L, 120, 1L, "v", 0.05))
+    val Array(r) = TimeSeries.spearmanHourly(flat).collect()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (0L, 0L, 0L))
+    assert(r.isNullAt(4))
+  }
 }
