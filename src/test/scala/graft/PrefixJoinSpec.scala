@@ -253,6 +253,27 @@ class PrefixJoinSpec extends SparkSpec {
       nQueries = 1, g = 2, beam = 2, rounds = 2, k = 3).count() == 0)
   }
 
+  test("round-10 operators degrade to empty/defined on degenerate inputs") {
+    import spark.implicits._
+    import graft.ext.{Curation, Similarity, TextAnalysis, TimeSeries}
+    val noEvents = Seq
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val noDocs = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val noEmbs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    // global agg: one all-zero/null row, rho null (zero rank variance)
+    val Array(sp) = TimeSeries.spearmanHourly(noEvents).collect()
+    assert(sp.getLong(0) == 0L && sp.isNullAt(4))
+    assert(TimeSeries.bursts(noEvents, num = 5, den = 4).count() == 0)
+    assert(TextAnalysis.yuleK(noDocs).count() == 0)
+    assert(TextAnalysis.vocabCoverage(noDocs).count() == 0)
+    assert(Curation.tClosenessAudit(noDocs, 2, 5).count() == 0)
+    assert(Similarity.signHammingTopK(noEmbs, nQueries = 1, k = 3)
+      .count() == 0)
+  }
+
   test("audio fingerprint is amplitude-invariant and perturbation-sensitive") {
     import spark.implicits._
     import graft.ext.Multimodal
