@@ -2252,6 +2252,56 @@ object OpQueries {
              CAST(cp.ut AS BIGINT) AS u_at_cp
       FROM nn, k, cp""")),
 
+    // ---- binary-segmentation changepoints: the global Pettitt cp
+    // splits the series and the SAME exact midrank statistic re-runs
+    // INSIDE each side (per-segment midranks — a segment's U sees its
+    // own distribution); oracle repeats the w38 single-task window
+    // block per segment with the split as scalar subqueries ----------
+    ("w42_pettitt_segments", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.pettittSegments(t(s, d, "events")),
+      Some {
+      def pett(p: String, src: String) = s"""
+        nn$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM $src),
+        r$p AS (SELECT event_id, tus,
+                  2 * RANK() OVER (ORDER BY cents)
+                    + COUNT(*) OVER (PARTITION BY cents) - 1 AS r2
+                FROM $src),
+        u$p AS (SELECT tus, event_id,
+                  CAST(SUM(r2) OVER (ORDER BY tus, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    - ROW_NUMBER() OVER (ORDER BY tus, event_id)
+                      * (nn$p.n + 1) AS ut
+                FROM r$p, nn$p),
+        k$p AS (SELECT CAST(MAX(ABS(ut)) AS BIGINT) AS k_stat FROM u$p),
+        cp$p AS (SELECT tus, event_id, ut FROM u$p, k$p
+                 WHERE ABS(ut) = k$p.k_stat
+                 ORDER BY tus, event_id LIMIT 1)"""
+      def out(name: String, p: String) =
+        s"""SELECT '$name' AS segment, nn$p.n, k$p.k_stat,
+              cp$p.tus AS cp_ts_us, CAST(cp$p.ut AS BIGINT) AS u_at_cp
+            FROM nn$p, k$p, cp$p"""
+      s"""
+      WITH b AS (SELECT event_id, epoch_us(ts) AS tus,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events),
+      ${pett("0", "b")},
+      bl AS (SELECT event_id, tus, cents FROM b
+             WHERE tus < (SELECT tus FROM cp0)
+                OR (tus = (SELECT tus FROM cp0)
+                    AND event_id <= (SELECT event_id FROM cp0))),
+      br AS (SELECT event_id, tus, cents FROM b
+             WHERE tus > (SELECT tus FROM cp0)
+                OR (tus = (SELECT tus FROM cp0)
+                    AND event_id > (SELECT event_id FROM cp0))),
+      ${pett("1", "bl")},
+      ${pett("2", "br")}
+      SELECT * FROM (
+        ${out("all", "0")}
+        UNION ALL ${out("left", "1")}
+        UNION ALL ${out("right", "2")}) z
+      ORDER BY segment"""
+      }),
+
     // ---- burst intervals: maximal runs of hours above 5/4 x the
     // trailing 24h average (full windows only), cross-multiplied
     // integer threshold, gaps-and-islands over the flagged tail via

@@ -556,10 +556,19 @@ object TimeSeries {
     *
     * Output: ONE row (n, k_stat = max|U_t|, cp_ts_us, u_at_cp).
     */
-  def pettittChangepoint(events: DataFrame): DataFrame = {
-    val b = events.select(col("event_id"),
+  def pettittChangepoint(events: DataFrame): DataFrame =
+    pettittOf(events.select(col("event_id"),
       unix_micros(col("ts")).as("tus"),
-      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      (col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents")))
+      .select(col("n"), col("k_stat"), col("cp_ts_us"), col("u_at_cp"))
+
+  /** Pettitt core over a prepared (event_id, tus, cents) table — the
+    * shared statistic behind [[pettittChangepoint]] and
+    * [[pettittSegments]]. Returns ONE row (n, k_stat, cp_ts_us,
+    * cp_event_id, u_at_cp), or ZERO rows for empty input.
+    */
+  private def pettittOf(b: DataFrame): DataFrame = {
     val grp = b.groupBy(col("cents")).agg(count(lit(1)).as("ng"))
     val withBefore = graft.operators.PrefixSum.withRunningSum(
       grp, Seq(col("cents").asc), "ng", "c_before")
@@ -580,7 +589,41 @@ object TimeSeries {
     u.join(broadcast(k), abs(col("ut")) === col("k_stat"))
       .orderBy(col("tus"), col("event_id")).limit(1)
       .select(col("n"), col("k_stat"), col("tus").as("cp_ts_us"),
-        col("ut").as("u_at_cp"))
+        col("event_id").as("cp_event_id"), col("ut").as("u_at_cp"))
+  }
+
+  /** Binary-segmentation changepoints (Scott & Knott 1974 shape over
+    * the Pettitt statistic): the global [[pettittChangepoint]] splits
+    * the series, then the SAME exact midrank statistic re-runs inside
+    * each side — the standard way one changepoint test becomes a
+    * multi-changepoint segmentation. Midranks are recomputed WITHIN
+    * each segment (a segment's own distribution is what its U
+    * statistic must see), so each side is simply the core over a
+    * filtered table; the only driver-side value is the 1-row global
+    * cp used as the split boundary (bounded-collect contract).
+    *
+    * Output: up to three rows (segment ∈ all/left/right, n, k_stat,
+    * cp_ts_us, u_at_cp); a side that is empty contributes no row.
+    */
+  def pettittSegments(events: DataFrame): DataFrame = {
+    val b = events.select(col("event_id"),
+      unix_micros(col("ts")).as("tus"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+      .cpGuard() // three statistic passes read it
+    val all = pettittOf(b).cpGuard()
+    val cp = all.collect()
+    def seg(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("segment"), col("n"), col("k_stat"),
+        col("cp_ts_us"), col("u_at_cp"))
+    if (cp.isEmpty) return seg("all", all).limit(0)
+    val (cpT, cpE) = (cp(0).getLong(2), cp(0).getLong(3))
+    val isLeft = col("tus") < cpT ||
+      (col("tus") === cpT && col("event_id") <= cpE)
+    seg("all", all)
+      .unionAll(seg("left", pettittOf(b.filter(isLeft))))
+      .unionAll(seg("right", pettittOf(b.filter(!isLeft))))
+      .orderBy(col("segment"))
   }
 
   /** Peak-concurrency record audit by sweep line: each event opens a

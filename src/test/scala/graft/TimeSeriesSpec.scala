@@ -440,6 +440,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(4) + 1.0) < 1e-12)
   }
 
+  test("pettitt segments: two level shifts found by recursive split, per-segment midranks") {
+    // [1,1,5,5,9,9]c: global U = -4,-8,-8,-8,-4,0 -> K=8 at t2 (earliest);
+    // left [1,1] constant -> K=0 at its first row; right [5,5,9,9]
+    // re-ranked WITHIN the segment -> U = -2,-4,-2,0 -> K=4 at event 4
+    val ev = events(
+      (1L, 0, 1L, "v", 0.01), (2L, 1, 1L, "v", 0.01),
+      (3L, 2, 1L, "v", 0.05), (4L, 3, 1L, "v", 0.05),
+      (5L, 4, 1L, "v", 0.09), (6L, 5, 1L, "v", 0.09))
+    val got = TimeSeries.pettittSegments(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("all") == (6L, 8L, 60000000L, -8L))
+    assert(got("left") == (2L, 0L, 0L, 0L))
+    assert(got("right") == (4L, 4L, 180000000L, -4L))
+  }
+
   test("spearman: constant series degrades to null rho, never a crash") {
     // one event per hour, identical values: both rank variances are 0
     val flat = events(
