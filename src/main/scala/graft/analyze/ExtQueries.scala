@@ -2354,6 +2354,43 @@ object ExtQueries {
         ON b.query_id = hh.query_id AND b.neighbor_id = hh.neighbor_id
       GROUP BY b.query_id ORDER BY b.query_id""")),
 
+    // two-stage retrieval: s37's binary shortlist (Hamming top-20 over
+    // the 32x-compressed codes) re-ranked by EXACT cosine on the full
+    // vectors — the canonical production ANN shape; surviving
+    // candidates score identically to brute force
+    ("s38_sign_rerank", (s: SparkSession, d: String) =>
+      Similarity.signHammingRerank(t(s, d, "embeddings"), nQueries = 10,
+        kShort = 20, k = 5),
+      Some(s"""
+      WITH sw AS (SELECT vec_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN embedding[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS w0,
+          CAST(list_sum(list_transform(range(32, 64), i ->
+            CASE WHEN embedding[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)) AS BIGINT)
+            AS w1
+        FROM embeddings),
+      hd AS (SELECT q.vec_id AS qid, t.vec_id AS tid,
+               CAST(bit_count(xor(q.w0, t.w0))
+                 + bit_count(xor(q.w1, t.w1)) AS BIGINT) AS ham
+             FROM sw q JOIN sw t ON q.vec_id < 10 AND t.vec_id >= 10),
+      sl AS (SELECT qid, tid
+             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY ham, tid) AS rn FROM hd) z
+             WHERE rn <= 20),
+      e AS (SELECT vec_id, embedding, ${normS("embedding")} AS nrm
+            FROM embeddings),
+      sc AS (SELECT sl.qid AS query_id, sl.tid AS neighbor_id,
+               ${dotS("q.embedding", "t.embedding")} / (q.nrm * t.nrm)
+                 AS cosine
+             FROM sl JOIN e q ON q.vec_id = sl.qid
+             JOIN e t ON t.vec_id = sl.tid)
+      SELECT query_id, neighbor_id, cosine, rn
+      FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rn FROM sc) z
+      WHERE rn <= 5 ORDER BY query_id, rn""")),
+
     // filtered vector search: the metadata predicate (doc lang = 'en')
     // semi-joins the target side BEFORE any distance math — filtered
     // ANN as a composition, never a post-filter that can starve k

@@ -1439,6 +1439,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Two-stage retrieval: [[signHammingTopK]]'s binary shortlist
+    * (`kShort` candidates by xor+popcount over the 32×-compressed
+    * codes) re-ranked by EXACT cosine over the full float vectors —
+    * the canonical shape of every production ANN deployment (cheap
+    * filter over the compressed index, expensive exact math only on
+    * the shortlist). Scores on surviving candidates are identical to
+    * brute force — the approximation is in WHICH candidates survive
+    * the Hamming filter, never in the returned cosine.
+    *
+    * Scale: the full vectors are touched for nQueries·kShort rows, not
+    * the corpus; both attach joins are id equi-joins (query side
+    * bounded, target side co-partitionable with the vector store).
+    *
+    * Output: top-`k` per query (query_id, neighbor_id, cosine, rn),
+    * cosine descending, neighbor tiebreak.
+    */
+  def signHammingRerank(embs: DataFrame, nQueries: Int, kShort: Int,
+                        k: Int): DataFrame = {
+    require(kShort >= k && k >= 1, "kShort >= k >= 1")
+    val shortlist = signHammingTopK(embs, nQueries, kShort)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = side(embs, "e")
+    val scored = shortlist
+      .join(e.select(col("e_id").as("query_id"), col("e_emb").as("qe"),
+        col("e_norm").as("qn")), Seq("query_id"))
+      .join(e.select(col("e_id").as("neighbor_id"), col("e_emb").as("te"),
+        col("e_norm").as("tn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        dotCol(col("qe"), col("te")) / (col("qn") * col("tn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   /** MMR (maximal-marginal-relevance) diversified re-ranking: from each
     * query's `kCand` cosine candidates, select `kSel` iteratively —
     * first the most relevant, then whatever maximizes

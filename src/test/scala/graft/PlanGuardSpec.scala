@@ -85,7 +85,8 @@ class PlanGuardSpec extends SparkSpec {
     "t31_collocations" -> 1, // broadcast 1-row token-total attach
     "g22_reciprocity" -> 1, // 1-row edge-count x 1-row reciprocal-count attach
     "c35_t_closeness" -> 1, // broadcast 1-row table-total attach
-    "s37_sign_hamming_recall" -> 2) // broadcast query set per side (brute + sign words)
+    "s37_sign_hamming_recall" -> 2, // broadcast query set per side (brute + sign words)
+    "s38_sign_rerank" -> 1) // the shortlist stage's broadcast query set (s37 contract)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared
@@ -116,7 +117,8 @@ class PlanGuardSpec extends SparkSpec {
     // bounded query-set broadcast
     "s34_nsw_search" -> 2,
     "s36_mrr" -> 1, // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
-    "w38_pettitt" -> 1) // U-table stage: broadcast 1-row n attach
+    "w38_pettitt" -> 1, // U-table stage: broadcast 1-row n attach
+    "w42_pettitt_segments" -> 3) // the same 1-row n attach, once per segment pass
 
   /** Unpartitioned-WindowExec allowances for pre-checkpoint subplans. */
   private val allowedCpGlobalWindow = Map.empty[String, Int]

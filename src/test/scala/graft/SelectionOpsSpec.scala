@@ -40,6 +40,21 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 0L, 1), (12L, 1L, 2), (11L, 32L, 3)))
   }
 
+  test("signHammingRerank: surviving candidates score exactly as brute force") {
+    val embs = graft.core.Tables.load(spark,
+      "/root/testdata/sf0.001", "embeddings")
+    val rerank = Similarity.signHammingRerank(embs, nQueries = 4,
+      kShort = 20, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rerank.nonEmpty)
+    val brute = Similarity.bruteForceTopK(embs, nQueries = 4, k = 1000000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rerank.foreach { case (pair, cos) =>
+      assert(brute(pair) == cos, s"cosine mismatch for $pair")
+    }
+  }
+
   test("hardNegatives skips the nearest same-label hit, keeps cross-label ranks") {
     // target 10 is the query's nearest neighbor but shares its label —
     // mining must skip it and rank only the different-label targets
