@@ -1092,6 +1092,29 @@ object OpQueries {
       FROM q JOIN nf ON nf.t = q.t_eff
       ORDER BY q.pct""")),
 
+    // ---- directed 3-node motif census (Milo 2002): feed-forward
+    // loops vs 3-cycles on the top-300 backbone — two equi-join
+    // chains, node distinctness automatic (a coincidence would need a
+    // self-loop), cycles anchored at their minimum node ---------------
+    ("g23_motif_census", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      Graphs.motifCensus(hbBackbone(s, d))
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      edb AS (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT 300)),
+      ffl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM edb ab JOIN edb bc ON bc.src = ab.dst
+              JOIN edb ac ON ac.src = ab.src AND ac.dst = bc.dst),
+      cyc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM edb ab JOIN edb bc ON bc.src = ab.dst
+              JOIN edb ca ON ca.src = bc.dst AND ca.dst = ab.src
+              WHERE ab.src < bc.src AND ab.src < bc.dst)
+      SELECT 'cycle' AS motif, n FROM cyc
+      UNION ALL SELECT 'ffl' AS motif, n FROM ffl
+      ORDER BY motif""")),
+
     // ---- directed-edge reciprocity (Newman 2002): is attention
     // mutual — one swapped-key self semi-join over the simple
     // transition graph, exact ppm ------------------------------------

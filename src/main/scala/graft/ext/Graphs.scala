@@ -1047,6 +1047,44 @@ object Graphs {
     out.orderBy(col("t"), col("k"))
   }
 
+  /** Directed 3-node motif census (Milo et al., Science 2002): counts
+    * of the two connected triad shapes whose RATIO fingerprints a
+    * directed graph's generative process — feed-forward loops
+    * (a→b, b→c, a→c: hierarchy/curation flow) vs 3-cycles
+    * (a→b, b→c, c→a: feedback). Item-transition graphs skew heavily
+    * FFL; a cycle surplus is the loop-farm smell.
+    *
+    * Exactness and shape: two chains of node-keyed equi-joins over the
+    * simple directed edge list — node distinctness is AUTOMATIC (each
+    * shape's closing edge would have to be a self-loop for two nodes
+    * to coincide, and self-loops are excluded up front), and each
+    * cycle is counted once by anchoring at its minimum node (a < b,
+    * a < c), no post-hoc division. Counts meet in a two-row union,
+    * never a 1-row cross attach.
+    *
+    * Output: (motif ∈ cycle/ffl, n), motif ascending.
+    */
+  def motifCensus(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().cpGuard()
+    def side(p: String) =
+      e.select(col("src").as(s"${p}s"), col("dst").as(s"${p}d"))
+    val ffl = side("ab")
+      .join(side("bc"), col("bcs") === col("abd"))
+      .join(side("ac"),
+        col("acs") === col("abs") && col("acd") === col("bcd"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("ffl").as("motif"), col("n"))
+    val cyc = side("ab")
+      .join(side("bc"), col("bcs") === col("abd"))
+      .join(side("ca"),
+        col("cas") === col("bcd") && col("cad") === col("abs"))
+      .filter(col("abs") < col("bcs") && col("abs") < col("bcd"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("cycle").as("motif"), col("n"))
+    cyc.unionAll(ffl).orderBy(col("motif"))
+  }
+
   /** Directed-edge reciprocity (Newman 2002 / Garlaschelli-Loffredo
     * 2004): the fraction of directed edges whose reverse edge also
     * exists — the "is attention mutual" diagnostic that separates

@@ -555,4 +555,22 @@ class GraphOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
       (3L, 2L, 666666L))
   }
+
+  test("motif census: one FFL, one cycle counted once, dyads contribute neither") {
+    val ed = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),  // feed-forward loop
+      (4L, 5L), (5L, 6L), (6L, 4L),  // 3-cycle (counted once, not 3x)
+      (7L, 8L), (8L, 7L))            // mutual dyad: no triad
+      .toDF("src", "dst")
+    val got = Graphs.motifCensus(ed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("cycle" -> 1L, "ffl" -> 1L))
+    // a mutual EDGE inside a transitive triangle: 1<->3 makes the
+    // reversed copy {3->1 with 1->2? no} — adding 3->1 creates the
+    // cycle 1->2,2->3,3->1 alongside the original FFL
+    val got2 = Graphs.motifCensus(
+      ed.unionAll(Seq((3L, 1L)).toDF("src", "dst"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("cycle" -> 2L, "ffl" -> 1L))
+  }
 }
