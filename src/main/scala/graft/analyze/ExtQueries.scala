@@ -4089,6 +4089,37 @@ object ExtQueries {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
       FROM lagd GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- audio resample (decimation by 2, pair averaging) over REAL
+    // WAV decode: the sample-rate normalization before a fixed-rate
+    // encoder; (a+b) >> 1 is floor division in BOTH engines (the w32
+    // arithmetic-shift discipline), trailing odd sample dropped,
+    // exact integer features of the decimated signal -----------------
+    ("m13_audio_resample", (s: SparkSession, d: String) =>
+      Multimodal.audioResample(Multimodal.syntheticAudio(t(s, d, "documents")))
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH m AS (SELECT doc_id, 256 + (doc_id % 7) * 64 AS n FROM documents),
+      idx AS (SELECT doc_id, n,
+                     unnest(generate_series(0, CAST(n // 2 - 1 AS BIGINT)))
+                       AS j
+              FROM m),
+      vals AS (SELECT doc_id, n, j,
+                 ((((doc_id * 31 + (2 * j) * 7) % 2001) - 1000)
+                  + (((doc_id * 31 + (2 * j + 1) * 7) % 2001) - 1000))
+                 >> 1 AS v
+               FROM idx),
+      lagd AS (SELECT doc_id, n, v,
+                      LAG(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+               FROM vals)
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_in,
+             CAST(COUNT(*) AS BIGINT) AS n_out,
+             CAST(SUM(v * v) AS BIGINT) AS sum_sq_out,
+             CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+                           THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_cross_out
+      FROM lagd GROUP BY doc_id, n ORDER BY doc_id""")),
+
     // ---- energy-based audio segmentation (the VAD shape): real WAV
     // decode -> 64-sample frame energies (exact integers) -> gaps-and-
     // islands merge of consecutive active frames; only active segments

@@ -676,6 +676,57 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "n_samples", "sum_sq", "n_zero_cross")
   }
 
+  /** Audio RESAMPLE (decimation by 2 with pair averaging) over REAL
+    * WAV decode — the sample-rate normalization an audio training
+    * pipeline runs before a fixed-rate encoder, the [[imageResize]]
+    * contract applied to audio. out[j] = (v[2j] + v[2j+1]) >> 1: the
+    * arithmetic right shift IS floor division by 2 (exact for
+    * negative sums too — the w32/holt floor discipline), a trailing
+    * odd sample is dropped, and the reported features (output count,
+    * energy, zero crossings of the DECIMATED signal) are exact
+    * integers. Pure map over the binary column; undecodable payloads
+    * yield null features ([[decodeAudio]]'s contract).
+    *
+    * Output: (doc_id, n_in, n_out, sum_sq_out, n_zero_cross_out).
+    */
+  def audioResample(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            def sample(i: Int): Int =
+              ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+            val m = n / 2
+            var sumSq = 0L
+            var zc = 0L
+            var prevNonNeg = true
+            var j = 0
+            while (j < m) {
+              val v = (sample(2 * j) + sample(2 * j + 1)) >> 1
+              sumSq += v.toLong * v
+              val nonNeg = v >= 0
+              if (j > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              j += 1
+            }
+            (id, Some(n.toLong), Some(m.toLong), Some(sumSq), Some(zc))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, None: Option[Long], None: Option[Long],
+                None: Option[Long], None: Option[Long])
+          }
+        }
+      }
+      .toDF("doc_id", "n_in", "n_out", "sum_sq_out", "n_zero_cross_out")
+  }
+
   /** Energy-based audio segmentation (the VAD shape): REAL WAV decode,
     * fixed `windowSamples`-sample frames, per-frame energy = exact
     * integer sum of squared amplitudes, frames above

@@ -169,6 +169,29 @@ class ZipSourceSpec extends SparkSpec {
     assert(Multimodal.imageResize(notImages).count() == 0L)
   }
 
+  test("audio resample: decimated stats match the generator fold, floor on negative sums") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 20)
+    val got = Multimodal.audioResample(Multimodal.syntheticAudio(docs))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    (0L until 20L).foreach { id =>
+      val n = (256 + (id % 7) * 64).toInt
+      def gen(i: Int): Int = (((id * 31 + i.toLong * 7) % 2001) - 1000).toInt
+      val dec = (0 until n / 2).map(j => (gen(2 * j) + gen(2 * j + 1)) >> 1)
+      val zc = dec.sliding(2).count {
+        case Seq(a, b) => (a >= 0) != (b >= 0); case _ => false }
+      assert(got(id) ==
+        (n.toLong, (n / 2).toLong, dec.map(v => v.toLong * v).sum, zc.toLong),
+        s"doc $id resample mismatch")
+    }
+    // undecodable payload -> null features, never a crash
+    val bad = Multimodal.withPayload(docs.limit(3))
+    assert(Multimodal.audioResample(bad).filter(col("n_out").isNotNull)
+      .count() == 0)
+  }
+
   test("image patches: undecodable payload emits zero rows, not a crash") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val notImages = Multimodal.withPayload(docs.limit(5)) // utf8 text bytes
