@@ -952,6 +952,33 @@ object ExtQueries {
                THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS near_pct
       FROM documents d GROUP BY d.source ORDER BY d.source""")),
 
+    // ---- duplicate-flow matrix: near-dup pairs aggregated by SOURCE
+    // pair with direction by ingestion order (doc_a < doc_b and
+    // doc_id is ingestion order — the t21 convention — so src_a is
+    // the earlier/"original" side): which feed copies which, the
+    // provenance question d29's per-source rates can't answer --------
+    ("d43_dup_flow", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashDup(docs, threshold = 0.5,
+        maxBucket = Int.MaxValue).select(col("doc_a"), col("doc_b"))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+        .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some(s"""
+      WITH $minhashCtes,
+      dup AS (SELECT doc_a, doc_b FROM com
+              WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5)
+      SELECT sa.source AS src_a, sb.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM dup
+      JOIN documents sa ON sa.doc_id = dup.doc_a
+      JOIN documents sb ON sb.doc_id = dup.doc_b
+      GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
     // ---- replica reconciliation (Merkle-style bucket digests) ----
     // "did the copy land intact?" for tables too big to compare by
     // moving them: phase 1 ships only `buckets` counter rows per side
