@@ -1092,6 +1092,46 @@ object OpQueries {
       FROM q JOIN nf ON nf.t = q.t_eff
       ORDER BY q.pct""")),
 
+    // ---- bow-tie decomposition (Broder 2000) by the pivot method:
+    // core = the highest-degree node's SCC (forward ∩ backward reach),
+    // in/out/other around it — two frontier fixpoints, never a full
+    // SCC or closure; oracle classifies off the recursive closure,
+    // blind to the scheme ---------------------------------------------
+    ("g24_bowtie", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val backbone = eventEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .orderBy(col("w").desc, col("src"), col("dst")).limit(150)
+        .select(col("src"), col("dst"))
+      Graphs.bowTie(backbone)
+    }, Some(s"""
+      WITH $eventEdgesCtes,
+      ed2 AS MATERIALIZED (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT 150)),
+      an AS (SELECT DISTINCT k FROM
+             (SELECT src AS k FROM ed2 UNION ALL SELECT dst FROM ed2)),
+      dg AS (SELECT k, COUNT(*) AS deg FROM
+             (SELECT src AS k FROM ed2 UNION ALL SELECT dst FROM ed2) u
+             GROUP BY k),
+      pv AS (SELECT k FROM dg ORDER BY deg DESC, k LIMIT 1),
+      rk AS (WITH RECURSIVE reach AS (
+          SELECT src AS a, dst AS b FROM ed2
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN ed2 e ON r.b = e.src
+        ) SELECT * FROM reach),
+      fwd AS (SELECT b AS k FROM rk JOIN pv ON rk.a = pv.k
+              UNION SELECT k FROM pv),
+      bwd AS (SELECT a AS k FROM rk JOIN pv ON rk.b = pv.k
+              UNION SELECT k FROM pv)
+      SELECT an.k,
+             CASE WHEN an.k IN (SELECT k FROM fwd)
+                   AND an.k IN (SELECT k FROM bwd) THEN 'core'
+                  WHEN an.k IN (SELECT k FROM bwd) THEN 'in'
+                  WHEN an.k IN (SELECT k FROM fwd) THEN 'out'
+                  ELSE 'other' END AS bowtie
+      FROM an ORDER BY k""")),
+
     // ---- directed 3-node motif census (Milo 2002): feed-forward
     // loops vs 3-cycles on the top-300 backbone — two equi-join
     // chains, node distinctness automatic (a coincidence would need a

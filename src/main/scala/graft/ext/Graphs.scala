@@ -1047,6 +1047,81 @@ object Graphs {
     out.orderBy(col("t"), col("k"))
   }
 
+  /** Forward reach set of `seeds` along `ed` (src→dst) to FIXPOINT —
+    * frontier/delta expansion with the convergence count riding on
+    * each round's checkpoint job (the g17 observe discipline); loud
+    * failure if the graph outlasts `maxIters`.
+    */
+  private def reachFixpoint(ed: DataFrame, seeds: DataFrame,
+                            maxIters: Int): DataFrame = {
+    var seen = seeds.select(col("k")).distinct().cpGuard()
+    var frontier = seen
+    var it = 0
+    var changed = true
+    while (changed && it < maxIters) {
+      it += 1
+      val obs = org.apache.spark.sql.Observation()
+      val nf = ed.join(frontier.select(col("k").as("src")), Seq("src"))
+        .select(col("dst").as("k")).distinct()
+        .join(seen, Seq("k"), "left_anti")
+        .observe(obs, count(lit(1)).as("n")).cpGuard()
+      if (obs.get("n").asInstanceOf[Long] == 0L) changed = false
+      else {
+        seen = seen.unionAll(nf).cpGuard()
+        frontier = nf
+      }
+    }
+    require(!changed, s"reach did not converge in $maxIters rounds")
+    seen
+  }
+
+  /** Bow-tie decomposition (Broder et al., WWW 2000) by the pivot
+    * method the original web-graph study used at scale: the CORE is
+    * the strongly connected component of the highest-degree node
+    * (pivot; in+out degree, smallest id on ties) = forward ∩ backward
+    * reach of the pivot, IN is what reaches the core without
+    * belonging, OUT is what the core reaches, OTHER is disconnected
+    * from the core in both directions (tendrils/tubes/islands
+    * collapsed — the 4-class reading). The crawl-frontier diagnostic:
+    * a healthy link graph is core-heavy; an IN-heavy graph is a
+    * scrape that never escapes its seeds.
+    *
+    * Cost shape: ONE bounded 1-row collect (the pivot) and TWO
+    * [[reachFixpoint]] frontier loops (forward edges, swapped edges) —
+    * never a full SCC decomposition, never a transitive closure; every
+    * round is a node-keyed equi-join + anti-join, co-partitionable.
+    *
+    * Output: (k, bowtie ∈ core/in/out/other) for every node, k asc.
+    */
+  def bowTie(edges: DataFrame, maxIters: Int = 64): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct().cpGuard()
+    val nodes = e.select(col("src").as("k"))
+      .unionAll(e.select(col("dst").as("k"))).distinct().cpGuard()
+    val deg = e.select(col("src").as("k"))
+      .unionAll(e.select(col("dst").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+    val pivotRows = deg.orderBy(col("deg").desc, col("k")).limit(1)
+      .select(col("k")).collect()
+    require(pivotRows.nonEmpty, "bowTie over an empty graph")
+    val pivot = nodes.sparkSession.range(1)
+      .select(lit(pivotRows(0).getLong(0)).as("k"))
+    val fwd = reachFixpoint(e, pivot, maxIters)
+      .withColumn("__f", lit(1))
+    val bwd = reachFixpoint(
+      e.select(col("dst").as("src"), col("src").as("dst")), pivot,
+      maxIters).withColumn("__b", lit(1))
+    nodes
+      .join(fwd, Seq("k"), "left")
+      .join(bwd, Seq("k"), "left")
+      .select(col("k"),
+        when(col("__f").isNotNull && col("__b").isNotNull, lit("core"))
+          .when(col("__b").isNotNull, lit("in"))
+          .when(col("__f").isNotNull, lit("out"))
+          .otherwise(lit("other")).as("bowtie"))
+      .orderBy(col("k"))
+  }
+
   /** Directed 3-node motif census (Milo et al., Science 2002): counts
     * of the two connected triad shapes whose RATIO fingerprints a
     * directed graph's generative process — feed-forward loops

@@ -556,6 +556,16 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 666666L))
   }
 
+  test("bowtie: pivot SCC is the core, reaches split in/out, islands are other") {
+    // 0 -> 1 <-> 2 -> 3, island 5 -> 6; pivot = node 1 (deg 3, id tie)
+    val ed = Seq((0L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = Graphs.bowTie(ed).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "in", 1L -> "core", 2L -> "core",
+      3L -> "out", 5L -> "other", 6L -> "other"))
+  }
+
   test("motif census: one FFL, one cycle counted once, dyads contribute neither") {
     val ed = Seq(
       (1L, 2L), (2L, 3L), (1L, 3L),  // feed-forward loop
