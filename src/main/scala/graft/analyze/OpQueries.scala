@@ -2047,6 +2047,31 @@ object OpQueries {
                AS mean_gap_us
       FROM i GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- inter-arrival burstiness (squared CV of per-user gaps):
+    // CV² = 1 Poisson, -> 0 metronome automation, > 1 scrape-then-
+    // sleep; DECIMAL(38,0) moments, BIGINT edges, S>0-guarded IEEE
+    // division --------------------------------------------------------
+    ("w43_gap_burstiness", (s: SparkSession, d: String) =>
+      graft.ext.TimeSeries.gapBurstiness(t(s, d, "events")),
+      Some("""
+      WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                   LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_us
+                 FROM events),
+      i AS (SELECT user_id, CAST(next_us - us AS HUGEINT) AS g
+            FROM o WHERE next_us IS NOT NULL),
+      a AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+              SUM(g) AS s, SUM(g * g) AS s2
+            FROM i GROUP BY user_id)
+      SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+             CASE WHEN s > 0
+                  THEN CAST((n * s2 - s * s) * 1000000 // (s * s) AS BIGINT)
+             END AS cv2_ppm,
+             CASE WHEN s > 0
+                  THEN CAST(n * s2 - s * s AS DOUBLE)
+                    / CAST(s * s AS DOUBLE) END AS cv2
+      FROM a ORDER BY user_id""")),
+
     // ---- one-sided CUSUM upward-shift detector: s_i = max(0,
     // s_{i-1} + x_i - k), alarm when s > h — computed WITHOUT the
     // recursion via the prefix identity s_i = P_i - min(0, runmin P),

@@ -246,6 +246,45 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Inter-arrival BURSTINESS per user: the squared coefficient of
+    * variation of the gap series, CV² = (n·Σg² − S²)/S² — the
+    * dimensionless cadence fingerprint [[gapStats]]' location numbers
+    * don't capture: CV² = 1 for a Poisson (human-ish) arrival process,
+    * → 0 for metronome-regular automation, > 1 for bursty
+    * scrape-then-sleep patterns.
+    *
+    * Exactness: moments and the ratio in DECIMAL(38,0) — a gap SUM
+    * squared is ~10²⁵ at one user-month of microseconds, far past
+    * BIGINT, so the exact integer output is floor-ppm via integral
+    * `div` (the q59 lift discipline) and the double rides from the
+    * same decimals; both guarded by S > 0 (all-identical timestamps
+    * degrade to NULL, never a divide-by-zero). One partitioned window
+    * pass + one partial-aggregable groupBy.
+    *
+    * Output: (user_id, n_gaps, cv2_ppm, cv2), user ascending.
+    */
+  def gapBurstiness(events: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("g", (col("next_us") - col("us")).cast(d38))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("s"),
+        sum(col("g") * col("g")).as("s2"))
+      .select(col("user_id"), col("n").as("n_gaps"),
+        when(col("s") > 0,
+          expr("CAST((n * s2 - s * s) * 1000000 div (s * s) AS BIGINT)"))
+          .as("cv2_ppm"),
+        when(col("s") > 0,
+          (col("n") * col("s2") - col("s") * col("s")).cast("double")
+            / (col("s") * col("s")).cast("double")).as("cv2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between the value
     * distributions before and after `cutTs` — the raw-value drift test
     * next to the binned TV compare (w19 / StreamDrift): KS works on

@@ -456,6 +456,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("right") == (4L, 4L, 180000000L, -4L))
   }
 
+  test("gap burstiness: metronome scores 0, a 1:3 gap pair scores exactly 1/4") {
+    val ev = events(
+      // user 1: gaps (60s, 60s, 60s) -> variance 0
+      (1L, 0, 1L, "v", 1.0), (2L, 1, 1L, "v", 1.0),
+      (3L, 2, 1L, "v", 1.0), (4L, 3, 1L, "v", 1.0),
+      // user 2: gaps (60s, 180s): CV^2 = (2*10 - 16)/16 = 1/4
+      (5L, 0, 2L, "v", 1.0), (6L, 1, 2L, "v", 1.0), (7L, 4, 2L, "v", 1.0))
+    val got = TimeSeries.gapBurstiness(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(2) == 0L && got(1L).getDouble(3) == 0.0)
+    assert(got(2L).getLong(2) == 250000L && got(2L).getDouble(3) == 0.25)
+    // all events at one instant: zero gap sum degrades to NULL
+    val same = events((1L, 0, 9L, "v", 1.0), (2L, 0, 9L, "v", 1.0))
+    val Array(z) = TimeSeries.gapBurstiness(same).collect()
+    assert(z.isNullAt(2) && z.isNullAt(3))
+  }
+
   test("spearman: constant series degrades to null rho, never a crash") {
     // one event per hour, identical values: both rank variances are 0
     val flat = events(
