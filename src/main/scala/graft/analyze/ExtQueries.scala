@@ -979,6 +979,48 @@ object ExtQueries {
       JOIN documents sb ON sb.doc_id = dup.doc_b
       GROUP BY 1, 2 ORDER BY src_a, src_b""")),
 
+    // ---- dup-graph transitivity: global clustering coefficient of
+    // the near-dup pair graph — 3·triangles vs wedges, exact ppm. The
+    // threshold-coherence audit: similarity is metric-ish, so a sound
+    // threshold yields high transitivity; a low value means the pair
+    // set is chains of borderline matches (threshold too loose) ------
+    ("d44_dup_transitivity", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashDup(docs, threshold = 0.5,
+        maxBucket = Int.MaxValue)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val und = pairs
+        .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+        .cpGuard() // degree count + two triangle-join sides
+      val wedges = und.groupBy(col("u"))
+        .agg(count(lit(1)).as("dg"))
+        .agg(sum(expr("dg * (dg - 1) div 2")).as("n"))
+        .select(lit("wedges").as("stat"), col("n").cast("long").as("n"))
+      // closed triples: ordered triangles (a<b<c) via two joins over
+      // the a<b half, each triangle counted once then tripled
+      val half = pairs
+      val tri = half.toDF("a", "b")
+        .join(half.toDF("b", "c"), Seq("b"))
+        .join(half.toDF("a", "c"), Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("triangles").as("stat"), col("n"))
+      wedges.unionAll(tri).orderBy(col("stat"))
+    }, Some(s"""
+      WITH $minhashCtes,
+      dup AS (SELECT doc_a AS u, doc_b AS v FROM com
+              WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5),
+      und AS (SELECT u, v FROM dup UNION ALL SELECT v, u FROM dup),
+      dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dgc
+             FROM und GROUP BY u),
+      w AS (SELECT 'wedges' AS stat,
+              CAST(SUM(dgc * (dgc - 1) // 2) AS BIGINT) AS n FROM dg),
+      tr AS (SELECT 'triangles' AS stat, CAST(COUNT(*) AS BIGINT) AS n
+             FROM dup ab JOIN dup bc ON bc.u = ab.v
+             WHERE EXISTS (SELECT 1 FROM dup ac
+                           WHERE ac.u = ab.u AND ac.v = bc.v))
+      SELECT stat, n FROM tr
+      UNION ALL SELECT stat, n FROM w ORDER BY stat""")),
+
     // ---- replica reconciliation (Merkle-style bucket digests) ----
     // "did the copy land intact?" for tables too big to compare by
     // moving them: phase 1 ships only `buckets` counter rows per side
