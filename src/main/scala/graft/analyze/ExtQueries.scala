@@ -4740,8 +4740,9 @@ object ExtQueries {
           CAST(SUM(CASE WHEN l_linestatus NOT IN ('O', 'F')
             THEN 1 ELSE 0 END) AS BIGINT) AS c_dom_status
         FROM lineitem),
-      fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_fk FROM lineitem
-             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_fk FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)),
       u AS (SELECT 'complete_l_returnflag' AS check_name,
                    c_complete AS violations FROM a
         UNION ALL SELECT 'unique_pk', c_unique FROM a

@@ -1182,8 +1182,10 @@ object Graphs {
     ed.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
       .select(col("n_edges"), col("n_reciprocal"),
-        expr("""CAST(CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000
-                 div n_edges AS BIGINT)""").as("reciprocity_ppm"))
+        expr("""CAST(CASE WHEN n_edges > 0
+                 THEN CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000
+                      div n_edges
+                 ELSE NULL END AS BIGINT)""").as("reciprocity_ppm"))
   }
 
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {

@@ -1861,6 +1861,7 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getLong(2))).toMap
     val d = sums.size
+    require(d > 0, "pcaPower over an empty corpus")
     val scat = Array.tabulate(d, d)((i, j) => n * gram((i, j)) - sums(i) * sums(j))
     var v = Array.fill(d)(BigInt(512))
     for (_ <- 1 to rounds) {

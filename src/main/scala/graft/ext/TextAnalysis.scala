@@ -720,8 +720,10 @@ object TextAnalysis {
         (col("s2") - col("npos") * (col("npos") + lit(1)))
           .cast("long").as("auc_num"),
         (lit(2) * col("npos") * col("nneg")).cast("long").as("auc_den"),
-        expr("""CAST((s2 - npos * (npos + 1)) * 1000000
-                 div (2 * npos * nneg) AS BIGINT)""").as("auc_ppm"))
+        expr("""CAST(CASE WHEN npos > 0 AND nneg > 0
+                 THEN (s2 - npos * (npos + 1)) * 1000000
+                      div (2 * npos * nneg)
+                 ELSE NULL END AS BIGINT)""").as("auc_ppm"))
   }
 
   /** Collocation extraction by lift (the PMI ranking without the log:

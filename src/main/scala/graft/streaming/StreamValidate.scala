@@ -18,9 +18,10 @@ import graft.operators.Layout
   * the evidence instead of dropping it.
   *
   * Checks (the c34 row-local subset — batch-global checks like
-  * pk-uniqueness live in the batch audit): completeness (flag
+  * pk-uniqueness live in the batch audit): completeness (id and flag
   * non-null), range (qty in [1, 50]), non-negativity (price), domain
-  * (flag in A/N/R).
+  * (flag in A/N/R). Null-id rows quarantine under `complete_id` —
+  * they are never silently dropped.
   *
   * Scale shape: the split is ONE narrow map-side pass (no shuffle —
   * every predicate is row-local); metrics are one constant-size
@@ -53,6 +54,7 @@ object StreamValidate {
     * expression so the gate and the metrics agree by construction.
     */
   private def failedChecks = array_compact(array(
+    when(col("id").isNull, "complete_id"),
     when(col("flag").isNull, "complete_flag"),
     when(col("qty") < 1.0 || col("qty") > 50.0, "range_qty_1_50"),
     when(col("price") < 0.0, "nonneg_price"),
@@ -88,8 +90,11 @@ object StreamValidate {
       QuarantineCols, Seq("id"), buckets)
     Layout.ensureBucketedBatchTable(spark, metricsTable, metricsPath,
       MetricCols, Seq("check_name"), buckets)
-    val checked = batch.filter(col("id").isNotNull)
-      .withColumn("__failed", failedChecks)
+    // Null-id rows are NOT pre-filtered: they quarantine under
+    // complete_id and count in every metrics denominator, so a
+    // null-key upstream defect is visible to the monitor instead of
+    // silently vanishing from all three outputs.
+    val checked = batch.withColumn("__failed", failedChecks)
     Layout.overwriteBatch(
       checked.filter(size(col("__failed")) === 0).drop("__failed"),
       admitTable, batchId)
@@ -101,8 +106,9 @@ object StreamValidate {
       quarantineTable, batchId)
     Layout.overwriteBatch(
       checked.select(col("__failed"),
-          explode(array(lit("complete_flag"), lit("range_qty_1_50"),
-            lit("nonneg_price"), lit("domain_flag"))).as("check_name"))
+          explode(array(lit("complete_id"), lit("complete_flag"),
+            lit("range_qty_1_50"), lit("nonneg_price"),
+            lit("domain_flag"))).as("check_name"))
         .groupBy(col("check_name"))
         .agg(sum(when(array_contains(col("__failed"), col("check_name")),
           1L).otherwise(0L)).as("violations"),

@@ -556,6 +556,13 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 666666L))
   }
 
+  test("reciprocity: all-self-loop edge list degrades to NULL ppm, no crash") {
+    val ed = Seq((4L, 4L, 1L), (7L, 7L, 1L)).toDF("src", "dst", "w")
+    val Array(r) = Graphs.reciprocity(ed).collect()
+    assert((r.getLong(0), r.getLong(1)) == (0L, 0L))
+    assert(r.isNullAt(2), "reciprocity_ppm must be NULL on an empty simple-edge set")
+  }
+
   test("bowtie: pivot SCC is the core, reaches split in/out, islands are other") {
     // 0 -> 1 <-> 2 -> 3, island 5 -> 6; pivot = node 1 (deg 3, id tie)
     val ed = Seq((0L, 1L), (1L, 2L), (2L, 1L), (2L, 3L), (5L, 6L))

@@ -419,4 +419,13 @@ class SelectionOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == Map(0 -> -384L, 1 -> 512L))
   }
+
+  test("pcaPower: empty corpus fails loudly, not with an obscure empty.max") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaPower(empty, rounds = 2).collect()
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
 }

@@ -50,8 +50,30 @@ class StreamValidateSpec extends SparkSpec {
       .map(r => r.getAs[String]("check_name") ->
         (r.getAs[Long]("violations"), r.getAs[Long]("n_rows"))).toMap
     assert(met == Map(
+      "complete_id" -> (0L, 3L),
       "complete_flag" -> (1L, 3L), "range_qty_1_50" -> (1L, 3L),
       "nonneg_price" -> (1L, 3L), "domain_flag" -> (1L, 3L)))
+  }
+
+  test("null-id rows quarantine under complete_id instead of vanishing") {
+    val (t, pa, pq, pm) = fresh()
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, 5.0, 100.0, "A"),
+      org.apache.spark.sql.Row(null, 5.0, 100.0, "A"),
+      org.apache.spark.sql.Row(null, 60.0, 100.0, "A"))
+    StreamValidate.processBatch(spark,
+      spark.createDataFrame(rows, StreamValidate.rowSchema), 0L,
+      t.admit, pa, t.quar, pq, t.met, pm, Buckets)
+    assert(spark.table(t.admit).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    val q = spark.table(t.quar).collect()
+      .map(_.getAs[String]("failed_checks")).sorted.toSeq
+    assert(q == Seq("complete_id", "complete_id,range_qty_1_50"))
+    val met = spark.table(t.met).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("violations"), r.getAs[Long]("n_rows"))).toMap
+    assert(met("complete_id") == (2L, 3L))
+    assert(met("range_qty_1_50") == (1L, 3L))
   }
 
   test("replaying a batch rewrites identical partitions (at-least-once safe)") {

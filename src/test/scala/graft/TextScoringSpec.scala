@@ -141,6 +141,20 @@ class TextScoringSpec extends SparkSpec {
     assert(q.getLong(3) == 0L && q.getLong(5) == 0L)
   }
 
+  test("auc: one-sided labels degrade to NULL ppm, never divide-by-zero") {
+    import spark.implicits._
+    // All-positive and all-negative label sets: AUC is undefined
+    // (n_pos·n_neg = 0); the contract is NULL, not an ANSI crash.
+    for (side <- Seq(true, false)) {
+      val oneSided = Seq((1L, side, 3L), (2L, side, 2L), (3L, side, 2L))
+        .toDF("doc_id", "pos", "score")
+      val Array(r) = TextAnalysis.aucFromScored(oneSided).collect()
+      assert(r.getLong(0) + r.getLong(1) == 3L)
+      assert((r.getLong(0) == 0L) != side)
+      assert(r.isNullAt(5), s"auc_ppm must be NULL for one-sided side=$side")
+    }
+  }
+
   test("yuleK: hand spectrum — 'a a b' gives K = 10^4·(5-3)/9") {
     val d = docs("a a b")
     val r = TextAnalysis.yuleK(d).collect().head
