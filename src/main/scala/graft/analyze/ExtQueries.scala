@@ -1952,9 +1952,13 @@ object ExtQueries {
     // rounds of expand-score-keep-8, final top-5 flagged vs the brute
     // baseline; the oracle unrolls the identical rounds (MATERIALIZED
     // CTEs — the g16 inlining lesson) -------------------------------
+    // graph build is the LSH-banded equi-join (2 bands x 4 bits over
+    // the 8-plane sign bucket) — no all-pairs stage anywhere; the
+    // HotBuckets cap short-circuits below 10k banded rows at every
+    // test sf (the cap semantics themselves are oracled by d31-d34)
     ("s34_nsw_search", (s: SparkSession, d: String) =>
-      Similarity.nswSearch(t(s, d, "embeddings"), nQueries = 10,
-        g = 8, beam = 8, rounds = 4, k = 5),
+      Similarity.nswSearchLsh(t(s, d, "embeddings"), nQueries = 10,
+        nPlanes = 8, bandBits = 4, g = 8, beam = 8, rounds = 4, k = 5),
       Some {
         def cosQT = s"${dotS("q.q_emb", "t.t_emb")} / (q.q_norm * t.t_norm)"
         def roundCtes(r: Int): String =
@@ -1976,12 +1980,31 @@ object ExtQueries {
                nrm AS t_norm FROM e WHERE vec_id >= 10),
         q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb,
                nrm AS q_norm FROM e WHERE vec_id < 10),
+        pl0 AS (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8),
+        pl AS (SELECT embedding,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+               FROM pl0),
+        bk AS (SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                   THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT)
+                   AS bucket
+               FROM embeddings v CROSS JOIN pl p
+               WHERE v.vec_id >= 10 GROUP BY v.vec_id),
+        bd AS MATERIALIZED (SELECT vec_id, bands.j AS band,
+                 (bucket >> (bands.j * 4)) & 15 AS bkey
+               FROM bk CROSS JOIN (SELECT UNNEST([0, 1]) AS j) bands),
+        cp AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM bd a JOIN bd b
+                 ON a.band = b.band AND a.bkey = b.bkey
+                AND a.vec_id <> b.vec_id),
         ge AS MATERIALIZED (SELECT a_id, b_id FROM
-             (SELECT a.t_id AS a_id, b.t_id AS b_id,
-                ROW_NUMBER() OVER (PARTITION BY a.t_id ORDER BY
+             (SELECT cp.a_id, cp.b_id,
+                ROW_NUMBER() OVER (PARTITION BY cp.a_id ORDER BY
                   ${dotS("a.t_emb", "b.t_emb")} / (a.t_norm * b.t_norm)
-                    DESC, b.t_id) AS grn
-              FROM t a JOIN t b ON a.t_id <> b.t_id) z
+                    DESC, cp.b_id) AS grn
+              FROM cp JOIN t a ON a.t_id = cp.a_id
+                      JOIN t b ON b.t_id = cp.b_id) z
              WHERE grn <= 8),
         en AS (SELECT t_id FROM t ORDER BY t_id LIMIT 8),
         s0 AS MATERIALIZED (SELECT q.q_id, t.t_id, $cosQT AS cosine

@@ -1678,10 +1678,11 @@ object Similarity {
     * corpus size), advanced by equi-joins on node id against the
     * persisted edge table; this is exactly why graph indexes win at
     * billion-vector scale. The BUILD here is the exact all-pairs
-    * kNN (one shuffle-hash self-join + per-node top-g window) — at
-    * 100 TB you'd swap in NN-descent or an LSH-seeded build writing
-    * the same (a_id, b_id) edge table; everything downstream is
-    * unchanged.
+    * kNN (one shuffle-hash self-join + per-node top-g window) — the
+    * DECLARED exact baseline (d07 contract, spec-only);
+    * [[nswSearchLsh]] is the registered scale path whose build is an
+    * LSH-banded equi-join writing the same (a_id, b_id) edge table,
+    * with everything downstream shared through [[nswBeam]].
     */
   def nswSearch(embs: DataFrame, nQueries: Int, g: Int = 8,
                 beam: Int = 4, rounds: Int = 3, k: Int = 5): DataFrame = {
@@ -1700,6 +1701,85 @@ object Similarity {
       .filter(col("grn") <= g)
       .select(col("a_id"), col("b_id"))
       .cpGuard() // the persisted index artifact
+    nswBeam(embs, edges, qSide, tSide, nQueries, beam, rounds, k)
+  }
+
+  /** NSW with an LSH-BANDED graph build — the registered scale path
+    * of [[nswSearch]]: instead of the exact all-pairs kNN (quadratic,
+    * a nested-loop at any scale), candidate edges come from sign-LSH
+    * band collisions. Each target's `nPlanes`-bit hyperplane bucket
+    * ([[lshBuckets]] — planes are the corpus's lowest-id vectors, the
+    * oracle-sharable determinism of s02) splits into
+    * nPlanes/`bandBits` bands; two targets are candidate neighbors
+    * iff they collide in ANY band (the minhash-banding OR-construction,
+    * so the union graph stays connected across the hash space — a
+    * single-bucket build would partition the graph into 2^nPlanes
+    * islands the beam search could never cross). Per target the top-`g`
+    * candidates by exact cosine become its out-edges; the beam search
+    * is [[nswBeam]], byte-identical to the exact build's.
+    *
+    * Scale shape: banding is one codegen'd map pass (bucket id) + a
+    * posexplode to nBands rows/target; candidate generation is an
+    * equi-join on (band, band_key) — hash-partitioned, never a
+    * nested loop — with [[HotBuckets]] capping pathological bands
+    * (near-constant embedding clusters) before the join, the d31-d34
+    * oracle-modeled guard. Recall/cost is governed by (nPlanes,
+    * bandBits) exactly as in banded-minhash designs: at 100 TB you
+    * raise nPlanes (more, smaller cells) and keep bandBits·nBands =
+    * nPlanes. The `in_exact` recall audit rides along unchanged.
+    */
+  def nswSearchLsh(embs: DataFrame, nQueries: Int, nPlanes: Int = 8,
+                   bandBits: Int = 4, g: Int = 8, beam: Int = 4,
+                   rounds: Int = 3, k: Int = 5,
+                   maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(g >= 1 && beam >= 1 && rounds >= 1 && k >= 1, "positive params")
+    require(nPlanes >= 1 && bandBits >= 1 && nPlanes % bandBits == 0,
+      "bandBits must divide nPlanes")
+    if (embs.isEmpty) // no planes to bucket by — degrade like lshCosineDupPairs
+      return embs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cosine"), lit(0).as("rn"), lit(false).as("in_exact"))
+        .limit(0)
+    val qSide = side(embs.filter(col("vec_id") < nQueries), "q").cpGuard()
+    val tSide = side(embs.filter(col("vec_id") >= nQueries), "t").cpGuard()
+    val nBands = nPlanes / bandBits
+    val mask = (1L << bandBits) - 1L
+    val banded = HotBuckets.prune(
+      lshBuckets(embs, nPlanes)
+        .filter(col("vec_id") >= nQueries)
+        .select(col("vec_id"), posexplode(array((0 until nBands).map(j =>
+          shiftright(col("bucket"), j * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bkey")))
+        .cpGuard(), // count agg + both join sides read it
+      Seq("band", "bkey"), maxBucket)
+    // a pair colliding in several bands must score once: distinct ids
+    // BEFORE the cosine, so the per-node window sees no duplicates
+    val cand = banded.toDF("a_id", "band", "bkey")
+      .join(banded.toDF("b_id", "band", "bkey"), Seq("band", "bkey"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val wg = Window.partitionBy(col("a_id"))
+      .orderBy(col("gcos").desc, col("b_id"))
+    val edges = cand
+      .join(tSide.toDF("a_id", "a_emb", "a_norm"), "a_id")
+      .join(tSide.toDF("b_id", "b_emb", "b_norm"), "b_id")
+      .withColumn("gcos", dotCol(col("a_emb"), col("b_emb")) /
+        (col("a_norm") * col("b_norm")))
+      .withColumn("grn", row_number().over(wg))
+      .filter(col("grn") <= g)
+      .select(col("a_id"), col("b_id"))
+      .cpGuard() // the persisted index artifact
+    nswBeam(embs, edges, qSide, tSide, nQueries, beam, rounds, k)
+  }
+
+  /** The shared greedy beam search + recall audit over a prebuilt
+    * (a_id, b_id) proximity-graph edge table — the scale half of
+    * [[nswSearch]]/[[nswSearchLsh]] (see nswSearch's scaladoc for the
+    * bounded-state argument).
+    */
+  private def nswBeam(embs: DataFrame, edges: DataFrame, qSide: DataFrame,
+                      tSide: DataFrame, nQueries: Int, beam: Int,
+                      rounds: Int, k: Int): DataFrame = {
     val entryIds = tSide.orderBy(col("t_id")).limit(beam)
       .collect().map(_.getLong(0))
     val qcos = dotCol(col("q_emb"), col("t_emb")) /

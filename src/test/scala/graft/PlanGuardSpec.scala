@@ -112,10 +112,10 @@ class PlanGuardSpec extends SparkSpec {
     "d36_lsh_band_sweep" -> 1, // exact baseline on the fixed 1200-doc sample
     "c18_domain_reweight" -> 1, // 1-row corpus-total attach
     "g08_hits" -> 4, // per-half-iteration 1-row renorm broadcasts (2 iters x 2)
-    // s34: the exact all-pairs 8-NN graph build (declared NN-descent/
-    // LSH swap-in point, d07 contract) + the beam entry initialization's
-    // bounded query-set broadcast
-    "s34_nsw_search" -> 2,
+    // s34: the beam entry initialization's bounded query-set broadcast
+    // (the graph build itself is the LSH-banded equi-join — no
+    // nested-loop stage anywhere since round 11)
+    "s34_nsw_search" -> 1,
     "s36_mrr" -> 1, // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
     "w38_pettitt" -> 1, // U-table stage: broadcast 1-row n attach
     "w42_pettitt_segments" -> 3) // the same 1-row n attach, once per segment pass

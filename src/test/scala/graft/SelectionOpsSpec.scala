@@ -345,6 +345,40 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.forall(_.getBoolean(4)))
   }
 
+  test("nsw LSH build equals the exact build when bands collapse to one bucket") {
+    // same angular chain as above: every target and every plane sit
+    // within 90 degrees of each other, so all sign bits are 1 -> one
+    // bucket -> band candidates = all pairs -> the LSH-built graph IS
+    // the exact 4-NN graph, and the two searches must match row-for-row
+    def at(deg: Double) = vec(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val targets = (10 to 29).map(i => (i.toLong, at((i - 10) * 4.0)))
+    val embs = ((0L, at(76.0)) +: targets).toDF("vec_id", "embedding")
+    val exact = Similarity.nswSearch(embs, nQueries = 1, g = 4, beam = 2,
+      rounds = 12, k = 3).collect().toSeq
+    val viaLsh = Similarity.nswSearchLsh(embs, nQueries = 1, nPlanes = 8,
+      bandBits = 4, g = 4, beam = 2, rounds = 12, k = 3).collect().toSeq
+    assert(viaLsh == exact)
+    assert(viaLsh.map(_.getLong(1)).toSeq == Seq(29L, 28L, 27L))
+  }
+
+  test("nsw LSH build: empty corpus degrades to empty, multi-band pair scores once") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.nswSearchLsh(empty, nQueries = 1).count() == 0)
+    // two identical targets collide in BOTH bands; the distinct-before-
+    // cosine contract means each appears exactly once per query rank
+    def at(deg: Double) = vec(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val embs = Seq((0L, at(10.0)), (10L, at(11.0)), (11L, at(11.0)),
+      (12L, at(40.0))).toDF("vec_id", "embedding")
+    val got = Similarity.nswSearchLsh(embs, nQueries = 1, nPlanes = 8,
+      bandBits = 4, g = 2, beam = 2, rounds = 2, k = 3).collect()
+    val perRank = got.map(r => (r.getLong(0), r.getInt(3)))
+    assert(perRank.distinct.length == perRank.length)
+    assert(got.map(_.getLong(1)).distinct.length == got.length)
+  }
+
   test("nsw search never strays outside graph-reachable scored nodes") {
     // two disconnected angular islands: queries near island B, but the
     // entry points (lowest ids) are island A — with g=1 the graph has
