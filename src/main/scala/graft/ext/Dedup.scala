@@ -1378,49 +1378,18 @@ object Dedup {
     * then a prefix-token equi-join whose keys are rare by design, and
     * the same semi-join + shuffle-hash exact-intersection verify as
     * every other family ([[jaccardVerify]]). The length filter
-    * (t*max(n_a,n_b) <= min(n_a,n_b), required by J >= t) prunes
-    * candidates before the distinct. Threshold compares as integers
-    * (inter * denom >= num * union) — no float edge at the boundary.
+    * (t*max(n_a,n_b) <= min(n_a,n_b), required by J >= t) and the
+    * PPJoin POSITIONAL filter (see [[prefixCandidates]] — both proved
+    * lossless) prune candidates before the distinct. Threshold
+    * compares as integers (inter * denom >= num * union) — no float
+    * edge at the boundary.
     *
     * Output: (doc_a, doc_b, n_common, jaccard), doc_a < doc_b.
     */
   def prefixJaccardDup(docs: DataFrame, num: Int, denom: Int): DataFrame = {
     require(num > 0 && denom > 0 && num <= denom, "0 < num/denom <= 1")
-    val spread = graft.core.Tables.spread(docs)
-    // token set = the minhash family's own unit, distinct word
-    // 3-shingles — discriminative enough that both the prefix index
-    // and the output stay near-dup-sized (single words are not: a
-    // small shared vocabulary makes every doc pair word-similar)
-    val toks = spread
-      .select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), ShingleSize)).as("tok"))
-      .filter(col("tok") =!= "")
-    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-doc token array in global rarest-first (df, tok) order; the
-    // ordered array is the one artifact both the prefix index and the
-    // exact verify derive from, so it materializes once
-    val arrs = toks.join(docFreq, Seq("tok"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-        .as("ord"))
-      .select(col("doc_id"),
-        expr("transform(ord, s -> s.tok)").as("ord_toks"))
-      .withColumn("n", size(col("ord_toks")))
-      // p = n - ceil(t*n) + 1, ceil in exact integer arithmetic
-      .withColumn("p",
-        expr(s"cast(n - (n * $num + $denom - 1) div $denom + 1 as int)"))
-      .cpGuard() // feeds prefix index AND both verify attaches
-    val prefix = arrs.select(col("doc_id"), col("n"),
-      explode(slice(col("ord_toks"), lit(1), col("p"))).as("tok"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        // J >= t forces t*|larger| <= |smaller|
-        col("a.n") * num <= col("b.n") * denom &&
-        col("b.n") * num <= col("a.n") * denom)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val arrs = prefixOrderedArrays(docs, num, denom)
+    val cand = prefixCandidates(arrs, num, denom)
     val lex = arrs.select(col("doc_id"),
       array_sort(col("ord_toks")).as("arr"))
     cand
@@ -1436,6 +1405,77 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") / col("n_union")).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[prefixJaccardDup]]'s per-doc ordered token arrays: rarest-first
+    * (df, tok) global order with the prefix length p = n - ceil(t*n)
+    * + 1 attached. Package-visible so the candidate-pruning spec can
+    * count candidates from the same materialized artifact.
+    */
+  private[graft] def prefixOrderedArrays(docs: DataFrame, num: Int,
+                                         denom: Int): DataFrame = {
+    val spread = graft.core.Tables.spread(docs)
+    // token set = the minhash family's own unit, distinct word
+    // 3-shingles — discriminative enough that both the prefix index
+    // and the output stay near-dup-sized (single words are not: a
+    // small shared vocabulary makes every doc pair word-similar)
+    val toks = spread
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), ShingleSize)).as("tok"))
+      .filter(col("tok") =!= "")
+    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc token array in global rarest-first (df, tok) order; the
+    // ordered array is the one artifact both the prefix index and the
+    // exact verify derive from, so it materializes once
+    toks.join(docFreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, s -> s.tok)").as("ord_toks"))
+      .withColumn("n", size(col("ord_toks")))
+      // p = n - ceil(t*n) + 1, ceil in exact integer arithmetic
+      .withColumn("p",
+        expr(s"cast(n - (n * $num + $denom - 1) div $denom + 1 as int)"))
+      .cpGuard() // feeds prefix index AND both verify attaches
+  }
+
+  /** Candidate pairs from the prefix-token equi-join, with the PPJOIN
+    * POSITIONAL filter (Xiao et al. WWW'08) on by default: a shared
+    * prefix token at 1-based rank i of x and j of y can witness at
+    * most 1 + min(n_x - i, n_y - j) overlapping tokens (everything
+    * common ranks at or after it on both sides), so occurrences where
+    * that bound falls below the overlap threshold α = ceil(t/(1+t) ·
+    * (n_x+n_y)) generate no pair. LOSSLESS: a qualifying pair's
+    * smallest common token sits in both prefixes (the AllPairs
+    * argument) AND satisfies the bound there — the true overlap is
+    * itself ≤ the bound at that occurrence — so at least that
+    * occurrence survives. Integer form: ubound·(num+denom) ≥
+    * num·(n_x+n_y) (ubound ≥ ceil(a/b) ⟺ ubound·b ≥ a). The length
+    * filter stays; `positional = false` keeps the plain AllPairs
+    * candidate set for the pruning spec's A/B count.
+    */
+  private[graft] def prefixCandidates(arrs: DataFrame, num: Int, denom: Int,
+                                      positional: Boolean = true): DataFrame = {
+    val prefix = arrs.select(col("doc_id"), col("n"),
+      posexplode(slice(col("ord_toks"), lit(1), col("p")))
+        .as(Seq("pi", "tok")))
+    val lengthOk =
+      // J >= t forces t*|larger| <= |smaller|
+      col("a.n") * num <= col("b.n") * denom &&
+        col("b.n") * num <= col("a.n") * denom
+    val positionOk =
+      // pi is 0-based: n - (pi+1) tokens rank after this occurrence
+      (lit(1) + least(col("a.n") - col("a.pi") - 1,
+        col("b.n") - col("b.pi") - 1)) * (num + denom) >=
+        (col("a.n") + col("b.n")) * num
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        (if (positional) lengthOk && positionOk else lengthOk))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Cross-document shared SUBSTRING spans — the token-level exact

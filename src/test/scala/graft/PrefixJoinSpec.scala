@@ -92,6 +92,34 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 2L && p._2 == 3L), "exact copies must pair")
   }
 
+  test("PPJoin positional filter prunes candidates and stays lossless") {
+    import spark.implicits._
+    // docs 0/1 share exactly ONE 3-shingle ("c1 c2 c3"), which — being
+    // the only df=2 token among df=1 tokens — ranks LAST (4 of 4) in
+    // both rarest-first arrays. At t=1/4 the prefix is the whole array,
+    // so AllPairs emits the (0,1) candidate; the positional bound
+    // 1 + min(0, 0) = 1 < alpha = ceil(8/5) = 2 kills it. Docs 2/3 are
+    // exact copies: their rank-1 collision passes the bound. True
+    // Jaccard(0,1) = 1/7 < 1/4, so pruning loses nothing.
+    val docs = Seq(
+      (0L, "a1 a2 a3 c1 c2 c3"),
+      (1L, "b1 b2 b3 c1 c2 c3"),
+      (2L, "x1 x2 x3 x4"),
+      (3L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+    val arrs = Dedup.prefixOrderedArrays(docs, 1, 4)
+    def pairs(positional: Boolean) =
+      Dedup.prefixCandidates(arrs, 1, 4, positional).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(positional = false) == Set((0L, 1L), (2L, 3L)))
+    assert(pairs(positional = true) == Set((2L, 3L)),
+      "positional filter must prune the late-rank collision")
+    val out = Dedup.prefixJaccardDup(docs, 1, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == bruteForce(docs.collect().sortBy(_.getLong(0))
+      .map(_.getString(1)).toSeq, 1, 4))
+    assert(out.contains((2L, 3L, 2)))
+  }
+
   test("prefixJaccardDup is lossless at a tight threshold too") {
     import spark.implicits._
     forSamples(corpusGen, 3) { texts =>
