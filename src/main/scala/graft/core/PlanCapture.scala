@@ -23,6 +23,22 @@ object PlanCapture {
   @volatile private var label: Option[String] = None
   private val buf = ArrayBuffer.empty[(String, SparkPlan)]
 
+  /** When true, every [[CheckpointOps.cpGuard]] takes a RELIABLE
+    * `checkpoint()` (files under [[CheckpointDirKey]]) instead of
+    * `localCheckpoint()`. localCheckpoint pins blocks to executors —
+    * losing one executor mid-SCC/CC/PageRank at cluster scale loses
+    * the RDD and fails the whole job; the reliable path survives
+    * executor loss at the cost of a filesystem round-trip per
+    * materialization, the right trade for long iterative loops on a
+    * real cluster. Default false: local mode has no executor to lose.
+    */
+  val ReliableKey = "spark.graft.reliableCheckpoints"
+
+  /** Checkpoint directory for [[ReliableKey]]; applied to the
+    * SparkContext on first reliable cpGuard if none is set yet.
+    */
+  val CheckpointDirKey = "spark.graft.checkpointDir"
+
   /** Run `body` recording every [[CheckpointOps.cpGuard]] plan under
     * `name`. Single-audit-thread contract (PlanGuardSpec builds
     * queries sequentially); not meant for concurrent captures.
@@ -49,7 +65,13 @@ object PlanCapture {
       if (label.isDefined) buf.synchronized {
         label.foreach(l => buf += ((l, ds.queryExecution.sparkPlan)))
       }
-      ds.localCheckpoint()
+      val spark = ds.sparkSession
+      if (spark.conf.get(ReliableKey, "false").toBoolean) {
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.conf.getOption(CheckpointDirKey)
+            .foreach(spark.sparkContext.setCheckpointDir)
+        ds.checkpoint()
+      } else ds.localCheckpoint()
     }
   }
 }
