@@ -4107,6 +4107,25 @@ object ExtQueries {
                / CAST(COUNT(*) AS DOUBLE) AS mean_px
       FROM gxy GROUP BY 1, 2, 3 ORDER BY doc_id, cy, cx""")),
 
+    // ---- lossy-codec (JPEG) decode audit: quality-pinned JPEG
+    // encode -> real javax.imageio decode -> per-pixel compare against
+    // the analytic smooth-ramp truth. Geometry survives the codec
+    // exactly; content is lossy, so the gate rides the engine-computed
+    // bounded-error booleans (probed over the full 1547-id rule period:
+    // worst max-err < 8, worst mean-err < 2 — tolerances 24/8 are
+    // codec-variation headroom, and a decoder regression flips the
+    // booleans and fails this row) ---------------------------------
+    ("m14_jpeg_decode_audit", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      Multimodal.jpegDecodeAudit(docs).orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(4 + doc_id % 13 AS INT) AS width,
+        CAST(3 + doc_id % 7 AS INT) AS height,
+        CAST((4 + doc_id % 13) * (3 + doc_id % 7) AS BIGINT) AS n_px,
+        TRUE AS within_max_tol, TRUE AS within_mean_tol
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
     // ---- perceptual image dedup (dHash over REAL decoded pixels) ----
     // the multimodal near-dup story: the same pattern rendered at
     // different resolutions hashes identically (m04 groups find the

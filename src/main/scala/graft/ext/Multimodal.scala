@@ -129,6 +129,131 @@ object Multimodal {
       .toDF("doc_id", "payload")
   }
 
+  /** Per-image smooth-ramp pixel rule for the JPEG family: a linear
+    * gradient (no wraps, no sawtooth) so the lossy codec's error stays
+    * small and a tight audit tolerance holds. Max value: 16·8 + 4·15 +
+    * 4·8 = 220 < 256 at the largest synthetic geometry.
+    */
+  private[graft] def jpegPix(id: Long, x: Int, y: Int): Int =
+    ((id % 17) * 8 + 4 * x + 4 * y).toInt
+
+  /** JPEG-encode one grayscale image at a PINNED quality — the
+    * quality-pinned synthesis the lossy-codec audit (m14) depends on:
+    * `ImageWriteParam.MODE_EXPLICIT` fixes the quant tables, so the
+    * encode is deterministic for a given JRE + input.
+    */
+  private def jpegBytes(img: java.awt.image.BufferedImage,
+                        quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    try writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Synthetic grayscale images JPEG-encoded at a pinned quality —
+    * the LOSSY twin of [[syntheticImages]] (same m03 geometry rule,
+    * the smooth [[jpegPix]] content rule). A real 100 TB image corpus
+    * is dominated by JPEG, so the decode path must be exercised
+    * through a lossy codec, not only PNG's bit-exact round-trip.
+    */
+  def syntheticJpegImages(docs: DataFrame,
+                          quality: Float = 0.85f): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = 4 + (id % 13).toInt
+          val h = 3 + (id % 7).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, jpegPix(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          (id, jpegBytes(img, quality))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Lossy-codec fidelity audit (the m03 discipline for JPEG):
+    * synthesize [[syntheticJpegImages]], decode the REAL JPEG bytes
+    * with `javax.imageio`, and compare every pixel against the
+    * analytic [[jpegPix]] truth. Geometry must survive the codec
+    * exactly (oracle-checked analytically); pixel content is lossy,
+    * so the CONTRACT is the bounded-error booleans — max abs error ≤
+    * `maxTol` and sum abs error ≤ `meanTol`·n_px — computed engine-
+    * side in exact integers (the oracle asserts both hold on every
+    * row; a codec regression flips them to false and fails the gate).
+    * Undecodable payloads yield null columns, never a task failure.
+    *
+    * Scale shape: pure per-partition map over the binary column — no
+    * shuffle, scan throughput, identical to [[decodeImages]].
+    */
+  def jpegDecodeAudit(docs: DataFrame, quality: Float = 0.85f,
+                      maxTol: Int = 24, meanTol: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticJpegImages(docs, quality)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null)
+              (id, None: Option[Int], None: Option[Int],
+                None: Option[Long], None: Option[Boolean],
+                None: Option[Boolean])
+            else {
+              val raster = img.getRaster
+              val w = img.getWidth
+              val h = img.getHeight
+              var sumErr = 0L
+              var maxErr = 0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val e = math.abs(raster.getSample(x, y, 0) -
+                    jpegPix(id, x, y))
+                  sumErr += e
+                  if (e > maxErr) maxErr = e
+                  x += 1
+                }
+                y += 1
+              }
+              (id, Some(w), Some(h), Some(w.toLong * h),
+                Some(maxErr <= maxTol),
+                Some(sumErr <= meanTol.toLong * w * h))
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              (id, None: Option[Int], None: Option[Int],
+                None: Option[Long], None: Option[Boolean],
+                None: Option[Boolean])
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_px",
+        "within_max_tol", "within_mean_tol")
+  }
+
   /** REAL image decode: `javax.imageio` (JDK-bundled — PNG, BMP, GIF,
     * JPEG) per partition, returning dimensions and the pixel sum of
     * band 0 — a content fingerprint the m03 oracle recomputes

@@ -129,6 +129,34 @@ class ZipSourceSpec extends SparkSpec {
     }
   }
 
+  test("jpeg decode audit: real lossy round-trip holds geometry and tolerance") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 40)
+    // the payload really is JPEG (SOI marker), not a PNG fallback
+    val bytes = Multimodal.syntheticJpegImages(docs.limit(1))
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "missing JPEG SOI marker")
+    val got = Multimodal.jpegDecodeAudit(docs).collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 4 + (id % 13).toInt, s"doc $id width")
+      assert(r.getInt(2) == 3 + (id % 7).toInt, s"doc $id height")
+      assert(r.getLong(3) == r.getInt(1).toLong * r.getInt(2))
+      assert(r.getBoolean(4), s"doc $id max-error tolerance")
+      assert(r.getBoolean(5), s"doc $id mean-error tolerance")
+    }
+  }
+
+  test("jpeg decode audit: undecodable payload degrades to null row") {
+    import spark.implicits._
+    // feed garbage through the same decode core via decodeImages
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(junk).collect().head
+    assert(out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+  }
+
   test("image patches: grid shape, analytic sums, ragged edge cropped") {
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("doc_id") < 30)
