@@ -11,177 +11,14 @@ package graft
   * at scale.
   */
 class PlanGuardSpec extends SparkSpec {
-
-  /** Queries allowed BroadcastNestedLoopJoin nodes, with WHY and how
-    * many. Every broadcast side here is bounded by construction
-    * (query set, hyperplanes, centroids, or a 1-row aggregate) — never
-    * the corpus.
-    */
-  private val allowedBnlj = Map(
-    "q10_cross_join" -> 1, // IS the cross-join coverage test
-    "d07_cosine_dup" -> 1, // declared all-pairs exact baseline (pre-blocked corpora)
-    "d13_kmv_distinct" -> 1, // 1-row sketch x 1-row exact-count join
-    "d16_hll_distinct" -> 1, // 1-row summary x 1-row exact-count join
-    "d18_hll_slice_merge" -> 2, // counts x merged-est x direct-est, all 1-row
-    "t15_lm_quality" -> 1, // 1-row corpus-total join
-    "d20_minhash_recall" -> 2, // fixed-sample exact all-pairs baseline + 1-row count join
-    "d36_lsh_band_sweep" -> 3, // 1-row exact x 1-row lsh count join, x 3 band shapes (exact baseline is checkpointed)
-    "d21_containment_recall" -> 2, // fixed-sample exact all-pairs baseline + 1-row count join
-    "s01_ann_brute_topk" -> 1, // broadcast query set vs target scan
-    "s03_ann_topk_agg" -> 1, // broadcast query set vs target scan
-    "s05_knn_classify" -> 1, // broadcast labeled query set
-    "s07_ann_lsh_recall" -> 1, // composes s01's broadcast query set (hyperplanes are literals now)
-    "s06_ann_ivf_topk" -> 2, // broadcast centroids (cell build + query probe)
-    "s23_ivf_nprobe_sweep" -> 6, // s06's 2 centroid broadcasts x 3 sweep points
-    "s25_ivf_index_append" -> 1, // probe-side centroid broadcast only (index side: none)
-
-    "s19_filtered_ivf" -> 2, // same centroid broadcasts; the filter is an equi semi-join
-    "s26_hard_negatives" -> 1, // broadcast query set, label-inequality predicate
-    "s15_ivf_cell_stats" -> 1, // broadcast 1-row totals for the imbalance factor
-    "s16_truncated_recall" -> 2, // broadcast query set per brute side (full + truncated)
-    "s17_jl_recall" -> 2, // broadcast query set per brute side (full + JL-projected)
-    "s18_filtered_ann" -> 1, // broadcast query set against the semi-join-filtered targets
-    "s21_int8_recall" -> 2, // broadcast query set per brute side (full + reconstructed)
-    // s20_mmr_rerank: the candidate brute pass's broadcast sits behind a
-    // localCheckpoint, so the registered plan itself carries no BNLJ
-    "t27_bigram_lm" -> 1, // broadcast 1-row vocabulary-size aggregate
-    "s30_rocchio_expand" -> 2, // broadcast query set per round (s01 contract x2)
-    "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
-    "c15_priority_sample" -> 1, // broadcast 1-row tau (the (n+1)-th priority)
-    "c14_dedup_aware_mixture" -> 1, // same 1-row weight-total broadcast, post-dedup
-    "c16_dsir_select" -> 1, // broadcast 1-row feature-total aggregate
-    "d27_hll_intersection" -> 3, // four 1-row summaries chained (est_a x est_b x est_union x exact)
-    "g02_degree_audit" -> 1, // broadcast 1-row edge totals
-    // g08_hits: the per-half-iteration renorm broadcasts sit behind
-    // localCheckpoints, so the registered plan itself carries no BNLJ
-    "t05_tfidf_top_terms" -> 1, // broadcast 1-row corpus-size aggregate
-    "t16_bm25_topk" -> 1, // broadcast 1-row corpus-stats aggregate
-    "t20_heavy_hitters" -> 1, // broadcast 1-row stream-total aggregate
-    // c18: the corpus-total attach sits behind a localCheckpoint; the
-    // registered plan carries only the 1-row weight-total broadcast
-    "c18_domain_reweight" -> 1,
-    "t22_vocab_growth" -> 2, // two 1-row conditional-sum broadcasts
-    "s29_late_interaction" -> 1, // broadcast query TOKEN set vs target scan (s01 contract)
-    "w19_value_drift" -> 1, // broadcast 1-row bin-total aggregate
-    "c22_corpus_datasheet" -> 4, // four 1-row summary broadcasts (datasheet card)
-    "w20_event_funnel" -> 1, // broadcast 1-row first-stage count attach
-    "g12_modularity" -> 1, // broadcast 1-row degree-square aggregate
-    "t25_quality_calibration" -> 1, // broadcast 1-row test-count attach (bin cut)
-    // s31 composes both rankers, inheriting exactly their allowances:
-    // s01's broadcast query set + t16's 1-row corpus-stats broadcast
-    "s31_rrf_fusion" -> 2,
-    // 1-row total-weight broadcast + n-row probe table broadcast
-    // against the cumulative scan (containment is a range predicate)
-    "c30_systematic_resample" -> 2,
-    "w31_ks_test" -> 1, // broadcast 1-row sample-totals aggregate
-    "c31_benford" -> 1, // broadcast 1-row digit-total aggregate
-    "c34_constraint_audit" -> 1, // broadcast 1-row fk-violation count attach
-    "s34_nsw_search" -> 1, // recall audit: brute baseline's broadcast query set (s01 contract)
-    "q59_basket_rules" -> 1, // broadcast 1-row n_orders total attach
-    // post-sketch stage is constant-size by construction: 1-row max
-    // attach + 3-threshold x (maxT+1)-row curve theta-join
-    "g21_effective_diameter" -> 2,
-    "s36_mrr" -> 1, // broadcast 1-row MRR total attach
-    "t31_collocations" -> 1, // broadcast 1-row token-total attach
-    "g22_reciprocity" -> 1, // 1-row edge-count x 1-row reciprocal-count attach
-    "c35_t_closeness" -> 1, // broadcast 1-row table-total attach
-    "s37_sign_hamming_recall" -> 2, // broadcast query set per side (brute + sign words)
-    "s38_sign_rerank" -> 1) // the shortlist stage's broadcast query set (s37 contract)
-
-  /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
-    * shape that funnels every row through one task. Only the declared
-    * single-task twin may carry one; everything else must window inside
-    * a partition (or use graft.operators.SeqNumber, like q30b).
-    */
-  private val allowedGlobalWindow = Map(
-    "q30_global_seq" -> 1) // declared single-task twin of q30b
-
-  /** BroadcastNestedLoopJoin allowances for PRE-CHECKPOINT subplans —
-    * the stages a query materializes behind `localCheckpoint` (via
-    * graft.core.PlanCapture.cpGuard) before the registered plan is
-    * built. Without this second pass, "zero cartesian across all
-    * plans" would be blind to exactly the stages most likely to hide
-    * an all-pairs join. Every allowance is a declared bounded or
-    * exact-baseline shape, same standard as [[allowedBnlj]].
-    */
-  private val allowedCpBnlj = Map(
-    "s20_mmr_rerank" -> 1, // candidate brute pass: broadcast query set (s01 contract)
-    "s23_ivf_nprobe_sweep" -> 1, // shared cell-assignment stage: centroid-literal broadcast
-    "s24_ivf_pq_recall" -> 1, // exact-L2 baseline: broadcast query set (s01 contract)
-    "s27_dbscan" -> 1, // declared exact all-pairs baseline (d07 contract)
-    "d36_lsh_band_sweep" -> 1, // exact baseline on the fixed 1200-doc sample
-    "c18_domain_reweight" -> 1, // 1-row corpus-total attach
-    "g08_hits" -> 4, // per-half-iteration 1-row renorm broadcasts (2 iters x 2)
-    // s34: the beam entry initialization's bounded query-set broadcast
-    // (the graph build itself is the LSH-banded equi-join — no
-    // nested-loop stage anywhere since round 11)
-    "s34_nsw_search" -> 1,
-    "s36_mrr" -> 1, // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
-    "w38_pettitt" -> 1, // U-table stage: broadcast 1-row n attach
-    "w42_pettitt_segments" -> 3) // the same 1-row n attach, once per segment pass
-
-  /** Unpartitioned-WindowExec allowances for pre-checkpoint subplans. */
-  private val allowedCpGlobalWindow = Map.empty[String, Int]
-
-  /** One audit of (regex-able plan string, collect-able plan tree)
-    * against the rules; `where` tags checkpointed-stage findings.
-    */
-  private def audit(name: String, planStr: String,
-                    tree: org.apache.spark.sql.execution.SparkPlan,
-                    allowB: Int, allowW: Int, where: String): Seq[String] = {
-    val cart = "CartesianProduct".r.findAllIn(planStr).size
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(planStr).size
-    val gwin = tree.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec
-          if w.partitionSpec.isEmpty => w
-    }.size
-    (if (cart > 0) Seq(s"$name$where: $cart CartesianProduct node(s)") else Nil) ++
-      (if (bnlj != allowB)
-        Seq(s"$name$where: $bnlj BroadcastNestedLoopJoin node(s), allowed $allowB")
-      else Nil) ++
-      (if (gwin != allowW)
-        Seq(s"$name$where: $gwin unpartitioned WindowExec node(s), allowed $allowW")
-      else Nil)
-  }
+  // Allowance tables + audit logic live in graft.core.PlanAudit so the
+  // PlanScan main can run the SAME audit at the bench sf (sf0.1) —
+  // this spec is the sf0.001 instance that runs on every sbt test.
 
   test("no unplanned cartesian or nested-loop join in any registered query") {
-    val sfDir = "/root/testdata/sf0.001"
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val qe = graft.core.PlanCapture.capturing(name) {
-          fn(spark, sfDir).queryExecution
-        }
-        val cps = graft.core.PlanCapture.drain()
-        // registered (post-checkpoint) plan: regex the executed plan
-        // string (pre-execution AQE prints once), collect windows on
-        // the pre-AQE tree (AQE hides its subtree from collect)
-        audit(name, qe.executedPlan.toString, qe.sparkPlan,
-          allowedBnlj.getOrElse(name, 0),
-          allowedGlobalWindow.getOrElse(name, 0), "") ++ {
-          // second pass: the checkpointed stages (pre-AQE plans
-          // recorded by cpGuard at checkpoint time), summed per
-          // query — the same rules, so an all-pairs join can't hide
-          // behind a localCheckpoint boundary
-          val bnljSum = cps.map(c =>
-            "BroadcastNestedLoopJoin".r.findAllIn(c._2.toString).size).sum
-          val cartSum = cps.map(c =>
-            "CartesianProduct".r.findAllIn(c._2.toString).size).sum
-          val gwinSum = cps.map(_._2.collect {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty => w
-          }.size).sum
-          val aB = allowedCpBnlj.getOrElse(name, 0)
-          val aW = allowedCpGlobalWindow.getOrElse(name, 0)
-          (if (cartSum > 0)
-            Seq(s"$name [checkpointed]: $cartSum CartesianProduct node(s)")
-          else Nil) ++
-            (if (bnljSum != aB)
-              Seq(s"$name [checkpointed]: $bnljSum BroadcastNestedLoopJoin node(s), allowed $aB")
-            else Nil) ++
-            (if (gwinSum != aW)
-              Seq(s"$name [checkpointed]: $gwinSum unpartitioned WindowExec node(s), allowed $aW")
-            else Nil)
-        }
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      graft.core.PlanAudit.auditQuery(spark, name,
+        "/root/testdata/sf0.001").failures
     }
     assert(failures.isEmpty,
       s"plan regressions:\n${failures.mkString("\n")}")
