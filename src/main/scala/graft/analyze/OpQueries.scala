@@ -24,8 +24,15 @@ object OpQueries {
     * consecutive prop-k values ordered by (ts, event_id), weighted by
     * transition count.
     */
-  private def eventEdges(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
+  private def eventEdges(s: SparkSession, d: String): DataFrame =
+    eventEdgesOf(t(s, d, "events"))
+
+  /** [[eventEdges]] over an arbitrary slice of the events table (the
+    * g25 incremental twin splits by user cohort — transitions are
+    * per-user windows, so filtering users commutes with the lag).
+    */
+  private def eventEdgesOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .filter(col("k").isNotNull)
@@ -832,6 +839,50 @@ object OpQueries {
              COALESCE(tn.n_tri, 0) AS n_tri
       FROM dg LEFT JOIN tn ON tn.k = dg.k
       ORDER BY dg.k""")),
+
+    // ---- INCREMENTAL triangle deltas: the graph-family batch-vs-
+    // corpus twin (c04/s25 contract). Old graph = transitions of users
+    // outside the 0-mod-5 cohort; the cohort's transitions arrive as
+    // the new batch. Engine counts only union triangles touching a
+    // genuinely-new edge, Δ-anchored (never re-pairing the old graph);
+    // the oracle is SCHEME-BLIND: per-node T(union) − T(old) via two
+    // brute a<b<c closures --------------------------------------------
+    ("g25_incremental_triangles", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ev = t(s, d, "events")
+      Graphs.incrementalTriangles(
+        eventEdgesOf(ev.filter(col("user_id") % 5 =!= 0)),
+        eventEdgesOf(ev.filter(col("user_id") % 5 === 0)))
+    }, Some(s"""
+      WITH ev AS (SELECT user_id, ts, event_id,
+                    CAST(json_extract_string(props, '$$.k') AS INT) AS k
+             FROM events
+             WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      tr AS (SELECT user_id, k, LAG(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src FROM ev),
+      edall AS (SELECT user_id, CAST(src AS BIGINT) AS src,
+                       CAST(k AS BIGINT) AS dst
+                FROM tr WHERE src IS NOT NULL),
+      undo AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+               FROM edall WHERE src <> dst AND user_id % 5 <> 0),
+      undu AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+               FROM edall WHERE src <> dst),
+      trio AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM undo e1 JOIN undo e2 ON e2.a = e1.b
+                 JOIN undo e3 ON e3.a = e1.a AND e3.b = e2.b),
+      triu AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM undu e1 JOIN undu e2 ON e2.a = e1.b
+                 JOIN undu e3 ON e3.a = e1.a AND e3.b = e2.b),
+      cno AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM
+                (SELECT x AS k FROM trio UNION ALL SELECT y FROM trio
+                 UNION ALL SELECT z FROM trio) t GROUP BY k),
+      cnu AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM
+                (SELECT x AS k FROM triu UNION ALL SELECT y FROM triu
+                 UNION ALL SELECT z FROM triu) t GROUP BY k)
+      SELECT cnu.k, cnu.n - COALESCE(cno.n, 0) AS d_tri
+      FROM cnu LEFT JOIN cno ON cno.k = cnu.k
+      WHERE cnu.n - COALESCE(cno.n, 0) > 0
+      ORDER BY cnu.k""")),
 
     // ---- community detection: synchronous label propagation, 2 exact
     // deterministic iterations (argmax neighbor-label weight, ties to

@@ -454,6 +454,86 @@ object Graphs {
       .orderBy(col("k"))
   }
 
+  /** INCREMENTAL per-node triangle deltas for a growing edge table —
+    * the graph-family batch-vs-corpus twin (the c04/c05/c06 and s25
+    * contract lifted to graphs): given the EXISTING simple graph and a
+    * NEW edge batch, count only the triangles of old ∪ Δ that contain
+    * at least one genuinely-new edge (Δ = simple(new) anti-join old —
+    * re-adding an existing edge creates nothing), each exactly once,
+    * WITHOUT re-pairing the old graph with itself.
+    *
+    * Enumeration (exact, once-counted): orient the union by (union
+    * degree, id) as in [[triangleCounts]]; a triangle is its unique
+    * apex wedge (u; v, w) plus closing edge v→w. Split by where the
+    * new edge sits — (1) wedge edge 1 new (anything else), (2) wedge
+    * edge 1 old + edge 2 new, (3) both wedge edges old + closing edge
+    * new. Categories are disjoint and cover every Δ-touching triangle.
+    *
+    * Scale shape: every stage is Δ-ANCHORED — (1)/(2) are u-keyed
+    * wedge joins with the O(|Δ|) side on one leg (out-neighborhoods
+    * O(√m) by orientation), (3) is the classic per-new-edge
+    * common-neighbor join (two node-keyed equi-joins from the Δ edge's
+    * endpoints); the only O(m) passes are linear (degree groupBy,
+    * orientation attach). Per-batch work scales with |Δ|·√m, not
+    * m^1.5 — the whole point of the incremental twin. At cluster scale
+    * the degree table would persist and update incrementally; here it
+    * recomputes in one partial-aggregable groupBy.
+    *
+    * Output: (k, d_tri) — nodes whose triangle membership grows, with
+    * the exact increment; ordered by k. Oracle-checkable scheme-blind
+    * as per-node T(union) − T(old).
+    */
+  def incrementalTriangles(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    def simple(e: DataFrame) = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val undOld = simple(oldEdges).cpGuard() // anti-join + union + category-3 legs
+    val delta = simple(newEdges)
+      .join(undOld, Seq("a", "b"), "left_anti")
+    val union = undOld.withColumn("is_new", lit(false))
+      .unionAll(delta.withColumn("is_new", lit(true)))
+      .cpGuard() // degree AND orientation read it
+    val deg = union.select(col("a").as("k"))
+      .unionAll(union.select(col("b").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("deg"))
+    val oriented = union
+      .join(deg.select(col("k").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("k").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") > col("db"), col("b")).otherwise(col("a")).as("u"),
+        when(col("da") > col("db"), col("a")).otherwise(col("b")).as("v"),
+        when(col("da") > col("db"), col("da")).otherwise(col("db")).as("dv"),
+        col("is_new"))
+      .cpGuard() // read by all three categories + the closing semi-join
+    val oN = oriented.filter(col("is_new")).drop("is_new")
+    val oO = oriented.filter(!col("is_new")).drop("is_new")
+    def snd(df: DataFrame) =
+      df.select(col("u"), col("v").as("w"), col("dv").as("dw"))
+    val wedgeOrder = col("dv") < col("dw") ||
+      (col("dv") === col("dw") && col("v") < col("w"))
+    // (1) wedge edge 1 new, edge 2 anything; (2) edge 1 old, edge 2 new
+    val wNew = oN.join(snd(oriented.drop("is_new")), Seq("u")).filter(wedgeOrder)
+      .unionAll(oO.join(snd(oN), Seq("u")).filter(wedgeOrder))
+    val closedNewWedge = wNew
+      .join(oriented.select(col("u").as("v"), col("v").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+    // (3) old-old wedge closed by the NEW edge: Δ edge (v, w) anchors a
+    // common-oriented-predecessor join; the wedge order (dv,v) < (dw,w)
+    // is implied by the Δ edge's own orientation
+    val triClosing = oN.select(col("u").as("v"), col("v").as("w"))
+      .join(oO.select(col("u"), col("v")), Seq("v"))
+      .join(oO.select(col("u"), col("v").as("w")), Seq("u", "w"), "left_semi")
+      .select(col("u"), col("v"), col("w"))
+    val newTri = closedNewWedge.unionAll(triClosing)
+    newTri.select(col("u").as("k"))
+      .unionAll(newTri.select(col("v").as("k")))
+      .unionAll(newTri.select(col("w").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("d_tri"))
+      .orderBy(col("k"))
+  }
+
   /** k-truss peel over the undirected simple graph, run for exactly
     * `iters` rounds (the [[kCore]] contract lifted from nodes to
     * EDGES): repeatedly drop edges whose support — the number of

@@ -556,6 +556,17 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 666666L))
   }
 
+  test("incremental triangles: duplicate/self-loop batch yields no delta") {
+    val old = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val noop = Seq((2L, 1L), (3L, 3L)).toDF("src", "dst") // dup (reversed) + self-loop
+    assert(Graphs.incrementalTriangles(old, noop).count() == 0)
+    // a genuinely new closing edge counts each member once
+    val close = Seq((1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = Graphs.incrementalTriangles(old, close).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("reciprocity: all-self-loop edge list degrades to NULL ppm, no crash") {
     val ed = Seq((4L, 4L, 1L), (7L, 7L, 1L)).toDF("src", "dst", "w")
     val Array(r) = Graphs.reciprocity(ed).collect()
