@@ -224,6 +224,33 @@ class IngestStreamSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
   }
 
+  test("e2e slice runs end-to-end on a NON-file Hadoop scheme (graftfs://)") {
+    import java.io.{File, FileOutputStream}
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    // register the foreign-scheme FS (the s3a:// stand-in); storage is
+    // local disk but every path the pipeline touches carries graftfs://
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftFs].getName)
+    val landing = tmp("gfs_landing"); val work = tmp("gfs_work")
+    val zip = new File(landing, "t20s.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zip))
+    Files.list(Paths.get(fixturesDir)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).foreach { p =>
+        zos.putNextEntry(new ZipEntry(s"t20s_male/${p.getFileName}"))
+        zos.write(Files.readAllBytes(p)); zos.closeEntry()
+      }
+    zos.close()
+    val (mw, dw, note) = StreamIngest.runPipeline(spark,
+      s"graftfs://$landing", s"graftfs://$work")
+    assert(mw == 6 && dw == 24)
+    assert(note.startsWith("Updated till the match between"))
+    // artifacts written under — and readable back through — the scheme
+    assert(spark.read.parquet(s"graftfs://$work/staging/matchwise")
+      .count() > 0)
+    assert(spark.read.option("header", "true")
+      .csv(s"graftfs://$work/output/matchwise_data.csv").count() == mw)
+  }
+
   test("streaming: corrupt archive quarantines durably, good archive stages") {
     import java.io.{File, FileOutputStream}
     import java.util.zip.{ZipEntry, ZipOutputStream}
