@@ -4932,7 +4932,68 @@ object ExtQueries {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) FROM w3
       UNION ALL SELECT 4, doc_id, gain,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM c4) FROM w4
-      ORDER BY round"""))
+      ORDER BY round""")),
+
+    // ---- encoding-corruption audit over a deterministically PLANTED
+    // double-encoding (the m03/m14 synthetic discipline for text):
+    // docs in the 3-mod-7 class get 'e' -> 'Ã©' (byte-identical to the
+    // UTF-8-read-as-Latin-1 accident on an ASCII corpus); the audit
+    // counts every marker signature by the exact length-difference
+    // identity and rolls up per source ------------------------------
+    ("t35_encoding_audit", (s: SparkSession, d: String) =>
+      TextAnalysis.encodingAudit(
+        TextAnalysis.mojibakeCorrupt(t(s, d, "documents"))),
+      Some("""
+      WITH c AS (SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 3
+                    THEN replace(text, 'e', 'Ã©') ELSE text END AS text
+             FROM documents),
+      p AS (SELECT source,
+              CAST(strlen(text) - length(text) AS BIGINT) AS excess,
+              CAST(length(text) - length(replace(text, 'Ã', ''))
+                AS BIGINT) AS utf8_latin1,
+              CAST((length(text) - length(replace(text, 'â€', ''))) // 2
+                AS BIGINT) AS punct_utf8,
+              CAST(length(text) - length(replace(text, '�', ''))
+                AS BIGINT) AS replacement,
+              CAST(length(text) - length(replace(text, 'Â', ''))
+                AS BIGINT) AS nbsp_latin1
+            FROM c)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN utf8_latin1 > 0 OR punct_utf8 > 0
+                        OR replacement > 0 OR nbsp_latin1 > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_docs,
+             CAST(SUM(utf8_latin1) AS BIGINT) AS c_utf8_latin1,
+             CAST(SUM(punct_utf8) AS BIGINT) AS c_punct_utf8,
+             CAST(SUM(replacement) AS BIGINT) AS c_replacement,
+             CAST(SUM(nbsp_latin1) AS BIGINT) AS c_nbsp_latin1,
+             CAST(SUM(excess) AS BIGINT) AS excess_bytes,
+             CAST(SUM(CASE WHEN utf8_latin1 > 0 OR punct_utf8 > 0
+                        OR replacement > 0 OR nbsp_latin1 > 0
+                      THEN 1 ELSE 0 END) * 1000000
+               // COUNT(*) AS BIGINT) AS bad_ppm
+      FROM p GROUP BY source ORDER BY source""")),
+
+    // ---- cross-user interval-overlap join via bucket decomposition:
+    // the range-join-to-equi-join rewrite (fixed 60 s buckets, fan-out
+    // <= 3 rows/interval at the fixture's <= 61 s durations), each
+    // overlapping pair counted once by the canonical bucket holding
+    // max(s_a, s_b) — no distinct, no theta join. Oracle IS the brute
+    // theta join, blind to the bucketing -----------------------------
+    ("w44_interval_overlap", (s: SparkSession, d: String) =>
+      TimeSeries.intervalOverlap(t(s, d, "events")),
+      Some("""
+      WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+              epoch_us(ts) +
+                (CAST(floor(value * 60) AS BIGINT) + 1) * 1000000 AS e
+            FROM events WHERE user_id < 30)
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT)
+               AS overlap_us
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+      GROUP BY 1, 2 ORDER BY user_a, user_b"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

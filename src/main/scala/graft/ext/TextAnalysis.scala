@@ -1191,4 +1191,74 @@ object TextAnalysis {
           .as("yule_k"))
       .orderBy(col("lang"))
   }
+
+  /** The classic encoding-corruption byte signatures a web-scale text
+    * corpus accumulates: UTF-8 bytes re-read as Latin-1. Each marker
+    * is a LITERAL substring (never a regex — regex dialects diverge
+    * across engines; literal counting is exact everywhere).
+    */
+  val MojibakeMarkers: Seq[(String, String)] = Seq(
+    "utf8_latin1" -> "Ã", // Ã — leader of é/à/ü read as Latin-1
+    "punct_utf8" -> "â€", // â€ — curly quote/dash mojibake leader
+    "replacement" -> "�", // U+FFFD — a decoder already gave up
+    "nbsp_latin1" -> "Â") // Â — NBSP/degree-sign double-encode leader
+
+  /** Deterministic encoding-corruption PLANT (the m03/m14 synthetic
+    * discipline applied to text): docs in the `residue` class of
+    * `modulus` get every 'e' replaced by the DOUBLE-ENCODED é — on an
+    * ASCII corpus, replace(text, 'e', 'Ã©') is byte-identical to
+    * `new String(text.replace("e", "é").getBytes(UTF_8), ISO_8859_1)`,
+    * the canonical UTF-8-written-then-read-as-Latin-1 accident. Kept
+    * as the built-in replace so the plant stays codegen'd and the
+    * oracle shares it literally.
+    */
+  def mojibakeCorrupt(docs: DataFrame, modulus: Int = 7,
+                      residue: Int = 3): DataFrame = {
+    require(modulus > 0 && residue >= 0 && residue < modulus, "residue in [0, modulus)")
+    docs.withColumn("text",
+      when(col("doc_id") % modulus === residue,
+        replace(col("text"), lit("e"), lit("Ã©")))
+        .otherwise(col("text")))
+  }
+
+  /** Encoding-corruption audit — the curation gate that catches
+    * double-encoded feeds before they poison a training mix: per
+    * source, exact occurrence counts of each [[MojibakeMarkers]]
+    * signature (counted by the length-difference identity
+    * (len − len(remove(marker)))/len(marker) — pure built-ins, exact
+    * integers, no regex), the count of affected docs, non-ASCII byte
+    * excess (octet_length − char_length: 0 for pure ASCII, so a
+    * supposedly-English feed with a large excess is itself a flag),
+    * and the affected-docs rate in ppm (integral div).
+    *
+    * Scale shape: one narrow map pass over the corpus (every marker
+    * count is a per-row expression) + one partial-aggregable groupBy
+    * (source) — scan throughput, no shuffle beyond the source rollup.
+    */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    val spread = graft.core.Tables.spread(docs)
+    def markerCount(m: String) = {
+      val removed = replace(col("text"), lit(m), lit(""))
+      ((length(col("text")) - length(removed)) / m.length).cast("long")
+    }
+    val perDoc = spread.select(
+      col("source") +:
+        (octet_length(col("text")) - length(col("text")))
+          .cast("long").as("excess") +:
+        MojibakeMarkers.map { case (name, m) => markerCount(m).as(name) }: _*)
+    val anyBad = MojibakeMarkers
+      .map { case (name, _) => col(name) > 0L }
+      .reduce(_ || _)
+    perDoc
+      .withColumn("bad", when(anyBad, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bad")).as("n_bad_docs") +:
+          MojibakeMarkers.map { case (name, _) =>
+            sum(col(name)).as(s"c_$name") } :+
+          sum(col("excess")).as("excess_bytes"): _*)
+      .withColumn("bad_ppm",
+        expr("CAST(n_bad_docs * 1000000 div n_docs AS BIGINT)"))
+      .orderBy(col("source"))
+  }
 }

@@ -709,6 +709,52 @@ object TimeSeries {
       .orderBy(col("ts_us"))
   }
 
+  /** Cross-user interval-OVERLAP join via bucket decomposition — the
+    * range-join-to-equi-join rewrite every published interval-join
+    * engine uses (and the pattern that keeps 100 TB of intervals off a
+    * theta join): each half-open activity interval [s, e) (the w36
+    * derivation: start = ts, duration = (floor(value·60)+1) s) explodes
+    * into the fixed-width time buckets it covers (fan-out bounded by
+    * ceil(maxDur/bucket)+1 rows), candidates meet in a hash-partitioned
+    * equi-join on bucket id, and each truly-overlapping pair is counted
+    * EXACTLY ONCE by the canonical-bucket rule — only the bucket
+    * containing max(s_a, s_b) (the overlap's left edge) emits the pair,
+    * so no distinct pass over the candidate stream is ever needed.
+    * Strict overlap (half-open touching excluded); same-user pairs
+    * excluded (self-concurrency is w36's sweep); `userCap` bounds the
+    * cohort the way doc_id < 200 bounds the multimodal suite.
+    *
+    * Output: per user pair (user_a < user_b) — n_pairs of overlapping
+    * intervals and their exact total overlap in µs; ordered.
+    */
+  def intervalOverlap(events: DataFrame, userCap: Long = 30L,
+                      bucketUs: Long = 60000000L): DataFrame = {
+    require(userCap > 0 && bucketUs > 0, "positive cohort cap and bucket")
+    val iv = events.filter(col("user_id") < userCap)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          (floor(col("value") * 60).cast("long") + 1L) * 1000000L).as("e"))
+    // half-open [s, e): last covered bucket is (e-1) div bucket.
+    // Integral `div`, never `/`: double division truncation can land
+    // one bucket off at exact boundaries (the w43 discipline)
+    val banded = iv.select(col("event_id"), col("user_id"), col("s"), col("e"),
+      explode(sequence(expr(s"s div $bucketUs"),
+        expr(s"(e - 1) div $bucketUs"))).as("bk"))
+    val a = banded.toDF("id_a", "user_a", "s_a", "e_a", "bk")
+    val b = banded.toDF("id_b", "user_b", "s_b", "e_b", "bk")
+    a.join(b, Seq("bk"))
+      .filter(col("user_a") < col("user_b") &&
+        col("s_a") < col("e_b") && col("s_b") < col("e_a") &&
+        // canonical bucket: the one holding the overlap's left edge
+        col("bk") === expr(s"greatest(s_a, s_b) div $bucketUs"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b"))).as("overlap_us"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
   /** Burst detection over the hourly load series: every maximal run of
     * hours whose event count exceeds `num/den` × the TRAILING 24-hour
     * average (full windows only — the first day and calendar gaps

@@ -155,6 +155,27 @@ class TextScoringSpec extends SparkSpec {
     }
   }
 
+  test("encoding audit: planted mojibake counted exactly, clean stays zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "he remembers", "feedA"),  // 3 % 7 == 3: gets the plant (4 e's)
+      (1L, "clean ascii here", "feedA"),
+      (2L, "pre�corrupted â€œquoteâ€ and Â space", "feedB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.encodingAudit(TextAnalysis.mojibakeCorrupt(docs))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("feedA")
+    // doc 3: 4x 'e' -> 'Ã©' (4 markers, +2 bytes each); doc 1 clean
+    assert((a.getLong(1), a.getLong(2)) == (2L, 1L)) // n_docs, n_bad
+    assert(a.getLong(3) == 4L, "c_utf8_latin1")      // the 4 planted Ã
+    assert(a.getLong(7) == 8L, "excess_bytes")
+    assert(a.getLong(8) == 500000L, "bad_ppm: 1 of 2 docs")
+    val b = got("feedB")
+    assert(b.getLong(4) == 2L, "c_punct_utf8: two â€ leaders")
+    assert(b.getLong(5) == 1L, "c_replacement")
+    assert(b.getLong(6) == 1L, "c_nbsp_latin1: the lone Â")
+  }
+
   test("yuleK: hand spectrum — 'a a b' gives K = 10^4·(5-3)/9") {
     val d = docs("a a b")
     val r = TextAnalysis.yuleK(d).collect().head

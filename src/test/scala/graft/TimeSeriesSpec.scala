@@ -473,6 +473,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(z.isNullAt(2) && z.isNullAt(3))
   }
 
+  test("interval overlap: bucket decomposition equals brute force, pairs count once") {
+    // value v -> duration (floor(v*60)+1) s. Buckets are 60 s, so a
+    // pair sharing TWO buckets (users 1 & 3 overlap [0s, 91s)) proves
+    // the canonical-bucket rule: n_pairs stays 1, never 2.
+    val ev = events(
+      (1L, 0, 1L, "v", 1.5),  // user 1: [0, 91s)   buckets 0,1
+      (2L, 1, 2L, "v", 0.5),  // user 2: [60, 91s)  bucket 1
+      (3L, 0, 3L, "v", 2.0),  // user 3: [0, 121s)  buckets 0,1,2
+      (4L, 3, 1L, "v", 0.01)) // user 1 again: [180, 181s) — overlaps no one
+    val got = TimeSeries.intervalOverlap(ev).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // driver-side brute force over the same derivation
+    def iv(min: Int, v: Double) =
+      (min * 60000000L, min * 60000000L + (math.floor(v * 60).toLong + 1) * 1000000L)
+    val all = Seq((1L, iv(0, 1.5)), (2L, iv(1, 0.5)), (3L, iv(0, 2.0)),
+      (1L, iv(3, 0.01)))
+    val brute = (for {
+      (ua, (sa, ea)) <- all; (ub, (sb, eb)) <- all
+      if ua < ub && sa < eb && sb < ea
+    } yield ((ua, ub), math.min(ea, eb) - math.max(sa, sb)))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    assert(got == brute)
+    assert(got((1L, 3L))._1 == 1L && got((1L, 3L))._2 == 91000000L)
+  }
+
+  test("interval overlap: half-open touching intervals never pair") {
+    val ev = events(
+      (1L, 0, 1L, "v", 0.99), // [0, 60s) — floor(59.4)+1 = 60
+      (2L, 1, 2L, "v", 0.5))  // [60s, 91s) — touches, must not pair
+    assert(TimeSeries.intervalOverlap(ev).count() == 0)
+  }
+
   test("spearman: constant series degrades to null rho, never a crash") {
     // one event per hour, identical values: both rank variances are 0
     val flat = events(
