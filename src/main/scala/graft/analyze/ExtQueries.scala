@@ -4993,7 +4993,64 @@ object ExtQueries {
                AS overlap_us
       FROM iv a JOIN iv b
         ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
-      GROUP BY 1, 2 ORDER BY user_a, user_b"""))
+      GROUP BY 1, 2 ORDER BY user_a, user_b""")),
+
+    // ---- k-means Lloyd refinement in exact fixed-point: the
+    // production centroid-training step the IVF family's first-k seed
+    // defers. 2 Lloyd rounds from the deterministic lowest-16 seed;
+    // assignments, truncating-div centroid means, and the final cell
+    // sizes all exact integers, so the oracle unrolls the identical
+    // trajectory round for round -----------------------------------
+    ("s39_kmeans_lloyd", (s: SparkSession, d: String) =>
+      Similarity.kmeansLloyd(t(s, d, "embeddings"), k = 16, rounds = 2),
+      Some("""
+      WITH g AS (SELECT vec_id, embedding,
+                   unnest(range(len(embedding))) AS pos FROM embeddings),
+      qd AS MATERIALIZED (SELECT vec_id, CAST(pos AS INT) AS pos,
+              CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 1024)
+                AS BIGINT) AS x
+            FROM g),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                 AS c_id, vec_id
+             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+      cd0 AS MATERIALIZED (SELECT c0.c_id, qd.pos, qd.x AS c
+             FROM c0 JOIN qd ON qd.vec_id = c0.vec_id),
+      d1 AS (SELECT q.vec_id, c.c_id,
+               SUM((q.x - c.c) * (q.x - c.c)) AS dist
+             FROM qd q JOIN cd0 c ON c.pos = q.pos GROUP BY 1, 2),
+      a1 AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM
+             (SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, c_id) AS rn FROM d1) z WHERE rn = 1),
+      s1 AS (SELECT a.cell, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+             FROM a1 a JOIN qd q USING (vec_id) GROUP BY 1, 2),
+      cd1 AS MATERIALIZED (SELECT p.c_id, p.pos,
+               COALESCE(s.s // s.n, p.c) AS c
+             FROM cd0 p LEFT JOIN s1 s
+               ON s.cell = p.c_id AND s.pos = p.pos),
+      d2 AS (SELECT q.vec_id, c.c_id,
+               SUM((q.x - c.c) * (q.x - c.c)) AS dist
+             FROM qd q JOIN cd1 c ON c.pos = q.pos GROUP BY 1, 2),
+      a2 AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM
+             (SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, c_id) AS rn FROM d2) z WHERE rn = 1),
+      s2 AS (SELECT a.cell, q.pos, SUM(q.x) AS s, COUNT(*) AS n
+             FROM a2 a JOIN qd q USING (vec_id) GROUP BY 1, 2),
+      cd2 AS MATERIALIZED (SELECT p.c_id, p.pos,
+               COALESCE(s.s // s.n, p.c) AS c
+             FROM cd1 p LEFT JOIN s2 s
+               ON s.cell = p.c_id AND s.pos = p.pos),
+      d3 AS (SELECT q.vec_id, c.c_id,
+               SUM((q.x - c.c) * (q.x - c.c)) AS dist
+             FROM qd q JOIN cd2 c ON c.pos = q.pos GROUP BY 1, 2),
+      a3 AS (SELECT vec_id, c_id AS cell FROM
+             (SELECT vec_id, c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dist, c_id) AS rn FROM d3) z WHERE rn = 1),
+      m AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a3 GROUP BY 1)
+      SELECT c.c_id, c.pos, CAST(c.c AS BIGINT) AS c_val,
+             COALESCE(m.n_members, 0) AS n_members
+      FROM cd2 c LEFT JOIN m ON m.cell = c.c_id
+      ORDER BY c_id, pos"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

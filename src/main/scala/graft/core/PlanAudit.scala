@@ -97,7 +97,11 @@ object PlanAudit {
     "g22_reciprocity" -> 1, // 1-row edge-count x 1-row reciprocal-count attach
     "c35_t_closeness" -> 1, // broadcast 1-row table-total attach
     "s37_sign_hamming_recall" -> 2, // broadcast query set per side (brute + sign words)
-    "s38_sign_rerank" -> 1) // the shortlist stage's broadcast query set (s37 contract)
+    "s38_sign_rerank" -> 1, // the shortlist stage's broadcast query set (s37 contract)
+    // final-size assignment's k·d centroid-literal broadcast (the s06
+    // contract); the per-round update assigns execute during build via
+    // bounded k·d collects
+    "s39_kmeans_lloyd" -> 1)
 
   /** Queries allowed UNPARTITIONED WindowExec nodes — the single-task
     * shape that funnels every row through one task. Only the declared

@@ -647,6 +647,86 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         normCol(col("embedding")).as("c_norm"))
 
+  /** k-means LLOYD refinement in exact fixed-point integers — the
+    * "production would run a few Lloyd iterations" step the IVF
+    * scaladocs ([[ivfTopK]]/s22) defer, delivered: embeddings quantize
+    * at 2^10 (floor(x·1024), the pcaPower/silhouette exactness
+    * discipline), centroids seed from the k lowest-vec_id vectors (the
+    * [[ivfCents]] oracle-sharable determinism) and take `rounds` Lloyd
+    * steps — assign each vector to the SQUARED-L2-nearest centroid
+    * (ties to the lowest c_id), recompute each cell's centroid as the
+    * per-dimension truncating-div mean (both engines truncate integer
+    * division toward zero), empty cells keep their previous centroid.
+    * Every quantity is an exact integer, so assignments — and the whole
+    * trajectory — are bit-portable across engines.
+    *
+    * Scale shape per round: ONE broadcast of k·d centroid literals
+    * against the corpus scan (distance via the codegen'd dot identity
+    * ‖q−c‖² = ⟨q,q⟩ − 2⟨q,c⟩ + ⟨c,c⟩ — integer-valued doubles, exact
+    * below 2^53), ONE map-side-combining min_by per vector (the
+    * exchange carries one row per vector, never the n×k score table),
+    * ONE partial-aggregable groupBy(cell, pos) for the sums, and ONE
+    * bounded k·d collect (the centroid contract). Never a
+    * vector-vector join; rounds are a fixed small constant.
+    *
+    * Output: (c_id, pos, c_val, n_members) — the final centroids
+    * unpivoted per dimension with final cell sizes; ordered.
+    */
+  def kmeansLloyd(embs: DataFrame, k: Int = 16, rounds: Int = 2): DataFrame = {
+    require(k >= 1 && rounds >= 1, "positive k and rounds")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val q = 1024d
+    val quant = graft.core.Tables.spread(embs)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * q).cast("float")).as("qv"))
+      .cpGuard() // read once per round + the seed collect + final sums
+    // seed: the k lowest-id vectors' quantized forms (bounded collect)
+    var cents: Seq[(Int, Array[Float])] = quant
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Float](1).toArray)
+      .zipWithIndex.map { case (a, i) => (i, a) }.toSeq
+    require(cents.nonEmpty, "kmeansLloyd over an empty corpus")
+    def assign(): DataFrame = {
+      val cdf = broadcast(cents.map { case (cid, arr) =>
+        (cid, arr, arr.map(v => v.toDouble * v).sum)
+      }.toDF("c_id", "c_arr", "cc"))
+      quant.crossJoin(cdf)
+        .withColumn("dist",
+          dotCol(col("qv"), col("qv")) -
+            lit(2d) * dotCol(col("qv"), col("c_arr")) + col("cc"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("c_id"), struct(col("dist"), col("c_id"))).as("cell"))
+    }
+    for (_ <- 1 to rounds) {
+      val sums = assign()
+        .join(quant, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      cents = cents.map { case (cid, old) =>
+        (cid, old.indices.map { p =>
+          sums.get((cid, p)) // empty cell: keep the previous centroid
+            .map { case (s, n) => (s / n).toFloat }.getOrElse(old(p))
+        }.toArray)
+      }
+    }
+    val finalSizes = assign()
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    cents.flatMap { case (cid, arr) =>
+      arr.zipWithIndex.map { case (v, p) => (cid, p, v.toLong) }
+    }.toDF("c_id", "pos", "c_val")
+      .join(finalSizes.select(col("cell").as("c_id"), col("n_members")),
+        Seq("c_id"), "left")
+      .select(col("c_id"), col("pos"), col("c_val"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+      .orderBy(col("c_id"), col("pos"))
+  }
+
   /** Shared probe+score stage: nProbe nearest cells per query, exact
     * cosine over the probed cells' assigned targets, per-query top-k.
     * `assigned` carries (cell, t_id, t_emb, t_norm) from a live build

@@ -454,6 +454,37 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got == Map(0 -> -384L, 1 -> 512L))
   }
 
+  test("kmeansLloyd: two separated blobs converge to their exact integer means") {
+    // seeds are the 2 lowest ids — one lands in each blob, so one
+    // round already assigns perfectly and the means are exact
+    val embs = Seq(
+      (1L, vec(0f, 0f)), (3L, vec(4f / 1024, 0f)), (4L, vec(8f / 1024, 0f)),
+      (2L, vec(1f, 1f)), (5L, vec(1f + 4f / 1024, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(embs, k = 2, rounds = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // blob A quantized xs: 0, 4, 8 -> mean 4; blob B: 1024, 1028 -> 1026
+    assert(got((0, 0)) == (4L, 3L) && got((0, 1)) == (0L, 3L))
+    assert(got((1, 0)) == (1026L, 2L) && got((1, 1)) == (1024L, 2L))
+  }
+
+  test("kmeansLloyd: duplicate seed empties a cell; it keeps its seed centroid") {
+    // both seeds identical (1024, 0): round-1 ties all send everything
+    // to cell 0 (min c_id), so cell 1 is EMPTY at update time and must
+    // keep its seed centroid. c0 moves to the truncating mean
+    // (2560/3 = 853, 0) — whereupon the two vectors sitting exactly on
+    // the unchanged c1 seed flip to it in the final-size assignment.
+    val embs = Seq((1L, vec(1f, 0f)), (2L, vec(1f, 0f)), (3L, vec(0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansLloyd(embs, k = 2, rounds = 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got((0, 0)) == (853L, 1L), "c0 took the truncating mean")
+    assert(got((1, 0)) == (1024L, 2L), "empty-at-update cell kept its seed")
+    assert(got((0, 1)) == (0L, 1L) && got((1, 1)) == (0L, 2L))
+  }
+
   test("pcaPower: empty corpus fails loudly, not with an obscure empty.max") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
