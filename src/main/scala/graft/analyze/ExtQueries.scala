@@ -5050,7 +5050,38 @@ object ExtQueries {
       SELECT c.c_id, c.pos, CAST(c.c AS BIGINT) AS c_val,
              COALESCE(m.n_members, 0) AS n_members
       FROM cd2 c LEFT JOIN m ON m.cell = c.c_id
-      ORDER BY c_id, pos"""))
+      ORDER BY c_id, pos""")),
+
+    // ---- compression-ratio quality filter over a deterministic
+    // two-class plant (the m14 lossy-codec discipline for DEFLATE):
+    // even docs are pure repetition (must band < 1/4), odd docs are
+    // md5-chain pseudo-random hex (must band > 2/5); raw lengths are
+    // analytic, the band booleans are the engine-computed contract a
+    // zlib regression would flip -----------------------------------
+    ("t36_compress_ratio", (s: SparkSession, d: String) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("doc_id") % 2 === 0).as("repetitive"),
+          when(col("doc_id") % 2 === 0,
+            expr("repeat('ab', CAST(128 + (doc_id % 7) * 16 AS INT))"))
+            .otherwise(expr((0 until 16).map(i =>
+              s"md5(CAST(doc_id + $i AS STRING))")
+              .mkString("concat(", ", ", ")")))
+            .as("text"))
+      TextAnalysis.deflateLengths(base)
+        .join(base.select(col("doc_id"), col("repetitive")), "doc_id")
+        .select(col("doc_id"), col("repetitive"), col("n_bytes"),
+          when(col("repetitive"), col("n_deflate") * 4 < col("n_bytes"))
+            .otherwise(col("n_deflate") * 5 > col("n_bytes") * 2)
+            .as("within_band"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, doc_id % 2 = 0 AS repetitive,
+             CAST(CASE WHEN doc_id % 2 = 0
+                  THEN 2 * (128 + (doc_id % 7) * 16)
+                  ELSE 512 END AS BIGINT) AS n_bytes,
+             TRUE AS within_band
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

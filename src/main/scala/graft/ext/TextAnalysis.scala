@@ -1192,6 +1192,38 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Per-doc DEFLATE length at a pinned level — the compression-ratio
+    * quality signal web-scale curation pipelines deploy (CCNet/
+    * RefinedWeb-style: near-incompressible text is noise/binary
+    * spill, ultra-compressible text is boilerplate/repetition; both
+    * get cut). One `java.util.zip.Deflater` per partition (reset per
+    * doc, pinned level, no preset dictionary) — pure map work, scan
+    * throughput. The raw byte count rides along so every consumer
+    * band is an exact integer comparison.
+    *
+    * Output: (doc_id, n_bytes, n_deflate).
+    */
+  def deflateLengths(docs: DataFrame, level: Int = 6): DataFrame = {
+    require(level >= 0 && level <= 9, "deflate level in [0, 9]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val in = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(in); defl.finish()
+          var total = 0L
+          while (!defl.finished()) total += defl.deflate(buf)
+          (id, in.length.toLong, total)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+  }
+
   /** The classic encoding-corruption byte signatures a web-scale text
     * corpus accumulates: UTF-8 bytes re-read as Latin-1. Each marker
     * is a LITERAL substring (never a regex — regex dialects diverge

@@ -176,6 +176,26 @@ class TextScoringSpec extends SparkSpec {
     assert(b.getLong(6) == 1L, "c_nbsp_latin1: the lone Â")
   }
 
+  test("deflate lengths: repetition compresses hard, hex noise barely, with margin") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ab" * 200),
+      (2L, (0 until 16).map(i => java.security.MessageDigest
+        .getInstance("MD5").digest(i.toString.getBytes)
+        .map("%02x".format(_)).mkString).mkString),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.deflateLengths(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (rawRep, defRep) = got(1L)
+    assert(rawRep == 400L)
+    assert(defRep * 8 < rawRep, s"repetition ratio too weak: $defRep/$rawRep")
+    val (rawHex, defHex) = got(2L)
+    assert(rawHex == 512L)
+    assert(defHex * 2 > rawHex, s"hex noise compressed too well: $defHex/$rawHex")
+    // empty doc: zero input, a few header bytes out, never a crash
+    assert(got(3L)._1 == 0L && got(3L)._2 > 0L)
+  }
+
   test("yuleK: hand spectrum — 'a a b' gives K = 10^4·(5-3)/9") {
     val d = docs("a a b")
     val r = TextAnalysis.yuleK(d).collect().head
