@@ -5081,7 +5081,34 @@ object ExtQueries {
                   THEN 2 * (128 + (doc_id % 7) * 16)
                   ELSE 512 END AS BIGINT) AS n_bytes,
              TRUE AS within_band
-      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")),
+
+    // ---- concat-and-split sequence packing (the Megatron pretraining
+    // layout): docs concatenate in doc_id order, fixed 256-token cuts,
+    // straddling allowed and AUDITED; global offsets via the
+    // range-partitioned PrefixSum, never a single-task window (the
+    // oracle IS the single-task classic, blind to the scheme) --------
+    ("c37_concat_packing", (s: SparkSession, d: String) =>
+      Curation.concatPacking(t(s, d, "documents"), budget = 256L),
+      Some("""
+      WITH c AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+      o AS (SELECT doc_id, n_tok,
+              CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS off
+            FROM c),
+      e AS (SELECT doc_id, n_tok, off,
+              unnest(range(off // 256, (off + n_tok - 1) // 256 + 1)) AS seq
+            FROM o)
+      SELECT CAST(seq AS BIGINT) AS seq, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+             CAST(SUM(LEAST(off + n_tok, (seq + 1) * 256) -
+                      GREATEST(off, seq * 256)) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN off < seq * 256 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_straddle
+      FROM e GROUP BY seq ORDER BY seq"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

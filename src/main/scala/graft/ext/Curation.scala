@@ -1118,4 +1118,43 @@ object Curation {
         col("tv_num").cast("double") / col("tv_den").cast("double"))
       .orderBy(col("lang"), col("len_band"))
   }
+
+  /** Concat-and-split sequence PACKING — the Megatron/GPT pretraining
+    * layout: all documents concatenate in doc_id order into one token
+    * stream, cut into fixed `budget`-token training sequences, docs
+    * straddling a boundary allowed (that IS the concat-packing
+    * trade-off this audits; [[packDocs]] is the no-straddle per-doc
+    * binning sibling, [[chunkDocs]] the per-doc window cutter). Per sequence: how many docs contribute,
+    * the first/last doc ids, the exact token fill, and how many of its
+    * docs started in an earlier sequence (the straddle count a
+    * packing-quality review reads).
+    *
+    * Scale shape: the global token offset is the EXCLUSIVE
+    * range-partitioned [[PrefixSum.withRunningSum]] (never a
+    * single-task window — the q30b/SeqNumber discipline); each doc
+    * then explodes into the sequences it touches (fan-out
+    * ⌈n_tok/budget⌉+1, bounded) and one partial-aggregable groupBy
+    * builds the per-sequence audit. All exact integers.
+    */
+  def concatPacking(docs: DataFrame, budget: Long = 256L): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    val counted = graft.core.Tables.spread(docs)
+      .select(col("doc_id"),
+        size(graft.ext.TextOps.words(col("text"))).cast("long").as("n_tok"))
+    val off = PrefixSum.withRunningSum(
+      counted, Seq(col("doc_id").asc), "n_tok", "off")
+    off
+      .withColumn("seq", explode(sequence(
+        expr(s"off div $budget"),
+        expr(s"(off + n_tok - 1) div $budget"))))
+      .groupBy(col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least(col("off") + col("n_tok"), (col("seq") + 1) * budget) -
+          greatest(col("off"), col("seq") * budget)).as("n_tokens"),
+        sum(when(col("off") < col("seq") * budget, 1L).otherwise(0L))
+          .as("n_straddle"))
+      .orderBy(col("seq"))
+  }
 }

@@ -471,6 +471,21 @@ class CurationOpsSpec extends SparkSpec {
       (1L, 2L, 2L, 3L, 3L, 888888L, 666666L))
   }
 
+  test("concat packing: boundary-straddling docs audited, fills exact") {
+    import spark.implicits._
+    // budget 4, token stream: d1 = a b c | d2 = d e f | d3 = g
+    // seq 0 holds [0,4): all of d1 + d2's first token (d2 STARTS here);
+    // seq 1 holds [4,8): d2's tail (straddler) + d3
+    val docs = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Curation.concatPacking(docs, budget = 4L).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(0L) == (2L, 1L, 2L, 4L, 0L), "seq 0: full fill, no straddler")
+    assert(got(1L) == (2L, 2L, 3L, 3L, 1L), "seq 1: d2 straddles in")
+  }
+
   test("basket rules: oversized baskets are excluded everywhere, including totals") {
     import spark.implicits._
     // o1/o2:{1,2}; o3:{7,8,9} exceeds maxBasket=2 — its pairs vanish
