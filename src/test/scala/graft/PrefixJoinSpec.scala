@@ -281,6 +281,27 @@ class PrefixJoinSpec extends SparkSpec {
       nQueries = 1, g = 2, beam = 2, rounds = 2, k = 3).count() == 0)
   }
 
+  test("round-11 operators degrade to empty/defined on degenerate inputs") {
+    import spark.implicits._
+    import graft.ext.{Curation, Graphs, Similarity, TextAnalysis, TimeSeries}
+    val noEvents = Seq
+      .empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val noDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(TimeSeries.intervalOverlap(noEvents).count() == 0)
+    assert(TextAnalysis.encodingAudit(noDocs).count() == 0)
+    assert(TextAnalysis.deflateLengths(noDocs).count() == 0)
+    assert(Curation.concatPacking(noDocs).count() == 0)
+    assert(Graphs.incrementalTriangles(noEdges, noEdges).count() == 0)
+    // kmeans on an empty corpus fails loudly (the pcaPower contract)
+    val noEmbs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(noEmbs, k = 2, rounds = 1).collect()
+    }
+  }
+
   test("round-10 operators degrade to empty/defined on degenerate inputs") {
     import spark.implicits._
     import graft.ext.{Curation, Similarity, TextAnalysis, TimeSeries}
