@@ -505,6 +505,12 @@ object ExtQueries {
     SELECT *, $langidCase AS predicted_lang
     FROM s ORDER BY doc_id"""
 
+  /** t01's score columns over a chunk-words list `cw` (t37). */
+  private val langidChunkScoreCols = TextAnalysis.stopwords.map { case (l, ws) =>
+    val inList = ws.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(cw, w -> w IN ($inList))) AS INT) AS n_$l"
+  }.mkString(", ")
+
   /** Confusion matrix of the heuristic language ID against labels —
     * the evaluation companion of t01. */
   private val langidConfusionOracle: String = s"""
@@ -2605,6 +2611,48 @@ object ExtQueries {
     ("t01_langid", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents")),
       Some(langidOracle)),
+
+    // ---- language SEGMENTATION (code-switching audit): each doc gets
+    // a deterministic 20-token tail in the language of its 5-mod class
+    // (the t35/m14 plant discipline — the fixture's own texts carry
+    // only English stopwords, so unplanted docs never switch), split
+    // into 16-token windows, each window gets the t01 predictor, and
+    // the per-doc audit counts windows, distinct languages, and
+    // adjacent-window switches — the mixed-doc gate doc-level langid
+    // is blind to ----------------------------------------------------
+    ("t37_lang_segments", (s: SparkSession, d: String) => {
+      val tails = TextAnalysis.stopwords.map { case (l, ws) =>
+        l -> Seq.fill(4)(ws).flatten.mkString(" ")
+      }
+      val tailCase = tails.zipWithIndex.map { case ((_, tl), i) =>
+        s"WHEN doc_id % 5 = $i THEN '$tl'"
+      }.mkString("CASE ", " ", " END")
+      val planted = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), expr(tailCase)).as("text"))
+      TextAnalysis.langSegments(planted, window = 16)
+    }, Some(s"""
+      WITH base AS (SELECT doc_id,
+              concat_ws(' ', text, ${TextAnalysis.stopwords.zipWithIndex
+                .map { case ((_, ws), i) =>
+                  val tl = Seq.fill(4)(ws).flatten.mkString(" ")
+                  s"WHEN doc_id % 5 = $i THEN '$tl'"
+                }.mkString("CASE ", " ", " END")}) AS text
+            FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+      ch AS (SELECT doc_id, CAST(st // 16 AS INT) AS chunk_idx,
+               ws[st + 1 : st + 16] AS cw
+             FROM (SELECT doc_id, ws, unnest(range(0, len(ws), 16)) AS st
+                   FROM w) z),
+      sc AS (SELECT doc_id, chunk_idx, $langidChunkScoreCols FROM ch),
+      pr AS (SELECT doc_id, chunk_idx, $langidCase AS pred FROM sc),
+      lg AS (SELECT doc_id, pred, LAG(pred) OVER (PARTITION BY doc_id
+               ORDER BY chunk_idx) AS prev FROM pr)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_langs,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND pred <> prev
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+      FROM lg GROUP BY doc_id ORDER BY doc_id""")),
 
     // evaluation companion of t01: predicted-vs-labeled confusion matrix
     ("t14_langid_confusion", (s: SparkSession, d: String) =>

@@ -2,6 +2,7 @@ package graft.ext
 import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing.{h32, MersennePrime => P}
@@ -38,15 +39,65 @@ object TextAnalysis {
     val scored = graft.core.Tables.spread(docs).select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
         stopwords.map { case (l, _) => stopCount(ws, l).as(s"n_$l") }): _*)
-    val langs = stopwords.map(_._1)
-    // nested max-with-priority: lang i wins if >= all later langs
-    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+    scored
+      .withColumn("predicted_lang",
+        priorityMax(stopwords.map { case (l, _) => l -> col(s"n_$l") }))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Nested max-with-priority over (lang, score) pairs: lang i wins
+    * iff its score is >= every later lang's — the t01 tie-break
+    * shared by [[langId]] and [[langSegments]].
+    */
+  private def priorityMax(scores: Seq[(String, Column)]): Column = {
+    val langs = scores.map(_._1)
+    val byLang = scores.toMap
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) {
       case ((l, i), elseCol) =>
         val beatsRest = langs.drop(i + 1)
-          .map(m => col(s"n_$l") >= col(s"n_$m")).reduce(_ && _)
+          .map(m => byLang(l) >= byLang(m)).reduce(_ && _)
         when(beatsRest, l).otherwise(elseCol)
     }
-    scored.withColumn("predicted_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** Predicted language of ONE token-array column — the t01 predictor
+    * applied below doc granularity.
+    */
+  def langIdOf(ws: Column): Column =
+    priorityMax(stopwords.map { case (l, set) =>
+      l -> size(filter(ws, w => w.isin(set: _*)))
+    })
+
+  /** Language SEGMENTATION — the code-switching/mixed-language
+    * detector doc-level langid (t01) is blind to: a doc that is half
+    * English and half German scores as one language at the doc level
+    * but flips prediction between its windows. Non-overlapping
+    * `window`-token slices each get the t01 predictor; per doc the
+    * audit reports window count, distinct predicted languages, and
+    * adjacent-window switches (the curation gate cuts or routes docs
+    * with n_langs > 1 before monolingual training mixes).
+    *
+    * Scale shape: one narrow projection + bounded explode (⌈n/window⌉
+    * rows/doc) + a doc-PARTITIONED lag window + one partial-aggregable
+    * groupBy — the only shuffle is on doc_id.
+    */
+  def langSegments(docs: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1, "window >= 1")
+    val chunks = graft.core.Tables.spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("st",
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(window))))
+      .select(col("doc_id"),
+        expr(s"CAST(st div $window AS INT)").as("chunk_idx"),
+        langIdOf(slice(col("ws"), col("st") + 1, lit(window))).as("pred"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    chunks.withColumn("prev", lag(col("pred"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("pred")).as("n_langs"),
+        sum(when(col("prev").isNotNull && col("pred") =!= col("prev"), 1L)
+          .otherwise(0L)).as("n_switches"))
+      .orderBy(col("doc_id"))
   }
 
   /** Heuristic quality score from exact integer counts and single

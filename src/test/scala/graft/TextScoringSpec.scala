@@ -176,6 +176,21 @@ class TextScoringSpec extends SparkSpec {
     assert(b.getLong(6) == 1L, "c_nbsp_latin1: the lone Â")
   }
 
+  test("lang segments: code-switched doc flips windows, monolingual stays flat") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of and el la de y"), // en window then es window
+      (2L, "the a of and"),            // one en window
+      (3L, "el la de y que el la de")) // two es windows, no switch
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langSegments(docs, window = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (2L, 2L, 1L), "en->es switch detected")
+    assert(got(2L) == (1L, 1L, 0L))
+    assert(got(3L) == (2L, 1L, 0L), "same language twice is no switch")
+  }
+
   test("deflate lengths: repetition compresses hard, hex noise barely, with margin") {
     import spark.implicits._
     val docs = Seq(
