@@ -884,6 +884,69 @@ object OpQueries {
       WHERE cnu.n - COALESCE(cno.n, 0) > 0
       ORDER BY cnu.k""")),
 
+    // ---- WARM-START PageRank refresh (the graph family's second
+    // incremental member): converged old-cohort ranks seed ONE damped
+    // update over the union graph — how production rank maintenance
+    // absorbs a batch of link changes without a cold fixed-point run.
+    // Oracle unrolls both phases in the g01 integer fixed point ------
+    ("g26_pagerank_warm", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val ev = t(s, d, "events")
+      Graphs.pageRankWarmStart(
+        eventEdgesOf(ev.filter(col("user_id") % 5 =!= 0)),
+        eventEdgesOf(ev.filter(col("user_id") % 5 === 0)),
+        baseIters = 3, refreshIters = 1)
+    }, Some {
+      val scale = 1L << 40
+      val oldIters = (1 to 3).map { i =>
+        s"""co$i AS (SELECT edo.dst, SUM(ro${i - 1}.r * edo.w // owo.ow) AS s
+              FROM edo JOIN owo ON edo.src = owo.src
+              JOIN ro${i - 1} ON ro${i - 1}.k = edo.src GROUP BY edo.dst),
+        ro$i AS (SELECT nodeso.k,
+                  (15 * $scale // 100) // (SELECT n FROM nno)
+                    + 85 * COALESCE(co$i.s, 0) // 100 AS r
+                FROM nodeso LEFT JOIN co$i ON co$i.dst = nodeso.k)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH ev AS (SELECT user_id, ts, event_id,
+                    CAST(json_extract_string(props, '$$.k') AS INT) AS k
+             FROM events
+             WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      tr AS (SELECT user_id, k, LAG(k) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS src FROM ev),
+      edall AS (SELECT user_id, CAST(src AS BIGINT) AS src,
+                       CAST(k AS BIGINT) AS dst
+                FROM tr WHERE src IS NOT NULL),
+      edo AS (SELECT src, dst, COUNT(*) AS w FROM edall
+              WHERE user_id % 5 <> 0 GROUP BY 1, 2),
+      ed AS (SELECT src, dst, COUNT(*) AS w FROM edall GROUP BY 1, 2),
+      owo AS (SELECT src, SUM(w) AS ow FROM edo GROUP BY src),
+      nodeso AS (SELECT DISTINCT k FROM
+                   (SELECT src AS k FROM edo UNION SELECT dst FROM edo) u),
+      nno AS (SELECT COUNT(*) AS n FROM nodeso),
+      ro0 AS (SELECT k, $scale // (SELECT n FROM nno) AS r FROM nodeso),
+      $oldIters,
+      ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
+      nodes AS (SELECT DISTINCT k FROM
+                  (SELECT src AS k FROM ed UNION SELECT dst FROM ed) u),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      rw0 AS (SELECT nodes.k,
+                COALESCE(ro3.r, $scale // (SELECT n FROM nn)) AS r
+              FROM nodes LEFT JOIN ro3 ON ro3.k = nodes.k),
+      cw AS (SELECT ed.dst, SUM(rw0.r * ed.w // ow.ow) AS s
+             FROM ed JOIN ow ON ed.src = ow.src
+             JOIN rw0 ON rw0.k = ed.src GROUP BY ed.dst),
+      rw1 AS (SELECT nodes.k,
+                (15 * $scale // 100) // (SELECT n FROM nn)
+                  + 85 * COALESCE(cw.s, 0) // 100 AS r
+              FROM nodes LEFT JOIN cw ON cw.dst = nodes.k)
+      SELECT rw0.k, CAST(rw0.r AS BIGINT) AS r_start,
+             CAST(rw1.r AS BIGINT) AS r_warm,
+             CAST(rw1.r - rw0.r AS BIGINT) AS d_fp
+      FROM rw0 JOIN rw1 ON rw1.k = rw0.k
+      ORDER BY rw0.k"""
+    }),
+
     // ---- community detection: synchronous label propagation, 2 exact
     // deterministic iterations (argmax neighbor-label weight, ties to
     // the smallest label) — the site/community grouping pass before

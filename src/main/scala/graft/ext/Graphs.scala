@@ -51,18 +51,75 @@ object Graphs {
     val tele = ((100 - damping) * scale / 100) / n
     val edFull = envelopeCheckedEdges(ed, outw)
     var r = nodes.withColumn("r", lit(scale / n))
-    for (_ <- 0 until iters) {
-      val contrib = edFull
-        .join(r.withColumnRenamed("k", "src"), "src")
-        .select(col("dst"), expr("r * w div ow").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, col("k") === col("dst"), "left")
-        .select(col("k"),
-          (lit(tele) +
-            expr(s"(CAST($damping AS BIGINT) * coalesce(s, CAST(0 AS BIGINT))) div 100"))
-            .as("r"))
-    }
+    for (_ <- 0 until iters)
+      r = prUpdate(edFull, nodes, r, tele, damping)
     r.orderBy(col("k"))
+  }
+
+  /** One damped fixed-point update — the iteration body shared by
+    * [[pageRank]] and [[pageRankWarmStart]] (identical plan shape:
+    * one src-keyed equi-join + one groupBy(dst) + the node attach).
+    */
+  private def prUpdate(edFull: DataFrame, nodes: DataFrame, r: DataFrame,
+                       tele: Long, damping: Int): DataFrame = {
+    val contrib = edFull
+      .join(r.withColumnRenamed("k", "src"), "src")
+      .select(col("dst"), expr("r * w div ow").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    nodes.join(contrib, col("k") === col("dst"), "left")
+      .select(col("k"),
+        (lit(tele) +
+          expr(s"(CAST($damping AS BIGINT) * coalesce(s, CAST(0 AS BIGINT))) div 100"))
+          .as("r"))
+  }
+
+  /** WARM-START PageRank refresh for a growing graph — the graph
+    * family's second incremental member beside
+    * [[incrementalTriangles]]: converged old-graph ranks seed the
+    * union graph's iteration (new nodes start at the uniform floor),
+    * and `refreshIters` damped updates absorb the new edges — exactly
+    * how production rank maintenance amortizes a batch of link changes
+    * (a handful of warm-started sweeps instead of a cold fixed-point
+    * run; Langville & Meyer's updating chapter). Output reports the
+    * perturbation per node: (k, r_start, r_warm, d_fp = warm − start)
+    * — the "who moved" answer a freshness monitor reads.
+    *
+    * Scale shape: [[pageRank]] on the OLD graph (its own envelope),
+    * one weight-adding groupBy to merge the edge sets, then the same
+    * co-partitionable per-iteration shape via [[prUpdate]]; the only
+    * driver values are the two node counts.
+    */
+  def pageRankWarmStart(oldEdges: DataFrame, newEdges: DataFrame,
+                        baseIters: Int = 3, refreshIters: Int = 1,
+                        scale: Long = 1L << 40,
+                        damping: Int = 85): DataFrame = {
+    require(refreshIters >= 1, "refreshIters >= 1")
+    val rOld = pageRank(oldEdges, baseIters, scale, damping)
+      .withColumnRenamed("r", "r_old")
+    // cohort edge sets merge by ADDING weights (disjoint user cohorts
+    // partition the transition multiset, so the merged table equals
+    // the all-users derivation)
+    val ed = oldEdges.select(col("src"), col("dst"), col("w"))
+      .unionAll(newEdges.select(col("src"), col("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val nodes = ed.select(col("src").as("k"))
+      .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty graph")
+    val tele = ((100 - damping) * scale / 100) / n
+    val edFull = envelopeCheckedEdges(ed, outw)
+    val start = nodes.join(rOld, Seq("k"), "left")
+      .select(col("k"), coalesce(col("r_old"), lit(scale / n)).as("r"))
+      .cpGuard() // read by every refresh round AND the final attach
+    var r = start
+    for (_ <- 0 until refreshIters)
+      r = prUpdate(edFull, nodes, r, tele, damping)
+    r.withColumnRenamed("r", "r_warm")
+      .join(start.withColumnRenamed("r", "r_start"), "k")
+      .select(col("k"), col("r_start"), col("r_warm"),
+        (col("r_warm") - col("r_start")).as("d_fp"))
+      .orderBy(col("k"))
   }
 
   /** Shared [[pageRank]]/[[personalizedPageRank]] edge prep: attach

@@ -556,6 +556,30 @@ class GraphOpsSpec extends SparkSpec {
       (3L, 2L, 666666L))
   }
 
+  test("pageRank warm start: empty delta equals one more cold iteration") {
+    val ed = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val warm = Graphs.pageRankWarmStart(ed, none, baseIters = 3,
+      refreshIters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val cold4 = Graphs.pageRank(ed, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm == cold4, "warm refresh over an unchanged graph IS iteration 4")
+  }
+
+  test("pageRank warm start: a brand-new node starts at the uniform floor") {
+    val ed = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val delta = Seq((2L, 9L, 1L)).toDF("src", "dst", "w")
+    val got = Graphs.pageRankWarmStart(ed, delta, baseIters = 2,
+      refreshIters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // node 9 is new: r_start = scale/3 (union has 3 nodes)
+    assert(got(9L)._1 == (1L << 40) / 3)
+    // and mass flowed: someone moved
+    assert(got.values.exists(_._2 != 0L))
+  }
+
   test("incremental triangles: duplicate/self-loop batch yields no delta") {
     val old = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val noop = Seq((2L, 1L), (3L, 3L)).toDF("src", "dst") // dup (reversed) + self-loop
