@@ -2654,6 +2654,28 @@ object ExtQueries {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
       FROM lg GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- seasonality-strength audit (MASE idea at the daily cycle):
+    // 1h-lag vs 24h-lag absolute errors of the hourly load, lags as
+    // integer-hour equi-self-joins (never a global window); ratio < 1e6
+    // ppm means the daily rhythm beats last-hour persistence ----------
+    ("w45_seasonal_strength", (s: SparkSession, d: String) =>
+      TimeSeries.seasonalStrength(t(s, d, "events")),
+      Some("""
+      WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM events GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(COUNT(n.c) AS BIGINT) AS n_naive,
+             CAST(COUNT(sn.c) AS BIGINT) AS n_seasonal,
+             CAST(SUM(ABS(h.c - n.c)) AS BIGINT) AS sae_naive,
+             CAST(SUM(ABS(h.c - sn.c)) AS BIGINT) AS sae_seasonal,
+             CAST(CASE WHEN SUM(ABS(h.c - n.c)) > 0
+                  THEN SUM(ABS(h.c - sn.c)) * 1000000
+                       // SUM(ABS(h.c - n.c))
+                  ELSE NULL END AS BIGINT) AS seasonal_ratio_ppm
+      FROM h LEFT JOIN h n ON n.hr = h.hr - 1
+             LEFT JOIN h sn ON sn.hr = h.hr - 24""")),
+
     // evaluation companion of t01: predicted-vs-labeled confusion matrix
     ("t14_langid_confusion", (s: SparkSession, d: String) =>
       TextAnalysis.langId(t(s, d, "documents"))

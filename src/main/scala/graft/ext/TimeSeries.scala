@@ -755,6 +755,44 @@ object TimeSeries {
       .orderBy(col("user_a"), col("user_b"))
   }
 
+  /** Seasonality-strength audit of the hourly load series — the MASE
+    * idea (Hyndman & Koehler 2006) pointed at the daily cycle: compare
+    * the sum of absolute one-hour-lag errors (the naive forecast)
+    * against the 24-hour-lag errors (the seasonal-naive forecast);
+    * ratio < 1 ppm-scaled means yesterday-same-hour predicts better
+    * than last-hour — the "is there a daily rhythm worth modeling"
+    * gate before any forecasting work. A lag term exists only when the
+    * lagged hour was OBSERVED (calendar gaps contribute no term).
+    *
+    * Scale shape: hourly counts are one partial-aggregable groupBy;
+    * both lags are EQUI-SELF-JOINS on the integer hour id (hr−1,
+    * hr−24) — never a global-order window (the w36 discipline); the
+    * output is one constant-size aggregation. Exact integers; the
+    * ratio is a guarded integral div (NULL when the naive error is 0 —
+    * a constant series has nothing to forecast).
+    */
+  def seasonalStrength(events: DataFrame): DataFrame = {
+    val hours = events
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("c"))
+      .cpGuard() // three self-join sides
+    def lagged(k: Int, tag: String) = hours.toDF("hr0", s"c_$tag")
+      .withColumn("hr", col("hr0") + k).drop("hr0")
+    hours
+      .join(lagged(1, "n"), Seq("hr"), "left")
+      .join(lagged(24, "s"), Seq("hr"), "left")
+      .agg(count(lit(1)).as("n_hours"),
+        count(col("c_n")).as("n_naive"),
+        count(col("c_s")).as("n_seasonal"),
+        sum(abs(col("c") - col("c_n"))).as("sae_naive"),
+        sum(abs(col("c") - col("c_s"))).as("sae_seasonal"))
+      .select(col("n_hours"), col("n_naive"), col("n_seasonal"),
+        col("sae_naive"), col("sae_seasonal"),
+        expr("""CAST(CASE WHEN sae_naive > 0
+                 THEN sae_seasonal * 1000000 div sae_naive
+                 ELSE NULL END AS BIGINT)""").as("seasonal_ratio_ppm"))
+  }
+
   /** Burst detection over the hourly load series: every maximal run of
     * hours whose event count exceeds `num/den` × the TRAILING 24-hour
     * average (full windows only — the first day and calendar gaps

@@ -500,6 +500,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((1L, 3L))._1 == 1L && got((1L, 3L))._2 == 91000000L)
   }
 
+  test("seasonal strength: planted daily cycle scores 0, constant series NULL") {
+    // 48 hours, count 5 at hours 0 and 24, else 1: the second day
+    // repeats the first exactly, so seasonal errors are 0 while the
+    // naive forecast pays at every day-boundary step
+    var id = 0L
+    val rows = (0 until 48).flatMap { h =>
+      val n = if (h % 24 == 0) 5 else 1
+      (0 until n).map { _ => id += 1; (id, h * 60, 1L, "v", 1.0) }
+    }
+    val Array(r) = TimeSeries.seasonalStrength(events(rows: _*)).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (48L, 47L, 24L))
+    assert(r.getLong(3) == 12L && r.getLong(4) == 0L)
+    assert(r.getLong(5) == 0L, "perfect daily repetition: ratio 0 ppm")
+    // constant series: nothing to forecast, ratio degrades to NULL
+    val flat = events((1L, 0, 1L, "v", 1.0), (2L, 60, 1L, "v", 1.0))
+    val Array(f) = TimeSeries.seasonalStrength(flat).collect()
+    assert(f.getLong(3) == 0L && f.isNullAt(5))
+    // calendar gap: the hour after a missing hour contributes no term
+    val gap = events((1L, 0, 1L, "v", 1.0), (2L, 120, 1L, "v", 1.0))
+    val Array(g) = TimeSeries.seasonalStrength(gap).collect()
+    assert((g.getLong(0), g.getLong(1)) == (2L, 0L))
+  }
+
   test("interval overlap: half-open touching intervals never pair") {
     val ev = events(
       (1L, 0, 1L, "v", 0.99), // [0, 60s) — floor(59.4)+1 = 60
