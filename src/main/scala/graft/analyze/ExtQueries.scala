@@ -1960,11 +1960,14 @@ object ExtQueries {
     // CTEs — the g16 inlining lesson) -------------------------------
     // graph build is the LSH-banded equi-join (2 bands x 4 bits over
     // the 8-plane sign bucket) — no all-pairs stage anywhere; the
-    // HotBuckets cap short-circuits below 10k banded rows at every
-    // test sf (the cap semantics themselves are oracled by d31-d34)
+    // oracle is cap-blind, so requireUnpruned asserts the HotBuckets
+    // short-circuit precondition (banded rows <= maxBucket) and fails
+    // ATTRIBUTABLY on a fixture big enough to prune (the cap semantics
+    // themselves are oracled by d31-d34)
     ("s34_nsw_search", (s: SparkSession, d: String) =>
       Similarity.nswSearchLsh(t(s, d, "embeddings"), nQueries = 10,
-        nPlanes = 8, bandBits = 4, g = 8, beam = 8, rounds = 4, k = 5),
+        nPlanes = 8, bandBits = 4, g = 8, beam = 8, rounds = 4, k = 5,
+        requireUnpruned = true),
       Some {
         def cosQT = s"${dotS("q.q_emb", "t.t_emb")} / (q.q_norm * t.t_norm)"
         def roundCtes(r: Int): String =

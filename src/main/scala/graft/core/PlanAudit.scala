@@ -160,9 +160,15 @@ object PlanAudit {
     */
   def auditQuery(spark: SparkSession, name: String,
                  sfDir: String): QueryAudit = {
-    val qe = PlanCapture.capturing(name) {
-      SparkEntry.queries(name)(spark, sfDir).queryExecution
-    }
+    // drain-on-failure: if the build throws, the plans cpGuard already
+    // captured for THIS query must not leak into the next query's sums
+    // (PlanScan catches and continues)
+    val qe =
+      try PlanCapture.capturing(name) {
+        SparkEntry.queries(name)(spark, sfDir).queryExecution
+      } catch {
+        case e: Throwable => PlanCapture.drain(); throw e
+      }
     val cps = PlanCapture.drain()
     // registered (post-checkpoint) plan: regex the executed plan
     // string (pre-execution AQE prints once), collect windows on

@@ -1811,7 +1811,8 @@ object Similarity {
   def nswSearchLsh(embs: DataFrame, nQueries: Int, nPlanes: Int = 8,
                    bandBits: Int = 4, g: Int = 8, beam: Int = 4,
                    rounds: Int = 3, k: Int = 5,
-                   maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+                   maxBucket: Int = Dedup.DefaultMaxBucket,
+                   requireUnpruned: Boolean = false): DataFrame = {
     require(g >= 1 && beam >= 1 && rounds >= 1 && k >= 1, "positive params")
     require(nPlanes >= 1 && bandBits >= 1 && nPlanes % bandBits == 0,
       "bandBits must divide nPlanes")
@@ -1824,14 +1825,25 @@ object Similarity {
     val tSide = side(embs.filter(col("vec_id") >= nQueries), "t").cpGuard()
     val nBands = nPlanes / bandBits
     val mask = (1L << bandBits) - 1L
-    val banded = HotBuckets.prune(
-      lshBuckets(embs, nPlanes)
-        .filter(col("vec_id") >= nQueries)
-        .select(col("vec_id"), posexplode(array((0 until nBands).map(j =>
-          shiftright(col("bucket"), j * bandBits).bitwiseAND(mask)): _*))
-          .as(Seq("band", "bkey")))
-        .cpGuard(), // count agg + both join sides read it
-      Seq("band", "bkey"), maxBucket)
+    val bandedRaw = lshBuckets(embs, nPlanes)
+      .filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), posexplode(array((0 until nBands).map(j =>
+        shiftright(col("bucket"), j * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bkey")))
+      .cpGuard() // count agg + both join sides read it
+    val banded =
+      if (requireUnpruned) {
+        // cap-blind-oracle mode (s34): rather than silently pruning a
+        // hot band and failing the gate as an opaque hash mismatch on
+        // a larger fixture, assert the prune short-circuit precondition
+        // so the failure is attributable (raise maxBucket or model the
+        // cap in the oracle as d31-d34 do)
+        val n = bandedRaw.count()
+        require(n <= maxBucket,
+          s"nswSearchLsh(requireUnpruned): $n banded rows exceed " +
+            s"maxBucket=$maxBucket — the cap-blind oracle would diverge")
+        bandedRaw
+      } else HotBuckets.prune(bandedRaw, Seq("band", "bkey"), maxBucket)
     // a pair colliding in several bands must score once: distinct ids
     // BEFORE the cosine, so the per-node window sees no duplicates
     val cand = banded.toDF("a_id", "band", "bkey")

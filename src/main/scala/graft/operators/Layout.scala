@@ -37,6 +37,16 @@ object Layout {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Catalog name for a persisted-state table over `path`: MD5 of the
+    * path keeps the name collision-free across distinct state dirs in
+    * one session (31-bit `String.hashCode` cannot, and
+    * `math.abs(Int.MinValue)` is negative — an invalid identifier).
+    */
+  def stateTableName(prefix: String, path: String): String =
+    prefix + "_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+
   /** Ensure an EXTERNAL parquet table named `table` exists over `path`,
     * partitioned by a `batch BIGINT` column and bucketed+sorted by
     * `keys`. This is the persisted-state shape for incremental

@@ -133,9 +133,7 @@ object StreamDedup {
     * state dirs) resolve to the right files.
     */
   private[graft] def bandTableName(path: String): String =
-    "graft_bands_" + MessageDigest.getInstance("MD5")
-      .digest(path.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(12)
+    Layout.stateTableName("graft_bands", path)
 
   /** Ensure the bucketed band table over `path` is registered, folding
     * any flat pre-batch-keyed band files into the `batch=-1` partition

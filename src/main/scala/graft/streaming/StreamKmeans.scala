@@ -58,7 +58,7 @@ object StreamKmeans {
                    stateDir: String, outDir: String, k: Int,
                    buckets: Int): Unit = {
     import spark.implicits._
-    val table = s"graft_kmeans_moments_${math.abs(stateDir.hashCode)}"
+    val table = Layout.stateTableName("graft_kmeans_moments", stateDir)
     Layout.ensureBucketedBatchTable(spark, table, s"$stateDir/moments",
       MomentCols, Seq("c_id"), buckets)
     val quant = batch0
@@ -73,9 +73,13 @@ object StreamKmeans {
     if (!fs.exists(new org.apache.hadoop.fs.Path(seedPath))) {
       // batch 0 (or its replay before any write): seed from this
       // batch's k lowest ids — deterministic, so a replay re-derives
-      // the identical seed before the exists() check short-circuits
-      quant.orderBy(col("vec_id")).limit(k)
-        .collect().zipWithIndex
+      // the identical seed before the exists() check short-circuits.
+      // Validate BEFORE persisting: an undersized first batch must stay
+      // a transient failure, not wedge every later batch on a short seed.
+      val rows = quant.orderBy(col("vec_id")).limit(k).collect()
+      require(rows.length == k,
+        s"first batch must carry at least k=$k vectors to seed, got ${rows.length}")
+      rows.zipWithIndex
         .flatMap { case (r, cid) =>
           r.getSeq[Float](1).zipWithIndex.map { case (v, p) =>
             (cid, p, v.toLong)
@@ -86,7 +90,7 @@ object StreamKmeans {
     val seed = spark.read.parquet(seedPath)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     require(seed.keys.map(_._1).toSet.size == k,
-      s"first batch must carry at least k=$k vectors to seed")
+      s"seed table at $seedPath does not carry k=$k centroids")
     val prior = spark.table(table).filter(col("batch") < batchId)
       .groupBy(col("c_id"), col("pos"))
       .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))

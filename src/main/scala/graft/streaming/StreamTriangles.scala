@@ -60,7 +60,7 @@ object StreamTriangles {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                    stateDir: String, outDir: String,
                    buckets: Int): Unit = {
-    val table = s"graft_tri_edges_${math.abs(stateDir.hashCode)}"
+    val table = Layout.stateTableName("graft_tri_edges", stateDir)
     Layout.ensureBucketedBatchTable(spark, table, stateDir,
       EdgeCols, Seq("a"), buckets)
     val prior = spark.table(table)
