@@ -1,5 +1,4 @@
 package graft.ingest
-import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -10,10 +9,13 @@ import org.apache.spark.sql.functions._
   * fetch (out-of-engine). landing files − ledger → cap N → stage →
   * ledger append.
   *
-  * The DynamoDB status table becomes a plain parquet ledger keyed by
-  * file_name; "only new files" is a left_anti join against it. The
-  * reference processes files in nondeterministic os.walk order — we
-  * impose orderBy(file_name) so the cap is reproducible.
+  * The DynamoDB status table becomes a parquet ledger keyed by
+  * file_name — base rows appended by [[run]] plus an append-only
+  * `_updates` flag log compacted on read ([[ledger]]), so no code path
+  * ever rewrites existing ledger files in place; "only new files" is a
+  * left_anti join against the view. The reference processes files in
+  * nondeterministic os.walk order — we impose orderBy(file_name) so
+  * the cap is reproducible.
   *
   * The two per-stage extraction flags are modeled as the reference
   * models them (utils.py:74-89 — one DynamoDB update_item per field):
@@ -31,15 +33,76 @@ object IngestJob {
   val MatchwiseStatus = "matchwise_data_extraction_status"
   val DeliverywiseStatus = "deliverywise_data_extraction_status"
 
-  def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
-    val p = new Path(ledgerDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(ledgerDir)
-    else spark.createDataFrame(
+  private val StageFields = Seq(MatchwiseStatus, DeliverywiseStatus)
+
+  /** Update-log subdir: underscore-prefixed, so the base read
+    * (`spark.read.parquet(ledgerDir)`) never sees it.
+    */
+  private def updatesDir(ledgerDir: String) = new Path(ledgerDir, "_updates")
+
+  /** Monotonic within this JVM, approximately time-ordered across JVMs
+    * — the last-writer-wins order for same-(file, field) updates.
+    */
+  private val seqCounter =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() << 20)
+
+  /** True if `dir` holds at least one non-hidden entry — i.e. a
+    * `spark.read.parquet(dir)` would find data files (Spark's listing
+    * skips `_`/`.`-prefixed paths, so `_updates`, `_SUCCESS`,
+    * `_temporary` crash debris and `.upd_tmp_*` dirs don't count).
+    */
+  private def hasVisibleFiles(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  private def emptyLedger(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("file_name",
           org.apache.spark.sql.types.StringType))))
+
+  /** The ledger VIEW: base rows (one per staged file, appended by
+    * [[run]]) with the `_updates` append-log compacted on read —
+    * latest `seq` per (file_name, field) wins; a file that only ever
+    * appeared in an update (the reference's update-creates-item
+    * DynamoDB semantic) still gets a row via the full-outer join. The
+    * log is metadata-sized (one tiny file per completed stage batch),
+    * so the compaction is bounded at any corpus scale.
+    */
+  def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val p = new Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base0 =
+      if (hasVisibleFiles(fs, p)) spark.read.parquet(ledgerDir)
+      else emptyLedger(spark)
+    val udir = updatesDir(ledgerDir)
+    val anyUpdates = hasVisibleFiles(fs, udir)
+    val base = StageFields.foldLeft(base0) { (df, c) =>
+      if (df.columns.contains(c) || !anyUpdates) df
+      else df.withColumn(c, lit(null).cast("boolean"))
+    }
+    if (!anyUpdates) return base
+    val upd = spark.read.parquet(udir.toString)
+    // latest status per (file_name, field); equal-seq ties (distinct
+    // JVMs in the same counter window) break deterministically by
+    // status — the same "concurrent opposing update_items race"
+    // DynamoDB has, with neither write LOST
+    def latestFor(f: String): DataFrame = upd
+      .filter(col("field") === f)
+      .groupBy(col("file_name"))
+      .agg(max_by(col("status"), struct(col("seq"), col("status")))
+        .as(s"__upd_$f"))
+    val latest = latestFor(MatchwiseStatus)
+      .join(latestFor(DeliverywiseStatus), Seq("file_name"), "full_outer")
+    StageFields.foldLeft(
+      base.join(latest, Seq("file_name"), "full_outer")) { (df, f) =>
+      df.withColumn(f, coalesce(col(s"__upd_$f"), col(f)))
+        .drop(s"__upd_$f")
+    }
   }
 
   /** Landing-dir *.json names minus already-ledgered ones, capped.
@@ -67,13 +130,19 @@ object IngestJob {
   }
 
   /** Upsert `field := status` for `files`, keyed by file_name — the
-    * engine twin of the reference's per-field DynamoDB update_item.
-    * Rows absent from the ledger are created with every other column
-    * null; existing rows keep their other columns untouched. The
-    * ledger is one row per ingested file (metadata-sized, not
-    * data-sized), so the read-merge-overwrite rewrite is bounded at
-    * any corpus scale; the pre-merge state is pinned (localCheckpoint)
-    * before the overwrite so the write never reads its own target.
+    * engine twin of the reference's per-field DynamoDB update_item
+    * (utils.py:74-89), INCLUDING its durability: the call appends one
+    * immutable update file to the `_updates` log and never rewrites
+    * (let alone deletes) existing ledger state, so a crash at any
+    * point leaves a consistent ledger — either the update is fully
+    * visible or not at all. Commit protocol: write the tiny update
+    * parquet to a hidden `.upd_tmp_*` dir, then an ATOMIC
+    * `FileSystem.rename` into `_updates/` — two concurrent stage
+    * markers (the reference runs its two extract lambdas in parallel,
+    * aws/mens_t20i_dataset_stack.py:190-214, 253-277) land distinct
+    * files and cannot lose each other's flags. Rows absent from the
+    * ledger are created at read ([[ledger]]'s full-outer compaction)
+    * with every other column null.
     */
   def markStage(spark: SparkSession, ledgerDir: String, files: Seq[String],
                 field: String, status: Boolean = true): Unit = {
@@ -81,18 +150,29 @@ object IngestJob {
     require(field == MatchwiseStatus || field == DeliverywiseStatus,
       s"unknown ledger stage field: $field")
     if (files.isEmpty) return
-    val cur = Seq(MatchwiseStatus, DeliverywiseStatus)
-      .foldLeft(ledger(spark, ledgerDir)) { (df, c) =>
-        if (df.columns.contains(c)) df
-        else df.withColumn(c, lit(null).cast("boolean"))
-      }
-    val merged = cur
-      .join(files.toDF("file_name").withColumn("__hit", lit(true)),
-        Seq("file_name"), "full_outer")
-      .withColumn(field, when(col("__hit"), lit(status)).otherwise(col(field)))
-      .drop("__hit")
-      .cpGuard()
-    merged.write.mode(SaveMode.Overwrite).parquet(ledgerDir)
+    val seq = seqCounter.incrementAndGet()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val udir = updatesDir(ledgerDir)
+    val fs = udir.getFileSystem(conf)
+    val tmp = new Path(ledgerDir,
+      s".upd_tmp_${java.util.UUID.randomUUID().toString.take(12)}")
+    files.toDF("file_name")
+      .withColumn("field", lit(field))
+      .withColumn("status", lit(status))
+      .withColumn("seq", lit(seq))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"update write produced no parquet part under $tmp"))
+    fs.mkdirs(udir)
+    val committed = fs.rename(part,
+      new Path(udir, s"upd-$seq-${part.getName}"))
+    if (!committed) throw new java.io.IOException(
+      s"atomic commit of ledger update $seq into $udir failed")
+    fs.delete(tmp, true)
+    ()
   }
 
   /** Copy the capped new files into staging and ledger them with both

@@ -48,8 +48,10 @@ class IngestStreamSpec extends SparkSpec {
     val staged = IngestJob.run(spark, landing, staging, ledger, limit = 10)
     assert(staged == Seq("1001.json", "1002.json"))
 
+    // read through the VIEW — the ledger is base rows + an append-only
+    // update log compacted on read, not a single rewritten parquet
     def flags(): Map[String, (Boolean, Boolean)] =
-      spark.read.parquet(ledger).collect().map { r =>
+      IngestJob.ledger(spark, ledger).collect().map { r =>
         r.getAs[String]("file_name") ->
           ((r.getAs[Boolean](IngestJob.MatchwiseStatus),
             r.getAs[Boolean](IngestJob.DeliverywiseStatus)))
@@ -84,10 +86,84 @@ class IngestStreamSpec extends SparkSpec {
 
     // a stage mark for a file the ledger has never seen creates its row
     IngestJob.markStage(spark, ledger, Seq("9999.json"), IngestJob.MatchwiseStatus)
-    val row = spark.read.parquet(ledger)
+    val row = IngestJob.ledger(spark, ledger)
       .filter(col("file_name") === "9999.json").collect().head
     assert(row.getAs[Boolean](IngestJob.MatchwiseStatus))
     assert(row.isNullAt(row.fieldIndex(IngestJob.DeliverywiseStatus)))
+  }
+
+  test("ledger survives a crash mid-commit: partial update debris is invisible") {
+    val landing = tmp("cr_landing"); val staging = tmp("cr_staging")
+    val ledger = s"${tmp("cr_ledger_root")}/ledger"
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+    IngestJob.run(spark, landing, staging, ledger, limit = 10)
+    IngestJob.markStage(spark, ledger, Seq("1001.json"), IngestJob.MatchwiseStatus)
+
+    def view(): Map[String, (Boolean, Boolean)] =
+      IngestJob.ledger(spark, ledger).collect().map { r =>
+        r.getAs[String]("file_name") ->
+          ((r.getAs[Boolean](IngestJob.MatchwiseStatus),
+            r.getAs[Boolean](IngestJob.DeliverywiseStatus)))
+      }.toMap
+    val before = view()
+    assert(before == Map("1001.json" -> ((true, false)),
+      "1002.json" -> ((false, false))))
+
+    // crash BEFORE the atomic rename: a stranded .upd_tmp_* dir with a
+    // half-written (corrupt) parquet part — hidden from both the base
+    // read and the _updates read, so the view is byte-identical
+    val tmpDir = Paths.get(ledger, ".upd_tmp_crashed")
+    Files.createDirectories(tmpDir)
+    Files.write(tmpDir.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    // crash DURING a task write inside _updates: committer _temporary
+    // debris — underscore-hidden from the update-log read
+    val tempDir = Paths.get(ledger, "_updates", "_temporary", "0")
+    Files.createDirectories(tempDir)
+    Files.write(tempDir.resolve("part-00000.parquet"),
+      "also not parquet".getBytes)
+    assert(view() == before)
+
+    // and the ledger still accepts (and shows) the next real update
+    IngestJob.markStage(spark, ledger, Seq("1002.json"), IngestJob.MatchwiseStatus)
+    assert(view() == Map("1001.json" -> ((true, false)),
+      "1002.json" -> ((true, false))))
+
+    // invariant behind crash-atomicity: no markStage ever deletes or
+    // rewrites an existing ledger file (append-only log + rename)
+    val baseParts = Files.list(Paths.get(ledger)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    IngestJob.markStage(spark, ledger, Seq("1001.json"), IngestJob.DeliverywiseStatus)
+    val basePartsAfter = Files.list(Paths.get(ledger)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    assert(basePartsAfter == baseParts)
+  }
+
+  test("two interleaved stage markers lose neither flag") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val landing = tmp("cc_landing"); val staging = tmp("cc_staging")
+    val ledger = s"${tmp("cc_ledger_root")}/ledger"
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+    IngestJob.run(spark, landing, staging, ledger, limit = 10)
+    // the reference runs its matchwise and deliverywise extract lambdas
+    // in parallel (mens_t20i_dataset_stack.py:190-214, 253-277); the old
+    // read-merge-Overwrite lost whichever writer committed first
+    val files = Seq("1001.json", "1002.json")
+    val both = Future.sequence(Seq(
+      Future(IngestJob.markStage(spark, ledger, files,
+        IngestJob.MatchwiseStatus)),
+      Future(IngestJob.markStage(spark, ledger, files,
+        IngestJob.DeliverywiseStatus))))
+    Await.result(both, 2.minutes)
+    val got = IngestJob.ledger(spark, ledger).collect().map { r =>
+      r.getAs[String]("file_name") ->
+        ((r.getAs[Boolean](IngestJob.MatchwiseStatus),
+          r.getAs[Boolean](IngestJob.DeliverywiseStatus)))
+    }.toMap
+    assert(got == Map("1001.json" -> ((true, true)),
+      "1002.json" -> ((true, true))))
   }
 
   test("discovery survives a many-thousand-file landing dir") {
