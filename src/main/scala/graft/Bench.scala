@@ -60,14 +60,18 @@ object Bench {
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup (untimed)
-    // best-of-2: the environment shows bursty external CPU contention
-    // (identical plans vary 4x run-to-run); min-of-passes reports the
-    // uncontended cost. Any failed pass poisons the query to -1.
-    val pass1 = names.map(n => n -> runOnce(n)).toMap
-    val pass2 = names.map(n => n -> runOnce(n)).toMap
+    // 3 timed passes: the environment shows bursty external CPU
+    // contention (identical plans vary 4x run-to-run), and single-shot
+    // timings made round-over-round drift unfalsifiable — the MEDIAN is
+    // the headline number and (min, max) records each query's observed
+    // spread, so a later round can distinguish "regression" from
+    // "within this query's own noise band". Any failed pass poisons
+    // the query to -1.
+    val passes = Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap)
+    val runs = names.map(n => n -> passes.map(_(n))).toMap
     val results = names.map { n =>
-      val (a, b) = (pass1(n), pass2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val rs = runs(n)
+      n -> (if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(rs.size / 2))
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
 
@@ -91,8 +95,17 @@ object Bench {
     // line is the compact form only — a 90+-query map is ~3.4 KB and
     // the driver's stdout-tail capture keeps ~2 KB, which truncated the
     // head of the JSON (and failed its parse) three rounds running
+    // per-query {median,min,max} — the variance record a round-over-round
+    // comparison needs to flag only regressions beyond the noise band
+    val spread = names.map { n =>
+      val rs = runs(n)
+      val (mn, mx) =
+        if (rs.exists(_ < 0)) (-1.0, -1.0) else (rs.min, rs.max)
+      "\"" + n + "\":{\"median\":" + r3(results.toMap.apply(n)) +
+        ",\"min\":" + r3(mn) + ",\"max\":" + r3(mx) + "}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","detail":"$out"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
