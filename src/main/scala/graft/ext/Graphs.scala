@@ -909,17 +909,28 @@ object Graphs {
 
   /** Strongly connected components of a DIRECTED edge list `(src,
     * dst)` — Pregel-style forward-backward coloring (Salihoglu & Widom
-    * GPS'13 / Slota FW-BW) with the standard TRIM optimization:
+    * GPS'13 / Slota FW-BW) with the standard TRIM optimization and the
+    * two directions FUSED into one tagged-frontier loop:
     *
     * per phase: (1) TRIM to fixpoint — a remaining node with zero
     * in-degree or zero out-degree can sit on no cycle, so it is a
     * singleton SCC (this peels DAG regions in diameter-many rounds,
     * the case where bare FW-BW needs one phase per chain node);
-    * (2) forward min-label propagation to fixpoint: c(u) = min id
-    * that reaches u; (3) backward reachability from each color root
-    * (c(r) = r) restricted to its own color class — exactly the nodes
-    * both reachable-from and reaching r, i.e. SCC(r); (4) assign,
-    * remove, repeat. Deterministic: ids, never hashes.
+    * (2) ONE min-label fixpoint loop over the direction-tagged edge
+    * union: f(u) = min id that reaches u (forward rows) and b(u) =
+    * min id u reaches (reversed rows) propagate in the same job per
+    * round — half the actions of running the directions as separate
+    * loops, and round count is max(D_f, D_b) instead of D_f + D_b
+    * (the g17 cost is job latency, not data);
+    * (3) assign where f(u) = b(u): then m = f(u) both reaches and is
+    * reached by u, so u ∈ SCC(m), and m is that SCC's min id (any
+    * smaller reacher would lower f below the component min) — the
+    * assigned set is a union of COMPLETE components;
+    * (4) FW-BW cell refinement: an SCC has uniform (f, b), so an edge
+    * crossing (f, b) cells is never intra-SCC — the next phase keeps
+    * only same-cell edges, splitting chains of mutually-reaching
+    * components that single-direction coloring peels one per phase.
+    * Deterministic: ids, never hashes.
     *
     * Scale shape: every step is a node-keyed equi-join + groupBy over
     * the (static) remaining edge list — co-partitionable on node id
@@ -932,49 +943,78 @@ object Graphs {
     * Output: (k, scc_id = min node id in the component, scc_size).
     */
   def scc(edges: DataFrame, maxPhases: Int = 10,
-          maxIters: Int = 40): DataFrame = {
+          maxIters: Int = 40, driverThreshold: Long = 1L << 20): DataFrame = {
     require(maxPhases >= 1 && maxIters >= 1, "maxPhases, maxIters >= 1")
+    val eObs = org.apache.spark.sql.Observation()
     val e0 = edges.filter(col("src") =!= col("dst"))
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().cpGuard()
+      .distinct()
+      .observe(eObs, count(lit(1)).as("n")).cpGuard()
+    // An edge list at or below broadcast scale (1M edges = 16 MB of
+    // longs) doesn't need iterative shuffle rounds: each distributed
+    // round costs whole jobs of fixed overhead regardless of size —
+    // the dupClusters driver-threshold contract. Same (k, scc_id =
+    // min member, scc_size) answer from one linear-time driver Tarjan
+    // pass; the phase loop below remains the shape for graphs that
+    // genuinely don't fit. g17's top-150-edge backbone is CONSTANT
+    //-sized at any corpus scale, so this is its scale-correct plan.
+    if (eObs.get("n").asInstanceOf[Long] <= driverThreshold)
+      return sccDriver(e0)
     val allNodes = e0.select(col("src").as("k"))
       .unionAll(e0.select(col("dst").as("k"))).distinct().cpGuard()
     var remaining = allNodes
     var nRemaining = remaining.count()
-    var assignedAcc: DataFrame = null
-    def accumulate(a: DataFrame): Unit = {
-      assignedAcc =
-        if (assignedAcc == null) a.cpGuard()
-        else assignedAcc.unionAll(a).cpGuard()
-    }
+    // assignment pieces are filters of already-checkpointed frames, so
+    // deferring the union to the end costs ZERO extra jobs (the old
+    // per-call union-and-checkpoint paid one job per trim round)
+    val assignedParts = scala.collection.mutable.Buffer.empty[DataFrame]
+    def accumulate(a: DataFrame): Unit = { assignedParts += a; () }
     var phase = 0
+    // (f, b) cells of the previous phase's unassigned nodes — the FW-BW
+    // refinement: cross-cell edges are never intra-SCC
+    var cells: DataFrame = null
     while (phase < maxPhases && nRemaining > 0) {
       phase += 1
-      // edges among remaining nodes
+      // edges among remaining nodes, restricted to same-(f,b)-cell
+      // pairs once a phase has run
       var re = e0
         .join(remaining.select(col("k").as("src")), Seq("src"), "left_semi")
         .join(remaining.select(col("k").as("dst")), Seq("dst"), "left_semi")
         .cpGuard()
-      // (1) TRIM: peel zero-in/zero-out nodes as singleton SCCs
+      if (cells != null) {
+        re = re
+          .join(cells.select(col("k").as("src"), col("cf").as("sf"),
+            col("cb").as("sb")), Seq("src"))
+          .join(cells.select(col("k").as("dst"), col("cf").as("df"),
+            col("cb").as("db")), Seq("dst"))
+          .filter(col("sf") === col("df") && col("sb") === col("db"))
+          .select(col("src"), col("dst")).cpGuard()
+      }
+      // (1) TRIM: peel zero-in/zero-out nodes as singleton SCCs — ONE
+      // observed checkpoint job per round (keep/peel split rides as a
+      // flag column; the g17 iteration cost is JOB latency, not data)
       var trimming = true
       var it = 0
       while (trimming && it < maxIters) {
         it += 1
-        val hasIn = re.select(col("dst").as("k")).distinct()
-        val hasOut = re.select(col("src").as("k")).distinct()
-        val keep = hasIn.join(hasOut, Seq("k"), "left_semi").cpGuard()
-        // the peel count rides on the checkpoint job via observe() —
-        // one action per trim round, not two (the g17 iteration cost
-        // is JOB latency, not data)
         val pObs = org.apache.spark.sql.Observation()
-        val peeled = remaining.join(keep, Seq("k"), "left_anti")
-          .observe(pObs, count(lit(1)).as("n")).cpGuard()
+        val marked = remaining
+          .join(re.select(col("dst").as("k")).distinct()
+            .withColumn("__hi", lit(true)), Seq("k"), "left_outer")
+          .join(re.select(col("src").as("k")).distinct()
+            .withColumn("__ho", lit(true)), Seq("k"), "left_outer")
+          .select(col("k"),
+            (col("__hi").isNotNull && col("__ho").isNotNull).as("__keep"))
+          .observe(pObs, count(when(!col("__keep"), lit(1))).as("n"))
+          .cpGuard()
         val nPeeled = pObs.get("n").asInstanceOf[Long]
         if (nPeeled == 0) trimming = false
         else {
-          accumulate(peeled.select(col("k"), col("k").as("scc_id")))
-          remaining = remaining.join(keep, Seq("k"), "left_semi").cpGuard()
+          accumulate(marked.filter(!col("__keep"))
+            .select(col("k"), col("k").as("scc_id")))
+          val keep = marked.filter(col("__keep")).select(col("k"))
+          remaining = keep
           nRemaining -= nPeeled
           re = re
             .join(keep.select(col("k").as("src")), Seq("src"), "left_semi")
@@ -984,81 +1024,144 @@ object Graphs {
       }
       require(!trimming, s"scc: trim did not converge in $maxIters rounds")
       if (nRemaining > 0) {
-        // (2) forward min-label to fixpoint: c(u) = min id reaching u
-        var lab = remaining.select(col("k"), col("k").as("c")).cpGuard()
+        // (2) FUSED fixpoint: forward rows (fw=true) carry f(u) = min
+        // id reaching u, reversed rows (fw=false) carry b(u) = min id
+        // u reaches — one direction-tagged join + groupBy per step.
+        // dirEdges and the initial labels are narrow derivations of
+        // already-checkpointed frames: no extra materialization jobs
+        val dirEdges = re.select(lit(true).as("fw"), col("src"), col("dst"))
+          .unionAll(re.select(lit(false).as("fw"),
+            col("dst").as("src"), col("src").as("dst")))
+        var lab = remaining
+          .withColumn("fw", explode(array(lit(true), lit(false))))
+          .select(col("fw"), col("k"), col("k").as("c"))
+        def stepOnce(df: DataFrame): DataFrame = {
+          val prop = dirEdges
+            .join(df.select(col("fw"), col("k").as("src"), col("c")),
+              Seq("fw", "src"))
+            .groupBy(col("fw"), col("dst").as("k")).agg(min(col("c")).as("pc"))
+          df.join(prop, Seq("fw", "k"), "left_outer")
+            .select(col("fw"), col("k"),
+              least(col("c"), coalesce(col("pc"), col("c"))).as("c"),
+              (col("pc").isNotNull && col("pc") < col("c")).as("chg"))
+        }
+        // one observed checkpoint job per step (unrolling several steps
+        // into one job was MEASURED SLOWER at sf0.1 — the floor is
+        // shuffle-stage latency, which unrolling does not reduce)
         var changed = true
         it = 0
         while (changed && it < maxIters) {
           it += 1
-          val prop = re
-            .join(lab.select(col("k").as("src"), col("c")), Seq("src"))
-            .groupBy(col("dst").as("k")).agg(min(col("c")).as("pc"))
-          // the improvement count rides ON the checkpoint job via
-          // observe() — one action per labeling round (a separate
-          // isEmpty probe, or a join against the previous labels,
-          // both pay a second job; g17's iteration cost is job
-          // latency, not data)
           val fObs = org.apache.spark.sql.Observation()
-          val nl = lab.join(prop, Seq("k"), "left_outer")
-            .select(col("k"),
-              least(col("c"), coalesce(col("pc"), col("c"))).as("c"),
-              (col("pc").isNotNull && col("pc") < col("c")).as("chg"))
-            .observe(fObs,
-              count(when(col("chg"), lit(1))).as("nchg"))
-            .cpGuard()
+          val nl = stepOnce(lab).observe(fObs,
+            count(when(col("chg"), lit(1))).as("nchg")).cpGuard()
           changed = fObs.get("nchg").asInstanceOf[Long] > 0L
-          lab = nl.select(col("k"), col("c"))
+          lab = nl.select(col("fw"), col("k"), col("c"))
         }
         require(!changed,
-          s"scc: forward labeling did not converge in $maxIters rounds")
-        // (3) backward reach from color roots within the color class —
-        // FRONTIER form: each round expands only last round's newly
-        // reached nodes and anti-joins the known set, so the per-round
-        // distinct/count never rescans the whole accumulated reach
-        var reach = lab.filter(col("k") === col("c")).cpGuard()
-        var frontier = reach
-        changed = true
-        it = 0
-        while (changed && it < maxIters) {
-          it += 1
-          // frontier size rides on the checkpoint job (observe) —
-          // one action per expansion round instead of a separate
-          // isEmpty probe
-          val bObs = org.apache.spark.sql.Observation()
-          val nf = re
-            .join(frontier.select(col("k").as("dst"), col("c")), Seq("dst"))
-            .select(col("src").as("k"), col("c"))
-            .join(lab.withColumnRenamed("c", "cu"), Seq("k"))
-            .filter(col("c") === col("cu"))
-            .select(col("k"), col("c")).distinct()
-            .join(reach, Seq("k", "c"), "left_anti")
-            .observe(bObs, count(lit(1)).as("n"))
-            .cpGuard()
-          if (bObs.get("n").asInstanceOf[Long] == 0L) changed = false
-          else {
-            reach = reach.unionAll(nf).cpGuard()
-            frontier = nf
-          }
-        }
-        require(!changed,
-          s"scc: backward reach did not converge in $maxIters rounds")
-        // (4) assign SCC(root) for every root, remove, next phase
-        val assigned = reach.select(col("k"), col("c").as("scc_id"))
-        accumulate(assigned)
+          s"scc: fused labeling did not converge in $maxIters rounds")
+        // (3)+(4) assign complete components (f = b), keep the (f, b)
+        // cells of the rest for the next phase's edge refinement; the
+        // unassigned count rides on the cells checkpoint job
+        val fb = lab.groupBy(col("k")).agg(
+          min(when(col("fw"), col("c"))).as("cf"),
+          min(when(!col("fw"), col("c"))).as("cb"))
         val rObs = org.apache.spark.sql.Observation()
-        remaining = remaining
-          .join(assigned.select(col("k")), Seq("k"), "left_anti")
-          .observe(rObs, count(lit(1)).as("n")).cpGuard()
+        val fbCp = fb.observe(rObs,
+          count(when(col("cf") =!= col("cb"), lit(1))).as("n")).cpGuard()
+        accumulate(fbCp.filter(col("cf") === col("cb"))
+          .select(col("k"), col("cf").as("scc_id")))
         nRemaining = rObs.get("n").asInstanceOf[Long]
+        cells = fbCp.filter(col("cf") =!= col("cb"))
+        remaining = cells.select(col("k"))
       }
     }
     require(nRemaining == 0,
       s"scc: $nRemaining nodes unassigned after $maxPhases phases")
+    if (assignedParts.isEmpty) // no edges at all -> no nodes, empty result
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("k"), lit(0L).as("scc_id"),
+          lit(0L).as("scc_size")).limit(0)
+    val assignedAcc = assignedParts.reduce(_ unionAll _)
     val sizes = assignedAcc.groupBy(col("scc_id"))
       .agg(count(lit(1)).as("scc_size"))
     assignedAcc.join(sizes, Seq("scc_id"))
       .select(col("k"), col("scc_id"), col("scc_size"))
       .orderBy(col("k"))
+  }
+
+  /** Driver-side SCC for a below-threshold edge list: one iterative
+    * (explicit-stack) Tarjan pass — linear in nodes+edges, no
+    * recursion, so a million-edge graph can't overflow the JVM stack.
+    * `e0` must already be self-loop-free and distinct (the [[scc]]
+    * normalization). Output contract identical to the distributed
+    * phase loop: (k, scc_id = min node id in the component, scc_size).
+    */
+  private def sccDriver(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val es = e0.as[(Long, Long)].collect()
+    if (es.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("k"), lit(0L).as("scc_id"),
+          lit(0L).as("scc_size")).limit(0)
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val nodes = scala.collection.mutable.TreeSet.empty[Long] // sorted: determinism
+    es.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+      nodes += s; nodes += d
+    }
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val low = scala.collection.mutable.HashMap.empty[Long, Int]
+    val onStk = scala.collection.mutable.HashSet.empty[Long]
+    val stk = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val compOf = scala.collection.mutable.HashMap.empty[Long, Long]
+    var counter = 0
+    val empty = scala.collection.mutable.ArrayBuffer.empty[Long]
+    nodes.foreach { root =>
+      if (!index.contains(root)) {
+        // work frames: (node, next-neighbor offset to resume at)
+        val work = scala.collection.mutable.ArrayBuffer((root, 0))
+        while (work.nonEmpty) {
+          val (v, pi) = work.remove(work.length - 1)
+          if (pi == 0) {
+            index(v) = counter; low(v) = counter; counter += 1
+            stk += v; onStk += v
+          }
+          val nbrs = adj.getOrElse(v, empty)
+          var i = pi
+          var descended = false
+          while (i < nbrs.length && !descended) {
+            val w = nbrs(i)
+            if (!index.contains(w)) {
+              work += ((v, i + 1)); work += ((w, 0)); descended = true
+            } else if (onStk(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+          if (!descended) {
+            if (low(v) == index(v)) {
+              // pop the component; label with its min node id
+              var j = stk.length - 1
+              while (stk(j) != v) j -= 1
+              val members = stk.slice(j, stk.length)
+              stk.remove(j, stk.length - j)
+              val cid = members.min
+              members.foreach { m => onStk -= m; compOf(m) = cid }
+            }
+            if (work.nonEmpty) {
+              val (p, _) = work.last
+              low(p) = math.min(low(p), low(v))
+            }
+          }
+        }
+      }
+    }
+    val sizes = compOf.values.groupBy(identity).map { case (c, xs) =>
+      c -> xs.size.toLong
+    }
+    compOf.toSeq.map { case (k, c) => (k, c, sizes(c)) }
+      .sortBy(_._1).toDF("k", "scc_id", "scc_size")
   }
 
   /** Weighted single-source-set shortest paths — synchronous

@@ -468,10 +468,12 @@ class GraphOpsSpec extends SparkSpec {
 
   test("scc: cycles group, bridges and sinks are singletons") {
     // 3-cycle {1,2,3} -> 2-cycle {4,5} -> sink 6; direction matters:
-    // the 3->4 bridge joins nothing
+    // the 3->4 bridge joins nothing. driverThreshold = 0 pins the
+    // distributed FW-BW phase loop (the default would take the
+    // driver-Tarjan shortcut on a fixture this small)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
       (4L, 5L), (5L, 4L), (5L, 6L)).toDF("src", "dst")
-    val got = Graphs.scc(edges).collect()
+    val got = Graphs.scc(edges, driverThreshold = 0).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got(1L) == (1L, 3L) && got(2L) == (1L, 3L) && got(3L) == (1L, 3L))
     assert(got(4L) == (4L, 2L) && got(5L) == (4L, 2L))
@@ -480,7 +482,7 @@ class GraphOpsSpec extends SparkSpec {
 
   test("scc: a pure DAG chain is all singletons (trim path, not phase-per-node)") {
     val chain = (10L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Graphs.scc(chain, maxPhases = 2).collect()
+    val got = Graphs.scc(chain, maxPhases = 2, driverThreshold = 0).collect()
     assert(got.length == 11)
     assert(got.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1L))
   }
@@ -488,9 +490,26 @@ class GraphOpsSpec extends SparkSpec {
   test("scc: two cycles sharing a one-way bridge stay separate; self-loops ignored") {
     val edges = Seq((1L, 1L), // self-loop: dropped
       (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
-    val got = Graphs.scc(edges).collect()
+    val got = Graphs.scc(edges, driverThreshold = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("scc: driver Tarjan path equals the distributed phase loop") {
+    // ascending-id SCC chain — the case where single-direction coloring
+    // peels one component per phase; both paths must agree exactly
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (6L, 7L), // 3 ascending 2-cycles + bridges
+      (9L, 8L), (8L, 9L), (7L, 8L)).toDF("src", "dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val driver = asMap(Graphs.scc(edges)) // default threshold: driver path
+    val dist = asMap(Graphs.scc(edges, driverThreshold = 0))
+    assert(driver == dist)
+    assert(driver(1L) == (1L, 2L) && driver(3L) == (3L, 2L)
+      && driver(5L) == (5L, 2L) && driver(7L) == (7L, 1L)
+      && driver(8L) == (8L, 2L) && driver(9L) == (8L, 2L))
   }
 
   test("hyperBall: linear-counting regime counts a chain exactly; balls are monotone") {
