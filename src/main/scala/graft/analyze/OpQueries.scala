@@ -805,6 +805,33 @@ object OpQueries {
              CAST(SUM(n_match) AS BIGINT) AS rows_matched
       FROM pf GROUP BY layout ORDER BY layout""")),
 
+    // ---- w15's simulation made PHYSICAL: write the grid as real
+    // z-ordered vs x-sorted parquet (64 files, one row group each),
+    // push the same box predicate through Spark's scan, and read the
+    // skipping off the scan's numOutputRows metric. Scanned-row counts
+    // depend on range-partitioner sampling, so the output is matched-
+    // data checksums (oracle-computed from events) plus engine-verified
+    // pruning verdicts the oracle asserts TRUE (the m14/t36 pattern) --
+    ("w46_zorder_pruned_scan", (s: SparkSession, d: String) => {
+      val grid = t(s, d, "events").select(
+        (col("event_id") % 1024).as("x"),
+        expr("(unix_micros(ts) div 60000000) % 1024").as("y"))
+      val dir = s.conf.get("spark.sql.warehouse.dir") +
+        "/graft_zorder_layout_q"
+      ZOrder.prunedScanAudit(grid, dir, bits = 10, nFiles = 64,
+        x0 = 256, x1 = 383, y0 = 512, y1 = 639)
+    }, Some("""
+      WITH base AS (SELECT CAST(event_id % 1024 AS BIGINT) AS x,
+                           CAST((epoch_us(ts) // 60000000) % 1024 AS BIGINT) AS y
+                    FROM events)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             TRUE AS layouts_agree, TRUE AS scan_sound,
+             TRUE AS z_pruned, TRUE AS lin_pruned,
+             TRUE AS z_beats_linear
+      FROM base WHERE x BETWEEN 256 AND 383 AND y BETWEEN 512 AND 639""")),
+
     // ---- per-node triangle counts: the local-clustering signal that
     // separates organic link neighborhoods from spam farms. Degree-
     // ORIENTED wedge join (each edge oriented from its (deg, id)-lower

@@ -77,4 +77,83 @@ object ZOrder {
         sum(col("n_match")).as("rows_matched"))
       .orderBy(col("layout"))
   }
+
+  /** Write `rows` (integer dims `x`, `y` in [0, 2^bits)) under `dir`
+    * in two PHYSICAL parquet layouts of `nFiles` files each: `z/`
+    * range-partitioned and sorted on the interleaved Morton key and
+    * `lin/` on `x` alone. Small files -> one parquet row group per
+    * file, so the reader's row-group min/max pruning IS file skipping.
+    */
+  def writeLayouts(rows: DataFrame, dir: String, bits: Int,
+                   nFiles: Int): Unit = {
+    val base = rows.select(col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"))
+    base.withColumn("z", expr(interleaveSparkSql("x", "y", bits)))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .select(col("x"), col("y"))
+      .write.mode("overwrite").parquet(s"$dir/z")
+    base.repartitionByRange(nFiles, col("x"))
+      .sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(s"$dir/lin")
+  }
+
+  /** All FileSourceScans of an executed plan, descending through AQE
+    * wrappers and materialized query stages (plain `collect` stops at
+    * both boundaries).
+    */
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scansOf(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(scansOf)
+  }
+
+  /** Execute a box-filtered aggregate over one layout dir and report
+    * (rows the parquet scan EMITTED after row-group pruning, matched
+    * row count, sum of matched x, sum of matched y).
+    */
+  def boxScan(spark: org.apache.spark.sql.SparkSession, path: String,
+              x0: Int, x1: Int, y0: Int, y1: Int): (Long, Long, Long, Long) = {
+    val agg = spark.read.parquet(path)
+      .filter(col("x").between(x0, x1) && col("y").between(y0, y1))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("x")), lit(0L)).as("sx"),
+        coalesce(sum(col("y")), lit(0L)).as("sy"))
+    val row = agg.collect()(0)
+    val scanned = scansOf(agg.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+    (scanned, row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** End-to-end PHYSICAL data-skipping audit — the proof behind
+    * [[skippingAudit]]'s simulation: write both layouts as real
+    * parquet, run the same box predicate through Spark's scan, and
+    * read the pruning off the scan's own numOutputRows metric (rows
+    * surviving parquet row-group min/max skipping). Output carries the
+    * matched-data checksums (oracle-reproducible from the source rows)
+    * plus engine-computed pruning verdicts the oracle asserts TRUE —
+    * the codec-dependent-value pattern: raw scanned-row counts depend
+    * on range-partitioner sampling, so they are banded, not emitted.
+    */
+  def prunedScanAudit(rows: DataFrame, dir: String, bits: Int, nFiles: Int,
+                      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    val spark = rows.sparkSession
+    writeLayouts(rows, dir, bits, nFiles)
+    val (zScan, zN, zSx, zSy) = boxScan(spark, s"$dir/z", x0, x1, y0, y1)
+    val (lScan, lN, lSx, lSy) = boxScan(spark, s"$dir/lin", x0, x1, y0, y1)
+    val total = spark.read.parquet(s"$dir/z").count()
+    import spark.implicits._
+    Seq((zN, zSx, zSy,
+      zN == lN && zSx == lSx && zSy == lSy, // layouts agree on the data
+      zScan >= zN && lScan >= lN,           // a scan emits >= its matches
+      zScan < total,                        // z: row groups were skipped
+      lScan < total,                        // linear: x-stripe skipped too
+      zScan < lScan))                       // z strictly beats linear
+      .toDF("n_match", "sum_x", "sum_y", "layouts_agree", "scan_sound",
+        "z_pruned", "lin_pruned", "z_beats_linear")
+  }
 }

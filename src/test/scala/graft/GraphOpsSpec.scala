@@ -253,6 +253,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(audit("linear") == ((4L, 2L, 128L, 64L)))
   }
 
+  test("zorder physical layout: Spark's parquet scan actually skips row groups") {
+    import graft.operators.ZOrder
+    // full 32x32 grid written as REAL parquet in both layouts (16
+    // files each, one row group per file); box = an aligned quadrant
+    // eighth. The assertion reads Spark's own scan metric — rows
+    // emitted after parquet row-group min/max pruning — not a
+    // simulation: z-order must beat the linear-on-x layout, and both
+    // must beat a full scan
+    val dir = java.nio.file.Files.createTempDirectory("zorder_phys").toString
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    ZOrder.writeLayouts(grid, dir, bits = 5, nFiles = 16)
+    val zFiles = new java.io.File(s"$dir/z").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(zFiles == 16)
+    val (zScan, zN, zSx, zSy) =
+      ZOrder.boxScan(spark, s"$dir/z", 8, 15, 16, 23)
+    val (lScan, lN, lSx, lSy) =
+      ZOrder.boxScan(spark, s"$dir/lin", 8, 15, 16, 23)
+    assert(zN == 64L && lN == 64L && zSx == lSx && zSy == lSy)
+    // 16 files of ~64 rows; the 8x8 box is one contiguous 64-value z
+    // run -> at most two z files (boundary straddle) vs a quarter
+    // x-stripe spanning ~4 linear files; full scan would be 1024
+    assert(zScan >= 64L && zScan <= 128L, s"z layout scanned $zScan rows")
+    assert(lScan >= 192L && lScan <= 320L, s"linear layout scanned $lScan rows")
+    assert(zScan < lScan)
+    // and the audit wrapper banding agrees
+    val verdict = ZOrder.prunedScanAudit(grid, s"$dir/audit", bits = 5,
+      nFiles = 16, x0 = 8, x1 = 15, y0 = 16, y1 = 23).collect()(0)
+    assert(verdict.getLong(0) == 64L)
+    assert((3 to 7).forall(verdict.getBoolean))
+  }
+
   test("dhash64 is invariant across renderings of the same pattern") {
     // doc_ids 16 apart share a pattern but render at different sizes
     val docs = Seq((1L, "x"), (17L, "x"), (33L, "x"), (2L, "y"))
