@@ -1310,23 +1310,48 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def ngramJaccardDup(docs: DataFrame, n: Int, maxLenDiff: Int,
-                      threshold: Double): DataFrame = {
-    // Blocking key = (lang, length bucket). Joining on lang alone gives
-    // ~5 distinct keys — a skewed, near-serial join. Bucketing n_chars
-    // by maxLenDiff and exploding each left row into its 3 neighbor
-    // buckets keeps every qualifying pair reachable exactly once while
-    // the join fans out over lang x bucket keys.
+  /** The (lang, length-bucket) blocking join of [[ngramJaccardDup]],
+    * exposed so the skew spec can meter ITS tasks in isolation (the
+    * downstream verify reads all pairs and would mask the join stage).
+    */
+  private[graft] def ngramCandidates(docs: DataFrame, maxLenDiff: Int,
+                                     salts: Int): DataFrame = {
     val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .withColumn("bkt", (col("n_chars") / maxLenDiff).cast("int"))
     val left = meta.withColumn("bkt",
       explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
-    val cand = left.as("a").join(meta.as("b"),
-        col("a.lang") === col("b.lang") &&
-        col("a.bkt") === col("b.bkt") &&
-        abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    if (salts <= 1)
+      left.as("a").join(meta.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.bkt") === col("b.bkt") &&
+          abs(col("a.n_chars") - col("b.n_chars")) <= maxLenDiff &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    else
+      graft.operators.Layout.saltedJoin(
+          left,
+          meta.select(col("doc_id").as("doc_id_b"), col("lang"),
+            col("n_chars").as("n_chars_b"), col("bkt")),
+          Seq("lang", "bkt"), salts, entropyCol = "doc_id")
+        .filter(abs(col("n_chars") - col("n_chars_b")) <= maxLenDiff &&
+          col("doc_id") < col("doc_id_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
+  }
+
+  def ngramJaccardDup(docs: DataFrame, n: Int, maxLenDiff: Int,
+                      threshold: Double, salts: Int = 1): DataFrame = {
+    // Blocking key = (lang, length bucket). Joining on lang alone gives
+    // ~5 distinct keys — a skewed, near-serial join. Bucketing n_chars
+    // by maxLenDiff and exploding each left row into its 3 neighbor
+    // buckets keeps every qualifying pair reachable exactly once while
+    // the join fans out over lang x bucket keys. When a corpus is
+    // power-law WITHIN one (lang, bucket) cell — one hot key owning
+    // most docs — `salts` > 1 routes the candidate join through
+    // [[graft.operators.Layout.saltedJoin]]: the a-side salts on
+    // doc_id, the b-side replicates to all salts, the pair set is
+    // provably identical (LayoutSpec asserts both the equality and the
+    // per-task shuffle-read flattening on a planted hot key).
+    val cand = ngramCandidates(docs, maxLenDiff, salts)
     // n-grams travel as packed longs (code-point windows, injective on
     // the packing's domain, so counts and Jaccard are exactly the
     // string form's) — the 100k+ surviving pairs then merge-scan longs

@@ -122,11 +122,20 @@ object Layout {
     * sibling column, right rows are replicated to all salts.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int, entropyCol: String): DataFrame =
+    saltedJoin(left, right, Seq(key), salts, entropyCol)
+
+  /** Compound-key form of [[saltedJoin]]: every qualifying pair meets
+    * on exactly one (keys..., salt) combination — the left row's salt —
+    * so the result multiset is identical to the unsalted join while a
+    * hot key's rows spread over `salts` reduce partitions.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int, entropyCol: String): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(col(entropyCol)), lit(salts)))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+    saltedLeft.join(saltedRight, keys :+ "__salt").drop("__salt")
   }
 }

@@ -122,4 +122,92 @@ class LayoutSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  /** Max shuffle-read records any single task saw while `body` ran —
+    * the per-task input-size skew signal (a hot join key funnels all
+    * its rows through one reduce task).
+    */
+  private def maxTaskShuffleRecords(body: => Unit): Long = {
+    val records = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.add(e.taskMetrics.shuffleReadMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      // the listener bus is async: wait until no new task-end arrives
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (records.size == last) stable += 1
+        else { stable = 0; last = records.size }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    import scala.jdk.CollectionConverters._
+    records.asScala.foldLeft(0L)(math.max)
+  }
+
+  test("salting flattens the d06 candidate join under a planted hot key") {
+    // power-law blocking key: 400 docs, ALL in one (lang, bucket) cell
+    // — the exact shape that funnels a shuffle join through one task
+    val docs = spark.range(400).select(
+      col("id").as("doc_id"),
+      lit("en").as("lang"),
+      (lit(40) + col("id") % 8).as("n_chars"),
+      concat(lit("text"), col("id") % 7).as("text"))
+      .localCheckpoint()
+    // pin a SHUFFLE join so per-task skew is observable (broadcast
+    // would hide it; AQE's skew splitter only fires past 256MB), and
+    // keep AQE from coalescing the toy-sized salt splits back into one
+    // task (at real scale a hot cell's splits exceed the advisory
+    // partition size and stay separate)
+    val priorBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val priorCo = spark.conf.get(coalesceKey)
+    // enough reduce partitions that the 8 (bucket, salt) heavy combos
+    // land apart (murmur3 is seed-fixed, so the layout is stable)
+    val priorSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    try {
+      // the full operator must give identical dup pairs either way
+      // (the saltedJoin exactness contract)
+      val unsaltedFull = graft.ext.Dedup
+        .ngramJaccardDup(docs, n = 4, maxLenDiff = 10, threshold = 0.5)
+      val saltedFull = graft.ext.Dedup
+        .ngramJaccardDup(docs, n = 4, maxLenDiff = 10, threshold = 0.5,
+          salts = 8)
+      assert(saltedFull.exceptAll(unsaltedFull).count() == 0)
+      assert(unsaltedFull.exceptAll(saltedFull).count() == 0)
+      // task metering on the CANDIDATE JOIN alone — the verify stage
+      // downstream reads all ~80k pairs and would mask the join
+      val maxPlain = maxTaskShuffleRecords {
+        graft.ext.Dedup.ngramCandidates(docs, 10, salts = 1).count(); ()
+      }
+      val maxSalted = maxTaskShuffleRecords {
+        graft.ext.Dedup.ngramCandidates(docs, 10, salts = 8).count(); ()
+      }
+      // unsalted: ONE reduce task reads the whole hot cell (400 a-rows
+      // in the matching bucket + 400 b-rows = 800). Salted with s=8:
+      // each (cell, salt) task reads ~A/s + B ≈ 50 + 400 = 450 — in a
+      // SELF-join the b-side replicates to every salt, so records-read
+      // flattens toward B while the quadratic pair WORK per task
+      // ((A/s)·B vs A·B) drops by the full salt factor
+      assert(maxPlain >= 790L, s"hot task read only $maxPlain records")
+      assert(maxSalted <= 560L,
+        s"salted task read $maxSalted records, want ~A/s + B = 450")
+      assert(maxSalted * 10 < maxPlain * 7,
+        s"salting did not flatten: max task $maxSalted vs $maxPlain")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorBc)
+      spark.conf.set(coalesceKey, priorCo)
+      spark.conf.set("spark.sql.shuffle.partitions", priorSp)
+    }
+  }
 }
