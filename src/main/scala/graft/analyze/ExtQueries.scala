@@ -2040,6 +2040,110 @@ object ExtQueries {
         ORDER BY query_id, rn"""
       }),
 
+    // NN-descent refinement audit over the s34 banded build (Dong et
+    // al. WWW'11): one neighbor-of-neighbor round re-scored exact and
+    // cut per-node top-g, UNIONED with the banded seed edges (pure
+    // descent converges to the hard-to-navigate kNN graph and LOSES
+    // recall — see nswRefineAudit's scaladoc), then the SAME beam
+    // search over both graphs; output = exact-integer recall@k
+    // numerators plus the monotonicity verdict. The oracle replays
+    // both graph builds and both beam unrolls value-for-value --------
+    ("s40_nsw_refine_audit", (s: SparkSession, d: String) =>
+      Similarity.nswRefineAudit(t(s, d, "embeddings"), nQueries = 10,
+        nPlanes = 8, bandBits = 4, g = 8, beam = 8, rounds = 4, k = 5,
+        refineRounds = 1, requireUnpruned = true),
+      Some {
+        def cosQT = s"${dotS("q.q_emb", "t.t_emb")} / (q.q_norm * t.t_norm)"
+        // one beam round over edge table `et`, CTE prefix `p`
+        def roundCtes(p: String, et: String, r: Int): String =
+          s"""${p}c$r AS (SELECT DISTINCT b.q_id, ge.b_id AS t_id
+               FROM ${p}b${r - 1} b JOIN $et ge ON ge.a_id = b.t_id),
+          ${p}n$r AS (SELECT c.q_id, c.t_id, $cosQT AS cosine
+               FROM ${p}c$r c JOIN q ON q.q_id = c.q_id
+                 JOIN t ON t.t_id = c.t_id),
+          ${p}s$r AS MATERIALIZED (SELECT DISTINCT * FROM
+               (SELECT * FROM ${p}s${r - 1} UNION ALL SELECT * FROM ${p}n$r) u),
+          ${p}b$r AS MATERIALIZED (SELECT q_id, t_id, cosine FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, t_id) AS rn FROM ${p}s$r) z
+               WHERE rn <= 8)"""
+        def beamOf(p: String, et: String): String =
+          s"""${p}s0 AS (SELECT * FROM s0), ${p}b0 AS (SELECT * FROM s0),
+          ${roundCtes(p, et, 1)},
+          ${roundCtes(p, et, 2)},
+          ${roundCtes(p, et, 3)},
+          ${roundCtes(p, et, 4)},
+          ${p}f AS (SELECT q_id, t_id FROM
+               (SELECT q_id, t_id, ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY cosine DESC, t_id) AS rn FROM ${p}s4) z
+               WHERE rn <= 5)"""
+        s"""
+        WITH e AS MATERIALIZED (SELECT vec_id, embedding,
+               ${normS("embedding")} AS nrm FROM embeddings),
+        t AS MATERIALIZED (SELECT vec_id AS t_id, embedding AS t_emb,
+               nrm AS t_norm FROM e WHERE vec_id >= 10),
+        q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb,
+               nrm AS q_norm FROM e WHERE vec_id < 10),
+        pl0 AS (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT 8),
+        pl AS (SELECT embedding,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+               FROM pl0),
+        bk AS (SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN ${dotS("v.embedding", "p.embedding")} > 0
+                   THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT)
+                   AS bucket
+               FROM embeddings v CROSS JOIN pl p
+               WHERE v.vec_id >= 10 GROUP BY v.vec_id),
+        bd AS MATERIALIZED (SELECT vec_id, bands.j AS band,
+                 (bucket >> (bands.j * 4)) & 15 AS bkey
+               FROM bk CROSS JOIN (SELECT UNNEST([0, 1]) AS j) bands),
+        cp AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM bd a JOIN bd b
+                 ON a.band = b.band AND a.bkey = b.bkey
+                AND a.vec_id <> b.vec_id),
+        ge AS MATERIALIZED (SELECT a_id, b_id FROM
+             (SELECT cp.a_id, cp.b_id,
+                ROW_NUMBER() OVER (PARTITION BY cp.a_id ORDER BY
+                  ${dotS("a.t_emb", "b.t_emb")} / (a.t_norm * b.t_norm)
+                    DESC, cp.b_id) AS grn
+              FROM cp JOIN t a ON a.t_id = cp.a_id
+                      JOIN t b ON b.t_id = cp.b_id) z
+             WHERE grn <= 8),
+        rc AS (SELECT a_id, b_id FROM ge
+               UNION
+               SELECT x.a_id, y.b_id FROM ge x JOIN ge y ON x.b_id = y.a_id
+               WHERE x.a_id <> y.b_id),
+        gr0 AS (SELECT a_id, b_id FROM
+             (SELECT rc.a_id, rc.b_id,
+                ROW_NUMBER() OVER (PARTITION BY rc.a_id ORDER BY
+                  ${dotS("a.t_emb", "b.t_emb")} / (a.t_norm * b.t_norm)
+                    DESC, rc.b_id) AS grn
+              FROM rc JOIN t a ON a.t_id = rc.a_id
+                      JOIN t b ON b.t_id = rc.b_id) z
+             WHERE grn <= 8),
+        gr AS MATERIALIZED (SELECT a_id, b_id FROM gr0
+             UNION SELECT a_id, b_id FROM ge),
+        en AS (SELECT t_id FROM t ORDER BY t_id LIMIT 8),
+        s0 AS MATERIALIZED (SELECT q.q_id, t.t_id, $cosQT AS cosine
+             FROM q, en, t WHERE t.t_id = en.t_id),
+        ${beamOf("xb", "ge")},
+        ${beamOf("xr", "gr")},
+        exk AS (SELECT q_id, t_id FROM
+             (SELECT q.q_id, t.t_id,
+                ROW_NUMBER() OVER (PARTITION BY q.q_id
+                  ORDER BY $cosQT DESC, t.t_id) AS rn
+              FROM q CROSS JOIN t) z WHERE rn <= 5),
+        hb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM xbf JOIN exk USING (q_id, t_id)),
+        hr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM xrf JOIN exk USING (q_id, t_id)),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xbf)
+        SELECT hb.n AS hits_banded, hr.n AS hits_refined,
+               nr.n AS n_rows, hr.n >= hb.n AS refined_ge_banded
+        FROM hb, hr, nr"""
+      }),
+
     ("s01_ann_brute_topk", (s: SparkSession, d: String) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), nQueries = 10, k = 5),
       Some(annTopkOracle)),

@@ -379,6 +379,45 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length == got.length)
   }
 
+  test("nn-descent refine: two-hop shortcut joins the top-g, seed edges survive") {
+    // chain graph a->b->c where (a, c) is the best edge a could have:
+    // one descent round must discover it via the b hop; unioning the
+    // banded seed back in (the nswRefineAudit contract) keeps a->b too
+    def at(deg: Double) = vec(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val embs = Seq((10L, at(0.0)), (11L, at(50.0)), (12L, at(4.0)))
+      .toDF("vec_id", "embedding")
+    val tSide = embs.select(col("vec_id").as("t_id"),
+      col("embedding").as("t_emb"),
+      sqrt(Similarity.dotCol(col("embedding"), col("embedding")))
+        .as("t_norm"))
+    val seed = Seq((10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
+    val refined = Similarity.nnDescentRefine(seed, tSide, g = 1,
+      refineRounds = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // node 10's top-1 becomes the two-hop 12 (cos 4deg > cos 50deg)
+    assert(refined.contains((10L, 12L)), s"got $refined")
+    assert(!refined.contains((10L, 11L)))
+    // zero rounds is the identity
+    val zero = Similarity.nnDescentRefine(seed, tSide, g = 1,
+      refineRounds = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zero == Set((10L, 11L), (11L, 12L)))
+  }
+
+  test("nsw refine audit: union graph keeps recall at or above the banded build") {
+    // the s40 shape on the angular-chain fixture: exact-integer hit
+    // counts for both variants, refined >= banded by the union contract
+    def at(deg: Double) = vec(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val targets = (10 to 29).map(i => (i.toLong, at((i - 10) * 4.0)))
+    val embs = ((0L, at(76.0)) +: targets).toDF("vec_id", "embedding")
+    val r = Similarity.nswRefineAudit(embs, nQueries = 1, nPlanes = 8,
+      bandBits = 4, g = 4, beam = 2, rounds = 4, k = 3,
+      refineRounds = 1).collect()(0)
+    assert(r.getLong(2) == 3L) // n_rows = k for one query
+    assert(r.getLong(1) >= r.getLong(0), s"refined ${r.getLong(1)} < banded")
+    assert(r.getBoolean(3))
+  }
+
   test("nsw search never strays outside graph-reachable scored nodes") {
     // two disconnected angular islands: queries near island B, but the
     // entry points (lowest ids) are island A — with g=1 the graph has
