@@ -93,14 +93,33 @@ object Graphs {
                         baseIters: Int = 3, refreshIters: Int = 1,
                         scale: Long = 1L << 40,
                         damping: Int = 85): DataFrame = {
-    require(refreshIters >= 1, "refreshIters >= 1")
     val rOld = pageRank(oldEdges, baseIters, scale, damping)
-      .withColumnRenamed("r", "r_old")
     // cohort edge sets merge by ADDING weights (disjoint user cohorts
     // partition the transition multiset, so the merged table equals
-    // the all-users derivation)
+    // the all-users derivation; pageRankRefresh's internal groupBy
+    // performs the merge)
     val ed = oldEdges.select(col("src"), col("dst"), col("w"))
       .unionAll(newEdges.select(col("src"), col("dst"), col("w")))
+    pageRankRefresh(ed, rOld, refreshIters, scale, damping)
+      .select(col("k"), col("r_start"), col("r_warm"),
+        (col("r_warm") - col("r_start")).as("d_fp"))
+      .orderBy(col("k"))
+  }
+
+  /** The refresh half of [[pageRankWarmStart]], exposed for streaming
+    * rank maintenance ([[graft.streaming.StreamPageRank]]): seed the
+    * damped iteration over `edges` from `startRanks` (k, r) — nodes
+    * absent from the seed start at the uniform floor, so an EMPTY seed
+    * makes this exactly [[pageRank]](edges, refreshIters). Output:
+    * (k, r_start, r_warm). Same co-partitionable per-iteration shape
+    * and integer envelope as pageRank; driver values are the node
+    * count and the envelope observation only.
+    */
+  def pageRankRefresh(edges: DataFrame, startRanks: DataFrame,
+                      refreshIters: Int = 1, scale: Long = 1L << 40,
+                      damping: Int = 85): DataFrame = {
+    require(refreshIters >= 1, "refreshIters >= 1")
+    val ed = edges.select(col("src"), col("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
@@ -109,7 +128,8 @@ object Graphs {
     require(n > 0, "PageRank over an empty graph")
     val tele = ((100 - damping) * scale / 100) / n
     val edFull = envelopeCheckedEdges(ed, outw)
-    val start = nodes.join(rOld, Seq("k"), "left")
+    val start = nodes
+      .join(startRanks.select(col("k"), col("r").as("r_old")), Seq("k"), "left")
       .select(col("k"), coalesce(col("r_old"), lit(scale / n)).as("r"))
       .cpGuard() // read by every refresh round AND the final attach
     var r = start
@@ -117,9 +137,7 @@ object Graphs {
       r = prUpdate(edFull, nodes, r, tele, damping)
     r.withColumnRenamed("r", "r_warm")
       .join(start.withColumnRenamed("r", "r_start"), "k")
-      .select(col("k"), col("r_start"), col("r_warm"),
-        (col("r_warm") - col("r_start")).as("d_fp"))
-      .orderBy(col("k"))
+      .select(col("k"), col("r_start"), col("r_warm"))
   }
 
   /** Shared [[pageRank]]/[[personalizedPageRank]] edge prep: attach
