@@ -2364,6 +2364,59 @@ object OpQueries {
       SELECT scc.k, scc.scc_id, sz.scc_size
       FROM scc JOIN sz USING (scc_id) ORDER BY k""")),
 
+    // ---- exact betweenness centrality over the g17 backbone: ONE
+    // multi-source level-synchronous BFS builds the all-pairs
+    // (s, v, d, sigma) table, then the pair-dependency identity
+    // bc(v) = sum floor(sigma_sv * sigma_vt * 2^20 / sigma_st) over
+    // triples with d_sv + d_vt = d_st — integer terms in BOTH engines
+    // (oracle unrolls the BFS levels with the engine's exact
+    // frontier/anti-join semantics, so sigma never counts a
+    // non-shortest walk and cannot overflow where the engine doesn't);
+    // non-closure within the shared unroll bound fails loudly --------
+    ("g27_betweenness", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val backbone = eventEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .orderBy(col("w").desc, col("src"), col("dst")).limit(150)
+        .select(col("src"), col("dst"))
+      Graphs.betweenness(backbone, maxRounds = 32)
+    }, Some {
+      def levelCtes(i: Int): String =
+        s"""x$i AS (SELECT l.s, e.dst AS v, CAST(SUM(l.cnt) AS BIGINT) AS cnt
+              FROM l${i - 1} l JOIN e ON l.v = e.src
+              GROUP BY l.s, e.dst),
+        l$i AS MATERIALIZED (SELECT s, v, cnt FROM x$i
+              WHERE NOT EXISTS (SELECT 1 FROM r${i - 1} r
+                                WHERE r.s = x$i.s AND r.v = x$i.v)),
+        r$i AS MATERIALIZED (SELECT s, v FROM r${i - 1}
+              UNION ALL SELECT s, v FROM l$i)"""
+      s"""
+      WITH $eventEdgesCtes,
+      ed2 AS MATERIALIZED (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT 150)),
+      e AS (SELECT DISTINCT src, dst FROM ed2),
+      nd AS (SELECT DISTINCT k FROM
+             (SELECT src AS k FROM e UNION ALL SELECT dst FROM e)),
+      l0 AS (SELECT k AS s, k AS v, CAST(1 AS BIGINT) AS cnt FROM nd),
+      r0 AS (SELECT s, v FROM l0),
+      ${(1 to 32).map(levelCtes).mkString(",\n      ")},
+      sp AS MATERIALIZED (${(0 to 32).map(i =>
+        s"SELECT s, v, $i AS d, cnt AS sigma FROM l$i")
+        .mkString("\n        UNION ALL ")}),
+      tri AS (SELECT p1.v,
+                p1.sigma * p2.sigma * CAST(1048576 AS BIGINT) // p3.sigma
+                  AS term
+              FROM sp p1
+              JOIN sp p2 ON p2.s = p1.v AND p2.d >= 1
+              JOIN sp p3 ON p3.s = p1.s AND p3.v = p2.v
+                        AND p3.d = p1.d + p2.d
+              WHERE p1.d >= 1)
+      SELECT nd.k, CAST(COALESCE(SUM(tri.term), 0) AS BIGINT) AS bc_q
+      FROM nd LEFT JOIN tri ON tri.v = nd.k
+      GROUP BY nd.k ORDER BY nd.k"""
+    }),
+
     // ---- Theil-Sen robust slope per user: lower median of pairwise
     // cents-per-hour slopes, portable floored division; the per-user
     // self-join is shuffle-hash on user_id with pair count bounded by

@@ -925,6 +925,165 @@ object Graphs {
       .orderBy(col("start"), col("step"))
   }
 
+  /** Exact betweenness centrality of a DIRECTED edge list — the
+    * who-do-shortest-paths-route-through signal missing from the
+    * closeness/harmonic profile ([[centrality]]): for every node v,
+    * bc(v) = Σ_{s≠v≠t} σ(s,v)·σ(v,t)/σ(s,t) over pairs with
+    * d(s,v) + d(v,t) = d(s,t) (Freeman 1977; the pair-dependency
+    * identity Brandes 2001 §3 accumulates — used here DIRECTLY, which
+    * is oracle-replayable, instead of Brandes' backward recursion,
+    * which is not).
+    *
+    * Exactness: each (s, v, t) term is the integer
+    * floor(σ(s,v)·σ(v,t)·`scale` / σ(s,t)) in BOTH engines (truncating
+    * div), summed as BIGINTs — no IEEE accumulation anywhere; an
+    * observe-checked envelope (max σ < 2^20 at scale = 2^20) makes
+    * overflow impossible rather than silent.
+    *
+    * Shape: ONE level-synchronous multi-source BFS (the [[centrality]]
+    * seed-dimension idiom) builds the all-pairs (s, v, d, σ) table —
+    * per level one frontier⋈edges equi-join + groupBy(s, v) + anti-join
+    * against the reached set, one observed checkpoint job; then two
+    * node-keyed equi-joins assemble the triples. All-pairs state is
+    * O(n²) BY DEFINITION of exact betweenness, so the contract is
+    * explicitly bounded (require n <= `maxNodes`) — the registered
+    * query runs it on the constant-size transition backbone; at corpus
+    * scale you run the SAME loop from a source sample (Brandes & Pich
+    * ETA'07) and rescale, exactly like [[centrality]]'s sampling note.
+    * Non-closure within `maxRounds` fails LOUDLY (the scc contract) so
+    * the fixed-unroll oracle can never silently diverge.
+    *
+    * Output: (k, bc_q = Σ floor-terms at 2^`scaleBits`), every node.
+    */
+  def betweenness(edges: DataFrame, maxRounds: Int = 12,
+                  maxNodes: Long = 4096, scaleBits: Int = 20,
+                  driverThreshold: Long = 1L << 20): DataFrame = {
+    require(maxRounds >= 1 && scaleBits >= 0 && scaleBits <= 30,
+      "maxRounds >= 1, scaleBits in [0, 30]")
+    val scale = 1L << scaleBits
+    val eObs = org.apache.spark.sql.Observation()
+    val ed = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .observe(eObs, count(lit(1)).as("ne")).cpGuard()
+    // the scc/dupClusters driver-threshold contract: a below-broadcast-
+    // scale edge list pays whole jobs of fixed overhead per BFS level
+    // for no reason — one driver pass computes the IDENTICAL
+    // floored-triple sum (not Brandes' rational accumulation, which
+    // would round differently)
+    if (eObs.get("ne").asInstanceOf[Long] <= driverThreshold)
+      return betweennessDriver(ed, maxRounds, scaleBits)
+    val nodes = ed.select(col("src").as("k"))
+      .unionAll(ed.select(col("dst").as("k"))).distinct().cpGuard()
+    val n = nodes.count()
+    require(n <= maxNodes,
+      s"betweenness: $n nodes exceeds the exact all-pairs bound " +
+        s"$maxNodes — run from a source sample (Brandes-Pich) instead")
+    var frontier = nodes.select(col("k").as("s"), col("k").as("v"),
+      lit(0).as("d"), lit(1L).as("sigma")).cpGuard()
+    // sp accumulates as a union of CHECKPOINTED level pieces — flat
+    // lineage, zero extra materialization jobs (the scc deferral)
+    val pieces = scala.collection.mutable.Buffer(frontier)
+    def sp = pieces.reduce(_ unionAll _)
+    var round = 0
+    var open = true
+    while (open && round < maxRounds) {
+      round += 1
+      val obs = org.apache.spark.sql.Observation()
+      val next = frontier.join(ed, col("v") === col("src"))
+        .groupBy(col("s"), col("dst").as("nv"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(sp.select(col("s"), col("v").as("nv")), Seq("s", "nv"), "left_anti")
+        .select(col("s"), col("nv").as("v"), lit(round).as("d"), col("sigma"))
+        .observe(obs, count(lit(1)).as("nnew"),
+          coalesce(max(col("sigma")), lit(0L)).as("smax"))
+        .cpGuard()
+      require(obs.get("smax").asInstanceOf[Long] < (1L << 20),
+        "betweenness: shortest-path count >= 2^20 would overflow the " +
+          "integer term envelope; reduce the graph or scaleBits")
+      if (obs.get("nnew").asInstanceOf[Long] == 0L) open = false
+      else { pieces += next; frontier = next }
+    }
+    require(!open,
+      s"betweenness: BFS did not close in $maxRounds rounds (graph " +
+        "diameter exceeds the declared unroll bound)")
+    val p1 = sp.filter(col("d") >= 1)
+      .select(col("s"), col("v"), col("d").as("d1"), col("sigma").as("sig1"))
+    val p2 = sp.filter(col("d") >= 1)
+      .select(col("s").as("v"), col("v").as("t"),
+        col("d").as("d2"), col("sigma").as("sig2"))
+    val p3 = sp.select(col("s"), col("v").as("t"),
+      col("d").as("dst_d"), col("sigma").as("sigst"))
+    val bc = p1.join(p2, "v")
+      .join(p3, Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("dst_d"))
+      .select(col("v"),
+        expr(s"sig1 * sig2 * CAST($scale AS BIGINT) div sigst").as("term"))
+      .groupBy(col("v")).agg(sum(col("term")).as("bc"))
+    nodes.join(bc, col("k") === col("v"), "left")
+      .select(col("k"), coalesce(col("bc"), lit(0L)).as("bc_q"))
+      .orderBy(col("k"))
+  }
+
+  /** Driver-side [[betweenness]] for a below-threshold edge list: one
+    * BFS per source (queue-based, computing dist and σ), then the same
+    * per-triple floor(σ_sv·σ_vt·scale/σ_st) accumulation — BYTE-equal
+    * to the distributed path and the unrolled oracle, including the
+    * maxRounds closure and σ < 2^20 envelope requires.
+    */
+  private def betweennessDriver(e0: DataFrame, maxRounds: Int,
+                                scaleBits: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val scale = 1L << scaleBits
+    val es = e0.as[(Long, Long)].collect()
+    if (es.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("k"), lit(0L).as("bc_q")).limit(0)
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val adj = Array.fill(n)(List.empty[Int])
+    es.foreach { case (s, d) => adj(idx(s)) ::= idx(d) }
+    val dist = Array.ofDim[Int](n, n)
+    val sig = Array.ofDim[Long](n, n)
+    for (s <- 0 until n) {
+      java.util.Arrays.fill(dist(s), -1)
+      dist(s)(s) = 0; sig(s)(s) = 1L
+      var frontier = List(s)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        require(d <= maxRounds,
+          s"betweenness: BFS did not close in $maxRounds rounds (graph " +
+            "diameter exceeds the declared unroll bound)")
+        var next = List.empty[Int]
+        frontier.foreach { v =>
+          adj(v).foreach { w =>
+            if (dist(s)(w) == -1 || dist(s)(w) == d) {
+              if (dist(s)(w) == -1) { dist(s)(w) = d; next ::= w }
+              sig(s)(w) += sig(s)(v)
+              require(sig(s)(w) < (1L << 20),
+                "betweenness: shortest-path count >= 2^20 would overflow " +
+                  "the integer term envelope; reduce the graph or scaleBits")
+            }
+          }
+        }
+        frontier = next
+      }
+    }
+    val bc = Array.fill(n)(0L)
+    for (s <- 0 until n; v <- 0 until n
+         if v != s && dist(s)(v) >= 1;
+         t <- 0 until n
+         if t != v && dist(v)(t) >= 1 && dist(s)(t) >= 0 &&
+           dist(s)(v) + dist(v)(t) == dist(s)(t))
+      bc(v) += sig(s)(v) * sig(v)(t) * scale / sig(s)(t)
+    nodes.indices.map(i => (nodes(i), bc(i))).toDF("k", "bc_q")
+      .orderBy(col("k"))
+  }
+
   /** Strongly connected components of a DIRECTED edge list `(src,
     * dst)` — Pregel-style forward-backward coloring (Salihoglu & Widom
     * GPS'13 / Slota FW-BW) with the standard TRIM optimization and the

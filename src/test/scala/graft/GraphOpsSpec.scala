@@ -528,6 +528,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("betweenness: path graph and diamond score textbook values") {
+    // directed path 1 -> 2 -> 3 -> 4: bc(2) counts pairs (1,3), (1,4);
+    // bc(3) counts (1,4), (2,4); endpoints zero. sigma = 1 everywhere,
+    // so each term is exactly scale = 2^20
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.betweenness(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = 1L << 20
+    assert(got == Map(1L -> 0L, 2L -> (2 * S), 3L -> (2 * S), 4L -> 0L))
+    // diamond 1 -> {2, 3} -> 4: two shortest 1~>4 paths, each middle
+    // node carries sigma_sv * sigma_vt / sigma_st = 1 * 1 / 2 -> S/2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val d = Graphs.betweenness(diamond).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> (S / 2), 3L -> (S / 2), 4L -> 0L))
+  }
+
+  test("betweenness: cycle symmetry, and non-closure fails loudly") {
+    // directed 4-cycle: one-way routing puts THREE ordered pairs
+    // through each node (for node 2: (1,3), (1,4), (4,3)), sigma = 1
+    // everywhere -> uniform bc = 3 * scale. driverThreshold = 0 pins
+    // the distributed BFS loop
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val got = Graphs.betweenness(cyc, driverThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(3L << 20))
+    // a 6-chain cannot close its BFS in 3 rounds — loud, not partial,
+    // on BOTH paths
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    for (thr <- Seq(0L, 1L << 20)) {
+      val e = intercept[IllegalArgumentException] {
+        Graphs.betweenness(chain, maxRounds = 3, driverThreshold = thr)
+          .collect()
+      }
+      assert(e.getMessage.contains("did not close"))
+    }
+  }
+
+  test("betweenness: driver path equals the distributed BFS loop") {
+    // asymmetric graph with multiple shortest paths and unreachable
+    // pairs — both paths must agree term-for-term
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 2L), (6L, 1L)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = m(Graphs.betweenness(edges))
+    val dist = m(Graphs.betweenness(edges, driverThreshold = 0))
+    assert(driver == dist)
+    assert(driver(4L) > driver(2L)) // 4 bridges everything into 5
+  }
+
   test("scc: driver Tarjan path equals the distributed phase loop") {
     // ascending-id SCC chain — the case where single-direction coloring
     // peels one component per phase; both paths must agree exactly
