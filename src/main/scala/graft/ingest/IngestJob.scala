@@ -65,28 +65,131 @@ object IngestJob {
         org.apache.spark.sql.types.StructField("file_name",
           org.apache.spark.sql.types.StringType))))
 
-  /** The ledger VIEW: base rows (one per staged file, appended by
-    * [[run]]) with the `_updates` append-log compacted on read —
-    * latest `seq` per (file_name, field) wins; a file that only ever
-    * appeared in an update (the reference's update-creates-item
-    * DynamoDB semantic) still gets a row via the full-outer join. The
-    * log is metadata-sized (one tiny file per completed stage batch),
-    * so the compaction is bounded at any corpus scale.
+  private def snapshotsDir(ledgerDir: String) = new Path(ledgerDir, "_snapshots")
+
+  /** Latest committed compaction snapshot: its data dir plus the raw
+    * base/update file names it has folded (excluded from reads). */
+  private case class SnapState(dataDir: Option[Path],
+                               foldedBase: Set[String],
+                               foldedUpd: Set[String])
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Set[String] = {
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Snapshots are named v<zero-padded-millis>-<uuid>; the dir RENAME
+    * that publishes one is atomic, so the lexicographically-latest
+    * snapshot is always complete — no pointer file, hence no
+    * delete-then-rename window where a reader could miss folded rows.
+    */
+  private def latestSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                             ledgerDir: String): SnapState = {
+    val sdir = snapshotsDir(ledgerDir)
+    if (!fs.exists(sdir)) return SnapState(None, Set.empty, Set.empty)
+    val vs = fs.listStatus(sdir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .map(_.getPath)
+    if (vs.isEmpty) return SnapState(None, Set.empty, Set.empty)
+    val latest = vs.maxBy(_.getName)
+    SnapState(Some(new Path(latest, "data")),
+      readLines(fs, new Path(latest, "manifest_base.txt")),
+      readLines(fs, new Path(latest, "manifest_updates.txt")))
+  }
+
+  private def visibleNames(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSeq
+
+  /** Fold the current view into a new snapshot — the OPTIMIZE step
+    * keeping read-side work bounded however many weekly drips accrue.
+    * Crash-atomic by construction: data + manifests are written into a
+    * hidden tmp dir and published by ONE directory rename; a crash at
+    * any point leaves either the old read state (tmp dirs are hidden)
+    * or the complete new snapshot. Readers need no coordination — the
+    * manifests carry every raw file name this snapshot supersedes
+    * (cumulative across prior snapshots), so not-yet-vacuumed folded
+    * files are simply skipped. Concurrent [[markStage]] commits that
+    * land after the listing stay unfolded and apply on read as usual.
+    */
+  def compactLedger(spark: SparkSession, ledgerDir: String): Unit = {
+    val p = new Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = latestSnapshot(fs, ledgerDir)
+    val foldBase = before.foldedBase ++ visibleNames(fs, p)
+    val foldUpd = before.foldedUpd ++ visibleNames(fs, updatesDir(ledgerDir))
+    val view = ledger(spark, ledgerDir).localCheckpoint()
+    val tmp = new Path(snapshotsDir(ledgerDir),
+      s".snap_tmp_${java.util.UUID.randomUUID().toString.take(12)}")
+    view.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new Path(tmp, "data").toString)
+    def writeLines(name: String, lines: Set[String]): Unit = {
+      val out = fs.create(new Path(tmp, name), true)
+      try out.write(lines.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    writeLines("manifest_base.txt", foldBase)
+    writeLines("manifest_updates.txt", foldUpd)
+    val vname = f"v${System.currentTimeMillis()}%013d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    if (!fs.rename(tmp, new Path(snapshotsDir(ledgerDir), vname)))
+      throw new java.io.IOException(
+        s"atomic publish of ledger snapshot $vname failed")
+    ()
+  }
+
+  /** Delete raw base/update files folded into the latest snapshot.
+    * Safe to crash mid-way: every file deleted here is already
+    * excluded from reads by the committed manifest.
+    */
+  def vacuumLedger(spark: SparkSession, ledgerDir: String): Unit = {
+    val p = new Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = latestSnapshot(fs, ledgerDir)
+    require(snap.dataDir.isDefined,
+      "vacuumLedger: no committed snapshot — nothing is safely foldable")
+    snap.foldedBase.foreach(n => fs.delete(new Path(p, n), false))
+    snap.foldedUpd.foreach(n =>
+      fs.delete(new Path(updatesDir(ledgerDir), n), false))
+  }
+
+  /** The ledger VIEW: the latest compaction snapshot (if any) plus
+    * not-yet-folded base rows (appended by [[run]]) with the
+    * not-yet-folded `_updates` append-log compacted on read — latest
+    * `seq` per (file_name, field) wins; a file that only ever appeared
+    * in an update (the reference's update-creates-item DynamoDB
+    * semantic) still gets a row via the full-outer join. The log is
+    * metadata-sized (one tiny file per completed stage batch) and
+    * [[compactLedger]] bounds it further, so the read-side work is
+    * bounded at any corpus scale.
     */
   def ledger(spark: SparkSession, ledgerDir: String): DataFrame = {
     val p = new Path(ledgerDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = latestSnapshot(fs, ledgerDir)
+    val basePaths =
+      snap.dataDir.filter(d => hasVisibleFiles(fs, d)).map(_.toString).toSeq ++
+        visibleNames(fs, p).filterNot(snap.foldedBase)
+          .map(n => new Path(p, n).toString)
     val base0 =
-      if (hasVisibleFiles(fs, p)) spark.read.parquet(ledgerDir)
+      if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
       else emptyLedger(spark)
     val udir = updatesDir(ledgerDir)
-    val anyUpdates = hasVisibleFiles(fs, udir)
+    val updPaths = visibleNames(fs, udir).filterNot(snap.foldedUpd)
+      .map(n => new Path(udir, n).toString)
+    val anyUpdates = updPaths.nonEmpty
     val base = StageFields.foldLeft(base0) { (df, c) =>
       if (df.columns.contains(c) || !anyUpdates) df
       else df.withColumn(c, lit(null).cast("boolean"))
     }
     if (!anyUpdates) return base
-    val upd = spark.read.parquet(udir.toString)
+    val upd = spark.read.parquet(updPaths: _*)
     // latest status per (file_name, field); equal-seq ties (distinct
     // JVMs in the same counter window) break deterministically by
     // status — the same "concurrent opposing update_items race"

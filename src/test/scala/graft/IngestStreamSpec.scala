@@ -139,6 +139,56 @@ class IngestStreamSpec extends SparkSpec {
     assert(basePartsAfter == baseParts)
   }
 
+  test("ledger compaction folds the log atomically; vacuum keeps the view") {
+    val landing = tmp("cp_landing"); val staging = tmp("cp_staging")
+    val ledger = s"${tmp("cp_ledger_root")}/ledger"
+    copyFixtures(landing, Seq("1001.json", "1002.json"))
+    IngestJob.run(spark, landing, staging, ledger, limit = 10)
+    IngestJob.markStage(spark, ledger, Seq("1001.json"), IngestJob.MatchwiseStatus)
+    IngestJob.markStage(spark, ledger, Seq("1002.json"), IngestJob.DeliverywiseStatus)
+
+    def view(): Map[String, (Boolean, Boolean)] =
+      IngestJob.ledger(spark, ledger).collect().map { r =>
+        r.getAs[String]("file_name") ->
+          ((r.getAs[Boolean](IngestJob.MatchwiseStatus),
+            r.getAs[Boolean](IngestJob.DeliverywiseStatus)))
+      }.toMap
+    val v1 = view()
+    assert(v1 == Map("1001.json" -> ((true, false)),
+      "1002.json" -> ((false, true))))
+
+    // a crashed compaction (tmp dir never renamed) is invisible
+    val orphan = Paths.get(ledger, "_snapshots", ".snap_tmp_crashed", "data")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), "junk".getBytes)
+    assert(view() == v1)
+
+    IngestJob.compactLedger(spark, ledger)
+    assert(view() == v1) // fold is a pure re-layout
+
+    // post-compaction updates land in the log and apply over the snapshot
+    IngestJob.markStage(spark, ledger, Seq("1002.json"), IngestJob.MatchwiseStatus)
+    val v2 = view()
+    assert(v2 == Map("1001.json" -> ((true, false)),
+      "1002.json" -> ((true, true))))
+
+    // vacuum deletes only manifest-covered raw files; the view holds,
+    // and the unfolded post-compaction update survives
+    IngestJob.vacuumLedger(spark, ledger)
+    val rootParquet = Files.list(Paths.get(ledger)).iterator().asScala
+      .map(_.getFileName.toString)
+      .count(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(rootParquet == 0, "vacuum must remove folded base files")
+    assert(view() == v2)
+
+    // second compaction folds the remainder (cumulative manifest) and
+    // new ingests keep working afterwards
+    IngestJob.compactLedger(spark, ledger)
+    IngestJob.vacuumLedger(spark, ledger)
+    assert(view() == v2)
+    assert(IngestJob.run(spark, landing, staging, ledger, limit = 10).isEmpty)
+  }
+
   test("two interleaved stage markers lose neither flag") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
