@@ -832,6 +832,96 @@ object OpQueries {
              TRUE AS z_beats_linear
       FROM base WHERE x BETWEEN 256 AND 383 AND y BETWEEN 512 AND 639""")),
 
+    // ---- schema evolution made PHYSICAL: two parquet generations
+    // (the later one adds a column) written side by side and read back
+    // through mergeSchema — proving Spark's union-by-name fill (old
+    // rows surface the new column as NULL) on real files, the way a
+    // year of weekly drips actually looks at read time. Output is
+    // per-generation counts and checksums the oracle recomputes from
+    // events directly --------------------------------------------------
+    ("w47_schema_evolution", (s: SparkSession, d: String) => {
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_schema_evo_q"
+      val base = t(s, d, "events").select(col("event_id"), col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      base.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("cents"))
+        .write.mode("overwrite").parquet(s"$dir/g0")
+      base.filter(col("event_id") % 2 === 1)
+        .withColumn("segment", col("user_id") % 4)
+        .write.mode("overwrite").parquet(s"$dir/g1")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/g0", s"$dir/g1")
+      merged.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("segment").isNull, 1L).otherwise(0L)).as("n_old_gen"),
+        sum(when(col("segment").isNotNull, 1L).otherwise(0L)).as("n_new_gen"),
+        coalesce(sum(col("segment")), lit(0L)).as("sum_segment"),
+        sum(col("cents")).as("sum_cents"))
+    }, Some("""
+      WITH b AS (SELECT event_id, user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old_gen,
+             CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_gen,
+             CAST(SUM(CASE WHEN event_id % 2 = 1 THEN user_id % 4
+                           ELSE 0 END) AS BIGINT) AS sum_segment,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM b""")),
+
+    // ---- CSV corrupt-record quarantine: render the documents table
+    // as real CSV with a deterministic slice made unparseable
+    // (non-numeric in a BIGINT column), read back PERMISSIVE with a
+    // corrupt-record column, and report clean/quarantined splits the
+    // oracle recomputes from the plant rule — the don't-drop-data-
+    // silently contract every 100 TB CSV ingest needs; a second
+    // DROPMALFORMED read must agree with the clean count ---------------
+    ("w48_csv_quarantine", (s: SparkSession, d: String) => {
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_csv_quar_q"
+      t(s, d, "documents")
+        .select(concat(
+          col("doc_id"), lit(","), col("lang"), lit(","),
+          when(col("doc_id") % 7 === 3,
+            concat(lit("x"), col("n_chars")))
+            .otherwise(col("n_chars").cast("string"))).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING"
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir).cache()
+      // count(n_chars), not count(*): column pruning would otherwise
+      // let the CSV reader skip parsing entirely and drop nothing
+      val dropped = s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("mode", "DROPMALFORMED").csv(dir)
+        .agg(count(col("n_chars")).as("n_dropmalformed"))
+      read.agg(
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_clean"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        coalesce(sum(when(col("_corrupt").isNull, col("n_chars"))), lit(0L))
+          .as("sum_nchars_clean"),
+        // quarantined rows must carry the raw line, never silent nulls
+        sum(when(col("_corrupt").isNotNull &&
+          col("_corrupt").contains(",x"), 1L).otherwise(0L))
+          .as("n_quarantined_with_raw"))
+        .crossJoin(broadcast(dropped))
+    }, Some("""
+      SELECT CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean,
+             CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined,
+             CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END)
+               AS BIGINT) AS sum_nchars_clean,
+             CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined_with_raw,
+             CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropmalformed
+      FROM documents""")),
+
     // ---- per-node triangle counts: the local-clustering signal that
     // separates organic link neighborhoods from spam farms. Degree-
     // ORIENTED wedge join (each edge oriented from its (deg, id)-lower

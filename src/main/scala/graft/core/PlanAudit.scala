@@ -74,6 +74,7 @@ object PlanAudit {
     "t22_vocab_growth" -> 2, // two 1-row conditional-sum broadcasts
     "s29_late_interaction" -> 1, // broadcast query TOKEN set vs target scan (s01 contract)
     "w19_value_drift" -> 1, // broadcast 1-row bin-total aggregate
+    "w48_csv_quarantine" -> 1, // broadcast 1-row DROPMALFORMED-count attach
     "c22_corpus_datasheet" -> 4, // four 1-row summary broadcasts (datasheet card)
     "w20_event_funnel" -> 1, // broadcast 1-row first-stage count attach
     "g12_modularity" -> 1, // broadcast 1-row degree-square aggregate
