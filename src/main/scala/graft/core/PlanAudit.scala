@@ -89,9 +89,9 @@ object PlanAudit {
     "c31_benford" -> 1, // broadcast 1-row digit-total aggregate
     "c34_constraint_audit" -> 1, // broadcast 1-row fk-violation count attach
     "s34_nsw_search" -> 1, // recall audit: brute baseline's broadcast query set (s01 contract)
-    // both beams' brute-baseline broadcast query sets (s01 contract,
-    // one per variant) + the final 1-row x 1-row hit-count attach
-    "s40_nsw_refine_audit" -> 3,
+    // the final 1-row x 1-row hit-count attach (the shared brute
+    // baseline and both entry inits sit behind cpGuard)
+    "s40_nsw_refine_audit" -> 1,
     "q59_basket_rules" -> 1, // broadcast 1-row n_orders total attach
     // post-sketch stage is constant-size by construction: 1-row max
     // attach + 3-threshold x (maxT+1)-row curve theta-join
@@ -136,8 +136,9 @@ object PlanAudit {
     // nested-loop stage anywhere since round 11)
     "s34_nsw_search" -> 1,
     // s40: the two beams' entry initializations' bounded query-set
-    // broadcasts (the s34 shape, once per graph variant)
-    "s40_nsw_refine_audit" -> 2,
+    // broadcasts (the s34 shape, once per graph variant) + the ONE
+    // shared brute-baseline broadcast query set (s01 contract)
+    "s40_nsw_refine_audit" -> 3,
     "s36_mrr" -> 1, // rank-of-truth stage: brute baseline's broadcast query set (s01 contract)
     "w38_pettitt" -> 1, // U-table stage: broadcast 1-row n attach
     "w42_pettitt_segments" -> 3) // the same 1-row n attach, once per segment pass

@@ -1936,8 +1936,12 @@ object Similarity {
       lshGraph(embs, nQueries, nPlanes, bandBits, g, maxBucket, requireUnpruned)
     val refined = nnDescentRefine(edges, tSide, g, refineRounds)
       .unionAll(edges).distinct().cpGuard()
+    // ONE exact baseline shared by both variants' recall flags (the
+    // brute pass is the audit's single most expensive stage)
+    val exact = bruteForceTopK(embs, nQueries, k).cpGuard()
     def hits(e: DataFrame, tag: String): DataFrame =
-      nswBeam(embs, e, qSide, tSide, nQueries, beam, rounds, k)
+      nswBeam(embs, e, qSide, tSide, nQueries, beam, rounds, k,
+        sharedExact = Some(exact))
         .agg(sum(when(col("in_exact"), 1L).otherwise(0L)).as(s"hits_$tag"),
           count(lit(1)).as(s"rows_$tag"))
     hits(edges, "banded").crossJoin(hits(refined, "refined"))
@@ -1953,7 +1957,8 @@ object Similarity {
     */
   private def nswBeam(embs: DataFrame, edges: DataFrame, qSide: DataFrame,
                       tSide: DataFrame, nQueries: Int, beam: Int,
-                      rounds: Int, k: Int): DataFrame = {
+                      rounds: Int, k: Int,
+                      sharedExact: Option[DataFrame] = None): DataFrame = {
     val entryIds = tSide.orderBy(col("t_id")).limit(beam)
       .collect().map(_.getLong(0))
     val qcos = dotCol(col("q_emb"), col("t_emb")) /
@@ -1976,11 +1981,13 @@ object Similarity {
         .withColumn("cosine", qcos)
         .select(col("q_id"), col("t_id"), col("cosine"))
       scored = scored.union(fresh).distinct().cpGuard()
+      // the beam cut derives lazily from the CHECKPOINTED scored set —
+      // one window over a materialized table per round, not a second
+      // materialization job (the round cost is job latency, not data)
       beamDf = scored.withColumn("rn", row_number().over(wb))
         .filter(col("rn") <= beam).drop("rn")
-        .cpGuard()
     }
-    val exact = bruteForceTopK(embs, nQueries, k)
+    val exact = sharedExact.getOrElse(bruteForceTopK(embs, nQueries, k))
       .select(col("query_id").as("q_id"), col("neighbor_id").as("t_id"),
         lit(true).as("in_exact"))
     scored.withColumn("rn", row_number().over(wb))
