@@ -109,6 +109,19 @@ class LayoutSpec extends SparkSpec {
     assert(df.collect().length == 5) // the five order priorities
   }
 
+  test("stateTableName: collision-free and valid where hashCode is neither") {
+    // "Aa" and "BB" share a 31-bit String.hashCode — the old naming
+    // scheme would have mixed two streams' state tables
+    assert("/s/Aa".hashCode == "/s/BB".hashCode)
+    val a = Layout.stateTableName("graft_t", "/s/Aa")
+    val b = Layout.stateTableName("graft_t", "/s/BB")
+    assert(a != b)
+    // deterministic and a valid (identifier-safe) table name even for
+    // paths whose hashCode is Int.MinValue-adjacent garbage
+    assert(a == Layout.stateTableName("graft_t", "/s/Aa"))
+    assert(a.matches("[A-Za-z0-9_]+"), a)
+  }
+
   test("salted join equals the plain join result under a hot key") {
     val events = Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_id"), col("value"))

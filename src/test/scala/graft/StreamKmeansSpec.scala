@@ -40,6 +40,25 @@ class StreamKmeansSpec extends SparkSpec {
     assert(cellsOf(out, 1L) == Map(5L -> 0, 6L -> 1))
   }
 
+  test("an undersized first batch stays a transient failure, never a wedged seed") {
+    val (state, out) = fresh()
+    // one vector, k = 2: must throw BEFORE persisting any seed — the
+    // old order wrote the short seed first and every retry (even with
+    // enough vectors) then failed the k-centroid require forever
+    val e = intercept[IllegalArgumentException] {
+      StreamKmeans.processBatch(spark, vecs((1L, Array(0f, 0f))), 0L,
+        state, out, k = 2, buckets = 4)
+    }
+    assert(e.getMessage.contains("at least k=2"))
+    assert(!Files.exists(Paths.get(state, "seed")),
+      "no seed may persist from a failed first batch")
+    // the retry with an adequate batch succeeds from a clean slate
+    StreamKmeans.processBatch(spark, vecs(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f))), 0L,
+      state, out, k = 2, buckets = 4)
+    assert(cellsOf(out, 0L) == Map(1L -> 0, 2L -> 1))
+  }
+
   test("replaying a batch rewrites identical assignments and moments") {
     val (state, out) = fresh()
     StreamKmeans.processBatch(spark, vecs(
