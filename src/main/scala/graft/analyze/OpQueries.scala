@@ -922,6 +922,68 @@ object OpQueries {
                AS n_dropmalformed
       FROM documents""")),
 
+    // ---- rank-based trimmed and winsorized means per user — the
+    // robust aggregate family beside w13's median/MAD: drop (trimmed)
+    // or clamp (winsorized) the bottom/top n div 10 values by exact
+    // (cents, event_id) rank; every statistic is a BIGINT at 2^10
+    // fixed point (sum * 1024 div count), no interpolation, no IEEE.
+    // One user-partitioned rank window + one partial-aggregable
+    // groupBy — the shape survives any corpus size ---------------------
+    ("w49_robust_trim", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("cents"), col("event_id"))
+      val b = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .withColumn("lo", expr("n div 10"))
+        .withColumn("hi", col("n") - col("lo"))
+      b.groupBy(col("user_id"))
+        .agg(
+          max(col("n")).as("n"),
+          max(col("lo")).as("n_cut"),
+          sum(when(col("rn") > col("lo") && col("rn") <= col("hi"),
+            col("cents"))).as("sum_keep"),
+          max(when(col("rn") === col("lo") + 1, col("cents"))).as("low_cut"),
+          max(when(col("rn") === col("hi"), col("cents"))).as("high_cut"),
+          sum(col("cents")).as("sum_all"))
+        .select(col("user_id"), col("n"), col("n_cut"),
+          col("low_cut"), col("high_cut"),
+          expr("sum_all * 1024 div n").as("mean_q"),
+          expr("sum_keep * 1024 div (n - 2 * n_cut)").as("trim_mean_q"),
+          expr("(sum_keep + n_cut * low_cut + n_cut * high_cut) * 1024 div n")
+            .as("wins_mean_q"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH b AS (SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM events),
+      r AS (SELECT user_id, cents,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY cents, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM b),
+      g AS (SELECT user_id, MAX(n) AS n, MAX(n // 10) AS n_cut,
+              SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                       THEN cents END) AS sum_keep,
+              MAX(CASE WHEN rn = n // 10 + 1 THEN cents END) AS low_cut,
+              MAX(CASE WHEN rn = n - n // 10 THEN cents END) AS high_cut,
+              SUM(cents) AS sum_all
+            FROM r GROUP BY user_id)
+      SELECT user_id, CAST(n AS BIGINT) AS n, CAST(n_cut AS BIGINT) AS n_cut,
+             CAST(low_cut AS BIGINT) AS low_cut,
+             CAST(high_cut AS BIGINT) AS high_cut,
+             CAST(sum_all * 1024 // n AS BIGINT) AS mean_q,
+             CAST(sum_keep * 1024 // (n - 2 * n_cut) AS BIGINT)
+               AS trim_mean_q,
+             CAST((sum_keep + n_cut * low_cut + n_cut * high_cut) * 1024 // n
+               AS BIGINT) AS wins_mean_q
+      FROM g ORDER BY user_id""")),
+
     // ---- per-node triangle counts: the local-clustering signal that
     // separates organic link neighborhoods from spam farms. Degree-
     // ORIENTED wedge join (each edge oriented from its (deg, id)-lower
