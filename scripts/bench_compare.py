@@ -42,8 +42,9 @@ def main():
             improvements.append((q, om, nm))
     ot = sum(v for v in (oldq[q] for q in shared) if v > 0)
     nt = sum(v for v in (newq[q] for q in shared) if v > 0)
+    delta = f"({(nt - ot) / ot * 100:+.1f}%)" if ot > 0 else "(delta n/a)"
     print(f"shared queries: {len(shared)}  old total {ot:.1f}s  "
-          f"new total {nt:.1f}s  ({(nt - ot) / ot * 100:+.1f}%)")
+          f"new total {nt:.1f}s  {delta}")
     print(f"new-only queries: {sorted(set(newq) - set(oldq))}")
     if regressions:
         print(f"\nREGRESSIONS beyond recorded spread ({len(regressions)}):")

@@ -973,7 +973,7 @@ object Graphs {
     // floored-triple sum (not Brandes' rational accumulation, which
     // would round differently)
     if (eObs.get("ne").asInstanceOf[Long] <= driverThreshold)
-      return betweennessDriver(ed, maxRounds, scaleBits)
+      return betweennessDriver(ed, maxRounds, maxNodes, scaleBits)
     val nodes = ed.select(col("src").as("k"))
       .unionAll(ed.select(col("dst").as("k"))).distinct().cpGuard()
     val n = nodes.count()
@@ -1033,7 +1033,7 @@ object Graphs {
     * maxRounds closure and σ < 2^20 envelope requires.
     */
   private def betweennessDriver(e0: DataFrame, maxRounds: Int,
-                                scaleBits: Int): DataFrame = {
+                                maxNodes: Long, scaleBits: Int): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val scale = 1L << scaleBits
@@ -1044,6 +1044,13 @@ object Graphs {
     val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val idx = nodes.zipWithIndex.toMap
     val n = nodes.length
+    // the distributed path's contract, enforced HERE too: a sparse
+    // graph can sit under the edge driverThreshold yet carry ~1M
+    // nodes, and the O(n^2) dist/sigma arrays + O(n^3) triple loop
+    // below would OOM/hang the driver instead of failing attributably
+    require(n <= maxNodes,
+      s"betweenness: $n nodes exceeds the exact all-pairs bound " +
+        s"$maxNodes — run from a source sample (Brandes-Pich) instead")
     val adj = Array.fill(n)(List.empty[Int])
     es.foreach { case (s, d) => adj(idx(s)) ::= idx(d) }
     val dist = Array.ofDim[Int](n, n)

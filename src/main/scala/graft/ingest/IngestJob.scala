@@ -40,11 +40,23 @@ object IngestJob {
     */
   private def updatesDir(ledgerDir: String) = new Path(ledgerDir, "_updates")
 
-  /** Monotonic within this JVM, approximately time-ordered across JVMs
-    * — the last-writer-wins order for same-(file, field) updates.
+  /** In-JVM tie-breaker for [[nextSeq]] — the low 20 bits under the
+    * call-time millis, so two markStage calls in the same millisecond
+    * (same or different threads) still get distinct, ordered seqs.
     */
-  private val seqCounter =
-    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis() << 20)
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Last-writer-wins order for same-(file, field) updates: derived
+    * from the WALL CLOCK AT CALL TIME (millis << 20 | counter), not a
+    * JVM-start anchor — a long-running JVM's later update must not
+    * carry a smaller seq than a younger JVM's earlier one. Cross-JVM
+    * ordering is therefore time-ordered to millisecond resolution;
+    * same-millisecond cross-JVM ties break deterministically by status
+    * in [[ledger]]'s max_by, the same race DynamoDB itself has.
+    */
+  private def nextSeq(): Long =
+    (System.currentTimeMillis() << 20) |
+      (seqCounter.incrementAndGet() & 0xFFFFFL)
 
   /** True if `dir` holds at least one non-hidden entry — i.e. a
     * `spark.read.parquet(dir)` would find data files (Spark's listing
@@ -122,9 +134,20 @@ object IngestJob {
     val p = new Path(ledgerDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = latestSnapshot(fs, ledgerDir)
-    val foldBase = before.foldedBase ++ visibleNames(fs, p)
-    val foldUpd = before.foldedUpd ++ visibleNames(fs, updatesDir(ledgerDir))
-    val view = ledger(spark, ledgerDir).localCheckpoint()
+    val baseNames = visibleNames(fs, p).filterNot(before.foldedBase)
+    val updNames =
+      visibleNames(fs, updatesDir(ledgerDir)).filterNot(before.foldedUpd)
+    val foldBase = before.foldedBase ++ baseNames
+    val foldUpd = before.foldedUpd ++ updNames
+    // view is built from the EXPLICIT listings above (not ledger()'s
+    // own re-listing), so the snapshot contains exactly what the
+    // manifests claim — see [[ledgerFrom]]'s race note
+    val basePaths = before.dataDir
+      .filter(dd => hasVisibleFiles(fs, dd)).map(_.toString).toSeq ++
+      baseNames.map(n => new Path(p, n).toString)
+    val updPaths =
+      updNames.map(n => new Path(updatesDir(ledgerDir), n).toString)
+    val view = ledgerFrom(spark, basePaths, updPaths).localCheckpoint()
     val tmp = new Path(snapshotsDir(ledgerDir),
       s".snap_tmp_${java.util.UUID.randomUUID().toString.take(12)}")
     view.coalesce(1).write.mode(SaveMode.Overwrite)
@@ -177,12 +200,25 @@ object IngestJob {
       snap.dataDir.filter(d => hasVisibleFiles(fs, d)).map(_.toString).toSeq ++
         visibleNames(fs, p).filterNot(snap.foldedBase)
           .map(n => new Path(p, n).toString)
-    val base0 =
-      if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
-      else emptyLedger(spark)
     val udir = updatesDir(ledgerDir)
     val updPaths = visibleNames(fs, udir).filterNot(snap.foldedUpd)
       .map(n => new Path(udir, n).toString)
+    ledgerFrom(spark, basePaths, updPaths)
+  }
+
+  /** [[ledger]]'s view over an EXPLICIT file list — so [[compactLedger]]
+    * folds exactly the files its manifests name (a concurrent run()
+    * base append landing between the listing and the read would
+    * otherwise be baked into the snapshot but missing from
+    * manifest_base, and its raw file would be read AGAIN alongside the
+    * snapshot: duplicate base rows, which — unlike updates — are not
+    * idempotent under the read-side compaction).
+    */
+  private def ledgerFrom(spark: SparkSession, basePaths: Seq[String],
+                         updPaths: Seq[String]): DataFrame = {
+    val base0 =
+      if (basePaths.nonEmpty) spark.read.parquet(basePaths: _*)
+      else emptyLedger(spark)
     val anyUpdates = updPaths.nonEmpty
     val base = StageFields.foldLeft(base0) { (df, c) =>
       if (df.columns.contains(c) || !anyUpdates) df
@@ -253,7 +289,7 @@ object IngestJob {
     require(field == MatchwiseStatus || field == DeliverywiseStatus,
       s"unknown ledger stage field: $field")
     if (files.isEmpty) return
-    val seq = seqCounter.incrementAndGet()
+    val seq = nextSeq()
     val conf = spark.sparkContext.hadoopConfiguration
     val udir = updatesDir(ledgerDir)
     val fs = udir.getFileSystem(conf)

@@ -581,6 +581,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(driver(4L) > driver(2L)) // 4 bridges everything into 5
   }
 
+  test("betweenness: node bound fails loudly on BOTH paths") {
+    // 6 nodes, 5 edges: under any edge driverThreshold, yet over
+    // maxNodes = 4 — the driver shortcut must refuse (its O(n^2)
+    // arrays are bounded by NODES, not edges), not just the
+    // distributed loop
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    for (thr <- Seq(0L, 1L << 20)) {
+      val e = intercept[IllegalArgumentException] {
+        Graphs.betweenness(chain, maxNodes = 4, driverThreshold = thr)
+          .collect()
+      }
+      assert(e.getMessage.contains("exceeds the exact all-pairs bound"))
+    }
+  }
+
   test("scc: driver Tarjan path equals the distributed phase loop") {
     // ascending-id SCC chain — the case where single-direction coloring
     // peels one component per phase; both paths must agree exactly

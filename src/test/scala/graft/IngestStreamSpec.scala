@@ -216,6 +216,29 @@ class IngestStreamSpec extends SparkSpec {
       "1002.json" -> ((true, true))))
   }
 
+  test("update seq is anchored at call-time wall clock, not JVM start") {
+    // cross-JVM last-writer-wins is only as good as the seq ordering:
+    // a seq anchored at JVM START would make every update from a
+    // long-running JVM lose to any update from a younger JVM. Pin the
+    // contract: seq >> 20 is the millis of the markStage CALL.
+    val landing = tmp("sq_landing"); val staging = tmp("sq_staging")
+    val ledger = s"${tmp("sq_ledger_root")}/ledger"
+    copyFixtures(landing, Seq("1001.json"))
+    IngestJob.run(spark, landing, staging, ledger, limit = 10)
+    val t0 = System.currentTimeMillis()
+    IngestJob.markStage(spark, ledger, Seq("1001.json"),
+      IngestJob.MatchwiseStatus)
+    val t1 = System.currentTimeMillis()
+    val seqs = spark.read.parquet(s"$ledger/_updates")
+      .select("seq").collect().map(_.getLong(0))
+    assert(seqs.nonEmpty)
+    seqs.foreach { s =>
+      val millis = s >> 20
+      assert(millis >= t0 && millis <= t1,
+        s"seq millis $millis outside call window [$t0, $t1]")
+    }
+  }
+
   test("discovery survives a many-thousand-file landing dir") {
     val landing = tmp("big_landing"); val staging = tmp("big_staging")
     val ledger = s"${tmp("big_ledger_root")}/ledger"
