@@ -5285,7 +5285,113 @@ object ExtQueries {
                       GREATEST(off, seq * 256)) AS BIGINT) AS n_tokens,
              CAST(SUM(CASE WHEN off < seq * 256 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_straddle
-      FROM e GROUP BY seq ORDER BY seq"""))
+      FROM e GROUP BY seq ORDER BY seq""")),
+
+    // ---- HTML/markup -> text extraction over the deterministic
+    // synthetic page wrap (the t35/m03 plant discipline): script/
+    // style/comment spans dropped, closing block tags segment, per
+    // block link density (anchor chars vs text chars, integer pct
+    // rule) + word floor decide keep/drop — nav, ads, footer and
+    // title fall; both content paragraphs survive, including the one
+    // with an inline anchor. Zero shuffle: one narrow projection ----
+    ("t38_html_extract", (s: SparkSession, d: String) =>
+      TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(t(s, d, "documents"))),
+      Some {
+        // the engine's per-block formulas, verbatim in DuckDB terms
+        def txt(x: String) =
+          s"trim(regexp_replace(regexp_replace($x, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+        // NULL-proof: DuckDB's regexp_extract_all -> array_to_string
+        // chain yields NULL (not '') on a no-anchor block
+        def ach(x: String) =
+          s"coalesce(length(array_to_string(regexp_extract_all($x, '<a[^>]*>([^<]*)</a>', 1), '')), 0)"
+        s"""
+      WITH h AS (SELECT doc_id, source,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><style>.nav{color:#fff}</style><script>var t="' || doc_id ||
+        '";track(t);</script></head><body><div><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>' ||
+        CASE WHEN doc_id % 5 = 2
+             THEN '<div>ad <a href="/buy">buy now</a> <a href="/sub">subscribe today</a></div>'
+             ELSE '' END ||
+        '<p>' || text ||
+        '</p><p>related reading material worth your time see <a href="/more">more like doc ' || doc_id ||
+        '</a></p><!-- rendered in 3ms --><div><a href="/terms">terms</a> <a href="/privacy">privacy</a> (c) site</div></body></html>'
+          AS html FROM documents),
+      m AS (SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<style[^>]*>.*?</style>', ' ', 'g'),
+          '<!--.*?-->', ' ', 'g'),
+          '</(p|div|title|li|h1|h2|h3)>', '@@BLK@@', 'g') AS t FROM h),
+      b AS (SELECT doc_id, source,
+        list_filter(string_split(t, '@@BLK@@'),
+          x -> length(${txt("x")}) > 0) AS blocks FROM m),
+      k AS (SELECT doc_id, source, blocks,
+        list_filter(blocks, x ->
+          len(string_split(${txt("x")}, ' ')) >= 3
+          AND ${ach("x")} * 100 <= length(${txt("x")}) * 30) AS kept
+        FROM b)
+      SELECT doc_id, source,
+        CAST(len(blocks) AS INT) AS n_blocks,
+        CAST(len(kept) AS INT) AS n_kept,
+        CAST(length(array_to_string(list_transform(blocks,
+          x -> ${txt("x")}), '')) AS BIGINT) AS text_chars,
+        CAST(length(array_to_string(list_transform(blocks,
+          x -> coalesce(array_to_string(regexp_extract_all(x,
+            '<a[^>]*>([^<]*)</a>', 1), ''), '')), '')) AS BIGINT)
+          AS anchor_chars,
+        array_to_string(list_transform(kept, x -> ${txt("x")}), ' ')
+          AS extracted
+      FROM k ORDER BY doc_id"""
+      }),
+
+    // ---- WordPiece greedy longest-match APPLY over the planted
+    // compound/OOV tails (t37 discipline): vocab = top-20 words +
+    // their single chars; per distinct word, 12 unrolled greedy steps
+    // each taking the LONGEST unit matching at the cursor; any
+    // unmatched position fails the WHOLE word to [UNK]. The oracle
+    // replays the identical walk step for step --------------------
+    ("t39_wordpiece_apply", (s: SparkSession, d: String) =>
+      TextAnalysis.wordpieceApply(
+        TextAnalysis.wordpiecePlant(t(s, d, "documents"))),
+      Some {
+        def step(i: Int): String = s"""
+        s$i AS (SELECT word, n_occurrences,
+            pos + ml AS pos,
+            n_units + CASE WHEN ml > 0 THEN 1 ELSE 0 END AS n_units,
+            unk OR (pos < length(word) AND ml = 0) AS unk,
+            CASE WHEN ml = 0 THEN pieces
+                 WHEN pos = 0 THEN substr(word, 1, ml)
+                 ELSE pieces || ' ##' || substr(word, pos + 1, ml)
+            END AS pieces
+          FROM (SELECT *, CASE WHEN NOT unk AND pos < length(word) THEN
+                  COALESCE((SELECT MAX(length(u)) FROM units uu
+                            WHERE substr(s${i - 1}.word, s${i - 1}.pos + 1,
+                                         length(uu.u)) = uu.u), 0)
+                ELSE 0 END AS ml FROM s${i - 1}))"""
+        s"""
+      WITH dd AS (SELECT doc_id,
+          text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'joinhash'
+                              WHEN doc_id % 3 = 1 THEN 'hashjoinrow'
+                              ELSE 'scanqz' END AS text FROM documents),
+      w AS MATERIALIZED (SELECT w AS word,
+            CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM dd)
+          WHERE w <> '' GROUP BY w),
+      top AS MATERIALIZED (SELECT word FROM w
+          WHERE regexp_matches(word, '^[a-z]+${"$"}')
+          ORDER BY n_occurrences DESC, word LIMIT 20),
+      units AS MATERIALIZED (SELECT DISTINCT u FROM (
+          SELECT word AS u FROM top
+          UNION ALL
+          SELECT unnest(regexp_extract_all(word, '.')) AS u FROM top)),
+      s0 AS (SELECT word, n_occurrences, 0 AS pos, 0 AS n_units,
+                    FALSE AS unk, '' AS pieces FROM w),
+      ${(1 to 12).map(step).mkString(",\n      ")}
+      SELECT word, n_occurrences, unk AS is_unk,
+        CAST(CASE WHEN unk THEN 1 ELSE n_units END AS INT) AS n_units,
+        CASE WHEN unk THEN '[UNK]' ELSE pieces END AS pieces
+      FROM s12 ORDER BY word"""
+      })
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

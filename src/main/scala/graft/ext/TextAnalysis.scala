@@ -1344,4 +1344,204 @@ object TextAnalysis {
         expr("CAST(n_bad_docs * 1000000 div n_docs AS BIGINT)"))
       .orderBy(col("source"))
   }
+
+  /** Deterministic compound/OOV plant for [[wordpieceApply]] (the t37
+    * tail discipline): each doc's text gains ONE closed-form tail word
+    * by doc_id % 3 — two vocab-word compounds the greedy matcher must
+    * split ('joinhash' → join ##hash, 'hashjoinrow' → hash ##join
+    * ##row) and one carrying letters outside the top-K vocab's
+    * alphabet ('scanqz' → [UNK]: 'scan' matches but 'q' has no unit,
+    * and WordPiece fails the WHOLE word). Counts (~n/3 each) sit far
+    * below the top-K corpus words at every sf, so the plant never
+    * perturbs the learned vocab.
+    */
+  def wordpiecePlant(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"), lit(" "),
+      when(col("doc_id") % 3 === 0, lit("joinhash"))
+        .when(col("doc_id") % 3 === 1, lit("hashjoinrow"))
+        .otherwise(lit("scanqz"))))
+
+  /** WordPiece greedy longest-match tokenization APPLY (Wu et al.
+    * 2016 §4.1 / Devlin et al. 2019 — the deployed-tokenizer twin of
+    * [[bpeTokenize]]'s merge-order apply): the vocab is the top
+    * `vocabTop` corpus words by (freq DESC, word) — the t17 literal-
+    * vocab convention — plus every single character those words use;
+    * each distinct corpus word is split left-to-right, at each
+    * position taking the LONGEST vocab unit matching there
+    * (continuations render with the `##` prefix); a position no unit
+    * matches fails the WHOLE word to `[UNK]` (the standard contract —
+    * never a partial emit).
+    *
+    * Shape: one explode + groupBy(word) builds the distinct-word
+    * table (the only shuffle); the greedy loop is a bounded
+    * `maxUnits`-step column fold over that table — a literal-array
+    * higher-order match per step, no UDF, no driver iteration beyond
+    * the bounded top-K vocab collect (the bpeMerges contract). At
+    * 100 TB the distinct-word table is the corpus vocabulary (zipf-
+    * bounded), so apply cost is independent of corpus token count; a
+    * per-token tokenized corpus is this table broadcast-joined back.
+    * A word unconsumed after `maxUnits` units fails LOUDLY.
+    *
+    * Output: (word, n_occurrences, is_unk, n_units, pieces) per
+    * distinct word, ordered by word.
+    */
+  def wordpieceApply(docs: DataFrame, vocabTop: Int = 20,
+                     maxUnits: Int = 12): DataFrame = {
+    require(vocabTop >= 1 && maxUnits >= 1, "vocabTop, maxUnits >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordsTbl = graft.core.Tables.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      .cpGuard()
+    val top = wordsTbl.filter(col("word").rlike("^[a-z]+$"))
+      .orderBy(col("n_occurrences").desc, col("word"))
+      .limit(vocabTop).select("word").as[String].collect().toSeq
+    val letters = top.flatMap(_.toSeq).distinct.map(_.toString)
+    val units = (top ++ letters).distinct
+    val vlit = units.map(u => s"'$u'").mkString("array(", ", ", ")")
+    // longest vocab unit matching at 0-based position `pos` (0 = none)
+    def matchLen(pos: String) =
+      s"""aggregate(filter($vlit,
+            u -> substring(word, $pos + 1, length(u)) = u),
+          0, (m, u) -> greatest(m, length(u)))"""
+    val init = wordsTbl
+      .withColumn("pos", lit(0))
+      .withColumn("n_units", lit(0))
+      .withColumn("unk", lit(false))
+      .withColumn("pieces", lit(""))
+    val walked = (1 to maxUnits).foldLeft(init) { (df, _) =>
+      df.withColumn("ml",
+          expr(s"""CASE WHEN NOT unk AND pos < length(word)
+                   THEN ${matchLen("pos")} ELSE 0 END"""))
+        .withColumn("unk",
+          col("unk") || (col("pos") < length(col("word")) && col("ml") === 0))
+        .withColumn("pieces", expr(
+          """CASE WHEN ml = 0 THEN pieces
+             WHEN pos = 0 THEN substring(word, 1, ml)
+             ELSE concat(pieces, ' ##', substring(word, pos + 1, ml)) END"""))
+        .withColumn("n_units",
+          col("n_units") + when(col("ml") > 0, 1).otherwise(0))
+        .withColumn("pos", col("pos") + col("ml"))
+        .drop("ml")
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val out = walked
+      .observe(obs, sum(when(!col("unk") && col("pos") < length(col("word")),
+        1L).otherwise(0L)).as("n_open"))
+      .select(col("word"), col("n_occurrences"), col("unk").as("is_unk"),
+        when(col("unk"), 1).otherwise(col("n_units")).as("n_units"),
+        when(col("unk"), lit("[UNK]")).otherwise(col("pieces")).as("pieces"))
+      .orderBy(col("word"))
+      .cpGuard()
+    require(obs.get("n_open").asInstanceOf[Long] == 0L,
+      s"wordpieceApply: a word needs more than $maxUnits units — raise " +
+        "maxUnits (the loud-unroll contract)")
+    out
+  }
+
+  /** Deterministic synthetic-HTML wrapper (the t35/m03 plant
+    * discipline for markup): each doc's text is embedded as the main
+    * `<p>` content of a one-line page carrying the canonical
+    * crawl noise an extractor must defeat — `<title>`, a `<style>`
+    * sheet, a `<script>` (with a fake tracker call), a nav link bar,
+    * an ads block on the doc_id % 5 == 2 class, a second content
+    * paragraph with ONE inline anchor (must survive), an HTML
+    * comment, and a link-dense footer. Everything is closed-form over
+    * (doc_id, text), so an oracle rebuilds the page byte-for-byte
+    * with plain string concatenation.
+    */
+  def htmlWrap(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("string")
+    val ads = when(col("doc_id") % 5 === 2,
+      lit("<div>ad <a href=\"/buy\">buy now</a> " +
+        "<a href=\"/sub\">subscribe today</a></div>")).otherwise(lit(""))
+    docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), d,
+      lit("</title><style>.nav{color:#fff}</style><script>var t=\""), d,
+      lit("\";track(t);</script></head><body>" +
+        "<div><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+        "<a href=\"/contact\">contact</a></div>"),
+      ads,
+      lit("<p>"), col("text"),
+      lit("</p><p>related reading material worth your time see " +
+        "<a href=\"/more\">more like doc "), d,
+      lit("</a></p><!-- rendered in 3ms -->" +
+        "<div><a href=\"/terms\">terms</a> " +
+        "<a href=\"/privacy\">privacy</a> (c) site</div></body></html>")))
+  }
+
+  /** Block sentinel for [[htmlExtract]] — a marker string that cannot
+    * occur in content (the corpus is a plain-word vocabulary). */
+  private val BlockSentinel = "@@BLK@@"
+
+  /** HTML/markup → text extraction — stage zero of every crawl-fed
+    * pipeline (Trafilatura/jusText-style, cf. Barbaresi ACL'21 demo;
+    * the link-density block rule is Kohlschütter et al. WSDM'10
+    * boilerplate detection reduced to its strongest single feature):
+    *
+    *  1. drop non-content SPANS: `<script>…</script>`,
+    *     `<style>…</style>`, `<!-- … -->` (non-greedy, so adjacent
+    *     blocks survive);
+    *  2. segment into BLOCKS at closing block-level tags
+    *     (`</p> </div> </title> </li> </h1-3>`);
+    *  3. per block: visible text = remaining tags stripped,
+    *     whitespace collapsed, trimmed; anchor chars = total length
+    *     of `<a …>…</a>` inner texts (the linkful portion);
+    *  4. KEEP a block iff it has >= `minWords` words AND
+    *     anchor_chars * 100 <= text_chars * `maxLinkDensityPct` —
+    *     nav bars / ad units / footers are mostly-anchor and fall to
+    *     the density rule, titles/breadcrumbs to the word floor;
+    *  5. the document's extracted text is the kept blocks' texts in
+    *     document order, space-joined.
+    *
+    * Everything is built-in string/array expressions in ONE narrow
+    * projection per doc — no explode, no shuffle, no UDF — so at
+    * 100 TB extraction runs at parquet-scan speed ahead of the dedup/
+    * quality/langid stages that assume clean text (t01/t02/t23).
+    * Integer math only (char counts, pct threshold), so a SQL oracle
+    * replays the decision rule exactly.
+    *
+    * Output: (doc_id, source, n_blocks, n_kept, text_chars,
+    * anchor_chars, extracted), ordered by doc_id.
+    */
+  def htmlExtract(docs: DataFrame, minWords: Int = 3,
+                  maxLinkDensityPct: Int = 30): DataFrame = {
+    require(minWords >= 1 && maxLinkDensityPct >= 0 &&
+      maxLinkDensityPct <= 100, "minWords >= 1, density pct in [0, 100]")
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(col("html"),
+      "<script[^>]*>.*?</script>", " "),
+      "<style[^>]*>.*?</style>", " "),
+      "<!--.*?-->", " ")
+    val marked =
+      regexp_replace(cleaned, "</(p|div|title|li|h1|h2|h3)>", BlockSentinel)
+    // per-block struct: visible text + anchor-text char count (the
+    // concat-then-length identity sidesteps empty-list sums)
+    val blocks = expr(
+      s"""filter(transform(split(marked, '$BlockSentinel'), b -> struct(
+            trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' '),
+              ' +', ' ')) AS txt,
+            length(array_join(
+              regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1), ''))
+              AS achars)),
+          s -> length(s.txt) > 0)""")
+    val kept = expr(
+      s"""filter(blocks, s -> size(split(s.txt, ' ')) >= $minWords
+            AND s.achars * 100 <= length(s.txt) * $maxLinkDensityPct)""")
+    graft.core.Tables.spread(docs)
+      .withColumn("marked", marked)
+      .withColumn("blocks", blocks)
+      .withColumn("kept", kept)
+      .select(col("doc_id"), col("source"),
+        size(col("blocks")).as("n_blocks"),
+        size(col("kept")).as("n_kept"),
+        expr("length(array_join(transform(blocks, s -> s.txt), ''))")
+          .cast("long").as("text_chars"),
+        expr("aggregate(blocks, 0L, (a, s) -> a + s.achars)")
+          .as("anchor_chars"),
+        expr("array_join(transform(kept, s -> s.txt), ' ')")
+          .as("extracted"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -253,4 +253,77 @@ class TextScoringSpec extends SparkSpec {
       TextAnalysis.textrankKeywords(docs("x x x")).collect()
     }
   }
+
+  private def pages(htmls: String*) = {
+    import spark.implicits._
+    htmls.zipWithIndex.map { case (h, i) => (i.toLong, "src0", h) }
+      .toDF("doc_id", "source", "html")
+  }
+
+  test("htmlExtract: keeps content, drops nav/title, survives malformed markup") {
+    val got = TextAnalysis.htmlExtract(pages(
+      // canonical page: title (word floor), nav (density), content
+      "<title>My Page</title>" +
+        "<div><a href=\"/a\">one</a> <a href=\"/b\">two</a></div>" +
+        "<p>alpha beta gamma delta epsilon</p>",
+      // nested divs split at EACH close tag; script containing a '<p>'
+      // is dropped whole (non-greedy span, not tag-blind)
+      "<script>if(a<b){x=\"<p>\"}</script>" +
+        "<div>outer words here <div>inner words also here</div>" +
+        " trailing three words</div>",
+      // unclosed <p> (no closing tag): text still lands in the final
+      // block; attribute soup with ? & = never leaks into text
+      "<p class=\"x\" data-q=\"a=1&b=2\">unclosed paragraph survives fine",
+      // empty page
+      "",
+      // comment-only plus anchor-only block
+      "<!-- hidden --><div><a href=\"/x\">link</a></div>"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getAs[String]("extracted")))).toMap
+    assert(got(0L) == ((3, 1, "alpha beta gamma delta epsilon")))
+    // two </div> closes -> two blocks: the inner close ends the first
+    assert(got(1L) == ((2, 2,
+      "outer words here inner words also here trailing three words")))
+    assert(got(2L) == ((1, 1, "unclosed paragraph survives fine")))
+    assert(got(3L) == ((0, 0, "")))
+    assert(got(4L) == ((1, 0, "")))
+  }
+
+  test("htmlWrap + htmlExtract: wrap noise falls away, both paragraphs kept") {
+    val d = docs("alpha beta gamma delta epsilon zeta", "eta theta iota")
+      .withColumn("doc_id", col("doc_id") + 1) // doc 2 -> ads class
+    val got = TextAnalysis.htmlExtract(TextAnalysis.htmlWrap(d))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getAs[String]("extracted")))).toMap
+    // doc 1: title + nav + two paragraphs + footer = 5 blocks
+    assert(got(1L) == ((5, 2,
+      "alpha beta gamma delta epsilon zeta related reading material " +
+        "worth your time see more like doc 1")))
+    // doc 2 sits in the doc_id % 5 == 2 ads class: one extra (dropped) block
+    assert(got(2L) == ((6, 2,
+      "eta theta iota related reading material worth your time see " +
+        "more like doc 2")))
+  }
+
+  test("wordpieceApply: longest match, ## continuation, OOV -> UNK, char fallback") {
+    // vocab (top-2 by freq desc, word): play(2), ground(1) + their
+    // letters p l a y g r o u n d
+    val d = docs("play ground playground qq yap play")
+    val got = TextAnalysis.wordpieceApply(d, vocabTop = 2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got("play") == ((false, 1, "play")))
+    assert(got("ground") == ((false, 1, "ground")))
+    // greedy longest: 'play' beats 'p' at the start, then '##ground'
+    assert(got("playground") == ((false, 2, "play ##ground")))
+    // single-char fallback: no multi-char unit matches anywhere
+    assert(got("yap") == ((false, 3, "y ##a ##p")))
+    // 'q' is outside the vocab alphabet: the WHOLE word fails
+    assert(got("qq") == ((true, 1, "[UNK]")))
+    // a word needing more units than the unroll bound fails loudly
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.wordpieceApply(d, vocabTop = 2, maxUnits = 2).collect()
+    }
+    assert(e.getMessage.contains("more than 2 units"))
+  }
 }
