@@ -1157,4 +1157,127 @@ object Curation {
           .as("n_straddle"))
       .orderBy(col("seq"))
   }
+
+  /** Deterministic URL plant for [[urlDomainCurate]] (the t35/m03
+    * closed-form fixture discipline): one URL per doc by doc_id % 7,
+    * covering the cases a canonicalizer must survive — mixed-case
+    * scheme/host, default ports (:80/:443) vs a real :8080, userinfo,
+    * duplicate slashes, empty path, tracking params leading /
+    * trailing / alone, fragments, a multi-label public suffix
+    * (co.uk), and an IDN punycode label (passes through lowercased,
+    * never decoded).
+    */
+  def urlPlant(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("string")
+    docs.withColumn("url",
+      when(col("doc_id") % 7 === 0, concat(
+        lit("HTTP://WWW.Example.COM:80/Path/item?utm_source=feed&id="),
+        d, lit("#frag")))
+      .when(col("doc_id") % 7 === 1, lit("https://news.example.org/a/b"))
+      .when(col("doc_id") % 7 === 2, concat(
+        lit("https://user:pw@Shop.Example.co.uk:443//sale/"), d))
+      .when(col("doc_id") % 7 === 3, concat(
+        lit("http://blog.example.net:8080/?gclid=g"), d))
+      .when(col("doc_id") % 7 === 4, concat(
+        lit("https://XN--Bcher-KVA.ch/B%C3%BCcher?ref=ad&q="), d))
+      .when(col("doc_id") % 7 === 5, lit("http://example.com"))
+      .otherwise(concat(
+        lit("https://m.example.com/p?fbclid=x&a="), d,
+        lit("&utm_medium=soc&b=2"))))
+  }
+
+  /** URL canonicalization (RFC 3986 §6 syntax-based normalization +
+    * the crawl-dedup conventions, cf. the C4/CommonCrawl pipelines):
+    * scheme and host lowercase; userinfo stripped; default ports
+    * (http:80, https:443) dropped, others kept; fragment dropped;
+    * empty path → `/`, duplicate slashes collapsed; tracking params
+    * (`utm_*`, `gclid`, `fbclid`, `ref`) removed with surviving-param
+    * ORDER preserved; percent-encoding and punycode pass through
+    * untouched (never decoded — decoding is lossy across engines).
+    * Registered domain: last two host labels, or three when the
+    * second-level label is a known short suffix (`co com org net ac
+    * gov edu` under a 2-char TLD) — the public-suffix-lite rule,
+    * documented as such.
+    *
+    * Pure regexp/array built-ins in one narrow projection — no UDF,
+    * no shuffle — so normalization runs at scan speed ahead of the
+    * dedup stages that key on it.
+    */
+  def urlNormalize(df: DataFrame): DataFrame = {
+    val suffixes = Seq("co", "com", "org", "net", "ac", "gov", "edu")
+      .map(s => s"'$s'").mkString(", ")
+    df
+      .withColumn("scheme",
+        lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("__rest",
+        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1))
+      .withColumn("__hostport", regexp_extract(
+        regexp_extract(col("__rest"), "^([^/?#]*)", 1), "([^@]*)$", 1))
+      .withColumn("host",
+        lower(regexp_extract(col("__hostport"), "^([^:]*)", 1)))
+      .withColumn("__port0",
+        regexp_extract(col("__hostport"), ":([0-9]+)$", 1))
+      .withColumn("port", when(
+        (col("scheme") === "http" && col("__port0") === "80") ||
+          (col("scheme") === "https" && col("__port0") === "443"),
+        lit("")).otherwise(col("__port0")))
+      .withColumn("__pathq",
+        regexp_extract(col("__rest"), "^[^/?#]*([^#]*)", 1))
+      .withColumn("path", {
+        val p0 = regexp_extract(col("__pathq"), "^([^?]*)", 1)
+        when(p0 === "", lit("/")).otherwise(regexp_replace(p0, "/+", "/"))
+      })
+      .withColumn("query_norm", expr(
+        """array_join(filter(split(
+             regexp_extract(__pathq, '[?](.*)$', 1), '&'),
+           p -> p <> '' AND NOT p rlike
+             '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$'), '&')"""))
+      .withColumn("norm_url", concat(col("scheme"), lit("://"), col("host"),
+        when(col("port") === "", lit("")).otherwise(concat(lit(":"), col("port"))),
+        col("path"),
+        when(col("query_norm") === "", lit(""))
+          .otherwise(concat(lit("?"), col("query_norm")))))
+      .withColumn("domain", expr(
+        s"""CASE WHEN size(split(host, '[.]')) >= 3
+              AND element_at(split(host, '[.]'), -2) IN ($suffixes)
+              AND length(element_at(split(host, '[.]'), -1)) = 2
+            THEN concat_ws('.', element_at(split(host, '[.]'), -3),
+              element_at(split(host, '[.]'), -2),
+              element_at(split(host, '[.]'), -1))
+            WHEN size(split(host, '[.]')) >= 2
+            THEN concat_ws('.', element_at(split(host, '[.]'), -2),
+              element_at(split(host, '[.]'), -1))
+            ELSE host END"""))
+      .drop("__rest", "__hostport", "__port0", "__pathq")
+  }
+
+  /** Per-domain crawl curation over [[urlNormalize]]: each doc carries
+    * its canonical URL and registered domain, plus the domain's doc
+    * count and an over-cap verdict (domain share > `capSharePct`% of
+    * the corpus — the per-domain cap every crawl mix audit enforces so
+    * one host cannot dominate a training set).
+    *
+    * Shape: normalization is a narrow map; ONE partial-aggregable
+    * groupBy(domain) builds the rollup; the corpus total is a 1-row
+    * broadcast attach (declared BNLJ); the rollup joins back on
+    * domain as a plain equi-join (domains ≪ docs — broadcastable at
+    * any corpus scale).
+    */
+  def urlDomainCurate(docs: DataFrame, capSharePct: Int = 20): DataFrame = {
+    require(capSharePct >= 0 && capSharePct <= 100, "capSharePct in [0,100]")
+    val normed = urlNormalize(graft.core.Tables.spread(docs)).cpGuard()
+    val total = normed.agg(count(lit(1)).as("__total"))
+    val roll = normed.groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_docs"),
+        countDistinct(col("norm_url")).as("domain_urls"))
+      .crossJoin(broadcast(total))
+      .withColumn("over_cap",
+        col("domain_docs") * 100 > col("__total") * capSharePct)
+      .drop("__total")
+    normed.select("doc_id", "url", "norm_url", "domain")
+      .join(roll, Seq("domain"))
+      .select(col("doc_id"), col("url"), col("norm_url"), col("domain"),
+        col("domain_docs"), col("domain_urls"), col("over_cap"))
+      .orderBy(col("doc_id"))
+  }
 }
