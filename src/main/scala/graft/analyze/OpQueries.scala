@@ -2569,6 +2569,71 @@ object OpQueries {
       GROUP BY nd.k ORDER BY nd.k"""
     }),
 
+    // ---- SAMPLED betweenness (Brandes-Pich pivots) — g27's scale
+    // path made real: 8 hash-deterministic pivot seeds, one forward +
+    // one backward sigma-BFS from the seeds only (state O(K*n), no
+    // maxNodes bound), the SAME floored pair-dependency triples
+    // restricted to pivot pairs, extrapolated by n(n-1)/(K(K-1))
+    // integral div; oracle unrolls BOTH BFS pyramids from the same
+    // seed rule, value-exact ----------------------------------------
+    ("g28_betweenness_sampled", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val backbone = eventEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .orderBy(col("w").desc, col("src"), col("dst")).limit(150)
+        .select(col("src"), col("dst"))
+      Graphs.betweennessSampled(backbone, numSources = 8, maxRounds = 32)
+    }, Some {
+      def lvl(pfx: String, et: String)(i: Int): String =
+        s"""${pfx}x$i AS (SELECT l.s, e.dst AS v,
+              CAST(SUM(l.cnt) AS BIGINT) AS cnt
+              FROM ${pfx}l${i - 1} l JOIN $et e ON l.v = e.src
+              GROUP BY l.s, e.dst),
+        ${pfx}l$i AS MATERIALIZED (SELECT s, v, cnt FROM ${pfx}x$i
+              WHERE NOT EXISTS (SELECT 1 FROM ${pfx}r${i - 1} r
+                                WHERE r.s = ${pfx}x$i.s
+                                  AND r.v = ${pfx}x$i.v)),
+        ${pfx}r$i AS MATERIALIZED (SELECT s, v FROM ${pfx}r${i - 1}
+              UNION ALL SELECT s, v FROM ${pfx}l$i)"""
+      def pyramid(pfx: String, et: String): String =
+        s"""${pfx}l0 AS (SELECT k AS s, k AS v, CAST(1 AS BIGINT) AS cnt
+              FROM sd),
+      ${pfx}r0 AS (SELECT s, v FROM ${pfx}l0),
+      ${(1 to 32).map(lvl(pfx, et)).mkString(",\n      ")},
+      sp$pfx AS MATERIALIZED (${(0 to 32).map(i =>
+          s"SELECT s, v, $i AS d, cnt AS sigma FROM ${pfx}l$i")
+          .mkString("\n        UNION ALL ")})"""
+      s"""
+      WITH $eventEdgesCtes,
+      ed2 AS MATERIALIZED (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT 150)),
+      e AS (SELECT DISTINCT src, dst FROM ed2),
+      er AS (SELECT dst AS src, src AS dst FROM e),
+      nd AS (SELECT DISTINCT k FROM
+             (SELECT src AS k FROM e UNION ALL SELECT dst FROM e)),
+      sd AS MATERIALIZED (SELECT k FROM nd
+             ORDER BY (k * 48271) % 2147483647, k LIMIT 8),
+      sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(LEAST(8, COUNT(*)) AS BIGINT) AS kk FROM nd),
+      ${pyramid("f", "e")},
+      ${pyramid("b", "er")},
+      tri AS (SELECT p1.v,
+                p1.sigma * p2.sigma * CAST(1048576 AS BIGINT) // p3.sigma
+                  AS term
+              FROM spf p1
+              JOIN spb p2 ON p2.v = p1.v AND p2.d >= 1
+              JOIN spf p3 ON p3.s = p1.s AND p3.v = p2.s
+                         AND p3.d = p1.d + p2.d
+              WHERE p1.d >= 1)
+      SELECT nd.k, CAST(COALESCE(SUM(tri.term), 0) AS BIGINT) AS bc_raw_q,
+        CAST(CAST(COALESCE(SUM(tri.term), 0) AS BIGINT)
+          * MAX(sc.nn) * (MAX(sc.nn) - 1)
+          // (MAX(sc.kk) * (MAX(sc.kk) - 1)) AS BIGINT) AS bc_est_q
+      FROM nd LEFT JOIN tri ON tri.v = nd.k CROSS JOIN sc
+      GROUP BY nd.k ORDER BY nd.k"""
+    }),
+
     // ---- Theil-Sen robust slope per user: lower median of pairwise
     // cents-per-hour slopes, portable floored division; the per-user
     // self-join is shuffle-hash on user_id with pair count bounded by

@@ -980,7 +980,36 @@ object Graphs {
     require(n <= maxNodes,
       s"betweenness: $n nodes exceeds the exact all-pairs bound " +
         s"$maxNodes — run from a source sample (Brandes-Pich) instead")
-    var frontier = nodes.select(col("k").as("s"), col("k").as("v"),
+    val sp = sigmaBfsFrom(nodes, ed, maxRounds)
+    val p1 = sp.filter(col("d") >= 1)
+      .select(col("s"), col("v"), col("d").as("d1"), col("sigma").as("sig1"))
+    val p2 = sp.filter(col("d") >= 1)
+      .select(col("s").as("v"), col("v").as("t"),
+        col("d").as("d2"), col("sigma").as("sig2"))
+    val p3 = sp.select(col("s"), col("v").as("t"),
+      col("d").as("dst_d"), col("sigma").as("sigst"))
+    val bc = p1.join(p2, "v")
+      .join(p3, Seq("s", "t"))
+      .filter(col("d1") + col("d2") === col("dst_d"))
+      .select(col("v"),
+        expr(s"sig1 * sig2 * CAST($scale AS BIGINT) div sigst").as("term"))
+      .groupBy(col("v")).agg(sum(col("term")).as("bc"))
+    nodes.join(bc, col("k") === col("v"), "left")
+      .select(col("k"), coalesce(col("bc"), lit(0L)).as("bc_q"))
+      .orderBy(col("k"))
+  }
+
+  /** Level-synchronous multi-source BFS with shortest-path counts:
+    * from each source in `sources` (column `k`), the (s, v, d, sigma)
+    * table over `ed` — per level ONE frontier⋈edges equi-join +
+    * groupBy(s, v) + anti-join against the reached set, one observed
+    * checkpoint job; sigma overflow (>= 2^20) and non-closure within
+    * `maxRounds` fail LOUDLY (the [[betweenness]] contracts). State is
+    * O(|sources| · n) — the all-pairs cost only when sources = nodes.
+    */
+  private def sigmaBfsFrom(sources: DataFrame, ed: DataFrame,
+                           maxRounds: Int): DataFrame = {
+    var frontier = sources.select(col("k").as("s"), col("k").as("v"),
       lit(0).as("d"), lit(1L).as("sigma")).cpGuard()
     // sp accumulates as a union of CHECKPOINTED level pieces — flat
     // lineage, zero extra materialization jobs (the scc deferral)
@@ -1008,13 +1037,69 @@ object Graphs {
     require(!open,
       s"betweenness: BFS did not close in $maxRounds rounds (graph " +
         "diameter exceeds the declared unroll bound)")
-    val p1 = sp.filter(col("d") >= 1)
+    sp
+  }
+
+  /** Sampled betweenness centrality — [[betweenness]]'s production
+    * path at corpus scale (Brandes & Pich ETA'07 pivot estimation):
+    * `numSources` PIVOT nodes are chosen hash-deterministically (the
+    * `numSources` smallest by Lehmer hash (k·48271) mod (2^31 − 1),
+    * ties by k — seedless, reproducible, oracle-expressible; node ids
+    * must stay below 2^63 / 48271, enforced), and the EXACT floored
+    * pair-dependency identity of [[betweenness]] is restricted to
+    * pivot PAIRS (s, t) ∈ S×S: one forward σ-BFS from S and one
+    * backward σ-BFS from S over the reversed edges supply σ(s, v) and
+    * σ(v, t), so state is O(K·n), never O(n²), and no `maxNodes`
+    * bound applies. Restricting BOTH endpoints (rather than Brandes-
+    * Pich's source-only n/K form) is deliberate: source-only
+    * extrapolation needs Brandes' backward δ-recursion, whose
+    * per-step RATIONAL accumulation is not integer-exact across
+    * engines — the pivot-pair form keeps g27's floored-triple terms
+    * bit-identical, and at K = n it IS g27, term for term.
+    *
+    * Output: (k, bc_raw_q = Σ floor-terms over sampled pairs at
+    * 2^`scaleBits`, bc_est_q = bc_raw_q·n·(n−1) div (K·(K−1)) — the
+    * pair-count extrapolation, exact integral div), every node.
+    */
+  def betweennessSampled(edges: DataFrame, numSources: Int,
+                         maxRounds: Int = 12,
+                         scaleBits: Int = 20): DataFrame = {
+    require(numSources >= 2 && maxRounds >= 1 &&
+      scaleBits >= 0 && scaleBits <= 30,
+      "numSources >= 2, maxRounds >= 1, scaleBits in [0, 30]")
+    val scale = 1L << scaleBits
+    val ed = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().cpGuard()
+    val mObs = org.apache.spark.sql.Observation()
+    val nodes = ed.select(col("src").as("k"))
+      .unionAll(ed.select(col("dst").as("k"))).distinct()
+      .observe(mObs, coalesce(max(abs(col("k"))), lit(0L)).as("kmax"))
+      .cpGuard()
+    require(mObs.get("kmax").asInstanceOf[Long] < Long.MaxValue / 48271L,
+      "betweennessSampled: node ids too large for the overflow-free " +
+        "Lehmer seed hash")
+    val n = nodes.count()
+    require(n >= 2, "betweennessSampled: need at least 2 nodes")
+    val k2 = math.min(numSources.toLong, n)
+    // bounded TakeOrdered: K rows, never the corpus
+    val seeds = nodes
+      .withColumn("__h", pmod(col("k") * 48271L, lit(2147483647L)))
+      .orderBy(col("__h"), col("k")).limit(k2.toInt)
+      .select(col("k")).cpGuard()
+    val spF = sigmaBfsFrom(seeds, ed, maxRounds)
+    val spB = sigmaBfsFrom(seeds,
+      ed.select(col("dst").as("src"), col("src").as("dst")), maxRounds)
+    val p1 = spF.filter(col("d") >= 1)
       .select(col("s"), col("v"), col("d").as("d1"), col("sigma").as("sig1"))
-    val p2 = sp.filter(col("d") >= 1)
-      .select(col("s").as("v"), col("v").as("t"),
+    val p2 = spB.filter(col("d") >= 1)
+      .select(col("s").as("t"), col("v"),
         col("d").as("d2"), col("sigma").as("sig2"))
-    val p3 = sp.select(col("s"), col("v").as("t"),
+    val p3 = spF.select(col("s"), col("v").as("t"),
       col("d").as("dst_d"), col("sigma").as("sigst"))
+    val factNum = n * (n - 1)
+    val factDen = k2 * (k2 - 1)
     val bc = p1.join(p2, "v")
       .join(p3, Seq("s", "t"))
       .filter(col("d1") + col("d2") === col("dst_d"))
@@ -1022,7 +1107,9 @@ object Graphs {
         expr(s"sig1 * sig2 * CAST($scale AS BIGINT) div sigst").as("term"))
       .groupBy(col("v")).agg(sum(col("term")).as("bc"))
     nodes.join(bc, col("k") === col("v"), "left")
-      .select(col("k"), coalesce(col("bc"), lit(0L)).as("bc_q"))
+      .select(col("k"), coalesce(col("bc"), lit(0L)).as("bc_raw_q"))
+      .withColumn("bc_est_q",
+        expr(s"bc_raw_q * CAST($factNum AS BIGINT) div CAST($factDen AS BIGINT)"))
       .orderBy(col("k"))
   }
 

@@ -581,6 +581,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(driver(4L) > driver(2L)) // 4 bridges everything into 5
   }
 
+  test("betweennessSampled: all-pivots sample reproduces exact term for term") {
+    // K = n makes the pivot-pair restriction vacuous: bc_raw_q must
+    // equal the exact floored-triple bc_q BIT FOR BIT, and the
+    // n(n-1)/(K(K-1)) extrapolation factor is exactly 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 2L), (6L, 1L)).toDF("src", "dst")
+    val exact = Graphs.betweenness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = Graphs.betweennessSampled(edges, numSources = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sampled.map(t => t._1 -> t._2).toMap == exact)
+    sampled.foreach { case (_, raw, est) => assert(raw == est) }
+  }
+
+  test("betweennessSampled: pivot pairs only, extrapolated by the pair ratio") {
+    // path 1 -> 2 -> 3 -> 4; Lehmer hash k*48271 is monotone on small
+    // ids, so K = 3 picks pivots {1, 2, 3}. The only pivot pair with
+    // an interior node is (1, 3) through 2; pairs through 3 — (1,4),
+    // (2,4) — have t = 4 unsampled, so bc_raw(3) = 0 (the estimator's
+    // blind spot the n(n-1)/(K(K-1)) factor prices in expectation)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graphs.betweennessSampled(path, numSources = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val S = 1L << 20
+    assert(got(2L) == ((S, 2 * S))) // est = raw * 4*3 div (3*2)
+    assert(got(1L) == ((0L, 0L)) && got(3L) == ((0L, 0L)) &&
+      got(4L) == ((0L, 0L)))
+    // no maxNodes bound applies: state is O(K*n) by construction
+  }
+
   test("betweenness: node bound fails loudly on BOTH paths") {
     // 6 nodes, 5 edges: under any edge driverThreshold, yet over
     // maxNodes = 4 — the driver shortcut must refuse (its O(n^2)
