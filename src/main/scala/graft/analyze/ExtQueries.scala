@@ -5466,7 +5466,36 @@ object ExtQueries {
         r.domain_docs, r.domain_urls,
         r.domain_docs * 100 > tt.tot * 20 AS over_cap
       FROM n5 JOIN r USING (domain) CROSS JOIN tt
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- EXIF GPS privacy audit over the closed-form header plant
+    // (t11's PII discipline extended to media metadata): detect
+    // GPS-bearing payloads, strip the GPS block byte-exactly, roll up
+    // per source with exact before/after byte totals ---------------
+    ("m15_exif_privacy", (s: SparkSession, d: String) =>
+      graft.ext.Multimodal.exifPrivacyAudit(t(s, d, "documents")),
+      Some("""
+      WITH p AS (SELECT doc_id, source,
+          CASE WHEN doc_id % 4 = 1 THEN concat('EXIF;GPS=',
+                 doc_id % 180 - 90, ',', (doc_id * 7) % 360 - 180,
+                 ';IMG;', text)
+               WHEN doc_id % 4 = 3 THEN 'EXIF;CAM=fx9;IMG;' || text
+               ELSE 'IMG;' || text END AS payload
+        FROM documents),
+      f AS (SELECT source,
+          CASE WHEN payload LIKE 'EXIF;%' THEN 1 ELSE 0 END AS has_exif,
+          CASE WHEN payload LIKE '%GPS=%' THEN 1 ELSE 0 END AS has_gps,
+          CAST(strlen(payload) AS BIGINT) AS ob,
+          CAST(strlen(regexp_replace(payload, 'GPS=[^;]*;', '', 'g'))
+            AS BIGINT) AS sb
+        FROM p)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(has_exif) AS BIGINT) AS n_exif,
+        CAST(SUM(has_gps) AS BIGINT) AS n_gps,
+        CAST(SUM(ob) AS BIGINT) AS orig_bytes,
+        CAST(SUM(sb) AS BIGINT) AS scrubbed_bytes,
+        CAST(SUM(ob - sb) AS BIGINT) AS removed_bytes
+      FROM f GROUP BY source ORDER BY source"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

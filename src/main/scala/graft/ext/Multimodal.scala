@@ -1013,6 +1013,71 @@ object Multimodal {
       .toDF("doc_id", "fp")
   }
 
+  /** Deterministic EXIF-ish header plant for [[exifPrivacyAudit]] (the
+    * t35/m03 synthetic discipline applied to media metadata): each
+    * doc's binary payload gains a closed-form ASCII header by
+    * doc_id % 4 — class 1 carries a GPS block (`EXIF;GPS=lat,lon;`
+    * with lat = id%180−90, lon = (id·7)%360−180), class 3 a benign
+    * camera tag (`EXIF;CAM=fx9;`), others no EXIF at all — then the
+    * `IMG;`-prefixed image bytes. ASCII by construction so byte and
+    * char lengths coincide and an oracle replays every value.
+    */
+  def exifPlant(docs: DataFrame): DataFrame = {
+    val gps = concat(lit("EXIF;GPS="),
+      (col("doc_id") % 180 - 90).cast("string"), lit(","),
+      ((col("doc_id") * 7) % 360 - 180).cast("string"), lit(";IMG;"),
+      col("text"))
+    val cam = concat(lit("EXIF;CAM=fx9;IMG;"), col("text"))
+    val bare = concat(lit("IMG;"), col("text"))
+    graft.core.Tables.spread(docs)
+      .withColumn("payload", encode(
+        when(col("doc_id") % 4 === 1, gps)
+          .when(col("doc_id") % 4 === 3, cam)
+          .otherwise(bare), "UTF-8"))
+      .withColumn("media_meta", struct(
+        length(col("payload")).as("n_bytes"),
+        lit("fake/exif").as("mime"),
+        md5(col("payload")).as("checksum")))
+  }
+
+  /** GPS-bearing payload detection + scrub — the t11 PII discipline
+    * extended to image metadata: location EXIF is the PII class media
+    * corpora leak most (a training set of user photos must not carry
+    * coordinates). Per doc: has_exif / has_gps flags, the GPS block
+    * stripped from the payload (everything else byte-preserved), and
+    * exact before/after byte lengths. The header here is ASCII so the
+    * detection/scrub are portable string expressions; a REAL EXIF/TIFF
+    * walker is a per-partition byte scanner in the [[decodeBatched]]
+    * codec-injection shape — flags, scrub contract, schema and the
+    * audit rollup stay identical.
+    *
+    * [[exifPrivacyAudit]] rolls up per source: doc/exif/gps counts and
+    * exact original/scrubbed/removed byte totals — one narrow map +
+    * one partial-aggregable groupBy, scan speed at any corpus size.
+    */
+  def exifGpsScrub(withBin: DataFrame): DataFrame = {
+    val s = decode(col("payload"), "UTF-8")
+    withBin
+      .withColumn("has_exif", s.startsWith("EXIF;"))
+      .withColumn("has_gps", s.contains("GPS="))
+      .withColumn("payload_scrubbed",
+        encode(regexp_replace(s, "GPS=[^;]*;", ""), "UTF-8"))
+      .withColumn("orig_bytes", length(col("payload")).cast("long"))
+      .withColumn("scrubbed_bytes",
+        length(col("payload_scrubbed")).cast("long"))
+  }
+
+  def exifPrivacyAudit(docs: DataFrame): DataFrame =
+    exifGpsScrub(exifPlant(docs))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("has_exif"), 1L).otherwise(0L)).as("n_exif"),
+        sum(when(col("has_gps"), 1L).otherwise(0L)).as("n_gps"),
+        sum(col("orig_bytes")).as("orig_bytes"),
+        sum(col("scrubbed_bytes")).as("scrubbed_bytes"),
+        sum(col("orig_bytes") - col("scrubbed_bytes")).as("removed_bytes"))
+      .orderBy(col("source"))
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))

@@ -777,4 +777,30 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 == Map("cycle" -> 2L, "ffl" -> 1L))
   }
+
+  test("exif scrub: GPS block stripped byte-exactly, benign EXIF untouched") {
+    import spark.implicits._
+    val docs = Seq((1L, "imgdata", "s"), (3L, "imgdata", "s"),
+      (4L, "imgdata", "s")).toDF("doc_id", "text", "source")
+    val got = Multimodal.exifGpsScrub(Multimodal.exifPlant(docs)).collect()
+      .map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("has_exif"), r.getAs[Boolean]("has_gps"),
+            new String(r.getAs[Array[Byte]]("payload_scrubbed"), "UTF-8"),
+            r.getAs[Long]("orig_bytes") - r.getAs[Long]("scrubbed_bytes")))
+      }.toMap
+    // doc 1: GPS=-89,-173 (1%180-90, 7%360-180) — block removed, the
+    // removed byte count is exactly the block's length
+    assert(got(1L) == ((true, true, "EXIF;IMG;imgdata",
+      "GPS=-89,-173;".length.toLong)))
+    // doc 3: benign camera tag kept whole; doc 4: no EXIF at all
+    assert(got(3L) == ((true, false, "EXIF;CAM=fx9;IMG;imgdata", 0L)))
+    assert(got(4L) == ((false, false, "IMG;imgdata", 0L)))
+    // rollup: flags and byte totals per source
+    val audit = Multimodal.exifPrivacyAudit(docs).collect().head
+    assert(audit.getAs[Long]("n_docs") == 3L)
+    assert(audit.getAs[Long]("n_exif") == 2L)
+    assert(audit.getAs[Long]("n_gps") == 1L)
+    assert(audit.getAs[Long]("removed_bytes") == "GPS=-89,-173;".length)
+  }
 }
