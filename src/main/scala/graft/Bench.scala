@@ -60,14 +60,66 @@ object Bench {
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warmup (untimed)
+
+    // ---- interleaved A/B mode (SPARK_GRAFT_BENCH_AB=1): -----------
+    // 2*rounds timed passes alternate labels A,B,A,B,... in ONE
+    // session, so external CPU-contention drift hits both sides
+    // near-symmetrically and a per-query A-vs-B delta is attributable:
+    // same HEAD by construction (one JVM), any out-of-band delta IS
+    // the environment's noise floor, measured — the protocol that
+    // replaces "one same-day rerun" as the drift counter-evidence.
+    // (Two different HEADs cannot share a JVM: run Bench in each
+    // checkout alternately with SPARK_GRAFT_BENCH_PASSES=1 and pair
+    // the detail files with scripts/bench_ab.py instead.)
+    if (sys.env.get("SPARK_GRAFT_BENCH_AB").contains("1")) {
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+      val labeled = (1 to 2 * rounds).map { i =>
+        (if (i % 2 == 1) "a" else "b") -> names.map(n => n -> runOnce(n)).toMap
+      }
+      def med(rs: Seq[Double]): Double =
+        if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(rs.size / 2)
+      def r3b(v: Double): Double = math.rint(v * 1000) / 1000
+      val per = names.map { n =>
+        val as = labeled.collect { case ("a", m) => m(n) }
+        val bs = labeled.collect { case ("b", m) => m(n) }
+        val (am, bm) = (med(as), med(bs))
+        // band = side A's observed spread widened 10% (the
+        // bench_compare.py regression bar); B's median inside it
+        // means the delta is indistinguishable from noise
+        val inBand = am >= 0 && bm >= 0 &&
+          bm <= as.max * 1.10 && bm >= as.min * 0.90
+        (n, as, bs, am, bm, inBand)
+      }
+      val outOfBand = per.collect { case (n, _, _, _, _, false) => n }
+      val qjson = per.map { case (n, as, bs, am, bm, inBand) =>
+        "\"" + n + "\":{\"a\":[" + as.map(r3b).mkString(",") +
+          "],\"b\":[" + bs.map(r3b).mkString(",") +
+          s"],\"a_med\":${r3b(am)},\"b_med\":${r3b(bm)}," +
+          s""""in_band":$inBand}"""
+      }.mkString("{", ",", "}")
+      val oob = outOfBand.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val aTot = r3b(per.map(_._4).filter(_ >= 0).sum)
+      val bTot = r3b(per.map(_._5).filter(_ >= 0).sum)
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_ab.json")
+      val line =
+        s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","queries":$qjson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.stop()
+      println(s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","detail":"$out"}""")
+      return
+    }
     // 3 timed passes: the environment shows bursty external CPU
     // contention (identical plans vary 4x run-to-run), and single-shot
     // timings made round-over-round drift unfalsifiable — the MEDIAN is
     // the headline number and (min, max) records each query's observed
     // spread, so a later round can distinguish "regression" from
     // "within this query's own noise band". Any failed pass poisons
-    // the query to -1.
-    val passes = Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap)
+    // the query to -1. SPARK_GRAFT_BENCH_PASSES overrides the pass
+    // count (1 for the cross-checkout A/B protocol's per-invocation
+    // passes — see scripts/bench_ab.py).
+    val nTimed = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = Seq.fill(nTimed)(names.map(n => n -> runOnce(n)).toMap)
     val runs = names.map(n => n -> passes.map(_(n))).toMap
     val results = names.map { n =>
       val rs = runs(n)
