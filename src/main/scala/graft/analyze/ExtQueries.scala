@@ -638,6 +638,68 @@ object ExtQueries {
       UNION ALL SELECT 9500000 + gx, ${basisSql(-1)} FROM range(2) gb(gx))"""
   }
 
+  /** c38/c39's shared oracle CTE chain: the doc_id % 7 URL plant plus
+    * the full canonicalization pipeline, ending in
+    * n5(doc_id, url, norm_url, domain) — the DuckDB twin of
+    * `Curation.urlPlant` + `urlNormalize`, kept in ONE place so the
+    * two oracles can never drift from each other.
+    */
+  private val urlNormCtes: String = """u AS (SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN concat(
+               'HTTP://WWW.Example.COM:80/Path/item?utm_source=feed&id=',
+               doc_id, '#frag')
+             WHEN doc_id % 7 = 1 THEN 'https://news.example.org/a/b'
+             WHEN doc_id % 7 = 2 THEN
+               'https://user:pw@Shop.Example.co.uk:443//sale/' || doc_id
+             WHEN doc_id % 7 = 3 THEN
+               'http://blog.example.net:8080/?gclid=g' || doc_id
+             WHEN doc_id % 7 = 4 THEN
+               'https://XN--Bcher-KVA.ch/B%C3%BCcher?ref=ad&q=' || doc_id
+             WHEN doc_id % 7 = 5 THEN 'http://example.com'
+             ELSE concat('https://m.example.com/p?fbclid=x&a=', doc_id,
+                    '&utm_medium=soc&b=2') END AS url
+        FROM documents),
+      n1 AS (SELECT doc_id, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+            AS scheme,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1)
+            AS rest FROM u),
+      n2 AS (SELECT *,
+          regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
+            '([^@]*)$', 1) AS hostport,
+          regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq FROM n1),
+      n3 AS (SELECT *,
+          lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+          regexp_extract(hostport, ':([0-9]+)$', 1) AS port0 FROM n2),
+      n4 AS (SELECT *,
+          CASE WHEN (scheme = 'http' AND port0 = '80')
+                 OR (scheme = 'https' AND port0 = '443')
+               THEN '' ELSE port0 END AS port,
+          CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+               ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                 '/+', '/', 'g') END AS path,
+          coalesce(array_to_string(list_filter(
+            string_split(regexp_extract(pathq, '[?](.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$')), '&'), '')
+            AS query_norm FROM n3),
+      n5 AS (SELECT doc_id, url,
+          scheme || '://' || host ||
+            CASE WHEN port = '' THEN '' ELSE ':' || port END || path ||
+            CASE WHEN query_norm = '' THEN '' ELSE '?' || query_norm END
+            AS norm_url,
+          CASE WHEN len(string_split(host, '.')) >= 3
+                 AND string_split(host, '.')[-2] IN
+                   ('co','com','org','net','ac','gov','edu')
+                 AND length(string_split(host, '.')[-1]) = 2
+               THEN string_split(host, '.')[-3] || '.' ||
+                    string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1]
+               WHEN len(string_split(host, '.')) >= 2
+               THEN string_split(host, '.')[-2] || '.' ||
+                    string_split(host, '.')[-1]
+               ELSE host END AS domain FROM n4)"""
+
   // ---- query definitions -----------------------------------------------
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -5393,6 +5455,21 @@ object ExtQueries {
       FROM s12 ORDER BY word"""
       }),
 
+    // ---- canonical-URL exact dedup over the same plant: two fetches
+    // of one canonical URL are the same page, so URL-group collapse
+    // is the cheapest duplicate class and runs before any shingling;
+    // keeper = lowest doc_id, one partial-aggregable groupBy --------
+    ("c39_url_dedup", (s: SparkSession, d: String) =>
+      graft.ext.Curation.urlDedup(
+        graft.ext.Curation.urlPlant(t(s, d, "documents"))),
+      Some(s"""
+      WITH $urlNormCtes
+      SELECT norm_url, domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS keep_doc,
+        CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+      FROM n5 GROUP BY norm_url, domain HAVING COUNT(*) > 1
+      ORDER BY norm_url""")),
+
     // ---- URL canonicalization + per-domain crawl curation over the
     // deterministic doc_id % 7 URL plant: RFC 3986 syntax
     // normalization (case, userinfo, default ports, fragments,
@@ -5402,62 +5479,8 @@ object ExtQueries {
     ("c38_url_curation", (s: SparkSession, d: String) =>
       graft.ext.Curation.urlDomainCurate(
         graft.ext.Curation.urlPlant(t(s, d, "documents"))),
-      Some("""
-      WITH u AS (SELECT doc_id,
-        CASE WHEN doc_id % 7 = 0 THEN concat(
-               'HTTP://WWW.Example.COM:80/Path/item?utm_source=feed&id=',
-               doc_id, '#frag')
-             WHEN doc_id % 7 = 1 THEN 'https://news.example.org/a/b'
-             WHEN doc_id % 7 = 2 THEN
-               'https://user:pw@Shop.Example.co.uk:443//sale/' || doc_id
-             WHEN doc_id % 7 = 3 THEN
-               'http://blog.example.net:8080/?gclid=g' || doc_id
-             WHEN doc_id % 7 = 4 THEN
-               'https://XN--Bcher-KVA.ch/B%C3%BCcher?ref=ad&q=' || doc_id
-             WHEN doc_id % 7 = 5 THEN 'http://example.com'
-             ELSE concat('https://m.example.com/p?fbclid=x&a=', doc_id,
-                    '&utm_medium=soc&b=2') END AS url
-        FROM documents),
-      n1 AS (SELECT doc_id, url,
-          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-            AS scheme,
-          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1)
-            AS rest FROM u),
-      n2 AS (SELECT *,
-          regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
-            '([^@]*)$', 1) AS hostport,
-          regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq FROM n1),
-      n3 AS (SELECT *,
-          lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-          regexp_extract(hostport, ':([0-9]+)$', 1) AS port0 FROM n2),
-      n4 AS (SELECT *,
-          CASE WHEN (scheme = 'http' AND port0 = '80')
-                 OR (scheme = 'https' AND port0 = '443')
-               THEN '' ELSE port0 END AS port,
-          CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
-               ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
-                 '/+', '/', 'g') END AS path,
-          coalesce(array_to_string(list_filter(
-            string_split(regexp_extract(pathq, '[?](.*)$', 1), '&'),
-            p -> p <> '' AND NOT regexp_matches(p,
-              '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$')), '&'), '')
-            AS query_norm FROM n3),
-      n5 AS (SELECT doc_id, url,
-          scheme || '://' || host ||
-            CASE WHEN port = '' THEN '' ELSE ':' || port END || path ||
-            CASE WHEN query_norm = '' THEN '' ELSE '?' || query_norm END
-            AS norm_url,
-          CASE WHEN len(string_split(host, '.')) >= 3
-                 AND string_split(host, '.')[-2] IN
-                   ('co','com','org','net','ac','gov','edu')
-                 AND length(string_split(host, '.')[-1]) = 2
-               THEN string_split(host, '.')[-3] || '.' ||
-                    string_split(host, '.')[-2] || '.' ||
-                    string_split(host, '.')[-1]
-               WHEN len(string_split(host, '.')) >= 2
-               THEN string_split(host, '.')[-2] || '.' ||
-                    string_split(host, '.')[-1]
-               ELSE host END AS domain FROM n4),
+      Some(s"""
+      WITH $urlNormCtes,
       r AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS domain_docs,
               CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS domain_urls
             FROM n5 GROUP BY domain),

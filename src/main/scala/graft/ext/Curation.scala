@@ -1251,6 +1251,29 @@ object Curation {
       .drop("__rest", "__hostport", "__port0", "__pathq")
   }
 
+  /** Canonical-URL exact dedup — the crawl stage between URL
+    * normalization and content dedup: two fetches of the same
+    * canonical URL are the same page (modulo recrawl drift), so
+    * URL-group collapse removes the cheapest duplicate class before
+    * any shingling runs. Groups on [[urlNormalize]]'s `norm_url`;
+    * representative = lowest doc_id (the first fetch — deterministic,
+    * the dedup families' keeper rule); reports every group with its
+    * size, keeper, dropped count, and the registered domain the
+    * per-domain audit keys on.
+    *
+    * Shape: ONE partial-aggregable groupBy(norm_url) over the
+    * normalization's narrow map — no joins, no windows; at 100 TB the
+    * exchange carries one row per distinct URL.
+    */
+  def urlDedup(docs: DataFrame): DataFrame =
+    urlNormalize(graft.core.Tables.spread(docs))
+      .groupBy(col("norm_url"), col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_doc"),
+        (count(lit(1)) - 1L).as("n_dropped"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("norm_url"))
+
   /** Per-domain crawl curation over [[urlNormalize]]: each doc carries
     * its canonical URL and registered domain, plus the domain's doc
     * count and an over-cap verdict (domain share > `capSharePct`% of

@@ -527,6 +527,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(5L) == (("http://localhost:9000/ok", "localhost")))
   }
 
+  test("urlDedup: canonical collisions group, keeper is the first fetch") {
+    import spark.implicits._
+    // three spellings of ONE canonical URL (case, default port,
+    // tracking param, fragment), plus two distinct singletons
+    val d = Seq(
+      (0L, "https://Example.com/a?utm_source=x"),
+      (1L, "https://example.com:443/a#frag"),
+      (2L, "https://example.com/a"),
+      (3L, "https://example.com/b"),
+      (4L, "https://other.org/a")).toDF("doc_id", "url")
+    val got = Curation.urlDedup(d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("norm_url") == "https://example.com/a")
+    assert(r.getAs[String]("domain") == "example.com")
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("keep_doc") == 0L)
+    assert(r.getAs[Long]("n_dropped") == 2L)
+  }
+
   test("urlDomainCurate: over-cap flags exactly the >20%-share domains") {
     import spark.implicits._
     // 10 docs: 6 on big.com (60% > 20%), 2+2 on small domains
