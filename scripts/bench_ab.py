@@ -49,10 +49,12 @@ def report(per, rounds, sf):
             flagged.append(
                 (name, f"B median {bm:.2f}s outside A band "
                        f"[{min(a):.2f}, {max(a):.2f}] (A median {am:.2f}s)"))
-    atot = sum(sorted(v)[len(v) // 2] for v in
-               (per[n]["a"] for n in per) if all(x >= 0 for x in v))
-    btot = sum(sorted(v)[len(v) // 2] for v in
-               (per[n]["b"] for n in per) if all(x >= 0 for x in v))
+    # a query failed on EITHER side leaves BOTH totals — else the two
+    # totals sum different query sets and the headline delta is skewed
+    ok = [n for n in per
+          if all(x >= 0 for x in per[n]["a"] + per[n]["b"])]
+    atot = sum(sorted(per[n]["a"])[len(per[n]["a"]) // 2] for n in ok)
+    btot = sum(sorted(per[n]["b"])[len(per[n]["b"]) // 2] for n in ok)
     print(f"A/B over {len(per)} queries, {rounds} rounds/side, sf={sf}")
     dtot = f"{(btot - atot) / atot * 100:+.1f}%" if atot > 0 else "n/a"
     print(f"side-A median total {atot:.1f}s  side-B {btot:.1f}s  ({dtot})")
@@ -68,8 +70,17 @@ def report(per, rounds, sf):
 def main():
     args = sys.argv[1:]
     if "--a" in args:
+        if "--b" not in args:
+            sys.exit("usage: bench_ab.py --a A1.json [A2...] --b B1.json "
+                     "[B2...]  (or: bench_ab.py bench_ab.json)")
         ia, ib = args.index("--a"), args.index("--b")
-        a_files, b_files = args[ia + 1:ib], args[ib + 1:]
+        if ia > ib:  # slicing [ia+1:ib] would silently produce wrong lists
+            ia, ib = ib, ia
+            a_files, b_files = args[ib + 1:], args[ia + 1:ib]
+        else:
+            a_files, b_files = args[ia + 1:ib], args[ib + 1:]
+        if not a_files or not b_files:
+            sys.exit("bench_ab.py: --a and --b each need at least one file")
         a_runs = [load_line(p)["queries"] for p in a_files]
         b_runs = [load_line(p)["queries"] for p in b_files]
         shared = set(a_runs[0])

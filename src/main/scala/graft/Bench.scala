@@ -98,8 +98,14 @@ object Bench {
           s""""in_band":$inBand}"""
       }.mkString("{", ",", "}")
       val oob = outOfBand.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val aTot = r3b(per.map(_._4).filter(_ >= 0).sum)
-      val bTot = r3b(per.map(_._5).filter(_ >= 0).sum)
+      // a query failed on EITHER side leaves BOTH totals — summing it
+      // into just the healthy side would compare different query sets
+      // and skew the headline delta
+      val okPairs = per.collect {
+        case (_, _, _, am, bm, _) if am >= 0 && bm >= 0 => (am, bm)
+      }
+      val aTot = r3b(okPairs.map(_._1).sum)
+      val bTot = r3b(okPairs.map(_._2).sum)
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_ab.json")
       val line =
         s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","queries":$qjson}"""

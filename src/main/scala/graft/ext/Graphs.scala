@@ -1045,7 +1045,9 @@ object Graphs {
     * `numSources` PIVOT nodes are chosen hash-deterministically (the
     * `numSources` smallest by Lehmer hash (k·48271) mod (2^31 − 1),
     * ties by k — seedless, reproducible, oracle-expressible; node ids
-    * must stay below 2^63 / 48271, enforced), and the EXACT floored
+    * must be non-negative and below 2^63 / 48271, both enforced, since
+    * Spark's pmod and the oracle's sign-following % diverge on
+    * negatives), and the EXACT floored
     * pair-dependency identity of [[betweenness]] is restricted to
     * pivot PAIRS (s, t) ∈ S×S: one forward σ-BFS from S and one
     * backward σ-BFS from S over the reversed edges supply σ(s, v) and
@@ -1075,11 +1077,19 @@ object Graphs {
     val mObs = org.apache.spark.sql.Observation()
     val nodes = ed.select(col("src").as("k"))
       .unionAll(ed.select(col("dst").as("k"))).distinct()
-      .observe(mObs, coalesce(max(abs(col("k"))), lit(0L)).as("kmax"))
+      .observe(mObs, coalesce(max(col("k")), lit(0L)).as("kmax"),
+        coalesce(min(col("k")), lit(0L)).as("kmin"))
       .cpGuard()
     require(mObs.get("kmax").asInstanceOf[Long] < Long.MaxValue / 48271L,
       "betweennessSampled: node ids too large for the overflow-free " +
         "Lehmer seed hash")
+    // pmod (Spark) and sign-following % (the oracle) diverge on
+    // negative ids — the two engines would pick DIFFERENT pivot sets,
+    // so negatives are out of contract, not silently re-hashed
+    require(mObs.get("kmin").asInstanceOf[Long] >= 0L,
+      "betweennessSampled: negative node ids break the cross-engine " +
+        "Lehmer seed hash contract (pmod vs sign-following %); " +
+        "remap ids to non-negative first")
     val n = nodes.count()
     require(n >= 2, "betweennessSampled: need at least 2 nodes")
     val k2 = math.min(numSources.toLong, n)
@@ -1098,8 +1108,17 @@ object Graphs {
         col("d").as("d2"), col("sigma").as("sig2"))
     val p3 = spF.select(col("s"), col("v").as("t"),
       col("d").as("dst_d"), col("sigma").as("sigst"))
+    // n is a driver value: guard n(n-1) itself (wraps past n ~ 3.04e9,
+    // exactly the corpus-scale regime this op exists for — Spark
+    // non-ANSI arithmetic would wrap SILENTLY, violating the repo's
+    // loud-overflow discipline)
+    require(n - 1 <= Long.MaxValue / n,
+      s"betweennessSampled: n(n-1) overflows Long for n=$n")
     val factNum = n * (n - 1)
     val factDen = k2 * (k2 - 1)
+    // bc_raw_q can reach ~K(K-1)·2^scaleBits, so bc_raw_q·factNum can
+    // wrap for large n; the largest safe raw value is a driver constant
+    val rawLim = Long.MaxValue / factNum
     val bc = p1.join(p2, "v")
       .join(p3, Seq("s", "t"))
       .filter(col("d1") + col("d2") === col("dst_d"))
@@ -1108,8 +1127,15 @@ object Graphs {
       .groupBy(col("v")).agg(sum(col("term")).as("bc"))
     nodes.join(bc, col("k") === col("v"), "left")
       .select(col("k"), coalesce(col("bc"), lit(0L)).as("bc_raw_q"))
+      // the guard lives INSIDE the consumed expression (a separate
+      // assert_true column would be pruned away as dead); raise_error's
+      // NullType coerces into the BIGINT branch
       .withColumn("bc_est_q",
-        expr(s"bc_raw_q * CAST($factNum AS BIGINT) div CAST($factDen AS BIGINT)"))
+        expr(s"CASE WHEN bc_raw_q > ${rawLim}L THEN raise_error(concat(" +
+          "'betweennessSampled: bc_raw_q ', CAST(bc_raw_q AS STRING), " +
+          s"' overflows the n(n-1)/K(K-1) extrapolation at n=$n; lower " +
+          "scaleBits')) ELSE " +
+          s"bc_raw_q * CAST($factNum AS BIGINT) div CAST($factDen AS BIGINT) END"))
       .orderBy(col("k"))
   }
 

@@ -46,17 +46,29 @@ object IngestJob {
     */
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Monotonic floor for [[nextSeq]]: the raw millis<<20|counter
+    * candidate can invert across a 2^20 counter wrap inside one
+    * millisecond, or across a wall-clock step-back — the clamp keeps
+    * in-JVM ordering strictly increasing regardless.
+    */
+  private val lastSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Last-writer-wins order for same-(file, field) updates: derived
     * from the WALL CLOCK AT CALL TIME (millis << 20 | counter), not a
     * JVM-start anchor — a long-running JVM's later update must not
-    * carry a smaller seq than a younger JVM's earlier one. Cross-JVM
-    * ordering is therefore time-ordered to millisecond resolution;
-    * same-millisecond cross-JVM ties break deterministically by status
-    * in [[ledger]]'s max_by, the same race DynamoDB itself has.
+    * carry a smaller seq than a younger JVM's earlier one — then
+    * clamped to max(candidate, last+1) so in-JVM order stays strictly
+    * monotonic even across a same-millisecond counter wrap or an NTP
+    * step-back. Cross-JVM ordering is time-ordered to millisecond
+    * resolution; same-millisecond cross-JVM ties break
+    * deterministically by status in [[ledger]]'s max_by, the same race
+    * DynamoDB itself has.
     */
-  private def nextSeq(): Long =
-    (System.currentTimeMillis() << 20) |
+  private def nextSeq(): Long = {
+    val candidate = (System.currentTimeMillis() << 20) |
       (seqCounter.incrementAndGet() & 0xFFFFFL)
+    lastSeq.updateAndGet(prev => math.max(candidate, prev + 1))
+  }
 
   /** True if `dir` holds at least one non-hidden entry — i.e. a
     * `spark.read.parquet(dir)` would find data files (Spark's listing
