@@ -5518,7 +5518,130 @@ object ExtQueries {
         CAST(SUM(ob) AS BIGINT) AS orig_bytes,
         CAST(SUM(sb) AS BIGINT) AS scrubbed_bytes,
         CAST(SUM(ob - sb) AS BIGINT) AS removed_bytes
-      FROM f GROUP BY source ORDER BY source"""))
+      FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- end-to-end crawl-to-corpus composite: the c38/c39 URL
+    // stages, t38 extraction, t26 boilerplate scrub, t02 quality and
+    // t01 langid chained in REAL pipeline order over one fixture, with
+    // per-source stage-loss accounting. Every stage is oracle-gated in
+    // isolation elsewhere; THIS query proves they compose (column
+    // contracts, ordering, verdict arithmetic) — the oracle replays
+    // the whole chain as one CTE stack ------------------------------
+    ("c40_crawl_corpus", (s: SparkSession, d: String) =>
+      graft.ext.Crawl.corpusDatasheet(t(s, d, "documents")),
+      Some {
+        val txt =
+          "trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+        val allStop = TextAnalysis.stopwords.flatMap(_._2)
+          .map(w => s"'$w'").mkString(", ")
+        val langAgg = TextAnalysis.stopwords.map { case (l, _) =>
+          s"""CAST(SUM(CASE WHEN kept AND predicted_lang = '$l'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_$l"""
+        }.mkString(",\n             ")
+        val langOut = TextAnalysis.stopwords
+          .map { case (l, _) => s"CAST(COALESCE(r2.n_$l, 0) AS BIGINT) AS n_$l" }
+          .mkString(",\n             ")
+        s"""
+      WITH $urlNormCtes,
+      kp AS (SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY norm_url) AS keep_doc FROM n5),
+      base AS (SELECT d.doc_id, d.source, d.text,
+                 kp.doc_id <> kp.keep_doc AS is_url_dup
+               FROM documents d JOIN kp USING (doc_id)),
+      r1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_url_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_url_dup
+             FROM base GROUP BY source),
+      h AS (SELECT doc_id, source,
+        '<html><head><title>Doc ' || doc_id ||
+        '</title><style>.nav{color:#fff}</style><script>var t="' || doc_id ||
+        '";track(t);</script></head><body><div><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>' ||
+        CASE WHEN doc_id % 5 = 2
+             THEN '<div>ad <a href="/buy">buy now</a> <a href="/sub">subscribe today</a></div>'
+             ELSE '' END ||
+        '<p>' || text ||
+        '</p><p>related reading material worth your time see <a href="/more">more like doc ' || doc_id ||
+        '</a></p><!-- rendered in 3ms --><div><a href="/terms">terms</a> <a href="/privacy">privacy</a> (c) site</div></body></html>'
+          AS html FROM base WHERE NOT is_url_dup),
+      m AS (SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          '<script[^>]*>.*?</script>', ' ', 'g'),
+          '<style[^>]*>.*?</style>', ' ', 'g'),
+          '<!--.*?-->', ' ', 'g'),
+          '</(p|div|title|li|h1|h2|h3)>', '@@BLK@@', 'g') AS t FROM h),
+      k AS (SELECT doc_id, source,
+        list_filter(
+          list_filter(string_split(t, '@@BLK@@'), x -> length($txt) > 0),
+          x -> len(string_split($txt, ' ')) >= 3
+            AND coalesce(length(array_to_string(regexp_extract_all(x,
+              '<a[^>]*>([^<]*)</a>', 1), '')), 0) * 100
+              <= length($txt) * 30) AS kept
+        FROM m),
+      ex AS (SELECT doc_id, source, CAST(len(kept) AS INT) AS n_kept_blocks,
+               array_to_string(list_transform(kept, x -> $txt), ' ')
+                 AS extracted FROM k),
+      pw AS (SELECT doc_id, string_split(extracted, ' ') AS ws FROM ex),
+      ps AS (SELECT doc_id, CAST(unnest(range(len(ws) - 2)) AS INT) AS pos, ws
+             FROM pw WHERE len(ws) >= 3),
+      sh AS (SELECT doc_id, pos,
+               concat_ws(' ', ws[pos+1], ws[pos+2], ws[pos+3]) AS s FROM ps),
+      bl AS (SELECT s FROM (SELECT s, COUNT(DISTINCT doc_id) AS nd
+                            FROM sh GROUP BY 1) z WHERE nd >= 20),
+      cov AS (SELECT DISTINCT sh.doc_id, sh.pos + o.o AS cpos
+              FROM sh JOIN bl USING (s) CROSS JOIN range(3) o(o)),
+      tok AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS INT) AS pos, ws
+              FROM pw),
+      tok2 AS (SELECT doc_id, pos, ws[pos+1] AS tok FROM tok),
+      sc AS (SELECT t2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_scrub_kept,
+               COALESCE(string_agg(t2.tok, ' ' ORDER BY t2.pos), '')
+                 AS scrubbed_text
+             FROM tok2 t2 LEFT JOIN cov
+               ON cov.doc_id = t2.doc_id AND cov.cpos = t2.pos
+             WHERE cov.doc_id IS NULL GROUP BY 1),
+      sb AS (SELECT ex.doc_id, ex.source, ex.n_kept_blocks,
+               CAST(len(pw.ws) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(sc.n_scrub_kept, 0) AS BIGINT) AS n_scrub_kept,
+               COALESCE(sc.scrubbed_text, '') AS scrubbed_text
+             FROM ex JOIN pw USING (doc_id) LEFT JOIN sc USING (doc_id)),
+      qx AS (SELECT *, string_split(scrubbed_text, ' ') AS cw FROM sb),
+      ql AS (SELECT *,
+               CASE WHEN length(scrubbed_text) > 0 THEN
+                 0.4 * (CAST(len(list_distinct(cw)) AS DOUBLE) / len(cw))
+                 + 0.4 * (1.0 - CAST(len(list_filter(cw,
+                     w -> w IN ($allStop))) AS DOUBLE) / len(cw))
+                 + 0.2 * LEAST((CAST(length(scrubbed_text) - len(cw) + 1
+                     AS DOUBLE) / len(cw)) / 10.0, 1.0)
+               END AS quality,
+               $langidChunkScoreCols FROM qx),
+      pl AS (SELECT *, $langidCase AS predicted_lang,
+               (n_kept_blocks >= 1 AND length(scrubbed_text) > 0
+                 AND quality >= 0.65) AS kept FROM ql),
+      r2 AS (SELECT source,
+               CAST(SUM(n_tokens - n_scrub_kept) AS BIGINT) AS boiler_tokens,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN kept THEN length(scrubbed_text)
+                 END), 0) AS BIGINT) AS kept_chars,
+               CAST(COALESCE(SUM(CASE WHEN kept THEN n_scrub_kept END), 0)
+                 AS BIGINT) AS kept_words,
+               CAST(COUNT(DISTINCT CASE WHEN kept THEN predicted_lang END)
+                 AS BIGINT) AS n_langs_kept,
+               $langAgg,
+               MIN(CASE WHEN kept THEN quality END) AS min_quality,
+               MAX(CASE WHEN kept THEN quality END) AS max_quality
+             FROM pl GROUP BY source)
+      SELECT r1.source, r1.n_docs, r1.n_url_dup,
+             CAST(r1.n_docs - r1.n_url_dup AS BIGINT) AS n_fetched,
+             CAST(COALESCE(r2.boiler_tokens, 0) AS BIGINT) AS boiler_tokens,
+             CAST(r1.n_docs - r1.n_url_dup - COALESCE(r2.n_kept, 0)
+               AS BIGINT) AS n_low_quality,
+             CAST(COALESCE(r2.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(COALESCE(r2.kept_chars, 0) AS BIGINT) AS kept_chars,
+             CAST(COALESCE(r2.kept_words, 0) AS BIGINT) AS kept_words,
+             CAST(COALESCE(r2.n_langs_kept, 0) AS BIGINT) AS n_langs_kept,
+             $langOut,
+             r2.min_quality, r2.max_quality
+      FROM r1 LEFT JOIN r2 USING (source) ORDER BY source"""
+      })
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

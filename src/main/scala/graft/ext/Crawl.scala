@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end crawl-to-corpus composite — the stages every crawl-fed
+  * training-data pipeline chains, here in REAL pipeline order over one
+  * deterministic fixture so an oracle can replay the whole chain as a
+  * single CTE stack (the c40 contract: each stage is individually
+  * oracle-gated elsewhere — c38/c39 URLs, t38 extraction, t26 scrub,
+  * t01 langid, t02 quality — and this query proves they COMPOSE:
+  * column contracts, stage ordering, verdict accounting):
+  *
+  *  1. URL canonicalization ([[Curation.urlNormalize]] over the
+  *     doc_id % 7 [[Curation.urlPlant]]);
+  *  2. canonical-URL frontier dedup — keeper = lowest doc_id per
+  *     norm_url (the c39 keeper rule), BEFORE fetch: a crawler never
+  *     pays to fetch a URL it has already seen;
+  *  3. fetch + extract — [[TextAnalysis.htmlWrap]] (the deterministic
+  *     page plant) then [[TextAnalysis.htmlExtract]], keepers only;
+  *  4. cross-doc boilerplate scrub on the EXTRACTED text
+  *     ([[TextAnalysis.boilerplateScrub]] retargeted): the wrap's
+  *     "related reading" paragraph survives extraction by design (low
+  *     link density) and is exactly what the cross-doc stage must
+  *     catch;
+  *  5. quality (t02 formula) + language ID (t01 predictor) on the
+  *     SCRUBBED text; keep verdict = extracted at least one block AND
+  *     non-empty after scrub AND quality >= `minQuality`;
+  *  6. per-source corpus datasheet: stage-by-stage loss accounting
+  *     (crawled, URL-dup, fetched, boilerplate tokens, low-quality,
+  *     kept) plus kept-corpus size and language mix.
+  *
+  * Scale shape, stage by stage: (1) narrow projection; (2) one
+  * doc-PARTITIONED window on norm_url (one shuffle, no global order);
+  * (3) narrow projection; (4) shingle explode -> lexicon groupBy ->
+  * equi-joins on (doc_id, pos) — t26's shape unchanged; (5) narrow
+  * ([[graft.functions.QualityCountsOf]], no word arrays); (6) two
+  * partial-aggregable groupBy(source) rollups joined on source (20
+  * sources — broadcastable at any corpus scale). No cartesian, no
+  * unpartitioned window, no driver-side data.
+  */
+object Crawl {
+
+  /** Stages 1-2: canonical URL + frontier-dedup verdict for EVERY
+    * crawled doc. Output = input columns + (url, scheme, host, port,
+    * path, query_norm, norm_url, domain) + keep_doc (the group's
+    * keeper) + is_url_dup.
+    */
+  def urlStage(docs: DataFrame): DataFrame = {
+    val normed = Curation.urlNormalize(
+      Curation.urlPlant(graft.core.Tables.spread(docs)))
+    normed
+      .withColumn("keep_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("norm_url"))))
+      .withColumn("is_url_dup", col("doc_id") =!= col("keep_doc"))
+  }
+
+  /** Stage 3: fetch (the deterministic page wrap) + extract, keepers
+    * only. Output: (doc_id, source, n_kept_blocks, extracted) — the
+    * t38 contract minus the per-block diagnostics the downstream
+    * stages don't key on.
+    */
+  def extractStage(urlStaged: DataFrame, minWords: Int = 3,
+                   maxLinkDensityPct: Int = 30): DataFrame =
+    TextAnalysis.htmlExtract(
+        TextAnalysis.htmlWrap(urlStaged.filter(!col("is_url_dup"))),
+        minWords, maxLinkDensityPct)
+      .select(col("doc_id"), col("source"),
+        col("n_kept").as("n_kept_blocks"), col("extracted"))
+
+  /** Stage 4: cross-doc boilerplate scrub ON the extracted text —
+    * [[TextAnalysis.boilerplateScrub]] with `extracted` standing in
+    * for `text` (the column-contract handoff the composite exists to
+    * prove). Output: stage-3 columns + (n_tokens, n_scrub_kept,
+    * scrubbed_text).
+    */
+  def scrubStage(extracted: DataFrame, shingle: Int = 3,
+                 minDocs: Long = 20L): DataFrame = {
+    val scrubbed = TextAnalysis.boilerplateScrub(
+        extracted.select(col("doc_id"), col("extracted").as("text")),
+        shingle, minDocs)
+      .withColumnRenamed("n_kept", "n_scrub_kept")
+    extracted.join(scrubbed, Seq("doc_id"))
+  }
+
+  /** Stage 5: t02 quality + t01 language ID on the scrubbed text, and
+    * the keep verdict. quality is NULL (not a crash, not a garbage
+    * 0.8 from the empty-token artifact of split('')) when the scrub
+    * left nothing. Output: stage-4 columns + (n_words, quality,
+    * predicted_lang, kept).
+    */
+  def scoreStage(scrubbed: DataFrame,
+                 minQuality: Double = 0.65): DataFrame = {
+    val allStop = TextAnalysis.stopwords.flatMap(_._2)
+    scrubbed
+      .withColumn("__q",
+        graft.functions.QualityCountsOf(col("scrubbed_text"), allStop))
+      .withColumn("n_words", col("__q.n_words"))
+      .withColumn("quality",
+        when(length(col("scrubbed_text")) > 0,
+          lit(0.4) * (col("__q.n_distinct").cast("double") / col("n_words")) +
+            lit(0.4) * (lit(1.0) -
+              col("__q.n_stop").cast("double") / col("n_words")) +
+            lit(0.2) * least(
+              (col("__q.len") - col("n_words") + 1).cast("double") /
+                col("n_words") / lit(10.0), lit(1.0))))
+      .withColumn("predicted_lang",
+        TextAnalysis.langIdOf(TextOps.words(col("scrubbed_text"))))
+      .withColumn("kept",
+        col("n_kept_blocks") >= 1 && length(col("scrubbed_text")) > 0 &&
+          col("quality") >= minQuality)
+      .drop("__q")
+  }
+
+  /** The full chain + stage 6: one datasheet row per source, ordered
+    * by source — crawl-loss accounting a corpus release documents
+    * (cf. Gebru et al. 2021 "Datasheets for Datasets" §3.2
+    * collection/cleaning provenance).
+    */
+  def corpusDatasheet(docs: DataFrame, minQuality: Double = 0.65,
+                      shingle: Int = 3, minDocs: Long = 20L): DataFrame = {
+    val staged = urlStage(docs)
+    val scored = scoreStage(
+      scrubStage(extractStage(staged), shingle, minDocs), minQuality)
+    val crawled = staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_url_dup"), 1L).otherwise(0L)).as("n_url_dup"))
+    val langCols = TextAnalysis.stopwords.map { case (l, _) =>
+      sum(when(col("kept") && col("predicted_lang") === l, 1L)
+        .otherwise(0L)).as(s"n_$l")
+    }
+    val corpusAggs = Seq(
+        sum(col("n_tokens") - col("n_scrub_kept")).as("boiler_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), length(col("scrubbed_text")).cast("long")))
+          .as("kept_chars"),
+        sum(when(col("kept"), col("n_scrub_kept"))).as("kept_words"),
+        countDistinct(when(col("kept"), col("predicted_lang")))
+          .as("n_langs_kept")) ++ langCols ++ Seq(
+        min(when(col("kept"), col("quality"))).as("min_quality"),
+        max(when(col("kept"), col("quality"))).as("max_quality"))
+    val corpus = scored.groupBy(col("source"))
+      .agg(corpusAggs.head, corpusAggs.tail: _*)
+    // a source whose every doc lost the URL race has no corpus row —
+    // the LEFT join keeps its loss accounting visible, zeros attached
+    crawled.join(corpus, Seq("source"), "left")
+      .select(Seq(col("source"), col("n_docs"), col("n_url_dup"),
+        (col("n_docs") - col("n_url_dup")).as("n_fetched"),
+        coalesce(col("boiler_tokens"), lit(0L)).as("boiler_tokens"),
+        (col("n_docs") - col("n_url_dup") -
+          coalesce(col("n_kept"), lit(0L))).as("n_low_quality"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        coalesce(col("n_langs_kept"), lit(0L)).as("n_langs_kept")) ++
+        TextAnalysis.stopwords.map { case (l, _) =>
+          coalesce(col(s"n_$l"), lit(0L)).as(s"n_$l") } ++
+        Seq(col("min_quality"), col("max_quality")): _*)
+      .orderBy(col("source"))
+  }
+}
