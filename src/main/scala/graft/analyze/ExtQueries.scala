@@ -5641,6 +5641,62 @@ object ExtQueries {
              $langOut,
              r2.min_quality, r2.max_quality
       FROM r1 LEFT JOIN r2 USING (source) ORDER BY source"""
+      }),
+
+    // ---- WordPiece vocabulary TRAINING: the likelihood-gain merge
+    // objective freq(pair)/(freq(a)·freq(b)) over the t17 corpus
+    // convention, compared EXACTLY as floor((pair << 30)/(fa·fb)) with
+    // (score DESC, a, b) tie-break. The oracle unrolls the same 4
+    // iterations: unit freqs recounted per iteration over the current
+    // segmentation, pair argmax by the identical integer score -------
+    ("t40_wordpiece_train", (s: SparkSession, d: String) =>
+      TextAnalysis.wordpieceTrain(t(s, d, "documents"),
+        vocabTop = 200, iters = 4),
+      Some {
+        val scale = 1L << 30
+        val iterCtes = (1 to 4).map { i =>
+          s"""sy$i AS MATERIALIZED (SELECT freq,
+                   string_split(trim(seq), '  ') AS sy
+                 FROM v${i - 1}),
+        uf$i AS MATERIALIZED (SELECT u, SUM(freq) AS f
+                 FROM (SELECT freq, unnest(sy) AS u FROM sy$i) q GROUP BY u),
+        pc$i AS (SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
+                 FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+                         j -> [sy[j], sy[j+1]])) AS p FROM sy$i
+                       WHERE len(sy) > 1) q
+                 GROUP BY 1, 2),
+        sc$i AS (SELECT a, b, cnt, ua.f AS fa, ub.f AS fb,
+                   (cnt * $scale) // (ua.f * ub.f) AS score_q
+                 FROM pc$i JOIN uf$i ua ON pc$i.a = ua.u
+                           JOIN uf$i ub ON pc$i.b = ub.u),
+        tp$i AS MATERIALIZED (SELECT * FROM sc$i
+                 ORDER BY score_q DESC, a, b LIMIT 1),
+        v$i AS MATERIALIZED (SELECT word, freq,
+                  replace(seq,
+                    ' ' || (SELECT a FROM tp$i) || '  ' || (SELECT b FROM tp$i) || ' ',
+                    ' ' || (SELECT a FROM tp$i) || (SELECT b FROM tp$i) || ' ') AS seq
+                FROM v${i - 1})"""
+        }.mkString(",\n        ")
+        s"""
+      WITH wf AS (SELECT wd AS word, COUNT(*) AS freq
+                  FROM (SELECT unnest(string_split(text, ' ')) AS wd
+                        FROM documents) u
+                  WHERE regexp_matches(wd, '^[a-z]+$$') GROUP BY wd),
+      v0 AS (SELECT word, freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+             FROM wf ORDER BY freq DESC, word LIMIT 200),
+      $iterCtes
+      SELECT * FROM (
+        SELECT 1 AS iter, a AS sym_a, b AS sym_b,
+               CAST(cnt AS BIGINT) AS pair_count, CAST(fa AS BIGINT) AS freq_a,
+               CAST(fb AS BIGINT) AS freq_b, CAST(score_q AS BIGINT) AS score_q
+        FROM tp1
+        UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT), CAST(fa AS BIGINT),
+               CAST(fb AS BIGINT), CAST(score_q AS BIGINT) FROM tp2
+        UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT), CAST(fa AS BIGINT),
+               CAST(fb AS BIGINT), CAST(score_q AS BIGINT) FROM tp3
+        UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT), CAST(fa AS BIGINT),
+               CAST(fb AS BIGINT), CAST(score_q AS BIGINT) FROM tp4) z
+      ORDER BY iter"""
       })
   )
 

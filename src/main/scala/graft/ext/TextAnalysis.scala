@@ -1387,19 +1387,43 @@ object TextAnalysis {
     */
   def wordpieceApply(docs: DataFrame, vocabTop: Int = 20,
                      maxUnits: Int = 12): DataFrame = {
-    require(vocabTop >= 1 && maxUnits >= 1, "vocabTop, maxUnits >= 1")
+    require(vocabTop >= 1, "vocabTop >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wordsTbl = graft.core.Tables.spread(docs)
-      .select(explode(TextOps.words(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
-      .cpGuard()
+    val wordsTbl = distinctWords(docs)
     val top = wordsTbl.filter(col("word").rlike("^[a-z]+$"))
       .orderBy(col("n_occurrences").desc, col("word"))
       .limit(vocabTop).select("word").as[String].collect().toSeq
     val letters = top.flatMap(_.toSeq).distinct.map(_.toString)
-    val units = (top ++ letters).distinct
+    greedyWalk(wordsTbl, (top ++ letters).distinct, maxUnits)
+  }
+
+  /** [[wordpieceApply]] with an EXTERNAL unit vocabulary — the
+    * deployed-tokenizer path: the units come from a training artifact
+    * (e.g. [[wordpieceTrainedUnits]]), not the top-K literal
+    * convention. Same greedy longest-match walk, same whole-word
+    * [UNK] and loud-unroll contracts.
+    */
+  def wordpieceApplyWith(docs: DataFrame, units: Seq[String],
+                         maxUnits: Int = 12): DataFrame =
+    greedyWalk(distinctWords(docs), units, maxUnits)
+
+  /** Distinct corpus words with occurrence counts — the one shuffle
+    * the apply paths share.
+    */
+  private def distinctWords(docs: DataFrame): DataFrame =
+    graft.core.Tables.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      .cpGuard()
+
+  private def greedyWalk(wordsTbl: DataFrame, units: Seq[String],
+                         maxUnits: Int): DataFrame = {
+    require(units.nonEmpty && maxUnits >= 1, "units non-empty, maxUnits >= 1")
+    require(units.forall(_.matches("^[a-z]+$")),
+      "units must be lowercase ascii words (the t17 dictionary " +
+        "convention keeps them SQL-literal-safe)")
     val vlit = units.map(u => s"'$u'").mkString("array(", ", ", ")")
     // longest vocab unit matching at 0-based position `pos` (0 = none)
     def matchLen(pos: String) =
@@ -1439,6 +1463,119 @@ object TextAnalysis {
       s"wordpieceApply: a word needs more than $maxUnits units — raise " +
         "maxUnits (the loud-unroll contract)")
     out
+  }
+
+  /** WordPiece vocabulary TRAINING (Schuster & Nakajima ICASSP 2012;
+    * the likelihood-gain objective in Wu et al. 2016 §4.1 — the merge
+    * rule deployed tokenizers are actually trained with, vs
+    * [[bpeMerges]]'s raw pair frequency): over the t17 corpus
+    * convention (top `vocabTop` lowercase words by (freq DESC, word),
+    * char-unit start, " a  b " delimiter scheme), each iteration picks
+    * the adjacent unit pair maximizing freq(pair)/(freq(a)·freq(b)) —
+    * the pair whose merge most raises the unigram-LM corpus
+    * likelihood. The rational score is compared EXACTLY as the scaled
+    * integer floor((pair << `scaleBits`) / (freq_a·freq_b)) with
+    * (score DESC, a, b) tie-break, so both engines rank candidates
+    * bit-identically (the repo's fixed-point discipline); unit
+    * frequencies are corpus occurrences (word-freq-weighted) over the
+    * CURRENT segmentation, recounted each iteration, words already
+    * fully merged still counting toward their units' totals.
+    *
+    * Overflow envelope, loudly enforced per iteration: max unit freq
+    * < 2^31 (then pair <= min(fa, fb) < 2^31, fa·fb < 2^62, and
+    * pair << 30 < 2^61) — at corpus scale one trains on a bounded
+    * sample, the [[oddsQualityClassifier]] sampling contract.
+    *
+    * Distribution shape = [[bpeMerges]]: per iteration one explode +
+    * two partial-aggregable groupBys + a broadcast-size join of pair
+    * counts to unit counts, and ONE argmax row collected (merges ARE
+    * the model). Output: (iter, sym_a, sym_b, pair_count, freq_a,
+    * freq_b, score_q), ordered by iter.
+    */
+  def wordpieceTrain(docs: DataFrame, vocabTop: Int = 200,
+                     iters: Int = 4, scaleBits: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnWordpieceMerges(docs, vocabTop, iters, scaleBits)
+      .toDF("iter", "sym_a", "sym_b", "pair_count", "freq_a", "freq_b",
+        "score_q")
+      .orderBy(col("iter"))
+  }
+
+  /** The trained WordPiece vocabulary — every single character of the
+    * training dictionary plus each merge's product, the unit set
+    * [[wordpieceApplyWith]] consumes (a deployed tokenizer ships
+    * exactly this artifact).
+    */
+  def wordpieceTrainedUnits(docs: DataFrame, vocabTop: Int = 200,
+                            iters: Int = 4,
+                            scaleBits: Int = 30): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val letters = dictionary(docs, vocabTop).select("word").as[String]
+      .collect().toSeq.flatMap(_.toSeq).distinct.map(_.toString)
+    val merged = learnWordpieceMerges(docs, vocabTop, iters, scaleBits)
+      .map { case (_, a, b, _, _, _, _) => a + b }
+    (letters ++ merged).distinct
+  }
+
+  /** Top-`vocabTop` lowercase-word dictionary with char-unit start
+    * sequences — the shared t17/t39/t40 training-corpus convention.
+    */
+  private def dictionary(docs: DataFrame, vocabTop: Int): DataFrame =
+    graft.core.Tables.spread(docs)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabTop)
+      .withColumn("seq", regexp_replace(col("word"), "(.)", " $1 "))
+      .cpGuard()
+
+  private def learnWordpieceMerges(docs: DataFrame, vocabTop: Int,
+      iters: Int, scaleBits: Int):
+      Seq[(Int, String, String, Long, Long, Long, Long)] = {
+    require(vocabTop >= 1 && iters >= 1 &&
+      scaleBits >= 1 && scaleBits <= 30,
+      "vocabTop, iters >= 1, scaleBits in [1, 30]")
+    var vocab = dictionary(docs, vocabTop)
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
+    for (i <- 1 to iters) {
+      val units = vocab
+        .select(col("freq"), split(trim(col("seq")), "  ").as("sy"))
+        .cpGuard() // read thrice: unit freqs, the envelope, pair freqs
+      val ufObs = org.apache.spark.sql.Observation()
+      val uf = units
+        .select(col("freq"), explode(col("sy")).as("u"))
+        .groupBy(col("u")).agg(sum(col("freq")).as("f"))
+        .observe(ufObs, coalesce(max(col("f")), lit(0L)).as("fmax"))
+        .cpGuard()
+      require(ufObs.get("fmax").asInstanceOf[Long] < (1L << 31),
+        s"wordpieceTrain iteration $i: a unit frequency reaches 2^31 " +
+          "and the exact fixed-point score would overflow — train on " +
+          "a bounded sample (the corpus-scale contract)")
+      val top = units.filter(size(col("sy")) > 1)
+        .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("sy")) - 1), j =>
+              struct(element_at(col("sy"), j).as("a"),
+                element_at(col("sy"), j + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .join(broadcast(uf.select(col("u").as("a"), col("f").as("fa"))), "a")
+        .join(broadcast(uf.select(col("u").as("b"), col("f").as("fb"))), "b")
+        .withColumn("score_q",
+          expr(s"cnt * CAST(${1L << scaleBits} AS BIGINT) div (fa * fb)"))
+        .orderBy(col("score_q").desc, col("a"), col("b"))
+        .limit(1).select("a", "b", "cnt", "fa", "fb", "score_q").collect()
+      require(top.nonEmpty, s"wordpieceTrain iteration $i: no adjacent " +
+        "pairs left")
+      val (a, b) = (top(0).getString(0), top(0).getString(1))
+      merges += ((i, a, b, top(0).getLong(2), top(0).getLong(3),
+        top(0).getLong(4), top(0).getLong(5)))
+      vocab = vocab.withColumn("seq",
+          expr(s"replace(seq, ' $a  $b ', ' $a$b ')"))
+        .cpGuard()
+    }
+    merges.result()
   }
 
   /** Deterministic synthetic-HTML wrapper (the t35/m03 plant

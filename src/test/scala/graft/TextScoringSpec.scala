@@ -326,4 +326,43 @@ class TextScoringSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("more than 2 units"))
   }
+
+  test("wordpieceTrain: likelihood argmax, not frequency argmax, exact scores") {
+    // (a,b) is the most FREQUENT pair (6) but a and b are common units
+    // (freq 16 each, inflated by aa/bb), while (q,u) is rare (2) yet
+    // perfectly cohesive (q only ever precedes u) — the likelihood
+    // objective must pick qu FIRST, where bpeMerges would pick ab
+    val d = docs(("ab " * 6 + "qu " * 2 + "aa " * 5 + "bb " * 5).trim)
+    val got = TextAnalysis.wordpieceTrain(d, vocabTop = 10, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // score_q = (pair << 30) div (fa*fb), exact integers:
+    // qu: (2 << 30) div (2*2) = 2^29; ab: (6 << 30) div (16*16)
+    assert(got(0) == ((1, "q", "u", 2L, 2L, 2L, 536870912L)), got(0).toString)
+    assert(got(1) == ((2, "a", "b", 6L, 16L, 16L, 25165824L)), got(1).toString)
+    // the frequency objective on the same corpus picks ab first
+    val bpe = TextAnalysis.bpeMerges(d, vocabTop = 10, iters = 1)
+      .collect().head
+    assert(bpe.getString(1) == "a" && bpe.getString(2) == "b")
+  }
+
+  test("trained vocab lowers the UNK rate over the literal top-K vocab") {
+    val d = docs("play ground playground qq yap play")
+    def unkOccurrences(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.collect { case r if r.getBoolean(2) => r.getLong(1) }.sum
+    // literal top-2 vocab: 'q' is outside play/ground's alphabet
+    val literal = TextAnalysis.wordpieceApply(d, vocabTop = 2).collect()
+    assert(unkOccurrences(literal) == 1L)
+    // the TRAINED vocab carries every dictionary char + merge products
+    val units = TextAnalysis.wordpieceTrainedUnits(d, vocabTop = 10, iters = 2)
+    assert(units.contains("q") && units.contains("gr") && units.contains("gro"),
+      units.toString) // tie-break (score DESC, a, b): gr then gro
+    val trained = TextAnalysis.wordpieceApplyWith(d, units).collect()
+    assert(unkOccurrences(trained) == 0L, "trained vocab must cover qq")
+    val byWord = trained.map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(byWord("qq") == "q ##q")
+    // greedy longest-match consumes the merged unit where it applies
+    assert(byWord("playground") == "p ##l ##a ##y ##gro ##u ##n ##d")
+    assert(byWord("ground") == "gro ##u ##n ##d")
+  }
 }
