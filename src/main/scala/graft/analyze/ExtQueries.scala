@@ -638,13 +638,15 @@ object ExtQueries {
       UNION ALL SELECT 9500000 + gx, ${basisSql(-1)} FROM range(2) gb(gx))"""
   }
 
-  /** c38/c39's shared oracle CTE chain: the doc_id % 7 URL plant plus
-    * the full canonicalization pipeline, ending in
+  /** c38/c39/c41's shared oracle CTE chain: the doc_id % 7 URL plant
+    * plus the full canonicalization pipeline, ending in
     * n5(doc_id, url, norm_url, domain) — the DuckDB twin of
     * `Curation.urlPlant` + `urlNormalize`, kept in ONE place so the
-    * two oracles can never drift from each other.
+    * oracles can never drift from each other. `from` is any relation
+    * exposing a doc_id column (documents for c38/c39, the event log
+    * for c41).
     */
-  private val urlNormCtes: String = """u AS (SELECT doc_id,
+  private def urlNormCtesOver(from: String): String = s"""u AS (SELECT doc_id,
         CASE WHEN doc_id % 7 = 0 THEN concat(
                'HTTP://WWW.Example.COM:80/Path/item?utm_source=feed&id=',
                doc_id, '#frag')
@@ -658,19 +660,19 @@ object ExtQueries {
              WHEN doc_id % 7 = 5 THEN 'http://example.com'
              ELSE concat('https://m.example.com/p?fbclid=x&a=', doc_id,
                     '&utm_medium=soc&b=2') END AS url
-        FROM documents),
+        FROM $from),
       n1 AS (SELECT doc_id, url,
           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
-          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1)
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$$', 1)
             AS rest FROM u),
       n2 AS (SELECT *,
           regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
-            '([^@]*)$', 1) AS hostport,
+            '([^@]*)$$', 1) AS hostport,
           regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq FROM n1),
       n3 AS (SELECT *,
           lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-          regexp_extract(hostport, ':([0-9]+)$', 1) AS port0 FROM n2),
+          regexp_extract(hostport, ':([0-9]+)$$', 1) AS port0 FROM n2),
       n4 AS (SELECT *,
           CASE WHEN (scheme = 'http' AND port0 = '80')
                  OR (scheme = 'https' AND port0 = '443')
@@ -679,9 +681,9 @@ object ExtQueries {
                ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
                  '/+', '/', 'g') END AS path,
           coalesce(array_to_string(list_filter(
-            string_split(regexp_extract(pathq, '[?](.*)$', 1), '&'),
+            string_split(regexp_extract(pathq, '[?](.*)$$', 1), '&'),
             p -> p <> '' AND NOT regexp_matches(p,
-              '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$')), '&'), '')
+              '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$$')), '&'), '')
             AS query_norm FROM n3),
       n5 AS (SELECT doc_id, url,
           scheme || '://' || host ||
@@ -699,6 +701,8 @@ object ExtQueries {
                THEN string_split(host, '.')[-2] || '.' ||
                     string_split(host, '.')[-1]
                ELSE host END AS domain FROM n4)"""
+
+  private val urlNormCtes: String = urlNormCtesOver("documents")
 
   // ---- query definitions -----------------------------------------------
 
@@ -5697,7 +5701,59 @@ object ExtQueries {
         UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT), CAST(fa AS BIGINT),
                CAST(fb AS BIGINT), CAST(score_q AS BIGINT) FROM tp4) z
       ORDER BY iter"""
-      })
+      }),
+
+    // ---- per-domain crawl-politeness budget audit: the events table
+    // as the fetch log (event_id through the %7 URL plant -> c38
+    // registered domains), gaps between consecutive same-domain
+    // fetches vs a literal crawl-delay policy, hourly burst profile,
+    // and the next round's frontier budget = least(share cap,
+    // politeness cap). All integer epoch-ms math -------------------
+    ("c41_crawl_politeness", (s: SparkSession, d: String) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id").as("doc_id"), col("ts"))
+      graft.ext.Curation.crawlPoliteness(
+        graft.ext.Curation.urlNormalize(graft.ext.Curation.urlPlant(ev))
+          .select(col("domain"), col("ts")),
+        policy = Seq("example.com" -> 900000L, "example.org" -> 3600000L,
+          "example.co.uk" -> 1800000L, "example.net" -> 5000L),
+        defaultDelayMs = 600000L, capSharePct = 20)
+    },
+      Some(s"""
+      WITH ${urlNormCtesOver("(SELECT event_id AS doc_id FROM events) ev0")},
+      fx AS (SELECT n5.domain, epoch_ms(e.ts) AS ms
+             FROM n5 JOIN events e ON e.event_id = n5.doc_id),
+      dl AS (SELECT domain, ms,
+               CASE domain WHEN 'example.com' THEN 900000
+                           WHEN 'example.org' THEN 3600000
+                           WHEN 'example.co.uk' THEN 1800000
+                           WHEN 'example.net' THEN 5000
+                           ELSE 600000 END AS delay_ms,
+               ms - LAG(ms) OVER (PARTITION BY domain ORDER BY ms) AS gap
+             FROM fx),
+      gr AS (SELECT domain, CAST(MAX(delay_ms) AS BIGINT) AS crawl_delay_ms,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches,
+               CAST(SUM(CASE WHEN gap < delay_ms THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violations,
+               CAST(MIN(gap) AS BIGINT) AS min_gap_ms
+             FROM dl GROUP BY domain),
+      hb AS (SELECT domain, ms // 3600000 AS hr, COUNT(*) AS nh
+             FROM fx GROUP BY 1, 2),
+      br AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(MAX(nh) AS BIGINT) AS max_per_window
+             FROM hb GROUP BY domain),
+      tt AS (SELECT COUNT(*) AS total, MAX(ms) - MIN(ms) AS span_ms FROM fx)
+      SELECT gr.domain, gr.n_fetches, br.n_windows, br.max_per_window,
+             gr.crawl_delay_ms, gr.n_violations, gr.min_gap_ms,
+             CAST((tt.total * 20) // 100 AS BIGINT) AS share_cap,
+             CAST(tt.span_ms // gr.crawl_delay_ms + 1 AS BIGINT)
+               AS politeness_cap,
+             CAST(LEAST((tt.total * 20) // 100,
+               tt.span_ms // gr.crawl_delay_ms + 1) AS BIGINT) AS budget,
+             gr.n_violations = 0 AS compliant,
+             gr.n_fetches > LEAST((tt.total * 20) // 100,
+               tt.span_ms // gr.crawl_delay_ms + 1) AS over_budget
+      FROM gr JOIN br USING (domain) CROSS JOIN tt ORDER BY gr.domain"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

@@ -59,6 +59,7 @@ object PlanAudit {
     "s30_rocchio_expand" -> 2, // broadcast query set per round (s01 contract x2)
     "c12_temperature_mixture" -> 1, // broadcast 1-row weight-total aggregate
     "c38_url_curation" -> 1, // broadcast 1-row corpus-total aggregate (cap share)
+    "c41_crawl_politeness" -> 1, // broadcast 1-row span/total aggregate (budget)
     "c15_priority_sample" -> 1, // broadcast 1-row tau (the (n+1)-th priority)
     "c14_dedup_aware_mixture" -> 1, // same 1-row weight-total broadcast, post-dedup
     "c16_dsir_select" -> 1, // broadcast 1-row feature-total aggregate

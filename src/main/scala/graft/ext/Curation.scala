@@ -1303,4 +1303,75 @@ object Curation {
         col("domain_docs"), col("domain_urls"), col("over_cap"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-domain crawl-politeness budget audit — the OTHER half of
+    * crawl curation next to [[urlDomainCurate]]'s share cap: a fetch
+    * log (domain, ts) is audited against a LITERAL per-domain
+    * crawl-delay policy table (the robots.txt `Crawl-delay` contract,
+    * cf. the IETF robots exclusion protocol RFC 9309 — the policy
+    * itself is an input, fetched out-of-engine like K6's upload):
+    *
+    *  - burst profile: fetches per hour window (epoch-ms div 3600000 —
+    *    integer bucketing, no calendar/zone traps), window count and
+    *    the burstiest window;
+    *  - compliance: consecutive same-domain fetch gaps (exact ms via
+    *    unix_millis) vs the domain's delay — violations counted, the
+    *    minimum observed gap reported;
+    *  - frontier budget: least(share cap, politeness cap), where
+    *    share cap = `capSharePct`% of total fetches (the c38 rule) and
+    *    politeness cap = audit-span div delay + 1 (the max fetches a
+    *    compliant crawler could even issue) — the next crawl round's
+    *    per-domain allocation.
+    *
+    * Shape: one narrow projection; ONE domain-PARTITIONED window for
+    * the gaps (domains ≪ fetches, skew bounded by the share cap
+    * itself); two partial-aggregable groupBys; the global span/total
+    * is a 1-row broadcast attach (declared BNLJ, the c38 discipline).
+    * All integer math — exact in any engine.
+    */
+  def crawlPoliteness(fetches: DataFrame, policy: Seq[(String, Long)],
+                      defaultDelayMs: Long = 600000L,
+                      capSharePct: Int = 20): DataFrame = {
+    require(capSharePct >= 0 && capSharePct <= 100, "capSharePct in [0,100]")
+    require(policy.map(_._1).distinct.size == policy.size &&
+      policy.forall(_._2 > 0) && defaultDelayMs > 0,
+      "policy domains distinct, delays positive")
+    val f = fetches
+      .select(col("domain"), unix_millis(col("ts")).as("ms"))
+      .cpGuard() // read thrice: gaps, burst profile, 1-row span/total
+    val delayCol = policy.foldRight(lit(defaultDelayMs)) {
+      case ((d, ms), e) => when(col("domain") === d, lit(ms)).otherwise(e)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("ms"))
+    val gapRoll = f
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .withColumn("delay_ms", delayCol)
+      .groupBy(col("domain"))
+      .agg(max(col("delay_ms")).as("crawl_delay_ms"), // functional on domain
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("gap") < col("delay_ms"), 1L).otherwise(0L))
+          .as("n_violations"),
+        min(col("gap")).as("min_gap_ms")) // null when a single fetch
+    val burst = f
+      .groupBy(col("domain"), expr("ms div 3600000").as("hr"))
+      .agg(count(lit(1)).as("nh"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_windows"), max(col("nh")).as("max_per_window"))
+    val tot = f.agg(count(lit(1)).as("__total"),
+      (max(col("ms")) - min(col("ms"))).as("__span_ms"))
+    gapRoll.join(burst, Seq("domain"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_cap", expr(s"__total * $capSharePct div 100"))
+      .withColumn("politeness_cap",
+        expr("__span_ms div crawl_delay_ms + 1"))
+      .withColumn("budget", least(col("share_cap"), col("politeness_cap")))
+      .withColumn("compliant", col("n_violations") === 0L)
+      .withColumn("over_budget", col("n_fetches") > col("budget"))
+      .select(col("domain"), col("n_fetches"), col("n_windows"),
+        col("max_per_window"), col("crawl_delay_ms"), col("n_violations"),
+        col("min_gap_ms"), col("share_cap"), col("politeness_cap"),
+        col("budget"), col("compliant"), col("over_budget"))
+      .orderBy(col("domain"))
+  }
 }

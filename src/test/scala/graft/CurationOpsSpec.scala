@@ -562,4 +562,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("s1.org") == ((2L, false)))
     assert(got("s2.net") == ((2L, false)))
   }
+
+  test("crawlPoliteness: burst domain violates, steady domain complies") {
+    import spark.implicits._
+    // burst.com: 6 fetches one second apart; steady.org: 4 fetches one
+    // hour apart — global span 10800s
+    val fetches = ((0 until 6).map(s => ("burst.com", s.toLong)) ++
+        (0 until 4).map(h => ("steady.org", h * 3600L)))
+      .toDF("domain", "sec")
+      .select(col("domain"), to_timestamp(col("sec")).as("ts"))
+    val got = Curation.crawlPoliteness(fetches,
+        policy = Seq("burst.com" -> 10000L, "steady.org" -> 1800000L),
+        capSharePct = 50)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val b = got("burst.com")
+    assert(b.getAs[Long]("n_fetches") == 6L)
+    assert(b.getAs[Long]("n_violations") == 5L) // every 1s gap < 10s delay
+    assert(b.getAs[Long]("min_gap_ms") == 1000L)
+    assert(b.getAs[Long]("n_windows") == 1L &&
+      b.getAs[Long]("max_per_window") == 6L)
+    assert(!b.getAs[Boolean]("compliant"))
+    // share cap = 10 * 50 div 100 = 5; politeness cap =
+    // 10800000 div 10000 + 1 = 1081 -> budget 5, and 6 > 5 is over
+    assert(b.getAs[Long]("share_cap") == 5L)
+    assert(b.getAs[Long]("politeness_cap") == 1081L)
+    assert(b.getAs[Long]("budget") == 5L && b.getAs[Boolean]("over_budget"))
+    val st = got("steady.org")
+    assert(st.getAs[Long]("n_violations") == 0L &&
+      st.getAs[Boolean]("compliant"))
+    assert(st.getAs[Long]("min_gap_ms") == 3600000L)
+    assert(st.getAs[Long]("n_windows") == 4L &&
+      st.getAs[Long]("max_per_window") == 1L)
+    // politeness cap = 10800000 div 1800000 + 1 = 7 -> budget 5, 4 fits
+    assert(st.getAs[Long]("politeness_cap") == 7L)
+    assert(st.getAs[Long]("budget") == 5L && !st.getAs[Boolean]("over_budget"))
+  }
 }
