@@ -691,9 +691,10 @@ object ExtQueries {
             CASE WHEN query_norm = '' THEN '' ELSE '?' || query_norm END
             AS norm_url,
           CASE WHEN len(string_split(host, '.')) >= 3
-                 AND string_split(host, '.')[-2] IN
-                   ('co','com','org','net','ac','gov','edu')
-                 AND length(string_split(host, '.')[-1]) = 2
+                 AND (string_split(host, '.')[-2] || '.' ||
+                      string_split(host, '.')[-1]) IN (${
+                       graft.ext.Curation.PslSubset.map(s => s"'$s'")
+                         .mkString(", ")})
                THEN string_split(host, '.')[-3] || '.' ||
                     string_split(host, '.')[-2] || '.' ||
                     string_split(host, '.')[-1]

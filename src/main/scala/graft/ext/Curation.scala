@@ -1186,6 +1186,71 @@ object Curation {
         lit("&utm_medium=soc&b=2"))))
   }
 
+  /** Literal public-suffix subset (a documented SNAPSHOT of the
+    * two-label country-code registry suffixes from the public suffix
+    * list at publicsuffix.org — the list Mozilla maintains and every
+    * crawler ships a copy of): a host's registered domain is one label
+    * plus the matching suffix. Snapshot scope, documented: two-label
+    * suffixes of the major ccTLD registries only; wildcard rules
+    * (`*.ck`) and 3+-label suffixes (`act.edu.au`) are outside the
+    * snapshot, and generic TLDs need no entry (their registered domain
+    * is the plain last-2 fallback). This replaces the round-13
+    * public-suffix-LITE heuristic ("co/com/org/net/ac/gov/edu under
+    * any 2-char TLD"), which both missed real registries (go.jp,
+    * ne.jp, govt.nz, gob.mx) and invented non-existent ones (ac.ch).
+    */
+  val PslSubset: Seq[String] = Seq(
+    // uk
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk", "sch.uk",
+    // jp
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    // au
+    "asn.au", "com.au", "edu.au", "gov.au", "id.au", "net.au", "org.au",
+    // nz
+    "ac.nz", "co.nz", "geek.nz", "gen.nz", "govt.nz", "health.nz",
+    "iwi.nz", "kiwi.nz", "maori.nz", "mil.nz", "net.nz", "org.nz",
+    "parliament.nz", "school.nz",
+    // br
+    "art.br", "blog.br", "com.br", "edu.br", "gov.br", "mil.br",
+    "net.br", "org.br",
+    // in
+    "ac.in", "co.in", "edu.in", "firm.in", "gen.in", "gov.in", "ind.in",
+    "mil.in", "net.in", "org.in", "res.in",
+    // za
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za", "net.za",
+    "nom.za", "org.za", "school.za", "web.za",
+    // cn
+    "ac.cn", "com.cn", "edu.cn", "gov.cn", "mil.cn", "net.cn", "org.cn",
+    // kr
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr",
+    // tw / hk / sg / my / id / th
+    "com.tw", "edu.tw", "gov.tw", "idv.tw", "mil.tw", "net.tw", "org.tw",
+    "com.hk", "edu.hk", "gov.hk", "idv.hk", "net.hk", "org.hk",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg", "per.sg",
+    "com.my", "edu.my", "gov.my", "mil.my", "name.my", "net.my", "org.my",
+    "ac.id", "biz.id", "co.id", "desa.id", "go.id", "mil.id", "my.id",
+    "net.id", "or.id", "sch.id", "web.id",
+    "ac.th", "co.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    // il / ua / pl / tr
+    "ac.il", "co.il", "gov.il", "idf.il", "k12.il", "muni.il", "net.il",
+    "org.il",
+    "com.ua", "edu.ua", "gov.ua", "in.ua", "net.ua", "org.ua",
+    "com.pl", "edu.pl", "gov.pl", "info.pl", "net.pl", "org.pl", "waw.pl",
+    "av.tr", "bbs.tr", "com.tr", "edu.tr", "gov.tr", "mil.tr", "net.tr",
+    "org.tr",
+    // mx / ar / co / ve / pe / ec
+    "com.mx", "edu.mx", "gob.mx", "net.mx", "org.mx",
+    "com.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar", "mil.ar", "net.ar",
+    "org.ar",
+    "com.co", "edu.co", "gov.co", "mil.co", "net.co", "nom.co", "org.co",
+    "com.ve", "edu.ve", "gob.ve", "net.ve", "org.ve",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    "com.ec", "edu.ec", "fin.ec", "gob.ec", "gov.ec", "med.ec", "mil.ec",
+    "net.ec", "org.ec")
+
   /** URL canonicalization (RFC 3986 §6 syntax-based normalization +
     * the crawl-dedup conventions, cf. the C4/CommonCrawl pipelines):
     * scheme and host lowercase; userinfo stripped; default ports
@@ -1194,18 +1259,17 @@ object Curation {
     * (`utm_*`, `gclid`, `fbclid`, `ref`) removed with surviving-param
     * ORDER preserved; percent-encoding and punycode pass through
     * untouched (never decoded — decoding is lossy across engines).
-    * Registered domain: last two host labels, or three when the
-    * second-level label is a known short suffix (`co com org net ac
-    * gov edu` under a 2-char TLD) — the public-suffix-lite rule,
-    * documented as such.
+    * Registered domain: the host's last two labels, or three when the
+    * last two form a public suffix in the literal [[PslSubset]]
+    * snapshot (longest-match within the snapshot's 2-label scope).
     *
     * Pure regexp/array built-ins in one narrow projection — no UDF,
     * no shuffle — so normalization runs at scan speed ahead of the
-    * dedup stages that key on it.
+    * dedup stages that key on it; the suffix lookup is a literal IN
+    * over the snapshot, codegen'd into the projection.
     */
   def urlNormalize(df: DataFrame): DataFrame = {
-    val suffixes = Seq("co", "com", "org", "net", "ac", "gov", "edu")
-      .map(s => s"'$s'").mkString(", ")
+    val suffixes = PslSubset.map(s => s"'$s'").mkString(", ")
     df
       .withColumn("scheme",
         lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
@@ -1239,8 +1303,8 @@ object Curation {
           .otherwise(concat(lit("?"), col("query_norm")))))
       .withColumn("domain", expr(
         s"""CASE WHEN size(split(host, '[.]')) >= 3
-              AND element_at(split(host, '[.]'), -2) IN ($suffixes)
-              AND length(element_at(split(host, '[.]'), -1)) = 2
+              AND concat_ws('.', element_at(split(host, '[.]'), -2),
+                element_at(split(host, '[.]'), -1)) IN ($suffixes)
             THEN concat_ws('.', element_at(split(host, '[.]'), -3),
               element_at(split(host, '[.]'), -2),
               element_at(split(host, '[.]'), -1))

@@ -527,6 +527,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(5L) == (("http://localhost:9000/ok", "localhost")))
   }
 
+  test("registered domain: PSL-subset lookup, not the lite heuristic") {
+    import spark.implicits._
+    val urls = Seq(
+      // rows the round-13 lite rule got RIGHT and must stay right
+      "https://shop.example.co.uk/x" -> "example.co.uk",
+      "https://w.example.com.au/x" -> "example.com.au",
+      "https://portal.example.gov.uk/x" -> "example.gov.uk",
+      "https://labs.example.ac.jp/x" -> "example.ac.jp",
+      // registries the lite rule MISSED (second label outside its
+      // 7-word set): go.jp, ne.jp, govt.nz, gob.mx
+      "https://www.soumu.go.jp/x" -> "soumu.go.jp",
+      "https://isp.big.ne.jp/x" -> "big.ne.jp",
+      "https://stats.example.govt.nz/x" -> "example.govt.nz",
+      "https://tramites.cdmx.gob.mx/x" -> "cdmx.gob.mx",
+      // a FALSE suffix the lite rule invented: ac.ch is a plain
+      // registrable domain in .ch, not a registry suffix
+      "https://shop.ac.ch/x" -> "ac.ch",
+      // 2-char second label under a 2-char TLD, not in the snapshot
+      "https://a.bc.de/x" -> "bc.de")
+    val d = urls.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("doc_id", "url")
+    val got = Curation.urlNormalize(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("domain")).toMap
+    urls.map(_._2).zipWithIndex.foreach { case (want, i) =>
+      assert(got(i.toLong) == want, s"${urls(i)._1}: got ${got(i.toLong)}")
+    }
+  }
+
   test("urlDedup: canonical collisions group, keeper is the first fetch") {
     import spark.implicits._
     // three spellings of ONE canonical URL (case, default port,
