@@ -5479,7 +5479,7 @@ object ExtQueries {
     // deterministic doc_id % 7 URL plant: RFC 3986 syntax
     // normalization (case, userinfo, default ports, fragments,
     // duplicate slashes, tracking params with order preserved),
-    // public-suffix-lite registered domains, per-domain doc/url
+    // PSL-subset registered domains, per-domain doc/url
     // counts and a >20%-share over-cap verdict ----------------------
     ("c38_url_curation", (s: SparkSession, d: String) =>
       graft.ext.Curation.urlDomainCurate(
