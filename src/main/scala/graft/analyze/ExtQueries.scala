@@ -5754,7 +5754,39 @@ object ExtQueries {
              gr.n_violations = 0 AS compliant,
              gr.n_fetches > LEAST((tt.total * 20) // 100,
                tt.span_ms // gr.crawl_delay_ms + 1) AS over_budget
-      FROM gr JOIN br USING (domain) CROSS JOIN tt ORDER BY gr.domain"""))
+      FROM gr JOIN br USING (domain) CROSS JOIN tt ORDER BY gr.domain""")),
+
+    // ---- m16: real EXIF/TIFF byte-walker — m15's audit schema over
+    // REAL TIFF payloads (II/MM BOM, magic 42, IFD0 entry table, GPS
+    // sub-IFD behind 0x8825, strip behind 0x0111), scrubbed
+    // surgically with offset patching. The fixture layout is
+    // closed-form over doc_id, so the oracle verifies every byte
+    // total and the parse proofs (endianness counts, geometry sum)
+    // analytically without decoding a TIFF ------------------------
+    ("m16_tiff_privacy", (s: SparkSession, d: String) =>
+      graft.ext.Multimodal.tiffPrivacyAudit(t(s, d, "documents")),
+      Some("""
+      WITH p AS (SELECT doc_id, source,
+          4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, doc_id % 4 AS cls,
+          3 + CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END AS n
+        FROM documents),
+      f AS (SELECT source,
+          CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS le,
+          CASE WHEN cls IN (1, 3) THEN 1 ELSE 0 END AS exif,
+          CASE WHEN cls = 1 THEN 1 ELSE 0 END AS gps,
+          w * h AS wh,
+          14 + 12 * n + w * h + CASE WHEN cls = 1 THEN 30 ELSE 0 END AS ob,
+          CASE WHEN cls = 1 THEN 42 ELSE 0 END AS rm
+        FROM p)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(le) AS BIGINT) AS n_le,
+        CAST(SUM(exif) AS BIGINT) AS n_exif,
+        CAST(SUM(gps) AS BIGINT) AS n_gps,
+        CAST(SUM(wh) AS BIGINT) AS wh_sum,
+        CAST(SUM(ob) AS BIGINT) AS orig_bytes,
+        CAST(SUM(ob - rm) AS BIGINT) AS scrubbed_bytes,
+        CAST(SUM(rm) AS BIGINT) AS removed_bytes
+      FROM f GROUP BY source ORDER BY source"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

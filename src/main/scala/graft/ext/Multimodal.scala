@@ -1078,6 +1078,227 @@ object Multimodal {
         sum(col("orig_bytes") - col("scrubbed_bytes")).as("removed_bytes"))
       .orderBy(col("source"))
 
+  // ---- m16: REAL EXIF/TIFF byte-walker -----------------------------
+  //
+  // m15's ASCII plant declared the production shape; this IS it: real
+  // TIFF payloads (II/MM byte-order mark, magic 42, IFD0 entry table,
+  // inline SHORT/LONG values, a GPS sub-IFD behind the 0x8825 pointer
+  // tag, strip data behind StripOffsets 0x0111 — TIFF 6.0 §2, the
+  // container EXIF embeds) and a per-partition byte scanner in the
+  // [[decodeBatched]] codec-injection pattern. The fixture is
+  // closed-form over doc_id (the m03 PNG discipline), so the oracle
+  // verifies the audit's byte totals analytically without parsing a
+  // single TIFF.
+
+  /** TIFF type sizes (TIFF 6.0 §2: BYTE/ASCII 1, SHORT 2, LONG 4,
+    * RATIONAL 8) — a value lives inline in the 4-byte field iff
+    * size(type)·count <= 4, else the field holds an offset.
+    */
+  private val TiffTypeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8)
+
+  /** One synthetic TIFF, closed-form over doc_id: endianness II when
+    * id % 3 != 0, MM otherwise (coprime to the id % 4 GPS class, so
+    * the scrub's offset patching runs under BOTH byte orders); IFD0
+    * carries ImageWidth 0x0100 (SHORT,
+    * w = 4 + id%13), ImageLength 0x0101 (SHORT, h = 3 + id%7),
+    * StripOffsets 0x0111 (LONG → the w·h strip, pixel i =
+    * (id·31 + i) % 256), plus — by id % 4 — a benign Software tag
+    * 0x0131 (SHORT, 9) on class 3 or a GPSInfo pointer 0x8825 (LONG →
+    * a trailing GPS IFD: GPSLatitude 0x0002 = lat+90, GPSLongitude
+    * 0x0004 = lon+180 as inline LONGs, lat = id%180−90,
+    * lon = (id·7)%360−180) on class 1. Tags ascend as TIFF requires;
+    * the GPS IFD is the file tail. Layout arithmetic (the oracle's
+    * closed form): orig = 8 + 2 + 12n + 4 + w·h + (gps ? 30 : 0) with
+    * n = 3 + [class∈{1,3}]; scrub removes 12 + 30 = 42 bytes.
+    */
+  private[graft] def tiffBytes(id: Long): Array[Byte] = {
+    val le = id % 3 != 0
+    val w = 4 + (id % 13).toInt
+    val h = 3 + (id % 7).toInt
+    val cls = (id % 4).toInt
+    val n = 3 + (if (cls == 1 || cls == 3) 1 else 0)
+    val stripOff = 8 + 2 + 12 * n + 4
+    val gpsOff = stripOff + w * h
+    val total = gpsOff + (if (cls == 1) 30 else 0)
+    val b = new Array[Byte](total)
+    def pu16(p: Int, v: Int): Unit =
+      if (le) { b(p) = v.toByte; b(p + 1) = (v >> 8).toByte }
+      else { b(p) = (v >> 8).toByte; b(p + 1) = v.toByte }
+    def pu32(p: Int, v: Int): Unit =
+      if (le) { var i = 0; while (i < 4) { b(p + i) = (v >> (8 * i)).toByte; i += 1 } }
+      else { var i = 0; while (i < 4) { b(p + 3 - i) = (v >> (8 * i)).toByte; i += 1 } }
+    b(0) = (if (le) 'I' else 'M').toByte; b(1) = b(0)
+    pu16(2, 42); pu32(4, 8)
+    pu16(8, n)
+    // entry writer: SHORT values left-justify in the 4-byte field
+    def entry(pos: Int, tag: Int, typ: Int, v: Int): Unit = {
+      pu16(pos, tag); pu16(pos + 2, typ); pu32(pos + 4, 1)
+      if (typ == 3) pu16(pos + 8, v) else pu32(pos + 8, v)
+    }
+    entry(10, 0x0100, 3, w)
+    entry(22, 0x0101, 3, h)
+    entry(34, 0x0111, 4, stripOff)
+    if (cls == 3) entry(46, 0x0131, 3, 9)
+    if (cls == 1) entry(46, 0x8825, 4, gpsOff)
+    pu32(10 + 12 * n, 0) // next-IFD
+    var i = 0
+    while (i < w * h) { b(stripOff + i) = ((id * 31 + i) % 256).toByte; i += 1 }
+    if (cls == 1) {
+      val lat = (id % 180 - 90).toInt; val lon = ((id * 7) % 360 - 180).toInt
+      pu16(gpsOff, 2)
+      entry(gpsOff + 2, 0x0002, 4, lat + 90)
+      entry(gpsOff + 14, 0x0004, 4, lon + 180)
+      pu32(gpsOff + 26, 0)
+    }
+    b
+  }
+
+  /** Deterministic real-TIFF payloads (doc_id, source, payload) —
+    * encoded per partition like any real payload producer.
+    */
+  def syntheticTiffs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, src) =>
+        (id, src, tiffBytes(id)) })
+      .toDF("doc_id", "source", "payload")
+  }
+
+  /** Parse + scrub ONE TIFF payload: walks the byte-order mark, magic,
+    * IFD0 entry table (endianness-correct u16/u32, SHORT values read
+    * from the left-justified half of the value field); when a GPSInfo
+    * pointer 0x8825 is present, removes the 12-byte pointer entry AND
+    * the GPS sub-IFD it targets, decrements the entry count, and
+    * shifts every offset-semantic value (StripOffsets 0x0111 here —
+    * offset semantics are TAG knowledge, exactly as in exiftool) that
+    * points past a removed region — emitting a VALID, re-walkable
+    * TIFF. Fails loudly on a foreign BOM/magic or a truncated table:
+    * a scrubber that silently passes bytes it cannot parse LEAKS.
+    * Returns (endian, width, height, hasExtraTag, gps lat/lon or
+    * null, scrubbed payload).
+    */
+  private[graft] def tiffWalkScrub(bytes: Array[Byte])
+      : (String, Int, Int, Boolean, Option[(Int, Int)], Array[Byte]) = {
+    require(bytes.length >= 8, "tiff: truncated header")
+    val le = (bytes(0).toChar, bytes(1).toChar) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException(
+        "tiff: unknown byte-order mark")
+    }
+    def u16(p: Int): Int =
+      if (le) (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+      else ((bytes(p) & 0xFF) << 8) | (bytes(p + 1) & 0xFF)
+    def u32(p: Int): Int =
+      if (le) u16(p) | (u16(p + 2) << 16) else (u16(p) << 16) | u16(p + 2)
+    require(u16(2) == 42, "tiff: bad magic")
+    val ifd0 = u32(4)
+    require(ifd0 + 2 <= bytes.length, "tiff: truncated IFD offset")
+    val n = u16(ifd0)
+    require(ifd0 + 2 + 12 * n + 4 <= bytes.length, "tiff: truncated IFD")
+    case class E(pos: Int, tag: Int, typ: Int, cnt: Int, raw: Int)
+    val entries = (0 until n).map { i =>
+      val p = ifd0 + 2 + 12 * i
+      val typ = u16(p + 2)
+      val inlineShort = typ == 3 && u32(p + 4) == 1
+      E(p, u16(p), typ, u32(p + 4),
+        if (inlineShort) u16(p + 8) else u32(p + 8))
+    }
+    def tag(t: Int): Option[E] = entries.find(_.tag == t)
+    val width = tag(0x0100).map(_.raw).getOrElse(0)
+    val height = tag(0x0101).map(_.raw).getOrElse(0)
+    val hasExtra = tag(0x0131).nonEmpty
+    val gpsE = tag(0x8825)
+    val gps = gpsE.map { e =>
+      val g = e.raw
+      require(g + 2 <= bytes.length, "tiff: truncated GPS IFD")
+      val gn = u16(g)
+      require(g + 2 + 12 * gn + 4 <= bytes.length, "tiff: truncated GPS IFD")
+      val gents = (0 until gn).map { i =>
+        val p = g + 2 + 12 * i; u16(p) -> u32(p + 8)
+      }.toMap
+      (gents.getOrElse(0x0002, 90) - 90, gents.getOrElse(0x0004, 180) - 180)
+    }
+    val scrubbed = gpsE match {
+      case None => bytes
+      case Some(e) =>
+        val g = e.raw
+        val gLen = 2 + 12 * u16(g) + 4
+        // removed regions: the pointer entry + the GPS IFD block
+        val cut = Seq((e.pos, 12), (g, gLen)).sortBy(_._1)
+        val out = new Array[Byte](bytes.length - 12 - gLen)
+        var src = 0; var dst = 0
+        cut.foreach { case (s, l) =>
+          System.arraycopy(bytes, src, out, dst, s - src)
+          dst += s - src; src = s + l
+        }
+        System.arraycopy(bytes, src, out, dst, bytes.length - src)
+        def shift(off: Int): Int =
+          off - cut.takeWhile(_._1 < off).map(_._2).sum
+        def ou16(p: Int, v: Int): Unit =
+          if (le) { out(p) = v.toByte; out(p + 1) = (v >> 8).toByte }
+          else { out(p) = (v >> 8).toByte; out(p + 1) = v.toByte }
+        def ou32(p: Int, v: Int): Unit =
+          if (le) { var i = 0; while (i < 4) { out(p + i) = (v >> (8 * i)).toByte; i += 1 } }
+          else { var i = 0; while (i < 4) { out(p + 3 - i) = (v >> (8 * i)).toByte; i += 1 } }
+        ou16(shift(ifd0), n - 1)
+        // offset-semantic tags: patch values pointing past a removed
+        // region (StripOffsets; plus any non-inline value field)
+        entries.filter(_.tag != 0x8825).foreach { en =>
+          val isOffset = en.tag == 0x0111 ||
+            TiffTypeSize.getOrElse(en.typ, 1) * en.cnt > 4
+          if (isOffset && en.raw != shift(en.raw))
+            ou32(shift(en.pos) + 8, shift(en.raw))
+        }
+        out
+    }
+    (if (le) "II" else "MM", width, height, hasExtra, gps, scrubbed)
+  }
+
+  /** Per-doc TIFF privacy scrub — the [[decodeBatched]] shape: one
+    * mapPartitions, no shuffle; flags + parsed geometry + GPS + exact
+    * byte lengths + the scrubbed payload.
+    */
+  def tiffGpsScrub(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init site for a real EXIF library goes here
+        it.map { case (id, src, b) =>
+          val (endian, w, h, extra, gps, out) = tiffWalkScrub(b)
+          (id, src, endian, w, h, extra, gps.nonEmpty,
+            gps.map(_._1), gps.map(_._2),
+            b.length.toLong, out.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "source", "endian", "width", "height", "has_extra",
+        "has_gps", "gps_lat", "gps_lon", "orig_bytes", "scrubbed_bytes",
+        "payload_scrubbed")
+  }
+
+  /** m16: the m15 audit schema over REAL TIFF payloads, plus the parse
+    * proofs (endianness counts, geometry sum) the byte-walker makes
+    * checkable — one narrow mapPartitions + one partial-aggregable
+    * groupBy.
+    */
+  def tiffPrivacyAudit(docs: DataFrame): DataFrame =
+    tiffGpsScrub(syntheticTiffs(docs))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("endian") === "II", 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("has_extra") || col("has_gps"), 1L).otherwise(0L))
+          .as("n_exif"),
+        sum(when(col("has_gps"), 1L).otherwise(0L)).as("n_gps"),
+        sum(col("width").cast("long") * col("height")).as("wh_sum"),
+        sum(col("orig_bytes")).as("orig_bytes"),
+        sum(col("scrubbed_bytes")).as("scrubbed_bytes"),
+        sum(col("orig_bytes") - col("scrubbed_bytes")).as("removed_bytes"))
+      .orderBy(col("source"))
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))

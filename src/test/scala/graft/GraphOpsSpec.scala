@@ -803,4 +803,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(audit.getAs[Long]("n_gps") == 1L)
     assert(audit.getAs[Long]("removed_bytes") == "GPS=-89,-173;".length)
   }
+
+  test("tiff walker: both endiannesses parse to the closed-form geometry") {
+    // id 13: 13%3!=0 -> II little-endian; GPS class (13%4=1),
+    // lat = 13%180-90 = -77, lon = 91-180 = -89
+    val (e1, w1, h1, x1, g1, _) = Multimodal.tiffWalkScrub(
+      Multimodal.tiffBytes(13L))
+    assert((e1, w1, h1, x1, g1) ==
+      (("II", 4 + 13 % 13, 3 + 13 % 7, false, Some((-77, -89)))))
+    // id 9: 9%3==0 -> MM big-endian; GPS class too (9%4=1),
+    // lat = 9-90 = -81, lon = 63-180 = -117
+    val (e2, w2, h2, _, g2, _) = Multimodal.tiffWalkScrub(
+      Multimodal.tiffBytes(9L))
+    assert((e2, w2, h2, g2) == (("MM", 13, 5, Some((-81, -117)))))
+    // id 3: MM, Software-tag class (3%4=3), no GPS
+    val (e3, _, _, x3, g3, s3) = Multimodal.tiffWalkScrub(
+      Multimodal.tiffBytes(3L))
+    assert(e3 == "MM" && x3 && g3.isEmpty)
+    assert(s3.length == Multimodal.tiffBytes(3L).length, "no-GPS: untouched")
+  }
+
+  test("tiff scrub: valid re-walkable output under both byte orders") {
+    for (id <- Seq(13L, 9L)) { // LE GPS doc and BE GPS doc
+      val orig = Multimodal.tiffBytes(id)
+      val (_, w, h, _, _, scrubbed) = Multimodal.tiffWalkScrub(orig)
+      assert(orig.length - scrubbed.length == 42,
+        "12-byte pointer entry + 30-byte GPS IFD removed")
+      // the scrubbed TIFF re-walks cleanly: geometry preserved, GPS
+      // gone, and a second scrub is the identity (idempotence)
+      val (_, w2, h2, _, g2, again) = Multimodal.tiffWalkScrub(scrubbed)
+      assert(w2 == w && h2 == h && g2.isEmpty)
+      assert(again.sameElements(scrubbed))
+      // StripOffsets was patched: the strip lands at its new offset
+      // (3 entries after removal -> 14 + 36) with the pixel rule intact
+      val stripOff = 14 + 12 * 3
+      (0 until w * h).foreach { i =>
+        assert(scrubbed(stripOff + i) == ((id * 31 + i) % 256).toByte,
+          s"pixel $i of doc $id moved or corrupted")
+      }
+    }
+  }
+
+  test("tiff walker: foreign or truncated bytes fail loudly, never pass") {
+    def boom(b: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.tiffWalkScrub(b))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    boom(Array[Byte](73, 73), "truncated header")
+    boom("XXXXXXXX".getBytes, "byte-order mark")
+    boom("II".getBytes ++ Array[Byte](43, 0, 8, 0, 0, 0), "bad magic")
+    // header claims an IFD the buffer does not contain
+    boom("II".getBytes ++ Array[Byte](42, 0, 99, 0, 0, 0), "truncated IFD")
+    // entry count larger than the remaining bytes
+    val short = Multimodal.tiffBytes(13L).take(12)
+    boom(short, "truncated IFD")
+  }
 }
