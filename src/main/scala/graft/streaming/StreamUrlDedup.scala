@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ext.Curation
+import graft.operators.Layout
+
+/** Streaming URL-frontier dedup — the incremental twin of c39
+  * ([[Curation.urlDedup]]), the stage a crawler runs BEFORE paying to
+  * fetch: arriving (doc_id, url) batches are canonicalized
+  * ([[Curation.urlNormalize]]) and dropped against the accumulated
+  * seen-URL state exactly once. Keeper semantics are c39's "first
+  * fetch": within a batch the lowest doc_id of a fresh norm_url wins;
+  * across batches the FIRST-ARRIVED keeper wins (ids arrive in fetch
+  * order, so first-arrived IS lowest — the split-cohort equivalence
+  * the spec pins).
+  *
+  * State is ONE table: (norm_url, domain, keep_doc), BUCKETED by
+  * norm_url ([[Layout.ensureBucketedBatchTable]]) and partitioned by
+  * batch — each batch probes it with norm_url equi-joins, so the
+  * corpus side of every probe plans with NO Exchange: only the
+  * O(batch) arriving side shuffles, and per-batch work is O(batch),
+  * never O(frontier).
+  *
+  * foreachBatch is AT-LEAST-ONCE (the StreamDedup contract): every
+  * write is keyed by batch id (`batch=<id>`, dynamic-partition
+  * overwrite), the state a batch probes is restricted to STRICTLY
+  * EARLIER batches, and batch content is a deterministic function of
+  * the input — so a replayed batch rewrites byte-identical partitions
+  * instead of appending a second copy or dropping a doc against its
+  * own failed attempt.
+  */
+object StreamUrlDedup {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("url", StringType)))
+
+  /** Bucket count for the persisted seen-URL table — the test/local
+    * envelope; at cluster scale ~frontier_bytes/128MB, fixed at first
+    * table creation.
+    */
+  val DefaultUrlBuckets = 8
+
+  def run(spark: SparkSession, landingDir: String, stateDir: String,
+          outDir: String, checkpointDir: String,
+          urlBuckets: Int = DefaultUrlBuckets): StreamingQuery = {
+    val docs = spark.readStream.schema(docSchema)
+      .option("multiLine", "false")
+      .json(landingDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        processBatch(spark, batch0, batchId, stateDir, outDir, urlBuckets)
+      }
+      .start()
+  }
+
+  /** One idempotent micro-batch step (public so replays — the
+    * at-least-once delivery — are exercised directly in tests):
+    * canonicalize, drop arrivals whose norm_url is in state from
+    * batches `< batchId` (cross-batch drops keep the STATE's keeper),
+    * collapse fresh norm_urls to their lowest doc_id (intra-batch
+    * drops), then overwrite this batch's partition of the drop report
+    * and the seen-URL state (fresh keepers only — the state stays one
+    * row per norm_url across the whole stream).
+    */
+  def processBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
+                   stateDir: String, outDir: String,
+                   urlBuckets: Int = DefaultUrlBuckets): Unit = {
+    val normed = Curation.urlNormalize(
+        batch0.filter(col("doc_id").isNotNull && col("url").isNotNull))
+      .select(col("doc_id"), col("norm_url"), col("domain"))
+      .persist()
+    try {
+      val table = ensureUrlState(spark, s"$stateDir/urls", urlBuckets)
+      val seen = spark.table(table)
+        .filter(col("batch") < batchId).drop("batch")
+      // cross-batch drops: the state's keeper wins, whatever this
+      // batch's ids are (first fetch already happened)
+      val crossDrops = normed
+        .join(seen.select(col("norm_url"), col("keep_doc")), "norm_url")
+        .select(col("doc_id"), col("norm_url"), col("domain"),
+          col("keep_doc"))
+      // fresh norm_urls: lowest doc_id keeps, the rest drop
+      val fresh = normed.join(seen.select("norm_url"), Seq("norm_url"),
+        "left_anti")
+      val keepers = fresh.groupBy(col("norm_url"), col("domain"))
+        .agg(min(col("doc_id")).as("keep_doc"))
+      val intraDrops = fresh
+        .join(keepers.select(col("norm_url"), col("keep_doc")), "norm_url")
+        .filter(col("doc_id") =!= col("keep_doc"))
+        .select(col("doc_id"), col("norm_url"), col("domain"),
+          col("keep_doc"))
+      crossDrops.unionByName(intraDrops)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      Layout.overwriteBatch(
+        keepers.select(col("norm_url"), col("domain"), col("keep_doc")),
+        table, batchId)
+    } finally {
+      try normed.unpersist()
+      catch { case scala.util.control.NonFatal(_) => }
+      ()
+    }
+  }
+
+  /** Catalog name for the seen-URL state table over `path`. */
+  private[graft] def urlTableName(path: String): String =
+    Layout.stateTableName("graft_urls", path)
+
+  private def ensureUrlState(spark: SparkSession, path: String,
+                             buckets: Int): String = {
+    val table = urlTableName(path)
+    Layout.ensureBucketedBatchTable(spark, table, path,
+      Seq("norm_url" -> "STRING", "domain" -> "STRING",
+        "keep_doc" -> "BIGINT"),
+      Seq("norm_url"), buckets)
+    table
+  }
+}
