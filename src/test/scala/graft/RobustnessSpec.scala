@@ -172,4 +172,44 @@ class RobustnessSpec extends SparkSpec {
     val raw = Cricsheet.read(spark, dir)
     assert(raw.filter(col("match_id").isNull).count() == 1)
   }
+
+  test("htmlExtract degrades predictably on malformed markup, never throws") {
+    import spark.implicits._
+    val cases = Seq(
+      // unclosed <p>: no sentinel fires, both paragraphs flow into one block
+      1L -> ("<html><body><p>alpha beta gamma delta<p>unclosed second " +
+        "para epsilon zeta</body></html>"),
+      // nested divs: a sentinel per </div>, inner splits before outer tail
+      2L -> ("<div>outer start words here <div>inner nested words delta" +
+        "</div> outer tail words omega</div>"),
+      // attribute containing '>': the anchor regex cuts at the first '>',
+      // the attr tail bleeds into anchor text — the density rule still
+      // runs on exact integers and (deterministically) drops the block
+      3L -> "<p>before <a href=\"x>y\">anchor text</a> after words here</p>",
+      // CDATA-ish noise: '<![CDATA[..]]>' matches the generic tag strip
+      4L -> ("<p>keep these words</p><![CDATA[ raw cdata noise ]]>" +
+        "<p>more words kept</p>"),
+      // bare '<'..'>' in prose parses as a tag and is stripped — the
+      // documented degradation of regex extraction on math-y text
+      8L -> "<p>a < b and c > d math words here</p>",
+      // unclosed trailing <script>: the span rule needs a closer; the
+      // tail degrades to visible text instead of vanishing silently
+      9L -> ("<script>var x = 1;</script><p>after script words</p>" +
+        "<script>unclosed script trailing"))
+    val df = cases.toDF("doc_id", "html").withColumn("source", lit("s"))
+    val got = graft.ext.TextAnalysis.htmlExtract(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5),
+          r.getString(6)))).toMap
+    assert(got(1L) == ((1, 1, 56L, 0L,
+      "alpha beta gamma delta unclosed second para epsilon zeta")))
+    assert(got(2L) == ((2, 2, 69L, 0L,
+      "outer start words here inner nested words delta outer tail words omega")))
+    // ac*100 = 1400 > tc*30 = 1140: integer-exact density drop
+    assert(got(3L) == ((1, 0, 38L, 14L, "")))
+    assert(got(4L) == ((2, 2, 31L, 0L, "keep these words more words kept")))
+    assert(got(8L) == ((1, 1, 19L, 0L, "a d math words here")))
+    assert(got(9L) == ((2, 2, 42L, 0L,
+      "after script words unclosed script trailing")))
+  }
 }
