@@ -705,6 +705,46 @@ object ExtQueries {
 
   private val urlNormCtes: String = urlNormCtesOver("documents")
 
+  /** t40/t41's shared training CTE chain — the exact WordPiece
+    * likelihood iterations (wf dictionary, v0 char seqs, per-iteration
+    * sy/uf/pc/sc/tp/v), ending with tp1..tp4 (the merges) and v4. All
+    * per-iteration CTEs are MATERIALIZED: the scalar-subquery chain
+    * otherwise re-inlines exponentially in the consumer.
+    */
+  private val wordpieceTrainCtes: String = {
+    val scale = 1L << 30
+    val iterCtes = (1 to 4).map { i =>
+      s"""sy$i AS MATERIALIZED (SELECT freq,
+               string_split(trim(seq), '  ') AS sy
+             FROM v${i - 1}),
+      uf$i AS MATERIALIZED (SELECT u, SUM(freq) AS f
+             FROM (SELECT freq, unnest(sy) AS u FROM sy$i) q GROUP BY u),
+      pc$i AS (SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
+             FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
+                     j -> [sy[j], sy[j+1]])) AS p FROM sy$i
+                   WHERE len(sy) > 1) q
+             GROUP BY 1, 2),
+      sc$i AS (SELECT a, b, cnt, ua.f AS fa, ub.f AS fb,
+               (cnt * $scale) // (ua.f * ub.f) AS score_q
+             FROM pc$i JOIN uf$i ua ON pc$i.a = ua.u
+                       JOIN uf$i ub ON pc$i.b = ub.u),
+      tp$i AS MATERIALIZED (SELECT * FROM sc$i
+             ORDER BY score_q DESC, a, b LIMIT 1),
+      v$i AS MATERIALIZED (SELECT word, freq,
+              replace(seq,
+                ' ' || (SELECT a FROM tp$i) || '  ' || (SELECT b FROM tp$i) || ' ',
+                ' ' || (SELECT a FROM tp$i) || (SELECT b FROM tp$i) || ' ') AS seq
+            FROM v${i - 1})"""
+    }.mkString(",\n      ")
+    s"""wf AS (SELECT wd AS word, COUNT(*) AS freq
+                  FROM (SELECT unnest(string_split(text, ' ')) AS wd
+                        FROM documents) u
+                  WHERE regexp_matches(wd, '^[a-z]+$$') GROUP BY wd),
+      v0 AS (SELECT word, freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+             FROM wf ORDER BY freq DESC, word LIMIT 200),
+      $iterCtes"""
+  }
+
   // ---- query definitions -----------------------------------------------
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -5658,38 +5698,8 @@ object ExtQueries {
       TextAnalysis.wordpieceTrain(t(s, d, "documents"),
         vocabTop = 200, iters = 4),
       Some {
-        val scale = 1L << 30
-        val iterCtes = (1 to 4).map { i =>
-          s"""sy$i AS MATERIALIZED (SELECT freq,
-                   string_split(trim(seq), '  ') AS sy
-                 FROM v${i - 1}),
-        uf$i AS MATERIALIZED (SELECT u, SUM(freq) AS f
-                 FROM (SELECT freq, unnest(sy) AS u FROM sy$i) q GROUP BY u),
-        pc$i AS (SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt
-                 FROM (SELECT freq, unnest(list_transform(range(1, len(sy)),
-                         j -> [sy[j], sy[j+1]])) AS p FROM sy$i
-                       WHERE len(sy) > 1) q
-                 GROUP BY 1, 2),
-        sc$i AS (SELECT a, b, cnt, ua.f AS fa, ub.f AS fb,
-                   (cnt * $scale) // (ua.f * ub.f) AS score_q
-                 FROM pc$i JOIN uf$i ua ON pc$i.a = ua.u
-                           JOIN uf$i ub ON pc$i.b = ub.u),
-        tp$i AS MATERIALIZED (SELECT * FROM sc$i
-                 ORDER BY score_q DESC, a, b LIMIT 1),
-        v$i AS MATERIALIZED (SELECT word, freq,
-                  replace(seq,
-                    ' ' || (SELECT a FROM tp$i) || '  ' || (SELECT b FROM tp$i) || ' ',
-                    ' ' || (SELECT a FROM tp$i) || (SELECT b FROM tp$i) || ' ') AS seq
-                FROM v${i - 1})"""
-        }.mkString(",\n        ")
         s"""
-      WITH wf AS (SELECT wd AS word, COUNT(*) AS freq
-                  FROM (SELECT unnest(string_split(text, ' ')) AS wd
-                        FROM documents) u
-                  WHERE regexp_matches(wd, '^[a-z]+$$') GROUP BY wd),
-      v0 AS (SELECT word, freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
-             FROM wf ORDER BY freq DESC, word LIMIT 200),
-      $iterCtes
+      WITH $wordpieceTrainCtes
       SELECT * FROM (
         SELECT 1 AS iter, a AS sym_a, b AS sym_b,
                CAST(cnt AS BIGINT) AS pair_count, CAST(fa AS BIGINT) AS freq_a,
@@ -5702,6 +5712,58 @@ object ExtQueries {
         UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT), CAST(fa AS BIGINT),
                CAST(fb AS BIGINT), CAST(score_q AS BIGINT) FROM tp4) z
       ORDER BY iter"""
+      }),
+
+    // ---- train-then-APPLY composition: t39's greedy longest-match
+    // walk consuming t40's TRAINED vocabulary (dictionary chars + the
+    // 4 likelihood-merge products) instead of the literal top-K — the
+    // deployed-tokenizer path end to end, over the t39 compound/OOV
+    // plant. The oracle chains the full training CTE stack into the
+    // unrolled 12-step walk ------------------------------------------
+    ("t41_wordpiece_trained_apply", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.wordpieceApplyWith(
+        TextAnalysis.wordpiecePlant(docs),
+        TextAnalysis.wordpieceTrainedUnits(docs, vocabTop = 200, iters = 4))
+    },
+      Some {
+        def step(i: Int): String = s"""
+        s$i AS (SELECT word, n_occurrences,
+            pos + ml AS pos,
+            n_units + CASE WHEN ml > 0 THEN 1 ELSE 0 END AS n_units,
+            unk OR (pos < length(word) AND ml = 0) AS unk,
+            CASE WHEN ml = 0 THEN pieces
+                 WHEN pos = 0 THEN substr(word, 1, ml)
+                 ELSE pieces || ' ##' || substr(word, pos + 1, ml)
+            END AS pieces
+          FROM (SELECT *, CASE WHEN NOT unk AND pos < length(word) THEN
+                  COALESCE((SELECT MAX(length(u)) FROM units uu
+                            WHERE substr(s${i - 1}.word, s${i - 1}.pos + 1,
+                                         length(uu.u)) = uu.u), 0)
+                ELSE 0 END AS ml FROM s${i - 1}))"""
+        s"""
+      WITH $wordpieceTrainCtes,
+      units AS MATERIALIZED (SELECT DISTINCT u FROM (
+          SELECT unnest(regexp_extract_all(word, '.')) AS u FROM v0
+          UNION ALL SELECT (SELECT a || b FROM tp1)
+          UNION ALL SELECT (SELECT a || b FROM tp2)
+          UNION ALL SELECT (SELECT a || b FROM tp3)
+          UNION ALL SELECT (SELECT a || b FROM tp4))),
+      dd AS (SELECT doc_id,
+          text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'joinhash'
+                              WHEN doc_id % 3 = 1 THEN 'hashjoinrow'
+                              ELSE 'scanqz' END AS text FROM documents),
+      w AS MATERIALIZED (SELECT w AS word,
+            CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM dd)
+          WHERE w <> '' GROUP BY w),
+      s0 AS (SELECT word, n_occurrences, 0 AS pos, 0 AS n_units,
+                    FALSE AS unk, '' AS pieces FROM w),
+      ${(1 to 12).map(step).mkString(",\n      ")}
+      SELECT word, n_occurrences, unk AS is_unk,
+        CAST(CASE WHEN unk THEN 1 ELSE n_units END AS INT) AS n_units,
+        CASE WHEN unk THEN '[UNK]' ELSE pieces END AS pieces
+      FROM s12 ORDER BY word"""
       }),
 
     // ---- per-domain crawl-politeness budget audit: the events table

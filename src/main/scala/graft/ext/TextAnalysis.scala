@@ -1381,6 +1381,11 @@ object TextAnalysis {
     * bounded), so apply cost is independent of corpus token count; a
     * per-token tokenized corpus is this table broadcast-joined back.
     * A word unconsumed after `maxUnits` units fails LOUDLY.
+    * Envelope: the greedy step scans the unit array per position —
+    * O(maxUnits·|units|) per distinct word, exactly right at the
+    * literal-vocab contract sizes here; a 30k-unit production vocab
+    * would swap the array scan for a broadcast trie/hash-map probe
+    * (same walk, same output contract).
     *
     * Output: (word, n_occurrences, is_unk, n_units, pieces) per
     * distinct word, ordered by word.
