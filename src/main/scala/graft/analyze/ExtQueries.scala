@@ -5848,7 +5848,59 @@ object ExtQueries {
         CAST(SUM(ob) AS BIGINT) AS orig_bytes,
         CAST(SUM(ob - rm) AS BIGINT) AS scrubbed_bytes,
         CAST(SUM(rm) AS BIGINT) AS removed_bytes
-      FROM f GROUP BY source ORDER BY source"""))
+      FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- c42: robots.txt policy extraction (RFC 9309) over the %5
+    // plant — the in-engine derivation of c41's policy table: the
+    // `*` group's crawl-delay (null when absent/malformed),
+    // disallow/allow counts with the empty-Disallow allow-all rule,
+    // the full-block verdict, file-scoped sitemap count; a named
+    // agent's group must not leak into the `*` policy ---------------
+    ("c42_robots_policy", (s: SparkSession, d: String) =>
+      graft.ext.Curation.robotsPolicy(t(s, d, "documents")),
+      Some("""
+      WITH r AS (SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 0 THEN concat_ws(chr(10), 'User-agent: *',
+              'Crawl-delay: 10', 'Disallow: /private', 'Disallow: /tmp')
+            WHEN 1 THEN concat_ws(chr(10), 'User-agent: *', 'Disallow: /')
+            WHEN 2 THEN concat_ws(chr(10), 'User-Agent: googlebot',
+              'Disallow: /a', '', 'User-agent: *', 'Crawl-delay: 5',
+              'Allow: /public', 'Disallow: /x',
+              'Sitemap: https://example.com/s.xml')
+            WHEN 3 THEN ''
+            ELSE concat_ws(chr(10), 'User-agent: *', 'Crawl-delay: soon',
+              'Disallow:')
+          END AS txt FROM documents),
+      p AS (SELECT doc_id, txt,
+          list_transform(string_split(txt, chr(10)),
+            l -> lower(trim(l))) AS ls FROM r),
+      q AS (SELECT doc_id, txt, ls,
+          list_filter(range(1, len(ls) + 1),
+            i -> regexp_matches(ls[i], '^user-agent:[ ]*[*]$'))[1] AS star
+          FROM p),
+      g AS (SELECT doc_id, txt, ls, star,
+          list_filter(range(1, len(ls) + 1),
+            i -> i > star AND regexp_matches(ls[i], '^user-agent:'))[1]
+            AS nxt FROM q),
+      h AS (SELECT doc_id, txt, ls,
+          CASE WHEN star IS NULL THEN []
+               ELSE ls[star + 1 : coalesce(nxt, len(ls) + 1) - 1]
+          END AS grp FROM g)
+      SELECT doc_id, length(txt) > 0 AS has_robots,
+        CAST(regexp_extract(list_filter(grp,
+            l -> regexp_matches(l, '^crawl-delay:[ ]*[0-9]+[ ]*$'))[1],
+          ':[ ]*([0-9]+)', 1) AS INT) AS crawl_delay_s,
+        CAST(len(list_filter(grp,
+          l -> regexp_matches(l, '^disallow:[ ]*/'))) AS INT) AS n_disallow,
+        len(list_filter(grp,
+          l -> regexp_matches(l, '^disallow:[ ]*/[ ]*$'))) > 0
+          AS disallow_all,
+        CAST(len(list_filter(grp,
+          l -> regexp_matches(l, '^allow:[ ]*/'))) AS INT) AS n_allow,
+        CAST(len(list_filter(ls,
+          l -> regexp_matches(l, '^sitemap:[ ]*[^ ]'))) AS INT) AS n_sitemaps
+      FROM h ORDER BY doc_id"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

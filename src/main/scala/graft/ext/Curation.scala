@@ -1438,4 +1438,93 @@ object Curation {
         col("budget"), col("compliant"), col("over_budget"))
       .orderBy(col("domain"))
   }
+
+  /** Deterministic robots.txt plant for [[robotsParse]] (the t35/m03
+    * closed-form fixture discipline): one fetched robots.txt per doc
+    * by doc_id % 5, covering the cases a parser must survive — a plain
+    * `*` group with delay and multiple Disallows; a full `Disallow: /`
+    * block with no delay; a MULTI-GROUP file where a named agent's
+    * rules precede the `*` group (the named group's paths must not
+    * leak into the `*` policy) plus a Sitemap line; a missing
+    * robots.txt; and a malformed group (non-numeric delay, empty
+    * Disallow = allow-all per the RFC 9309 grammar).
+    */
+  def robotsPlant(docs: DataFrame): DataFrame = {
+    val nl = lit("\n")
+    docs.withColumn("robots_txt",
+      when(col("doc_id") % 5 === 0, concat(
+        lit("User-agent: *"), nl, lit("Crawl-delay: 10"), nl,
+        lit("Disallow: /private"), nl, lit("Disallow: /tmp")))
+      .when(col("doc_id") % 5 === 1, concat(
+        lit("User-agent: *"), nl, lit("Disallow: /")))
+      .when(col("doc_id") % 5 === 2, concat(
+        lit("User-Agent: googlebot"), nl, lit("Disallow: /a"), nl, nl,
+        lit("User-agent: *"), nl, lit("Crawl-delay: 5"), nl,
+        lit("Allow: /public"), nl, lit("Disallow: /x"), nl,
+        lit("Sitemap: https://example.com/s.xml")))
+      .when(col("doc_id") % 5 === 3, lit(""))
+      .otherwise(concat(
+        lit("User-agent: *"), nl, lit("Crawl-delay: soon"), nl,
+        lit("Disallow:"))))
+  }
+
+  /** robots.txt policy extraction (RFC 9309 — the Robots Exclusion
+    * Protocol): per fetched file, the `User-agent: *` group's
+    * Crawl-delay (null when absent or non-numeric — the de-facto
+    * extension c41's policy table consumes), Disallow/Allow rule
+    * counts (empty Disallow = allow-all and does NOT count), the
+    * full-block verdict (`Disallow: /`), and the file-scoped Sitemap
+    * count. Group scoping is positional: lines between the `*`
+    * user-agent header and the next user-agent header — a named
+    * agent's rules never leak into the `*` policy.
+    *
+    * Pure array/regexp built-ins in ONE narrow projection (split to
+    * lines, first-index folds over a line-number sequence, slice,
+    * filtered counts) — no UDF, no explode, no shuffle: at crawl scale
+    * robots parsing rides the fetch scan. Character classes only (no
+    * escaped metachars), so the regexes read identically in any
+    * RE2-family engine.
+    */
+  def robotsParse(df: DataFrame): DataFrame = {
+    val ls = "transform(split(robots_txt, '\n'), l -> lower(trim(l)))"
+    df
+      .withColumn("__ls", expr(ls))
+      .withColumn("__star", expr(
+        """try_element_at(filter(sequence(1, size(__ls)),
+             i -> element_at(__ls, i) rlike '^user-agent:[ ]*[*]$'), 1)"""))
+      .withColumn("__nxt", expr(
+        """try_element_at(filter(sequence(1, size(__ls)),
+             i -> i > __star AND
+               element_at(__ls, i) rlike '^user-agent:'), 1)"""))
+      .withColumn("__grp", expr(
+        """CASE WHEN __star IS NULL THEN array()
+           ELSE slice(__ls, __star + 1,
+             coalesce(__nxt, size(__ls) + 1) - __star - 1) END"""))
+      .withColumn("has_robots", length(col("robots_txt")) > 0)
+      .withColumn("crawl_delay_s", expr(
+        """CAST(regexp_extract(
+             try_element_at(filter(__grp,
+               l -> l rlike '^crawl-delay:[ ]*[0-9]+[ ]*$'), 1),
+             ':[ ]*([0-9]+)', 1) AS INT)"""))
+      .withColumn("n_disallow", expr(
+        "size(filter(__grp, l -> l rlike '^disallow:[ ]*/'))"))
+      .withColumn("disallow_all", expr(
+        "size(filter(__grp, l -> l rlike '^disallow:[ ]*/[ ]*$')) > 0"))
+      .withColumn("n_allow", expr(
+        "size(filter(__grp, l -> l rlike '^allow:[ ]*/'))"))
+      .withColumn("n_sitemaps", expr(
+        "size(filter(__ls, l -> l rlike '^sitemap:[ ]*[^ ]'))"))
+      .drop("__ls", "__star", "__nxt", "__grp")
+  }
+
+  /** c42: the parsed `*`-group policy per planted robots.txt — the
+    * in-engine derivation of the literal policy table
+    * [[crawlPoliteness]] consumes.
+    */
+  def robotsPolicy(docs: DataFrame): DataFrame =
+    robotsParse(robotsPlant(graft.core.Tables.spread(docs)))
+      .select(col("doc_id"), col("has_robots"), col("crawl_delay_s"),
+        col("n_disallow"), col("disallow_all"), col("n_allow"),
+        col("n_sitemaps"))
+      .orderBy(col("doc_id"))
 }

@@ -625,4 +625,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(st.getAs[Long]("politeness_cap") == 7L)
     assert(st.getAs[Long]("budget") == 5L && !st.getAs[Boolean]("over_budget"))
   }
+
+  test("robotsParse: group scoping, allow-all Disallow, malformed delay") {
+    import spark.implicits._
+    val d = (0L until 5L).toDF("doc_id")
+    val got = Curation.robotsPolicy(d.withColumn("text", lit("x"))
+        .withColumn("source", lit("s")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Boolean]("has_robots"),
+          Option(r.getAs[Integer]("crawl_delay_s")).map(_.toInt),
+          r.getAs[Int]("n_disallow"), r.getAs[Boolean]("disallow_all"),
+          r.getAs[Int]("n_allow"), r.getAs[Int]("n_sitemaps")))).toMap
+    // plain * group: delay + two disallows
+    assert(got(0L) == ((true, Some(10), 2, false, 0, 0)))
+    // full block, no delay line at all
+    assert(got(1L) == ((true, None, 1, true, 0, 0)))
+    // multi-group: googlebot's 'Disallow: /a' must NOT leak into the
+    // * policy — only /x counts; sitemap is file-scoped
+    assert(got(2L) == ((true, Some(5), 1, false, 1, 1)))
+    // missing robots.txt
+    assert(got(3L) == ((false, None, 0, false, 0, 0)))
+    // malformed delay -> null; empty Disallow = allow-all, not a rule
+    assert(got(4L) == ((true, None, 0, false, 0, 0)))
+  }
 }
