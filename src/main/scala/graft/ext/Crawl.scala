@@ -1,4 +1,5 @@
 package graft.ext
+import graft.core.PlanCapture.CheckpointOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -120,9 +121,14 @@ object Crawl {
     */
   def corpusDatasheet(docs: DataFrame, minQuality: Double = 0.65,
                       shingle: Int = 3, minDocs: Long = 20L): DataFrame = {
-    val staged = urlStage(docs)
+    // stage boundaries materialize once: `staged` feeds both the crawl
+    // rollup and extraction, and the scrub stage reads its input three
+    // times (shingle lexicon, token table, length rollup) — without
+    // the guards the regex-heavy extraction re-runs per consumer
+    val staged = urlStage(docs).cpGuard()
     val scored = scoreStage(
-      scrubStage(extractStage(staged), shingle, minDocs), minQuality)
+      scrubStage(extractStage(staged).cpGuard(), shingle, minDocs),
+      minQuality)
     val crawled = staged.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("is_url_dup"), 1L).otherwise(0L)).as("n_url_dup"))
