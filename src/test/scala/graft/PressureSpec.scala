@@ -15,8 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class PressureSpec extends AnyFunSuite {
 
   test("heaviest queries complete under a starved memory manager, spilling") {
-    val heavy = Seq("d36_lsh_band_sweep", "w42_pettitt_segments",
-      "s27_dbscan", "s24_ivf_pq_recall", "g26_pagerank_warm")
+    // the round-14 bench's top medians plus the crawl composite (the
+    // round-13 set d36/s27/s24/g26 stays covered by construction —
+    // same machinery families)
+    val heavy = Seq("g28_betweenness_sampled", "w42_pettitt_segments",
+      "d30_dedup_ensemble", "s40_nsw_refine_audit", "d19_containment_asym",
+      "c40_crawl_corpus")
     val javaBin = System.getProperty("java.home") + "/bin/java"
     // the forked test JVM already carries Spark's JDK17 module opens —
     // reuse them verbatim in the child
