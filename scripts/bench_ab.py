@@ -55,7 +55,10 @@ def report(per, rounds, sf):
           if all(x >= 0 for x in per[n]["a"] + per[n]["b"])]
     atot = sum(sorted(per[n]["a"])[len(per[n]["a"]) // 2] for n in ok)
     btot = sum(sorted(per[n]["b"])[len(per[n]["b"]) // 2] for n in ok)
-    print(f"A/B over {len(per)} queries, {rounds} rounds/side, sf={sf}")
+    # the totals cover the both-sides-ok subset — say so, or a reader
+    # assumes the stated N (the silent-truncation pattern)
+    print(f"A/B over {len(per)} queries ({len(ok)} paired into totals), "
+          f"{rounds} rounds/side, sf={sf}")
     dtot = f"{(btot - atot) / atot * 100:+.1f}%" if atot > 0 else "n/a"
     print(f"side-A median total {atot:.1f}s  side-B {btot:.1f}s  ({dtot})")
     if flagged:

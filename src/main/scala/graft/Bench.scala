@@ -108,11 +108,11 @@ object Bench {
       val bTot = r3b(okPairs.map(_._2).sum)
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_ab.json")
       val line =
-        s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","queries":$qjson}"""
+        s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_paired":${okPairs.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","queries":$qjson}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       spark.stop()
-      println(s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","detail":"$out"}""")
+      println(s"""{"metric":"ab","rounds":$rounds,"a_total":$aTot,"b_total":$bTot,"n_queries":${names.size},"n_paired":${okPairs.size},"n_out_of_band":${outOfBand.size},"out_of_band":$oob,"sf":"$sfDir","detail":"$out"}""")
       return
     }
     // 3 timed passes: the environment shows bursty external CPU

@@ -100,12 +100,8 @@ object Crawl {
       .withColumn("n_words", col("__q.n_words"))
       .withColumn("quality",
         when(length(col("scrubbed_text")) > 0,
-          lit(0.4) * (col("__q.n_distinct").cast("double") / col("n_words")) +
-            lit(0.4) * (lit(1.0) -
-              col("__q.n_stop").cast("double") / col("n_words")) +
-            lit(0.2) * least(
-              (col("__q.len") - col("n_words") + 1).cast("double") /
-                col("n_words") / lit(10.0), lit(1.0))))
+          TextAnalysis.qualityScoreOf(col("n_words"),
+            col("__q.n_distinct"), col("__q.n_stop"), col("__q.len"))))
       .withColumn("predicted_lang",
         TextAnalysis.langIdOf(TextOps.words(col("scrubbed_text"))))
       .withColumn("kept",

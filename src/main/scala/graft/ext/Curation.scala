@@ -1393,19 +1393,32 @@ object Curation {
     * is a 1-row broadcast attach (declared BNLJ, the c38 discipline).
     * All integer math — exact in any engine.
     */
+  /** The per-row crawl-delay for a `domain` column under a literal
+    * policy table — ONE definition shared by [[crawlPoliteness]] and
+    * its streaming twin ([[graft.streaming.StreamPoliteness]]), whose
+    * outputs must agree row for row: delay resolution drifting between
+    * the two would silently break the split-cohort equivalence their
+    * spec pins.
+    */
+  private[graft] def delayColFor(policy: Seq[(String, Long)],
+                                 defaultDelayMs: Long)
+      : org.apache.spark.sql.Column = {
+    require(policy.map(_._1).distinct.size == policy.size &&
+      policy.forall(_._2 > 0) && defaultDelayMs > 0,
+      "policy domains distinct, delays positive")
+    policy.foldRight(lit(defaultDelayMs)) {
+      case ((d, ms), e) => when(col("domain") === d, lit(ms)).otherwise(e)
+    }
+  }
+
   def crawlPoliteness(fetches: DataFrame, policy: Seq[(String, Long)],
                       defaultDelayMs: Long = 600000L,
                       capSharePct: Int = 20): DataFrame = {
     require(capSharePct >= 0 && capSharePct <= 100, "capSharePct in [0,100]")
-    require(policy.map(_._1).distinct.size == policy.size &&
-      policy.forall(_._2 > 0) && defaultDelayMs > 0,
-      "policy domains distinct, delays positive")
+    val delayCol = delayColFor(policy, defaultDelayMs)
     val f = fetches
       .select(col("domain"), unix_millis(col("ts")).as("ms"))
       .cpGuard() // read thrice: gaps, burst profile, 1-row span/total
-    val delayCol = policy.foldRight(lit(defaultDelayMs)) {
-      case ((d, ms), e) => when(col("domain") === d, lit(ms)).otherwise(e)
-    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("ms"))
     val gapRoll = f

@@ -131,16 +131,27 @@ object TextAnalysis {
         length(col("text")).as("len")))
   }
 
+  /** The t02 quality score from the exact integer counts — the ONE
+    * definition of the 0.4/0.4/0.2 formula, shared by [[qualityFrom]]
+    * (t02 itself) and the c40 composite's stage 5
+    * ([[graft.ext.Crawl.scoreStage]]): a weight tuned in one place
+    * must not silently diverge in the other.
+    */
+  def qualityScoreOf(nWords: Column, nDistinct: Column, nStop: Column,
+                     len: Column): Column =
+    lit(0.4) * (nDistinct.cast("double") / nWords) +
+      lit(0.4) * (lit(1.0) - nStop.cast("double") / nWords) +
+      lit(0.2) * least(
+        (len - nWords + 1).cast("double") / nWords / lit(10.0), lit(1.0))
+
   private def qualityFrom(counts: DataFrame): DataFrame =
     counts
       .withColumn("avg_word_len",
         (col("len") - col("n_words") + 1).cast("double") / col("n_words"))
       .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_words"))
       .withColumn("stopword_ratio", col("n_stop").cast("double") / col("n_words"))
-      .withColumn("quality",
-        lit(0.4) * col("distinct_ratio") +
-        lit(0.4) * (lit(1.0) - col("stopword_ratio")) +
-        lit(0.2) * least(col("avg_word_len") / 10.0, lit(1.0)))
+      .withColumn("quality", qualityScoreOf(col("n_words"),
+        col("n_distinct"), col("n_stop"), col("len")))
       .drop("len")
       .orderBy(col("doc_id"))
 
@@ -1501,7 +1512,7 @@ object TextAnalysis {
                      iters: Int = 4, scaleBits: Int = 30): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnWordpieceMerges(docs, vocabTop, iters, scaleBits)
+    learnWordpieceMerges(dictionary(docs, vocabTop), iters, scaleBits)
       .toDF("iter", "sym_a", "sym_b", "pair_count", "freq_a", "freq_b",
         "score_q")
       .orderBy(col("iter"))
@@ -1517,9 +1528,12 @@ object TextAnalysis {
                             scaleBits: Int = 30): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val letters = dictionary(docs, vocabTop).select("word").as[String]
+    // ONE dictionary pass feeds both the char alphabet and the merge
+    // loop (it is checkpointed, so the loop reads it, not the corpus)
+    val dict = dictionary(docs, vocabTop)
+    val letters = dict.select("word").as[String]
       .collect().toSeq.flatMap(_.toSeq).distinct.map(_.toString)
-    val merged = learnWordpieceMerges(docs, vocabTop, iters, scaleBits)
+    val merged = learnWordpieceMerges(dict, iters, scaleBits)
       .map { case (_, a, b, _, _, _, _) => a + b }
     (letters ++ merged).distinct
   }
@@ -1527,7 +1541,8 @@ object TextAnalysis {
   /** Top-`vocabTop` lowercase-word dictionary with char-unit start
     * sequences — the shared t17/t39/t40 training-corpus convention.
     */
-  private def dictionary(docs: DataFrame, vocabTop: Int): DataFrame =
+  private def dictionary(docs: DataFrame, vocabTop: Int): DataFrame = {
+    require(vocabTop >= 1, "vocabTop >= 1")
     graft.core.Tables.spread(docs)
       .select(explode(TextOps.words(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -1535,14 +1550,14 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("word")).limit(vocabTop)
       .withColumn("seq", regexp_replace(col("word"), "(.)", " $1 "))
       .cpGuard()
+  }
 
-  private def learnWordpieceMerges(docs: DataFrame, vocabTop: Int,
+  private def learnWordpieceMerges(dict: DataFrame,
       iters: Int, scaleBits: Int):
       Seq[(Int, String, String, Long, Long, Long, Long)] = {
-    require(vocabTop >= 1 && iters >= 1 &&
-      scaleBits >= 1 && scaleBits <= 30,
-      "vocabTop, iters >= 1, scaleBits in [1, 30]")
-    var vocab = dictionary(docs, vocabTop)
+    require(iters >= 1 && scaleBits >= 1 && scaleBits <= 30,
+      "iters >= 1, scaleBits in [1, 30]")
+    var vocab = dict
     val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long, Long)]
     for (i <- 1 to iters) {
       val units = vocab

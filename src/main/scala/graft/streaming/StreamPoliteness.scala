@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 
 import graft.operators.Layout
 
@@ -62,12 +62,9 @@ object StreamPoliteness {
                    stateDir: String, policy: Seq[(String, Long)],
                    defaultDelayMs: Long = 600000L,
                    domainBuckets: Int = DefaultDomainBuckets): Unit = {
-    require(policy.map(_._1).distinct.size == policy.size &&
-      policy.forall(_._2 > 0) && defaultDelayMs > 0,
-      "policy domains distinct, delays positive")
-    val delayCol = policy.foldRight(lit(defaultDelayMs)) {
-      case ((d, ms), e) => when(col("domain") === d, lit(ms)).otherwise(e)
-    }
+    // the batch twin's delay resolution, verbatim — shared so the
+    // split-cohort equivalence cannot drift
+    val delayCol = graft.ext.Curation.delayColFor(policy, defaultDelayMs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("ms"))
     val batchAgg = batch0

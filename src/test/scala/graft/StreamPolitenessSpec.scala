@@ -18,10 +18,12 @@ class StreamPolitenessSpec extends SparkSpec {
   }
 
   // the c41 fixture: burst.com 6 fetches a second apart, steady.org 4
-  // fetches an hour apart — split mid-stream in TIME order
+  // fetches an hour apart — split mid-BURST in time order (seconds!),
+  // so burst.com's 2s->3s violation crosses the batch boundary and the
+  // merge's boundary-gap path is genuinely exercised
   private val all = (0 until 6).map(s => ("burst.com", s.toLong)) ++
     (0 until 4).map(h => ("steady.org", h * 3600L))
-  private val (c1, c2) = all.partition(_._2 < 3000L)
+  private val (c1, c2) = all.partition(_._2 < 3L)
 
   test("split cohorts: streaming compliance == the batch c41 audit") {
     val state = Files.createTempDirectory("sp_state").toString
