@@ -685,7 +685,7 @@ object ExtQueries {
             p -> p <> '' AND NOT regexp_matches(p,
               '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$$')), '&'), '')
             AS query_norm FROM n3),
-      n5 AS (SELECT doc_id, url,
+      n5 AS (SELECT doc_id, url, path, query_norm,
           scheme || '://' || host ||
             CASE WHEN port = '' THEN '' ELSE ':' || port END || path ||
             CASE WHEN query_norm = '' THEN '' ELSE '?' || query_norm END
@@ -704,6 +704,81 @@ object ExtQueries {
                ELSE host END AS domain FROM n4)"""
 
   private val urlNormCtes: String = urlNormCtesOver("documents")
+
+  /** The per-domain robots plant as a SQL relation — emitted
+    * mechanically from the ONE Scala literal
+    * (`Curation.DomainRobots`), the PslSubset interpolation
+    * discipline: the plant cannot drift between engines because both
+    * read the same constant.
+    */
+  private val domainRobotsValues: String =
+    graft.ext.Curation.DomainRobots.map { case (d, txt) =>
+      val lines = txt.split("\n", -1).map(l => s"'$l'").mkString(", ")
+      s"SELECT '$d' AS domain, concat_ws(chr(10), $lines) AS robots_txt"
+    }.mkString("\n        UNION ALL ")
+
+  /** c41/c43's shared robots-parse CTE chain: the per-domain plant,
+    * case-preserving `*`-group scoping (directives case-folded, VALUES
+    * kept — rule paths are case-sensitive per RFC 9309 §2.2.2), ending
+    * in rbp(domain, crawl_delay_s, rules) where rules is a list of
+    * {is_allow, rpath} structs — the DuckDB twin of
+    * `Curation.domainRobots` + `robotsRules`, in ONE place so the
+    * admission and politeness oracles can never drift.
+    */
+  private val robotsRulesCtes: String = s"""rb AS ($domainRobotsValues),
+      rbl AS (SELECT domain, list_transform(
+                string_split(robots_txt, chr(10)), l -> trim(l)) AS ls
+              FROM rb),
+      rbs AS (SELECT *, list_filter(range(1, len(ls) + 1),
+                i -> regexp_matches(lower(ls[i]),
+                  '^user-agent:[ ]*[*]$$'))[1] AS star FROM rbl),
+      rbn AS (SELECT *, list_filter(range(1, len(ls) + 1),
+                i -> i > star AND regexp_matches(lower(ls[i]),
+                  '^user-agent:'))[1] AS nxt FROM rbs),
+      rbg AS (SELECT domain,
+                CASE WHEN star IS NULL THEN []
+                     ELSE ls[star + 1 : coalesce(nxt, len(ls) + 1) - 1]
+                END AS grp FROM rbn),
+      rbp AS (SELECT domain,
+                CAST(regexp_extract(list_filter(grp,
+                    l -> regexp_matches(lower(l),
+                      '^crawl-delay:[ ]*[0-9]+[ ]*$$'))[1],
+                  ':[ ]*([0-9]+)', 1) AS INT) AS crawl_delay_s,
+                list_transform(
+                  list_filter(grp, l -> regexp_matches(lower(l),
+                    '^(dis)?allow:[ ]*/')),
+                  l -> {'is_allow': regexp_matches(lower(l), '^allow:'),
+                        'rpath': trim(substr(l, strpos(l, ':') + 1))})
+                  AS rules
+              FROM rbg)"""
+
+  /** The c43 admission verdict as a reusable CTE fragment: appends to
+    * [[robotsRulesCtes]] + a frontier `n5` the per-URL winning rule and
+    * verdict, ending in adm(doc_id, norm_url, domain, target,
+    * matched_rule, matched_allow, allowed).
+    */
+  private val robotsAdmissionCtes: String = s"""$robotsRulesCtes,
+      rr AS (SELECT domain AS r_domain, unnest(rules) AS r FROM rbp),
+      rr2 AS (SELECT r_domain, r.is_allow AS r_allow, r.rpath AS rpath
+              FROM rr),
+      fr AS (SELECT doc_id, norm_url, domain,
+               path || CASE WHEN query_norm = '' THEN ''
+                            ELSE '?' || query_norm END AS target
+             FROM n5),
+      mt AS (SELECT fr.*, rr2.r_allow, rr2.rpath FROM fr
+             LEFT JOIN rr2 ON fr.domain = rr2.r_domain
+               AND starts_with(fr.target, rr2.rpath)),
+      bst AS (SELECT * FROM mt
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY length(rpath) DESC NULLS LAST,
+                  CASE WHEN r_allow THEN 1 ELSE 0 END DESC NULLS LAST,
+                  rpath DESC NULLS LAST) = 1),
+      adm AS (SELECT doc_id, norm_url, domain, target,
+                rpath AS matched_rule,
+                CASE WHEN rpath IS NULL THEN NULL ELSE r_allow END
+                  AS matched_allow,
+                (rpath IS NULL OR r_allow) AS allowed
+              FROM bst)"""
 
   /** t40/t41's shared training CTE chain — the exact WordPiece
     * likelihood iterations (wf dictionary, v0 char seqs, per-iteration
@@ -5588,14 +5663,18 @@ object ExtQueries {
           .mkString(",\n             ")
         s"""
       WITH $urlNormCtes,
+      $robotsAdmissionCtes,
       kp AS (SELECT doc_id,
                MIN(doc_id) OVER (PARTITION BY norm_url) AS keep_doc FROM n5),
       base AS (SELECT d.doc_id, d.source, d.text,
-                 kp.doc_id <> kp.keep_doc AS is_url_dup
-               FROM documents d JOIN kp USING (doc_id)),
+                 kp.doc_id <> kp.keep_doc AS is_url_dup, adm.allowed
+               FROM documents d JOIN kp USING (doc_id)
+               JOIN adm USING (doc_id)),
       r1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(CASE WHEN is_url_dup THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_url_dup
+                 AS n_url_dup,
+               CAST(SUM(CASE WHEN NOT is_url_dup AND NOT allowed
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_robots_blocked
              FROM base GROUP BY source),
       h AS (SELECT doc_id, source,
         '<html><head><title>Doc ' || doc_id ||
@@ -5607,7 +5686,7 @@ object ExtQueries {
         '<p>' || text ||
         '</p><p>related reading material worth your time see <a href="/more">more like doc ' || doc_id ||
         '</a></p><!-- rendered in 3ms --><div><a href="/terms">terms</a> <a href="/privacy">privacy</a> (c) site</div></body></html>'
-          AS html FROM base WHERE NOT is_url_dup),
+          AS html FROM base WHERE NOT is_url_dup AND allowed),
       m AS (SELECT doc_id, source,
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
           '<script[^>]*>.*?</script>', ' ', 'g'),
@@ -5663,6 +5742,14 @@ object ExtQueries {
                  AND quality >= 0.65) AS kept FROM ql),
       r2 AS (SELECT source,
                CAST(SUM(n_tokens - n_scrub_kept) AS BIGINT) AS boiler_tokens,
+               CAST(SUM(CASE WHEN n_kept_blocks = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_no_blocks,
+               CAST(SUM(CASE WHEN n_kept_blocks >= 1
+                 AND length(scrubbed_text) = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_scrub_empty,
+               CAST(SUM(CASE WHEN n_kept_blocks >= 1
+                 AND length(scrubbed_text) > 0 AND quality < 0.65
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
                CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(COALESCE(SUM(CASE WHEN kept THEN length(scrubbed_text)
                  END), 0) AS BIGINT) AS kept_chars,
@@ -5674,11 +5761,13 @@ object ExtQueries {
                MIN(CASE WHEN kept THEN quality END) AS min_quality,
                MAX(CASE WHEN kept THEN quality END) AS max_quality
              FROM pl GROUP BY source)
-      SELECT r1.source, r1.n_docs, r1.n_url_dup,
-             CAST(r1.n_docs - r1.n_url_dup AS BIGINT) AS n_fetched,
+      SELECT r1.source, r1.n_docs, r1.n_url_dup, r1.n_robots_blocked,
+             CAST(r1.n_docs - r1.n_url_dup - r1.n_robots_blocked AS BIGINT)
+               AS n_fetched,
              CAST(COALESCE(r2.boiler_tokens, 0) AS BIGINT) AS boiler_tokens,
-             CAST(r1.n_docs - r1.n_url_dup - COALESCE(r2.n_kept, 0)
-               AS BIGINT) AS n_low_quality,
+             CAST(COALESCE(r2.n_no_blocks, 0) AS BIGINT) AS n_no_blocks,
+             CAST(COALESCE(r2.n_scrub_empty, 0) AS BIGINT) AS n_scrub_empty,
+             CAST(COALESCE(r2.n_low_quality, 0) AS BIGINT) AS n_low_quality,
              CAST(COALESCE(r2.n_kept, 0) AS BIGINT) AS n_kept,
              CAST(COALESCE(r2.kept_chars, 0) AS BIGINT) AS kept_chars,
              CAST(COALESCE(r2.kept_words, 0) AS BIGINT) AS kept_words,
@@ -5769,31 +5858,29 @@ object ExtQueries {
     // ---- per-domain crawl-politeness budget audit: the events table
     // as the fetch log (event_id through the %7 URL plant -> c38
     // registered domains), gaps between consecutive same-domain
-    // fetches vs a literal crawl-delay policy, hourly burst profile,
-    // and the next round's frontier budget = least(share cap,
-    // politeness cap). All integer epoch-ms math -------------------
+    // fetches vs the crawl-delay policy PARSED from the per-domain
+    // robots plant (the c42 -> c41 wiring — the policy is derived
+    // in-engine, not handed in), hourly burst profile, and the next
+    // round's frontier budget = least(share cap, politeness cap).
+    // All integer epoch-ms math --------------------------------------
     ("c41_crawl_politeness", (s: SparkSession, d: String) => {
       val ev = t(s, d, "events")
         .select(col("event_id").as("doc_id"), col("ts"))
       graft.ext.Curation.crawlPoliteness(
         graft.ext.Curation.urlNormalize(graft.ext.Curation.urlPlant(ev))
           .select(col("domain"), col("ts")),
-        policy = Seq("example.com" -> 900000L, "example.org" -> 3600000L,
-          "example.co.uk" -> 1800000L, "example.net" -> 5000L),
+        policy = graft.ext.Curation.robotsDelayPolicy(s),
         defaultDelayMs = 600000L, capSharePct = 20)
     },
       Some(s"""
       WITH ${urlNormCtesOver("(SELECT event_id AS doc_id FROM events) ev0")},
+      $robotsRulesCtes,
       fx AS (SELECT n5.domain, epoch_ms(e.ts) AS ms
              FROM n5 JOIN events e ON e.event_id = n5.doc_id),
       dl AS (SELECT domain, ms,
-               CASE domain WHEN 'example.com' THEN 900000
-                           WHEN 'example.org' THEN 3600000
-                           WHEN 'example.co.uk' THEN 1800000
-                           WHEN 'example.net' THEN 5000
-                           ELSE 600000 END AS delay_ms,
+               coalesce(rbp.crawl_delay_s * 1000, 600000) AS delay_ms,
                ms - LAG(ms) OVER (PARTITION BY domain ORDER BY ms) AS gap
-             FROM fx),
+             FROM fx LEFT JOIN rbp USING (domain)),
       gr AS (SELECT domain, CAST(MAX(delay_ms) AS BIGINT) AS crawl_delay_ms,
                CAST(COUNT(*) AS BIGINT) AS n_fetches,
                CAST(SUM(CASE WHEN gap < delay_ms THEN 1 ELSE 0 END)
@@ -5838,6 +5925,41 @@ object ExtQueries {
           CASE WHEN cls = 1 THEN 1 ELSE 0 END AS gps,
           w * h AS wh,
           14 + 12 * n + w * h + CASE WHEN cls = 1 THEN 30 ELSE 0 END AS ob,
+          CASE WHEN cls = 1 THEN 42 ELSE 0 END AS rm
+        FROM p)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(le) AS BIGINT) AS n_le,
+        CAST(SUM(exif) AS BIGINT) AS n_exif,
+        CAST(SUM(gps) AS BIGINT) AS n_gps,
+        CAST(SUM(wh) AS BIGINT) AS wh_sum,
+        CAST(SUM(ob) AS BIGINT) AS orig_bytes,
+        CAST(SUM(ob - rm) AS BIGINT) AS scrubbed_bytes,
+        CAST(SUM(rm) AS BIGINT) AS removed_bytes
+      FROM f GROUP BY source ORDER BY source""")),
+
+    // ---- m17: EXIF-in-JPEG privacy scrub — m16's TIFF byte-walker
+    // composed with a JPEG segment scanner (SOI, APP1 length covering
+    // itself, "Exif\0\0" identifier per EXIF 2.3 §4.5.4, a COM segment
+    // the scanner must skip): GPS scrubbed inside the APP1 with the
+    // segment length patched. The fixture layout stays closed-form over
+    // doc_id, so the oracle verifies every byte total analytically ----
+    ("m17_jpeg_privacy", (s: SparkSession, d: String) =>
+      graft.ext.Multimodal.jpegPrivacyAudit(t(s, d, "documents")),
+      Some("""
+      WITH p AS (SELECT doc_id, source,
+          4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h, doc_id % 4 AS cls,
+          3 + CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END AS n
+        FROM documents),
+      f AS (SELECT source,
+          CASE WHEN cls IN (1, 3) THEN 1 ELSE 0 END AS exif,
+          CASE WHEN cls IN (1, 3) AND doc_id % 3 <> 0 THEN 1 ELSE 0 END
+            AS le,
+          CASE WHEN cls = 1 THEN 1 ELSE 0 END AS gps,
+          CASE WHEN cls IN (1, 3) THEN w * h ELSE 0 END AS wh,
+          2 + CASE WHEN cls IN (1, 3)
+                THEN 10 + 14 + 12 * n + w * h
+                  + CASE WHEN cls = 1 THEN 30 ELSE 0 END
+                ELSE 0 END + 9 + 2 AS ob,
           CASE WHEN cls = 1 THEN 42 ELSE 0 END AS rm
         FROM p)
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -5900,7 +6022,28 @@ object ExtQueries {
           l -> regexp_matches(l, '^allow:[ ]*/'))) AS INT) AS n_allow,
         CAST(len(list_filter(ls,
           l -> regexp_matches(l, '^sitemap:[ ]*[^ ]'))) AS INT) AS n_sitemaps
-      FROM h ORDER BY doc_id"""))
+      FROM h ORDER BY doc_id""")),
+
+    // ---- c43: robots-rule URL admission (RFC 9309 §2.2.2) — the
+    // enforcement half c42 lacked: every frontier URL's path+query is
+    // evaluated against its domain's `*`-group Allow/Disallow rules
+    // with longest-match precedence, Allow winning equal-length ties;
+    // no match = allowed. Exercised: Allow-overrides-shorter-Disallow,
+    // case-sensitive paths, Disallow-/ full block behind a named group
+    // that must not leak, the equal-length tie, empty-Disallow
+    // allow-all, and percent-encoded octet matching ------------------
+    ("c43_robots_admission", (s: SparkSession, d: String) =>
+      graft.ext.Curation.robotsAdmission(t(s, d, "documents")),
+      Some(s"""
+      WITH $urlNormCtes,
+      $robotsAdmissionCtes,
+      bc AS (SELECT domain,
+               CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS domain_blocked
+             FROM adm GROUP BY domain)
+      SELECT adm.doc_id, adm.norm_url, adm.domain, adm.target,
+        adm.matched_rule, adm.matched_allow, adm.allowed, bc.domain_blocked
+      FROM adm JOIN bc USING (domain) ORDER BY adm.doc_id"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

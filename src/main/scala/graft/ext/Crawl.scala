@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *  2. canonical-URL frontier dedup — keeper = lowest doc_id per
   *     norm_url (the c39 keeper rule), BEFORE fetch: a crawler never
   *     pays to fetch a URL it has already seen;
+  *  2.5. robots admission ([[Curation.admissionVerdict]], the c43
+  *     verdict over the per-domain robots plant) — ALSO before fetch:
+  *     RFC 9309 compliance means disallowed paths are never fetched;
   *  3. fetch + extract — [[TextAnalysis.htmlWrap]] (the deterministic
-  *     page plant) then [[TextAnalysis.htmlExtract]], keepers only;
+  *     page plant) then [[TextAnalysis.htmlExtract]], admitted keepers
+  *     only;
   *  4. cross-doc boilerplate scrub on the EXTRACTED text
   *     ([[TextAnalysis.boilerplateScrub]] retargeted): the wrap's
   *     "related reading" paragraph survives extraction by design (low
@@ -29,11 +33,14 @@ import org.apache.spark.sql.functions._
   *     SCRUBBED text; keep verdict = extracted at least one block AND
   *     non-empty after scrub AND quality >= `minQuality`;
   *  6. per-source corpus datasheet: stage-by-stage loss accounting
-  *     (crawled, URL-dup, fetched, boilerplate tokens, low-quality,
-  *     kept) plus kept-corpus size and language mix.
+  *     (crawled, URL-dup, robots-blocked, fetched, boilerplate tokens,
+  *     then the per-CAUSE fetched-doc drops: no extracted block /
+  *     scrubbed-to-empty / low-quality / kept) plus kept-corpus size
+  *     and language mix.
   *
   * Scale shape, stage by stage: (1) narrow projection; (2) one
   * doc-PARTITIONED window on norm_url (one shuffle, no global order);
+  * (2.5) one broadcast rules-array attach + a narrow array fold;
   * (3) narrow projection; (4) shingle explode -> lexicon groupBy ->
   * equi-joins on (doc_id, pos) — t26's shape unchanged; (5) narrow
   * ([[graft.functions.QualityCountsOf]], no word arrays); (6) two
@@ -57,15 +64,29 @@ object Crawl {
       .withColumn("is_url_dup", col("doc_id") =!= col("keep_doc"))
   }
 
-  /** Stage 3: fetch (the deterministic page wrap) + extract, keepers
-    * only. Output: (doc_id, source, n_kept_blocks, extracted) — the
-    * t38 contract minus the per-block diagnostics the downstream
-    * stages don't key on.
+  /** Stage 2.5: robots admission on the staged frontier
+    * ([[Curation.admissionVerdict]] — RFC 9309 §2.2.2 longest-match
+    * Allow/Disallow against the per-domain robots plant): a compliant
+    * crawler never fetches a disallowed path, so blocked URLs leave
+    * the chain HERE, before fetch, alongside the URL dups. Adds
+    * (target, matched_rule, matched_allow, allowed) to every staged
+    * row; URL dups keep their own verdict so the datasheet's drop
+    * classes stay disjoint (a dup was never going to be fetched,
+    * whatever robots says).
     */
-  def extractStage(urlStaged: DataFrame, minWords: Int = 3,
+  def admissionStage(urlStaged: DataFrame): DataFrame =
+    Curation.admissionVerdict(urlStaged)
+
+  /** Stage 3: fetch (the deterministic page wrap) + extract — keepers
+    * that robots ADMITS only. Output: (doc_id, source, n_kept_blocks,
+    * extracted) — the t38 contract minus the per-block diagnostics the
+    * downstream stages don't key on.
+    */
+  def extractStage(admitted: DataFrame, minWords: Int = 3,
                    maxLinkDensityPct: Int = 30): DataFrame =
     TextAnalysis.htmlExtract(
-        TextAnalysis.htmlWrap(urlStaged.filter(!col("is_url_dup"))),
+        TextAnalysis.htmlWrap(
+          admitted.filter(!col("is_url_dup") && col("allowed"))),
         minWords, maxLinkDensityPct)
       .select(col("doc_id"), col("source"),
         col("n_kept").as("n_kept_blocks"), col("extracted"))
@@ -121,19 +142,34 @@ object Crawl {
     // rollup and extraction, and the scrub stage reads its input three
     // times (shingle lexicon, token table, length rollup) — without
     // the guards the regex-heavy extraction re-runs per consumer
-    val staged = urlStage(docs).cpGuard()
+    val staged = admissionStage(urlStage(docs)).cpGuard()
     val scored = scoreStage(
       scrubStage(extractStage(staged).cpGuard(), shingle, minDocs),
       minQuality)
     val crawled = staged.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_url_dup"), 1L).otherwise(0L)).as("n_url_dup"))
+        sum(when(col("is_url_dup"), 1L).otherwise(0L)).as("n_url_dup"),
+        sum(when(!col("is_url_dup") && !col("allowed"), 1L).otherwise(0L))
+          .as("n_robots_blocked"))
     val langCols = TextAnalysis.stopwords.map { case (l, _) =>
       sum(when(col("kept") && col("predicted_lang") === l, 1L)
         .otherwise(0L)).as(s"n_$l")
     }
+    // per-CAUSE drop counters partition the fetched set: no extracted
+    // block / scrubbed to nothing / genuinely low-quality / kept — a
+    // datasheet that lumped the first three under "low quality" would
+    // overstate the quality-failure count
     val corpusAggs = Seq(
         sum(col("n_tokens") - col("n_scrub_kept")).as("boiler_tokens"),
+        sum(when(col("n_kept_blocks") === 0, 1L).otherwise(0L))
+          .as("n_no_blocks"),
+        sum(when(col("n_kept_blocks") >= 1 &&
+          length(col("scrubbed_text")) === 0, 1L).otherwise(0L))
+          .as("n_scrub_empty"),
+        sum(when(col("n_kept_blocks") >= 1 &&
+          length(col("scrubbed_text")) > 0 &&
+          col("quality") < minQuality, 1L).otherwise(0L))
+          .as("n_low_quality"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), length(col("scrubbed_text")).cast("long")))
           .as("kept_chars"),
@@ -148,10 +184,13 @@ object Crawl {
     // the LEFT join keeps its loss accounting visible, zeros attached
     crawled.join(corpus, Seq("source"), "left")
       .select(Seq(col("source"), col("n_docs"), col("n_url_dup"),
-        (col("n_docs") - col("n_url_dup")).as("n_fetched"),
+        col("n_robots_blocked"),
+        (col("n_docs") - col("n_url_dup") - col("n_robots_blocked"))
+          .as("n_fetched"),
         coalesce(col("boiler_tokens"), lit(0L)).as("boiler_tokens"),
-        (col("n_docs") - col("n_url_dup") -
-          coalesce(col("n_kept"), lit(0L))).as("n_low_quality"),
+        coalesce(col("n_no_blocks"), lit(0L)).as("n_no_blocks"),
+        coalesce(col("n_scrub_empty"), lit(0L)).as("n_scrub_empty"),
+        coalesce(col("n_low_quality"), lit(0L)).as("n_low_quality"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_chars"), lit(0L)).as("kept_chars"),
         coalesce(col("kept_words"), lit(0L)).as("kept_words"),

@@ -1540,4 +1540,168 @@ object Curation {
         col("n_disallow"), col("disallow_all"), col("n_allow"),
         col("n_sitemaps"))
       .orderBy(col("doc_id"))
+
+  // ---- c43: robots-rule URL admission (RFC 9309 §2.2.2) -------------
+  //
+  // c42 parses robots policies; this half ENFORCES them: every frontier
+  // URL's path is evaluated against its registered domain's `*`-group
+  // Allow/Disallow rules with longest-match precedence (Allow wins
+  // ties — RFC 9309 §2.2.2: "the most specific match found MUST be
+  // used ... the least restrictive rule"), so a compliant crawler never
+  // fetches a disallowed path. Rule paths and URL paths are matched as
+  // the percent-encoded OCTET strings both sides already carry (§2.2.2
+  // matches octets; decoding either side would be lossy and is exactly
+  // the class of cross-engine trap [[urlNormalize]] refuses).
+
+  /** Deterministic per-DOMAIN robots.txt plant — one file per
+    * registered domain of the doc_id % 7 [[urlPlant]] frontier (the
+    * robots a crawler of that frontier would actually have fetched),
+    * chosen so admission exercises every RFC 9309 §2.2.2 decision:
+    * longest-match Allow overriding a shorter Disallow (example.com's
+    * `/Path/item` under `Disallow: /Path`), case-sensitive paths
+    * (`Disallow: /p` must not catch `/Path`), a full `Disallow: /`
+    * block whose `*` group follows a NAMED group that must not leak
+    * (example.org), an equal-length Allow/Disallow tie where Allow
+    * wins (example.co.uk's `/sale`), empty-Disallow allow-all with a
+    * Crawl-delay (example.net), and percent-encoded rule octets
+    * matching the encoded path (the punycode host). Crawl-delays here
+    * are what [[robotsDelayPolicy]] derives c41's policy table from.
+    */
+  val DomainRobots: Seq[(String, String)] = Seq(
+    "example.com" -> Seq("User-agent: *", "Crawl-delay: 10",
+      "Disallow: /Path", "Allow: /Path/item", "Disallow: /p")
+      .mkString("\n"),
+    "example.org" -> Seq("User-agent: googlebot", "Allow: /a", "",
+      "User-agent: *", "Disallow: /").mkString("\n"),
+    "example.co.uk" -> Seq("User-agent: *", "Allow: /sale",
+      "Disallow: /sale").mkString("\n"),
+    "example.net" -> Seq("User-agent: *", "Crawl-delay: 7", "Disallow:")
+      .mkString("\n"),
+    "xn--bcher-kva.ch" -> Seq("User-agent: *", "Disallow: /B%C3%BCcher",
+      "Allow: /B%C3%BCcher/free").mkString("\n"))
+
+  /** The planted per-domain robots files as a DataFrame
+    * (domain, robots_txt) — the tiny dimension side every admission
+    * join broadcasts.
+    */
+  def domainRobots(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    DomainRobots.toDF("domain", "robots_txt")
+  }
+
+  /** Case-PRESERVING `*`-group extraction over (domain, robots_txt):
+    * [[robotsParse]] lowercases whole lines (fine for counting), but
+    * rule PATHS are case-sensitive per RFC 9309 §2.2.2 — so here only
+    * the directive match is case-folded and the value keeps its
+    * original octets. Adds `rules` (array of (is_allow, rpath), empty
+    * Disallow excluded per the allow-all grammar rule) and
+    * `crawl_delay_s` (null when absent or non-numeric). Same
+    * positional `*`-group scoping as [[robotsParse]]: a named agent's
+    * rules never leak. Pure array/regexp built-ins, one narrow
+    * projection.
+    */
+  def robotsRules(df: DataFrame): DataFrame =
+    df
+      .withColumn("__ls",
+        expr("transform(split(robots_txt, '\n'), l -> trim(l))"))
+      .withColumn("__star", expr(
+        """try_element_at(filter(sequence(1, size(__ls)),
+             i -> lower(element_at(__ls, i))
+                    rlike '^user-agent:[ ]*[*]$'), 1)"""))
+      .withColumn("__nxt", expr(
+        """try_element_at(filter(sequence(1, size(__ls)),
+             i -> i > __star AND
+               lower(element_at(__ls, i)) rlike '^user-agent:'), 1)"""))
+      .withColumn("__grp", expr(
+        """CASE WHEN __star IS NULL THEN array()
+           ELSE slice(__ls, __star + 1,
+             coalesce(__nxt, size(__ls) + 1) - __star - 1) END"""))
+      .withColumn("rules", expr(
+        """transform(
+             filter(__grp, l -> lower(l) rlike '^(dis)?allow:[ ]*/'),
+             l -> struct(lower(l) rlike '^allow:' AS is_allow,
+                         trim(substring(l, instr(l, ':') + 1)) AS rpath))"""))
+      .withColumn("crawl_delay_s", expr(
+        """CAST(regexp_extract(
+             try_element_at(filter(__grp,
+               l -> lower(l) rlike '^crawl-delay:[ ]*[0-9]+[ ]*$'), 1),
+             ':[ ]*([0-9]+)', 1) AS INT)"""))
+      .drop("__ls", "__star", "__nxt", "__grp")
+
+  /** The c41 policy table DERIVED in-engine from the planted robots
+    * files (closing the c42 → c41 seam): domains whose `*` group
+    * carries a numeric Crawl-delay map to delay·1000 ms; the rest fall
+    * to the caller's default. The collect is bounded by construction —
+    * one row per CRAWLED DOMAIN with a delay (the frontier's domain
+    * registry, never the corpus), the [[graft.ext.TextAnalysis]]
+    * trained-vocab collect discipline.
+    */
+  def robotsDelayPolicy(
+      spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] =
+    robotsRules(domainRobots(spark))
+      .filter(col("crawl_delay_s").isNotNull)
+      .select(col("domain"),
+        (col("crawl_delay_s").cast("long") * 1000L).as("delay_ms"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  /** Attach the RFC 9309 §2.2.2 admission verdict to any frontier
+    * carrying (domain, path, query_norm): match target = path +
+    * ('?' + surviving query) — §2.2.2 matches the path-and-query
+    * octets; a rule matches iff the target starts with the rule path;
+    * the WINNING rule maximizes (length, is_allow, rpath) — longest
+    * match first, Allow beating Disallow at equal length, the last key
+    * a pure determinism tie-break. No match (or no robots file for the
+    * domain) = allowed, the RFC default. Adds (target, matched_rule,
+    * matched_allow, allowed); every input row and column survives.
+    *
+    * Shape: ONE broadcast equi-join on domain attaches the domain's
+    * whole rule ARRAY (#rules per domain is robots-file-bounded), then
+    * the winner is a narrow filter/array_max fold over that array — no
+    * explode, no re-aggregation, no extra shuffle: admission rides the
+    * frontier scan, which is what lets it sit INSIDE the c40 chain for
+    * free at 100 TB.
+    */
+  private[graft] def admissionVerdict(frontier: DataFrame): DataFrame = {
+    val rules = robotsRules(domainRobots(frontier.sparkSession))
+      .select(col("domain"), col("rules").as("__rules"))
+    frontier
+      .withColumn("target", concat(col("path"),
+        when(col("query_norm") === "", lit(""))
+          .otherwise(concat(lit("?"), col("query_norm")))))
+      .join(broadcast(rules), Seq("domain"), "left")
+      .withColumn("__best", expr(
+        """array_max(transform(
+             filter(__rules, r -> startswith(target, r.rpath)),
+             r -> struct(length(r.rpath) AS l,
+                         CAST(r.is_allow AS INT) AS a, r.rpath AS p)))"""))
+      .withColumn("matched_rule", col("__best.p"))
+      .withColumn("matched_allow",
+        when(col("__best").isNotNull, col("__best.a") === 1))
+      .withColumn("allowed",
+        col("__best").isNull || col("__best.a") === 1)
+      .drop("__rules", "__best")
+  }
+
+  /** c43: per-URL robots admission over the [[urlPlant]] frontier —
+    * [[admissionVerdict]] plus the per-domain blocked count (what the
+    * frontier scheduler subtracts from c41's budget). The blocked
+    * rollup is a partial-aggregable groupBy(domain) re-joined
+    * broadcast-size (domains ≪ URLs at any corpus scale).
+    */
+  def robotsAdmission(docs: DataFrame): DataFrame = {
+    val verdicts = admissionVerdict(
+        urlNormalize(urlPlant(graft.core.Tables.spread(docs))))
+      .select(col("doc_id"), col("norm_url"), col("domain"), col("target"),
+        col("matched_rule"), col("matched_allow"), col("allowed"))
+      .cpGuard() // read twice: the verdict rows and the blocked rollup
+    val blocked = verdicts.groupBy(col("domain"))
+      .agg(sum(when(!col("allowed"), 1L).otherwise(0L))
+        .as("domain_blocked"))
+    verdicts.join(broadcast(blocked), Seq("domain"))
+      .select(col("doc_id"), col("norm_url"), col("domain"), col("target"),
+        col("matched_rule"), col("matched_allow"), col("allowed"),
+        col("domain_blocked"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1299,6 +1299,166 @@ object Multimodal {
         sum(col("orig_bytes") - col("scrubbed_bytes")).as("removed_bytes"))
       .orderBy(col("source"))
 
+  // ---- m17: JPEG APP1/EXIF scrub through the TIFF walker ------------
+  //
+  // m16's byte-walker operates on bare TIFF payloads; real crawl images
+  // carry EXIF as a TIFF blob inside a JPEG APP1 segment (JEITA
+  // CP-3451 / EXIF 2.3 §4.5.4: marker 0xFFE1, 2-byte big-endian length
+  // covering itself, the 6-byte "Exif\0\0" identifier, then the TIFF).
+  // m17 composes the JPEG segment scanner with [[tiffWalkScrub]]: find
+  // APP1-Exif among the segments, scrub the embedded TIFF surgically,
+  // PATCH the APP1 length (always big-endian, whatever the TIFF's own
+  // byte order says), and re-emit a valid JPEG. Foreign or truncated
+  // bytes fail loudly — the m16 contract.
+
+  /** "Exif\0\0" — the APP1 payload identifier (EXIF 2.3 §4.5.4). */
+  private val ExifId: Array[Byte] =
+    Array('E'.toByte, 'x'.toByte, 'i'.toByte, 'f'.toByte, 0, 0)
+
+  /** One synthetic EXIF-bearing JPEG, closed-form over doc_id: SOI,
+    * then — on the id % 4 EXIF classes 1/3 only — an APP1 segment
+    * wrapping [[tiffBytes]] (so the embedded TIFF inherits m16's whole
+    * closed form: II/MM by id % 3, GPS on class 1, Software tag on
+    * class 3), then a COM segment (the non-APP1 segment the scanner
+    * must skip, fixed 5-byte "graft" comment), then EOI. Layout
+    * arithmetic: orig = 2 + (exif ? 10 + tiff_len : 0) + 9 + 2 with
+    * tiff_len = 14 + 12n + w·h + (gps ? 30 : 0); scrub removes the
+    * same 42 bytes the bare-TIFF scrub removes.
+    */
+  private[graft] def jpegExifBytes(id: Long): Array[Byte] = {
+    val cls = (id % 4).toInt
+    val app1 = if (cls == 1 || cls == 3) {
+      val tiff = tiffBytes(id)
+      val len = 2 + 6 + tiff.length // the length field covers itself
+      Array(0xFF.toByte, 0xE1.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ ExifId ++ tiff
+    } else Array.empty[Byte]
+    val com = "graft".getBytes("US-ASCII")
+    val comSeg = Array(0xFF.toByte, 0xFE.toByte, 0.toByte,
+      (2 + com.length).toByte) ++ com
+    Array(0xFF.toByte, 0xD8.toByte) ++ app1 ++ comSeg ++
+      Array(0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** Deterministic EXIF-JPEG payloads (doc_id, source, payload). */
+  def syntheticExifJpegs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.core.Tables.spread(docs).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, src) =>
+        (id, src, jpegExifBytes(id)) })
+      .toDF("doc_id", "source", "payload")
+  }
+
+  /** Parse + scrub ONE JPEG: validate SOI, walk the segment chain
+    * (standalone markers length-free, every other segment's big-endian
+    * length covering itself — ISO/IEC 10918-1 §B.1.1.4), locate the
+    * APP1 segment carrying "Exif\0\0", run [[tiffWalkScrub]] on the
+    * embedded TIFF, patch the APP1 length field, splice. Non-APP1
+    * segments pass through byte-identically; a GPS-free JPEG returns
+    * the input array unchanged. Fails loudly on a missing SOI,
+    * misaligned marker, overrunning segment, or bytes after EOI —
+    * and on anything [[tiffWalkScrub]] rejects inside the APP1.
+    * Returns (has_exif, parsed TIFF facts or None, scrubbed bytes).
+    */
+  private[graft] def jpegWalkScrub(bytes: Array[Byte])
+      : (Boolean,
+         Option[(String, Int, Int, Boolean, Option[(Int, Int)])],
+         Array[Byte]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8, "jpeg: missing SOI")
+    var p = 2
+    var app1Pos = -1
+    var app1Len = 0
+    var done = false
+    while (!done) {
+      require(p + 2 <= bytes.length, "jpeg: truncated marker")
+      require((bytes(p) & 0xFF) == 0xFF, "jpeg: misaligned marker")
+      val m = bytes(p + 1) & 0xFF
+      if (m == 0xD9) { // EOI
+        require(p + 2 == bytes.length, "jpeg: bytes after EOI")
+        done = true
+      } else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+        p += 2 // standalone marker, no length field
+      } else {
+        require(p + 4 <= bytes.length, "jpeg: truncated segment length")
+        val len = ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+        require(len >= 2 && p + 2 + len <= bytes.length,
+          "jpeg: segment overruns buffer")
+        if (m == 0xE1 && len >= 2 + ExifId.length &&
+            java.util.Arrays.equals(
+              java.util.Arrays.copyOfRange(bytes, p + 4, p + 4 + 6), ExifId))
+          { app1Pos = p; app1Len = len }
+        p += 2 + len
+      }
+    }
+    if (app1Pos < 0) (false, None, bytes)
+    else {
+      val tiff = java.util.Arrays.copyOfRange(
+        bytes, app1Pos + 10, app1Pos + 2 + app1Len)
+      val (endian, w, h, extra, gps, tiffOut) = tiffWalkScrub(tiff)
+      val facts = Some((endian, w, h, extra, gps))
+      if (tiffOut.length == tiff.length) (true, facts, bytes)
+      else {
+        val newLen = 2 + 6 + tiffOut.length
+        val out = new Array[Byte](
+          bytes.length - (tiff.length - tiffOut.length))
+        System.arraycopy(bytes, 0, out, 0, app1Pos + 2)
+        out(app1Pos + 2) = ((newLen >> 8) & 0xFF).toByte // APP1 length is
+        out(app1Pos + 3) = (newLen & 0xFF).toByte // ALWAYS big-endian
+        System.arraycopy(ExifId, 0, out, app1Pos + 4, 6)
+        System.arraycopy(tiffOut, 0, out, app1Pos + 10, tiffOut.length)
+        val tailPos = app1Pos + 2 + app1Len
+        System.arraycopy(bytes, tailPos, out, app1Pos + 10 + tiffOut.length,
+          bytes.length - tailPos)
+        (true, facts, out)
+      }
+    }
+  }
+
+  /** Per-doc JPEG EXIF privacy scrub — the [[tiffGpsScrub]] shape: one
+    * mapPartitions, no shuffle; flags + embedded-TIFF facts + exact
+    * byte lengths + the scrubbed JPEG.
+    */
+  def jpegGpsScrub(withBin: DataFrame): DataFrame = {
+    val spark = withBin.sparkSession
+    import spark.implicits._
+    withBin.select(col("doc_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, src, b) =>
+          val (hasExif, facts, out) = jpegWalkScrub(b)
+          (id, src, hasExif, facts.map(_._1), facts.map(_._2),
+            facts.map(_._3), facts.exists(_._5.nonEmpty),
+            facts.flatMap(_._5).map(_._1), facts.flatMap(_._5).map(_._2),
+            b.length.toLong, out.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "source", "has_exif", "endian", "width", "height",
+        "has_gps", "gps_lat", "gps_lon", "orig_bytes", "scrubbed_bytes",
+        "payload_scrubbed")
+  }
+
+  /** m17: the m16 audit schema over EXIF-in-JPEG payloads — endianness
+    * and geometry now only provable on the EXIF-bearing classes (the
+    * others carry no TIFF at all); one narrow mapPartitions + one
+    * partial-aggregable groupBy.
+    */
+  def jpegPrivacyAudit(docs: DataFrame): DataFrame =
+    jpegGpsScrub(syntheticExifJpegs(docs))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("endian") === "II", 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("has_exif"), 1L).otherwise(0L)).as("n_exif"),
+        sum(when(col("has_gps"), 1L).otherwise(0L)).as("n_gps"),
+        sum(coalesce(col("width").cast("long") * col("height"), lit(0L)))
+          .as("wh_sum"),
+        sum(col("orig_bytes")).as("orig_bytes"),
+        sum(col("scrubbed_bytes")).as("scrubbed_bytes"),
+        sum(col("orig_bytes") - col("scrubbed_bytes")).as("removed_bytes"))
+      .orderBy(col("source"))
+
   /** Full metadata/decode/sample projection used by the verify query. */
   def mediaPipeline(docs: DataFrame): DataFrame =
     sampleFrames(decodeStub(withPayload(docs)))

@@ -91,9 +91,25 @@ object StreamPoliteness {
       .select(col("domain"), col("s.n_fetches").as("p_n"),
         col("s.n_violations").as("p_viol"),
         col("s.min_gap_ms").as("p_min_gap"), col("s.last_ms").as("p_last"))
+    // out-of-order arrival ACROSS batches (a batch's first event for a
+    // domain preceding the prior state's last) would make bgap negative
+    // — silently counted as a violation and poisoning min_gap_ms, while
+    // the batch twin (which sorts the full log) would disagree. The
+    // file-stream contract says fetchers log in order, so event-time
+    // disorder is a broken input: fail LOUDLY, inside the consumed
+    // expression (a separate assert column would be pruned away).
+    val disorder = raise_error(concat(
+      lit("StreamPoliteness: out-of-order cross-batch arrival for domain '"),
+      col("domain"), lit("': batch first "),
+      col("b_first").cast("string"), lit(" ms < prior last "),
+      col("p_last").cast("string"),
+      lit(" ms — the cumulative audit would diverge from the batch twin;" +
+        " replay the fetch log in event-time order")))
     val merged = batchAgg.join(prior, Seq("domain"), "left")
       .withColumn("bgap",
-        when(col("p_last").isNotNull, col("b_first") - col("p_last")))
+        when(col("p_last").isNotNull,
+          when(col("b_first") < col("p_last"), disorder.cast("long"))
+            .otherwise(col("b_first") - col("p_last"))))
       .select(col("domain"),
         (coalesce(col("p_n"), lit(0L)) + col("b_n")).as("n_fetches"),
         (coalesce(col("p_viol"), lit(0L)) + col("b_viol") +

@@ -32,6 +32,12 @@ import graft.operators.Layout
   * the input — so a replayed batch rewrites byte-identical partitions
   * instead of appending a second copy or dropping a doc against its
   * own failed attempt.
+  *
+  * Many tiny micro-batches accumulate one state partition each, so a
+  * probe's file count grows O(#batches) even though its per-row work
+  * stays O(batch); [[compactState]] is the maintenance step that folds
+  * the accumulated keeper partitions back into one low batch id
+  * without breaking the strictly-earlier-batch replay invariant.
   */
 object StreamUrlDedup {
 
@@ -104,6 +110,61 @@ object StreamUrlDedup {
       try normed.unpersist()
       catch { case scala.util.control.NonFatal(_) => }
       ()
+    }
+  }
+
+  /** Compact the accumulated seen-URL state: rewrite every row from
+    * batches <= `upToBatch` into the single partition
+    * batch=`upToBatch` and drop the older partitions — the maintenance
+    * step that keeps a probe's state side at O(active batches)
+    * files/partitions instead of O(every batch ever) when micro-batches
+    * are small and many. Correctness invariants preserved:
+    *
+    *  - probes: any batch b > upToBatch still sees every compacted row
+    *    (they keep a batch id < b), and the state stays one row per
+    *    norm_url;
+    *  - replay: under AvailableNow + checkpointing only the NEWEST
+    *    batch can be redelivered, and the guard below refuses to
+    *    compact it away — its strictly-earlier probe set is untouched.
+    *
+    * Offline-idempotent contract: run BETWEEN stream runs, never
+    * concurrently with one. A crash between the merged write and the
+    * partition drops can leave a row in both its old partition and the
+    * merged one; a crashed compaction MUST therefore be re-run before
+    * the stream resumes — it converges, because the merged content is
+    * a deterministic `distinct` (re-absorbing any such double rows)
+    * and the drops are the only missing piece.
+    */
+  def compactState(spark: SparkSession, stateDir: String, upToBatch: Long,
+                   urlBuckets: Int = DefaultUrlBuckets): Unit = {
+    val path = s"$stateDir/urls"
+    val table = ensureUrlState(spark, path, urlBuckets)
+    val batches = spark.table(table).select(col("batch")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (batches.nonEmpty) {
+      require(upToBatch < batches.max,
+        s"compactState: upToBatch=$upToBatch must stay strictly below " +
+          s"the newest batch ${batches.max} — the newest batch may still " +
+          "replay against strictly-earlier state")
+      val old = batches.filter(_ < upToBatch)
+      if (old.nonEmpty) {
+        // materialize BEFORE overwriting a partition the plan reads;
+        // distinct rides the norm_url buckets (subset clustering) and
+        // re-absorbs double rows left by a crashed prior compaction
+        val merged = spark.table(table)
+          .filter(col("batch") <= upToBatch)
+          .select(col("norm_url"), col("domain"), col("keep_doc"))
+          .distinct()
+          .localCheckpoint()
+        Layout.overwriteBatch(merged, table, upToBatch)
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        old.foreach { b =>
+          spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch=$b)")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch=$b"), true)
+          ()
+        }
+      }
     }
   }
 

@@ -32,7 +32,12 @@ class CrawlSpec extends SparkSpec {
     for (c <- Seq("doc_id", "source", "text", "url", "norm_url", "domain",
         "keep_doc", "is_url_dup"))
       assert(staged.columns.contains(c), s"urlStage missing $c")
-    val ex = Crawl.extractStage(staged)
+    val admitted = Crawl.admissionStage(staged)
+    // stage 2.5 adds the robots verdict, keeps every staged column
+    for (c <- staged.columns ++ Seq("target", "matched_rule",
+        "matched_allow", "allowed"))
+      assert(admitted.columns.contains(c), s"admissionStage missing $c")
+    val ex = Crawl.extractStage(admitted)
     assert(ex.columns.toSeq ==
       Seq("doc_id", "source", "n_kept_blocks", "extracted"))
     val sc = Crawl.scrubStage(ex, minDocs = 2L)
@@ -43,14 +48,16 @@ class CrawlSpec extends SparkSpec {
       assert(scored.columns.contains(c), s"scoreStage missing $c")
     val ds = Crawl.corpusDatasheet(fixture, minDocs = 2L)
     assert(ds.columns.toSeq == Seq("source", "n_docs", "n_url_dup",
-      "n_fetched", "boiler_tokens", "n_low_quality", "n_kept", "kept_chars",
+      "n_robots_blocked", "n_fetched", "boiler_tokens", "n_no_blocks",
+      "n_scrub_empty", "n_low_quality", "n_kept", "kept_chars",
       "kept_words", "n_langs_kept", "n_en", "n_es", "n_fr", "n_de", "n_zh",
       "min_quality", "max_quality"))
     val types = ds.schema.fields.map(f => f.name -> f.dataType).toMap
     assert(types("source") == StringType)
-    for (c <- Seq("n_docs", "n_url_dup", "n_fetched", "boiler_tokens",
-        "n_low_quality", "n_kept", "kept_chars", "kept_words",
-        "n_langs_kept", "n_en", "n_zh"))
+    for (c <- Seq("n_docs", "n_url_dup", "n_robots_blocked", "n_fetched",
+        "boiler_tokens", "n_no_blocks", "n_scrub_empty", "n_low_quality",
+        "n_kept", "kept_chars", "kept_words", "n_langs_kept", "n_en",
+        "n_zh"))
       assert(types(c) == LongType, s"$c should be LongType, was ${types(c)}")
     assert(types("min_quality") == DoubleType)
   }
@@ -70,7 +77,8 @@ class CrawlSpec extends SparkSpec {
 
   test("scrub removes the wrap's related-reading paragraph, id token survives") {
     val sc = Crawl.scrubStage(
-      Crawl.extractStage(Crawl.urlStage(fixture)), minDocs = 2L)
+      Crawl.extractStage(Crawl.admissionStage(Crawl.urlStage(fixture))),
+      minDocs = 2L)
     val row = sc.filter(col("doc_id") === 0L).head()
     val scrubbed = row.getAs[String]("scrubbed_text")
     // the 10 shared paragraph words scrub; the per-doc id token is NOT
@@ -82,7 +90,8 @@ class CrawlSpec extends SparkSpec {
 
   test("short doc: main block falls to the word floor, residue is kept") {
     val scored = Crawl.scoreStage(Crawl.scrubStage(
-      Crawl.extractStage(Crawl.urlStage(fixture)), minDocs = 2L))
+      Crawl.extractStage(Crawl.admissionStage(Crawl.urlStage(fixture))),
+      minDocs = 2L))
     val r = scored.filter(col("doc_id") === 9L).head()
     // only the related-reading block survived extraction…
     assert(r.getAs[Int]("n_kept_blocks") == 1)
@@ -95,7 +104,8 @@ class CrawlSpec extends SparkSpec {
 
   test("quality verdict: degenerate doc drops, distinct-vocab doc keeps") {
     val scored = Crawl.scoreStage(Crawl.scrubStage(
-      Crawl.extractStage(Crawl.urlStage(fixture)), minDocs = 2L))
+      Crawl.extractStage(Crawl.admissionStage(Crawl.urlStage(fixture))),
+      minDocs = 2L))
     val spam = scored.filter(col("doc_id") === 2L).head()
     assert(spam.getAs[Double]("quality") < 0.65 && !spam.getAs[Boolean]("kept"),
       s"spam quality ${spam.getAs[Double]("quality")}")
@@ -108,15 +118,30 @@ class CrawlSpec extends SparkSpec {
     assert(ds.length == 2)
     ds.foreach { r =>
       assert(r.getAs[Long]("n_docs") ==
-        r.getAs[Long]("n_url_dup") + r.getAs[Long]("n_fetched"))
+        r.getAs[Long]("n_url_dup") + r.getAs[Long]("n_robots_blocked") +
+          r.getAs[Long]("n_fetched"),
+        "dup/blocked/fetched must partition the crawl")
       assert(r.getAs[Long]("n_fetched") ==
-        r.getAs[Long]("n_low_quality") + r.getAs[Long]("n_kept"))
+        r.getAs[Long]("n_no_blocks") + r.getAs[Long]("n_scrub_empty") +
+          r.getAs[Long]("n_low_quality") + r.getAs[Long]("n_kept"),
+        "the per-cause drop classes must partition the fetched set")
+      // the wrap plant always leaves a survivable related-reading block
+      // and a unique id token, so the first two causes are honest zeros
+      assert(r.getAs[Long]("n_no_blocks") == 0L &&
+        r.getAs[Long]("n_scrub_empty") == 0L)
       assert(r.getAs[Long]("n_kept") == Seq("n_en", "n_es", "n_fr", "n_de",
         "n_zh").map(r.getAs[Long]).sum, "lang mix must partition the kept set")
       assert(r.getAs[Long]("boiler_tokens") == 10L * r.getAs[Long]("n_fetched"),
         "every fetched doc sheds exactly the 10-word wrap paragraph")
     }
-    val all = ds.map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_url_dup")))
+    val all = ds.map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_url_dup"),
+      r.getAs[Long]("n_robots_blocked"), r.getAs[Long]("n_fetched")))
     assert(all.map(_._1).sum == 21L && all.map(_._2).sum == 6L)
+    // robots blocks the non-dup members of %7 classes {1, 4, 6}:
+    // ids 1,4,6,11,13,18,20 (8/15/19 already fell to the URL race)
+    assert(all.map(_._3).sum == 7L, s"robots_blocked ${all.map(_._3).sum}")
+    // fetched keepers: class 0 (3 distinct), class 2 (3 distinct),
+    // one keeper each for the collapsed classes 3 and 5
+    assert(all.map(_._4).sum == 8L)
   }
 }

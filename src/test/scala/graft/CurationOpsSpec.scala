@@ -675,4 +675,71 @@ class CurationOpsSpec extends SparkSpec {
     // malformed delay -> null; empty Disallow = allow-all, not a rule
     assert(got(4L) == ((true, None, 0, false, 0, 0)))
   }
+
+  test("robotsRules: case-preserved paths, delays, named group no leak") {
+    val r = Curation.robotsRules(Curation.domainRobots(spark)).collect()
+      .map(x => x.getAs[String]("domain") ->
+        ((Option(x.getAs[Integer]("crawl_delay_s")).map(_.toInt),
+          x.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("rules")
+            .map(q => (q.getBoolean(0), q.getString(1))).toSeq))).toMap
+    // rule paths keep their original case (RFC 9309 paths are
+    // case-sensitive) and file order
+    assert(r("example.com") == ((Some(10),
+      Seq((false, "/Path"), (true, "/Path/item"), (false, "/p")))))
+    // the named googlebot group's Allow must NOT leak into *
+    assert(r("example.org") == ((None, Seq((false, "/")))))
+    assert(r("example.co.uk") == ((None,
+      Seq((true, "/sale"), (false, "/sale")))))
+    // empty Disallow = allow-all: zero rules, the delay still parses
+    assert(r("example.net") == ((Some(7), Seq.empty)))
+    // percent-encoded octets survive extraction untouched
+    assert(r("xn--bcher-kva.ch")._2.map(_._2) ==
+      Seq("/B%C3%BCcher", "/B%C3%BCcher/free"))
+    // the derived c41 policy table: only delay-bearing domains, ms units
+    assert(Curation.robotsDelayPolicy(spark) ==
+      Seq("example.com" -> 10000L, "example.net" -> 7000L))
+  }
+
+  test("robotsAdmission: longest match, Allow tie, %-octets, RFC default") {
+    import spark.implicits._
+    val d = (0L until 7L).toDF("doc_id") // one doc per %7 frontier class
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val got = Curation.robotsAdmission(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // %7=0 /Path/item?id=0: Allow /Path/item (len 10) wins over the
+    // shorter Disallow /Path — longest-match precedence
+    assert(got(0L).getAs[Boolean]("allowed") &&
+      got(0L).getAs[String]("matched_rule") == "/Path/item")
+    // %7=1 example.org: the * group's 'Disallow: /' full block; the
+    // named group's 'Allow: /a' would have rescued /a/b had it leaked
+    assert(!got(1L).getAs[Boolean]("allowed") &&
+      got(1L).getAs[String]("matched_rule") == "/")
+    // %7=2 /sale/2: equal-length Allow/Disallow tie -> Allow wins
+    assert(got(2L).getAs[Boolean]("allowed") &&
+      got(2L).getAs[Boolean]("matched_allow"))
+    // %7=3 example.net: allow-all grammar -> no rule, RFC default allow
+    assert(got(3L).getAs[Boolean]("allowed") &&
+      got(3L).getAs[String]("matched_rule") == null)
+    // %7=4 punycode host: the %-encoded rule matches the encoded path
+    assert(!got(4L).getAs[Boolean]("allowed") &&
+      got(4L).getAs[String]("matched_rule") == "/B%C3%BCcher")
+    // %7=5 example.com '/': nothing matches the bare root
+    assert(got(5L).getAs[Boolean]("allowed"))
+    // %7=6 /p?a=6&b=2: Disallow /p catches the path+query target
+    assert(!got(6L).getAs[Boolean]("allowed") &&
+      got(6L).getAs[String]("matched_rule") == "/p")
+    // example.com cohort is docs {0, 5, 6}: exactly one blocked
+    assert(got(0L).getAs[Long]("domain_blocked") == 1L)
+  }
+
+  test("admissionVerdict: rule paths are case-sensitive octets") {
+    import spark.implicits._
+    val fr = Seq(("example.com", "/p", ""), ("example.com", "/P", ""))
+      .toDF("domain", "path", "query_norm")
+    val v = Curation.admissionVerdict(fr).collect()
+      .map(r => r.getAs[String]("target") ->
+        r.getAs[Boolean]("allowed")).toMap
+    assert(!v("/p"), "Disallow: /p must block /p")
+    assert(v("/P"), "/P must NOT match the lowercase /p rule")
+  }
 }

@@ -858,4 +858,51 @@ class GraphOpsSpec extends SparkSpec {
     val short = Multimodal.tiffBytes(13L).take(12)
     boom(short, "truncated IFD")
   }
+
+  test("jpeg exif scrub: segment walk, APP1 length patch, idempotence") {
+    // id 13: GPS class, II TIFF inside the APP1 — the scanner must
+    // skip the COM segment and patch the BIG-endian APP1 length even
+    // though the embedded TIFF is little-endian
+    val orig = Multimodal.jpegExifBytes(13L)
+    val (he, facts, out) = Multimodal.jpegWalkScrub(orig)
+    assert(he && facts.get._1 == "II" && facts.get._5 == Some((-77, -89)))
+    assert(orig.length - out.length == 42,
+      "the same 42 bytes the bare-TIFF scrub removes")
+    // APP1 sits at offset 2; its patched length = 2 + 6 + scrubbed tiff
+    val newLen = ((out(4) & 0xFF) << 8) | (out(5) & 0xFF)
+    assert(newLen == 2 + 6 + (Multimodal.tiffBytes(13L).length - 42))
+    // the scrubbed JPEG re-walks: EXIF present, GPS gone, second scrub
+    // is the identity; the spliced COM+EOI trailer is byte-identical
+    val (he2, facts2, again) = Multimodal.jpegWalkScrub(out)
+    assert(he2 && facts2.get._5.isEmpty && again.sameElements(out))
+    assert(out.takeRight(11).sameElements(orig.takeRight(11)))
+    // big-endian TIFF inside: id 9 (GPS class, 9 % 3 == 0 -> MM)
+    val (_, f9, out9) = Multimodal.jpegWalkScrub(Multimodal.jpegExifBytes(9L))
+    assert(f9.get._1 == "MM" && f9.get._5 == Some((-81, -117)))
+    assert(Multimodal.jpegExifBytes(9L).length - out9.length == 42)
+    // no-APP1 class: passes through byte-identically
+    val b2 = Multimodal.jpegExifBytes(2L)
+    val (he3, f3, s3) = Multimodal.jpegWalkScrub(b2)
+    assert(!he3 && f3.isEmpty && s3.sameElements(b2))
+    // benign-EXIF class: APP1 parsed (Software tag), no GPS, untouched
+    val b3 = Multimodal.jpegExifBytes(3L)
+    val (he4, f4, s4) = Multimodal.jpegWalkScrub(b3)
+    assert(he4 && f4.get._4 && f4.get._5.isEmpty && s4.sameElements(b3))
+  }
+
+  test("jpeg walker: foreign or truncated bytes fail loudly") {
+    def boom(b: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.jpegWalkScrub(b))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    boom("nope".getBytes, "missing SOI")
+    boom(Array(0xFF.toByte, 0xD8.toByte, 0x00.toByte, 0x01.toByte),
+      "misaligned marker")
+    // segment claims more bytes than the buffer holds
+    boom(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xFE.toByte,
+      0x00.toByte, 0x63.toByte), "segment overruns")
+    boom(Multimodal.jpegExifBytes(2L) :+ 0x00.toByte, "bytes after EOI")
+    // chopping the tail makes the APP1 claim bytes that are not there
+    boom(Multimodal.jpegExifBytes(13L).dropRight(20), "segment overruns")
+  }
 }

@@ -58,6 +58,25 @@ class StreamPolitenessSpec extends SparkSpec {
     assert(once == again, "replay changed the cumulative state")
   }
 
+  test("out-of-order cross-batch arrival fails loudly, commits nothing") {
+    val state = Files.createTempDirectory("sp_state5").toString
+    StreamPoliteness.processBatch(spark, fetches(c2), 0L, state, policy)
+    val before = StreamPoliteness.snapshot(spark, state).collect().toSeq
+    // replaying the EARLIER cohort as a LATER batch puts burst.com's
+    // first event (0s) before the state's last (5s): event-time
+    // disorder — the silent alternative would be a negative bgap
+    // counted as a violation and a negative min_gap_ms
+    val e = intercept[Exception] {
+      StreamPoliteness.processBatch(spark, fetches(c1), 1L, state, policy)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("out-of-order cross-batch arrival"), msgs)
+    // the failed batch committed nothing: state snapshot unchanged
+    assert(StreamPoliteness.snapshot(spark, state).collect().toSeq == before)
+  }
+
   test("end to end through readStream, checkpoint as ledger") {
     val landing = Files.createTempDirectory("sp_landing").toString
     val state = Files.createTempDirectory("sp_state3").toString

@@ -106,6 +106,53 @@ class StreamUrlDedupSpec extends SparkSpec {
     assert(snapshot() == once, "replay changed state or output")
   }
 
+  test("compaction folds old partitions; probes, replay, guard intact") {
+    import spark.implicits._
+    // twin states: one compacted, one not — every downstream artifact
+    // must stay identical
+    val stateA = Files.createTempDirectory("su_state5a").toString
+    val outA = Files.createTempDirectory("su_out5a").toString + "/drops"
+    val stateB = Files.createTempDirectory("su_state5b").toString
+    val outB = Files.createTempDirectory("su_out5b").toString + "/drops"
+    val b0 = Seq(0L -> "https://a.org/p").toDF("doc_id", "url")
+    val b1 = Seq(10L -> "https://b.org/q").toDF("doc_id", "url")
+    val b2 = Seq(20L -> "https://a.org/p", 21L -> "https://c.org/r")
+      .toDF("doc_id", "url")
+    for ((st, o) <- Seq((stateA, outA), (stateB, outB))) {
+      StreamUrlDedup.processBatch(spark, b0, 0L, st, o)
+      StreamUrlDedup.processBatch(spark, b1, 1L, st, o)
+      StreamUrlDedup.processBatch(spark, b2, 2L, st, o)
+    }
+    StreamUrlDedup.compactState(spark, stateA, 1L)
+    def stateRows(st: String) = spark.read.parquet(s"$st/urls")
+      .select(col("norm_url"), col("domain"), col("keep_doc")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def parts(st: String) = spark.read.parquet(s"$st/urls")
+      .select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // batch 0 folded into 1; the newest batch untouched
+    assert(parts(stateA) == Set(1L, 2L), parts(stateA).toString)
+    assert(stateRows(stateA) == stateRows(stateB))
+    // idempotent: a re-run (the crashed-compaction contract) is a no-op
+    StreamUrlDedup.compactState(spark, stateA, 1L)
+    assert(parts(stateA) == Set(1L, 2L) && stateRows(stateA) == stateRows(stateB))
+    // the newest batch can still replay byte-identically
+    StreamUrlDedup.processBatch(spark, b2, 2L, stateA, outA)
+    assert(dropPairs(outA) == dropPairs(outB))
+    // and the next batch's probes see every compacted keeper
+    val b3 = Seq(30L -> "https://b.org/q", 31L -> "https://d.org/s")
+      .toDF("doc_id", "url")
+    StreamUrlDedup.processBatch(spark, b3, 3L, stateA, outA)
+    StreamUrlDedup.processBatch(spark, b3, 3L, stateB, outB)
+    assert(dropPairs(outA) == dropPairs(outB) &&
+      dropPairs(outA).contains((30L, 10L)))
+    // guard: the newest batch may still replay — refuse to compact it
+    val e = intercept[IllegalArgumentException] {
+      StreamUrlDedup.compactState(spark, stateA, 3L)
+    }
+    assert(e.getMessage.contains("strictly below"))
+  }
+
   test("frontier probe joins the bucketed URL state with no Exchange") {
     import spark.implicits._
     val state = Files.createTempDirectory("su_state4").toString
