@@ -820,6 +820,113 @@ object ExtQueries {
       $iterCtes"""
   }
 
+  /** t41/t43's SHARED oracle: the full t40 training CTE stack chained
+    * into the unrolled 12-step greedy walk over the t39 compound/OOV
+    * plant. One string by design — the two registrations differ only
+    * in the Spark-side walk (flat unit array vs first-char-bucketed
+    * map) and must stay value-identical.
+    */
+  private val wordpieceTrainedApplySql: String = {
+    def step(i: Int): String = s"""
+        s$i AS (SELECT word, n_occurrences,
+            pos + ml AS pos,
+            n_units + CASE WHEN ml > 0 THEN 1 ELSE 0 END AS n_units,
+            unk OR (pos < length(word) AND ml = 0) AS unk,
+            CASE WHEN ml = 0 THEN pieces
+                 WHEN pos = 0 THEN substr(word, 1, ml)
+                 ELSE pieces || ' ##' || substr(word, pos + 1, ml)
+            END AS pieces
+          FROM (SELECT *, CASE WHEN NOT unk AND pos < length(word) THEN
+                  COALESCE((SELECT MAX(length(u)) FROM units uu
+                            WHERE substr(s${i - 1}.word, s${i - 1}.pos + 1,
+                                         length(uu.u)) = uu.u), 0)
+                ELSE 0 END AS ml FROM s${i - 1}))"""
+    s"""
+      WITH $wordpieceTrainCtes,
+      units AS MATERIALIZED (SELECT DISTINCT u FROM (
+          SELECT unnest(regexp_extract_all(word, '.')) AS u FROM v0
+          UNION ALL SELECT (SELECT a || b FROM tp1)
+          UNION ALL SELECT (SELECT a || b FROM tp2)
+          UNION ALL SELECT (SELECT a || b FROM tp3)
+          UNION ALL SELECT (SELECT a || b FROM tp4))),
+      dd AS (SELECT doc_id,
+          text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'joinhash'
+                              WHEN doc_id % 3 = 1 THEN 'hashjoinrow'
+                              ELSE 'scanqz' END AS text FROM documents),
+      w AS MATERIALIZED (SELECT w AS word,
+            CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM dd)
+          WHERE w <> '' GROUP BY w),
+      s0 AS (SELECT word, n_occurrences, 0 AS pos, 0 AS n_units,
+                    FALSE AS unk, '' AS pieces FROM w),
+      ${(1 to 12).map(step).mkString(",\n      ")}
+      SELECT word, n_occurrences, unk AS is_unk,
+        CAST(CASE WHEN unk THEN 1 ELSE n_units END AS INT) AS n_units,
+        CASE WHEN unk THEN '[UNK]' ELSE pieces END AS pieces
+      FROM s12 ORDER BY word"""
+  }
+
+  /** t42's oracle: the t40 training stack, then `pruneIters` unrolled
+    * prune rounds — each round walks the dictionary through the
+    * 12-step greedy segmentation once per (candidate ∪ baseline)
+    * variant with that candidate excluded, totals freq·units per
+    * variant, and takes the (loss ASC, unit ASC) argmin. Every
+    * iteration CTE is MATERIALIZED (the t40 scalar-subquery gotcha).
+    */
+  private val unigramPruneSql: String = {
+    def walk(r: Int, extraNotIn: String): String = {
+      val steps = (1 to 12).map { i =>
+        s"""y${r}_$i AS MATERIALIZED (SELECT word, freq, cand,
+             pos + ml AS pos,
+             n_units + CASE WHEN ml > 0 THEN 1 ELSE 0 END AS n_units
+           FROM (SELECT *, CASE WHEN pos < length(word) THEN
+                   COALESCE((SELECT MAX(length(uu.u)) FROM units uu
+                             WHERE uu.u IS DISTINCT FROM y${r}_${i - 1}.cand
+                               $extraNotIn
+                               AND substr(y${r}_${i - 1}.word,
+                                 y${r}_${i - 1}.pos + 1,
+                                 length(uu.u)) = uu.u), 0)
+                 ELSE 0 END AS ml FROM y${r}_${i - 1}))"""
+      }.mkString(",\n      ")
+      s"""$steps,
+      t$r AS MATERIALIZED (SELECT cand, SUM(freq * n_units) AS tok
+           FROM y${r}_12 GROUP BY cand),
+      b$r AS MATERIALIZED (SELECT tok FROM t$r WHERE cand IS NULL),
+      p$r AS MATERIALIZED (SELECT cand, tok,
+             tok - (SELECT tok FROM b$r) AS loss
+           FROM t$r WHERE cand IS NOT NULL
+           ORDER BY loss, cand LIMIT 1)"""
+    }
+    s"""
+      WITH $wordpieceTrainCtes,
+      units AS MATERIALIZED (SELECT DISTINCT u FROM (
+          SELECT unnest(regexp_extract_all(word, '.')) AS u FROM v0
+          UNION ALL SELECT (SELECT a || b FROM tp1)
+          UNION ALL SELECT (SELECT a || b FROM tp2)
+          UNION ALL SELECT (SELECT a || b FROM tp3)
+          UNION ALL SELECT (SELECT a || b FROM tp4))),
+      cands AS MATERIALIZED (SELECT u FROM units WHERE length(u) > 1),
+      vw AS (SELECT word, freq FROM v0),
+      y1_0 AS (SELECT word, freq, cand, 0 AS pos, 0 AS n_units
+               FROM vw CROSS JOIN (SELECT u AS cand FROM cands
+                                   UNION ALL SELECT NULL) c),
+      ${walk(1, "")},
+      y2_0 AS (SELECT word, freq, cand, 0 AS pos, 0 AS n_units
+               FROM vw CROSS JOIN (SELECT u AS cand FROM cands
+                                   WHERE u NOT IN (SELECT cand FROM p1)
+                                   UNION ALL SELECT NULL) c),
+      ${walk(2, "AND uu.u NOT IN (SELECT cand FROM p1)")}
+      SELECT * FROM (
+        SELECT 1 AS iter, cand AS pruned_unit,
+          CAST(loss AS BIGINT) AS loss_tokens,
+          CAST((SELECT tok FROM b1) AS BIGINT) AS tokens_before,
+          CAST(tok AS BIGINT) AS tokens_after FROM p1
+        UNION ALL SELECT 2, cand, CAST(loss AS BIGINT),
+          CAST((SELECT tok FROM b2) AS BIGINT), CAST(tok AS BIGINT)
+        FROM p2) z
+      ORDER BY iter"""
+  }
+
   // ---- query definitions -----------------------------------------------
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -5815,45 +5922,31 @@ object ExtQueries {
         TextAnalysis.wordpiecePlant(docs),
         TextAnalysis.wordpieceTrainedUnits(docs, vocabTop = 200, iters = 4))
     },
-      Some {
-        def step(i: Int): String = s"""
-        s$i AS (SELECT word, n_occurrences,
-            pos + ml AS pos,
-            n_units + CASE WHEN ml > 0 THEN 1 ELSE 0 END AS n_units,
-            unk OR (pos < length(word) AND ml = 0) AS unk,
-            CASE WHEN ml = 0 THEN pieces
-                 WHEN pos = 0 THEN substr(word, 1, ml)
-                 ELSE pieces || ' ##' || substr(word, pos + 1, ml)
-            END AS pieces
-          FROM (SELECT *, CASE WHEN NOT unk AND pos < length(word) THEN
-                  COALESCE((SELECT MAX(length(u)) FROM units uu
-                            WHERE substr(s${i - 1}.word, s${i - 1}.pos + 1,
-                                         length(uu.u)) = uu.u), 0)
-                ELSE 0 END AS ml FROM s${i - 1}))"""
-        s"""
-      WITH $wordpieceTrainCtes,
-      units AS MATERIALIZED (SELECT DISTINCT u FROM (
-          SELECT unnest(regexp_extract_all(word, '.')) AS u FROM v0
-          UNION ALL SELECT (SELECT a || b FROM tp1)
-          UNION ALL SELECT (SELECT a || b FROM tp2)
-          UNION ALL SELECT (SELECT a || b FROM tp3)
-          UNION ALL SELECT (SELECT a || b FROM tp4))),
-      dd AS (SELECT doc_id,
-          text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'joinhash'
-                              WHEN doc_id % 3 = 1 THEN 'hashjoinrow'
-                              ELSE 'scanqz' END AS text FROM documents),
-      w AS MATERIALIZED (SELECT w AS word,
-            CAST(COUNT(*) AS BIGINT) AS n_occurrences
-          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM dd)
-          WHERE w <> '' GROUP BY w),
-      s0 AS (SELECT word, n_occurrences, 0 AS pos, 0 AS n_units,
-                    FALSE AS unk, '' AS pieces FROM w),
-      ${(1 to 12).map(step).mkString(",\n      ")}
-      SELECT word, n_occurrences, unk AS is_unk,
-        CAST(CASE WHEN unk THEN 1 ELSE n_units END AS INT) AS n_units,
-        CASE WHEN unk THEN '[UNK]' ELSE pieces END AS pieces
-      FROM s12 ORDER BY word"""
-      }),
+      Some(wordpieceTrainedApplySql)),
+
+    // ---- t43: the SAME trained-vocab apply through the production
+    // walk — first-char-bucketed map probe instead of the flat unit
+    // array (O(bucket) per position, the 30k-vocab shape). Same oracle
+    // STRING as t41: the two walks must be value-identical ------------
+    ("t43_wordpiece_trie_apply", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.wordpieceApplyMapped(
+        TextAnalysis.wordpiecePlant(docs),
+        TextAnalysis.wordpieceTrainedUnits(docs, vocabTop = 200, iters = 4))
+    },
+      Some(wordpieceTrainedApplySql)),
+
+    // ---- t42: unigram-LM vocabulary pruning (the SentencePiece prune
+    // step in its integer-exact uniform-prior form): each round scores
+    // every trained multi-char unit by the TOKEN INFLATION its removal
+    // causes under single-best greedy segmentation of the training
+    // dictionary, prunes the (loss ASC, unit ASC) argmin, re-segments.
+    // The oracle unrolls both prune rounds over the shared t40
+    // training stack --------------------------------------------------
+    ("t42_unigram_prune", (s: SparkSession, d: String) =>
+      TextAnalysis.unigramPrune(t(s, d, "documents"),
+        vocabTop = 200, iters = 4, pruneIters = 2),
+      Some(unigramPruneSql)),
 
     // ---- per-domain crawl-politeness budget audit: the events table
     // as the fetch log (event_id through the %7 URL plant -> c38

@@ -1392,11 +1392,11 @@ object TextAnalysis {
     * bounded), so apply cost is independent of corpus token count; a
     * per-token tokenized corpus is this table broadcast-joined back.
     * A word unconsumed after `maxUnits` units fails LOUDLY.
-    * Envelope: the greedy step scans the unit array per position —
+    * Envelope: this flat form scans the unit array per position —
     * O(maxUnits·|units|) per distinct word, exactly right at the
-    * literal-vocab contract sizes here; a 30k-unit production vocab
-    * would swap the array scan for a broadcast trie/hash-map probe
-    * (same walk, same output contract).
+    * literal-vocab contract sizes here; [[wordpieceApplyMapped]] is
+    * the production-vocab twin (first-char-bucketed map probe, same
+    * walk, byte-identical output).
     *
     * Output: (word, n_occurrences, is_unk, n_units, pieces) per
     * distinct word, ordered by word.
@@ -1424,6 +1424,22 @@ object TextAnalysis {
                          maxUnits: Int = 12): DataFrame =
     greedyWalk(distinctWords(docs), units, maxUnits)
 
+  /** [[wordpieceApplyWith]] in the production-vocab shape: the flat
+    * array scan costs O(|vocab|) per position — fine at the literal
+    * contract sizes, wrong at a 30k-unit deployed vocabulary. Here the
+    * units are grouped by FIRST CHARACTER into a map literal (first
+    * char → that bucket's units sorted by length DESC), codegen'd into
+    * the projection like any broadcast dictionary: a step probes only
+    * its own first-char bucket and the FIRST hit is the longest match,
+    * so per-position cost drops to the bucket size (|vocab|/alphabet
+    * on average; a real trie is the same idea one level deeper).
+    * Byte-identical output to the flat walk by construction — the spec
+    * and the shared t41 oracle both pin it.
+    */
+  def wordpieceApplyMapped(docs: DataFrame, units: Seq[String],
+                           maxUnits: Int = 12): DataFrame =
+    greedyWalk(distinctWords(docs), units, maxUnits, bucketed = true)
+
   /** Distinct corpus words with occurrence counts — the one shuffle
     * the apply paths share.
     */
@@ -1435,17 +1451,32 @@ object TextAnalysis {
       .cpGuard()
 
   private def greedyWalk(wordsTbl: DataFrame, units: Seq[String],
-                         maxUnits: Int): DataFrame = {
+                         maxUnits: Int,
+                         bucketed: Boolean = false): DataFrame = {
     require(units.nonEmpty && maxUnits >= 1, "units non-empty, maxUnits >= 1")
     require(units.forall(_.matches("^[a-z]+$")),
       "units must be lowercase ascii words (the t17 dictionary " +
         "convention keeps them SQL-literal-safe)")
     val vlit = units.map(u => s"'$u'").mkString("array(", ", ", ")")
-    // longest vocab unit matching at 0-based position `pos` (0 = none)
+    // first-char buckets, longest-first: the first match IS the longest
+    lazy val mlit = units.groupBy(_.head).toSeq.sortBy(_._1)
+      .map { case (c, us) =>
+        val sorted = us.sortBy(u => (-u.length, u)).map(u => s"'$u'")
+        s"'$c', array(${sorted.mkString(", ")})"
+      }.mkString("map(", ", ", ")")
+    // longest vocab unit matching at 0-based position `pos` (0 = none):
+    // flat form folds the whole unit array; bucketed form probes only
+    // the position's first-char bucket (missing bucket -> null ->
+    // length 0), taking the first (= longest) hit
     def matchLen(pos: String) =
-      s"""aggregate(filter($vlit,
-            u -> substring(word, $pos + 1, length(u)) = u),
-          0, (m, u) -> greatest(m, length(u)))"""
+      if (bucketed)
+        s"""length(coalesce(try_element_at(filter(
+              element_at($mlit, substring(word, $pos + 1, 1)),
+              u -> substring(word, $pos + 1, length(u)) = u), 1), ''))"""
+      else
+        s"""aggregate(filter($vlit,
+              u -> substring(word, $pos + 1, length(u)) = u),
+            0, (m, u) -> greatest(m, length(u)))"""
     val init = wordsTbl
       .withColumn("pos", lit(0))
       .withColumn("n_units", lit(0))
@@ -1536,6 +1567,102 @@ object TextAnalysis {
     val merged = learnWordpieceMerges(dict, iters, scaleBits)
       .map { case (_, a, b, _, _, _, _) => a + b }
     (letters ++ merged).distinct
+  }
+
+  /** t42: unigram-LM vocabulary PRUNING (the SentencePiece prune step,
+    * Kudo ACL 2018 §3.2, in the one formulation that is INTEGER-exact:
+    * under a uniform unit prior the corpus log-likelihood is
+    * −(total segmented units)·log|V|, so the likelihood loss of
+    * removing a unit is, to the common scale factor, the TOKEN
+    * INFLATION its removal causes — how many extra pieces the corpus
+    * segments into without it). Over the t40 training corpus (the
+    * top-`vocabTop` dictionary) and the t40-trained unit set: each
+    * prune round scores every multi-char unit by
+    * loss(u) = T(U∖{u}) − T(U) where T is the freq-weighted greedy
+    * segmentation size (the deployed t39 walk — single-BEST
+    * segmentation, deterministic), removes the argmin
+    * (loss ASC, unit ASC — the t40 tie-break discipline), and
+    * re-segments. Single chars are never pruned (they are the
+    * segmentability floor, exactly as SentencePiece protects them).
+    *
+    * The prune ORDER is the point: it is NOT raw unit-frequency order
+    * — a rare long unit can be load-bearing (its removal doubles every
+    * use) while a frequent short one is cheap to lose (its uses fall
+    * to two pieces that are themselves units) — the spec pins a case
+    * where the two orders differ.
+    *
+    * Shape per round: the dictionary fans out by (candidate ∪
+    * baseline) via ONE narrow explode of a literal array — no join —
+    * then the bounded `maxUnits`-step column fold (the greedyWalk
+    * machinery with a per-row excluded unit) and ONE
+    * partial-aggregable groupBy(cand); a single ≤|candidates|+1-row
+    * collect picks the argmin (merges/prunes ARE the model — the
+    * wordpieceTrain collect discipline). A word left unconsumed after
+    * `maxUnits` units fails LOUDLY (the loud-unroll contract).
+    *
+    * Output: (iter, pruned_unit, loss_tokens, tokens_before,
+    * tokens_after) per prune round, ordered by iter.
+    */
+  def unigramPrune(docs: DataFrame, vocabTop: Int = 200, iters: Int = 4,
+                   pruneIters: Int = 2, maxUnits: Int = 12): DataFrame = {
+    require(pruneIters >= 1, "pruneIters >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE dictionary pass feeds the alphabet, the merge training and
+    // every prune round's walk (it is checkpointed)
+    val dict = dictionary(docs, vocabTop)
+    val letters = dict.select("word").as[String]
+      .collect().toSeq.flatMap(_.toSeq).distinct.map(_.toString)
+    val merged = learnWordpieceMerges(dict, iters, 30)
+      .map { case (_, a, b, _, _, _, _) => a + b }
+    var units = (letters ++ merged).distinct
+    val prunes = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    for (p <- 1 to pruneIters) {
+      val cands = units.filter(_.length > 1).sorted
+      require(cands.nonEmpty, s"unigramPrune round $p: no multi-char " +
+        "units left to prune")
+      val vlit = units.map(u => s"'$u'").mkString("array(", ", ", ")")
+      val fan = dict.select(col("word"), col("freq"))
+        .withColumn("cand", explode(typedLit(cands.map(Option(_)) :+
+          (None: Option[String]))))
+        .withColumn("pos", lit(0))
+        .withColumn("n_units", lit(0L))
+      // the greedy walk with the row's candidate EXCLUDED from the
+      // unit set (cand null = the baseline segmentation)
+      val walked = (1 to maxUnits).foldLeft(fan) { (df, _) =>
+        df.withColumn("ml", expr(
+            s"""CASE WHEN pos < length(word) THEN
+                 aggregate(filter($vlit,
+                   u -> u IS DISTINCT FROM cand
+                     AND substring(word, pos + 1, length(u)) = u),
+                 0, (m, u) -> greatest(m, length(u)))
+               ELSE 0 END"""))
+          .withColumn("n_units",
+            col("n_units") + when(col("ml") > 0, 1L).otherwise(0L))
+          .withColumn("pos", col("pos") + col("ml"))
+          .drop("ml")
+      }
+      val rows = walked
+        .groupBy(col("cand"))
+        .agg(sum(col("freq") * col("n_units")).as("tok"),
+          sum(when(col("pos") < length(col("word")), 1L).otherwise(0L))
+            .as("n_open"))
+        .collect()
+      require(rows.forall(_.getLong(2) == 0L),
+        s"unigramPrune round $p: a word needs more than $maxUnits " +
+          "units — raise maxUnits (the loud-unroll contract)")
+      val t0 = rows.find(_.isNullAt(0)).map(_.getLong(1))
+        .getOrElse(sys.error("unigramPrune: baseline row missing"))
+      val best = rows.filter(!_.isNullAt(0))
+        .map(r => (r.getString(0), r.getLong(1)))
+        .minBy { case (u, tok) => (tok - t0, u) }
+      prunes += ((p, best._1, best._2 - t0, t0, best._2))
+      units = units.filterNot(_ == best._1)
+    }
+    prunes.result()
+      .toDF("iter", "pruned_unit", "loss_tokens", "tokens_before",
+        "tokens_after")
+      .orderBy(col("iter"))
   }
 
   /** Top-`vocabTop` lowercase-word dictionary with char-unit start

@@ -365,4 +365,41 @@ class TextScoringSpec extends SparkSpec {
     assert(byWord("playground") == "p ##l ##a ##y ##gro ##u ##n ##d")
     assert(byWord("ground") == "gro ##u ##n ##d")
   }
+
+  test("unigramPrune: inflation order, not frequency order, exact losses") {
+    // training on this corpus merges xy, then xyz, then de (exact
+    // likelihood scores: 2^29 ties resolve (x,y) before (y,z), then
+    // (xy,z) at 2^29 beats (d,e) at floor(3<<30/9)). Greedy 'xyz'
+    // MASKS 'xy' entirely, so unit-frequency order is
+    // (xy:0, xyz:2, de:3) — but removal INFLATION is xy:0 (unused),
+    // xyz:2 (its words fall back to xy+z), de:3. Round 1 prunes xy;
+    // in round 2 xyz's fallback is now letters (loss 4 > de's 3), so
+    // inflation prunes de where a frequency pruner would drop the
+    // load-bearing xyz. Baseline tokens: 2 words x 1 unit + 3 x 1 = 5.
+    val d = docs("xyz xyz de de de")
+    val got = TextAnalysis.unigramPrune(d, vocabTop = 10, iters = 3,
+      pruneIters = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got(0) == ((1, "xy", 0L, 5L, 5L)), got(0).toString)
+    assert(got(1) == ((2, "de", 3L, 5L, 8L)), got(1).toString)
+  }
+
+  test("bucketed-map walk is byte-identical to the flat-array walk") {
+    // the production-vocab form (first-char buckets, longest-first)
+    // must reproduce the flat walk EXACTLY — including the longest-
+    // match, ## continuation, UNK, and shared-prefix tie cases; 'gro'
+    // and 'gr' land in one bucket, so first-hit-wins is only correct
+    // if the bucket really is sorted by length desc
+    val d = docs("play ground playground qq yap play gr grit")
+    val units = TextAnalysis.wordpieceTrainedUnits(d, vocabTop = 10,
+      iters = 2)
+    val flat = TextAnalysis.wordpieceApplyWith(d, units).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getString(4))).toSeq
+    val mapped = TextAnalysis.wordpieceApplyMapped(d, units).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getString(4))).toSeq
+    assert(mapped == flat, s"mapped $mapped\nflat $flat")
+  }
 }
