@@ -132,6 +132,15 @@ object Bench {
       n -> (if (rs.exists(_ < 0)) -1.0 else rs.sorted.apply(rs.size / 2))
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
+    // min-of-passes total: the r14 same-HEAD A/B showed identical code
+    // drifting +11.8% between interleaved sides on a noisy day, so a
+    // MEDIAN total from one session is weakly comparable across rounds;
+    // the per-query MIN is the least contention-inflated observation
+    // each side produced, and its sum is the noise-robust secondary
+    // headline a round-over-round reader should prefer when the paired
+    // A/B artifact is not available
+    val minTotal = names.map(n => runs(n))
+      .filter(_.forall(_ >= 0)).map(_.min).sum
 
     // ms precision keeps the line a few hundred bytes — the driver's
     // stdout-tail capture has truncated the full-precision form before
@@ -163,9 +172,9 @@ object Bench {
         ",\"min\":" + r3(mn) + ",\"max\":" + r3(mx) + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"min_total":${r3(minTotal)},"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","detail":"$out"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"min_total":${r3(minTotal)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","detail":"$out"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // print LAST, after session teardown, so nothing else can land

@@ -2634,6 +2634,73 @@ object OpQueries {
       GROUP BY nd.k ORDER BY nd.k"""
     }),
 
+    // ---- SOURCE-ONLY sampled betweenness (Brandes-Pich n/K) — the
+    // backward δ-recursion in its per-edge FLOORED fixed-point form:
+    // δq(s,v) = Σ over shortest-path successors w of
+    // floor(σ_sv·(2^20 + δq(s,w)) / σ_sw), one floor per edge then
+    // exact BIGINT sums, so the value is order-independent and both
+    // engines agree bit for bit; bc_raw = Σ_s δq, extrapolated by n/K.
+    // The oracle unrolls the forward σ-BFS pyramid and the backward
+    // sweep level by level --------------------------------------------
+    ("g29_betweenness_source", (s: SparkSession, d: String) => {
+      import graft.ext.Graphs
+      val backbone = eventEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .orderBy(col("w").desc, col("src"), col("dst")).limit(150)
+        .select(col("src"), col("dst"))
+      Graphs.betweennessSource(backbone, numSources = 8, maxRounds = 32)
+    }, Some {
+      def lvl(i: Int): String =
+        s"""fx$i AS (SELECT l.s, e.dst AS v,
+              CAST(SUM(l.cnt) AS BIGINT) AS cnt
+              FROM fl${i - 1} l JOIN e ON l.v = e.src
+              GROUP BY l.s, e.dst),
+        fl$i AS MATERIALIZED (SELECT s, v, cnt FROM fx$i
+              WHERE NOT EXISTS (SELECT 1 FROM fr${i - 1} r
+                                WHERE r.s = fx$i.s AND r.v = fx$i.v)),
+        fr$i AS MATERIALIZED (SELECT s, v FROM fr${i - 1}
+              UNION ALL SELECT s, v FROM fl$i)"""
+      // backward δ sweep: level 32 initializes at 0; each level's δ is
+      // the floored per-successor-edge sum; level 0 (v = s) is never
+      // accumulated — Brandes sums only w ≠ s
+      def dl(l: Int): String =
+        s"""dl$l AS MATERIALIZED (SELECT c.s, c.v,
+              CAST(COALESCE(SUM(
+                (c.cnt * (1048576 + dn.dq)) // w.cnt), 0) AS BIGINT) AS dq
+              FROM fl$l c
+              LEFT JOIN e ON e.src = c.v
+              LEFT JOIN fl${l + 1} w ON w.s = c.s AND w.v = e.dst
+              LEFT JOIN dl${l + 1} dn ON dn.s = w.s AND dn.v = w.v
+              GROUP BY c.s, c.v)"""
+      s"""
+      WITH $eventEdgesCtes,
+      ed2 AS MATERIALIZED (SELECT src, dst FROM
+        (SELECT * FROM ed WHERE src <> dst
+         ORDER BY w DESC, src, dst LIMIT 150)),
+      e AS (SELECT DISTINCT src, dst FROM ed2),
+      nd AS (SELECT DISTINCT k FROM
+             (SELECT src AS k FROM e UNION ALL SELECT dst FROM e)),
+      sd AS MATERIALIZED (SELECT k FROM nd
+             ORDER BY (k * 48271) % 2147483647, k LIMIT 8),
+      sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(LEAST(8, COUNT(*)) AS BIGINT) AS kk FROM nd),
+      fl0 AS (SELECT k AS s, k AS v, CAST(1 AS BIGINT) AS cnt FROM sd),
+      fr0 AS (SELECT s, v FROM fl0),
+      ${(1 to 32).map(lvl).mkString(",\n      ")},
+      dl32 AS (SELECT s, v, CAST(0 AS BIGINT) AS dq FROM fl32),
+      ${(31 to 1 by -1).map(dl).mkString(",\n      ")},
+      dall AS (${(1 to 32).map(l => s"SELECT s, v, dq FROM dl$l")
+          .mkString("\n        UNION ALL ")}),
+      bcx AS (SELECT v, CAST(SUM(dq) AS BIGINT) AS bc_raw FROM dall
+              GROUP BY v)
+      SELECT nd.k,
+        CAST(COALESCE(MAX(bcx.bc_raw), 0) AS BIGINT) AS bc_raw_q,
+        CAST(COALESCE(MAX(bcx.bc_raw), 0) * MAX(sc.nn) // MAX(sc.kk)
+          AS BIGINT) AS bc_est_q
+      FROM nd LEFT JOIN bcx ON bcx.v = nd.k CROSS JOIN sc
+      GROUP BY nd.k ORDER BY nd.k"""
+    }),
+
     // ---- Theil-Sen robust slope per user: lower median of pairwise
     // cents-per-hour slopes, portable floored division; the per-user
     // self-join is shuffle-hash on user_id with pair count bounded by

@@ -1057,7 +1057,13 @@ object Graphs {
     * extrapolation needs Brandes' backward δ-recursion, whose
     * per-step RATIONAL accumulation is not integer-exact across
     * engines — the pivot-pair form keeps g27's floored-triple terms
-    * bit-identical, and at K = n it IS g27, term for term.
+    * bit-identical, and at K = n it IS g27, term for term. The
+    * source-only estimator now exists too, as [[betweennessSource]]:
+    * the δ-recursion in a per-edge FLOORED fixed-point form that is
+    * order-independent and therefore portable — it converges faster
+    * per BFS (n/K vs K(K−1) pair coverage) at the cost of a bounded,
+    * documented truncation underestimate; this pivot-pair form remains
+    * the one whose terms are exactly g27's.
     *
     * Output: (k, bc_raw_q = Σ floor-terms over sampled pairs at
     * 2^`scaleBits`, bc_est_q = bc_raw_q·n·(n−1) div (K·(K−1)) — the
@@ -1136,6 +1142,124 @@ object Graphs {
           s"' overflows the n(n-1)/K(K-1) extrapolation at n=$n; lower " +
           "scaleBits')) ELSE " +
           s"bc_raw_q * CAST($factNum AS BIGINT) div CAST($factDen AS BIGINT) END"))
+      .orderBy(col("k"))
+  }
+
+  /** Source-only sampled betweenness — the Brandes-Pich n/K estimator
+    * g28's scaladoc refused pending an integer-exact design; this IS
+    * that design. Brandes' backward recursion
+    * δ_s(v) = Σ_{w : v ∈ pred_s(w)} (σ_sv/σ_sw)·(1 + δ_s(w))
+    * (Brandes 2001 Thm 6) converges per BFS instead of needing K(K−1)
+    * pair coverage, but its per-step RATIONAL accumulation is not
+    * portable — clearing denominators needs lcm{σ} factors that
+    * overflow any fixed width. The t40 fixed-point discipline applies
+    * instead: accumulate δ at 2^`scaleBits`, flooring EACH successor
+    * edge's term independently,
+    * δq_s(v) = Σ_w floor(σ_sv·(2^b + δq_s(w)) / σ_sw),
+    * which is ORDER-INDEPENDENT (one floor per edge, then exact BIGINT
+    * sums — no sequence-sensitive rounding), so both engines compute
+    * bit-identical values with no evaluation-order contract at all.
+    * Each floor understates by < 1, so δq/2^b underestimates Brandes'
+    * δ by < (successor count)·depth·2^−b along any recursion chain —
+    * an estimator's noise floor, documented, never silent. When every
+    * σ = 1 (unique shortest paths) no floor truncates and at K = n the
+    * estimate equals exact [[betweenness]] term for term (spec-pinned).
+    *
+    * Shape: ONE forward σ-BFS from the K hash-deterministic seeds
+    * (state O(K·n), the g28 seed rule and guards), then a backward
+    * level-synchronous sweep — per level ONE frontier⋈edges⋈successor
+    * equi-join + groupBy(s, v), checkpointed, with a loud δ envelope
+    * (δq < 2^42 keeps σ·(2^b + δq) < 2^62) — and the n/K source-count
+    * extrapolation under the g28 overflow guard.
+    *
+    * Output: (k, bc_raw_q = Σ_s δq_s(k), bc_est_q = bc_raw_q·n div K),
+    * every node.
+    */
+  def betweennessSource(edges: DataFrame, numSources: Int,
+                        maxRounds: Int = 12,
+                        scaleBits: Int = 20): DataFrame = {
+    require(numSources >= 1 && maxRounds >= 1 &&
+      scaleBits >= 0 && scaleBits <= 30,
+      "numSources >= 1, maxRounds >= 1, scaleBits in [0, 30]")
+    val scale = 1L << scaleBits
+    val ed = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct().cpGuard()
+    val mObs = org.apache.spark.sql.Observation()
+    val nodes = ed.select(col("src").as("k"))
+      .unionAll(ed.select(col("dst").as("k"))).distinct()
+      .observe(mObs, coalesce(max(col("k")), lit(0L)).as("kmax"),
+        coalesce(min(col("k")), lit(0L)).as("kmin"))
+      .cpGuard()
+    // the g28 cross-engine seed-hash contract, verbatim
+    require(mObs.get("kmax").asInstanceOf[Long] < Long.MaxValue / 48271L,
+      "betweennessSource: node ids too large for the overflow-free " +
+        "Lehmer seed hash")
+    require(mObs.get("kmin").asInstanceOf[Long] >= 0L,
+      "betweennessSource: negative node ids break the cross-engine " +
+        "Lehmer seed hash contract (pmod vs sign-following %); " +
+        "remap ids to non-negative first")
+    val n = nodes.count()
+    require(n >= 1, "betweennessSource: empty graph")
+    val k2 = math.min(numSources.toLong, n)
+    val seeds = nodes
+      .withColumn("__h", pmod(col("k") * 48271L, lit(2147483647L)))
+      .orderBy(col("__h"), col("k")).limit(k2.toInt)
+      .select(col("k")).cpGuard()
+    val sp = sigmaBfsFrom(seeds, ed, maxRounds)
+    // closure depth: a 1-row bounded aggregate, the dup-threshold idiom
+    val dMax = sp.agg(max(col("d"))).head().getInt(0)
+    // backward sweep, deepest level first; level 0 (v = s itself) is
+    // never computed — Brandes accumulates δ only over w ≠ s
+    var delta = sp.filter(col("d") === dMax)
+      .select(col("s"), col("v"), lit(0L).as("dq")).cpGuard()
+    val levels = scala.collection.mutable.Buffer.empty[DataFrame]
+    if (dMax >= 1) levels += delta
+    for (l <- (dMax - 1) to 1 by -1) {
+      val cur = sp.filter(col("d") === l)
+        .select(col("s"), col("v"), col("sigma").as("sig_v"))
+      val succ = sp.filter(col("d") === l + 1)
+        .select(col("s"), col("v").as("w"), col("sigma").as("sig_w"))
+        .join(delta.select(col("s"), col("v").as("w"), col("dq")),
+          Seq("s", "w"))
+      val contrib = cur
+        .join(ed, col("v") === col("src"))
+        .join(succ.withColumnRenamed("w", "dst"), Seq("s", "dst"))
+        .select(col("s"), col("v"),
+          expr(s"sig_v * (CAST($scale AS BIGINT) + dq) div sig_w")
+            .as("term"))
+        .groupBy(col("s"), col("v")).agg(sum(col("term")).as("dqs"))
+      val obs = org.apache.spark.sql.Observation()
+      delta = cur.select(col("s"), col("v"))
+        .join(contrib, Seq("s", "v"), "left")
+        .select(col("s"), col("v"),
+          coalesce(col("dqs"), lit(0L)).as("dq"))
+        .observe(obs, coalesce(max(col("dq")), lit(0L)).as("dmax"))
+        .cpGuard()
+      // next level multiplies σ (< 2^20) by (2^b + δq): keep the
+      // product under 2^62, loudly
+      require(obs.get("dmax").asInstanceOf[Long] < (1L << 42) - scale,
+        s"betweennessSource: δq reaches 2^42 at level $l and the next " +
+          "level's σ·(2^b + δq) product would overflow — lower scaleBits")
+      levels += delta
+    }
+    val bc =
+      if (levels.isEmpty)
+        nodes.select(col("k").as("v"), lit(0L).as("bc")).limit(0)
+      else levels.reduce(_ unionByName _)
+        .groupBy(col("v")).agg(sum(col("dq")).as("bc"))
+    val rawLim = Long.MaxValue / n
+    nodes.join(bc, col("k") === col("v"), "left")
+      .select(col("k"), coalesce(col("bc"), lit(0L)).as("bc_raw_q"))
+      // the g28 discipline: the guard lives INSIDE the consumed
+      // expression, raise_error's NullType coercing into the branch
+      .withColumn("bc_est_q",
+        expr(s"CASE WHEN bc_raw_q > ${rawLim}L THEN raise_error(concat(" +
+          "'betweennessSource: bc_raw_q ', CAST(bc_raw_q AS STRING), " +
+          s"' overflows the n/K extrapolation at n=$n; lower scaleBits'" +
+          s")) ELSE bc_raw_q * CAST($n AS BIGINT) div CAST($k2 AS BIGINT) " +
+          "END"))
       .orderBy(col("k"))
   }
 

@@ -859,6 +859,47 @@ class GraphOpsSpec extends SparkSpec {
     boom(short, "truncated IFD")
   }
 
+  test("betweennessSource: σ=1 at K=n equals exact betweenness exactly") {
+    // unique shortest paths everywhere -> no floor ever truncates, and
+    // at K = n the n/K factor is 1: the δ-recursion estimator must
+    // reproduce the exact pair-dependency values term for term
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L))
+      .toDF("src", "dst")
+    val exact = Graphs.betweenness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact(2L) == 3L << 20 && exact(3L) == 2L << 20)
+    val est = Graphs.betweennessSource(edges, numSources = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    est.foreach { case (k, raw, e) =>
+      assert(e == exact(k), s"node $k: est $e vs exact ${exact(k)}")
+      assert(raw == e, "n/K extrapolation is the identity at K = n")
+    }
+  }
+
+  test("betweennessSource: floored δ over multi-path graphs, hand-exact") {
+    // diamond + tail: σ(1,4) = σ(1,5) = 2. Hand recursion for s=1:
+    // δq(4) = floor(2·(2^20+0)/2) = 2^20; δq(2) = δq(3) =
+    // floor(1·(2^20 + 2^20)/2) = 2^20. Sources 2 and 3 each add 2^20
+    // to node 4 (their unique paths to 5 route through it).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graphs.betweennessSource(edges, numSources = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> (1L << 20), 3L -> (1L << 20),
+      4L -> (3L << 20), 5L -> 0L), got.toString)
+    // on this graph the per-edge floors happen to lose nothing: the
+    // estimator agrees with the exact pair-dependency form too
+    val exact = Graphs.betweenness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    // fewer sources than nodes: raw shrinks to the sampled sources'
+    // δ mass and the n/K factor rescales — K=2 picks seeds by the
+    // Lehmer rule, and est = raw·5 div 2
+    val s2 = Graphs.betweennessSource(edges, numSources = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    s2.foreach { case (_, raw, e) => assert(e == raw * 5L / 2L) }
+  }
+
   test("jpeg exif scrub: segment walk, APP1 length patch, idempotence") {
     // id 13: GPS class, II TIFF inside the APP1 — the scanner must
     // skip the COM segment and patch the BIG-endian APP1 length even
