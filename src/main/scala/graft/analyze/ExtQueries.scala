@@ -661,19 +661,29 @@ object ExtQueries {
              ELSE concat('https://m.example.com/p?fbclid=x&a=', doc_id,
                     '&utm_medium=soc&b=2') END AS url
         FROM $from),
-      n1 AS (SELECT doc_id, url,
+      ${urlNormChainOver("u", "n")}"""
+
+  /** The normalization chain ALONE over any relation exposing
+    * (doc_id, url) — the plant-free half of [[urlNormCtesOver]],
+    * reusable for URL sets that do not come from the %7 plant (the
+    * c44 sitemap locs). Emits CTEs `p1`..`p5` under the given prefix;
+    * the last one carries (doc_id, url, path, query_norm, norm_url,
+    * domain).
+    */
+  private def urlNormChainOver(rel: String, p: String): String =
+    s"""${p}1 AS (SELECT doc_id, url,
           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
             AS scheme,
           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$$', 1)
-            AS rest FROM u),
-      n2 AS (SELECT *,
+            AS rest FROM $rel),
+      ${p}2 AS (SELECT *,
           regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
             '([^@]*)$$', 1) AS hostport,
-          regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq FROM n1),
-      n3 AS (SELECT *,
+          regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq FROM ${p}1),
+      ${p}3 AS (SELECT *,
           lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-          regexp_extract(hostport, ':([0-9]+)$$', 1) AS port0 FROM n2),
-      n4 AS (SELECT *,
+          regexp_extract(hostport, ':([0-9]+)$$', 1) AS port0 FROM ${p}2),
+      ${p}4 AS (SELECT *,
           CASE WHEN (scheme = 'http' AND port0 = '80')
                  OR (scheme = 'https' AND port0 = '443')
                THEN '' ELSE port0 END AS port,
@@ -684,8 +694,8 @@ object ExtQueries {
             string_split(regexp_extract(pathq, '[?](.*)$$', 1), '&'),
             p -> p <> '' AND NOT regexp_matches(p,
               '^(utm_[^=]*|gclid|fbclid|ref)(=.*)?$$')), '&'), '')
-            AS query_norm FROM n3),
-      n5 AS (SELECT doc_id, url, path, query_norm,
+            AS query_norm FROM ${p}3),
+      ${p}5 AS (SELECT doc_id, url, path, query_norm,
           scheme || '://' || host ||
             CASE WHEN port = '' THEN '' ELSE ':' || port END || path ||
             CASE WHEN query_norm = '' THEN '' ELSE '?' || query_norm END
@@ -701,7 +711,7 @@ object ExtQueries {
                WHEN len(string_split(host, '.')) >= 2
                THEN string_split(host, '.')[-2] || '.' ||
                     string_split(host, '.')[-1]
-               ELSE host END AS domain FROM n4)"""
+               ELSE host END AS domain FROM ${p}4)"""
 
   private val urlNormCtes: String = urlNormCtesOver("documents")
 
@@ -715,6 +725,15 @@ object ExtQueries {
     graft.ext.Curation.DomainRobots.map { case (d, txt) =>
       val lines = txt.split("\n", -1).map(l => s"'$l'").mkString(", ")
       s"SELECT '$d' AS domain, concat_ws(chr(10), $lines) AS robots_txt"
+    }.mkString("\n        UNION ALL ")
+
+  /** The per-domain sitemap plant as a SQL relation — the
+    * [[domainRobotsValues]] discipline applied to
+    * `Curation.DomainSitemaps` (XML quotes doubled for SQL literals).
+    */
+  private val domainSitemapsValues: String =
+    graft.ext.Curation.DomainSitemaps.map { case (d, xml) =>
+      s"SELECT '$d' AS sm_domain, '${xml.replace("'", "''")}' AS sitemap_xml"
     }.mkString("\n        UNION ALL ")
 
   /** c41/c43's shared robots-parse CTE chain: the per-domain plant,
@@ -753,32 +772,40 @@ object ExtQueries {
               FROM rbg)"""
 
   /** The c43 admission verdict as a reusable CTE fragment: appends to
-    * [[robotsRulesCtes]] + a frontier `n5` the per-URL winning rule and
-    * verdict, ending in adm(doc_id, norm_url, domain, target,
-    * matched_rule, matched_allow, allowed).
+    * [[robotsRulesCtes]] + a frontier relation exposing (doc_id,
+    * norm_url, domain, path, query_norm) the per-URL winning rule and
+    * verdict, ending in `<pfx>adm`(doc_id, norm_url, domain, target,
+    * matched_rule, matched_allow, allowed). The prefix keeps two
+    * admission passes in one query (c44 admits sitemap locs while the
+    * %7 frontier chain is also in scope) from colliding.
     */
-  private val robotsAdmissionCtes: String = s"""$robotsRulesCtes,
-      rr AS (SELECT domain AS r_domain, unnest(rules) AS r FROM rbp),
-      rr2 AS (SELECT r_domain, r.is_allow AS r_allow, r.rpath AS rpath
-              FROM rr),
-      fr AS (SELECT doc_id, norm_url, domain,
+  private def robotsAdmissionCtesOver(rel: String, pfx: String): String =
+    s"""${pfx}rr AS (SELECT domain AS r_domain, unnest(rules) AS r
+              FROM rbp),
+      ${pfx}rr2 AS (SELECT r_domain, r.is_allow AS r_allow,
+                r.rpath AS rpath FROM ${pfx}rr),
+      ${pfx}fr AS (SELECT doc_id, norm_url, domain,
                path || CASE WHEN query_norm = '' THEN ''
                             ELSE '?' || query_norm END AS target
-             FROM n5),
-      mt AS (SELECT fr.*, rr2.r_allow, rr2.rpath FROM fr
-             LEFT JOIN rr2 ON fr.domain = rr2.r_domain
-               AND starts_with(fr.target, rr2.rpath)),
-      bst AS (SELECT * FROM mt
+             FROM $rel),
+      ${pfx}mt AS (SELECT f.*, r2.r_allow, r2.rpath FROM ${pfx}fr f
+             LEFT JOIN ${pfx}rr2 r2 ON f.domain = r2.r_domain
+               AND starts_with(f.target, r2.rpath)),
+      ${pfx}bst AS (SELECT * FROM ${pfx}mt
               QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
                 ORDER BY length(rpath) DESC NULLS LAST,
                   CASE WHEN r_allow THEN 1 ELSE 0 END DESC NULLS LAST,
                   rpath DESC NULLS LAST) = 1),
-      adm AS (SELECT doc_id, norm_url, domain, target,
+      ${pfx}adm AS (SELECT doc_id, norm_url, domain, target,
                 rpath AS matched_rule,
                 CASE WHEN rpath IS NULL THEN NULL ELSE r_allow END
                   AS matched_allow,
                 (rpath IS NULL OR r_allow) AS allowed
-              FROM bst)"""
+              FROM ${pfx}bst)"""
+
+  private val robotsAdmissionCtes: String =
+    s"""$robotsRulesCtes,
+      ${robotsAdmissionCtesOver("n5", "")}"""
 
   /** t40/t41's shared training CTE chain — the exact WordPiece
     * likelihood iterations (wf dictionary, v0 char seqs, per-iteration
@@ -6136,7 +6163,59 @@ object ExtQueries {
              FROM adm GROUP BY domain)
       SELECT adm.doc_id, adm.norm_url, adm.domain, adm.target,
         adm.matched_rule, adm.matched_allow, adm.allowed, bc.domain_blocked
-      FROM adm JOIN bc USING (domain) ORDER BY adm.doc_id"""))
+      FROM adm JOIN bc USING (domain) ORDER BY adm.doc_id""")),
+
+    // ---- c44: sitemap URL discovery against the live frontier — the
+    // crawl chain's DISCOVERY half: locs extracted from each domain's
+    // planted sitemap XML, canonicalized by the SAME c38 rules the
+    // frontier uses, robots-admitted (c43), and probed against the
+    // already-crawled canonical set; fetchable = allowed AND unseen.
+    // The corpus is only touched by a broadcast left-semi probe -------
+    ("c44_sitemap_discovery", (s: SparkSession, d: String) =>
+      graft.ext.Curation.sitemapFrontier(t(s, d, "documents")),
+      Some(s"""
+      WITH $urlNormCtes,
+      $robotsRulesCtes,
+      sm AS ($domainSitemapsValues),
+      lc0 AS (SELECT sm_domain, unnest(regexp_extract_all(sitemap_xml,
+                '<loc>([^<]*)</loc>', 1)) AS url FROM sm),
+      lc AS (SELECT row_number() OVER (ORDER BY sm_domain, url) AS doc_id,
+               sm_domain, url FROM lc0),
+      ${urlNormChainOver("lc", "q")},
+      ${robotsAdmissionCtesOver("q5", "s")},
+      sn AS (SELECT DISTINCT norm_url FROM n5)
+      SELECT lc.sm_domain, lc.url, a.norm_url, a.domain, a.target,
+        a.matched_rule, a.allowed,
+        (sn.norm_url IS NOT NULL) AS already_seen,
+        (a.allowed AND sn.norm_url IS NULL) AS fetchable
+      FROM sadm a JOIN lc USING (doc_id)
+      LEFT JOIN sn ON sn.norm_url = a.norm_url
+      ORDER BY a.norm_url, lc.url""")),
+
+    // ---- c45: politeness-aware fetch schedule over the admitted
+    // frontier: canonical URLs take per-domain slots in deterministic
+    // norm_url order, slot k fetches at k·delay ms (robots-derived
+    // crawl-delay or the default), slots past the horizon's politeness
+    // capacity are DEFERRED — exact integer math throughout -----------
+    ("c45_fetch_schedule", (s: SparkSession, d: String) =>
+      graft.ext.Curation.fetchSchedule(t(s, d, "documents"),
+        horizonMs = 3600000L, defaultDelayMs = 600000L),
+      Some(s"""
+      WITH $urlNormCtes,
+      $robotsAdmissionCtes,
+      kp AS (SELECT norm_url, domain, MIN(doc_id) AS keep_doc,
+               MAX(allowed) AS allowed
+             FROM adm GROUP BY norm_url, domain),
+      dl AS (SELECT kp.*, coalesce(rbp.crawl_delay_s * 1000, 600000)
+               AS delay_ms
+             FROM kp LEFT JOIN rbp USING (domain) WHERE kp.allowed),
+      rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY norm_url) - 1 AS slot FROM dl)
+      SELECT domain, norm_url, keep_doc, CAST(slot AS INT) AS slot,
+        CAST(delay_ms AS BIGINT) AS delay_ms,
+        CAST(slot * delay_ms AS BIGINT) AS sched_ms,
+        slot >= 3600000 // delay_ms + 1 AS deferred
+      FROM rn ORDER BY domain, slot"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

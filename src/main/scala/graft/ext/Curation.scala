@@ -1683,6 +1683,111 @@ object Curation {
       .drop("__rules", "__best")
   }
 
+  /** Deterministic per-domain sitemap plant for [[sitemapFrontier]] —
+    * the DISCOVERY side of the crawl chain (sitemaps.org protocol; the
+    * Sitemap lines robots.txt advertises): each domain publishes a
+    * small urlset whose locs exercise every discovery outcome — a
+    * re-spelling of an already-crawled URL (canonicalizes into the
+    * frontier → skip), a genuinely new allowed URL (fetch), a new URL
+    * the domain's own robots rules disallow (never fetch), a full-block
+    * domain's new URL, and a tracking-params-only re-spelling.
+    */
+  val DomainSitemaps: Seq[(String, String)] = Seq(
+    "example.com" -> ("<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>HTTP://WWW.Example.COM/Path/item?id=0</loc>" +
+      "<lastmod>2026-01-01</lastmod></url>" +
+      "<url><loc>https://www.example.com/Path/item/new</loc></url>" +
+      "<url><loc>https://m.example.com/p2?x=1</loc></url></urlset>"),
+    "example.org" -> ("<?xml version=\"1.0\"?><urlset><url>" +
+      "<loc>https://news.example.org/a/c</loc></url></urlset>"),
+    "example.net" -> ("<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>http://blog.example.net:8080/fresh</loc></url>" +
+      "<url><loc>http://blog.example.net:8080/?gclid=zz</loc></url>" +
+      "</urlset>"),
+    "example.co.uk" -> ("<?xml version=\"1.0\"?><urlset><url>" +
+      "<loc>https://Shop.Example.co.uk:443//sale/2</loc></url></urlset>"))
+
+  /** c44: sitemap URL discovery against the live frontier — the full
+    * pre-fetch decision for every advertised loc: extract locs from
+    * each domain's sitemap XML (regexp over `<loc>` elements — the
+    * protocol requires them verbatim), canonicalize with the SAME
+    * [[urlNormalize]] the frontier uses (discovery and dedup must
+    * share one canon or re-spellings slip through), attach the c43
+    * robots verdict, and mark locs whose canonical URL the crawler has
+    * already fetched; `fetchable` = allowed AND unseen — exactly the
+    * rows a scheduler hands to [[fetchSchedule]].
+    *
+    * Shape: the sitemap side is a literal dimension; the only corpus
+    * touch is the seen-probe, planned as corpus ⋉ broadcast(locs)
+    * LEFT-SEMI (the corpus streams, nothing corpus-sized shuffles or
+    * broadcasts) and the tiny hit set re-attaches broadcast-size. At
+    * stream scale the probe is the bucketed
+    * [[graft.streaming.StreamUrlDedup]] state equi-join instead.
+    */
+  def sitemapFrontier(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val locs = DomainSitemaps.toDF("sm_domain", "sitemap_xml")
+      .select(col("sm_domain"), explode(expr(
+        "regexp_extract_all(sitemap_xml, '<loc>([^<]*)</loc>', 1)"))
+        .as("url"))
+    val discovered = admissionVerdict(urlNormalize(locs))
+      .select(col("sm_domain"), col("url"), col("norm_url"), col("domain"),
+        col("target"), col("matched_rule"), col("allowed"))
+      .cpGuard() // read twice: the seen-probe build side and the output
+    val seenHits = urlNormalize(urlPlant(graft.core.Tables.spread(docs)))
+      .select(col("norm_url"))
+      .join(broadcast(discovered.select(col("norm_url"))),
+        Seq("norm_url"), "left_semi")
+      .distinct()
+      .withColumn("already_seen", lit(true))
+    discovered
+      .join(broadcast(seenHits), Seq("norm_url"), "left")
+      .select(col("sm_domain"), col("url"), col("norm_url"), col("domain"),
+        col("target"), col("matched_rule"), col("allowed"),
+        coalesce(col("already_seen"), lit(false)).as("already_seen"))
+      .withColumn("fetchable", col("allowed") && !col("already_seen"))
+      .orderBy(col("norm_url"), col("url"))
+  }
+
+  /** c45: politeness-aware fetch schedule over the admitted frontier —
+    * what a frontier scheduler actually emits: per domain, the
+    * robots-admitted canonical URLs take slots 0,1,2,… in
+    * deterministic norm_url order, slot k fetching at k·delay ms from
+    * the round start (the domain's [[robotsDelayPolicy]] crawl-delay,
+    * or the default), and slots past the horizon's politeness capacity
+    * (horizon div delay + 1 — c41's cap formula) are DEFERRED to the
+    * next round rather than silently dropped.
+    *
+    * Shape: one partial-aggregable groupBy collapses the frontier to
+    * canonical URLs, ONE domain-partitioned window assigns slots
+    * (domains ≪ URLs; skew bounded by the share cap the c38 audit
+    * enforces), then narrow integer math — exact in any engine.
+    */
+  def fetchSchedule(docs: DataFrame, horizonMs: Long = 3600000L,
+                    defaultDelayMs: Long = 600000L): DataFrame = {
+    require(horizonMs > 0 && defaultDelayMs > 0,
+      "horizonMs and defaultDelayMs positive")
+    val spark = docs.sparkSession
+    val delayCol = delayColFor(robotsDelayPolicy(spark), defaultDelayMs)
+    val canon = admissionVerdict(
+        urlNormalize(urlPlant(graft.core.Tables.spread(docs))))
+      .groupBy(col("norm_url"), col("domain"))
+      .agg(min(col("doc_id")).as("keep_doc"),
+        max(col("allowed")).as("allowed")) // constant within a norm_url
+      .filter(col("allowed"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("norm_url"))
+    canon
+      .withColumn("slot", row_number().over(w) - 1)
+      .withColumn("delay_ms", delayCol)
+      .withColumn("sched_ms", col("slot").cast("long") * col("delay_ms"))
+      .withColumn("deferred", expr(
+        s"slot >= CAST($horizonMs AS BIGINT) div delay_ms + 1"))
+      .select(col("domain"), col("norm_url"), col("keep_doc"), col("slot"),
+        col("delay_ms"), col("sched_ms"), col("deferred"))
+      .orderBy(col("domain"), col("slot"))
+  }
+
   /** c43: per-URL robots admission over the [[urlPlant]] frontier —
     * [[admissionVerdict]] plus the per-domain blocked count (what the
     * frontier scheduler subtracts from c41's budget). The blocked

@@ -732,6 +732,73 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(0L).getAs[Long]("domain_blocked") == 1L)
   }
 
+  test("sitemapFrontier: discovery canon matches the frontier's canon") {
+    import spark.implicits._
+    // docs 0..6 put one URL of each %7 class into the crawled frontier
+    val d = (0L until 7L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val got = Curation.sitemapFrontier(d).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Boolean]("already_seen"),
+          r.getAs[Boolean]("fetchable")))).toMap
+    assert(got.size == 7)
+    // re-spellings (case/port/userinfo-ish/tracking-param variants)
+    // canonicalize INTO the frontier — never refetched
+    assert(got("HTTP://WWW.Example.COM/Path/item?id=0") ==
+      ((true, true, false)))
+    assert(got("http://blog.example.net:8080/?gclid=zz") ==
+      ((true, true, false)))
+    assert(got("https://Shop.Example.co.uk:443//sale/2") ==
+      ((true, true, false)))
+    // genuinely new allowed locs are the fetchable set
+    assert(got("https://www.example.com/Path/item/new") ==
+      ((true, false, true)))
+    assert(got("http://blog.example.net:8080/fresh") ==
+      ((true, false, true)))
+    // new locs the domain's own robots disallow are never fetchable
+    assert(got("https://m.example.com/p2?x=1") == ((false, false, false)))
+    assert(got("https://news.example.org/a/c") == ((false, false, false)))
+  }
+
+  test("fetchSchedule: slots, robots delays, horizon deferral") {
+    import spark.implicits._
+    // 30 docs -> example.com gets slots for classes {0, 5, 6(blocked)};
+    // class-0 URLs are distinct per doc so the domain fills many slots
+    val d = (0L until 30L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val rows = Curation.fetchSchedule(d,
+      horizonMs = 25000L, defaultDelayMs = 9000L).collect()
+    // blocked classes never appear (org fully blocked; /p blocked)
+    assert(!rows.exists(_.getAs[String]("domain") == "example.org"))
+    rows.groupBy(_.getAs[String]("domain")).foreach { case (dom, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("slot"))
+      // slots are dense from 0 in norm_url order
+      assert(sorted.map(_.getAs[Int]("slot")).toSeq ==
+        sorted.indices.toSeq, s"$dom slots not dense")
+      assert(sorted.map(_.getAs[String]("norm_url")).toSeq ==
+        sorted.map(_.getAs[String]("norm_url")).sorted.toSeq)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("sched_ms") ==
+          r.getAs[Int]("slot").toLong * r.getAs[Long]("delay_ms"))
+        // deferral = past the politeness capacity of the horizon
+        val cap = 25000L / r.getAs[Long]("delay_ms") + 1
+        assert(r.getAs[Boolean]("deferred") == (r.getAs[Int]("slot") >= cap))
+      }
+    }
+    val byDomain = rows.groupBy(_.getAs[String]("domain"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("delay_ms")).head }
+    // robots-derived delays: example.com 10s, example.net 7s; the
+    // co.uk and punycode domains fall to the 9s default
+    assert(byDomain("example.com") == 10000L)
+    assert(byDomain("example.net") == 7000L)
+    assert(byDomain("example.co.uk") == 9000L)
+    // example.com: docs {0,7,14,21,28} + the collapsed '/' = 6 slots at
+    // 10s against a 25s horizon -> capacity 3, so slots 3..5 defer
+    val com = rows.filter(_.getAs[String]("domain") == "example.com")
+    assert(com.length == 6)
+    assert(com.count(_.getAs[Boolean]("deferred")) == 3)
+  }
+
   test("admissionVerdict: rule paths are case-sensitive octets") {
     import spark.implicits._
     val fr = Seq(("example.com", "/p", ""), ("example.com", "/P", ""))
