@@ -744,21 +744,36 @@ object ExtQueries {
     * `Curation.domainRobots` + `robotsRules`, in ONE place so the
     * admission and politeness oracles can never drift.
     */
-  private val robotsRulesCtes: String = s"""rb AS ($domainRobotsValues),
-      rbl AS (SELECT domain, list_transform(
+  /** The rules chain for ONE crawler identity: `agent = None` is the
+    * generic `*` view; `Some(token)` applies RFC 9309 §2.2.1 group
+    * matching (the first group naming the token, falling back to `*`).
+    * Emits `<pfx>rbl`..`<pfx>rbp` reading the shared `rb` plant.
+    */
+  private def robotsRulesChainFor(pfx: String,
+                                  agent: Option[String]): String = {
+    val named = agent match {
+      case Some(a) => s"""coalesce(list_filter(range(1, len(ls) + 1),
+                i -> regexp_matches(lower(ls[i]),
+                  '^user-agent:[ ]*$a$$'))[1],
+              list_filter(range(1, len(ls) + 1),
+                i -> regexp_matches(lower(ls[i]),
+                  '^user-agent:[ ]*[*]$$'))[1])"""
+      case None => s"""list_filter(range(1, len(ls) + 1),
+                i -> regexp_matches(lower(ls[i]),
+                  '^user-agent:[ ]*[*]$$'))[1]"""
+    }
+    s"""${pfx}rbl AS (SELECT domain, list_transform(
                 string_split(robots_txt, chr(10)), l -> trim(l)) AS ls
               FROM rb),
-      rbs AS (SELECT *, list_filter(range(1, len(ls) + 1),
-                i -> regexp_matches(lower(ls[i]),
-                  '^user-agent:[ ]*[*]$$'))[1] AS star FROM rbl),
-      rbn AS (SELECT *, list_filter(range(1, len(ls) + 1),
+      ${pfx}rbs AS (SELECT *, $named AS star FROM ${pfx}rbl),
+      ${pfx}rbn AS (SELECT *, list_filter(range(1, len(ls) + 1),
                 i -> i > star AND regexp_matches(lower(ls[i]),
-                  '^user-agent:'))[1] AS nxt FROM rbs),
-      rbg AS (SELECT domain,
+                  '^user-agent:'))[1] AS nxt FROM ${pfx}rbs),
+      ${pfx}rbg AS (SELECT domain,
                 CASE WHEN star IS NULL THEN []
                      ELSE ls[star + 1 : coalesce(nxt, len(ls) + 1) - 1]
-                END AS grp FROM rbn),
-      rbp AS (SELECT domain,
+                END AS grp FROM ${pfx}rbn),
+      ${pfx}rbp AS (SELECT domain,
                 CAST(regexp_extract(list_filter(grp,
                     l -> regexp_matches(lower(l),
                       '^crawl-delay:[ ]*[0-9]+[ ]*$$'))[1],
@@ -769,7 +784,12 @@ object ExtQueries {
                   l -> {'is_allow': regexp_matches(lower(l), '^allow:'),
                         'rpath': trim(substr(l, strpos(l, ':') + 1))})
                   AS rules
-              FROM rbg)"""
+              FROM ${pfx}rbg)"""
+  }
+
+  private val robotsRulesCtes: String =
+    s"""rb AS ($domainRobotsValues),
+      ${robotsRulesChainFor("", None)}"""
 
   /** The c43 admission verdict as a reusable CTE fragment: appends to
     * [[robotsRulesCtes]] + a frontier relation exposing (doc_id,
@@ -779,9 +799,10 @@ object ExtQueries {
     * admission passes in one query (c44 admits sitemap locs while the
     * %7 frontier chain is also in scope) from colliding.
     */
-  private def robotsAdmissionCtesOver(rel: String, pfx: String): String =
+  private def robotsAdmissionCtesOver(rel: String, pfx: String,
+                                      rulesRel: String = "rbp"): String =
     s"""${pfx}rr AS (SELECT domain AS r_domain, unnest(rules) AS r
-              FROM rbp),
+              FROM $rulesRel),
       ${pfx}rr2 AS (SELECT r_domain, r.is_allow AS r_allow,
                 r.rpath AS rpath FROM ${pfx}rr),
       ${pfx}fr AS (SELECT doc_id, norm_url, domain,
@@ -6215,7 +6236,30 @@ object ExtQueries {
         CAST(delay_ms AS BIGINT) AS delay_ms,
         CAST(slot * delay_ms AS BIGINT) AS sched_ms,
         slot >= 3600000 // delay_ms + 1 AS deferred
-      FROM rn ORDER BY domain, slot"""))
+      FROM rn ORDER BY domain, slot""")),
+
+    // ---- c46: per-AGENT robots admission (RFC 9309 §2.2.1 group
+    // matching): the same frontier evaluated as the generic crawler
+    // AND as googlebot, which example.org's robots addresses by name —
+    // the * view is a full block there while the named group allows
+    // /a, so ignoring group selection gets one of the two verdict sets
+    // wrong. Two rules chains + two admission passes in one oracle ----
+    ("c46_robots_agent_admission", (s: SparkSession, d: String) =>
+      graft.ext.Curation.robotsAgentAdmission(t(s, d, "documents")),
+      Some(s"""
+      WITH $urlNormCtes,
+      rb AS ($domainRobotsValues),
+      ${robotsRulesChainFor("", None)},
+      ${robotsRulesChainFor("g", Some("googlebot"))},
+      ${robotsAdmissionCtesOver("n5", "", "rbp")},
+      ${robotsAdmissionCtesOver("n5", "g", "grbp")}
+      SELECT * FROM (
+        SELECT '*' AS agent, doc_id, norm_url, domain, target,
+          matched_rule, allowed FROM adm
+        UNION ALL
+        SELECT 'googlebot', doc_id, norm_url, domain, target,
+          matched_rule, allowed FROM gadm) z
+      ORDER BY agent, doc_id"""))
   )
 
   def queries: Map[String, QFn] = defs.map(q => q._1 -> q._2).toMap

@@ -1589,25 +1589,35 @@ object Curation {
     DomainRobots.toDF("domain", "robots_txt")
   }
 
-  /** Case-PRESERVING `*`-group extraction over (domain, robots_txt):
-    * [[robotsParse]] lowercases whole lines (fine for counting), but
-    * rule PATHS are case-sensitive per RFC 9309 §2.2.2 — so here only
-    * the directive match is case-folded and the value keeps its
-    * original octets. Adds `rules` (array of (is_allow, rpath), empty
-    * Disallow excluded per the allow-all grammar rule) and
-    * `crawl_delay_s` (null when absent or non-numeric). Same
-    * positional `*`-group scoping as [[robotsParse]]: a named agent's
-    * rules never leak. Pure array/regexp built-ins, one narrow
-    * projection.
+  /** Case-PRESERVING effective-group extraction over
+    * (domain, robots_txt): [[robotsParse]] lowercases whole lines
+    * (fine for counting), but rule PATHS are case-sensitive per
+    * RFC 9309 §2.2.2 — so here only the directive match is case-folded
+    * and the value keeps its original octets. Group selection follows
+    * §2.2.1: a NAMED crawler (`agent`, matched case-insensitively as a
+    * whole product token) uses the first group addressed to it and
+    * falls back to the `*` group only when no group names it; the
+    * default `agent = "*"` is the generic-crawler view every other
+    * robots operator consumes. Adds `rules` (array of (is_allow,
+    * rpath), empty Disallow excluded per the allow-all grammar rule)
+    * and `crawl_delay_s` (null when absent or non-numeric). Pure
+    * array/regexp built-ins, one narrow projection.
     */
-  def robotsRules(df: DataFrame): DataFrame =
+  def robotsRules(df: DataFrame, agent: String = "*"): DataFrame = {
+    require(agent == "*" || agent.matches("^[a-z0-9-]+$"),
+      "agent: '*' or a lowercase product token")
+    val named =
+      if (agent == "*") "CAST(NULL AS INT)"
+      else s"""try_element_at(filter(sequence(1, size(__ls)),
+             i -> lower(element_at(__ls, i))
+                    rlike '^user-agent:[ ]*$agent$$'), 1)"""
     df
       .withColumn("__ls",
         expr("transform(split(robots_txt, '\n'), l -> trim(l))"))
-      .withColumn("__star", expr(
-        """try_element_at(filter(sequence(1, size(__ls)),
+      .withColumn("__star", expr(s"""coalesce($named,
+           try_element_at(filter(sequence(1, size(__ls)),
              i -> lower(element_at(__ls, i))
-                    rlike '^user-agent:[ ]*[*]$'), 1)"""))
+                    rlike '^user-agent:[ ]*[*]$$'), 1))"""))
       .withColumn("__nxt", expr(
         """try_element_at(filter(sequence(1, size(__ls)),
              i -> i > __star AND
@@ -1627,6 +1637,7 @@ object Curation {
                l -> lower(l) rlike '^crawl-delay:[ ]*[0-9]+[ ]*$'), 1),
              ':[ ]*([0-9]+)', 1) AS INT)"""))
       .drop("__ls", "__star", "__nxt", "__grp")
+  }
 
   /** The c41 policy table DERIVED in-engine from the planted robots
     * files (closing the c42 → c41 seam): domains whose `*` group
@@ -1662,8 +1673,9 @@ object Curation {
     * frontier scan, which is what lets it sit INSIDE the c40 chain for
     * free at 100 TB.
     */
-  private[graft] def admissionVerdict(frontier: DataFrame): DataFrame = {
-    val rules = robotsRules(domainRobots(frontier.sparkSession))
+  private[graft] def admissionVerdict(frontier: DataFrame,
+                                      agent: String = "*"): DataFrame = {
+    val rules = robotsRules(domainRobots(frontier.sparkSession), agent)
       .select(col("domain"), col("rules").as("__rules"))
     frontier
       .withColumn("target", concat(col("path"),
@@ -1681,6 +1693,35 @@ object Curation {
       .withColumn("allowed",
         col("__best").isNull || col("__best.a") === 1)
       .drop("__rules", "__best")
+  }
+
+  /** c46: per-AGENT admission — RFC 9309 §2.2.1's group matching made
+    * visible: the SAME frontier evaluated under each crawler identity
+    * in `agents`, a named crawler using the first group addressed to
+    * it (case-insensitive product token) and falling back to `*` only
+    * where no group names it. The planted example.org file is the
+    * signature case: its `*` group is a full block but its googlebot
+    * group allows `/a` — so the generic crawler is locked out of
+    * exactly the URLs googlebot may fetch, and a crawler that ignored
+    * group selection would get BOTH verdicts wrong on one domain or
+    * the other. Each agent's pass is the c43 shape (broadcast
+    * rules-array attach + narrow fold); the union fans the frontier
+    * once per agent (agents are a handful, by construction).
+    */
+  def robotsAgentAdmission(docs: DataFrame,
+                           agents: Seq[String] = Seq("*", "googlebot"))
+      : DataFrame = {
+    require(agents.nonEmpty && agents.distinct.size == agents.size,
+      "agents non-empty and distinct")
+    val frontier = urlNormalize(urlPlant(graft.core.Tables.spread(docs)))
+      .cpGuard() // one canonicalization pass, read once per agent
+    agents.map { a =>
+      admissionVerdict(frontier, a)
+        .select(lit(a).as("agent"), col("doc_id"), col("norm_url"),
+          col("domain"), col("target"), col("matched_rule"),
+          col("allowed"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("agent"), col("doc_id"))
   }
 
   /** Deterministic per-domain sitemap plant for [[sitemapFrontier]] —

@@ -732,6 +732,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(0L).getAs[Long]("domain_blocked") == 1L)
   }
 
+  test("robotsAgentAdmission: §2.2.1 group matching flips only example.org") {
+    import spark.implicits._
+    val d = (0L until 14L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val got = Curation.robotsAgentAdmission(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[String]("domain"), r.getAs[String]("matched_rule"),
+          r.getAs[Boolean]("allowed")))).toMap
+    // the generic crawler is fully blocked on example.org…
+    assert(got(("*", 1L)) == (("example.org", "/", false)))
+    // …but googlebot's own group allows /a — the named group wins and
+    // the * group's Disallow must NOT leak into it
+    assert(got(("googlebot", 1L)) == (("example.org", "/a", true)))
+    // domains with no googlebot group fall back to the * verdicts
+    for (id <- 0L until 14L if id % 7L != 1L)
+      assert(got(("googlebot", id)) == got(("*", id)), s"doc $id")
+  }
+
   test("sitemapFrontier: discovery canon matches the frontier's canon") {
     import spark.implicits._
     // docs 0..6 put one URL of each %7 class into the crawled frontier
