@@ -766,12 +766,16 @@ object ExtQueries {
                 string_split(robots_txt, chr(10)), l -> trim(l)) AS ls
               FROM rb),
       ${pfx}rbs AS (SELECT *, $named AS star FROM ${pfx}rbl),
+      ${pfx}rbb AS (SELECT *, coalesce(list_filter(range(1, len(ls) + 1),
+                i -> i > star AND NOT regexp_matches(lower(ls[i]),
+                  '^user-agent:'))[1], len(ls) + 1) AS beg
+              FROM ${pfx}rbs),
       ${pfx}rbn AS (SELECT *, list_filter(range(1, len(ls) + 1),
-                i -> i > star AND regexp_matches(lower(ls[i]),
-                  '^user-agent:'))[1] AS nxt FROM ${pfx}rbs),
+                i -> i >= beg AND regexp_matches(lower(ls[i]),
+                  '^user-agent:'))[1] AS nxt FROM ${pfx}rbb),
       ${pfx}rbg AS (SELECT domain,
                 CASE WHEN star IS NULL THEN []
-                     ELSE ls[star + 1 : coalesce(nxt, len(ls) + 1) - 1]
+                     ELSE ls[beg : coalesce(nxt, len(ls) + 1) - 1]
                 END AS grp FROM ${pfx}rbn),
       ${pfx}rbp AS (SELECT domain,
                 CAST(regexp_extract(list_filter(grp,
@@ -6125,7 +6129,8 @@ object ExtQueries {
       WITH r AS (SELECT doc_id,
           CASE doc_id % 5
             WHEN 0 THEN concat_ws(chr(10), 'User-agent: *',
-              'Crawl-delay: 10', 'Disallow: /private', 'Disallow: /tmp')
+              'User-agent: otherbot', 'Crawl-delay: 10',
+              'Disallow: /private', 'Disallow: /tmp')
             WHEN 1 THEN concat_ws(chr(10), 'User-agent: *', 'Disallow: /')
             WHEN 2 THEN concat_ws(chr(10), 'User-Agent: googlebot',
               'Disallow: /a', '', 'User-agent: *', 'Crawl-delay: 5',
@@ -6142,13 +6147,17 @@ object ExtQueries {
           list_filter(range(1, len(ls) + 1),
             i -> regexp_matches(ls[i], '^user-agent:[ ]*[*]$'))[1] AS star
           FROM p),
-      g AS (SELECT doc_id, txt, ls, star,
+      gb AS (SELECT doc_id, txt, ls, star,
+          coalesce(list_filter(range(1, len(ls) + 1),
+            i -> i > star AND NOT regexp_matches(ls[i],
+              '^user-agent:'))[1], len(ls) + 1) AS beg FROM q),
+      g AS (SELECT doc_id, txt, ls, star, beg,
           list_filter(range(1, len(ls) + 1),
-            i -> i > star AND regexp_matches(ls[i], '^user-agent:'))[1]
-            AS nxt FROM q),
+            i -> i >= beg AND regexp_matches(ls[i], '^user-agent:'))[1]
+            AS nxt FROM gb),
       h AS (SELECT doc_id, txt, ls,
           CASE WHEN star IS NULL THEN []
-               ELSE ls[star + 1 : coalesce(nxt, len(ls) + 1) - 1]
+               ELSE ls[beg : coalesce(nxt, len(ls) + 1) - 1]
           END AS grp FROM g)
       SELECT doc_id, length(txt) > 0 AS has_robots,
         CAST(regexp_extract(list_filter(grp,

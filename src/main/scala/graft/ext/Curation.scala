@@ -1454,8 +1454,10 @@ object Curation {
 
   /** Deterministic robots.txt plant for [[robotsParse]] (the t35/m03
     * closed-form fixture discipline): one fetched robots.txt per doc
-    * by doc_id % 5, covering the cases a parser must survive — a plain
-    * `*` group with delay and multiple Disallows; a full `Disallow: /`
+    * by doc_id % 5, covering the cases a parser must survive — a `*`
+    * group with a STACKED co-agent header line (the §2.2.1 shared-body
+    * form that empties the group under naive next-header scoping), a
+    * delay and multiple Disallows; a full `Disallow: /`
     * block with no delay; a MULTI-GROUP file where a named agent's
     * rules precede the `*` group (the named group's paths must not
     * leak into the `*` policy) plus a Sitemap line; a missing
@@ -1466,7 +1468,8 @@ object Curation {
     val nl = lit("\n")
     docs.withColumn("robots_txt",
       when(col("doc_id") % 5 === 0, concat(
-        lit("User-agent: *"), nl, lit("Crawl-delay: 10"), nl,
+        lit("User-agent: *"), nl, lit("User-agent: otherbot"), nl,
+        lit("Crawl-delay: 10"), nl,
         lit("Disallow: /private"), nl, lit("Disallow: /tmp")))
       .when(col("doc_id") % 5 === 1, concat(
         lit("User-agent: *"), nl, lit("Disallow: /")))
@@ -1487,9 +1490,13 @@ object Curation {
     * extension c41's policy table consumes), Disallow/Allow rule
     * counts (empty Disallow = allow-all and does NOT count), the
     * full-block verdict (`Disallow: /`), and the file-scoped Sitemap
-    * count. Group scoping is positional: lines between the `*`
-    * user-agent header and the next user-agent header — a named
-    * agent's rules never leak into the `*` policy.
+    * count. Group scoping is positional and header-RUN aware: a
+    * group's header can be a stack of consecutive User-agent lines
+    * (all sharing the body — RFC 9309 §2.2.1), so the body starts at
+    * the first non-header line after the matched header and ends at
+    * the next header after the body began — a named agent's rules
+    * never leak into the `*` policy, and a stacked co-agent line never
+    * empties it.
     *
     * Pure array/regexp built-ins in ONE narrow projection (split to
     * lines, first-index folds over a line-number sequence, slice,
@@ -1505,14 +1512,19 @@ object Curation {
       .withColumn("__star", expr(
         """try_element_at(filter(sequence(1, size(__ls)),
              i -> element_at(__ls, i) rlike '^user-agent:[ ]*[*]$'), 1)"""))
+      .withColumn("__beg", expr(
+        """coalesce(try_element_at(filter(sequence(1, size(__ls)),
+             i -> i > __star AND NOT
+               element_at(__ls, i) rlike '^user-agent:'), 1),
+           size(__ls) + 1)"""))
       .withColumn("__nxt", expr(
         """try_element_at(filter(sequence(1, size(__ls)),
-             i -> i > __star AND
+             i -> i >= __beg AND
                element_at(__ls, i) rlike '^user-agent:'), 1)"""))
       .withColumn("__grp", expr(
         """CASE WHEN __star IS NULL THEN array()
-           ELSE slice(__ls, __star + 1,
-             coalesce(__nxt, size(__ls) + 1) - __star - 1) END"""))
+           ELSE slice(__ls, __beg,
+             coalesce(__nxt, size(__ls) + 1) - __beg) END"""))
       .withColumn("has_robots", length(col("robots_txt")) > 0)
       .withColumn("crawl_delay_s", expr(
         """CAST(regexp_extract(
@@ -1527,7 +1539,7 @@ object Curation {
         "size(filter(__grp, l -> l rlike '^allow:[ ]*/'))"))
       .withColumn("n_sitemaps", expr(
         "size(filter(__ls, l -> l rlike '^sitemap:[ ]*[^ ]'))"))
-      .drop("__ls", "__star", "__nxt", "__grp")
+      .drop("__ls", "__star", "__beg", "__nxt", "__grp")
   }
 
   /** c42: the parsed `*`-group policy per planted robots.txt — the
@@ -1575,8 +1587,8 @@ object Curation {
       "User-agent: *", "Disallow: /").mkString("\n"),
     "example.co.uk" -> Seq("User-agent: *", "Allow: /sale",
       "Disallow: /sale").mkString("\n"),
-    "example.net" -> Seq("User-agent: *", "Crawl-delay: 7", "Disallow:")
-      .mkString("\n"),
+    "example.net" -> Seq("User-agent: *", "User-agent: googlebot",
+      "Crawl-delay: 7", "Disallow:").mkString("\n"),
     "xn--bcher-kva.ch" -> Seq("User-agent: *", "Disallow: /B%C3%BCcher",
       "Allow: /B%C3%BCcher/free").mkString("\n"))
 
@@ -1618,14 +1630,23 @@ object Curation {
            try_element_at(filter(sequence(1, size(__ls)),
              i -> lower(element_at(__ls, i))
                     rlike '^user-agent:[ ]*[*]$$'), 1))"""))
+      // a group's header can be a RUN of stacked User-agent lines (all
+      // those agents share the body — §2.2.1); the body begins at the
+      // first non-header line after the matched header and ends at the
+      // next header AFTER the body began
+      .withColumn("__beg", expr(
+        """coalesce(try_element_at(filter(sequence(1, size(__ls)),
+             i -> i > __star AND NOT
+               lower(element_at(__ls, i)) rlike '^user-agent:'), 1),
+           size(__ls) + 1)"""))
       .withColumn("__nxt", expr(
         """try_element_at(filter(sequence(1, size(__ls)),
-             i -> i > __star AND
+             i -> i >= __beg AND
                lower(element_at(__ls, i)) rlike '^user-agent:'), 1)"""))
       .withColumn("__grp", expr(
         """CASE WHEN __star IS NULL THEN array()
-           ELSE slice(__ls, __star + 1,
-             coalesce(__nxt, size(__ls) + 1) - __star - 1) END"""))
+           ELSE slice(__ls, __beg,
+             coalesce(__nxt, size(__ls) + 1) - __beg) END"""))
       .withColumn("rules", expr(
         """transform(
              filter(__grp, l -> lower(l) rlike '^(dis)?allow:[ ]*/'),
@@ -1636,7 +1657,7 @@ object Curation {
              try_element_at(filter(__grp,
                l -> lower(l) rlike '^crawl-delay:[ ]*[0-9]+[ ]*$'), 1),
              ':[ ]*([0-9]+)', 1) AS INT)"""))
-      .drop("__ls", "__star", "__nxt", "__grp")
+      .drop("__ls", "__star", "__beg", "__nxt", "__grp")
   }
 
   /** The c41 policy table DERIVED in-engine from the planted robots

@@ -1358,8 +1358,10 @@ object Multimodal {
     * embedded TIFF, patch the APP1 length field, splice. Non-APP1
     * segments pass through byte-identically; a GPS-free JPEG returns
     * the input array unchanged. Fails loudly on a missing SOI,
-    * misaligned marker, overrunning segment, or bytes after EOI —
-    * and on anything [[tiffWalkScrub]] rejects inside the APP1.
+    * misaligned marker, overrunning segment, bytes after EOI, or a
+    * DUPLICATE APP1-Exif segment (scrubbing one and passing the other
+    * would leak) — and on anything [[tiffWalkScrub]] rejects inside
+    * the APP1.
     * Returns (has_exif, parsed TIFF facts or None, scrubbed bytes).
     */
   private[graft] def jpegWalkScrub(bytes: Array[Byte])
@@ -1388,8 +1390,16 @@ object Multimodal {
           "jpeg: segment overruns buffer")
         if (m == 0xE1 && len >= 2 + ExifId.length &&
             java.util.Arrays.equals(
-              java.util.Arrays.copyOfRange(bytes, p + 4, p + 4 + 6), ExifId))
-          { app1Pos = p; app1Len = len }
+              java.util.Arrays.copyOfRange(bytes, p + 4, p + 4 + 6), ExifId)) {
+          // duplicate APP1-Exif segments are out of contract, LOUDLY:
+          // scrubbing only one of them would silently leak the other's
+          // GPS in output labeled "scrubbed" — the exact failure mode
+          // the loud-fail discipline exists to prevent
+          require(app1Pos < 0,
+            "jpeg: multiple APP1 Exif segments — refusing to scrub " +
+              "(a missed duplicate would leak)")
+          app1Pos = p; app1Len = len
+        }
         p += 2 + len
       }
     }

@@ -1556,12 +1556,19 @@ object TextAnalysis {
     */
   def wordpieceTrainedUnits(docs: DataFrame, vocabTop: Int = 200,
                             iters: Int = 4,
-                            scaleBits: Int = 30): Seq[String] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+                            scaleBits: Int = 30): Seq[String] =
     // ONE dictionary pass feeds both the char alphabet and the merge
     // loop (it is checkpointed, so the loop reads it, not the corpus)
-    val dict = dictionary(docs, vocabTop)
+    trainedUnitsFrom(dictionary(docs, vocabTop), iters, scaleBits)
+
+  /** The vocab-assembly core shared by [[wordpieceTrainedUnits]] and
+    * [[unigramPrune]] — one definition, so the pruned vocab can never
+    * silently diverge from the applied one.
+    */
+  private def trainedUnitsFrom(dict: DataFrame, iters: Int,
+                               scaleBits: Int): Seq[String] = {
+    val spark = dict.sparkSession
+    import spark.implicits._
     val letters = dict.select("word").as[String]
       .collect().toSeq.flatMap(_.toSeq).distinct.map(_.toString)
     val merged = learnWordpieceMerges(dict, iters, scaleBits)
@@ -1611,11 +1618,7 @@ object TextAnalysis {
     // ONE dictionary pass feeds the alphabet, the merge training and
     // every prune round's walk (it is checkpointed)
     val dict = dictionary(docs, vocabTop)
-    val letters = dict.select("word").as[String]
-      .collect().toSeq.flatMap(_.toSeq).distinct.map(_.toString)
-    val merged = learnWordpieceMerges(dict, iters, 30)
-      .map { case (_, a, b, _, _, _, _) => a + b }
-    var units = (letters ++ merged).distinct
+    var units = trainedUnitsFrom(dict, iters, scaleBits = 30)
     val prunes = Seq.newBuilder[(Int, String, Long, Long, Long)]
     for (p <- 1 to pruneIters) {
       val cands = units.filter(_.length > 1).sorted

@@ -945,5 +945,13 @@ class GraphOpsSpec extends SparkSpec {
     boom(Multimodal.jpegExifBytes(2L) :+ 0x00.toByte, "bytes after EOI")
     // chopping the tail makes the APP1 claim bytes that are not there
     boom(Multimodal.jpegExifBytes(13L).dropRight(20), "segment overruns")
+    // DUPLICATE APP1-Exif segments: scrubbing one and passing the
+    // other would leak — refuse loudly instead (splice the GPS doc's
+    // APP1 in twice: SOI ++ app1 ++ app1 ++ rest)
+    val withApp1 = Multimodal.jpegExifBytes(13L)
+    val app1Len = (((withApp1(4) & 0xFF) << 8) | (withApp1(5) & 0xFF)) + 2
+    val app1 = withApp1.slice(2, 2 + app1Len)
+    boom(withApp1.take(2) ++ app1 ++ withApp1.drop(2),
+      "multiple APP1 Exif segments")
   }
 }
