@@ -1177,15 +1177,26 @@ object Graphs {
     */
   def betweennessSource(edges: DataFrame, numSources: Int,
                         maxRounds: Int = 12,
-                        scaleBits: Int = 20): DataFrame = {
+                        scaleBits: Int = 20,
+                        driverThreshold: Long = 1L << 20): DataFrame = {
     require(numSources >= 1 && maxRounds >= 1 &&
       scaleBits >= 0 && scaleBits <= 30,
       "numSources >= 1, maxRounds >= 1, scaleBits in [0, 30]")
     val scale = 1L << scaleBits
+    val eObs = org.apache.spark.sql.Observation()
     val ed = edges.filter(col("src") =!= col("dst"))
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().cpGuard()
+      .distinct()
+      .observe(eObs, count(lit(1)).as("ne")).cpGuard()
+    // the betweenness/scc driver-threshold contract: below broadcast
+    // scale the level-synchronous sweep pays ~2·diameter whole jobs of
+    // fixed overhead; the per-edge floors are ORDER-INDEPENDENT, so one
+    // driver pass computes the BYTE-identical result (spec-pinned via
+    // driverThreshold = 0). Memory is O(n + m) per seed — no all-pairs
+    // state, unlike the exact-betweenness driver path
+    if (eObs.get("ne").asInstanceOf[Long] <= driverThreshold)
+      return betweennessSourceDriver(ed, numSources, maxRounds, scaleBits)
     val mObs = org.apache.spark.sql.Observation()
     val nodes = ed.select(col("src").as("k"))
       .unionAll(ed.select(col("dst").as("k"))).distinct()
@@ -1261,6 +1272,87 @@ object Graphs {
           s")) ELSE bc_raw_q * CAST($n AS BIGINT) div CAST($k2 AS BIGINT) " +
           "END"))
       .orderBy(col("k"))
+  }
+
+  /** Driver-side [[betweennessSource]] for a below-threshold edge
+    * list: the same Lehmer seed rule, level-synchronous σ-BFS per
+    * seed, and the same per-edge floored δ terms (order-independent,
+    * so this is BYTE-equal to the distributed sweep and the unrolled
+    * oracle), including every loud envelope — σ < 2^20, δ < 2^42,
+    * non-closure, id bounds, the n/K extrapolation limit. State is
+    * O(n + m) per seed — there is no all-pairs table here, so no
+    * maxNodes bound applies.
+    */
+  private def betweennessSourceDriver(e0: DataFrame, numSources: Int,
+                                      maxRounds: Int,
+                                      scaleBits: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val scale = 1L << scaleBits
+    val es = e0.as[(Long, Long)].collect()
+    require(es.nonEmpty, "betweennessSource: empty graph")
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    require(nodes.last < Long.MaxValue / 48271L,
+      "betweennessSource: node ids too large for the overflow-free " +
+        "Lehmer seed hash")
+    require(nodes.head >= 0L,
+      "betweennessSource: negative node ids break the cross-engine " +
+        "Lehmer seed hash contract (pmod vs sign-following %); " +
+        "remap ids to non-negative first")
+    val n = nodes.length.toLong
+    val k2 = math.min(numSources.toLong, n)
+    val seeds = nodes.sortBy(k => (k * 48271L % 2147483647L, k))
+      .take(k2.toInt)
+    val adj = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val bc = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (s <- seeds) {
+      val dist = scala.collection.mutable.HashMap(s -> 0)
+      val sig = scala.collection.mutable.HashMap(s -> 1L)
+      val levels = scala.collection.mutable.Buffer(Seq(s))
+      var frontier = Seq(s)
+      var d = 0
+      while (frontier.nonEmpty && d < maxRounds) {
+        d += 1
+        val newSig = scala.collection.mutable.HashMap.empty[Long, Long]
+        for (v <- frontier; w <- adj.getOrElse(v, Array.empty[Long])
+             if !dist.contains(w))
+          newSig(w) = newSig.getOrElse(w, 0L) + sig(v)
+        for ((w, sg) <- newSig) {
+          require(sg < (1L << 20),
+            "betweenness: shortest-path count >= 2^20 would overflow " +
+              "the integer term envelope; reduce the graph or scaleBits")
+          dist(w) = d; sig(w) = sg
+        }
+        frontier = newSig.keys.toSeq
+        if (frontier.nonEmpty) levels += frontier
+      }
+      require(frontier.isEmpty,
+        s"betweenness: BFS did not close in $maxRounds rounds (graph " +
+          "diameter exceeds the declared unroll bound)")
+      // backward δ, deepest level first; level 0 (v = s) never counts
+      val dq = scala.collection.mutable.HashMap.empty[Long, Long]
+      for (l <- (levels.size - 1) to 1 by -1; v <- levels(l)) {
+        var acc = 0L
+        for (w <- adj.getOrElse(v, Array.empty[Long])
+             if dist.get(w).contains(l + 1))
+          acc += sig(v) * (scale + dq.getOrElse(w, 0L)) / sig(w)
+        require(acc < (1L << 42) - scale,
+          s"betweennessSource: δq reaches 2^42 at level $l and the " +
+            "next level's σ·(2^b + δq) product would overflow — lower " +
+            "scaleBits")
+        dq(v) = acc
+        bc(v) = bc.getOrElse(v, 0L) + acc
+      }
+    }
+    val rawLim = Long.MaxValue / n
+    val rows = nodes.map { k =>
+      val raw = bc.getOrElse(k, 0L)
+      require(raw <= rawLim,
+        s"betweennessSource: bc_raw_q $raw overflows the n/K " +
+          s"extrapolation at n=$n; lower scaleBits")
+      (k, raw, raw * n / k2)
+    }.toSeq
+    rows.toDF("k", "bc_raw_q", "bc_est_q").orderBy(col("k"))
   }
 
   /** Driver-side [[betweenness]] for a below-threshold edge list: one

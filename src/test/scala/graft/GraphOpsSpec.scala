@@ -892,6 +892,15 @@ class GraphOpsSpec extends SparkSpec {
     val exact = Graphs.betweenness(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == exact)
+    // the distributed sweep (forced via driverThreshold = 0) is
+    // byte-equal to the driver shortcut — the floors are
+    // order-independent, so the two paths cannot round apart
+    val dist = Graphs.betweennessSource(edges, numSources = 5,
+        driverThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val drv = Graphs.betweennessSource(edges, numSources = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dist == drv, s"distributed $dist vs driver $drv")
     // fewer sources than nodes: raw shrinks to the sampled sources'
     // δ mass and the n/K factor rescales — K=2 picks seeds by the
     // Lehmer rule, and est = raw·5 div 2
