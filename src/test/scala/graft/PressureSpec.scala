@@ -15,11 +15,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class PressureSpec extends AnyFunSuite {
 
   test("heaviest queries complete under a starved memory manager, spilling") {
-    // the round-14 bench's top medians plus the crawl composite (the
-    // round-13 set d36/s27/s24/g26 stays covered by construction —
-    // same machinery families)
-    val heavy = Seq("g28_betweenness_sampled", "w42_pettitt_segments",
-      "d30_dedup_ensemble", "s40_nsw_refine_audit", "d19_containment_asym",
+    // the round-15 bench's top medians plus the crawl composite (the
+    // earlier sets d36/d19/g26/d30 stay covered by construction — same
+    // machinery families; g29's registered path is the driver shortcut
+    // and has no distributed pressure surface)
+    val heavy = Seq("w42_pettitt_segments", "g28_betweenness_sampled",
+      "s40_nsw_refine_audit", "s24_ivf_pq_recall", "s27_dbscan",
       "c40_crawl_corpus")
     val javaBin = System.getProperty("java.home") + "/bin/java"
     // the forked test JVM already carries Spark's JDK17 module opens —
