@@ -6222,6 +6222,36 @@ object ExtQueries {
       LEFT JOIN sn ON sn.norm_url = a.norm_url
       ORDER BY a.norm_url, lc.url""")),
 
+    // ---- c47: lastmod-aware recrawl priority — the freshness half of
+    // sitemap consumption: per <url> block the optional <lastmod> sits
+    // next to the loc; an already-crawled canonical URL is due for
+    // recrawl iff the advertised modification postdates the crawler's
+    // watermark; unseen locs belong to c44's fetch set, and a seen loc
+    // with no lastmod is conservatively NOT due ----------------------
+    ("c47_recrawl_priority", (s: SparkSession, d: String) =>
+      graft.ext.Curation.recrawlPriority(t(s, d, "documents"),
+        lastCrawl = "2025-12-31"),
+      Some(s"""
+      WITH $urlNormCtes,
+      sm AS ($domainSitemapsValues),
+      ub AS (SELECT sm_domain, unnest(regexp_extract_all(sitemap_xml,
+               '<url>(.*?)</url>', 1)) AS b FROM sm),
+      lb AS (SELECT row_number() OVER (ORDER BY sm_domain, b) AS doc_id,
+               sm_domain,
+               regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
+               CAST(nullif(regexp_extract(b,
+                 '<lastmod>([^<]*)</lastmod>', 1), '') AS DATE) AS lastmod
+             FROM ub),
+      ${urlNormChainOver("lb", "q")},
+      sn AS (SELECT DISTINCT norm_url FROM n5)
+      SELECT lb.sm_domain, lb.url, q5.norm_url, lb.lastmod,
+        (sn.norm_url IS NOT NULL) AS already_seen,
+        (sn.norm_url IS NOT NULL AND lb.lastmod IS NOT NULL
+          AND lb.lastmod > DATE '2025-12-31') AS recrawl_due
+      FROM q5 JOIN lb USING (doc_id)
+      LEFT JOIN sn ON sn.norm_url = q5.norm_url
+      ORDER BY q5.norm_url, lb.url""")),
+
     // ---- c45: politeness-aware fetch schedule over the admitted
     // frontier: canonical URLs take per-domain slots in deterministic
     // norm_url order, slot k fetches at k·delay ms (robots-derived

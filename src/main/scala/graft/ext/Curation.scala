@@ -1764,10 +1764,12 @@ object Curation {
       "<loc>https://news.example.org/a/c</loc></url></urlset>"),
     "example.net" -> ("<?xml version=\"1.0\"?><urlset>" +
       "<url><loc>http://blog.example.net:8080/fresh</loc></url>" +
-      "<url><loc>http://blog.example.net:8080/?gclid=zz</loc></url>" +
+      "<url><loc>http://blog.example.net:8080/?gclid=zz</loc>" +
+      "<lastmod>2026-02-01</lastmod></url>" +
       "</urlset>"),
     "example.co.uk" -> ("<?xml version=\"1.0\"?><urlset><url>" +
-      "<loc>https://Shop.Example.co.uk:443//sale/2</loc></url></urlset>"))
+      "<loc>https://Shop.Example.co.uk:443//sale/2</loc>" +
+      "<lastmod>2025-06-15</lastmod></url></urlset>"))
 
   /** c44: sitemap URL discovery against the live frontier — the full
     * pre-fetch decision for every advertised loc: extract locs from
@@ -1809,6 +1811,56 @@ object Curation {
         col("target"), col("matched_rule"), col("allowed"),
         coalesce(col("already_seen"), lit(false)).as("already_seen"))
       .withColumn("fetchable", col("allowed") && !col("already_seen"))
+      .orderBy(col("norm_url"), col("url"))
+  }
+
+  /** c47: lastmod-aware RECRAWL priority — the freshness half of
+    * sitemap consumption c44 ignores: per `<url>` block the optional
+    * `<lastmod>` date is extracted next to the loc, and an
+    * ALREADY-CRAWLED canonical URL is due for recrawl iff the site
+    * advertises a modification AFTER the crawler's `lastCrawl`
+    * watermark (sitemaps.org: lastmod is exactly the signal that lets
+    * a crawler skip unchanged pages). Unseen locs are the fetch set,
+    * not the recrawl set (recrawl_due = false there — c44 owns them);
+    * a seen loc with no lastmod is NOT due (no evidence of change —
+    * the conservative reading a polite crawler takes).
+    *
+    * Shape: c44's exactly — literal sitemap dimension, one narrow
+    * `<url>`-block extraction (non-greedy spans, RE2-safe), the same
+    * canonicalization, and the broadcast left-semi seen-probe as the
+    * only corpus touch.
+    */
+  def recrawlPriority(docs: DataFrame,
+                      lastCrawl: String = "2025-12-31"): DataFrame = {
+    require(lastCrawl.matches("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+      "lastCrawl: ISO date")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val locs = DomainSitemaps.toDF("sm_domain", "sitemap_xml")
+      .select(col("sm_domain"), explode(expr(
+        "regexp_extract_all(sitemap_xml, '<url>(.*?)</url>', 1)"))
+        .as("b"))
+      .select(col("sm_domain"),
+        expr("regexp_extract(b, '<loc>([^<]*)</loc>', 1)").as("url"),
+        expr("""to_date(nullif(
+          regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), ''))""")
+          .as("lastmod"))
+    val normed = urlNormalize(locs)
+      .select(col("sm_domain"), col("url"), col("norm_url"), col("lastmod"))
+      .cpGuard() // read twice: the seen-probe build side and the output
+    val seenHits = urlNormalize(urlPlant(graft.core.Tables.spread(docs)))
+      .select(col("norm_url"))
+      .join(broadcast(normed.select(col("norm_url"))),
+        Seq("norm_url"), "left_semi")
+      .distinct()
+      .withColumn("already_seen", lit(true))
+    normed
+      .join(broadcast(seenHits), Seq("norm_url"), "left")
+      .select(col("sm_domain"), col("url"), col("norm_url"), col("lastmod"),
+        coalesce(col("already_seen"), lit(false)).as("already_seen"))
+      .withColumn("recrawl_due",
+        col("already_seen") && col("lastmod").isNotNull &&
+          col("lastmod") > to_date(lit(lastCrawl)))
       .orderBy(col("norm_url"), col("url"))
   }
 

@@ -778,6 +778,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("https://news.example.org/a/c") == ((false, false, false)))
   }
 
+  test("recrawlPriority: fresh lastmod on a SEEN canon is due, stale is not") {
+    import spark.implicits._
+    val d = (0L until 7L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val got = Curation.recrawlPriority(d, lastCrawl = "2025-12-31")
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((Option(r.getAs[java.sql.Date]("lastmod")).map(_.toString),
+          r.getAs[Boolean]("already_seen"),
+          r.getAs[Boolean]("recrawl_due")))).toMap
+    // seen + advertised modification AFTER the watermark -> due
+    assert(got("HTTP://WWW.Example.COM/Path/item?id=0") ==
+      ((Some("2026-01-01"), true, true)))
+    assert(got("http://blog.example.net:8080/?gclid=zz") ==
+      ((Some("2026-02-01"), true, true)))
+    // seen but the advertised modification predates the watermark
+    assert(got("https://Shop.Example.co.uk:443//sale/2") ==
+      ((Some("2025-06-15"), true, false)))
+    // unseen locs are c44's fetch set, never the recrawl set; a seen
+    // loc with no lastmod would be conservatively not-due (no such
+    // plant row — the unseen no-lastmod rows pin the false path)
+    assert(got("https://www.example.com/Path/item/new") ==
+      ((None, false, false)))
+    assert(got("http://blog.example.net:8080/fresh") ==
+      ((None, false, false)))
+  }
+
   test("fetchSchedule: slots, robots delays, horizon deferral") {
     import spark.implicits._
     // 30 docs -> example.com gets slots for classes {0, 5, 6(blocked)};
