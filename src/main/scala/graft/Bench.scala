@@ -138,9 +138,14 @@ object Bench {
     // the per-query MIN is the least contention-inflated observation
     // each side produced, and its sum is the noise-robust secondary
     // headline a round-over-round reader should prefer when the paired
-    // A/B artifact is not available
-    val minTotal = names.map(n => runs(n))
+    // A/B artifact is not available. It carries the SAME -1 sentinel
+    // as `value` on any failure: a subset-sum over only the queries
+    // that happened to pass must never be compared against a
+    // full-registry round (the surviving subset sum is still recorded,
+    // as passed_min_total)
+    val passedMinTotal = names.map(n => runs(n))
       .filter(_.forall(_ >= 0)).map(_.min).sum
+    val minTotal = if (failed.nonEmpty) -1.0 else passedMinTotal
 
     // ms precision keeps the line a few hundred bytes — the driver's
     // stdout-tail capture has truncated the full-precision form before
@@ -172,9 +177,9 @@ object Bench {
         ",\"min\":" + r3(mn) + ",\"max\":" + r3(mx) + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"min_total":${r3(minTotal)},"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"min_total":${r3(minTotal)},"passed_min_total":${r3(passedMinTotal)},"queries":$qs,"spread":$spread,"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"min_total":${r3(minTotal)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","detail":"$out"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passed_total":$passedTotal,"min_total":${r3(minTotal)},"passed_min_total":${r3(passedMinTotal)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir","detail":"$out"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // print LAST, after session teardown, so nothing else can land

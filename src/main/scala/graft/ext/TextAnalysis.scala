@@ -1467,11 +1467,14 @@ object TextAnalysis {
     // longest vocab unit matching at 0-based position `pos` (0 = none):
     // flat form folds the whole unit array; bucketed form probes only
     // the position's first-char bucket (missing bucket -> null ->
-    // length 0), taking the first (= longest) hit
+    // length 0), taking the first (= longest) hit. The map probe MUST
+    // be try_element_at: plain element_at on a missing map key throws
+    // MAP_KEY_DOES_NOT_EXIST under ANSI mode, and a word whose first
+    // char starts no vocab unit is a legal input, not an error
     def matchLen(pos: String) =
       if (bucketed)
         s"""length(coalesce(try_element_at(filter(
-              element_at($mlit, substring(word, $pos + 1, 1)),
+              try_element_at($mlit, substring(word, $pos + 1, 1)),
               u -> substring(word, $pos + 1, length(u)) = u), 1), ''))"""
       else
         s"""aggregate(filter($vlit,

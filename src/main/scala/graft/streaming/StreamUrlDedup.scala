@@ -77,6 +77,17 @@ object StreamUrlDedup {
   def processBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
                    stateDir: String, outDir: String,
                    urlBuckets: Int = DefaultUrlBuckets): Unit = {
+    // a half-finished compaction leaves the same norm_url in two state
+    // partitions (merged row written, old partition not yet dropped) —
+    // probing that state double-matches and can duplicate drop records,
+    // so the documented "re-run compaction before resuming" contract is
+    // CHECKED here, not just written down
+    val marker = compactingMarker(spark, s"$stateDir/urls")
+    require(!marker._1.getFileSystem(marker._2).exists(marker._1),
+      s"StreamUrlDedup: compaction-in-progress marker ${marker._1} " +
+        "exists — a prior compactState crashed mid-flight; re-run " +
+        "compactState(upToBatch) to convergence before resuming the " +
+        "stream (probing half-compacted state double-matches norm_urls)")
     val normed = Curation.urlNormalize(
         batch0.filter(col("doc_id").isNotNull && col("url").isNotNull))
       .select(col("doc_id"), col("norm_url"), col("domain"))
@@ -133,7 +144,14 @@ object StreamUrlDedup {
     * merged one; a crashed compaction MUST therefore be re-run before
     * the stream resumes — it converges, because the merged content is
     * a deterministic `distinct` (re-absorbing any such double rows)
-    * and the drops are the only missing piece.
+    * and the drops are the only missing piece. That contract is
+    * ENFORCED, not advisory: a `_COMPACTING` marker (underscore-
+    * prefixed, so Spark's file listing ignores it) is written before
+    * the merged overwrite and removed only after every old partition
+    * is dropped; [[processBatch]] refuses to run while it exists, so a
+    * resume against half-compacted state fails loudly instead of
+    * double-matching probes. A re-run of compactState itself proceeds
+    * through an existing marker (it IS the recovery path).
     */
   def compactState(spark: SparkSession, stateDir: String, upToBatch: Long,
                    urlBuckets: Int = DefaultUrlBuckets): Unit = {
@@ -148,6 +166,9 @@ object StreamUrlDedup {
           "replay against strictly-earlier state")
       val old = batches.filter(_ < upToBatch)
       if (old.nonEmpty) {
+        val (mpath, conf) = compactingMarker(spark, path)
+        val fs = mpath.getFileSystem(conf)
+        fs.create(mpath, true).close() // raise the in-progress flag
         // materialize BEFORE overwriting a partition the plan reads;
         // distinct rides the norm_url buckets (subset clustering) and
         // re-absorbs double rows left by a crashed prior compaction
@@ -157,16 +178,25 @@ object StreamUrlDedup {
           .distinct()
           .localCheckpoint()
         Layout.overwriteBatch(merged, table, upToBatch)
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         old.foreach { b =>
           spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch=$b)")
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/batch=$b"), true)
           ()
         }
+        fs.delete(mpath, false) // state is single-copy again
+        ()
       }
     }
   }
+
+  /** The compaction-in-progress marker for the state table at `path`:
+    * (marker path, hadoop conf). Underscore-prefixed, so Spark's file
+    * listing treats it as hidden and probes never read it as data.
+    */
+  private def compactingMarker(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.conf.Configuration) =
+    (new org.apache.hadoop.fs.Path(path, "_COMPACTING"),
+      spark.sparkContext.hadoopConfiguration)
 
   /** Catalog name for the seen-URL state table over `path`. */
   private[graft] def urlTableName(path: String): String =

@@ -153,6 +153,34 @@ class StreamUrlDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("strictly below"))
   }
 
+  test("half-compacted state refuses probes until compaction re-runs") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("su_state6").toString
+    val out = Files.createTempDirectory("su_out6").toString + "/drops"
+    StreamUrlDedup.processBatch(spark,
+      Seq(0L -> "https://a.org/p").toDF("doc_id", "url"), 0L, state, out)
+    StreamUrlDedup.processBatch(spark,
+      Seq(10L -> "https://b.org/q").toDF("doc_id", "url"), 1L, state, out)
+    StreamUrlDedup.processBatch(spark,
+      Seq(20L -> "https://c.org/r").toDF("doc_id", "url"), 2L, state, out)
+    // simulate a compaction crash AFTER the merged write, BEFORE the
+    // drops: the marker is still up, so a stream resume must fail
+    // loudly instead of probing double-matching state
+    Files.createFile(Paths.get(state, "urls", "_COMPACTING"))
+    val e = intercept[IllegalArgumentException] {
+      StreamUrlDedup.processBatch(spark,
+        Seq(30L -> "https://d.org/s").toDF("doc_id", "url"), 3L, state, out)
+    }
+    assert(e.getMessage.contains("_COMPACTING"), e.getMessage)
+    // re-running compaction IS the recovery path: it converges and
+    // lowers the marker, after which the stream resumes normally
+    StreamUrlDedup.compactState(spark, state, 1L)
+    assert(!Files.exists(Paths.get(state, "urls", "_COMPACTING")))
+    StreamUrlDedup.processBatch(spark,
+      Seq(30L -> "https://a.org/p").toDF("doc_id", "url"), 3L, state, out)
+    assert(dropPairs(out).contains((30L, 0L)))
+  }
+
   test("frontier probe joins the bucketed URL state with no Exchange") {
     import spark.implicits._
     val state = Files.createTempDirectory("su_state4").toString

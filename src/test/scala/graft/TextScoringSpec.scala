@@ -402,4 +402,21 @@ class TextScoringSpec extends SparkSpec {
         r.getInt(3), r.getString(4))).toSeq
     assert(mapped == flat, s"mapped $mapped\nflat $flat")
   }
+
+  test("bucketed-map walk survives a word with no first-char bucket") {
+    // 'zap' starts no vocab unit, so its first-char map probe misses
+    // entirely — the walk must produce [UNK] (matching the flat walk),
+    // not throw MAP_KEY_DOES_NOT_EXIST under ANSI element_at semantics;
+    // 'abzz' exercises a MID-WORD miss (bucket 'a' hits, then 'z'
+    // misses) for the same reason
+    val d = docs("zap ab abzz")
+    val units = Seq("ab", "b")
+    val flat = TextAnalysis.wordpieceApplyWith(d, units).collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getString(4))).toSeq
+    val mapped = TextAnalysis.wordpieceApplyMapped(d, units).collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getString(4))).toSeq
+    assert(mapped == flat, s"mapped $mapped\nflat $flat")
+    assert(mapped.map(t => (t._1, t._2)) ==
+      Seq(("ab", false), ("abzz", true), ("zap", true)), mapped.toString)
+  }
 }
