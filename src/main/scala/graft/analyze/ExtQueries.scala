@@ -6222,6 +6222,49 @@ object ExtQueries {
       LEFT JOIN sn ON sn.norm_url = a.norm_url
       ORDER BY a.norm_url, lc.url""")),
 
+    // ---- c48: CROSS-DOMAIN sitemap discovery — the sitemaps.org
+    // cross-submission rule c44 skips: a loc on a foreign registered
+    // domain is trusted only when that domain's robots.txt advertises
+    // the exact sitemap URL; trust gates fetchability separately from
+    // admission (the planted example.co.uk foreign loc is admitted by
+    // its own robots yet stays unfetchable — no advertisement) --------
+    ("c48_sitemap_cross_domain", (s: SparkSession, d: String) =>
+      graft.ext.Curation.sitemapCrossDiscovery(t(s, d, "documents")),
+      Some(s"""
+      WITH $urlNormCtes,
+      $robotsRulesCtes,
+      sm AS ($domainSitemapsValues),
+      smu AS (SELECT sm_domain,
+               'https://' || sm_domain || '/sitemap.xml' AS sitemap_url,
+               sitemap_xml FROM sm),
+      lc0 AS (SELECT sm_domain, sitemap_url,
+               unnest(regexp_extract_all(sitemap_xml,
+                 '<loc>([^<]*)</loc>', 1)) AS url FROM smu),
+      lc AS (SELECT row_number() OVER (ORDER BY sm_domain, url) AS doc_id,
+               sm_domain, sitemap_url, url FROM lc0),
+      ${urlNormChainOver("lc", "q")},
+      ${robotsAdmissionCtesOver("q5", "s")},
+      adv AS (SELECT domain AS a_domain, list_transform(list_filter(
+                list_transform(string_split(robots_txt, chr(10)),
+                  l -> trim(l)),
+                l -> regexp_matches(lower(l), '^sitemap:[ ]*[^ ]')),
+                l -> trim(substr(l, strpos(l, ':') + 1))) AS sitemaps
+              FROM rb),
+      sn AS (SELECT DISTINCT norm_url FROM n5)
+      SELECT lc.sm_domain, lc.url, lc.sitemap_url, a.norm_url, a.domain,
+        a.allowed, (a.domain <> lc.sm_domain) AS is_foreign,
+        (a.domain = lc.sm_domain OR
+          coalesce(list_contains(adv.sitemaps, lc.sitemap_url), false))
+          AS trusted,
+        (sn.norm_url IS NOT NULL) AS already_seen,
+        ((a.domain = lc.sm_domain OR
+           coalesce(list_contains(adv.sitemaps, lc.sitemap_url), false))
+          AND a.allowed AND sn.norm_url IS NULL) AS fetchable
+      FROM sadm a JOIN lc USING (doc_id)
+      LEFT JOIN adv ON adv.a_domain = a.domain
+      LEFT JOIN sn ON sn.norm_url = a.norm_url
+      ORDER BY a.norm_url, lc.url, lc.sm_domain""")),
+
     // ---- c47: lastmod-aware recrawl priority — the freshness half of
     // sitemap consumption: per <url> block the optional <lastmod> sits
     // next to the loc; an already-crawled canonical URL is due for

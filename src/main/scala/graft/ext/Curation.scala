@@ -1393,21 +1393,37 @@ object Curation {
     * is a 1-row broadcast attach (declared BNLJ, the c38 discipline).
     * All integer math — exact in any engine.
     */
-  /** The per-row crawl-delay for a `domain` column under a literal
-    * policy table — ONE definition shared by [[crawlPoliteness]] and
-    * its streaming twin ([[graft.streaming.StreamPoliteness]]), whose
-    * outputs must agree row for row: delay resolution drifting between
-    * the two would silently break the split-cohort equivalence their
-    * spec pins.
+  /** Attach the per-domain crawl-delay `delay_ms` under a policy
+    * table — ONE definition shared by [[crawlPoliteness]],
+    * [[fetchSchedule]] and the streaming twin
+    * ([[graft.streaming.StreamPoliteness]]), whose outputs must agree
+    * row for row: delay resolution drifting between them would
+    * silently break the split-cohort equivalence their spec pins.
+    *
+    * Shape: ONE broadcast left equi-join on domain + a coalesce to the
+    * default — the r15 form (a when-chain LITERAL folded into the
+    * projection) was fine at the plant's handful of domains but a
+    * plan-blowing expression at a real frontier's millions of
+    * delay-bearing domains; the join form costs the same here and is
+    * the only shape that survives that scale (the policy side is one
+    * bounded row per delay-bearing crawled domain — broadcast by
+    * contract, never corpus-sized).
     */
-  private[graft] def delayColFor(policy: Seq[(String, Long)],
-                                 defaultDelayMs: Long)
-      : org.apache.spark.sql.Column = {
+  private[graft] def withDelayMs(df: DataFrame,
+                                 policy: Seq[(String, Long)],
+                                 defaultDelayMs: Long): DataFrame = {
     require(policy.map(_._1).distinct.size == policy.size &&
       policy.forall(_._2 > 0) && defaultDelayMs > 0,
       "policy domains distinct, delays positive")
-    policy.foldRight(lit(defaultDelayMs)) {
-      case ((d, ms), e) => when(col("domain") === d, lit(ms)).otherwise(e)
+    if (policy.isEmpty) df.withColumn("delay_ms", lit(defaultDelayMs))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dim = policy.toDF("domain", "__policy_delay_ms")
+      df.join(broadcast(dim), Seq("domain"), "left")
+        .withColumn("delay_ms",
+          coalesce(col("__policy_delay_ms"), lit(defaultDelayMs)))
+        .drop("__policy_delay_ms")
     }
   }
 
@@ -1415,15 +1431,14 @@ object Curation {
                       defaultDelayMs: Long = 600000L,
                       capSharePct: Int = 20): DataFrame = {
     require(capSharePct >= 0 && capSharePct <= 100, "capSharePct in [0,100]")
-    val delayCol = delayColFor(policy, defaultDelayMs)
     val f = fetches
       .select(col("domain"), unix_millis(col("ts")).as("ms"))
       .cpGuard() // read thrice: gaps, burst profile, 1-row span/total
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("ms"))
-    val gapRoll = f
-      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
-      .withColumn("delay_ms", delayCol)
+    val gapRoll = withDelayMs(
+        f.withColumn("gap", col("ms") - lag(col("ms"), 1).over(w)),
+        policy, defaultDelayMs)
       .groupBy(col("domain"))
       .agg(max(col("delay_ms")).as("crawl_delay_ms"), // functional on domain
         count(lit(1)).as("n_fetches"),
@@ -1588,7 +1603,13 @@ object Curation {
     "example.co.uk" -> Seq("User-agent: *", "Allow: /sale",
       "Disallow: /sale").mkString("\n"),
     "example.net" -> Seq("User-agent: *", "User-agent: googlebot",
-      "Crawl-delay: 7", "Disallow:").mkString("\n"),
+      "Crawl-delay: 7", "Disallow:",
+      // the sitemaps.org cross-submission advertisement: example.net
+      // VOUCHES for example.com's sitemap, so foreign example.net locs
+      // found there are trusted (c48); the line sits inside the group
+      // body but Sitemap is file-scoped and the rule/delay extractors
+      // ignore it either way
+      "Sitemap: https://example.com/sitemap.xml").mkString("\n"),
     "xn--bcher-kva.ch" -> Seq("User-agent: *", "Disallow: /B%C3%BCcher",
       "Allow: /B%C3%BCcher/free").mkString("\n"))
 
@@ -1759,7 +1780,15 @@ object Curation {
       "<url><loc>HTTP://WWW.Example.COM/Path/item?id=0</loc>" +
       "<lastmod>2026-01-01</lastmod></url>" +
       "<url><loc>https://www.example.com/Path/item/new</loc></url>" +
-      "<url><loc>https://m.example.com/p2?x=1</loc></url></urlset>"),
+      "<url><loc>https://m.example.com/p2?x=1</loc></url>" +
+      // cross-SUBMITTED locs (registered domain ≠ example.com — the
+      // sitemaps.org cross-submission rule c48 adjudicates): the
+      // example.net loc is TRUSTED because example.net's robots.txt
+      // advertises this very sitemap; the example.co.uk loc is
+      // UNTRUSTED (no advertisement) even though its own robots would
+      // admit the path — trust and admission are separate gates
+      "<url><loc>http://blog.example.net:8080/cross-ok</loc></url>" +
+      "<url><loc>https://Shop.Example.co.uk/other</loc></url></urlset>"),
     "example.org" -> ("<?xml version=\"1.0\"?><urlset><url>" +
       "<loc>https://news.example.org/a/c</loc></url></urlset>"),
     "example.net" -> ("<?xml version=\"1.0\"?><urlset>" +
@@ -1812,6 +1841,81 @@ object Curation {
         coalesce(col("already_seen"), lit(false)).as("already_seen"))
       .withColumn("fetchable", col("allowed") && !col("already_seen"))
       .orderBy(col("norm_url"), col("url"))
+  }
+
+  /** File-scoped `Sitemap:` advertisements per robots.txt — RFC 9309
+    * §2.3's "other records" as sitemaps.org consumes them: the line is
+    * NOT group-scoped (any line anywhere in the file counts, whatever
+    * User-agent group surrounds it), the directive is matched
+    * case-insensitively and the URL value kept verbatim (sitemap URLs
+    * are compared exactly; case-folding one would break the c48 trust
+    * probe). Adds `sitemaps` (array, file order). One narrow
+    * projection, no shuffle — rides whatever scan carries the robots
+    * text.
+    */
+  def robotsSitemaps(df: DataFrame): DataFrame =
+    df.withColumn("sitemaps", expr(
+      "transform(filter(transform(split(robots_txt, '\n'), " +
+        "l -> trim(l)), l -> lower(l) rlike '^sitemap:[ ]*[^ ]'), " +
+        "l -> trim(substring(l, instr(l, ':') + 1)))"))
+
+  /** c48: CROSS-DOMAIN sitemap discovery — the sitemaps.org
+    * cross-submission rule c44 skips: a sitemap may list locs whose
+    * registered domain is NOT the sitemap's own, and such a foreign
+    * loc is trustworthy only when the loc's domain vouches for that
+    * exact sitemap URL via a `Sitemap:` line in ITS robots.txt (the
+    * cross-submission proof-of-ownership at sitemaps.org/protocol —
+    * without it any site could inject arbitrary URLs into another
+    * crawler budget). Per advertised loc: c44's canon + admission +
+    * seen-probe, PLUS `is_foreign` (loc registered domain ≠
+    * sm_domain) and `trusted` (same-domain locs implicitly; foreign
+    * locs only with the advertisement); `fetchable` = trusted AND
+    * allowed AND unseen — the trust gate fires before the crawler
+    * spends anything on a foreign loc.
+    *
+    * Shape: c44's exactly — the locs AND the per-domain advertisement
+    * table are broadcast-size dimensions (the latter is one
+    * robots-file-bounded row per crawled domain), so the trust attach
+    * is a second broadcast left join riding the same narrow
+    * projection; the corpus is still touched only by the left-semi
+    * seen-probe.
+    */
+  def sitemapCrossDiscovery(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val locs = DomainSitemaps.toDF("sm_domain", "sitemap_xml")
+      .withColumn("sitemap_url",
+        concat(lit("https://"), col("sm_domain"), lit("/sitemap.xml")))
+      .select(col("sm_domain"), col("sitemap_url"), explode(expr(
+        "regexp_extract_all(sitemap_xml, '<loc>([^<]*)</loc>', 1)"))
+        .as("url"))
+    val adverts = robotsSitemaps(domainRobots(spark))
+      .select(col("domain"), col("sitemaps"))
+    val discovered = admissionVerdict(urlNormalize(locs))
+      .join(broadcast(adverts), Seq("domain"), "left")
+      .withColumn("is_foreign", col("domain") =!= col("sm_domain"))
+      .withColumn("trusted", !col("is_foreign") ||
+        coalesce(array_contains(col("sitemaps"), col("sitemap_url")),
+          lit(false)))
+      .select(col("sm_domain"), col("url"), col("sitemap_url"),
+        col("norm_url"), col("domain"), col("allowed"),
+        col("is_foreign"), col("trusted"))
+      .cpGuard() // read twice: the seen-probe build side and the output
+    val seenHits = urlNormalize(urlPlant(graft.core.Tables.spread(docs)))
+      .select(col("norm_url"))
+      .join(broadcast(discovered.select(col("norm_url"))),
+        Seq("norm_url"), "left_semi")
+      .distinct()
+      .withColumn("already_seen", lit(true))
+    discovered
+      .join(broadcast(seenHits), Seq("norm_url"), "left")
+      .select(col("sm_domain"), col("url"), col("sitemap_url"),
+        col("norm_url"), col("domain"), col("allowed"), col("is_foreign"),
+        col("trusted"),
+        coalesce(col("already_seen"), lit(false)).as("already_seen"))
+      .withColumn("fetchable",
+        col("trusted") && col("allowed") && !col("already_seen"))
+      .orderBy(col("norm_url"), col("url"), col("sm_domain"))
   }
 
   /** c47: lastmod-aware RECRAWL priority — the freshness half of
@@ -1883,7 +1987,6 @@ object Curation {
     require(horizonMs > 0 && defaultDelayMs > 0,
       "horizonMs and defaultDelayMs positive")
     val spark = docs.sparkSession
-    val delayCol = delayColFor(robotsDelayPolicy(spark), defaultDelayMs)
     val canon = admissionVerdict(
         urlNormalize(urlPlant(graft.core.Tables.spread(docs))))
       .groupBy(col("norm_url"), col("domain"))
@@ -1891,9 +1994,8 @@ object Curation {
         max(col("allowed")).as("allowed")) // constant within a norm_url
       .filter(col("allowed"))
     val w = Window.partitionBy(col("domain")).orderBy(col("norm_url"))
-    canon
-      .withColumn("slot", row_number().over(w) - 1)
-      .withColumn("delay_ms", delayCol)
+    withDelayMs(canon.withColumn("slot", row_number().over(w) - 1),
+        robotsDelayPolicy(spark), defaultDelayMs)
       .withColumn("sched_ms", col("slot").cast("long") * col("delay_ms"))
       .withColumn("deferred", expr(
         s"slot >= CAST($horizonMs AS BIGINT) div delay_ms + 1"))

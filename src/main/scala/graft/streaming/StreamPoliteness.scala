@@ -62,16 +62,17 @@ object StreamPoliteness {
                    stateDir: String, policy: Seq[(String, Long)],
                    defaultDelayMs: Long = 600000L,
                    domainBuckets: Int = DefaultDomainBuckets): Unit = {
-    // the batch twin's delay resolution, verbatim — shared so the
-    // split-cohort equivalence cannot drift
-    val delayCol = graft.ext.Curation.delayColFor(policy, defaultDelayMs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("ms"))
-    val batchAgg = batch0
-      .filter(col("domain").isNotNull && col("ts").isNotNull)
-      .select(col("domain"), unix_millis(col("ts")).as("ms"))
-      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
-      .withColumn("delay_ms", delayCol)
+    // the batch twin's delay resolution, verbatim (one shared broadcast
+    // delay-dimension join) — shared so the split-cohort equivalence
+    // cannot drift
+    val batchAgg = graft.ext.Curation.withDelayMs(
+        batch0
+          .filter(col("domain").isNotNull && col("ts").isNotNull)
+          .select(col("domain"), unix_millis(col("ts")).as("ms"))
+          .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w)),
+        policy, defaultDelayMs)
       .groupBy(col("domain"))
       .agg(max(col("delay_ms")).as("delay_ms"),
         count(lit(1)).as("b_n"),

@@ -759,11 +759,16 @@ class CurationOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("url") ->
         ((r.getAs[Boolean]("allowed"), r.getAs[Boolean]("already_seen"),
           r.getAs[Boolean]("fetchable")))).toMap
-    assert(got.size == 7)
+    assert(got.size == 9)
     // re-spellings (case/port/userinfo-ish/tracking-param variants)
     // canonicalize INTO the frontier — never refetched
     assert(got("HTTP://WWW.Example.COM/Path/item?id=0") ==
       ((true, true, false)))
+    // c44 is TRUST-UNAWARE by design: the cross-submitted locs pass
+    // its allowed+unseen gate either way — c48 owns the trust verdict
+    assert(got("http://blog.example.net:8080/cross-ok") ==
+      ((true, false, true)))
+    assert(got("https://Shop.Example.co.uk/other") == ((true, false, true)))
     assert(got("http://blog.example.net:8080/?gclid=zz") ==
       ((true, true, false)))
     assert(got("https://Shop.Example.co.uk:443//sale/2") ==
@@ -776,6 +781,34 @@ class CurationOpsSpec extends SparkSpec {
     // new locs the domain's own robots disallow are never fetchable
     assert(got("https://m.example.com/p2?x=1") == ((false, false, false)))
     assert(got("https://news.example.org/a/c") == ((false, false, false)))
+  }
+
+  test("sitemapCrossDiscovery: foreign locs trusted only with the advertisement") {
+    import spark.implicits._
+    val d = (0L until 7L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val got = Curation.sitemapCrossDiscovery(d).collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Boolean]("is_foreign"), r.getAs[Boolean]("trusted"),
+          r.getAs[Boolean]("allowed"), r.getAs[Boolean]("fetchable")))).toMap
+    assert(got.size == 9)
+    // foreign loc WITH the advertisement: example.net's robots.txt
+    // carries "Sitemap: https://example.com/sitemap.xml", so the
+    // example.net loc cross-submitted there is trusted and fetchable
+    assert(got("http://blog.example.net:8080/cross-ok") ==
+      ((true, true, true, true)))
+    // foreign loc WITHOUT it: example.co.uk's own robots ADMITS /other,
+    // but no advertisement means no trust — never fetched (the
+    // injection the cross-submission rule exists to stop)
+    assert(got("https://Shop.Example.co.uk/other") ==
+      ((true, false, true, false)))
+    // same-domain locs are implicitly trusted; admission and the seen
+    // probe behave exactly as in c44
+    assert(got("https://www.example.com/Path/item/new") ==
+      ((false, true, true, true)))
+    assert(got("https://m.example.com/p2?x=1") ==
+      ((false, true, false, false)))
+    assert(got("HTTP://WWW.Example.COM/Path/item?id=0")._4 == false)
   }
 
   test("recrawlPriority: fresh lastmod on a SEEN canon is due, stale is not") {
@@ -842,6 +875,29 @@ class CurationOpsSpec extends SparkSpec {
     val com = rows.filter(_.getAs[String]("domain") == "example.com")
     assert(com.length == 6)
     assert(com.count(_.getAs[Boolean]("deferred")) == 3)
+  }
+
+  test("delay policy attaches as a broadcast hash join, never a BNLJ") {
+    import spark.implicits._
+    // the scale contract: delay resolution must be an equi-join on
+    // domain with the bounded policy side broadcast — a when-chain
+    // literal blows the plan at millions of delay-bearing domains and
+    // a BNLJ would re-scan the frontier per policy row
+    val d = (0L until 7L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val plan = Curation.fetchSchedule(d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the delay dimension as a broadcast hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"delay attach must not plan as BNLJ:\n$plan")
+    val fetches = Seq(("example.com", java.sql.Timestamp.valueOf(
+      "2026-01-01 00:00:00"))).toDF("domain", "ts")
+    val p2 = Curation.crawlPoliteness(fetches,
+        policy = Seq("example.com" -> 10000L))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"politeness delay dimension not a broadcast hash join:\n$p2")
   }
 
   test("admissionVerdict: rule paths are case-sensitive octets") {
