@@ -777,18 +777,46 @@ object ExtQueries {
                 CASE WHEN star IS NULL THEN []
                      ELSE ls[beg : coalesce(nxt, len(ls) + 1) - 1]
                 END AS grp FROM ${pfx}rbn),
-      ${pfx}rbp AS (SELECT domain,
+      ${pfx}rbq AS (SELECT domain,
                 CAST(regexp_extract(list_filter(grp,
                     l -> regexp_matches(lower(l),
                       '^crawl-delay:[ ]*[0-9]+[ ]*$$'))[1],
                   ':[ ]*([0-9]+)', 1) AS INT) AS crawl_delay_s,
+                list_filter(grp, l -> regexp_matches(lower(l),
+                  '^request-rate:[ ]*[0-9]+/[0-9]+[ ]*$$'))[1] AS rr,
+                list_filter(grp, l -> regexp_matches(lower(l),
+                  '^visit-time:[ ]*[0-9]{4}-[0-9]{4}[ ]*$$'))[1] AS vt,
                 list_transform(
                   list_filter(grp, l -> regexp_matches(lower(l),
                     '^(dis)?allow:[ ]*/')),
                   l -> {'is_allow': regexp_matches(lower(l), '^allow:'),
                         'rpath': trim(substr(l, strpos(l, ':') + 1))})
                   AS rules
-              FROM ${pfx}rbg)"""
+              FROM ${pfx}rbg),
+      ${pfx}rbr AS (SELECT domain, crawl_delay_s, rules,
+                CAST(regexp_extract(rr, ':[ ]*([0-9]+)/', 1) AS INT)
+                  AS rate_num,
+                CAST(regexp_extract(rr, '/([0-9]+)', 1) AS INT)
+                  AS rate_den_s,
+                CAST(regexp_extract(vt, ':[ ]*([0-9]{2})', 1) AS INT) * 60
+                  + CAST(regexp_extract(vt, ':[ ]*[0-9]{2}([0-9]{2})', 1)
+                      AS INT) AS visit_from_min,
+                CAST(regexp_extract(vt, '-([0-9]{2})[0-9]{2}[ ]*$$', 1)
+                      AS INT) * 60
+                  + CAST(regexp_extract(vt, '-[0-9]{2}([0-9]{2})[ ]*$$', 1)
+                      AS INT) AS visit_to_min
+              FROM ${pfx}rbq),
+      ${pfx}rbt AS (SELECT *,
+                CAST((rate_den_s + rate_num - 1) // rate_num AS INT)
+                  AS rate_delay_s
+              FROM ${pfx}rbr),
+      ${pfx}rbp AS (SELECT *,
+                CASE WHEN crawl_delay_s IS NULL AND rate_delay_s IS NULL
+                     THEN NULL
+                     ELSE greatest(coalesce(crawl_delay_s, 0),
+                                   coalesce(rate_delay_s, 0))
+                END AS effective_delay_s
+              FROM ${pfx}rbt)"""
   }
 
   private val robotsRulesCtes: String =
@@ -6023,7 +6051,7 @@ object ExtQueries {
       fx AS (SELECT n5.domain, epoch_ms(e.ts) AS ms
              FROM n5 JOIN events e ON e.event_id = n5.doc_id),
       dl AS (SELECT domain, ms,
-               coalesce(rbp.crawl_delay_s * 1000, 600000) AS delay_ms,
+               coalesce(rbp.effective_delay_s * 1000, 600000) AS delay_ms,
                ms - LAG(ms) OVER (PARTITION BY domain ORDER BY ms) AS gap
              FROM fx LEFT JOIN rbp USING (domain)),
       gr AS (SELECT domain, CAST(MAX(delay_ms) AS BIGINT) AS crawl_delay_ms,
@@ -6309,16 +6337,34 @@ object ExtQueries {
       kp AS (SELECT norm_url, domain, MIN(doc_id) AS keep_doc,
                MAX(allowed) AS allowed
              FROM adm GROUP BY norm_url, domain),
-      dl AS (SELECT kp.*, coalesce(rbp.crawl_delay_s * 1000, 600000)
-               AS delay_ms
+      dl AS (SELECT kp.*, coalesce(rbp.effective_delay_s * 1000, 600000)
+               AS delay_ms,
+               LEAST(3600000, coalesce(
+                 (rbp.visit_to_min - rbp.visit_from_min) * 60000,
+                 3600000)) AS cap_ms
              FROM kp LEFT JOIN rbp USING (domain) WHERE kp.allowed),
       rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
                ORDER BY norm_url) - 1 AS slot FROM dl)
       SELECT domain, norm_url, keep_doc, CAST(slot AS INT) AS slot,
         CAST(delay_ms AS BIGINT) AS delay_ms,
         CAST(slot * delay_ms AS BIGINT) AS sched_ms,
-        slot >= 3600000 // delay_ms + 1 AS deferred
+        slot >= cap_ms // delay_ms + 1 AS deferred
       FROM rn ORDER BY domain, slot""")),
+
+    // ---- c49: robots Request-rate/Visit-time extensions — the
+    // de-facto lines wild robots files carry beyond RFC 9309:
+    // Request-rate n/m implies a ceil(m/n)-second per-request delay
+    // that composes with Crawl-delay via max (the stricter wins —
+    // example.com's 2/10 must NOT weaken its Crawl-delay 10), and
+    // Visit-time HHMM-HHMM is the daily window whose length caps
+    // c45's schedulable horizon ---------------------------------------
+    ("c49_robots_rate_extensions", (s: SparkSession, d: String) =>
+      graft.ext.Curation.robotsRateExtensions(s),
+      Some(s"""
+      WITH $robotsRulesCtes
+      SELECT domain, crawl_delay_s, rate_num, rate_den_s, rate_delay_s,
+        visit_from_min, visit_to_min, effective_delay_s
+      FROM rbp ORDER BY domain""")),
 
     // ---- c46: per-AGENT robots admission (RFC 9309 §2.2.1 group
     // matching): the same frontier evaluated as the generic crawler

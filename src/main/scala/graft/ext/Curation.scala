@@ -1415,17 +1415,25 @@ object Curation {
     require(policy.map(_._1).distinct.size == policy.size &&
       policy.forall(_._2 > 0) && defaultDelayMs > 0,
       "policy domains distinct, delays positive")
-    if (policy.isEmpty) df.withColumn("delay_ms", lit(defaultDelayMs))
+    withBoundedDim(df, policy, "__policy_delay_ms")
+      .withColumn("delay_ms",
+        coalesce(col("__policy_delay_ms"), lit(defaultDelayMs)))
+      .drop("__policy_delay_ms")
+  }
+
+  /** Attach one nullable LONG column `name` from a bounded (domain,
+    * value) dimension via a broadcast left equi-join — the shared
+    * shape under [[withDelayMs]] and the c45 Visit-time cap.
+    */
+  private[graft] def withBoundedDim(df: DataFrame,
+                                    dim: Seq[(String, Long)],
+                                    name: String): DataFrame =
+    if (dim.isEmpty) df.withColumn(name, lit(null).cast("long"))
     else {
       val spark = df.sparkSession
       import spark.implicits._
-      val dim = policy.toDF("domain", "__policy_delay_ms")
-      df.join(broadcast(dim), Seq("domain"), "left")
-        .withColumn("delay_ms",
-          coalesce(col("__policy_delay_ms"), lit(defaultDelayMs)))
-        .drop("__policy_delay_ms")
+      df.join(broadcast(dim.toDF("domain", name)), Seq("domain"), "left")
     }
-  }
 
   def crawlPoliteness(fetches: DataFrame, policy: Seq[(String, Long)],
                       defaultDelayMs: Long = 600000L,
@@ -1595,13 +1603,23 @@ object Curation {
     * are what [[robotsDelayPolicy]] derives c41's policy table from.
     */
   val DomainRobots: Seq[(String, String)] = Seq(
+    // example.com also carries a Request-rate whose implied delay
+    // (ceil(10/2) = 5 s) is BELOW its Crawl-delay — the c49 compose
+    // rule (max of the two) must keep 10 s, proving the extensions
+    // never weaken an explicit Crawl-delay
     "example.com" -> Seq("User-agent: *", "Crawl-delay: 10",
+      "Request-rate: 2/10",
       "Disallow: /Path", "Allow: /Path/item", "Disallow: /p")
       .mkString("\n"),
     "example.org" -> Seq("User-agent: googlebot", "Allow: /a", "",
       "User-agent: *", "Disallow: /").mkString("\n"),
+    // example.co.uk has NO Crawl-delay: its 1-page-per-20-s
+    // Request-rate alone yields the c49 effective delay (20 s), and
+    // the Visit-time window (06:00-08:45 = 9 900 s) caps c45's
+    // schedulable horizon for the domain
     "example.co.uk" -> Seq("User-agent: *", "Allow: /sale",
-      "Disallow: /sale").mkString("\n"),
+      "Disallow: /sale", "Request-rate: 1/20",
+      "Visit-time: 0600-0845").mkString("\n"),
     "example.net" -> Seq("User-agent: *", "User-agent: googlebot",
       "Crawl-delay: 7", "Disallow:",
       // the sitemaps.org cross-submission advertisement: example.net
@@ -1678,25 +1696,88 @@ object Curation {
              try_element_at(filter(__grp,
                l -> lower(l) rlike '^crawl-delay:[ ]*[0-9]+[ ]*$'), 1),
              ':[ ]*([0-9]+)', 1) AS INT)"""))
-      .drop("__ls", "__star", "__beg", "__nxt", "__grp")
+      // de-facto extension lines (pre-RFC wild-robots reality c49
+      // honors): `Request-rate: n/m` = n requests per m seconds, an
+      // implied per-request delay of ceil(m/n) s; `Visit-time:
+      // HHMM-HHMM` = the daily window the site invites fetches in.
+      // Both group-scoped like Crawl-delay; malformed values parse to
+      // null (the RFC 9309 ignore-what-you-don't-understand rule)
+      .withColumn("__rr", expr(
+        """try_element_at(filter(__grp,
+             l -> lower(l) rlike '^request-rate:[ ]*[0-9]+/[0-9]+[ ]*$'), 1)"""))
+      .withColumn("rate_num", expr(
+        "CAST(regexp_extract(__rr, ':[ ]*([0-9]+)/', 1) AS INT)"))
+      .withColumn("rate_den_s", expr(
+        "CAST(regexp_extract(__rr, '/([0-9]+)', 1) AS INT)"))
+      .withColumn("rate_delay_s", expr(
+        "CAST((rate_den_s + rate_num - 1) div rate_num AS INT)"))
+      .withColumn("__vt", expr(
+        """try_element_at(filter(__grp,
+             l -> lower(l) rlike '^visit-time:[ ]*[0-9]{4}-[0-9]{4}[ ]*$'), 1)"""))
+      .withColumn("visit_from_min", expr(
+        """CAST(regexp_extract(__vt, ':[ ]*([0-9]{2})', 1) AS INT) * 60 +
+           CAST(regexp_extract(__vt, ':[ ]*[0-9]{2}([0-9]{2})', 1) AS INT)"""))
+      .withColumn("visit_to_min", expr(
+        """CAST(regexp_extract(__vt, '-([0-9]{2})[0-9]{2}[ ]*$', 1) AS INT) * 60 +
+           CAST(regexp_extract(__vt, '-[0-9]{2}([0-9]{2})[ ]*$', 1) AS INT)"""))
+      // the c49 compose rule: rate caps and Crawl-delay stack via max
+      // (a crawler must honor the STRICTER of the two); null only when
+      // neither is present, so the delay policy can tell "no opinion"
+      // from "delay 0"
+      .withColumn("effective_delay_s", expr(
+        """CASE WHEN crawl_delay_s IS NULL AND rate_delay_s IS NULL
+           THEN NULL
+           ELSE greatest(coalesce(crawl_delay_s, 0),
+                         coalesce(rate_delay_s, 0)) END"""))
+      .drop("__ls", "__star", "__beg", "__nxt", "__grp", "__rr", "__vt")
   }
 
   /** The c41 policy table DERIVED in-engine from the planted robots
     * files (closing the c42 → c41 seam): domains whose `*` group
-    * carries a numeric Crawl-delay map to delay·1000 ms; the rest fall
-    * to the caller's default. The collect is bounded by construction —
-    * one row per CRAWLED DOMAIN with a delay (the frontier's domain
+    * carries a numeric Crawl-delay OR a Request-rate map to the c49
+    * EFFECTIVE delay (max of the two, ·1000 ms); the rest fall to the
+    * caller's default. The collect is bounded by construction — one
+    * row per CRAWLED DOMAIN with a delay (the frontier's domain
     * registry, never the corpus), the [[graft.ext.TextAnalysis]]
     * trained-vocab collect discipline.
     */
   def robotsDelayPolicy(
       spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] =
     robotsRules(domainRobots(spark))
-      .filter(col("crawl_delay_s").isNotNull)
+      .filter(col("effective_delay_s").isNotNull)
       .select(col("domain"),
-        (col("crawl_delay_s").cast("long") * 1000L).as("delay_ms"))
+        (col("effective_delay_s").cast("long") * 1000L).as("delay_ms"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  /** The per-domain Visit-time WINDOW table (window length in ms) for
+    * domains advertising one — the c45 horizon cap. Bounded by the
+    * same contract as [[robotsDelayPolicy]].
+    */
+  def robotsVisitPolicy(
+      spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] =
+    robotsRules(domainRobots(spark))
+      .filter(col("visit_from_min").isNotNull)
+      .select(col("domain"),
+        ((col("visit_to_min") - col("visit_from_min")).cast("long") *
+          60000L).as("visit_ms"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  /** c49: the parsed de-facto rate extensions per crawled domain —
+    * Request-rate (n/m and its implied ceil(m/n)-second delay),
+    * Visit-time (daily HHMM window as minutes-since-midnight), and
+    * the composed effective delay ([[robotsRules]]' max rule) that
+    * [[robotsDelayPolicy]] feeds c41/c45. One broadcast-size dimension
+    * row per domain; nulls where a file carries no extension.
+    */
+  def robotsRateExtensions(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    robotsRules(domainRobots(spark))
+      .select(col("domain"), col("crawl_delay_s"), col("rate_num"),
+        col("rate_den_s"), col("rate_delay_s"), col("visit_from_min"),
+        col("visit_to_min"), col("effective_delay_s"))
+      .orderBy(col("domain"))
 
   /** Attach the RFC 9309 §2.2.2 admission verdict to any frontier
     * carrying (domain, path, query_norm): match target = path +
@@ -1972,10 +2053,12 @@ object Curation {
     * what a frontier scheduler actually emits: per domain, the
     * robots-admitted canonical URLs take slots 0,1,2,… in
     * deterministic norm_url order, slot k fetching at k·delay ms from
-    * the round start (the domain's [[robotsDelayPolicy]] crawl-delay,
-    * or the default), and slots past the horizon's politeness capacity
-    * (horizon div delay + 1 — c41's cap formula) are DEFERRED to the
-    * next round rather than silently dropped.
+    * the round start (the domain's [[robotsDelayPolicy]] effective
+    * delay — Crawl-delay and Request-rate composed via max — or the
+    * default), and slots past the domain's politeness capacity
+    * (cap div delay + 1 where cap = min(horizon, the c49 Visit-time
+    * window) — c41's formula under the schedulable span) are DEFERRED
+    * to the next round rather than silently dropped.
     *
     * Shape: one partial-aggregable groupBy collapses the frontier to
     * canonical URLs, ONE domain-partitioned window assigns slots
@@ -1994,11 +2077,18 @@ object Curation {
         max(col("allowed")).as("allowed")) // constant within a norm_url
       .filter(col("allowed"))
     val w = Window.partitionBy(col("domain")).orderBy(col("norm_url"))
-    withDelayMs(canon.withColumn("slot", row_number().over(w) - 1),
-        robotsDelayPolicy(spark), defaultDelayMs)
+    withBoundedDim(
+        withDelayMs(canon.withColumn("slot", row_number().over(w) - 1),
+          robotsDelayPolicy(spark), defaultDelayMs),
+        robotsVisitPolicy(spark), "__visit_ms")
       .withColumn("sched_ms", col("slot").cast("long") * col("delay_ms"))
-      .withColumn("deferred", expr(
-        s"slot >= CAST($horizonMs AS BIGINT) div delay_ms + 1"))
+      // a domain advertising a Visit-time window (c49) caps its
+      // schedulable span at min(horizon, window): a polite crawler
+      // cannot spend the whole horizon on a site that only invites
+      // fetches for part of it
+      .withColumn("__cap_ms", least(lit(horizonMs),
+        coalesce(col("__visit_ms"), lit(horizonMs))))
+      .withColumn("deferred", expr("slot >= __cap_ms div delay_ms + 1"))
       .select(col("domain"), col("norm_url"), col("keep_doc"), col("slot"),
         col("delay_ms"), col("sched_ms"), col("deferred"))
       .orderBy(col("domain"), col("slot"))

@@ -695,9 +695,13 @@ class CurationOpsSpec extends SparkSpec {
     // percent-encoded octets survive extraction untouched
     assert(r("xn--bcher-kva.ch")._2.map(_._2) ==
       Seq("/B%C3%BCcher", "/B%C3%BCcher/free"))
-    // the derived c41 policy table: only delay-bearing domains, ms units
+    // the derived c41 policy table: only delay-bearing domains, ms
+    // units; example.co.uk's delay comes from Request-rate alone and
+    // example.com's Request-rate (implied 5 s) must not weaken its
+    // Crawl-delay 10
     assert(Curation.robotsDelayPolicy(spark) ==
-      Seq("example.com" -> 10000L, "example.net" -> 7000L))
+      Seq("example.co.uk" -> 20000L, "example.com" -> 10000L,
+        "example.net" -> 7000L))
   }
 
   test("robotsAdmission: longest match, Allow tie, %-octets, RFC default") {
@@ -865,16 +869,52 @@ class CurationOpsSpec extends SparkSpec {
     }
     val byDomain = rows.groupBy(_.getAs[String]("domain"))
       .map { case (k, rs) => k -> rs.map(_.getAs[Long]("delay_ms")).head }
-    // robots-derived delays: example.com 10s, example.net 7s; the
-    // co.uk and punycode domains fall to the 9s default
+    // robots-derived delays: example.com 10s (Crawl-delay, not
+    // weakened by its faster Request-rate), example.net 7s,
+    // example.co.uk 20s (Request-rate 1/20, no Crawl-delay); the
+    // punycode domain falls to the 9s default
     assert(byDomain("example.com") == 10000L)
     assert(byDomain("example.net") == 7000L)
-    assert(byDomain("example.co.uk") == 9000L)
+    assert(byDomain("example.co.uk") == 20000L)
     // example.com: docs {0,7,14,21,28} + the collapsed '/' = 6 slots at
     // 10s against a 25s horizon -> capacity 3, so slots 3..5 defer
     val com = rows.filter(_.getAs[String]("domain") == "example.com")
     assert(com.length == 6)
     assert(com.count(_.getAs[Boolean]("deferred")) == 3)
+  }
+
+  test("c49: rate extensions parse and compose; Visit-time caps the horizon") {
+    import spark.implicits._
+    val r = Curation.robotsRateExtensions(spark).collect()
+      .map(x => x.getString(0) ->
+        ((Option(x.getAs[Integer]("rate_num")).map(_.toInt),
+          Option(x.getAs[Integer]("rate_delay_s")).map(_.toInt),
+          Option(x.getAs[Integer]("visit_from_min")).map(_.toInt),
+          Option(x.getAs[Integer]("visit_to_min")).map(_.toInt),
+          Option(x.getAs[Integer]("effective_delay_s")).map(_.toInt)))).toMap
+    // Request-rate 2/10 -> ceil(10/2) = 5 s, but Crawl-delay 10 wins
+    assert(r("example.com") == ((Some(2), Some(5), None, None, Some(10))))
+    // Request-rate alone: 1/20 -> 20 s; Visit-time 06:00-08:45
+    assert(r("example.co.uk") ==
+      ((Some(1), Some(20), Some(360), Some(525), Some(20))))
+    // no extension lines: everything null except the Crawl-delay
+    assert(r("example.net") == ((None, None, None, None, Some(7))))
+    assert(r("example.org") == ((None, None, None, None, None)))
+    // the Visit-time window (9 900 000 ms) binds when the horizon
+    // exceeds it: at a 12 000 s horizon example.co.uk's capacity is
+    // 9 900 000 div 20 000 + 1 = 496, every other domain uses the
+    // horizon itself
+    val d = (0L until 30L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val rows = Curation.fetchSchedule(d, horizonMs = 12000000L,
+      defaultDelayMs = 9000L).collect()
+    rows.foreach { row =>
+      val win = if (row.getAs[String]("domain") == "example.co.uk")
+        9900000L else 12000000L
+      val cap = win / row.getAs[Long]("delay_ms") + 1
+      assert(row.getAs[Boolean]("deferred") ==
+        (row.getAs[Int]("slot") >= cap), row.toString)
+    }
   }
 
   test("delay policy attaches as a broadcast hash join, never a BNLJ") {
