@@ -1007,6 +1007,68 @@ object ExtQueries {
       ORDER BY iter"""
   }
 
+  /** t44's oracle: the t40 training stack, then 3 unrolled Viterbi-EM
+    * rounds — each round builds the per-word per-prefix DP (list of
+    * (n, g, p) structs: piece count, −Σ score, piece string) via 16
+    * unrolled steps whose transition is a correlated argmin over the
+    * round's scored units, then re-estimates scores as freq-weighted
+    * use counts. Every step CTE is MATERIALIZED (the t40
+    * scalar-subquery gotcha); all arithmetic BIGINT.
+    */
+  private val unigramViterbiEmSql: String = {
+    def round(r: Int): String = {
+      val steps = (1 to 16).map { i =>
+        s"""e${r}_$i AS MATERIALIZED (SELECT word, freq,
+             CASE WHEN $i > length(word) THEN dp
+             ELSE list_append(dp, coalesce(
+               (SELECT {'n': dp[$i - length(t.u) + 1].n + 1,
+                        'g': dp[$i - length(t.u) + 1].g - t.s,
+                        'p': dp[$i - length(t.u) + 1].p ||
+                             CASE WHEN dp[$i - length(t.u) + 1].p = ''
+                                  THEN '' ELSE ' ' END || t.u}
+                FROM es$r t
+                WHERE length(t.u) <= $i
+                  AND substr(e${r}_${i - 1}.word,
+                        $i - length(t.u) + 1, length(t.u)) = t.u
+                ORDER BY dp[$i - length(t.u) + 1].n + 1,
+                  dp[$i - length(t.u) + 1].g - t.s,
+                  dp[$i - length(t.u) + 1].p ||
+                    CASE WHEN dp[$i - length(t.u) + 1].p = ''
+                         THEN '' ELSE ' ' END || t.u
+                LIMIT 1),
+               {'n': 1000000, 'g': CAST(0 AS BIGINT), 'p': ''}))
+             END AS dp
+           FROM e${r}_${i - 1})"""
+      }.mkString(",\n      ")
+      s"""e${r}_0 AS (SELECT word, freq,
+             [{'n': 0, 'g': CAST(0 AS BIGINT), 'p': ''}] AS dp FROM vw),
+      $steps,
+      c$r AS MATERIALIZED (SELECT u, SUM(freq) AS cnt FROM (
+             SELECT freq, unnest(string_split(
+               dp[length(word) + 1].p, ' ')) AS u FROM e${r}_16) q
+           GROUP BY u),
+      es${r + 1} AS MATERIALIZED (SELECT uu.u,
+             coalesce(CAST(c$r.cnt AS BIGINT), 0) AS s
+           FROM units uu LEFT JOIN c$r ON c$r.u = uu.u)"""
+    }
+    s"""
+      WITH $wordpieceTrainCtes,
+      units AS MATERIALIZED (SELECT DISTINCT u FROM (
+          SELECT unnest(regexp_extract_all(word, '.')) AS u FROM v0
+          UNION ALL SELECT (SELECT a || b FROM tp1)
+          UNION ALL SELECT (SELECT a || b FROM tp2)
+          UNION ALL SELECT (SELECT a || b FROM tp3)
+          UNION ALL SELECT (SELECT a || b FROM tp4))),
+      vw AS (SELECT word, freq FROM v0),
+      es1 AS (SELECT u, CAST(0 AS BIGINT) AS s FROM units),
+      ${(1 to 3).map(round).mkString(",\n      ")}
+      SELECT em_round, u AS unit, uses FROM (
+        SELECT 1 AS em_round, u, s AS uses FROM es2
+        UNION ALL SELECT 2, u, s FROM es3
+        UNION ALL SELECT 3, u, s FROM es4) z
+      ORDER BY em_round, unit"""
+  }
+
   // ---- query definitions -----------------------------------------------
 
   val defs: Seq[(String, QFn, Option[String])] = Seq(
@@ -6027,6 +6089,18 @@ object ExtQueries {
       TextAnalysis.unigramPrune(t(s, d, "documents"),
         vocabTop = 200, iters = 4, pruneIters = 2),
       Some(unigramPruneSql)),
+
+    // ---- t44: unigram-LM Viterbi-EM training (Kudo ACL'18 §3.2,
+    // SentencePiece's practical one-best mode, integer-exact): E-step =
+    // exact per-word Viterbi DP under the lexicographic order (piece
+    // count, −Σ score, piece string); M-step = scores from
+    // freq-weighted use counts; 3 unrolled rounds over the t40-trained
+    // unit set — round 1 is the fewest-pieces start, later rounds'
+    // segmentations depend on the learned scores ----------------------
+    ("t44_unigram_viterbi_em", (s: SparkSession, d: String) =>
+      TextAnalysis.unigramViterbiEm(t(s, d, "documents"),
+        vocabTop = 200, iters = 4, emRounds = 3),
+      Some(unigramViterbiEmSql)),
 
     // ---- per-domain crawl-politeness budget audit: the events table
     // as the fetch log (event_id through the %7 URL plant -> c38

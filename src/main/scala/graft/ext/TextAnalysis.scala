@@ -1671,6 +1671,104 @@ object TextAnalysis {
       .orderBy(col("iter"))
   }
 
+  /** t44: unigram-LM VITERBI-EM training (Kudo ACL 2018 §3.2 in
+    * SentencePiece's practical one-best mode, made integer-exact —
+    * closing the t42 refusal): over the t40 training corpus and the
+    * t40-trained unit set, EM alternates an E-step that one-best
+    * segments every dictionary word under the current unit scores with
+    * an M-step that re-estimates each unit's score as its
+    * freq-weighted use count.
+    *
+    * The E-step is an exact Viterbi DP per word under the INTEGER
+    * ordering the t42 likelihood induces: minimize
+    * (piece count, −Σ score(piece), piece string) lexicographically —
+    * the uniform-prior likelihood term (−n·log|V|, t42's exact loss
+    * currency) dominates, the learned counts refine equal-piece ties
+    * (exactly the tokenization-ambiguity case unigram LMs exist to
+    * adjudicate), and the piece string is a pure determinism
+    * tie-break. The TRUE lattice posterior (and the log-prob Viterbi
+    * sum) is the documented refusal: per-path probabilities are
+    * rationals whose comparison needs Π c(u)·T^Δn products beyond any
+    * fixed width — Viterbi-EM under the integer ordering is
+    * SentencePiece's practical mode with every quantity a bounded
+    * BIGINT, bit-identical across engines. Round 1's all-zero scores
+    * reduce the E-step to fewest-pieces segmentation; later rounds
+    * depend on the learned scores, so segmentations genuinely flip
+    * (the spec pins a word whose round-2 path differs from round-1's)
+    * and the final ranking diverges from the t40 merge order.
+    *
+    * Shape per round: a bounded `dpSteps`-step column fold over the
+    * checkpointed dictionary building the per-prefix DP array (a
+    * literal scored-unit array probed with filter/transform/array_min
+    * — the c43 idiom; no join, no shuffle in the walk), ONE
+    * partial-aggregable explode+groupBy M-step, and a ≤|units|-row
+    * collect carrying scores to the next round (the wordpieceTrain
+    * merges-are-the-model discipline).
+    *
+    * Output: (em_round, unit, uses) for every trained unit and round;
+    * uses = 0 when the unit lost every position that round.
+    */
+  def unigramViterbiEm(docs: DataFrame, vocabTop: Int = 200,
+                       iters: Int = 4, emRounds: Int = 3,
+                       dpSteps: Int = 16): DataFrame = {
+    require(emRounds >= 1 && dpSteps >= 1, "emRounds, dpSteps >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = dictionary(docs, vocabTop)
+    val maxLen = dict.agg(max(length(col("word")))).collect()(0).getInt(0)
+    require(maxLen <= dpSteps,
+      s"unigramViterbiEm: a dictionary word has $maxLen chars > " +
+        s"dpSteps=$dpSteps — raise dpSteps (the loud-unroll contract)")
+    val units = trainedUnitsFrom(dict, iters, scaleBits = 30)
+    require(units.forall(_.matches("^[a-z]+$")),
+      "units must be lowercase ascii (the t17 dictionary convention)")
+    var scores = Map.empty[String, Long] // round 1: uniform (all zero)
+    val out = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to emRounds) {
+      val slit = units.sorted.map { u =>
+        s"struct(CAST(${scores.getOrElse(u, 0L)} AS BIGINT) AS s, " +
+          s"${u.length} AS l, '$u' AS u)"
+      }.mkString("array(", ", ", ")")
+      // dp(i+1) = best (n, g, p) over units u ending at prefix i:
+      // n pieces, g = -Σ score, p = the piece string; element 1 is the
+      // empty prefix. The sentinel (unreachable) never survives an
+      // array_min against a real path and is loudly rejected at the end
+      val init = dict.select(col("word"), col("freq"))
+        .withColumn("dp", expr(
+          "array(struct(0 AS n, CAST(0 AS BIGINT) AS g, '' AS p))"))
+      val walked = (1 to dpSteps).foldLeft(init) { (df, i) =>
+        df.withColumn("dp", expr(
+          s"""CASE WHEN $i > length(word) THEN dp
+              ELSE concat(dp, array(coalesce(
+                array_min(transform(
+                  filter($slit, t -> t.l <= $i AND
+                    substring(word, $i - t.l + 1, t.l) = t.u),
+                  t -> struct(
+                    element_at(dp, $i - t.l + 1).n + 1 AS n,
+                    element_at(dp, $i - t.l + 1).g - t.s AS g,
+                    concat(element_at(dp, $i - t.l + 1).p,
+                      CASE WHEN element_at(dp, $i - t.l + 1).p = ''
+                           THEN '' ELSE ' ' END, t.u) AS p))),
+                struct(1000000 AS n, CAST(0 AS BIGINT) AS g, '' AS p))))
+              END"""))
+      }
+        .withColumn("best", expr("element_at(dp, length(word) + 1)"))
+        .cpGuard() // read twice: the reachability check and the M-step
+      val unreachable = walked.filter(col("best.n") >= 1000000).count()
+      require(unreachable == 0L,
+        s"unigramViterbiEm round $r: $unreachable words have no " +
+          "segmentation — the alphabet no longer covers the dictionary")
+      val counts = walked
+        .select(col("freq"), explode(split(col("best.p"), " ")).as("u"))
+        .groupBy(col("u")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      units.sorted.foreach { u => out += ((r, u, counts.getOrElse(u, 0L))) }
+      scores = counts
+    }
+    out.result().toDF("em_round", "unit", "uses")
+      .orderBy(col("em_round"), col("unit"))
+  }
+
   /** Top-`vocabTop` lowercase-word dictionary with char-unit start
     * sequences — the shared t17/t39/t40 training-corpus convention.
     */

@@ -385,6 +385,36 @@ class TextScoringSpec extends SparkSpec {
     assert(got(1) == ((2, "de", 3L, 5L, 8L)), got(1).toString)
   }
 
+  test("viterbi-EM: learned scores flip an ambiguous segmentation, then converge") {
+    // corpus engineered so iters=3 trains units {a,b,c,d,ab,abc,cd}
+    // (merge order ab, abc, cd) and 'abcd' has TWO minimal-piece
+    // segmentations: [ab cd] vs [abc d]. Round 1 (zero scores) takes
+    // the piece-string tie-break [ab cd]; round 1's counts score abc=10
+    // d=5 vs ab=3 cd=3, so round 2's E-step flips 'abcd' to [abc d];
+    // round 3 reproduces round 2 — the EM fixed point. The final
+    // ranking (abc > d > ab = cd) also diverges from the t40 merge
+    // order (ab first), which raw merge-order ranking would get wrong.
+    val d = docs((Seq.fill(10)("abc") ++ Seq.fill(2)("ab") ++
+      Seq.fill(2)("cd") ++ Seq("abcd") ++ Seq.fill(5)("d"))
+      .mkString(" "))
+    val got = TextAnalysis.unigramViterbiEm(d, vocabTop = 10, iters = 3,
+      emRounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size == 21) // 3 rounds x 7 units
+    // round 1: 'abcd' segmented [ab cd] by the determinism tie-break
+    assert(got((1, "abc")) == 10L && got((1, "d")) == 5L)
+    assert(got((1, "ab")) == 3L && got((1, "cd")) == 3L)
+    // round 2: the learned scores flip it to [abc d]
+    assert(got((2, "abc")) == 11L && got((2, "d")) == 6L)
+    assert(got((2, "ab")) == 2L && got((2, "cd")) == 2L)
+    // round 3 == round 2: converged
+    for (u <- Seq("a", "b", "c", "d", "ab", "abc", "cd"))
+      assert(got((3, u)) == got((2, u)), s"round 3 diverges at $u")
+    // chars never win a position here
+    for (r <- 1 to 3; u <- Seq("a", "b", "c"))
+      assert(got((r, u)) == 0L)
+  }
+
   test("bucketed-map walk is byte-identical to the flat-array walk") {
     // the production-vocab form (first-char buckets, longest-first)
     // must reproduce the flat walk EXACTLY — including the longest-
