@@ -189,6 +189,16 @@ object StreamUrlDedup {
     }
   }
 
+  /** The accumulated seen-URL state as a DataFrame (norm_url, domain,
+    * keep_doc, batch) read through the bucketed table — the probe
+    * surface [[graft.streaming.StreamSitemap]] and other consumers
+    * join against with NO Exchange on this side. One row per norm_url
+    * across all batches (the [[processBatch]] invariant).
+    */
+  def urlState(spark: SparkSession, stateDir: String,
+               urlBuckets: Int = DefaultUrlBuckets): DataFrame =
+    spark.table(ensureUrlState(spark, s"$stateDir/urls", urlBuckets))
+
   /** The compaction-in-progress marker for the state table at `path`:
     * (marker path, hadoop conf). Underscore-prefixed, so Spark's file
     * listing treats it as hidden and probes never read it as data.
