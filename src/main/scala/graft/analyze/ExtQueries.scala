@@ -6078,6 +6078,20 @@ object ExtQueries {
     },
       Some(wordpieceTrainedApplySql)),
 
+    // ---- t45: the SAME trained-vocab apply through a codegen'd TRIE
+    // Expression (LongestUnitMatch): per position ONE trie descent,
+    // O(longest unit) independent of |vocab| — the deployed-tokenizer
+    // shape at a 30k-unit vocabulary, one level past t43's first-char
+    // buckets. Same oracle STRING as t41/t43: all three walks must be
+    // value-identical --------------------------------------------------
+    ("t45_wordpiece_codegen_trie", (s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.wordpieceApplyTrie(
+        TextAnalysis.wordpiecePlant(docs),
+        TextAnalysis.wordpieceTrainedUnits(docs, vocabTop = 200, iters = 4))
+    },
+      Some(wordpieceTrainedApplySql)),
+
     // ---- t42: unigram-LM vocabulary pruning (the SentencePiece prune
     // step in its integer-exact uniform-prior form): each round scores
     // every trained multi-char unit by the TOKEN INFLATION its removal

@@ -1438,7 +1438,18 @@ object TextAnalysis {
     */
   def wordpieceApplyMapped(docs: DataFrame, units: Seq[String],
                            maxUnits: Int = 12): DataFrame =
-    greedyWalk(distinctWords(docs), units, maxUnits, bucketed = true)
+    greedyWalk(distinctWords(docs), units, maxUnits, mode = "bucketed")
+
+  /** [[wordpieceApplyWith]] through the codegen'd TRIE probe
+    * ([[graft.functions.LongestUnitMatch]]): per position one trie
+    * descent, O(longest unit) independent of |vocab| — the deployed
+    * 30k-unit tokenizer shape the t43 buckets approximate one level
+    * of. Byte-identical to the flat and bucketed walks by
+    * construction — the spec and the shared t41 oracle both pin it.
+    */
+  def wordpieceApplyTrie(docs: DataFrame, units: Seq[String],
+                         maxUnits: Int = 12): DataFrame =
+    greedyWalk(distinctWords(docs), units, maxUnits, mode = "trie")
 
   /** Distinct corpus words with occurrence counts — the one shuffle
     * the apply paths share.
@@ -1452,7 +1463,8 @@ object TextAnalysis {
 
   private def greedyWalk(wordsTbl: DataFrame, units: Seq[String],
                          maxUnits: Int,
-                         bucketed: Boolean = false): DataFrame = {
+                         mode: String = "flat"): DataFrame = {
+    require(Set("flat", "bucketed", "trie")(mode), s"unknown mode $mode")
     require(units.nonEmpty && maxUnits >= 1, "units non-empty, maxUnits >= 1")
     require(units.forall(_.matches("^[a-z]+$")),
       "units must be lowercase ascii words (the t17 dictionary " +
@@ -1472,7 +1484,7 @@ object TextAnalysis {
     // MAP_KEY_DOES_NOT_EXIST under ANSI mode, and a word whose first
     // char starts no vocab unit is a legal input, not an error
     def matchLen(pos: String) =
-      if (bucketed)
+      if (mode == "bucketed")
         s"""length(coalesce(try_element_at(filter(
               try_element_at($mlit, substring(word, $pos + 1, 1)),
               u -> substring(word, $pos + 1, length(u)) = u), 1), ''))"""
@@ -1480,6 +1492,14 @@ object TextAnalysis {
         s"""aggregate(filter($vlit,
               u -> substring(word, $pos + 1, length(u)) = u),
             0, (m, u) -> greatest(m, length(u)))"""
+    // the trie mode's probe is a codegen'd Expression (one trie
+    // descent per position, |vocab|-independent); the other modes stay
+    // pure built-in SQL. Identical semantics, pinned by the shared
+    // oracle STRING and the cross-mode specs.
+    val mlCol: org.apache.spark.sql.Column =
+      if (mode == "trie")
+        graft.functions.LongestUnitMatch.of(col("word"), col("pos"), units)
+      else expr(matchLen("pos"))
     val init = wordsTbl
       .withColumn("pos", lit(0))
       .withColumn("n_units", lit(0))
@@ -1487,8 +1507,8 @@ object TextAnalysis {
       .withColumn("pieces", lit(""))
     val walked = (1 to maxUnits).foldLeft(init) { (df, _) =>
       df.withColumn("ml",
-          expr(s"""CASE WHEN NOT unk AND pos < length(word)
-                   THEN ${matchLen("pos")} ELSE 0 END"""))
+          when(!col("unk") && col("pos") < length(col("word")), mlCol)
+            .otherwise(0))
         .withColumn("unk",
           col("unk") || (col("pos") < length(col("word")) && col("ml") === 0))
         .withColumn("pieces", expr(

@@ -433,6 +433,46 @@ class TextScoringSpec extends SparkSpec {
     assert(mapped == flat, s"mapped $mapped\nflat $flat")
   }
 
+  test("codegen trie walk is byte-identical to the flat walk") {
+    // trained vocab incl. shared-prefix units ('gro'/'gr'), UNK words,
+    // a mid-word dead end, and a word with a multi-byte char (the trie
+    // walks BYTES; a UTF-8 lead/continuation byte must dead-end
+    // exactly where the char-based substring compare does)
+    val d = docs("play ground playground qq yap play gr grit zap naïve")
+    val units = TextAnalysis.wordpieceTrainedUnits(d, vocabTop = 10,
+      iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getString(4))).toSeq
+    assert(rows(TextAnalysis.wordpieceApplyTrie(d, units)) ==
+      rows(TextAnalysis.wordpieceApplyWith(d, units)))
+  }
+
+  test("codegen trie walk matches the flat walk at a 1k-unit vocab") {
+    // the scale case the trie exists for: 1014 units (all 676 bigrams
+    // + 338 four-char units sharing bigram prefixes, so longest-match
+    // vs first-match matters). Words with an odd tail dead-end on
+    // their final char (no single-char units) and must go [UNK] in
+    // both walks
+    val units = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield s"$a$b") ++
+      (for (a <- 'a' to 'z'; s <- Seq("abc", "xyz", "qzv", "mnp",
+        "tuv", "hij", "rst", "klm", "bcd", "fgh", "nop", "uvw",
+        "efg")) yield s"$a$s")
+    assert(units.distinct.size == 1014)
+    val d = docs("hello world zqzqzq abcdxy oddone pxyz tuvklm " +
+      "aaaaaaaaaaaaaaaaaaaaa q")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getInt(3),
+        r.getString(4))).toSeq
+    val trie = rows(TextAnalysis.wordpieceApplyTrie(d, units.distinct))
+    assert(trie == rows(TextAnalysis.wordpieceApplyWith(d, units.distinct)))
+    // spot-pin the semantics, not just the equivalence
+    val m = trie.map(t => t._1 -> ((t._2, t._4))).toMap
+    assert(m("q") == ((true, "[UNK]")))
+    assert(m("zqzqzq") == ((false, "zq ##zq ##zq")))
+    assert(m("hello") == ((true, "[UNK]"))) // odd tail dead-ends
+  }
+
   test("bucketed-map walk survives a word with no first-char bucket") {
     // 'zap' starts no vocab unit, so its first-char map probe misses
     // entirely — the walk must produce [UNK] (matching the flat walk),
