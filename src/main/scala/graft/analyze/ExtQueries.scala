@@ -860,6 +860,45 @@ object ExtQueries {
     s"""$robotsRulesCtes,
       ${robotsAdmissionCtesOver("n5", "")}"""
 
+  /** c48/c50's shared chain: the %7 frontier canon (seen set), the
+    * robots rules, the sitemap plant's locs through canon + admission,
+    * the per-domain advertisement lists, ending in `xdisc` — one
+    * per-loc row with (sm_domain, url, sitemap_url, norm_url, domain,
+    * allowed, is_foreign, trusted, already_seen). ONE definition so the
+    * per-loc verdicts (c48) and the per-advertisement rollup (c50) can
+    * never drift.
+    */
+  private val sitemapCrossCtes: String =
+    s"""$urlNormCtes,
+      $robotsRulesCtes,
+      sm AS ($domainSitemapsValues),
+      smu AS (SELECT sm_domain,
+               'https://' || sm_domain || '/sitemap.xml' AS sitemap_url,
+               sitemap_xml FROM sm),
+      lc0 AS (SELECT sm_domain, sitemap_url,
+               unnest(regexp_extract_all(sitemap_xml,
+                 '<loc>([^<]*)</loc>', 1)) AS url FROM smu),
+      lc AS (SELECT row_number() OVER (ORDER BY sm_domain, url) AS doc_id,
+               sm_domain, sitemap_url, url FROM lc0),
+      ${urlNormChainOver("lc", "q")},
+      ${robotsAdmissionCtesOver("q5", "s")},
+      xadv AS (SELECT domain AS a_domain, list_transform(list_filter(
+                list_transform(string_split(robots_txt, chr(10)),
+                  l -> trim(l)),
+                l -> regexp_matches(lower(l), '^sitemap:[ ]*[^ ]')),
+                l -> trim(substr(l, strpos(l, ':') + 1))) AS sitemaps
+              FROM rb),
+      sn AS (SELECT DISTINCT norm_url FROM n5),
+      xdisc AS (SELECT lc.sm_domain, lc.url, lc.sitemap_url, a.norm_url,
+        a.domain, a.allowed, (a.domain <> lc.sm_domain) AS is_foreign,
+        (a.domain = lc.sm_domain OR
+          coalesce(list_contains(xadv.sitemaps, lc.sitemap_url), false))
+          AS trusted,
+        (sn.norm_url IS NOT NULL) AS already_seen
+      FROM sadm a JOIN lc USING (doc_id)
+      LEFT JOIN xadv ON xadv.a_domain = a.domain
+      LEFT JOIN sn ON sn.norm_url = a.norm_url)"""
+
   /** t40/t41's shared training CTE chain — the exact WordPiece
     * likelihood iterations (wf dictionary, v0 char seqs, per-iteration
     * sy/uf/pc/sc/tp/v), ending with tp1..tp4 (the merges) and v4. All
@@ -6347,39 +6386,58 @@ object ExtQueries {
     ("c48_sitemap_cross_domain", (s: SparkSession, d: String) =>
       graft.ext.Curation.sitemapCrossDiscovery(t(s, d, "documents")),
       Some(s"""
-      WITH $urlNormCtes,
-      $robotsRulesCtes,
-      sm AS ($domainSitemapsValues),
-      smu AS (SELECT sm_domain,
-               'https://' || sm_domain || '/sitemap.xml' AS sitemap_url,
-               sitemap_xml FROM sm),
-      lc0 AS (SELECT sm_domain, sitemap_url,
-               unnest(regexp_extract_all(sitemap_xml,
-                 '<loc>([^<]*)</loc>', 1)) AS url FROM smu),
-      lc AS (SELECT row_number() OVER (ORDER BY sm_domain, url) AS doc_id,
-               sm_domain, sitemap_url, url FROM lc0),
-      ${urlNormChainOver("lc", "q")},
-      ${robotsAdmissionCtesOver("q5", "s")},
-      adv AS (SELECT domain AS a_domain, list_transform(list_filter(
-                list_transform(string_split(robots_txt, chr(10)),
-                  l -> trim(l)),
-                l -> regexp_matches(lower(l), '^sitemap:[ ]*[^ ]')),
-                l -> trim(substr(l, strpos(l, ':') + 1))) AS sitemaps
-              FROM rb),
-      sn AS (SELECT DISTINCT norm_url FROM n5)
-      SELECT lc.sm_domain, lc.url, lc.sitemap_url, a.norm_url, a.domain,
-        a.allowed, (a.domain <> lc.sm_domain) AS is_foreign,
-        (a.domain = lc.sm_domain OR
-          coalesce(list_contains(adv.sitemaps, lc.sitemap_url), false))
-          AS trusted,
-        (sn.norm_url IS NOT NULL) AS already_seen,
-        ((a.domain = lc.sm_domain OR
-           coalesce(list_contains(adv.sitemaps, lc.sitemap_url), false))
-          AND a.allowed AND sn.norm_url IS NULL) AS fetchable
-      FROM sadm a JOIN lc USING (doc_id)
-      LEFT JOIN adv ON adv.a_domain = a.domain
-      LEFT JOIN sn ON sn.norm_url = a.norm_url
-      ORDER BY a.norm_url, lc.url, lc.sm_domain""")),
+      WITH $sitemapCrossCtes
+      SELECT sm_domain, url, sitemap_url, norm_url, domain, allowed,
+        is_foreign, trusted, already_seen,
+        (trusted AND allowed AND NOT already_seen) AS fetchable
+      FROM xdisc ORDER BY norm_url, url, sm_domain""")),
+
+    // ---- c50: the robots-ADVERTISED sitemap discovery ledger — the
+    // real-world entry point: Sitemap: lines from the fetched robots
+    // files resolve through the shared canon, match (or miss) actual
+    // sitemap content at the canonical URL, and roll the per-loc c48
+    // verdicts up per advertisement — what was advertised, by whom,
+    // was it there, and what did it yield -----------------------------
+    ("c50_sitemap_ledger", (s: SparkSession, d: String) =>
+      graft.ext.Curation.sitemapLedger(t(s, d, "documents")),
+      Some(s"""
+      WITH $sitemapCrossCtes,
+      agg AS (SELECT sitemap_url AS agg_url,
+               CAST(COUNT(*) AS BIGINT) AS n_locs,
+               CAST(SUM(CASE WHEN trusted AND allowed AND NOT already_seen
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_fetchable,
+               CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_blocked,
+               CAST(SUM(CASE WHEN already_seen THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_seen,
+               CAST(SUM(CASE WHEN is_foreign AND NOT trusted
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_untrusted
+             FROM xdisc GROUP BY sitemap_url),
+      ad0 AS (SELECT domain AS advertiser_domain,
+               unnest(list_transform(list_filter(
+                 list_transform(string_split(robots_txt, chr(10)),
+                   l -> trim(l)),
+                 l -> regexp_matches(lower(l), '^sitemap:[ ]*[^ ]')),
+                 l -> trim(substr(l, strpos(l, ':') + 1)))) AS url
+             FROM rb),
+      ad1 AS (SELECT row_number() OVER (ORDER BY advertiser_domain, url)
+                 AS doc_id, advertiser_domain, url FROM ad0),
+      ${urlNormChainOver("ad1", "z")},
+      smc AS (SELECT 'https://' || sm_domain || '/sitemap.xml'
+                 AS content_url FROM sm)
+      SELECT ad1.advertiser_domain, ad1.url AS sitemap_url,
+        z5.domain AS sm_domain,
+        (z5.domain = ad1.advertiser_domain) AS self_advertised,
+        (smc.content_url IS NOT NULL) AS found,
+        coalesce(agg.n_locs, 0) AS n_locs,
+        coalesce(agg.n_fetchable, 0) AS n_fetchable,
+        coalesce(agg.n_blocked, 0) AS n_blocked,
+        coalesce(agg.n_seen, 0) AS n_seen,
+        coalesce(agg.n_untrusted, 0) AS n_untrusted
+      FROM z5 JOIN ad1 USING (doc_id)
+      LEFT JOIN smc ON smc.content_url = z5.norm_url
+      LEFT JOIN agg ON agg.agg_url = z5.norm_url
+      ORDER BY ad1.advertiser_domain, ad1.url""")),
 
     // ---- c47: lastmod-aware recrawl priority — the freshness half of
     // sitemap consumption: per <url> block the optional <lastmod> sits

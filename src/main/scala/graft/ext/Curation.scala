@@ -1609,25 +1609,33 @@ object Curation {
     // never weaken an explicit Crawl-delay
     "example.com" -> Seq("User-agent: *", "Crawl-delay: 10",
       "Request-rate: 2/10",
-      "Disallow: /Path", "Allow: /Path/item", "Disallow: /p")
-      .mkString("\n"),
+      "Disallow: /Path", "Allow: /Path/item", "Disallow: /p",
+      // self-advertisement — the common case c50's ledger discovers
+      "Sitemap: https://example.com/sitemap.xml").mkString("\n"),
+    // example.org advertises its own sitemap AND a news sitemap that
+    // does not exist — c50's advertised-but-missing case
     "example.org" -> Seq("User-agent: googlebot", "Allow: /a", "",
-      "User-agent: *", "Disallow: /").mkString("\n"),
+      "User-agent: *", "Disallow: /",
+      "Sitemap: https://example.org/sitemap.xml",
+      "Sitemap: https://example.org/news-sitemap.xml").mkString("\n"),
     // example.co.uk has NO Crawl-delay: its 1-page-per-20-s
     // Request-rate alone yields the c49 effective delay (20 s), and
     // the Visit-time window (06:00-08:45 = 9 900 s) caps c45's
     // schedulable horizon for the domain
     "example.co.uk" -> Seq("User-agent: *", "Allow: /sale",
       "Disallow: /sale", "Request-rate: 1/20",
-      "Visit-time: 0600-0845").mkString("\n"),
+      "Visit-time: 0600-0845",
+      "Sitemap: https://example.co.uk/sitemap.xml").mkString("\n"),
     "example.net" -> Seq("User-agent: *", "User-agent: googlebot",
       "Crawl-delay: 7", "Disallow:",
       // the sitemaps.org cross-submission advertisement: example.net
       // VOUCHES for example.com's sitemap, so foreign example.net locs
       // found there are trusted (c48); the line sits inside the group
       // body but Sitemap is file-scoped and the rule/delay extractors
-      // ignore it either way
-      "Sitemap: https://example.com/sitemap.xml").mkString("\n"),
+      // ignore it either way. The self-advertisement below is c50's
+      // ordinary discovery entry for example.net's own sitemap.
+      "Sitemap: https://example.com/sitemap.xml",
+      "Sitemap: https://example.net/sitemap.xml").mkString("\n"),
     "xn--bcher-kva.ch" -> Seq("User-agent: *", "Disallow: /B%C3%BCcher",
       "Allow: /B%C3%BCcher/free").mkString("\n"))
 
@@ -1997,6 +2005,64 @@ object Curation {
       .withColumn("fetchable",
         col("trusted") && col("allowed") && !col("already_seen"))
       .orderBy(col("norm_url"), col("url"), col("sm_domain"))
+  }
+
+  /** c50: the robots-ADVERTISED sitemap discovery ledger — the
+    * real-world ENTRY POINT the plant-driven c44/c48 skip: a crawler
+    * learns which sitemaps exist from the file-scoped `Sitemap:` lines
+    * in the robots files it already fetched, resolves each advertised
+    * URL with the shared canon, fetches the ones that exist, and rolls
+    * the per-loc c48 verdicts up into a per-advertisement ledger — the
+    * operational summary a crawl operator reads (what was advertised,
+    * by whom, was it there, and what did it yield). Columns per
+    * (advertiser_domain, sitemap_url): `sm_domain` (the advertised
+    * URL's registered domain), `self_advertised` (ordinary discovery
+    * vs a cross-submission entry), `found` (content exists at the
+    * canonical URL — an advertised-but-missing sitemap surfaces here
+    * instead of vanishing), and the loc rollup (n_locs, n_fetchable,
+    * n_blocked, n_seen, n_untrusted, all 0 when missing).
+    *
+    * Shape: every relation here except the c48 chain's seen-probe is a
+    * robots-file-bounded dimension, so the two attaches are broadcast
+    * left joins and the only corpus touch remains c48's left-semi
+    * probe; the rollup is one partial-aggregable groupBy over the loc
+    * dimension.
+    */
+  def sitemapLedger(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val resolved = urlNormalize(
+        robotsSitemaps(domainRobots(spark))
+          .select(col("domain").as("advertiser_domain"),
+            explode(col("sitemaps")).as("url")))
+      .select(col("advertiser_domain"), col("url"), col("norm_url"),
+        col("domain").as("sm_domain"))
+    val contents = DomainSitemaps.toDF("c_domain", "sitemap_xml")
+      .select(concat(lit("https://"), col("c_domain"),
+        lit("/sitemap.xml")).as("content_url"),
+        lit(true).as("found"))
+    val agg = sitemapCrossDiscovery(docs)
+      .groupBy(col("sitemap_url").as("agg_url"))
+      .agg(count(lit(1)).as("n_locs"),
+        sum(when(col("fetchable"), 1L).otherwise(0L)).as("n_fetchable"),
+        sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("already_seen"), 1L).otherwise(0L)).as("n_seen"),
+        sum(when(col("is_foreign") && !col("trusted"), 1L).otherwise(0L))
+          .as("n_untrusted"))
+    resolved
+      .join(broadcast(contents),
+        col("content_url") === col("norm_url"), "left")
+      .join(broadcast(agg), col("agg_url") === col("norm_url"), "left")
+      .select(col("advertiser_domain"), col("url").as("sitemap_url"),
+        col("sm_domain"),
+        (col("sm_domain") === col("advertiser_domain")).as("self_advertised"),
+        coalesce(col("found"), lit(false)).as("found"),
+        coalesce(col("n_locs"), lit(0L)).as("n_locs"),
+        coalesce(col("n_fetchable"), lit(0L)).as("n_fetchable"),
+        coalesce(col("n_blocked"), lit(0L)).as("n_blocked"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        coalesce(col("n_untrusted"), lit(0L)).as("n_untrusted"))
+      .orderBy(col("advertiser_domain"), col("sitemap_url"))
   }
 
   /** c47: lastmod-aware RECRAWL priority — the freshness half of

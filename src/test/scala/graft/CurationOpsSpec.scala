@@ -815,6 +815,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(got("HTTP://WWW.Example.COM/Path/item?id=0")._4 == false)
   }
 
+  test("sitemapLedger: advertisements resolve, miss, and roll up loc verdicts") {
+    import spark.implicits._
+    val d = (0L until 7L).toDF("doc_id")
+      .withColumn("text", lit("x")).withColumn("source", lit("s"))
+    val got = Curation.sitemapLedger(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getBoolean(3), r.getBoolean(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    assert(got.size == 6)
+    // self-advertised and found: the full example.com rollup — 5 locs,
+    // 2 fetchable (the new same-domain loc + the trusted foreign one),
+    // 1 robots-blocked, 1 already seen, 1 untrusted foreign
+    assert(got(("example.com", "https://example.com/sitemap.xml")) ==
+      (("example.com", true, true, 5L, 2L, 1L, 1L, 1L)))
+    // the SAME sitemap via example.net's cross-submission entry:
+    // not self-advertised, identical rollup
+    assert(got(("example.net", "https://example.com/sitemap.xml")) ==
+      (("example.com", false, true, 5L, 2L, 1L, 1L, 1L)))
+    assert(got(("example.net", "https://example.net/sitemap.xml")) ==
+      (("example.net", true, true, 2L, 1L, 0L, 1L, 0L)))
+    // advertised but MISSING: surfaces with found=false and zero counts
+    assert(got(("example.org", "https://example.org/news-sitemap.xml")) ==
+      (("example.org", true, false, 0L, 0L, 0L, 0L, 0L)))
+    // a fully-blocked domain's sitemap: its one loc is never fetchable
+    assert(got(("example.org", "https://example.org/sitemap.xml")) ==
+      (("example.org", true, true, 1L, 0L, 1L, 0L, 0L)))
+    assert(got(("example.co.uk", "https://example.co.uk/sitemap.xml")) ==
+      (("example.co.uk", true, true, 1L, 0L, 0L, 1L, 0L)))
+  }
+
   test("recrawlPriority: fresh lastmod on a SEEN canon is due, stale is not") {
     import spark.implicits._
     val d = (0L until 7L).toDF("doc_id")
