@@ -736,6 +736,15 @@ object ExtQueries {
       s"SELECT '$d' AS sm_domain, '${xml.replace("'", "''")}' AS sitemap_xml"
     }.mkString("\n        UNION ALL ")
 
+  /** The sitemap-index plant as a SQL relation — the
+    * [[domainSitemapsValues]] discipline applied to
+    * `Curation.DomainSitemapIndexes`.
+    */
+  private val domainSitemapIndexesValues: String =
+    graft.ext.Curation.DomainSitemapIndexes.map { case (d, xml) =>
+      s"SELECT '$d' AS index_domain, '${xml.replace("'", "''")}' AS index_xml"
+    }.mkString("\n        UNION ALL ")
+
   /** c41/c43's shared robots-parse CTE chain: the per-domain plant,
     * case-preserving `*`-group scoping (directives case-folded, VALUES
     * kept — rule paths are case-sensitive per RFC 9309 §2.2.2), ending
@@ -6438,6 +6447,46 @@ object ExtQueries {
       LEFT JOIN smc ON smc.content_url = z5.norm_url
       LEFT JOIN agg ON agg.agg_url = z5.norm_url
       ORDER BY ad1.advertiser_domain, ad1.url""")),
+
+    // ---- c51: sitemap-INDEX expansion — the protocol's second file
+    // type (a site past the 50k-URL limit splits into children listed
+    // by a <sitemapindex>): child URLs extracted with their lastmod,
+    // canonicalized by the shared canon, matched against the content
+    // convention, deduplicated per index at the canonical level (group
+    // max lastmod drives freshness), refetch_due = found keeper with a
+    // post-watermark modification — c47 at sitemap granularity --------
+    ("c51_sitemap_index", (s: SparkSession, d: String) =>
+      graft.ext.Curation.sitemapIndexExpand(s, lastCrawl = "2025-12-31"),
+      Some(s"""
+      WITH si AS ($domainSitemapIndexesValues),
+      sb AS (SELECT index_domain, unnest(regexp_extract_all(index_xml,
+               '<sitemap>(.*?)</sitemap>', 1)) AS b FROM si),
+      se0 AS (SELECT index_domain,
+               regexp_extract(b, '<loc>([^<]*)</loc>', 1) AS url,
+               CAST(nullif(regexp_extract(b,
+                 '<lastmod>([^<]*)</lastmod>', 1), '') AS DATE) AS lastmod
+             FROM sb),
+      se AS (SELECT row_number() OVER (ORDER BY index_domain, url)
+               AS doc_id, * FROM se0),
+      ${urlNormChainOver("se", "y")},
+      sm AS ($domainSitemapsValues),
+      smc AS (SELECT 'https://' || sm_domain || '/sitemap.xml'
+                AS content_url FROM sm),
+      j AS (SELECT se.index_domain, se.url, y5.norm_url, se.lastmod,
+              (smc.content_url IS NOT NULL) AS found
+            FROM y5 JOIN se USING (doc_id)
+            LEFT JOIN smc ON smc.content_url = y5.norm_url),
+      k AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY index_domain, norm_url
+                ORDER BY url) > 1 AS is_dup,
+              MAX(lastmod) OVER (PARTITION BY index_domain, norm_url)
+                AS grp_lastmod
+            FROM j)
+      SELECT index_domain, url AS child_url, norm_url AS norm_child,
+        lastmod, is_dup, found,
+        (found AND NOT is_dup AND grp_lastmod IS NOT NULL
+          AND grp_lastmod > DATE '2025-12-31') AS refetch_due
+      FROM k ORDER BY index_domain, norm_child, child_url""")),
 
     // ---- c47: lastmod-aware recrawl priority — the freshness half of
     // sitemap consumption: per <url> block the optional <lastmod> sits

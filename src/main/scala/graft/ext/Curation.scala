@@ -2007,6 +2007,88 @@ object Curation {
       .orderBy(col("norm_url"), col("url"), col("sm_domain"))
   }
 
+  /** Deterministic sitemap-INDEX plant for [[sitemapIndexExpand]] —
+    * the protocol's second file type (sitemaps.org: a site past the
+    * 50k-URL/50MB limit must split into child sitemaps listed by a
+    * `<sitemapindex>`): each entry exercises one expansion outcome —
+    * a child that exists (the domain's planted urlset, fresh lastmod),
+    * a child that is advertised but missing (archive), a RE-SPELLING
+    * of an existing child (canonicalizes to the same URL — the dedup
+    * case), and a scheme-mismatched child (http vs the https content
+    * address — advertised, canonicalizes, but nothing is there).
+    */
+  val DomainSitemapIndexes: Seq[(String, String)] = Seq(
+    "example.com" -> ("<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc>https://example.com/sitemap.xml</loc>" +
+      "<lastmod>2026-02-10</lastmod></sitemap>" +
+      "<sitemap><loc>https://example.com/sitemap-archive.xml</loc>" +
+      "<lastmod>2025-01-01</lastmod></sitemap>" +
+      "<sitemap><loc>HTTPS://Example.COM:443/sitemap.xml</loc>" +
+      "</sitemap></sitemapindex>"),
+    "example.net" -> ("<?xml version=\"1.0\"?><sitemapindex>" +
+      "<sitemap><loc>http://example.net/sitemap.xml</loc>" +
+      "<lastmod>2026-03-01</lastmod></sitemap>" +
+      "<sitemap><loc>https://example.net/sitemap.xml</loc>" +
+      "<lastmod>2026-03-01</lastmod></sitemap></sitemapindex>"))
+
+  /** c51: sitemap-INDEX expansion — the recursion step between robots
+    * discovery (c50) and per-loc discovery (c44/c48): each
+    * `<sitemapindex>` entry's child URL is extracted with its optional
+    * lastmod, canonicalized by the SHARED canon, matched against the
+    * sitemap content convention (`https://<domain>/sitemap.xml` — a
+    * child advertised under another spelling or scheme either
+    * collapses into the same canonical address or points at nothing),
+    * deduplicated per index at the canonical level (first loc string
+    * keeps), and scheduled: `refetch_due` iff the child exists, is the
+    * keeper, and advertises a modification after the crawler's
+    * `lastCrawl` watermark — c47's freshness rule applied at SITEMAP
+    * granularity, which is exactly how a crawler prunes a 50k-child
+    * index to the handful that changed.
+    *
+    * Shape: pure bounded dimensions end to end (indexes, entries,
+    * content addresses are all robots-scale); ONE window partitioned
+    * by (index domain, canonical child) for the dedup — no corpus
+    * touch at all, the expansion feeds c44/c48 which own that.
+    */
+  def sitemapIndexExpand(spark: org.apache.spark.sql.SparkSession,
+                         lastCrawl: String = "2025-12-31"): DataFrame = {
+    require(lastCrawl.matches("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+      "lastCrawl: ISO date")
+    import spark.implicits._
+    val entries = DomainSitemapIndexes.toDF("index_domain", "index_xml")
+      .select(col("index_domain"), explode(expr(
+        "regexp_extract_all(index_xml, '<sitemap>(.*?)</sitemap>', 1)"))
+        .as("b"))
+      .select(col("index_domain"),
+        expr("regexp_extract(b, '<loc>([^<]*)</loc>', 1)").as("url"),
+        expr("""to_date(nullif(
+          regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1), ''))""")
+          .as("lastmod"))
+    val contents = DomainSitemaps.toDF("c_domain", "sitemap_xml")
+      .select(concat(lit("https://"), col("c_domain"),
+        lit("/sitemap.xml")).as("content_url"), lit(true).as("found"))
+    val grp = Window.partitionBy(col("index_domain"), col("norm_url"))
+    val w = grp.orderBy(col("url"))
+    // two spellings of one canonical child are ONE sitemap: the first
+    // loc string keeps, but the GROUP's max advertised lastmod drives
+    // the freshness verdict (the keeper may be the lastmod-less
+    // spelling)
+    urlNormalize(entries)
+      .select(col("index_domain"), col("url"), col("norm_url"),
+        col("lastmod"))
+      .join(broadcast(contents),
+        col("content_url") === col("norm_url"), "left")
+      .withColumn("is_dup", row_number().over(w) > 1)
+      .withColumn("__grp_lastmod", max(col("lastmod")).over(grp))
+      .select(col("index_domain"), col("url").as("child_url"),
+        col("norm_url").as("norm_child"), col("lastmod"),
+        col("is_dup"), coalesce(col("found"), lit(false)).as("found"),
+        (coalesce(col("found"), lit(false)) && !col("is_dup") &&
+          col("__grp_lastmod").isNotNull &&
+          col("__grp_lastmod") > to_date(lit(lastCrawl))).as("refetch_due"))
+      .orderBy(col("index_domain"), col("norm_child"), col("child_url"))
+  }
+
   /** c50: the robots-ADVERTISED sitemap discovery ledger — the
     * real-world ENTRY POINT the plant-driven c44/c48 skip: a crawler
     * learns which sitemaps exist from the file-scoped `Sitemap:` lines

@@ -845,6 +845,29 @@ class CurationOpsSpec extends SparkSpec {
       (("example.co.uk", true, true, 1L, 0L, 0L, 1L, 0L)))
   }
 
+  test("sitemapIndexExpand: children resolve, dedup, and inherit group freshness") {
+    val got = Curation.sitemapIndexExpand(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((Option(r.getAs[java.sql.Date]("lastmod")).map(_.toString),
+          r.getAs[Boolean]("is_dup"), r.getAs[Boolean]("found"),
+          r.getAs[Boolean]("refetch_due")))).toMap
+    assert(got.size == 5)
+    // the re-spelling sorts first (uppercase < lowercase), so IT is the
+    // keeper — and it must inherit the group's lastmod for the verdict
+    assert(got(("example.com", "HTTPS://Example.COM:443/sitemap.xml")) ==
+      ((None, false, true, true)))
+    assert(got(("example.com", "https://example.com/sitemap.xml")) ==
+      ((Some("2026-02-10"), true, true, false)))
+    // advertised but missing: surfaces, never due
+    assert(got(("example.com", "https://example.com/sitemap-archive.xml")) ==
+      ((Some("2025-01-01"), false, false, false)))
+    // scheme mismatch: canonicalizes cleanly but points at nothing
+    assert(got(("example.net", "http://example.net/sitemap.xml")) ==
+      ((Some("2026-03-01"), false, false, false)))
+    assert(got(("example.net", "https://example.net/sitemap.xml")) ==
+      ((Some("2026-03-01"), false, true, true)))
+  }
+
   test("recrawlPriority: fresh lastmod on a SEEN canon is due, stale is not") {
     import spark.implicits._
     val d = (0L until 7L).toDF("doc_id")
