@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * all q30".
   *
   * Usage: runMain graft.PlanScan <sfDir> [out.json] [query ...]
+  *
+  * The artifact embeds BOTH n_queries (scanned) and n_registry (the
+  * full registry size at run time), so a stale or subset scan is
+  * self-evident to a reader — the r15 lesson, where the committed
+  * artifact predated the round's last registered query by one commit
+  * and the gap was only visible by diffing against the registry.
   */
 object PlanScan {
   def main(args: Array[String]): Unit = {
@@ -57,12 +63,14 @@ object PlanScan {
       .mkString("[", ",", "]")
     val line =
       s"""{"sf":"$sfDir","n_queries":${names.size},""" +
+        s""""n_registry":${SparkEntry.queries.size},""" +
         s""""n_failures":${failures.size},"failures":$fjson,""" +
         s""""queries":$qjson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     println(s"""{"planscan":"$sfDir","n_queries":${names.size},""" +
+      s""""n_registry":${SparkEntry.queries.size},""" +
       s""""n_failures":${failures.size},"detail":"$out"}""")
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[planscan] $f"))
