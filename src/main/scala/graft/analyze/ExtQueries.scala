@@ -1337,12 +1337,16 @@ object ExtQueries {
       def flag(df: DataFrame, name: String) =
         df.select(col("doc_a"), col("doc_b")).distinct()
           .withColumn(name, lit(true))
-      val fams = Seq(
-        flag(Dedup.minhashDup(docs, threshold = 0.5), "f_minhash"),
-        flag(Dedup.simhashDup(docs, maxHamming = 6), "f_simhash"),
-        flag(Dedup.ngramJaccardDup(docs, n = 4, maxLenDiff = 10,
+      // the four families are independent candidate/verify pipelines,
+      // each with its own eager checkpoints — overlap their jobs
+      // (guide §2.6); values are unchanged, only scheduling overlaps
+      val fams = graft.core.Par.evalAll(Seq(
+        () => flag(Dedup.minhashDup(docs, threshold = 0.5), "f_minhash"),
+        () => flag(Dedup.simhashDup(docs, maxHamming = 6), "f_simhash"),
+        () => flag(Dedup.ngramJaccardDup(docs, n = 4, maxLenDiff = 10,
           threshold = 0.5), "f_ngram"),
-        flag(Dedup.editDistanceDup(docs, maxDist = 40), "f_edit"))
+        () => flag(Dedup.editDistanceDup(docs, maxDist = 40), "f_edit")))
+        .map(_.asInstanceOf[DataFrame])
       val allPairs = fams.map(_.select(col("doc_a"), col("doc_b")))
         .reduce(_ unionByName _).distinct()
       val joined = fams.foldLeft(allPairs) { (acc, f) =>
@@ -1858,20 +1862,37 @@ object ExtQueries {
     ("d36_lsh_band_sweep", (s: SparkSession, d: String) => {
       val sample = Tables.spread(
         t(s, d, "documents").filter(col("doc_id") < 1200)).cpGuard()
-      val arr = sample.select(col("doc_id"),
-        array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
-        .cpGuard()
-      def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
-      val exactN = arr.as("a")
-        .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .filter(size(col("a.sa")) + size(col("b.sa")) > 0)
-        .select((nc.cast("double") /
-          (size(col("a.sa")) + size(col("b.sa")) - nc)).as("j"))
-        .filter(col("j") >= 0.5)
-        .agg(count(lit(1)).as("n_exact")).cpGuard()
-      Seq((8, 2), (4, 4), (2, 8)).map { case (b, r) =>
-        val lshN = Dedup.minhashDupShaped(sample, threshold = 0.5,
-            bands = b, rows = r)
+      // the exact-baseline chain and the signature pass are independent
+      // eager pipelines over the checkpointed sample — overlap their
+      // jobs (guide §2.6); the signature is computed ONCE and every
+      // band shape cuts it (minhashDupShapedFromSig), instead of
+      // re-shingling + re-hashing the sample per sweep point
+      val (exactN, sig) = graft.core.Par.eval2(
+        {
+          val arr = sample.select(col("doc_id"),
+            array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize))
+              .as("sa"))
+            .cpGuard()
+          def nc =
+            graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
+          arr.as("a")
+            .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
+            .filter(size(col("a.sa")) + size(col("b.sa")) > 0)
+            .select((nc.cast("double") /
+              (size(col("a.sa")) + size(col("b.sa")) - nc)).as("j"))
+            .filter(col("j") >= 0.5)
+            .agg(count(lit(1)).as("n_exact")).cpGuard()
+        },
+        Dedup.minhashSignatures(sample).cpGuard())
+      val shapes = Seq((8, 2), (4, 4), (2, 8))
+      // each sweep point's candidate/verify checkpoints read only the
+      // checkpointed signature + sample — overlap the three builds
+      val duped = graft.core.Par.evalAll(shapes.map { case (b, r) => () =>
+        Dedup.minhashDupShapedFromSig(sig, sample, threshold = 0.5,
+          bands = b, rows = r)
+      })
+      shapes.zip(duped).map { case ((b, r), dup) =>
+        val lshN = dup.asInstanceOf[DataFrame]
           .agg(count(lit(1)).as("n_lsh"))
         exactN.crossJoin(lshN).select(
           lit(b).cast("int").as("n_bands"),
@@ -2023,15 +2044,20 @@ object ExtQueries {
 
     ("d20_minhash_recall", (s: SparkSession, d: String) => {
       val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
-      val lshN = Dedup.minhashDup(sample, threshold = 0.5)
-        .agg(count(lit(1)).as("n_lsh"))
-      // spread + checkpoint: the nested-loop baseline streams one side
-      // against the broadcast other — without the repartition the
-      // stream side is the fixture's single input split and all 720k
-      // pair intersects run in one task (31s measured; ~2s spread)
-      val arr = Tables.spread(sample).select(col("doc_id"),
-        array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
-        .cpGuard()
+      // the LSH pipeline's candidate/verify checkpoints and the exact
+      // baseline's array materialization are independent — overlap
+      // their jobs (guide §2.6)
+      val (lshN, arr) = graft.core.Par.eval2(
+        Dedup.minhashDup(sample, threshold = 0.5)
+          .agg(count(lit(1)).as("n_lsh")),
+        // spread + checkpoint: the nested-loop baseline streams one side
+        // against the broadcast other — without the repartition the
+        // stream side is the fixture's single input split and all 720k
+        // pair intersects run in one task (31s measured; ~2s spread)
+        Tables.spread(sample).select(col("doc_id"),
+          array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize))
+            .as("sa"))
+          .cpGuard())
       def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
       val exactN = arr.as("a")
         .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -2081,12 +2107,16 @@ object ExtQueries {
     // all-pairs scan scores both directions.
     ("d21_containment_recall", (s: SparkSession, d: String) => {
       val sample = t(s, d, "documents").filter(col("doc_id") < 1200)
-      val asymN = Dedup.containmentDupAsym(sample, threshold = 0.8,
-          probeK = 4, maxBucket = Int.MaxValue)
-        .agg(count(lit(1)).as("n_asym"))
-      val arr = Tables.spread(sample).select(col("doc_id"),
-        array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize)).as("sa"))
-        .cpGuard()
+      // asym pipeline and exact-baseline arrays are independent eager
+      // chains — overlap their jobs (guide §2.6, the d20 discipline)
+      val (asymN, arr) = graft.core.Par.eval2(
+        Dedup.containmentDupAsym(sample, threshold = 0.8,
+            probeK = 4, maxBucket = Int.MaxValue)
+          .agg(count(lit(1)).as("n_asym")),
+        Tables.spread(sample).select(col("doc_id"),
+          array_sort(TextOps.wordShingles(col("text"), Dedup.ShingleSize))
+            .as("sa"))
+          .cpGuard())
       def nc = graft.functions.SortedIntersectCount(col("a.sa"), col("b.sa"))
       val exactN = arr.as("a")
         .join(arr.as("b"), col("a.doc_id") < col("b.doc_id"))

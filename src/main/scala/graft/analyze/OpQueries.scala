@@ -596,7 +596,11 @@ object OpQueries {
     // a seed-conditional teleport term, unrolled identically in SQL
     ("g11_personalized_pagerank", (s: SparkSession, d: String) => {
       import graft.ext.Graphs
-      val ed = eventEdges(s, d)
+      // checkpoint the derivation at the CALL SITE: the seed scan and
+      // the operator's internal edge materialization otherwise each
+      // re-run the json-parse + window + groupBy pipeline (the g12/g13
+      // sharing discipline)
+      val ed = eventEdges(s, d).cpGuard()
       val seeds = ed.select(col("src").as("k"))
         .union(ed.select(col("dst").as("k")))
         .distinct().filter(col("k") <= 2)
@@ -1490,8 +1494,15 @@ object OpQueries {
     ("g07_coreness_sweep", (s: SparkSession, d: String) => {
       import graft.ext.Graphs
       val ed = eventEdges(s, d).cpGuard()
-      Seq(2, 3, 4).map { md =>
+      // the three sweep points are independent peel loops over the
+      // checkpointed edges — overlap their per-iteration jobs (guide
+      // §2.6); values are unchanged, only scheduling overlaps
+      val mds = Seq(2, 3, 4)
+      val cores = graft.core.Par.evalAll(mds.map { md => () =>
         Graphs.kCore(ed, minDeg = md, iters = 3)
+      })
+      mds.zip(cores).map { case (md, core) =>
+        core.asInstanceOf[DataFrame]
           .agg(count(lit(1)).as("n_core_nodes"),
             coalesce(sum(col("deg")), lit(0L)).as("sum_deg"))
           .select(lit(md).cast("int").as("min_deg"),
@@ -1715,12 +1726,16 @@ object OpQueries {
     // s20 convention) so the registered plan carries no BNLJ ----------
     ("s24_ivf_pq_recall", (s: SparkSession, d: String) => {
       val embs = t(s, d, "embeddings")
-      val exact = graft.ext.Similarity
-        .bruteForceL2TopK(embs, nQueries = 10, k = 5)
-        .select(col("query_id"), col("neighbor_id")).cpGuard()
-      val approx = graft.ext.Similarity.ivfPqTopK(embs, nCells = 8,
-          nProbe = 2, nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      // the exact-L2 baseline and the IVF-PQ pipeline (k-means builds,
+      // code/codebook checkpoints) are independent eager chains —
+      // overlap their jobs (guide §2.6); values are unchanged
+      val (exact, approx) = graft.core.Par.eval2(
+        graft.ext.Similarity
+          .bruteForceL2TopK(embs, nQueries = 10, k = 5)
+          .select(col("query_id"), col("neighbor_id")).cpGuard(),
+        graft.ext.Similarity.ivfPqTopK(embs, nCells = 8,
+            nProbe = 2, nSub = 4, k = 16, iters = 1, nQueries = 10, topK = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")))
       exact.join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hits"))

@@ -383,9 +383,21 @@ object Dedup {
   def minhashDupShaped(docs: DataFrame, threshold: Double, bands: Int,
                        rows: Int,
                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashDupShapedFromSig(minhashSignatures(docs), docs, threshold,
+      bands, rows, maxBucket)
+
+  /** [[minhashDupShaped]] with the signature table precomputed — a
+    * band-shape SWEEP (d36) hashes the corpus ONCE and cuts the same
+    * m0..m15 signature at every (bands, rows) point, instead of
+    * re-shingling and re-hashing per point; the signature is the
+    * expensive pass, the cut is a projection.
+    */
+  def minhashDupShapedFromSig(sig: DataFrame, docs: DataFrame,
+                              threshold: Double, bands: Int, rows: Int,
+                              maxBucket: Int = DefaultMaxBucket): DataFrame =
     jaccardVerify(
       selfCandidatesFromBands(
-        minhashBandsShaped(minhashSignatures(docs), bands, rows), docs,
+        minhashBandsShaped(sig, bands, rows), docs,
         maxBucket),
       docs,
       array_sort(TextOps.wordShingles(col("text"), ShingleSize)), threshold)

@@ -42,7 +42,15 @@ object Graphs {
                damping: Int = 85): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 100,
       "iters >= 0, damping in (0, 100)")
-    val ed = edges.select(col("src"), col("dst"), col("w"))
+    // materialize the (possibly expensive) edge derivation ONCE: the
+    // node set, the out-weight table and the envelope join each
+    // materialize in their own job, and without this checkpoint every
+    // one of those jobs re-derives the whole upstream edge pipeline
+    // (for the registered queries that is a json-parse + window +
+    // groupBy over events, recomputed 4x). One narrow (src, dst, w)
+    // materialization is also the cluster-scale shape the iteration
+    // contract promises: derive once, co-partition, iterate.
+    val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
@@ -93,12 +101,16 @@ object Graphs {
                         baseIters: Int = 3, refreshIters: Int = 1,
                         scale: Long = 1L << 40,
                         damping: Int = 85): DataFrame = {
-    val rOld = pageRank(oldEdges, baseIters, scale, damping)
+    // the old cohort's derivation is read by BOTH phases (its own
+    // fixed point and the merged refresh graph): materialize it once
+    // up front; pageRank's internal checkpoint then only re-scans it
+    val old = oldEdges.select(col("src"), col("dst"), col("w")).cpGuard()
+    val rOld = pageRank(old, baseIters, scale, damping)
     // cohort edge sets merge by ADDING weights (disjoint user cohorts
     // partition the transition multiset, so the merged table equals
     // the all-users derivation; pageRankRefresh's internal groupBy
     // performs the merge)
-    val ed = oldEdges.select(col("src"), col("dst"), col("w"))
+    val ed = old
       .unionAll(newEdges.select(col("src"), col("dst"), col("w")))
     pageRankRefresh(ed, rOld, refreshIters, scale, damping)
       .select(col("k"), col("r_start"), col("r_warm"),
@@ -119,8 +131,12 @@ object Graphs {
                       refreshIters: Int = 1, scale: Long = 1L << 40,
                       damping: Int = 85): DataFrame = {
     require(refreshIters >= 1, "refreshIters >= 1")
+    // merged edge table materialized ONCE (the pageRank contract): the
+    // out-weight, node and envelope jobs below otherwise each re-run
+    // the upstream derivation AND this merge groupBy from scratch
     val ed = edges.select(col("src"), col("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .cpGuard()
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
@@ -183,7 +199,9 @@ object Graphs {
                            damping: Int = 85): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 100,
       "iters >= 0, damping in (0, 100)")
-    val ed = edges.select(col("src"), col("dst"), col("w"))
+    // one edge materialization before the fan-out (the pageRank
+    // contract — see pageRank for why)
+    val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct()
@@ -237,17 +255,19 @@ object Graphs {
     */
   def hits(edges: DataFrame, iters: Int, scale: Long = 1L << 20): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val ed = edges.select(col("src"), col("dst"), col("w"))
-    val nodes = ed.select(col("src").as("k"))
-      .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
-    // Envelope enforcement rides on the edge checkpoint job (the
+    // Envelope enforcement rides on the ONE edge materialization (the
     // pageRank observe() pattern): per-edge w < 2^22 and total weight
-    // < 2^41 keep w * score < 2^43 and every in/out sum < 2^62.
+    // < 2^41 keep w * score < 2^43 and every in/out sum < 2^62. The
+    // edge checkpoint comes FIRST so the node-set job below reads the
+    // materialized table instead of re-deriving the edge pipeline
+    // twice (once per union branch).
     val wObs = org.apache.spark.sql.Observation("hits_w_envelope")
-    val edC = ed.observe(wObs,
+    val edC = edges.select(col("src"), col("dst"), col("w")).observe(wObs,
       max(col("w")).cast("long").as("wmax"),
       min(col("w")).cast("long").as("wmin"),
       sum(col("w")).cast("long").as("wtot")).cpGuard()
+    val nodes = edC.select(col("src").as("k"))
+      .union(edC.select(col("dst").as("k"))).distinct().cpGuard()
     (wObs.get("wmax"), wObs.get("wmin"), wObs.get("wtot")) match {
       case (wmax: Long, wmin: Long, wtot: Long) =>
         require(wmin >= 0L, "HITS edge weights must be >= 0")
@@ -312,8 +332,10 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters >= 0")
+    // one edge materialization before the symmetrize union reads the
+    // derivation twice (the pageRank contract)
     val dir = edges.filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("w"))
+      .select(col("src"), col("dst"), col("w")).cpGuard()
     val sym = dir
       .unionAll(dir.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
@@ -1104,9 +1126,14 @@ object Graphs {
       .withColumn("__h", pmod(col("k") * 48271L, lit(2147483647L)))
       .orderBy(col("__h"), col("k")).limit(k2.toInt)
       .select(col("k")).cpGuard()
-    val spF = sigmaBfsFrom(seeds, ed, maxRounds)
-    val spB = sigmaBfsFrom(seeds,
-      ed.select(col("dst").as("src"), col("src").as("dst")), maxRounds)
+    // the forward and backward σ-BFS pyramids are independent (both
+    // read only the CHECKPOINTED ed/seeds): run their level jobs
+    // concurrently so one direction's frontier tail back-fills the
+    // other's idle capacity (guide §2.6 overlap-independent-jobs)
+    val (spF, spB) = graft.core.Par.eval2(
+      sigmaBfsFrom(seeds, ed, maxRounds),
+      sigmaBfsFrom(seeds,
+        ed.select(col("dst").as("src"), col("src").as("dst")), maxRounds))
     val p1 = spF.filter(col("d") >= 1)
       .select(col("s"), col("v"), col("d").as("d1"), col("sigma").as("sig1"))
     val p2 = spB.filter(col("d") >= 1)
@@ -1859,11 +1886,16 @@ object Graphs {
     require(pivotRows.nonEmpty, "bowTie over an empty graph")
     val pivot = nodes.sparkSession.range(1)
       .select(lit(pivotRows(0).getLong(0)).as("k"))
-    val fwd = reachFixpoint(e, pivot, maxIters)
-      .withColumn("__f", lit(1))
-    val bwd = reachFixpoint(
-      e.select(col("dst").as("src"), col("src").as("dst")), pivot,
-      maxIters).withColumn("__b", lit(1))
+    // forward and backward reach fixpoints are independent given the
+    // checkpointed edge table — overlap their frontier jobs (the
+    // betweennessSampled σ-BFS discipline)
+    val (fwdReach, bwdReach) = graft.core.Par.eval2(
+      reachFixpoint(e, pivot, maxIters),
+      reachFixpoint(
+        e.select(col("dst").as("src"), col("src").as("dst")), pivot,
+        maxIters))
+    val fwd = fwdReach.withColumn("__f", lit(1))
+    val bwd = bwdReach.withColumn("__b", lit(1))
     nodes
       .join(fwd, Seq("k"), "left")
       .join(bwd, Seq("k"), "left")

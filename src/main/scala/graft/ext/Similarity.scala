@@ -1932,19 +1932,31 @@ object Similarity {
                      maxBucket: Int = Dedup.DefaultMaxBucket,
                      requireUnpruned: Boolean = false): DataFrame = {
     require(beam >= 1 && rounds >= 1 && k >= 1, "positive params")
-    val (edges, qSide, tSide) =
-      lshGraph(embs, nQueries, nPlanes, bandBits, g, maxBucket, requireUnpruned)
-    val refined = nnDescentRefine(edges, tSide, g, refineRounds)
-      .unionAll(edges).distinct().cpGuard()
-    // ONE exact baseline shared by both variants' recall flags (the
-    // brute pass is the audit's single most expensive stage)
-    val exact = bruteForceTopK(embs, nQueries, k).cpGuard()
+    // the graph chain (banded build + descent round) and the brute
+    // baseline are independent eager pipelines — overlap their jobs
+    // (guide §2.6); values are unchanged, only scheduling overlaps
+    val (graphSide, exact) = graft.core.Par.eval2(
+      {
+        val (edges, qSide, tSide) = lshGraph(embs, nQueries, nPlanes,
+          bandBits, g, maxBucket, requireUnpruned)
+        val refined = nnDescentRefine(edges, tSide, g, refineRounds)
+          .unionAll(edges).distinct().cpGuard()
+        (edges, qSide, tSide, refined)
+      },
+      // ONE exact baseline shared by both variants' recall flags (the
+      // brute pass is the audit's single most expensive stage)
+      bruteForceTopK(embs, nQueries, k).cpGuard())
+    val (edges, qSide, tSide, refined) = graphSide
     def hits(e: DataFrame, tag: String): DataFrame =
       nswBeam(embs, e, qSide, tSide, nQueries, beam, rounds, k,
         sharedExact = Some(exact))
         .agg(sum(when(col("in_exact"), 1L).otherwise(0L)).as(s"hits_$tag"),
           count(lit(1)).as(s"rows_$tag"))
-    hits(edges, "banded").crossJoin(hits(refined, "refined"))
+    // the two beam searches read only checkpointed inputs (edge
+    // tables, sides, the shared baseline) — overlap their round jobs
+    val (hitsBanded, hitsRefined) = graft.core.Par.eval2(
+      hits(edges, "banded"), hits(refined, "refined"))
+    hitsBanded.crossJoin(hitsRefined)
       .select(col("hits_banded"), col("hits_refined"),
         col("rows_banded").as("n_rows"),
         (col("hits_refined") >= col("hits_banded")).as("refined_ge_banded"))

@@ -659,9 +659,14 @@ object TimeSeries {
     val (cpT, cpE) = (cp(0).getLong(2), cp(0).getLong(3))
     val isLeft = col("tus") < cpT ||
       (col("tus") === cpT && col("event_id") <= cpE)
+    // the two side statistics read only the checkpointed base table —
+    // their prefix/rank jobs are independent, so overlap them (guide
+    // §2.6); each side still computes exactly its own midranks
+    val (leftStat, rightStat) = graft.core.Par.eval2(
+      pettittOf(b.filter(isLeft)), pettittOf(b.filter(!isLeft)))
     seg("all", all)
-      .unionAll(seg("left", pettittOf(b.filter(isLeft))))
-      .unionAll(seg("right", pettittOf(b.filter(!isLeft))))
+      .unionAll(seg("left", leftStat))
+      .unionAll(seg("right", rightStat))
       .orderBy(col("segment"))
   }
 
