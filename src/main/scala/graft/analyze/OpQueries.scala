@@ -745,13 +745,16 @@ object OpQueries {
         loc.getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
-      Layout.writeBucketed(t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority")),
-        ot, "o_orderkey", 8)
-      Layout.writeBucketed(t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"),
-          col("l_discount")),
-        lt, "l_orderkey", 8)
+      // the two bucketed-table writes are independent write jobs —
+      // overlap them (guide §2.6); each still writes exactly its table
+      graft.core.Par.eval2(
+        Layout.writeBucketed(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          ot, "o_orderkey", 8),
+        Layout.writeBucketed(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+          lt, "l_orderkey", 8))
       s.table(ot).hint("merge")
         .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))

@@ -930,6 +930,12 @@ object Curation {
     var chosen = Vector.empty[(Int, Long, Long, Long)]
     var chosenIds = Vector.empty[Long]
     var done = false
+    // running coverage: tok is per-doc DISTINCT, so the winner's gain
+    // (its shingles not yet covered) IS the coverage increment —
+    // covered_total(r) = covered_total(r-1) + gain(r) exactly, which
+    // removes one corpus-wide distinct-count job per greedy round
+    // (k jobs; at 100 TB each was a full pass + shuffle)
+    var coveredTotal = 0L
     for (round <- 1 to k if !done) {
       val covered = tok
         .filter(col("doc_id").isin(chosenIds: _*)).select(col("w"))
@@ -942,9 +948,7 @@ object Curation {
       else {
         val (id, gain) = (top(0).getLong(0), top(0).getLong(1))
         chosenIds :+= id
-        val coveredTotal = tok
-          .filter(col("doc_id").isin(chosenIds: _*))
-          .select(col("w")).distinct().count()
+        coveredTotal += gain
         chosen :+= ((round, id, gain, coveredTotal))
       }
     }

@@ -1365,6 +1365,10 @@ object Similarity {
     val spark = embs.sparkSession
     import spark.implicits._
     val b = buildPq(embs, nCells, nSub, k, iters, nQueries)
+    // NOTE: overlapping this bucketed write with the codebook write
+    // was tried and reverted — the paired A/B showed intermittent +23%
+    // regressions (catalog/commit contention), and the codebook side
+    // is a 1-file write with nothing to amortize
     graft.operators.Layout.writeBucketed(b.codeRows, table, "cell", buckets)
     val rows =
       b.cells.map { case (cid, c) => (-1, cid, c.toSeq) } ++
@@ -1835,6 +1839,11 @@ object Similarity {
     require(g >= 1, "positive params")
     require(nPlanes >= 1 && bandBits >= 1 && nPlanes % bandBits == 0,
       "bandBits must divide nPlanes")
+    // NOTE: overlapping the two side checkpoints with the banded-table
+    // build (Par.eval3) was tried and reverted — paired A/B showed a
+    // consistent +15% on s34 (three concurrent 32-task scan jobs over
+    // the same tiny parquet thrash instead of amortizing); the §2.6
+    // overlap only pays when branches are substantial pipelines
     val qSide = side(embs.filter(col("vec_id") < nQueries), "q").cpGuard()
     val tSide = side(embs.filter(col("vec_id") >= nQueries), "t").cpGuard()
     val nBands = nPlanes / bandBits
