@@ -1310,9 +1310,13 @@ object ExtQueries {
     // min-label loop's O(diameter), hash-verified against the
     // identical component labeling
     ("d09c_dedup_clusters_twophase", (s: SparkSession, d: String) =>
+      // driverThreshold = 0 pins the DISTRIBUTED star loop — this query
+      // exists to exercise the SoCC'14 log-round path (the d09b
+      // convention); composing operators (s27's core clustering) take
+      // the below-broadcast driver shortcut by default
       Dedup.dupClustersTwoPhase(
         Dedup.minhashDup(t(s, d, "documents"), threshold = 0.5)
-          .select(col("doc_a"), col("doc_b"))),
+          .select(col("doc_a"), col("doc_b")), driverThreshold = 0L),
       Some(clustersOracle)),
 
     // near-dup RESOLUTION: per minhash-component keep the single

@@ -554,29 +554,7 @@ object Dedup {
     // min-label answer from a driver union-find; the loop below remains
     // the shape for graphs that genuinely don't fit.
     val edgeCount = edges.count()
-    if (edgeCount <= driverThreshold) {
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = parent.getOrElseUpdate(x, x)
-        while (parent(r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
-      }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val labels = parent.keys.toSeq.map { v =>
-        val root = find(v)
-        (v, root)
-      }
-      // root chosen by min-union, so root IS the component minimum
-      return labels.toDF("doc_id", "rep_id").orderBy(col("doc_id"))
-    }
+    if (edgeCount <= driverThreshold) return driverUnionFind(edges)
     // labels only ever decrease, so the label sum is a monotone
     // fixpoint witness: unchanged sum <=> converged (cheaper than a
     // per-round diff join). The sum rides on the checkpoint job via
@@ -614,6 +592,36 @@ object Dedup {
     labels.orderBy(col("doc_id"))
   }
 
+  /** Min-union find over a collected (src, dst) edge list — the shared
+    * below-broadcast-scale path of [[dupClusters]] and
+    * [[dupClustersTwoPhase]]: identical labels to either distributed
+    * loop (root chosen by min-union IS the component minimum), one
+    * bounded collect instead of whole jobs of fixed overhead per round.
+    */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.toSeq.map { v =>
+      val root = find(v)
+      (v, root)
+    }
+    // root chosen by min-union, so root IS the component minimum
+    labels.toDF("doc_id", "rep_id").orderBy(col("doc_id"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — the O(log n)-round scale path next to [[dupClusters]]'s
@@ -637,7 +645,8 @@ object Dedup {
     * Output: (doc_id, rep_id) for every node in `pairs` — identical to
     * [[dupClusters]] (oracle-shared d09/d09b/d09c).
     */
-  def dupClustersTwoPhase(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def dupClustersTwoPhase(pairs: DataFrame, maxRounds: Int = 50,
+                          driverThreshold: Long = 1L << 20): DataFrame = {
     def symmetrize(dir: DataFrame): DataFrame =
       dir.union(dir.select(col("v").as("u"), col("u").as("v")))
         .filter(col("u") =!= col("v")).distinct()
@@ -654,11 +663,22 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v"))))
     }
+    // the edge count rides the symmetrize checkpoint (observe) — one
+    // job, not a checkpoint + a count
+    val cObs = org.apache.spark.sql.Observation()
     var cur = symmetrize(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .cpGuard()
+      .observe(cObs, count(lit(1)).as("n")).cpGuard()
+    var nCur = cObs.get("n").asInstanceOf[Long]
+    // the dupClusters driver contract: a below-broadcast-scale graph
+    // pays whole jobs of fixed overhead per star round for no reason —
+    // the min-union find computes the IDENTICAL labels (root = component
+    // minimum). The star loop below remains the shape for graphs that
+    // genuinely don't fit; d09c pins it with driverThreshold = 0.
+    if (nCur <= driverThreshold)
+      return driverUnionFind(
+        cur.select(col("u").as("src"), col("v").as("dst")))
     val nodeCount = cur.select(col("u")).distinct().count()
-    var nCur = cur.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {

@@ -1063,23 +1063,32 @@ object Similarity {
     // non-zero-based) id spaces. Non-negative in both engines, so plain
     // mod == pmod.
     val idH = graft.functions.Hashing.h32(col("vec_id").cast("string"))
-    val n = vecs.count()
+    // ONE agg job carries both the corpus count and the envelope stats:
+    // in the common whole-corpus-trains case (n <= trainCap) the former
+    // count-then-stats pair was two identical scans
+    val first = vecs.agg(count(lit(1)).as("n"),
+      max(array_max(transform(col("v"), x => abs(x)))).as("max_abs"))
+      .collect().head
+    val n = first.getLong(0)
     require(n > 0, "k-means over an empty corpus " +
       "(an empty centroid set would assign null clusters)")
     val mod = math.max(1L, math.ceil(n.toDouble / trainCap).toLong)
-    val train = if (mod == 1L) vecs
-      else vecs.filter(pmod(idH, lit(mod)) === 0).cpGuard()
-    val stats = train.agg(count(lit(1)).as("nt"),
-      max(array_max(transform(col("v"), x => abs(x)))).as("max_abs"))
-      .collect().head
-    val nTrain = stats.getLong(0)
+    val (train, nTrain, maxAbs0) =
+      if (mod == 1L) (vecs, n, first.getDouble(1))
+      else {
+        val t = vecs.filter(pmod(idH, lit(mod)) === 0).cpGuard()
+        val s = t.agg(count(lit(1)).as("nt"),
+          max(array_max(transform(col("v"), x => abs(x)))).as("max_abs"))
+          .collect().head
+        (t, s.getLong(0), if (s.getLong(0) == 0L) 0.0 else s.getDouble(1))
+      }
     require(nTrain > 0,
       s"k-means training sample is empty (corpus $n, sample modulus $mod)")
     // the order-independent fixed-point mean sums floor(x*2^40) longs;
     // |sum| per (cluster, dim) is bounded by nTrain * (max|x| * 2^40 + 1)
     // and must stay inside Long — fail loudly instead of converging to
     // corrupt centroids on an out-of-envelope corpus
-    val maxAbs = stats.getDouble(1)
+    val maxAbs = maxAbs0
     require(nTrain.toDouble * (maxAbs + 1e-9) < 4194304.0, // 2^22
       s"fixed-point centroid sum would overflow Long: max|x| = $maxAbs " +
         s"over $nTrain training vectors exceeds the 2^22 envelope; " +

@@ -387,11 +387,18 @@ class GraphOpsSpec extends SparkSpec {
     val tri = Seq((7L, 3L), (3L, 5L), (5L, 7L))
     val duo = Seq((93L, 91L))
     val pairs = (chain ++ tri ++ duo).toDF("doc_a", "doc_b")
-    val got = Dedup.dupClustersTwoPhase(pairs).collect()
+    // driverThreshold = 0 pins the distributed star loop (the default
+    // would take the driver union-find shortcut and test nothing)
+    val got = Dedup.dupClustersTwoPhase(pairs, driverThreshold = 0L)
+      .collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = Dedup.dupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want, s"two-phase diverged from union-find")
+    // and the shortcut path itself must agree label-for-label
+    val viaDriver = Dedup.dupClustersTwoPhase(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == want, s"two-phase driver shortcut diverged")
     assert(got(139L) == 100L && got(7L) == 3L && got(93L) == 91L)
   }
 
