@@ -159,9 +159,13 @@ object Bench {
     // must not read a failure as a speedup (passed_total carries the sum)
     val total = if (failed.nonEmpty) -1.0 else passedTotal
     // a SUBSET run (args given) must never clobber the committed
-    // full-registry artifact — it writes its own file instead
+    // full-registry artifact — it writes its own file instead. The cpu
+    // count is stamped into the default name because the driver benches
+    // at TWO core counts back to back (32 then 8) and a shared default
+    // made the second run clobber the first's per-query detail (r16);
+    // the compact stdout line names the file either way ("detail").
     val defaultOut =
-      if (args.nonEmpty) "bench_out_subset.json" else "bench_out.json"
+      if (args.nonEmpty) "bench_out_subset.json" else s"bench_out_c$cpus.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     // full form (with the per-query map) goes to the file; the stdout
     // line is the compact form only — a 90+-query map is ~3.4 KB and

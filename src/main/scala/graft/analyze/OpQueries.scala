@@ -895,10 +895,16 @@ object OpQueries {
             .otherwise(col("n_chars").cast("string"))).as("value"))
         .write.mode("overwrite").text(dir)
       val schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING"
+      // no cache: the PERMISSIVE read feeds exactly one aggregation, so
+      // within a pass a cache buys nothing — and a persisted one leaks
+      // ACROSS bench passes (the timed pass would read the warmup's
+      // cache instead of re-parsing the CSV it just rewrote, flattering
+      // the timing; the repeated "Asked to cache already cached data"
+      // warnings in the r16 driver bench tail were this)
       val read = s.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
-        .csv(dir).cache()
+        .csv(dir)
       // count(n_chars), not count(*): column pruning would otherwise
       // let the CSV reader skip parsing entirely and drop nothing
       val dropped = s.read

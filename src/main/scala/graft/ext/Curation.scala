@@ -936,11 +936,17 @@ object Curation {
     // removes one corpus-wide distinct-count job per greedy round
     // (k jobs; at 100 TB each was a full pass + shuffle)
     var coveredTotal = 0L
+    import spark.implicits._
     for (round <- 1 to k if !done) {
+      // the chosen set joins as a broadcast TABLE, not an isin literal:
+      // an isin of k ids re-plans a growing O(k^2) cumulative literal
+      // each round, while the broadcast hash join keeps the plan
+      // constant-size at any k (the 100 TB chosen-set shape)
+      val chosenDf = broadcast(chosenIds.toDF("doc_id"))
       val covered = tok
-        .filter(col("doc_id").isin(chosenIds: _*)).select(col("w"))
+        .join(chosenDf, Seq("doc_id")).select(col("w"))
       val top = tok
-        .filter(!col("doc_id").isin(chosenIds: _*))
+        .join(chosenDf, Seq("doc_id"), "left_anti")
         .join(broadcast(covered), Seq("w"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
@@ -952,7 +958,6 @@ object Curation {
         chosen :+= ((round, id, gain, coveredTotal))
       }
     }
-    import spark.implicits._
     chosen.toDF("round", "doc_id", "gain", "covered_total")
       .orderBy(col("round"))
   }

@@ -42,4 +42,24 @@ class ReliableCheckpointSpec extends SparkSpec {
     assert(df.cpGuard().collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L))
   }
+
+  test("cpGuard skips re-checkpointing an already-materialized input") {
+    import org.apache.spark.sql.functions.col
+    import graft.core.PlanCapture.CheckpointOps
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val cp = df.cpGuard()
+    // the checkpoint itself, and any attribute-only projection of it,
+    // are already materialized: cpGuard must return them UNCHANGED
+    // (re-checkpointing re-writes the same table — the double-
+    // checkpoint pageRankWarmStart/g11 paid before this rule)
+    assert(cp.cpGuard() eq cp)
+    val sel = cp.select(col("a").as("x"), col("b"))
+    assert(sel.cpGuard() eq sel)
+    // anything with real work above the RDD scan still checkpoints
+    val agg = cp.groupBy(col("a")).count()
+    assert(!(agg.cpGuard() eq agg))
+    // and the values flow through identically either way
+    assert(sel.cpGuard().collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
 }
