@@ -1471,57 +1471,62 @@ object TextAnalysis {
     require(units.forall(_.matches("^[a-z]+$")),
       "units must be lowercase ascii words (the t17 dictionary " +
         "convention keeps them SQL-literal-safe)")
-    val vlit = units.map(u => s"'$u'").mkString("array(", ", ", ")")
+    // unit literals bind ONCE into the runtime aggregate() fold below.
+    // The previous maxUnits-UNROLLED column fold re-embedded them once
+    // per step and re-analyzed the accumulated expression tree at every
+    // withColumn — driver planning dominated the apply queries (the
+    // unigramViterbiEm finding: wall 2x the sum of job times).
+    val vlitC = typedLit(units)
     // first-char buckets, longest-first: the first match IS the longest
-    lazy val mlit = units.groupBy(_.head).toSeq.sortBy(_._1)
-      .map { case (c, us) =>
-        val sorted = us.sortBy(u => (-u.length, u)).map(u => s"'$u'")
-        s"'$c', array(${sorted.mkString(", ")})"
-      }.mkString("map(", ", ", ")")
+    lazy val mlitC = typedLit(units.groupBy(_.head.toString).map {
+      case (c, us) => c -> us.sortBy(u => (-u.length, u))
+    })
     // longest vocab unit matching at 0-based position `pos` (0 = none):
     // flat form folds the whole unit array; bucketed form probes only
     // the position's first-char bucket (missing bucket -> null ->
     // length 0), taking the first (= longest) hit. The map probe MUST
     // be try_element_at: plain element_at on a missing map key throws
     // MAP_KEY_DOES_NOT_EXIST under ANSI mode, and a word whose first
-    // char starts no vocab unit is a legal input, not an error
-    def matchLen(pos: String) =
-      if (mode == "bucketed")
-        s"""length(coalesce(try_element_at(filter(
-              try_element_at($mlit, substring(word, $pos + 1, 1)),
-              u -> substring(word, $pos + 1, length(u)) = u), 1), ''))"""
-      else
-        s"""aggregate(filter($vlit,
-              u -> substring(word, $pos + 1, length(u)) = u),
-            0, (m, u) -> greatest(m, length(u)))"""
-    // the trie mode's probe is a codegen'd Expression (one trie
-    // descent per position, |vocab|-independent); the other modes stay
-    // pure built-in SQL. Identical semantics, pinned by the shared
-    // oracle STRING and the cross-mode specs.
-    val mlCol: org.apache.spark.sql.Column =
-      if (mode == "trie")
-        graft.functions.LongestUnitMatch.of(col("word"), col("pos"), units)
-      else expr(matchLen("pos"))
-    val init = wordsTbl
-      .withColumn("pos", lit(0))
-      .withColumn("n_units", lit(0))
-      .withColumn("unk", lit(false))
-      .withColumn("pieces", lit(""))
-    val walked = (1 to maxUnits).foldLeft(init) { (df, _) =>
-      df.withColumn("ml",
-          when(!col("unk") && col("pos") < length(col("word")), mlCol)
-            .otherwise(0))
-        .withColumn("unk",
-          col("unk") || (col("pos") < length(col("word")) && col("ml") === 0))
-        .withColumn("pieces", expr(
-          """CASE WHEN ml = 0 THEN pieces
-             WHEN pos = 0 THEN substring(word, 1, ml)
-             ELSE concat(pieces, ' ##', substring(word, pos + 1, ml)) END"""))
-        .withColumn("n_units",
-          col("n_units") + when(col("ml") > 0, 1).otherwise(0))
-        .withColumn("pos", col("pos") + col("ml"))
-        .drop("ml")
+    // char starts no vocab unit is a legal input, not an error.
+    // The trie mode's probe is the same trie-descent Expression as
+    // before (interpreted inside the lambda rather than codegen'd —
+    // one descent per position either way). Identical semantics,
+    // pinned by the shared oracle STRING and the cross-mode specs.
+    def matchLen(posC: Column): Column = mode match {
+      case "bucketed" =>
+        length(coalesce(try_element_at(filter(
+          try_element_at(mlitC, col("word").substr(posC + 1, lit(1))),
+          u => col("word").substr(posC + 1, length(u)) === u), lit(1)),
+          lit("")))
+      case "trie" =>
+        graft.functions.LongestUnitMatch.of(col("word"), posC, units)
+      case _ =>
+        aggregate(filter(vlitC,
+            u => col("word").substr(posC + 1, length(u)) === u),
+          lit(0), (m, u) => greatest(m, length(u)))
     }
+    val initSt = struct(lit(0).as("pos"), lit(0).as("n_units"),
+      lit(false).as("unk"), lit("").as("pieces"))
+    val fold = aggregate(sequence(lit(1), lit(maxUnits)), initSt,
+      (st, _) => {
+        val ml0 = when(!st("unk") && st("pos") < length(col("word")),
+          matchLen(st("pos"))).otherwise(0)
+        // inner 1-element aggregate binds the step's match length once
+        // (all four state fields read it)
+        aggregate(array(ml0), st, (s2, ml) => struct(
+          (s2("pos") + ml).as("pos"),
+          (s2("n_units") + when(ml > 0, 1).otherwise(0)).as("n_units"),
+          (s2("unk") ||
+            (s2("pos") < length(col("word")) && ml === 0)).as("unk"),
+          when(ml === 0, s2("pieces"))
+            .when(s2("pos") === 0, col("word").substr(lit(1), ml))
+            .otherwise(concat(s2("pieces"), lit(" ##"),
+              col("word").substr(s2("pos") + 1, ml))).as("pieces")))
+      })
+    val walked = wordsTbl.withColumn("st", fold)
+      .select(col("word"), col("n_occurrences"),
+        col("st.pos").as("pos"), col("st.n_units").as("n_units"),
+        col("st.unk").as("unk"), col("st.pieces").as("pieces"))
     val obs = org.apache.spark.sql.Observation()
     val out = walked
       .observe(obs, sum(when(!col("unk") && col("pos") < length(col("word")),
@@ -1625,8 +1630,9 @@ object TextAnalysis {
     *
     * Shape per round: the dictionary fans out by (candidate ∪
     * baseline) via ONE narrow explode of a literal array — no join —
-    * then the bounded `maxUnits`-step column fold (the greedyWalk
-    * machinery with a per-row excluded unit) and ONE
+    * then one runtime aggregate() fold of the bounded `maxUnits` greedy
+    * steps (the greedyWalk machinery with a per-row excluded unit; the
+    * unit literal binds once, not once per step) and ONE
     * partial-aggregable groupBy(cand); a single ≤|candidates|+1-row
     * collect picks the argmin (merges/prunes ARE the model — the
     * wordpieceTrain collect discipline). A word left unconsumed after
@@ -1653,23 +1659,31 @@ object TextAnalysis {
       val fan = dict.select(col("word"), col("freq"))
         .withColumn("cand", explode(typedLit(cands.map(Option(_)) :+
           (None: Option[String]))))
-        .withColumn("pos", lit(0))
-        .withColumn("n_units", lit(0L))
       // the greedy walk with the row's candidate EXCLUDED from the
-      // unit set (cand null = the baseline segmentation)
-      val walked = (1 to maxUnits).foldLeft(fan) { (df, _) =>
-        df.withColumn("ml", expr(
-            s"""CASE WHEN pos < length(word) THEN
-                 aggregate(filter($vlit,
-                   u -> u IS DISTINCT FROM cand
-                     AND substring(word, pos + 1, length(u)) = u),
-                 0, (m, u) -> greatest(m, length(u)))
-               ELSE 0 END"""))
-          .withColumn("n_units",
-            col("n_units") + when(col("ml") > 0, 1L).otherwise(0L))
-          .withColumn("pos", col("pos") + col("ml"))
-          .drop("ml")
-      }
+      // unit set (cand null = the baseline segmentation). ONE runtime
+      // aggregate() fold over the maxUnits steps, not a maxUnits-
+      // unrolled column fold: unrolling embedded the |units| literal
+      // array once per step and re-analyzed the growing tree per
+      // withColumn — driver planning dominated the query (the t44
+      // finding; t42's bench max/median spread was 3.5x). The inner
+      // 1-element aggregate binds the step's match length `ml` once
+      // (the state update reads it twice). Identical walk per row.
+      val walked = fan.withColumn("st", expr(
+        s"""aggregate(sequence(1, $maxUnits),
+             struct(0 AS pos, CAST(0 AS BIGINT) AS n_units),
+             (st, i) -> CASE WHEN st.pos >= length(word) THEN st ELSE
+               aggregate(array(
+                   aggregate(filter($vlit,
+                       u -> u IS DISTINCT FROM cand
+                         AND substring(word, st.pos + 1, length(u)) = u),
+                     0, (m, u) -> greatest(m, length(u)))),
+                 st,
+                 (s2, ml) -> struct(s2.pos + ml AS pos,
+                   s2.n_units + CAST(CASE WHEN ml > 0 THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_units))
+             END)"""))
+        .withColumn("pos", col("st.pos"))
+        .withColumn("n_units", col("st.n_units"))
       val rows = walked
         .groupBy(col("cand"))
         .agg(sum(col("freq") * col("n_units")).as("tok"),
@@ -1719,10 +1733,11 @@ object TextAnalysis {
     * (the spec pins a word whose round-2 path differs from round-1's)
     * and the final ranking diverges from the t40 merge order.
     *
-    * Shape per round: a bounded `dpSteps`-step column fold over the
-    * checkpointed dictionary building the per-prefix DP array (a
-    * literal scored-unit array probed with filter/transform/array_min
-    * — the c43 idiom; no join, no shuffle in the walk), ONE
+    * Shape per round: ONE runtime aggregate() fold per dictionary word
+    * building the per-prefix DP array (a literal scored-unit array —
+    * bound once, not once per unrolled step — probed with
+    * filter/transform/array_min; no join, no shuffle in the walk;
+    * `dpSteps` stays the loudly-enforced length bound), ONE
     * partial-aggregable explode+groupBy M-step, and a ≤|units|-row
     * collect carrying scores to the next round (the wordpieceTrain
     * merges-are-the-model discipline).
@@ -1754,26 +1769,32 @@ object TextAnalysis {
       // dp(i+1) = best (n, g, p) over units u ending at prefix i:
       // n pieces, g = -Σ score, p = the piece string; element 1 is the
       // empty prefix. The sentinel (unreachable) never survives an
-      // array_min against a real path and is loudly rejected at the end
-      val init = dict.select(col("word"), col("freq"))
+      // array_min against a real path and is loudly rejected at the end.
+      // ONE runtime aggregate() fold over the word's positions, not a
+      // dpSteps-unrolled column fold: the unrolled form embedded the
+      // |units|-struct literal array once PER STEP, and Catalyst
+      // re-analyzed the accumulated tree at every withColumn — ~3 s of
+      // driver planning per query run (JobProfile r17: wall 5.7 s vs
+      // 2.8 s of jobs) and the t44 pass-to-pass variance. Folding
+      // sequence(1, length(word)) runs the identical DP per row (the
+      // unrolled steps past length(word) were identity), with the
+      // literal bound once. dpSteps stays the loud contract bound:
+      // maxLen <= dpSteps is still required above.
+      val walked = dict.select(col("word"), col("freq"))
         .withColumn("dp", expr(
-          "array(struct(0 AS n, CAST(0 AS BIGINT) AS g, '' AS p))"))
-      val walked = (1 to dpSteps).foldLeft(init) { (df, i) =>
-        df.withColumn("dp", expr(
-          s"""CASE WHEN $i > length(word) THEN dp
-              ELSE concat(dp, array(coalesce(
+          s"""aggregate(sequence(1, length(word)),
+              array(struct(0 AS n, CAST(0 AS BIGINT) AS g, '' AS p)),
+              (dp, i) -> concat(dp, array(coalesce(
                 array_min(transform(
-                  filter($slit, t -> t.l <= $i AND
-                    substring(word, $i - t.l + 1, t.l) = t.u),
+                  filter($slit, t -> t.l <= i AND
+                    substring(word, i - t.l + 1, t.l) = t.u),
                   t -> struct(
-                    element_at(dp, $i - t.l + 1).n + 1 AS n,
-                    element_at(dp, $i - t.l + 1).g - t.s AS g,
-                    concat(element_at(dp, $i - t.l + 1).p,
-                      CASE WHEN element_at(dp, $i - t.l + 1).p = ''
+                    element_at(dp, i - t.l + 1).n + 1 AS n,
+                    element_at(dp, i - t.l + 1).g - t.s AS g,
+                    concat(element_at(dp, i - t.l + 1).p,
+                      CASE WHEN element_at(dp, i - t.l + 1).p = ''
                            THEN '' ELSE ' ' END, t.u) AS p))),
-                struct(1000000 AS n, CAST(0 AS BIGINT) AS g, '' AS p))))
-              END"""))
-      }
+                struct(1000000 AS n, CAST(0 AS BIGINT) AS g, '' AS p)))))"""))
         .withColumn("best", expr("element_at(dp, length(word) + 1)"))
         .cpGuard() // read twice: the reachability check and the M-step
       val unreachable = walked.filter(col("best.n") >= 1000000).count()
