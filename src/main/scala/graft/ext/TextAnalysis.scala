@@ -1201,15 +1201,37 @@ object TextAnalysis {
     */
   def textrankKeywords(docs: DataFrame, iters: Int = 3,
                        topK: Int = 30): DataFrame = {
+    // adjacent word pairs built as structs directly — the former
+    // concat_ws-then-split round-trip allocated and re-parsed a string
+    // per bigram occurrence for nothing (the other bigram operators
+    // need the joined string as their groupBy key; this one never does)
     val pairs = docs
-      .select(explode(TextOps.allWordShingles(col("text"), 2)).as("bg"))
-      .select(split(col("bg"), " ").as("p"))
-      .select(element_at(col("p"), 1).as("a"),
-        element_at(col("p"), 2).as("b"))
+      .select(TextOps.words(col("text")).as("ws"))
+      .select(explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .filter(col("a") =!= col("b")) // no self-loops (TextRank convention)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    // aggregate on the CANONICAL pair first, then emit both directions:
+    // the former unionAll-then-groupBy embedded the corpus-wide bigram
+    // explode under BOTH union branches (two full explode passes) and
+    // shuffled 2x the exploded rows; w(src,dst) = count{(a,b)} +
+    // count{(b,a)} = the canonical pair's count, so the symmetric edge
+    // list is identical while the explode runs once and the exchange
+    // carries the vocabulary-sized aggregated pairs
+    val canon = pairs
+      .groupBy(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .agg(count(lit(1)).as("w"))
+      // vocabulary-sized; materialized so the union below cannot
+      // re-execute the corpus explode per branch if ReuseExchange
+      // fails to dedupe the two references (AQE can specialize them)
+      .cpGuard()
+    val edges = canon.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(canon.select(col("v"), col("u"), col("w")))
     // no local checkpoint here: pageRank materializes its edge input
     // exactly once now, so the corpus-wide bigram explode runs once —
     // a second checkpoint at this boundary would only re-write the
