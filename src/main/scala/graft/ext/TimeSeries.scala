@@ -309,11 +309,11 @@ object TimeSeries {
     val per = b.groupBy(col("cents")).agg(
       sum(when(col("ha"), 1L).otherwise(0L)).as("na"),
       sum(when(!col("ha"), 1L).otherwise(0L)).as("nb"))
-    val s1 = graft.operators.PrefixSum.withRunningSum(
-      per, Seq(col("cents")), "na", "ca_ex")
-    val s2 = graft.operators.PrefixSum.withRunningSum(
-      s1, Seq(col("cents")), "nb", "cb_ex")
-    val cum = s2
+    // both cumulative counts in ONE range-partition + sort pass (they
+    // share the cents order; chaining two withRunningSum calls paid
+    // the pipeline twice)
+    val cum = graft.operators.PrefixSum.withRunningSums(
+      per, Seq(col("cents")), Seq("na" -> "ca_ex", "nb" -> "cb_ex"))
       .withColumn("ca", col("ca_ex") + col("na"))
       .withColumn("cb", col("cb_ex") + col("nb"))
     val tot = per.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
@@ -589,7 +589,8 @@ object TimeSeries {
     * ties since sgn contributes 0 where midranks add ½) makes it two
     * balanced prefix passes: midranks from per-cents groups + an
     * exclusive [[graft.operators.PrefixSum.withRunningSum]] over cents
-    * order (the t30/w37 discipline), then a second withRunningSum +
+    * order (the t30/w37 discipline), then one combined
+    * [[graft.operators.PrefixSum.withRunningSums]] pass +
     * [[graft.operators.SeqNumber]] over TIME order. No unpartitioned
     * window, no pairwise join, all BIGINT.
     *
@@ -615,9 +616,12 @@ object TimeSeries {
         (lit(2) * col("c_before") + col("ng") + lit(1)).as("r2"))
     val ranked = b.join(withBefore, Seq("cents"))
     val order = Seq(col("tus").asc, col("event_id").asc)
-    val seq = graft.operators.SeqNumber.withSeq(
-      graft.operators.PrefixSum.withRunningSum(ranked, order, "r2", "excl"),
-      order, "i")
+    // one combined pass: the running sum of r2 and the 1..N sequence
+    // share the identical total order, so composing the two operators
+    // paid the range-partition + sort + checkpoint + collect pipeline
+    // twice over the same rows
+    val seq = graft.operators.PrefixSum.withRunningSums(
+      ranked, order, Seq("r2" -> "excl"), Some("i"))
     val nRow = b.agg(count(lit(1)).as("n"))
     val u = seq.crossJoin(broadcast(nRow))
       .select(col("tus"), col("event_id"), col("n"),

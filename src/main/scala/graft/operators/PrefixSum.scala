@@ -30,35 +30,77 @@ object PrefixSum {
 
   def withRunningSum(df: DataFrame, order: Seq[Column], valueCol: String,
                      name: String = "running_sum",
-                     numPartitions: Option[Int] = None): DataFrame = {
+                     numPartitions: Option[Int] = None): DataFrame =
+    withRunningSums(df, order, Seq(valueCol -> name), None, numPartitions)
+
+  /** Several exclusive running sums (and optionally a dense 1..N
+    * sequence number) over the SAME total order in ONE range-partition
+    * + sort + materialization + driver collect. Composing
+    * [[withRunningSum]] / [[SeqNumber.withSeq]] calls pays that
+    * four-job pipeline once PER CALL over identical data in an
+    * identical order — the Pettitt/KS statistics chained two to three
+    * of them back to back. Per-partition totals and row counts ride
+    * one aggregation row; each output column's definition is exactly
+    * the single-column operator's.
+    */
+  def withRunningSums(df: DataFrame, order: Seq[Column],
+                      cols: Seq[(String, String)],
+                      seqName: Option[String] = None,
+                      numPartitions: Option[Int] = None): DataFrame = {
+    require(cols.nonEmpty || seqName.nonEmpty, "nothing to compute")
     val spark = df.sparkSession
     import spark.implicits._
     // Integral contract: the offsets are exact longs; float/decimal
     // columns would need a different accumulation discipline (and a
     // getLong here would throw ClassCastException mid-job).
-    val vType = df.schema(valueCol).dataType
-    require(Seq("integer", "long", "short", "byte").contains(vType.typeName),
-      s"withRunningSum requires an integral value column; $valueCol is $vType")
+    cols.foreach { case (valueCol, _) =>
+      val vType = df.schema(valueCol).dataType
+      require(Seq("integer", "long", "short", "byte").contains(vType.typeName),
+        s"withRunningSums requires integral value columns; $valueCol is $vType")
+    }
     val parts = numPartitions.getOrElse(
       spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(parts, order: _*)
+    val sorted0 = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
+    val sorted = seqName.fold(sorted0)(_ => sorted0
+      // (partitionId << 33) + local index (documented bit layout) —
+      // the SeqNumber dense-local-index recovery
+      .withColumn("__local", monotonically_increasing_id()
+        - shiftleft(col("__pid").cast("long"), 33)))
       .cpGuard()
     // sum(cast long) of an all-null or empty partition is null → 0
-    val partTotals = sorted.groupBy(col("__pid"))
-      .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until parts)
-      .scanLeft(0L)((acc, p) => acc + partTotals.getOrElse(p, 0L))
-    val offsetsDf = (0 until parts).map(p => (p, offsets(p))).toDF("__pid", "__off")
+    val aggs = cols.zipWithIndex.map { case ((v, _), j) =>
+      coalesce(sum(col(v).cast("long")), lit(0L)).as(s"__t$j")
+    } ++ seqName.map(_ => count(lit(1)).as("__c"))
+    val partRows = sorted.groupBy(col("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        (1 until r.length).map(r.getLong).toIndexedSeq).toMap
+    val zero = IndexedSeq.fill(aggs.size)(0L)
+    val offsets = (0 until parts).scanLeft(zero) { (acc, p) =>
+      val t = partRows.getOrElse(p, zero)
+      acc.indices.map(j => acc(j) + t(j)).toIndexedSeq
+    }
+    val offCols = cols.indices.map(j => s"__off$j") ++
+      seqName.map(_ => "__coff")
+    val offsetsDf = (0 until parts).map(p => (p, offsets(p).toSeq))
+      .toDF("__pid", "__offs")
+      .select(col("__pid") +: offCols.zipWithIndex.map { case (n, j) =>
+        element_at(col("__offs"), j + 1).as(n)
+      }: _*)
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    sorted
-      .withColumn("__lsum", coalesce(sum(col(valueCol)).over(w), lit(0L)))
-      .join(broadcast(offsetsDf), "__pid")
-      .withColumn(name, (col("__lsum") + col("__off")).cast("long"))
-      .select(df.columns.map(col).toSeq :+ col(name): _*)
+    val local = cols.zipWithIndex.foldLeft(
+      sorted.join(broadcast(offsetsDf), "__pid")) { case (d, ((v, _), j)) =>
+      d.withColumn(s"__lsum$j",
+        coalesce(sum(col(v)).over(w), lit(0L)))
+    }
+    val outCols = cols.zipWithIndex.map { case ((_, name), j) =>
+      (col(s"__lsum$j") + col(s"__off$j")).cast("long").as(name)
+    } ++ seqName.map(n =>
+      (col("__local") + col("__coff") + 1L).cast("long").as(n))
+    local.select(df.columns.map(col).toSeq ++ outCols: _*)
   }
 
   /** EXCLUSIVE running maximum over a global order — the high-water-

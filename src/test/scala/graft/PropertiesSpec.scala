@@ -117,6 +117,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("withRunningSums (combined) equals composed single ops + withSeq") {
+    import spark.implicits._
+    val rowGen = for {
+      key <- Gen.choose(0L, 500L)
+      v <- Gen.choose(-1000L, 1000L)
+      u <- Gen.choose(-1000L, 1000L)
+    } yield (key, v, u)
+    forSamples(Gen.choose(0, 400).flatMap(n => Gen.listOfN(n, rowGen)), 5) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v, u), i) => (i.toLong, k, v, u) }
+        .toDF("id", "k", "v", "u")
+      val order = Seq(col("k"), col("id"))
+      val combined = graft.operators.PrefixSum
+        .withRunningSums(df, order, Seq("v" -> "rs", "u" -> "ru"), Some("i"))
+      val composed = graft.operators.SeqNumber.withSeq(
+        graft.operators.PrefixSum.withRunningSum(
+          graft.operators.PrefixSum.withRunningSum(df, order, "v", "rs"),
+          order, "u", "ru"),
+        order, "i")
+      assert(combined.exceptAll(composed).count() == 0)
+      assert(composed.exceptAll(combined).count() == 0)
+      ()
+    }
+  }
+
+  test("withRunningSums on empty input yields empty output, not a crash") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(graft.operators.PrefixSum
+      .withRunningSums(df, Seq(col("id")), Seq("v" -> "rs"), Some("i"))
+      .count() == 0)
+  }
+
   test("PrefixSum on empty input yields empty output, not a crash") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("id", "v")
