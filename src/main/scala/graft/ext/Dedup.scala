@@ -500,8 +500,14 @@ object Dedup {
       .union(cand.select(col("doc_b")))
       .distinct()
     // materialized for the same reason as cand: `needed` (the
-    // shingle/ngram arrays of candidate docs) feeds BOTH pair joins
-    val needed = docs.join(candDocs, Seq("doc_id"), "left_semi")
+    // shingle/ngram arrays of candidate docs) feeds BOTH pair joins.
+    // spread AFTER the semi-join, BEFORE the array expression: the
+    // broadcast semi-join preserves the scan's partitioning (one task
+    // per input file — measured 1.5 s of single-task shingling on d34
+    // over a one-file corpus), and only the surviving candidate docs
+    // move, never the corpus
+    val needed = graft.core.Tables
+      .spread(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .select(col("doc_id"), arrExpr.as("arr"))
       .cpGuard()
     cand
