@@ -1093,15 +1093,25 @@ object Graphs {
     */
   def betweennessSampled(edges: DataFrame, numSources: Int,
                          maxRounds: Int = 12,
-                         scaleBits: Int = 20): DataFrame = {
+                         scaleBits: Int = 20,
+                         driverThreshold: Long = 1L << 20): DataFrame = {
     require(numSources >= 2 && maxRounds >= 1 &&
       scaleBits >= 0 && scaleBits <= 30,
       "numSources >= 2, maxRounds >= 1, scaleBits in [0, 30]")
     val scale = 1L << scaleBits
+    val eObs = org.apache.spark.sql.Observation()
     val ed = edges.filter(col("src") =!= col("dst"))
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .distinct().cpGuard()
+      .distinct()
+      .observe(eObs, count(lit(1)).as("ne")).cpGuard()
+    // the betweenness/betweennessSource driver-threshold contract: a
+    // below-broadcast-scale edge list pays ~2·diameter whole jobs of
+    // level-synchronous overhead across the two σ-BFS pyramids; one
+    // driver pass computes the IDENTICAL floored pivot-pair triple sum
+    // (order-independent floors, spec-pinned via driverThreshold = 0)
+    if (eObs.get("ne").asInstanceOf[Long] <= driverThreshold)
+      return betweennessSampledDriver(ed, numSources, maxRounds, scaleBits)
     val mObs = org.apache.spark.sql.Observation()
     val nodes = ed.select(col("src").as("k"))
       .unionAll(ed.select(col("dst").as("k"))).distinct()
@@ -1299,6 +1309,86 @@ object Graphs {
           s")) ELSE bc_raw_q * CAST($n AS BIGINT) div CAST($k2 AS BIGINT) " +
           "END"))
       .orderBy(col("k"))
+  }
+
+  /** Driver-side [[betweennessSampled]] for a below-threshold edge
+    * list: the same Lehmer pivot rule, one forward and one backward
+    * σ-BFS per pivot, and the same floored pivot-pair triple terms
+    * floor(σ(s,v)·σ(v,t)·scale / σ(s,t)) — BYTE-equal to the
+    * distributed pyramids (spec-pinned via driverThreshold = 0),
+    * including every loud envelope: σ < 2^20, closure in maxRounds,
+    * id bounds, n(n-1) and extrapolation overflow guards. State is
+    * O(K·n), exactly the distributed contract.
+    */
+  private def betweennessSampledDriver(e0: DataFrame, numSources: Int,
+                                       maxRounds: Int,
+                                       scaleBits: Int): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val scale = 1L << scaleBits
+    val es = e0.as[(Long, Long)].collect()
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length.toLong
+    require(n >= 2, "betweennessSampled: need at least 2 nodes")
+    require(nodes.last < Long.MaxValue / 48271L,
+      "betweennessSampled: node ids too large for the overflow-free " +
+        "Lehmer seed hash")
+    require(nodes.head >= 0L,
+      "betweennessSampled: negative node ids break the cross-engine " +
+        "Lehmer seed hash contract (pmod vs sign-following %); " +
+        "remap ids to non-negative first")
+    val k2 = math.min(numSources.toLong, n)
+    val seeds = nodes.sortBy(k => (k * 48271L % 2147483647L, k))
+      .take(k2.toInt)
+    val fwd = es.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val bwd = es.groupBy(_._2).map { case (d, xs) => d -> xs.map(_._1) }
+    // level-synchronous σ-BFS (the sigmaBfsFrom semantics: per-level σ
+    // sums over the frontier, σ < 2^20 checked on every NEW node,
+    // non-closure within maxRounds fails loudly)
+    def sigmaBfs(s: Long, adj: Map[Long, Array[Long]])
+        : scala.collection.mutable.HashMap[Long, (Int, Long)] = {
+      val reached = scala.collection.mutable.HashMap(s -> (0, 1L))
+      var frontier = Seq(s -> 1L)
+      var d = 0
+      while (frontier.nonEmpty && d < maxRounds) {
+        d += 1
+        val next = scala.collection.mutable.HashMap.empty[Long, Long]
+        for ((v, sg) <- frontier; w <- adj.getOrElse(v, Array.empty[Long])
+             if !reached.contains(w))
+          next(w) = next.getOrElse(w, 0L) + sg
+        for ((w, sg) <- next) {
+          require(sg < (1L << 20),
+            "betweenness: shortest-path count >= 2^20 would overflow the " +
+              "integer term envelope; reduce the graph or scaleBits")
+          reached(w) = (d, sg)
+        }
+        frontier = next.toSeq
+      }
+      require(frontier.isEmpty,
+        s"betweenness: BFS did not close in $maxRounds rounds (graph " +
+          "diameter exceeds the declared unroll bound)")
+      reached
+    }
+    val spF = seeds.map(s => s -> sigmaBfs(s, fwd)).toMap
+    val spB = seeds.map(t => t -> sigmaBfs(t, bwd)).toMap
+    require(n - 1 <= Long.MaxValue / n,
+      s"betweennessSampled: n(n-1) overflows Long for n=$n")
+    val factNum = n * (n - 1)
+    val factDen = k2 * (k2 - 1)
+    val rawLim = Long.MaxValue / factNum
+    val bc = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (s <- seeds; t <- seeds; (dstD, sigst) <- spF(s).get(t).toSeq;
+         (v, (d1, sig1)) <- spF(s) if d1 >= 1;
+         (d2, sig2) <- spB(t).get(v).toSeq if d2 >= 1 && d1 + d2 == dstD)
+      bc(v) = bc.getOrElse(v, 0L) + sig1 * sig2 * scale / sigst
+    val rows = nodes.map { k =>
+      val raw = bc.getOrElse(k, 0L)
+      require(raw <= rawLim,
+        s"betweennessSampled: bc_raw_q $raw overflows the " +
+          s"n(n-1)/K(K-1) extrapolation at n=$n; lower scaleBits")
+      (k, raw, raw * factNum / factDen)
+    }.toSeq
+    rows.toDF("k", "bc_raw_q", "bc_est_q").orderBy(col("k"))
   }
 
   /** Driver-side [[betweennessSource]] for a below-threshold edge

@@ -619,6 +619,20 @@ class GraphOpsSpec extends SparkSpec {
     // no maxNodes bound applies: state is O(K*n) by construction
   }
 
+  test("betweennessSampled: driver shortcut equals the distributed pyramids") {
+    // multi-path graph (1->2->4, 1->3->4 gives sigma(1,4) = 2, so the
+    // triple floors actually divide); driverThreshold = 0 pins the
+    // distributed two-pyramid path against the default driver pass
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 2L), (6L, 1L)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val driver = m(Graphs.betweennessSampled(edges, numSources = 4))
+    val dist = m(Graphs.betweennessSampled(edges, numSources = 4,
+      driverThreshold = 0))
+    assert(driver == dist)
+  }
+
   test("betweenness: node bound fails loudly on BOTH paths") {
     // 6 nodes, 5 edges: under any edge driverThreshold, yet over
     // maxNodes = 4 — the driver shortcut must refuse (its O(n^2)
