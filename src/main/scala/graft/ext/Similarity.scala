@@ -1273,7 +1273,15 @@ object Similarity {
       .join(centsDf, "cell")
       .select(col("t_id"), col("cell"), residual(col("v")).as("rv"))
       .cpGuard()
-    // fine quantizer: per-subspace residual codebooks + target codes
+    // fine quantizer: per-subspace residual codebooks + target codes.
+    // NOTE: batching the nSub Lloyd fits into subspace-tagged union
+    // jobs (one stat agg + one seed collect + one union job per
+    // iteration) was tried in r17 and REVERTED: the overlapped
+    // per-subspace chains already back-fill each other's job tails, and
+    // the batched form measured +12% on the whole PQ family
+    // (s10-s25 subset 18.6 -> 20.9 s, flat drift control) — it
+    // serializes into one wider shuffle what §2.6 overlap ran
+    // concurrently.
     val trained = inParallel(nSub) { s =>
       val svecs = tRes.select(col("t_id").as("vec_id"),
         slice(col("rv"), s * sub + 1, sub).as("v"))
