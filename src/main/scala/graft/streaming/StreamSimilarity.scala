@@ -96,10 +96,17 @@ object StreamSimilarity {
         .select(col("a_id"), col("b_id"), col("bucket"))
       val intraDups = verify(intraCand, batch, batch, threshold)
       val all = crossDups.map(_.unionByName(intraDups)).getOrElse(intraDups)
-      all.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      Layout.overwriteBatch(nb, table, batchId)
-      batch.select(col("vec_id"), col("embedding"))
-        .write.mode("overwrite").parquet(s"$vecsPath/batch=$batchId")
+      // the three per-batch writes are independent (the dup output
+      // reads the CHECKPOINTED nb + the persisted batch; the bucket and
+      // vector states are disjoint paths, and only overwriteBatch
+      // touches the catalog): overlap their jobs (guide §2.6) so one
+      // write's task tail back-fills the next — per-batch latency is
+      // this operator's product. Values unchanged by construction.
+      graft.core.Par.eval3(
+        all.write.mode("overwrite").parquet(s"$outDir/batch=$batchId"),
+        Layout.overwriteBatch(nb, table, batchId),
+        batch.select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(s"$vecsPath/batch=$batchId"))
     } finally {
       try batch.unpersist() catch { case NonFatal(_) => }
       ()
