@@ -1,8 +1,11 @@
 package graft.ext
 import graft.core.PlanCapture.CheckpointOps
 
-import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Distributed graph measures over edge lists.
   *
@@ -39,7 +42,8 @@ object Graphs {
     * literals.
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1L << 40,
-               damping: Int = 85): DataFrame = {
+               damping: Int = 85,
+               driverThreshold: Long = 1L << 20): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 100,
       "iters >= 0, damping in (0, 100)")
     // materialize the (possibly expensive) edge derivation ONCE: the
@@ -51,6 +55,14 @@ object Graphs {
     // materialization is also the cluster-scale shape the iteration
     // contract promises: derive once, co-partition, iterate.
     val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()
+    // the scc/betweenness/dupClusters driver-threshold contract: a
+    // below-broadcast-scale edge list pays ~3 whole jobs of fixed
+    // scheduling overhead per sweep; one driver pass runs the
+    // IDENTICAL integer sweeps (spec-pinned via driverThreshold = 0).
+    // The count reads the just-materialized checkpoint (or an input
+    // the cpGuard skip left materialized), never the derivation.
+    if (ed.count() <= driverThreshold)
+      return pageRankDriver(ed, iters, scale, damping)
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
@@ -79,6 +91,132 @@ object Graphs {
         (lit(tele) +
           expr(s"(CAST($damping AS BIGINT) * coalesce(s, CAST(0 AS BIGINT))) div 100"))
           .as("r"))
+  }
+
+  /** Collected (src, dst, w) rows of a below-threshold edge table, with
+    * the [[envelopeCheckedEdges]] weight envelope enforced verbatim.
+    * `rows` keeps every edge row (node sets include endpoints of
+    * null-weight edges, as the distributed unions do); `es` drops
+    * null-weight edges (they contribute no mass and no out-weight,
+    * exactly as null-skipping SUMs behave distributed-side).
+    */
+  private def collectPrEdges(ed: DataFrame): (Seq[Row], Seq[(Any, Any, Long)]) = {
+    val rows = ed.select(col("src"), col("dst"), col("w").cast("long"))
+      .collect().toSeq
+    val es = rows.filterNot(_.isNullAt(2))
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
+    if (es.nonEmpty) {
+      require(es.map(_._3).min >= 0L, "PageRank edge weights must be >= 0")
+      val wmax = es.map(_._3).max
+      require(wmax < (1L << 22),
+        s"PageRank edge weight $wmax >= 2^22: r*w would overflow Long " +
+          "at scale=2^40 fixed point; rescale weights (ranks depend " +
+          "only on relative weight per source)")
+    }
+    (rows, es)
+  }
+
+  /** One damped integer sweep on the driver — [[prUpdate]] verbatim:
+    * per edge floor(r(src)·w / ow(src)) (a zero out-weight contributes
+    * nothing, as the distributed div-by-zero null does), per node
+    * tele + floor(damping·Σ / 100).
+    */
+  private def prSweepDriver(es: Seq[(Any, Any, Long)], nodes: Seq[Any],
+                            ow: collection.Map[Any, Long],
+                            r: collection.Map[Any, Long],
+                            teleFor: Any => Long,
+                            damping: Int): Map[Any, Long] = {
+    val s = scala.collection.mutable.HashMap.empty[Any, Long]
+    es.foreach { case (src, dst, w) =>
+      val o = ow.getOrElse(src, 0L)
+      if (o != 0L) s(dst) = s.getOrElse(dst, 0L) + r(src) * w / o
+    }
+    nodes.map(k => k ->
+      (teleFor(k) + damping * s.getOrElse(k, 0L) / 100)).toMap
+  }
+
+  /** Driver-side [[pageRank]] for a below-threshold edge list — the
+    * identical integer fixed point (spec-pinned via
+    * driverThreshold = 0), including the weight envelope and the
+    * empty-graph require.
+    */
+  private def pageRankDriver(ed: DataFrame, iters: Int, scale: Long,
+                             damping: Int): DataFrame = {
+    val spark = ed.sparkSession
+    val (rows, es) = collectPrEdges(ed)
+    val nodes: Seq[Any] = (rows.map(_.get(0)) ++ rows.map(_.get(1))).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "PageRank over an empty graph")
+    val tele = ((100 - damping) * scale / 100) / n
+    val ow = es.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    var r: Map[Any, Long] = nodes.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters)
+      r = prSweepDriver(es, nodes, ow, r, _ => tele, damping)
+    val schema = StructType(Seq(
+      StructField("k", ed.schema("src").dataType),
+      StructField("r", LongType)))
+    spark.createDataFrame(nodes.map(k => Row(k, r(k))).asJava, schema)
+      .orderBy(col("k"))
+  }
+
+  /** Driver-side [[pageRankRefresh]] — same integer sweeps seeded from
+    * the collected (bounded, node-sized) start snapshot; nodes absent
+    * from the seed (or with a null seed rank) start at the uniform
+    * floor, exactly as the distributed coalesce does.
+    */
+  private def pageRankRefreshDriver(ed: DataFrame, startRanks: DataFrame,
+                                    refreshIters: Int, scale: Long,
+                                    damping: Int): DataFrame = {
+    val spark = ed.sparkSession
+    val (rows, es) = collectPrEdges(ed)
+    val nodes: Seq[Any] = (rows.map(_.get(0)) ++ rows.map(_.get(1))).distinct
+    val n = nodes.length.toLong
+    require(n > 0, "PageRank over an empty graph")
+    val tele = ((100 - damping) * scale / 100) / n
+    val ow = es.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    val seedMap = startRanks.select(col("k"), col("r").cast("long"))
+      .collect().filterNot(_.isNullAt(1))
+      .map(r0 => r0.get(0) -> r0.getLong(1)).toMap
+    val start: Map[Any, Long] =
+      nodes.map(k => k -> seedMap.getOrElse(k, scale / n)).toMap
+    var r = start
+    for (_ <- 0 until refreshIters)
+      r = prSweepDriver(es, nodes, ow, r, _ => tele, damping)
+    val schema = StructType(Seq(
+      StructField("k", ed.schema("src").dataType),
+      StructField("r_start", LongType), StructField("r_warm", LongType)))
+    spark.createDataFrame(
+      nodes.map(k => Row(k, start(k), r(k))).asJava, schema)
+      .orderBy(col("k"))
+  }
+
+  /** Driver-side [[personalizedPageRank]] — teleport confined to the
+    * seed set, same integer sweeps and requires.
+    */
+  private def personalizedPageRankDriver(ed: DataFrame, seeds: DataFrame,
+                                         iters: Int, scale: Long,
+                                         damping: Int): DataFrame = {
+    val spark = ed.sparkSession
+    val (rows, es) = collectPrEdges(ed)
+    val nodes: Seq[Any] = (rows.map(_.get(0)) ++ rows.map(_.get(1))).distinct
+    val seedSet = seeds.select(col("k")).distinct().collect()
+      .map(_.get(0)).toSet
+    val ns = nodes.count(seedSet.contains).toLong
+    require(ns > 0, "personalized PageRank needs at least one seed in the graph")
+    val tele = ((100 - damping) * scale / 100) / ns
+    val ow = es.groupBy(_._1).map { case (s0, xs) => s0 -> xs.map(_._3).sum }
+    var r: Map[Any, Long] = nodes.map(k =>
+      k -> (if (seedSet.contains(k)) scale / ns else 0L)).toMap
+    for (_ <- 0 until iters)
+      r = prSweepDriver(es, nodes, ow, r,
+        k => if (seedSet.contains(k)) tele else 0L, damping)
+    val schema = StructType(Seq(
+      StructField("k", ed.schema("src").dataType),
+      StructField("is_seed", BooleanType, nullable = false),
+      StructField("r", LongType)))
+    spark.createDataFrame(
+      nodes.map(k => Row(k, seedSet.contains(k), r(k))).asJava, schema)
+      .orderBy(col("k"))
   }
 
   /** WARM-START PageRank refresh for a growing graph — the graph
@@ -129,7 +267,8 @@ object Graphs {
     */
   def pageRankRefresh(edges: DataFrame, startRanks: DataFrame,
                       refreshIters: Int = 1, scale: Long = 1L << 40,
-                      damping: Int = 85): DataFrame = {
+                      damping: Int = 85,
+                      driverThreshold: Long = 1L << 20): DataFrame = {
     require(refreshIters >= 1, "refreshIters >= 1")
     // merged edge table materialized ONCE (the pageRank contract): the
     // out-weight, node and envelope jobs below otherwise each re-run
@@ -137,6 +276,11 @@ object Graphs {
     val ed = edges.select(col("src"), col("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .cpGuard()
+    // below broadcast scale: one driver pass, identical integer sweeps
+    // (the pageRank threshold contract; spec-pinned)
+    if (ed.count() <= driverThreshold)
+      return pageRankRefreshDriver(ed, startRanks, refreshIters, scale,
+        damping)
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct().cpGuard()
@@ -196,12 +340,17 @@ object Graphs {
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            scale: Long = 1L << 40,
-                           damping: Int = 85): DataFrame = {
+                           damping: Int = 85,
+                           driverThreshold: Long = 1L << 20): DataFrame = {
     require(iters >= 0 && damping > 0 && damping < 100,
       "iters >= 0, damping in (0, 100)")
     // one edge materialization before the fan-out (the pageRank
     // contract — see pageRank for why)
     val ed = edges.select(col("src"), col("dst"), col("w")).cpGuard()
+    // below broadcast scale: one driver pass, identical integer sweeps
+    // (the pageRank threshold contract; spec-pinned)
+    if (ed.count() <= driverThreshold)
+      return personalizedPageRankDriver(ed, seeds, iters, scale, damping)
     val outw = ed.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val nodes = ed.select(col("src").as("k"))
       .union(ed.select(col("dst").as("k"))).distinct()
@@ -253,21 +402,22 @@ object Graphs {
     * [[pageRank]]), plus a 1-row max aggregate broadcast for each
     * renormalization. Output: (k, auth_fp, hub_fp) per node.
     */
-  def hits(edges: DataFrame, iters: Int, scale: Long = 1L << 20): DataFrame = {
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1L << 20,
+           driverThreshold: Long = 1L << 20): DataFrame = {
     require(iters >= 1, "iters >= 1")
     // Envelope enforcement rides on the ONE edge materialization (the
     // pageRank observe() pattern): per-edge w < 2^22 and total weight
     // < 2^41 keep w * score < 2^43 and every in/out sum < 2^62. The
     // edge checkpoint comes FIRST so the node-set job below reads the
     // materialized table instead of re-deriving the edge pipeline
-    // twice (once per union branch).
+    // twice (once per union branch). The edge count for the driver
+    // threshold rides the same observe — zero extra jobs.
     val wObs = org.apache.spark.sql.Observation("hits_w_envelope")
     val edC = edges.select(col("src"), col("dst"), col("w")).observe(wObs,
       max(col("w")).cast("long").as("wmax"),
       min(col("w")).cast("long").as("wmin"),
-      sum(col("w")).cast("long").as("wtot")).cpGuard()
-    val nodes = edC.select(col("src").as("k"))
-      .union(edC.select(col("dst").as("k"))).distinct().cpGuard()
+      sum(col("w")).cast("long").as("wtot"),
+      count(lit(1)).as("ne")).cpGuard()
     (wObs.get("wmax"), wObs.get("wmin"), wObs.get("wtot")) match {
       case (wmax: Long, wmin: Long, wtot: Long) =>
         require(wmin >= 0L, "HITS edge weights must be >= 0")
@@ -277,6 +427,13 @@ object Graphs {
           "score sums cannot overflow Long; rescale weights")
       case _ => // edge-free graph: nothing to overflow
     }
+    // the pageRank threshold contract: below broadcast scale, one
+    // driver pass runs the identical renormalized integer iterations
+    // (spec-pinned via driverThreshold = 0)
+    if (wObs.get("ne").asInstanceOf[Long] <= driverThreshold)
+      return hitsDriver(edC, iters, scale)
+    val nodes = edC.select(col("src").as("k"))
+      .union(edC.select(col("dst").as("k"))).distinct().cpGuard()
     def renorm(raw: DataFrame, c: String): DataFrame = {
       val m = raw.agg(max(col(c)).as("m"))
       raw.crossJoin(broadcast(m))
@@ -308,6 +465,45 @@ object Graphs {
     }
     auth.join(hub, "k")
       .select(col("k"), col("a").as("auth_fp"), col("h").as("hub_fp"))
+      .orderBy(col("k"))
+  }
+
+  /** Driver-side [[hits]] for a below-threshold edge list — the same
+    * renormalized integer iterations (spec-pinned via
+    * driverThreshold = 0); the weight envelope was already enforced by
+    * the caller's observe.
+    */
+  private def hitsDriver(edC: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = edC.sparkSession
+    val rows = edC.select(col("src"), col("dst"), col("w").cast("long"))
+      .collect().toSeq
+    val es = rows.filterNot(_.isNullAt(2))
+      .map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val nodes: Seq[Any] = (rows.map(_.get(0)) ++ rows.map(_.get(1))).distinct
+    var hub: Map[Any, Long] = nodes.map(_ -> scale).toMap
+    var auth: Map[Any, Long] = nodes.map(_ -> 0L).toMap
+    // m = max raw score over ALL nodes (no-in-edge nodes count as 0,
+    // the distributed left-join coalesce); denom = max(1, m div scale)
+    def renorm(raw: collection.Map[Any, Long]): Map[Any, Long] = {
+      val m = if (nodes.isEmpty) 0L else nodes.map(k => raw.getOrElse(k, 0L)).max
+      val denom = math.max(1L, m / scale)
+      nodes.map(k => k -> raw.getOrElse(k, 0L) / denom).toMap
+    }
+    for (_ <- 0 until iters) {
+      val ar = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (src, dst, w) =>
+        ar(dst) = ar.getOrElse(dst, 0L) + w * hub(src) }
+      auth = renorm(ar)
+      val hr = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (src, dst, w) =>
+        hr(src) = hr.getOrElse(src, 0L) + w * auth(dst) }
+      hub = renorm(hr)
+    }
+    val schema = StructType(Seq(
+      StructField("k", edC.schema("src").dataType),
+      StructField("auth_fp", LongType), StructField("hub_fp", LongType)))
+    spark.createDataFrame(
+      nodes.map(k => Row(k, auth(k), hub(k))).asJava, schema)
       .orderBy(col("k"))
   }
 

@@ -24,6 +24,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(rs(4L) > rs(1L) && rs(1L) > rs(2L) && rs(2L) == rs(3L))
   }
 
+  test("pageRank family: driver shortcuts equal the distributed sweeps") {
+    // multi-path weighted graph with a dangling node (5) and an
+    // isolated source (4): the floors, the dropped dangling mass and
+    // the no-in-edge teleport floor all exercise. driverThreshold = 0
+    // pins the distributed path against the default driver pass.
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L),
+      (4L, 1L, 1L), (3L, 5L, 1L)).toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Graphs.pageRank(edges, iters = 3)) ==
+      rows(Graphs.pageRank(edges, iters = 3, driverThreshold = 0)))
+    assert(rows(Graphs.hits(edges, iters = 2)) ==
+      rows(Graphs.hits(edges, iters = 2, driverThreshold = 0)))
+    val seeds = Seq(1L, 4L).toDF("k")
+    assert(rows(Graphs.personalizedPageRank(edges, seeds, iters = 3)) ==
+      rows(Graphs.personalizedPageRank(edges, seeds, iters = 3,
+        driverThreshold = 0)))
+    // refresh: a seed snapshot covering SOME nodes (2, 3) — the rest
+    // start at the uniform floor on both paths; 9 is a stale seed key
+    // not in the graph and must be ignored on both paths
+    val start = Seq((2L, 123456789L), (3L, 42L), (9L, 7L)).toDF("k", "r")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy(col("k")))
+    assert(sortedRows(Graphs.pageRankRefresh(edges, start, refreshIters = 2)) ==
+      sortedRows(Graphs.pageRankRefresh(edges, start, refreshIters = 2,
+        driverThreshold = 0)))
+  }
+
   test("pageRank: rank mass is bounded by scale and deterministic across runs") {
     val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L))
       .toDF("src", "dst", "w")
